@@ -1,0 +1,207 @@
+"""Pure-Python encoder/decoder for ``tf.train.Example`` protos (K1/S5).
+
+The reference encodes each row dict into a serialized Example via TFT's
+``ExampleProtoCoder`` (/root/reference/tfrecorder/beam_pipeline.py:187-191)
+and parses them back with ``tf.io.parse_single_example``
+(dataset_loader.py:113-126). Neither TensorFlow nor the protobuf runtime
+is available here, so this module implements the (public, stable) wire
+format of the Example message directly:
+
+    message BytesList { repeated bytes value = 1; }
+    message FloatList { repeated float value = 1 [packed]; }
+    message Int64List { repeated int64 value = 1 [packed]; }
+    message Feature  { oneof { BytesList=1; FloatList=2; Int64List=3 } }
+    message Features { map<string, Feature> feature = 1; }
+    message Example  { Features features = 1; }
+
+(tensorflow/core/example/{example,feature}.proto — public schema.)
+
+Encoding detail that matters for byte-level golden tests: protobuf map
+serialization order is not canonical; this encoder emits map entries in
+sorted-key order so output is deterministic.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------- varint
+
+
+def _write_varint(buf: bytearray, value: int) -> None:
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return
+
+
+def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    result = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _tag(field: int, wire: int) -> int:
+    return (field << 3) | wire
+
+
+def _write_len_delimited(buf: bytearray, field: int, payload: bytes) -> None:
+    _write_varint(buf, _tag(field, 2))
+    _write_varint(buf, len(payload))
+    buf += payload
+
+
+# ------------------------------------------------------------- encoding
+
+
+def _encode_bytes_list(values: list[bytes]) -> bytes:
+    buf = bytearray()
+    for v in values:
+        _write_len_delimited(buf, 1, v)
+    return bytes(buf)
+
+
+def _encode_float_list(values: list[float]) -> bytes:
+    # packed repeated float (wire type 2 wrapping fixed32s)
+    payload = struct.pack(f"<{len(values)}f", *values)
+    buf = bytearray()
+    _write_len_delimited(buf, 1, payload)
+    return bytes(buf)
+
+
+def _encode_int64_list(values: list[int]) -> bytes:
+    payload = bytearray()
+    for v in values:
+        _write_varint(payload, v & 0xFFFFFFFFFFFFFFFF)  # two's complement
+    buf = bytearray()
+    _write_len_delimited(buf, 1, bytes(payload))
+    return bytes(buf)
+
+
+_KIND_FIELD = {"bytes": 1, "float": 2, "int64": 3}
+
+
+def encode_feature(kind: str, values: list) -> bytes:
+    """Encode one Feature message. ``kind`` in {bytes, float, int64}."""
+    if kind == "bytes":
+        inner = _encode_bytes_list(values)
+    elif kind == "float":
+        inner = _encode_float_list(values)
+    elif kind == "int64":
+        inner = _encode_int64_list(values)
+    else:
+        raise ValueError(f"unknown feature kind {kind!r}")
+    buf = bytearray()
+    _write_len_delimited(buf, _KIND_FIELD[kind], inner)
+    return bytes(buf)
+
+
+def encode_example(features: dict[str, tuple[str, list]]) -> bytes:
+    """Encode {name: (kind, values)} into a serialized Example proto.
+
+    Map entries are emitted in sorted-key order for determinism.
+    """
+    feats = bytearray()
+    for name in sorted(features):
+        kind, values = features[name]
+        entry = bytearray()
+        _write_len_delimited(entry, 1, name.encode("utf-8"))  # map key
+        _write_len_delimited(entry, 2, encode_feature(kind, values))  # map value
+        _write_len_delimited(feats, 1, bytes(entry))  # Features.feature entry
+    example = bytearray()
+    _write_len_delimited(example, 1, bytes(feats))  # Example.features
+    return bytes(example)
+
+
+# ------------------------------------------------------------- decoding
+
+
+def _iter_fields(data: bytes):
+    pos = 0
+    n = len(data)
+    while pos < n:
+        key, pos = _read_varint(data, pos)
+        field, wire = key >> 3, key & 0x7
+        if wire == 2:
+            length, pos = _read_varint(data, pos)
+            yield field, data[pos : pos + length]
+            pos += length
+        elif wire == 0:
+            value, pos = _read_varint(data, pos)
+            yield field, value
+        elif wire == 5:
+            yield field, data[pos : pos + 4]
+            pos += 4
+        elif wire == 1:
+            yield field, data[pos : pos + 8]
+            pos += 8
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported wire type {wire}")
+
+
+def _decode_int64_list(data: bytes) -> list[int]:
+    values: list[int] = []
+    for field, payload in _iter_fields(data):
+        if field != 1:
+            continue
+        if isinstance(payload, int):  # unpacked varint
+            values.append(payload)
+        else:  # packed
+            pos = 0
+            while pos < len(payload):
+                v, pos = _read_varint(payload, pos)
+                values.append(v)
+    return [v - (1 << 64) if v >= (1 << 63) else v for v in values]
+
+
+def _decode_float_list(data: bytes) -> list[float]:
+    values: list[float] = []
+    for field, payload in _iter_fields(data):
+        if field != 1:
+            continue
+        if isinstance(payload, bytes):
+            if len(payload) == 4:  # could be a single unpacked fixed32
+                values.extend(struct.unpack("<f", payload))
+            else:
+                values.extend(struct.unpack(f"<{len(payload) // 4}f", payload))
+    return values
+
+
+def decode_example(data: bytes) -> dict[str, tuple[str, list]]:
+    """Parse a serialized Example into {name: (kind, values)}."""
+    out: dict[str, tuple[str, list]] = {}
+    for field, features_bytes in _iter_fields(data):
+        if field != 1:
+            continue
+        for f2, entry in _iter_fields(features_bytes):
+            if f2 != 1:
+                continue
+            name = None
+            feature_bytes = b""
+            for f3, payload in _iter_fields(entry):
+                if f3 == 1:
+                    name = payload.decode("utf-8")
+                elif f3 == 2:
+                    feature_bytes = payload
+            kind, values = "bytes", []
+            for f4, inner in _iter_fields(feature_bytes):
+                if f4 == 1:
+                    kind = "bytes"
+                    values = [p for fld, p in _iter_fields(inner) if fld == 1]
+                elif f4 == 2:
+                    kind, values = "float", _decode_float_list(inner)
+                elif f4 == 3:
+                    kind, values = "int64", _decode_int64_list(inner)
+            if name is not None:
+                out[name] = (kind, values)
+    return out

@@ -1,0 +1,85 @@
+"""TFRecord file framing: length-prefixed records with masked CRC-32C.
+
+Public on-disk format (tensorflow/core/lib/io/record_writer.h):
+
+    uint64 length          (little-endian)
+    uint32 masked_crc32c(length bytes)
+    bytes  data[length]
+    uint32 masked_crc32c(data)
+
+Used by both the sink (K2) and the scan (S5). Gzip compression operates
+on the whole file stream, matching the reference's ``.tfrecord.gz``
+output (/root/reference/tfrecorder/beam_pipeline.py:105-110).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import struct
+from collections.abc import Iterator
+
+from .crc32c import masked_crc32c
+
+_U64 = struct.Struct("<Q")
+_U32 = struct.Struct("<I")
+
+
+def write_record(fh, data: bytes) -> None:
+    header = _U64.pack(len(data))
+    fh.write(header)
+    fh.write(_U32.pack(masked_crc32c(header)))
+    fh.write(data)
+    fh.write(_U32.pack(masked_crc32c(data)))
+
+
+def read_records(data: bytes, verify: bool = False) -> Iterator[bytes]:
+    """Iterate the records in a raw (already-decompressed) TFRecord byte
+    string. ``verify=True`` checks both CRCs (golden tests)."""
+    pos = 0
+    n = len(data)
+    while pos + 12 <= n:
+        header = data[pos : pos + 8]
+        (length,) = _U64.unpack(header)
+        (header_crc,) = _U32.unpack(data[pos + 8 : pos + 12])
+        if verify and masked_crc32c(header) != header_crc:
+            raise ValueError(f"corrupt TFRecord header at offset {pos}")
+        start = pos + 12
+        payload = data[start : start + length]
+        (data_crc,) = _U32.unpack(data[start + length : start + length + 4])
+        if verify and masked_crc32c(payload) != data_crc:
+            raise ValueError(f"corrupt TFRecord payload at offset {start}")
+        yield payload
+        pos = start + length + 4
+
+
+def open_maybe_gzip(path: str, mode: str = "rb"):
+    if path.endswith(".gz"):
+        return gzip.open(path, mode, mtime=0) if "w" in mode else gzip.open(path, mode)
+    return open(path, mode)
+
+
+def read_file_records(path_or_bytes, compressed: bool | None = None) -> Iterator[bytes]:
+    """Read all records from a file path or an in-memory bytes blob.
+
+    ``compressed=None`` infers from the path extension (paths) or the gzip
+    magic bytes (blobs) — the reference infers from extension
+    (dataset_loader.py:72-79).
+    """
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        blob = bytes(path_or_bytes)
+        if compressed or (compressed is None and blob[:2] == b"\x1f\x8b"):
+            blob = gzip.decompress(blob)
+        yield from read_records(blob)
+    else:
+        with open_maybe_gzip(path_or_bytes, "rb") as fh:
+            yield from read_records(fh.read())
+
+
+def records_to_bytes(records: list[bytes], compress: bool = False) -> bytes:
+    """Serialize records into a single TFRecord file image (for tests)."""
+    buf = io.BytesIO()
+    for r in records:
+        write_record(buf, r)
+    raw = buf.getvalue()
+    return gzip.compress(raw, mtime=0) if compress else raw

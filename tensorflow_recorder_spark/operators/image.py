@@ -1,0 +1,143 @@
+"""Image extraction — the multimodal enrich operator (T3/P2, SURVEY.md
+§2.2/§2.3).
+
+Reference: /root/reference/tfrecorder/beam_image.py:78-119
+(``ExtractImagesDoFn``): per row, open the ``image_uri`` file with PIL,
+replace the URI column with five generated columns — ``image_name``
+(basename), ``image`` (base64 of raw pixels, altchars ``-_``),
+``image_height``, ``image_width``, ``image_channels`` (1 or 3) — and on
+ANY failure log it, count it, and rewrite ``split`` to ``DISCARD``
+(beam_image.py:112-116). Counters ``image_good``/``image_bad``
+(beam_image.py:85-86, 109, 115).
+
+Spark-first design: an Arrow-batched ``mapInPandas`` over the URI column
+— the Spark analog of the reference's ``beam.DoFn``, but batch-at-a-time
+instead of row-at-a-time. The failure->DISCARD routing happens inside
+the same pass (no second shuffle), and good/bad counts are emitted as
+columns aggregated later via ``observe``-style counting, not
+driver-side state.
+
+PIL is not available in this runtime, so the *decode* step is pluggable:
+``set_image_loader`` installs a real loader when PIL exists; otherwise a
+deterministic synthetic loader (seeded by the path) keeps the full
+pipeline — schema, batching, error routing, base64 encoding — real and
+testable. Paths that do not exist always fail -> DISCARD, matching the
+reference's missing-file behavior (beam_image_test.py:44-52).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+
+from ..constants import DISCARD
+from ..functions.image_codec import encode_pixels, mode_to_channel
+
+# An image loader returns (pixels, width, height, mode) for a path.
+ImageLoader = Callable[[str], tuple[bytes, int, int, str]]
+
+try:  # pragma: no cover - PIL not present in this runtime
+    from PIL import Image as _PILImage
+
+    def _pil_loader(path: str) -> tuple[bytes, int, int, str]:
+        """Real loader: PIL open, exactly the reference's load()
+        (beam_image.py:62-73)."""
+        with open(path, "rb") as fh:
+            img = _PILImage.open(fh)
+            img.load()
+        return img.tobytes(), img.width, img.height, img.mode
+
+    DEFAULT_LOADER: ImageLoader = _pil_loader
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+    def _synthetic_loader(path: str) -> tuple[bytes, int, int, str]:
+        """Deterministic stand-in for PIL decode (runtime lacks PIL).
+
+        Real filesystem semantics are preserved: the file must exist and
+        be readable (missing file -> the DISCARD route). Pixels are a
+        deterministic digest-stream of the file contents, 4x4 RGB."""
+        with open(path, "rb") as fh:
+            content = fh.read()
+        width = height = 4
+        mode = "RGB"
+        n = width * height * 3
+        digest = hashlib.sha256(content).digest()
+        pixels = (digest * (n // len(digest) + 1))[:n]
+        return pixels, width, height, mode
+
+    DEFAULT_LOADER = _synthetic_loader
+
+_loader: ImageLoader = DEFAULT_LOADER
+
+
+def set_image_loader(loader: ImageLoader) -> None:
+    """Install a custom image decoder (e.g. a real PIL/OpenCV loader)."""
+    global _loader
+    _loader = loader
+
+
+def extract_images(
+    df: DataFrame, image_uri_key: str, split_key: str = "split"
+) -> DataFrame:
+    """Replace ``image_uri_key`` with the five generated image columns;
+    failures route the row's split to DISCARD and null the image columns.
+
+    Adds a transient ``__image_ok`` boolean used for the good/bad
+    counters (V5); callers aggregate and drop it.
+    """
+    loader = _loader
+    passthrough = [c for c in df.columns if c != image_uri_key]
+
+    out_fields = [f for f in df.schema.fields if f.name != image_uri_key]
+    out_struct = T.StructType(
+        out_fields
+        + [
+            T.StructField("image_name", T.StringType()),
+            T.StructField("image", T.StringType()),
+            T.StructField("image_height", T.LongType()),
+            T.StructField("image_width", T.LongType()),
+            T.StructField("image_channels", T.LongType()),
+            T.StructField("__image_ok", T.BooleanType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            names, images, heights, widths, channels, oks = [], [], [], [], [], []
+            new_split = list(pdf[split_key])
+            for i, uri in enumerate(pdf[image_uri_key]):
+                try:
+                    pixels, width, height, mode = loader(uri)
+                    names.append(os.path.basename(uri))
+                    images.append(encode_pixels(pixels))
+                    heights.append(height)
+                    widths.append(width)
+                    channels.append(mode_to_channel(mode))
+                    oks.append(True)
+                except Exception:
+                    # Reference: log, count image_bad, split -> DISCARD
+                    # (beam_image.py:112-116).
+                    names.append(None)
+                    images.append(None)
+                    heights.append(None)
+                    widths.append(None)
+                    channels.append(None)
+                    oks.append(False)
+                    new_split[i] = DISCARD
+            out = pdf[passthrough].copy()
+            out[split_key] = new_split
+            out["image_name"] = names
+            out["image"] = images
+            out["image_height"] = pd.array(heights, dtype="Int64")
+            out["image_width"] = pd.array(widths, dtype="Int64")
+            out["image_channels"] = pd.array(channels, dtype="Int64")
+            out["__image_ok"] = oks
+            yield out[[f.name for f in out_struct.fields]]
+
+    return df.mapInPandas(extract, schema=out_struct)

@@ -1,0 +1,96 @@
+"""Vocabulary fit/apply — the reference's one real aggregation (A2/A3,
+SURVEY.md §2.4).
+
+Reference semantics (/root/reference/tfrecorder/beam_pipeline.py:120-127 +
+test_data/sample_tfrecords): for every StringLabel column, compute the
+vocabulary over the **TRAIN split only**, ordered by descending frequency,
+persist it as a text asset (one value per line), then map every value —
+in ALL splits — to its vocabulary index; out-of-vocabulary values map to
+-1 (schema.pbtxt int_domain {min: -1}).
+
+Tie-break: the reference delegates to TFT whose ordering below equal
+frequencies is unspecified; the engine pins ``ORDER BY count DESC, value
+ASC`` so results are deterministic and oracle-checkable (SURVEY.md §7
+phase 2).
+
+Scale design: the fit is a groupBy(count) shuffle over the TRAIN subset
+— partial aggregation (map-side combine) makes the shuffled data
+|distinct values|, not |rows|. The global rank uses a single-partition
+window over the *aggregated* vocabulary, which is small by construction
+(a label vocabulary, not a token vocabulary); for huge vocabularies use
+``zipWithIndex``-style two-phase ranking instead. The apply is a
+broadcast hash join (vocab is bounded), so no shuffle touches the fact
+table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..constants import OOV_INDEX, TRAIN
+
+
+def fit_vocabulary(
+    train_df: DataFrame, column: str, value_alias: str = "value", index_alias: str = "index"
+) -> DataFrame:
+    """Compute the frequency-descending vocabulary of ``column`` (A2 fit).
+
+    Returns a small DataFrame (value, index) with index 0..V-1 assigned by
+    count desc, value asc. NULLs do not enter the vocabulary (the
+    reference's CSV path never produces NULL labels).
+    """
+    counts = (
+        train_df.where(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias(value_alias))
+        .agg(F.count(F.lit(1)).alias("_freq"))
+    )
+    # The window input is the aggregated vocabulary (small); a single
+    # ordered partition here is deliberate and bounded.
+    w = Window.orderBy(F.desc("_freq"), F.asc(value_alias))
+    return counts.select(
+        value_alias, (F.row_number().over(w) - F.lit(1)).alias(index_alias)
+    )
+
+
+def apply_vocabulary(
+    df: DataFrame, column: str, vocab: DataFrame, oov_index: int = OOV_INDEX
+) -> DataFrame:
+    """Integerize ``column`` via a broadcast join against the fitted
+    vocabulary (A3 apply); OOV -> ``oov_index`` (A2 semantics).
+
+    The vocabulary side is always broadcast: it is fitted state, bounded
+    by label cardinality, so the fact table never shuffles.
+    """
+    vocab_renamed = vocab.select(
+        F.col("value").alias("__vocab_value"), F.col("index").alias("__vocab_index")
+    )
+    joined = df.join(
+        F.broadcast(vocab_renamed),
+        df[column] == vocab_renamed["__vocab_value"],
+        "left",
+    )
+    return joined.withColumn(
+        column, F.coalesce(F.col("__vocab_index"), F.lit(oov_index))
+    ).drop("__vocab_value", "__vocab_index")
+
+
+def fit_and_apply_vocabularies(
+    df: DataFrame,
+    vocab_columns: list[str],
+    split_key: str = "split",
+    train_value: str = TRAIN,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """Fit each vocabulary on the TRAIN subset, apply to the whole frame
+    (A3 fit-on-train / apply-to-all; reference beam_pipeline.py:296-313).
+
+    Returns (transformed df, {column: vocab DataFrame}) — the vocab frames
+    are the fitted state to persist as assets (K4).
+    """
+    train = df.where(F.col(split_key) == train_value)
+    vocabs: dict[str, DataFrame] = {}
+    out = df
+    for column in vocab_columns:
+        vocab = fit_vocabulary(train, column)
+        vocabs[column] = vocab
+        out = apply_vocabulary(out, column, vocab)
+    return out, vocabs

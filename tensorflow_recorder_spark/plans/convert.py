@@ -1,0 +1,178 @@
+"""The ``convert`` pipeline (C1, SURVEY.md §2.6/§3) — the reference's
+entry point re-planned for Spark.
+
+Reference lifecycle (/root/reference/tfrecorder/converter.py:248-366 +
+beam_pipeline.py:199-324): normalize source -> validate -> (image
+extract) -> split-partition -> fit TFT on TRAIN / apply to all -> write
+sharded TFRecords per split + discard text + transform artifacts ->
+return {job_id, metrics, tfrecord_dir}.
+
+Spark re-plan (SURVEY.md §4.2):
+  * The Beam DAG becomes lazy DataFrame lineage; Catalyst owns physical
+    planning. NO driver materialization of the data — the reference's
+    ``df.values.tolist()`` (beam_pipeline.py:251) is exactly the pattern
+    this engine exists to kill.
+  * Three driver-visible actions, each returning tiny results: the split
+    histogram (A1), the fitted state (vocab/scale — bounded by label
+    cardinality), and the write jobs' file manifests.
+  * The transformed frame is cached once and shared by all split writes
+    + counters, so the input is scanned once regardless of split count.
+  * Fitted state applies via broadcast join / literals — the fact table
+    never shuffles in this pipeline (split routing is a narrow map;
+    write sharding is the only repartition and only when requested).
+"""
+
+from __future__ import annotations
+
+import datetime
+import logging
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..constants import AUTO_SHARDS, DISCARD, JOB_NAME_PREFIX, OUTPUT_SPLITS
+from ..operators.image import extract_images
+from ..operators.scale import fit_and_apply_scale
+from ..operators.split import normalize_split, require_train, split_counts
+from ..operators.vocabulary import fit_and_apply_vocabularies
+from ..schema import Schema
+from ..sinks.artifacts import (
+    write_discarded,
+    write_scale_stats,
+    write_schema_metadata,
+    write_vocabulary_assets,
+)
+from ..sinks.tfrecord import encode_examples, write_split_tfrecords
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class ConvertResult:
+    """Mirrors the reference's job-result dict (converter.py:330-348)."""
+
+    job_id: str
+    tfrecord_dir: str
+    metrics: dict[str, int] = field(default_factory=dict)
+    files: dict[str, dict[str, int]] = field(default_factory=dict)
+
+    def as_dict(self) -> dict:
+        return {
+            "job_id": self.job_id,
+            "metrics": self.metrics,
+            "tfrecord_dir": self.tfrecord_dir,
+        }
+
+
+def get_job_name(label: str | None = None, now: datetime.datetime | None = None) -> str:
+    """``tfrecorder-<YYYYmmdd-HHMMSS>[-label]`` (V6, converter.py:146-162)."""
+    ts = (now or datetime.datetime.now()).strftime("%Y%m%d-%H%M%S")
+    name = f"{JOB_NAME_PREFIX}-{ts}"
+    if label:
+        name += "-" + label.replace("_", "-")
+    return name
+
+
+def run_convert(
+    spark: SparkSession,
+    df: DataFrame,
+    schema: Schema,
+    output_dir: str,
+    job_label: str | None = None,
+    compression: str | None = "gzip",
+    num_shards: int = AUTO_SHARDS,
+    scale_numeric: bool = False,
+) -> ConvertResult:
+    """Execute the convert plan on an already-normalized Spark DataFrame.
+
+    ``scale_numeric`` gates A4 (z-score on TRAIN stats): the reference
+    documents it but does not implement it (README.md:304-312 vs
+    beam_pipeline.py:128-129), so parity default is OFF.
+    """
+    schema.validate_columns(df.columns)  # V1
+    split_key = schema.split_key
+
+    # Typed projection (T2): select schema columns in order, cast to the
+    # declared types — the CsvCoder-decode analog, JVM-side.
+    typed = df.select(
+        *[
+            F.col(name).cast(inst.spark_type).alias(name)
+            for name, inst in schema.input_schema_map.items()
+        ]
+    )
+
+    # Split histogram (A1) runs on the *input* split column, matching the
+    # reference which computes counts before image extraction can reroute
+    # failures (the V8 empty-split case).
+    counts = split_counts(normalize_split(typed, split_key), split_key)
+    require_train(counts)  # V3
+    input_rows = sum(counts.values())
+
+    # Image extraction (T3) — only when the schema declares an ImageUri.
+    work = typed
+    if schema.image_uri_key:
+        work = extract_images(work, schema.image_uri_key, split_key)
+    work = normalize_split(work, split_key)  # P1 (also covers P2 reroutes)
+
+    # Fit on TRAIN, apply to all (A2/A3).
+    transformed, vocabs = fit_and_apply_vocabularies(
+        work, schema.vocabulary_columns(), split_key
+    )
+    scale_stats: dict[str, tuple[float, float]] = {}
+    if scale_numeric:
+        transformed, scale_stats = fit_and_apply_scale(
+            transformed, schema.scalable_columns(), split_key
+        )
+
+    job_name = get_job_name(job_label)
+    job_dir = os.path.join(output_dir, job_name)
+    os.makedirs(job_dir, exist_ok=True)
+
+    # One cached lineage feeds counters, all split writes, and discard.
+    transformed = transformed.cache()
+    try:
+        good = bad = 0
+        if "__image_ok" in transformed.columns:
+            counter_row = transformed.agg(
+                F.count(F.when(F.col("__image_ok"), 1)).alias("good"),
+                F.count(F.when(~F.col("__image_ok"), 1)).alias("bad"),
+            ).collect()[0]
+            good, bad = counter_row["good"], counter_row["bad"]
+            transformed = transformed.drop("__image_ok")
+
+        encoded = encode_examples(transformed, split_key).cache()
+        try:
+            files: dict[str, dict[str, int]] = {}
+            for split in OUTPUT_SPLITS:
+                # Branch elision parity: a split branch exists iff the
+                # split appeared in the input histogram
+                # (beam_pipeline.py:274-280, 303-313) — even if image
+                # failures emptied it (V8).
+                if counts.get(split, 0) > 0:
+                    files[split] = write_split_tfrecords(
+                        encoded,
+                        job_dir,
+                        split.lower(),
+                        split,
+                        compression=compression,
+                        num_shards=num_shards,
+                    )
+            write_discarded(
+                transformed.where(F.col(split_key) == DISCARD), job_dir
+            )  # K3
+        finally:
+            encoded.unpersist()
+
+        write_vocabulary_assets(job_dir, vocabs)  # K4
+        if scale_stats:
+            write_scale_stats(job_dir, scale_stats)
+        write_schema_metadata(job_dir, schema, transformed.schema)
+    finally:
+        transformed.unpersist()
+
+    metrics = {"rows": input_rows, "good_images": good, "bad_images": bad}
+    logger.info("convert job %s complete: %s", job_name, metrics)
+    return ConvertResult(
+        job_id="spark-local", tfrecord_dir=job_dir, metrics=metrics, files=files
+    )
