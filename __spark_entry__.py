@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` is the smoke check; ``queries()`` /``oracle_sql()``
+are the DuckDB-checked operator surface (SURVEY.md §2). Implementation
+lives in ``tensorflow_recorder_spark.queries``.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the convert-pipeline
+    transform (P1 split routing + A2/A3 fit-on-TRAIN vocabulary applied
+    to all splits) over the documents table."""
+    from tensorflow_recorder_spark.operators.split import normalize_split
+    from tensorflow_recorder_spark.operators.vocabulary import (
+        apply_vocabulary,
+        fit_vocabulary,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    split = (
+        "CASE WHEN doc_id % 10 < 7 THEN 'TRAIN' "
+        "WHEN doc_id % 10 < 9 THEN 'VALIDATION' ELSE 'TEST' END"
+    )
+    df = normalize_split(docs.withColumn("split", F.expr(split)))
+    vocab = fit_vocabulary(df.where(F.col("split") == "TRAIN"), "lang")
+    out = apply_vocabulary(df.withColumnRenamed("lang", "lang_idx"), "lang_idx", vocab)
+    return out.select("doc_id", "split", F.col("lang_idx").cast("long").alias("lang_idx"), "source", "n_chars")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from tensorflow_recorder_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tensorflow_recorder_spark.queries import ORACLES
+
+    return dict(ORACLES)

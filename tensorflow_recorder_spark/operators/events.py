@@ -1,0 +1,111 @@
+"""Event-time operators (E4, SURVEY.md §2.9): time-bucket rollups,
+sessionization, as-of latest-value.
+
+The reference has no streaming or time semantics at all (SURVEY.md §2.8)
+— these are the extension operators a training-data pipeline needs for
+event/telemetry tables. Batch formulations here; the streaming variants
+(watermarked windows over ``readStream``) live in ``streaming/``.
+
+Scale notes: the rollup is a single partial-aggregated groupBy keyed by
+(bucket, type) — low cardinality, no skew risk. Sessionization shuffles
+once on user_id and then does per-user ordered scans (lag + running
+sum); skewed power-users are handled by AQE skew-split since the window
+partition key is the shuffle key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def hourly_rollup(df: DataFrame, ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+    """Tumbling 1-hour rollup: count + value stats per (hour, type).
+
+    Uses ``date_trunc`` (not ``F.window``) so the bucket is a plain
+    timestamp column — identical semantics, friendlier to downstream
+    joins and to the SQL oracle. Output hour is formatted as a string
+    for engine-portable comparison.
+    """
+    return (
+        df.groupBy(
+            F.date_format(F.date_trunc("hour", F.col(ts_col)), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            F.col(type_col).alias("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap since
+    the user's previous event exceeds ``gap_minutes``.
+
+    Classic lag + cumulative-sum-of-boundaries double window. Output:
+    one row per session with bounds and size.
+    """
+    gap_s = gap_minutes * 60
+    w_user = Window.partitionBy(user_col).orderBy(F.col(ts_col), "event_id")
+    with_gap = df.withColumn(
+        "__new_session",
+        F.when(
+            F.col(ts_col).cast("long")
+            - F.lag(F.col(ts_col).cast("long")).over(w_user)
+            > gap_s,
+            1,
+        )
+        .otherwise(0),
+    )
+    with_sid = with_gap.withColumn(
+        "session_seq",
+        F.sum("__new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_sid.groupBy(F.col(user_col).alias("user_id"), "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            (F.max(F.col(ts_col).cast("long")) - F.min(F.col(ts_col).cast("long"))).alias(
+                "duration_s"
+            ),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def asof_latest(
+    df: DataFrame,
+    cutoff: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """As-of join primitive: each user's latest event at or before
+    ``cutoff`` (the per-key as-of lookup; a full as-of join composes
+    this with a range-bucketed equi-join).
+
+    ``max_by`` keeps it one partial-aggregated groupBy — no window sort.
+    Ties on ts break by event_id (max wins) for determinism.
+    """
+    filtered = df.where(F.col(ts_col) <= F.lit(cutoff).cast("timestamp"))
+    return filtered.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("asof_ts"),
+        F.max_by(
+            F.col(value_col), F.struct(F.col(ts_col), F.col("event_id"))
+        ).alias("asof_value"),
+        F.max_by(
+            F.col("event_type"), F.struct(F.col(ts_col), F.col("event_id"))
+        ).alias("asof_type"),
+    )

@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (E2, SURVEY.md §2.9).
+
+Brute-force cosine top-k as the exact baseline, and an IVF
+(inverted-file) variant as the scale path: vectors are assigned to
+their nearest centroid once (a narrow projection against a broadcast
+centroid table), and a query probes only its centroid's cell — at
+1000 executors the probe is a partition-pruned scan of ~1/K of the
+data instead of the full corpus.
+
+All vector math uses built-in higher-order functions (``zip_with`` +
+``aggregate``) over ``array<float>`` cast to double — JVM-side, no
+Python in the hot path. Dot products accumulate left-to-right, so the
+DuckDB oracle (same accumulation order) agrees bit-for-bit at double
+precision; scores are still rounded in declared queries for hash
+stability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def dot_expr(a: str, b: str) -> str:
+    """Sequential-order dot product of two float arrays, in double."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: str) -> str:
+    return f"sqrt({dot_expr(a, a)})"
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return f"({dot_expr(a, b)}) / (({norm_expr(a)}) * ({norm_expr(b)}))"
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector (E2 baseline).
+
+    ``queries`` is small (it is broadcast); the corpus never shuffles —
+    the only wide op is the per-query top-k, a window over the
+    (|queries| x |corpus|) scored frame partitioned by query id. Scores
+    are rounded before ranking so ordering is reproducible across
+    engines; ties break on neighbor id.
+    Output: (query_id, neighbor_id, score, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(cosine_expr("__qv", "__cv")), round_digits).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign every vector to its nearest (max-cosine) centroid — the IVF
+    partitioning step (E2 scale path). Centroids are broadcast; ties
+    break on centroid id. Output: (vec_id, centroid_id).
+
+    At scale the result is written ``partitionBy(centroid_id)`` so
+    probes are partition-pruned scans.
+    """
+    c = centroids.select(
+        F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cv")
+    )
+    scored = df.select(F.col(id_col), F.col(vec_col).alias("__v")).crossJoin(
+        F.broadcast(c)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(F.round(F.expr(cosine_expr("__v", "__cv")), 6)), F.asc("__cid")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("__cid").alias(centroid_id_col))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-bucketed approximate top-k: each query searches only the cell
+    of its own nearest centroid (nprobe=1). Output like
+    :func:`brute_force_topk`; recall < 1 by design — the approximation
+    is the documented trade."""
+    assign = ivf_assign(df, centroids, vec_col, id_col)
+    corpus = df.join(assign, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col("centroid_id").alias("__ccell"),
+    )
+    q_assign = ivf_assign(queries, centroids, vec_col, id_col)
+    q = (
+        queries.join(q_assign, id_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col("centroid_id").alias("__qcell"),
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col("__ccell") == F.col("__qcell"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(cosine_expr("__qv", "__cv")), round_digits).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

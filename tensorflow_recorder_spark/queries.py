@@ -1,0 +1,834 @@
+"""Declared queries (SURVEY.md §2 inventory) + DuckDB oracle SQL.
+
+Every SQL-expressible operator gets a (Spark callable, oracle SQL) pair;
+the driver runs both at sf0.01 and hash-compares. Column names and types
+are aligned on both sides; cross-engine float determinism rules:
+
+  * money/quantity sums go through DECIMAL(18,x) (exact, associative —
+    immune to summation order) and surface as DOUBLE;
+  * per-row IEEE arithmetic (products, divisions) is bit-identical across
+    engines, so row-level doubles are safe unrounded, but anything
+    downstream of a multi-row double accumulation (stddev, cosine) is
+    rounded to >=4 digits below its error bound;
+  * timestamps surface as formatted strings (engines disagree on tz/unit
+    representation, strings don't);
+  * counts/ranks are BIGINT on both sides (DuckDB sum/row_number
+    otherwise produce HUGEINT/INT128).
+
+Split-pipeline queries derive a deterministic split column from keys
+(FIXTURES.md §4) so convert-pipeline operators are oracle-checkable on
+the TPC-H-ish tables; the 'FOO' value exercises unknown->DISCARD (P1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators import dedup, events, similarity, text
+from .operators.scale import fit_and_apply_scale
+from .operators.split import normalize_split, split_histogram_df
+from .operators.vocabulary import apply_vocabulary, fit_vocabulary
+
+# Deterministic split derivations (shared Spark + DuckDB SQL).
+ORDERS_SPLIT = (
+    "CASE WHEN o_orderkey % 10 < 7 THEN 'TRAIN' "
+    "WHEN o_orderkey % 10 < 9 THEN 'VALIDATION' "
+    "WHEN o_orderkey % 100 = 99 THEN 'FOO' ELSE 'TEST' END"
+)
+CUSTOMER_SPLIT = (
+    "CASE WHEN c_custkey % 10 < 7 THEN 'TRAIN' "
+    "WHEN c_custkey % 10 < 9 THEN 'VALIDATION' ELSE 'TEST' END"
+)
+SPLIT_IN = "('TRAIN', 'VALIDATION', 'TEST', 'DISCARD')"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read nanos as long (legacy conf) and truncate to
+    microseconds — exactly what DuckDB's nanos->micros read does, so both
+    engines see identical timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = _t(spark, sf_dir, "events")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+# =====================================================================
+# Convert-pipeline surface (P1 / A1 / A2 / A3 / A4 / T1 / T2)
+# =====================================================================
+
+
+def q_p1_split_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: derive split, route unknown values to DISCARD."""
+    df = _t(spark, sf_dir, "orders").withColumn("split", F.expr(ORDERS_SPLIT))
+    return normalize_split(df).select("o_orderkey", "split")
+
+
+def q_a1_split_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: split histogram after normalization."""
+    df = _t(spark, sf_dir, "orders").withColumn("split", F.expr(ORDERS_SPLIT))
+    return split_histogram_df(df)
+
+
+def q_a2_vocabulary_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 fit: frequency-descending vocabulary over the TRAIN split."""
+    df = _t(spark, sf_dir, "orders").withColumn("split", F.expr(ORDERS_SPLIT))
+    train = df.where(F.col("split") == "TRAIN")
+    return fit_vocabulary(train, "o_orderpriority")
+
+
+def q_a3_vocabulary_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: fit on TRAIN, integerize ALL rows (OOV -> -1)."""
+    df = _t(spark, sf_dir, "orders").withColumn("split", F.expr(ORDERS_SPLIT))
+    vocab = fit_vocabulary(df.where(F.col("split") == "TRAIN"), "o_orderpriority")
+    applied = apply_vocabulary(
+        df.withColumnRenamed("o_orderpriority", "label_idx"), "label_idx", vocab
+    )
+    return applied.select("o_orderkey", F.col("label_idx").cast("long").alias("label_idx"))
+
+
+def q_a4_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: z-score c_acctbal with TRAIN-fitted mean/stddev_pop."""
+    df = _t(spark, sf_dir, "customer").withColumn("split", F.expr(CUSTOMER_SPLIT))
+    scaled, _ = fit_and_apply_scale(df, ["c_acctbal"])
+    return scaled.select("c_custkey", F.round("c_acctbal", 4).alias("acctbal_z"))
+
+
+def q_t1_csv_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: row -> CSV-string serialization (the reference's ToCSVRows)."""
+    return _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.concat_ws(",", "n_nationkey", "n_name", "n_regionkey").alias("csv_line"),
+    )
+
+
+def q_t2_typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: schema-applied typed projection (CsvCoder-decode analog)."""
+    return _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_returnflag").cast("string").alias("l_returnflag"),
+    )
+
+
+ORACLE_P1 = f"""
+SELECT o_orderkey,
+       CASE WHEN ({ORDERS_SPLIT}) IN {SPLIT_IN} THEN ({ORDERS_SPLIT})
+            ELSE 'DISCARD' END AS split
+FROM orders
+"""
+
+ORACLE_A1 = f"""
+SELECT CASE WHEN ({ORDERS_SPLIT}) IN {SPLIT_IN} THEN ({ORDERS_SPLIT})
+            ELSE 'DISCARD' END AS split,
+       count(*) AS n_rows
+FROM orders GROUP BY 1
+"""
+
+ORACLE_A2 = f"""
+SELECT o_orderpriority AS value,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, o_orderpriority) - 1 AS BIGINT) AS index
+FROM orders WHERE ({ORDERS_SPLIT}) = 'TRAIN'
+GROUP BY o_orderpriority
+"""
+
+ORACLE_A3 = f"""
+WITH vocab AS (
+  SELECT o_orderpriority AS value,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, o_orderpriority) - 1 AS BIGINT) AS index
+  FROM orders WHERE ({ORDERS_SPLIT}) = 'TRAIN' GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey, CAST(COALESCE(v.index, -1) AS BIGINT) AS label_idx
+FROM orders o LEFT JOIN vocab v ON o.o_orderpriority = v.value
+"""
+
+ORACLE_A4 = f"""
+WITH stats AS (
+  SELECT avg(c_acctbal) AS m, stddev_pop(c_acctbal) AS s
+  FROM customer WHERE ({CUSTOMER_SPLIT}) = 'TRAIN'
+)
+SELECT c.c_custkey, round((c.c_acctbal - stats.m) / stats.s, 4) AS acctbal_z
+FROM customer c, stats
+"""
+
+ORACLE_T1 = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       concat_ws(',', n_nationkey, n_name, n_regionkey) AS csv_line
+FROM nation
+"""
+
+ORACLE_T2 = """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(l_quantity AS DOUBLE) AS l_quantity,
+       CAST(l_returnflag AS VARCHAR) AS l_returnflag
+FROM lineitem
+"""
+
+
+# =====================================================================
+# Inherited relational surface (free from Spark SQL; declared to prove it)
+# =====================================================================
+
+
+def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary. Money sums via DECIMAL (exact)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    out = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("_sq"),
+            F.sum(dec("l_extendedprice")).alias("_sbp"),
+            F.sum(disc_price).alias("_sdp"),
+            F.sum(charge).alias("_sc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sbp").cast("double").alias("sum_base_price"),
+            F.col("_sdp").cast("double").alias("sum_disc_price"),
+            F.col("_sc").cast("double").alias("sum_charge"),
+            (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+            "count_order",
+        )
+    )
+    return out
+
+
+ORACLE_REL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_rel_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-style: top-10 revenue orders for one market segment.
+    Dimension side (customer filter) broadcasts; revenue in DECIMAL."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .alias("rev"),
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum("rev").alias("_r"))
+        .select("o_orderkey", F.col("_r").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_REL_TOP_ORDERS = """
+SELECT o_orderkey,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_rel_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style: revenue by supplier nation within one region.
+    All dimension joins (region/nation/supplier) broadcast; only
+    lineitem<->orders is a shuffled join."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    dims = (
+        supp.join(
+            F.broadcast(nation.join(region, nation.n_regionkey == region.r_regionkey)),
+            supp.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("_r"))
+        .select("n_name", F.col("_r").cast("double").alias("revenue"))
+    )
+
+
+ORACLE_REL_REGION_REVENUE = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q_rel_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers per nation by account balance (window top-k)."""
+    from pyspark.sql import Window
+
+    supp = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        supp.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("s_nationkey").cast("long").alias("s_nationkey"),
+            "s_suppkey",
+            "s_acctbal",
+            "rk",
+        )
+    )
+
+
+ORACLE_REL_TOPK_PER_GROUP = """
+SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, s_suppkey, s_acctbal,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT s_nationkey, s_suppkey, s_acctbal,
+         row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rk
+  FROM supplier
+) WHERE rk <= 3
+"""
+
+
+def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over returnflag/linestatus (grouping sets)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+ORACLE_REL_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: customers with orders but none above 400k
+    (EXCEPT), as a left-anti-style set difference."""
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = orders.select("o_custkey").distinct()
+    big = orders.where(F.col("o_totalprice") > 400000).select("o_custkey").distinct()
+    return with_orders.exceptAll(big).select(F.col("o_custkey").alias("custkey"))
+
+
+ORACLE_REL_SET_OPS = """
+SELECT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+"""
+
+
+def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts by status per priority."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+ORACLE_REL_PIVOT = """
+SELECT o_orderpriority AS priority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# =====================================================================
+# E1 dedup
+# =====================================================================
+
+
+def q_e1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a boilerplate key (first 40 chars): survivors."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__key", F.expr("substring(text, 1, 40)")
+    )
+    return dedup.exact_dedup(docs, "__key", "doc_id").select("doc_id")
+
+
+ORACLE_E1_EXACT = """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY substr(text, 1, 40) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def q_e1_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 md5-based hashes over 5-gram shingles)."""
+    return dedup.minhash_signatures(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _oracle_minhash_sig() -> str:
+    sh = (
+        "list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)), "
+        "i -> substr(lower(text), i, 5)))"
+    )
+    cols = ", ".join(
+        f"list_min(list_transform({sh}, s -> ('0x' || substr(md5(concat('{k}:', s)), 1, 8))::BIGINT)) AS mh_{k}"
+        for k in range(8)
+    )
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+def q_e1_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (4 bands of 2) with estimated
+    Jaccard >= 0.25."""
+    sigs = dedup.minhash_signatures(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return dedup.lsh_candidate_pairs(sigs, "doc_id")
+
+
+def _oracle_lsh_pairs() -> str:
+    sig = _oracle_minhash_sig()
+    bands = ", ".join(
+        f"md5(concat_ws(',', mh_{2 * b}, mh_{2 * b + 1})) AS band_{b}" for b in range(4)
+    )
+    band_match = " OR ".join(f"a.band_{b} = b.band_{b}" for b in range(4))
+    agree = " + ".join(
+        f"CASE WHEN a.mh_{k} = b.mh_{k} THEN 1 ELSE 0 END" for k in range(8)
+    )
+    return f"""
+WITH sigs AS ({sig}), banded AS (SELECT *, {bands} FROM sigs)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, ({agree}) / 8.0 AS est_jaccard
+FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({band_match})
+WHERE ({agree}) / 8.0 >= 0.25
+"""
+
+
+def q_e1_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard pairs within `source` blocks, j >= 0.2."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        block_col="source",
+        threshold=0.2,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+ORACLE_E1_JACCARD = """
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)),
+                       i -> substr(lower(text), i, 5))) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+"""
+
+
+def q_e1_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints over distinct tokens."""
+    return dedup.simhash(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _oracle_simhash() -> str:
+    toks = "list_distinct(regexp_split_to_array(lower(text), '\\s+'))"
+    th = "('0x' || substr(md5(t), 1, 8))::BIGINT"
+    terms = []
+    for j in range(16):
+        vote = (
+            f"list_aggregate(list_transform({toks}, "
+            f"t -> CASE WHEN ({th} // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END), 'sum')"
+        )
+        terms.append(f"CASE WHEN ({vote}) > 0 THEN {1 << j} ELSE 0 END")
+    return f"SELECT doc_id, CAST({' + '.join(terms)} AS BIGINT) AS simhash FROM documents"
+
+
+# =====================================================================
+# E2 similarity search
+# =====================================================================
+
+_DOT = (
+    "list_aggregate(list_transform(list_zip(a.e, b.e), "
+    "p -> p[1]::DOUBLE * p[2]::DOUBLE), 'sum')"
+)
+
+
+def q_e2_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id < 5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = similarity.brute_force_topk(emb, queries, k=10)
+    return out.select("query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+ORACLE_E2_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e, sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_aggregate(list_transform(list_zip(a.e, b.e),
+               p -> p[1] * p[2]), 'sum') / (a.nrm * b.nrm), 4) AS score
+  FROM norms a JOIN norms b ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 10
+"""
+
+
+def q_e2_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF partitioning: nearest-centroid assignment (centroids =
+    vec_id < 8)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.ivf_assign(emb, centroids)
+
+
+ORACLE_E2_IVF_ASSIGN = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e, sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+scored AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         round(list_aggregate(list_transform(list_zip(v.e, c.e),
+               p -> p[1] * p[2]), 'sum') / (v.nrm * c.nrm), 6) AS score
+  FROM norms v JOIN norms c ON c.vec_id < 8
+)
+SELECT vec_id, centroid_id FROM (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+# =====================================================================
+# E3 text analysis
+# =====================================================================
+
+
+def q_e3_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = text.token_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_subword").cast("long").alias("n_subword"),
+    )
+
+
+ORACLE_E3_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS BIGINT) AS n_distinct,
+       CAST(list_aggregate(list_transform(
+            list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> w <> ''),
+            w -> CAST(ceil(length(w) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS n_subword
+FROM documents
+"""
+
+
+def q_e3_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_Q_TOKS = "regexp_split_to_array(lower(text), '\\s+')"
+_Q_STOP = "['the', 'and', 'of', 'to', 'is', 'in', 'that', 'it']"
+_Q_PUNCT = (
+    "length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE"
+    " / greatest(length(text), 1)"
+)
+_Q_STOPR = (
+    f"len(list_filter({_Q_TOKS}, t -> list_contains({_Q_STOP}, t)))::DOUBLE"
+    f" / greatest(len({_Q_TOKS}), 1)"
+)
+_Q_MWL = (
+    f"list_aggregate(list_transform({_Q_TOKS}, t -> length(t)), 'sum')::DOUBLE"
+    f" / greatest(len({_Q_TOKS}), 1)"
+)
+
+ORACLE_E3_QUALITY = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       round({_Q_PUNCT}, 6) AS punct_ratio,
+       round({_Q_STOPR}, 6) AS stopword_ratio,
+       round({_Q_MWL}, 6) AS mean_word_len,
+       round(0.25 * CASE WHEN length(text) BETWEEN 100 AND 100000 THEN 1.0 ELSE 0.0 END
+           + 0.25 * (1.0 - ({_Q_PUNCT}))
+           + 0.25 * least(({_Q_STOPR}) * 5.0, 1.0)
+           + 0.25 * CASE WHEN ({_Q_MWL}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END, 6)
+           AS quality_score
+FROM documents
+"""
+
+
+def q_e3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _oracle_language_id() -> str:
+    toks = "list_distinct(regexp_split_to_array(lower(text), '\\s+'))"
+    hit_cols = []
+    for lang, markers in sorted(text.LANG_MARKERS.items()):
+        arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        hit_cols.append(f"len(list_intersect({toks}, {arr})) AS h_{lang}")
+    langs_desc = sorted(text.LANG_MARKERS, reverse=True)
+    mx = "greatest(" + ", ".join(f"h_{l}" for l in sorted(text.LANG_MARKERS)) + ")"
+    case = " ".join(f"WHEN h_{l} = {mx} THEN '{l}'" for l in langs_desc)
+    return f"""
+WITH hits AS (SELECT doc_id, {', '.join(hit_cols)} FROM documents)
+SELECT doc_id, CASE WHEN {mx} = 0 THEN 'und' {case} END AS lang_pred FROM hits
+"""
+
+
+def q_e3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+ORACLE_E3_FINGERPRINT = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+           ' +', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_e3_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.word_frequencies(_t(spark, sf_dir, "documents"), "text", top_n=50)
+
+
+ORACLE_E3_WORD_FREQ = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 50
+"""
+
+
+# =====================================================================
+# E4 event-time ops
+# =====================================================================
+
+
+def q_e4_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    dec = F.col("value").cast("decimal(18,6)")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec).cast("double").alias("sum_value"),
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+    )
+
+
+ORACLE_E4_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_e4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = events.sessionize(_events(spark, sf_dir), gap_minutes=30)
+    return sess.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "n_events",
+        "session_start",
+        "session_end",
+        "duration_s",
+    )
+
+
+ORACLE_E4_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sid AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       max(epoch_us(ts) // 1000000) - min(epoch_us(ts) // 1000000) AS duration_s
+FROM sid GROUP BY user_id, session_seq
+"""
+
+
+def q_e4_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.asof_latest(_events(spark, sf_dir), "2024-01-15 00:00:00")
+
+
+ORACLE_E4_ASOF = """
+WITH ranked AS (
+  SELECT user_id, ts, value, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         max(ts) OVER (PARTITION BY user_id) AS max_ts
+  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+)
+SELECT user_id,
+       strftime(max_ts, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+       value AS asof_value,
+       event_type AS asof_type
+FROM ranked WHERE rn = 1
+"""
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "p1_split_routing": q_p1_split_routing,
+    "a1_split_histogram": q_a1_split_histogram,
+    "a2_vocabulary_fit": q_a2_vocabulary_fit,
+    "a3_vocabulary_apply": q_a3_vocabulary_apply,
+    "a4_zscore": q_a4_zscore,
+    "t1_csv_serialize": q_t1_csv_serialize,
+    "t2_typed_projection": q_t2_typed_projection,
+    "rel_pricing_summary": q_rel_pricing_summary,
+    "rel_top_orders": q_rel_top_orders,
+    "rel_region_revenue": q_rel_region_revenue,
+    "rel_topk_per_group": q_rel_topk_per_group,
+    "rel_rollup": q_rel_rollup,
+    "rel_set_ops": q_rel_set_ops,
+    "rel_pivot": q_rel_pivot,
+    "e1_dedup_exact": q_e1_dedup_exact,
+    "e1_minhash_signatures": q_e1_minhash_signatures,
+    "e1_lsh_pairs": q_e1_lsh_pairs,
+    "e1_jaccard_pairs": q_e1_jaccard_pairs,
+    "e1_simhash": q_e1_simhash,
+    "e2_topk_cosine": q_e2_topk_cosine,
+    "e2_ivf_assign": q_e2_ivf_assign,
+    "e3_token_stats": q_e3_token_stats,
+    "e3_quality": q_e3_quality,
+    "e3_language_id": q_e3_language_id,
+    "e3_fingerprint": q_e3_fingerprint,
+    "e3_word_frequencies": q_e3_word_frequencies,
+    "e4_hourly_rollup": q_e4_hourly_rollup,
+    "e4_sessionize": q_e4_sessionize,
+    "e4_asof_latest": q_e4_asof_latest,
+}
+
+ORACLES: dict[str, str] = {
+    "p1_split_routing": ORACLE_P1,
+    "a1_split_histogram": ORACLE_A1,
+    "a2_vocabulary_fit": ORACLE_A2,
+    "a3_vocabulary_apply": ORACLE_A3,
+    "a4_zscore": ORACLE_A4,
+    "t1_csv_serialize": ORACLE_T1,
+    "t2_typed_projection": ORACLE_T2,
+    "rel_pricing_summary": ORACLE_REL_Q1,
+    "rel_top_orders": ORACLE_REL_TOP_ORDERS,
+    "rel_region_revenue": ORACLE_REL_REGION_REVENUE,
+    "rel_topk_per_group": ORACLE_REL_TOPK_PER_GROUP,
+    "rel_rollup": ORACLE_REL_ROLLUP,
+    "rel_set_ops": ORACLE_REL_SET_OPS,
+    "rel_pivot": ORACLE_REL_PIVOT,
+    "e1_dedup_exact": ORACLE_E1_EXACT,
+    "e1_minhash_signatures": _oracle_minhash_sig(),
+    "e1_lsh_pairs": _oracle_lsh_pairs(),
+    "e1_jaccard_pairs": ORACLE_E1_JACCARD,
+    "e1_simhash": _oracle_simhash(),
+    "e2_topk_cosine": ORACLE_E2_TOPK,
+    "e2_ivf_assign": ORACLE_E2_IVF_ASSIGN,
+    "e3_token_stats": ORACLE_E3_TOKEN_STATS,
+    "e3_quality": ORACLE_E3_QUALITY,
+    "e3_language_id": _oracle_language_id(),
+    "e3_fingerprint": ORACLE_E3_FINGERPRINT,
+    "e3_word_frequencies": ORACLE_E3_WORD_FREQ,
+    "e4_hourly_rollup": ORACLE_E4_HOURLY,
+    "e4_sessionize": ORACLE_E4_SESSIONIZE,
+    "e4_asof_latest": ORACLE_E4_ASOF,
+}
