@@ -1,0 +1,133 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each declared query is forced through a full materialization (noop sink —
+no driver collect, no disk) so the measured time is plan execution, not
+result transfer. The convert benchmark runs the actual TFRecord write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # convert-pipeline surface
+    "a3_vocabulary_apply",
+    "a4_zscore",
+    # relational
+    "rel_pricing_summary",
+    "rel_top_orders",
+    "rel_region_revenue",
+    "rel_topk_per_group",
+    # dedup
+    "e1_dedup_exact",
+    "e1_minhash_signatures",
+    "e1_lsh_pairs",
+    "e1_jaccard_pairs",
+    "e1_simhash",
+    # similarity
+    "e2_topk_cosine",
+    "e2_ivf_assign",
+    # text
+    "e3_token_stats",
+    "e3_quality",
+    "e3_word_frequencies",
+    # events
+    "e4_hourly_rollup",
+    "e4_sessionize",
+    "e4_asof_latest",
+]
+
+
+def bench_convert(spark, sf_dir: str) -> float:
+    """Flagship ETL: the full convert pipeline (split routing + vocabulary
+    fit/apply + Example encode + sharded gzip TFRecord write) over the
+    documents table."""
+    from collections import OrderedDict
+
+    from pyspark.sql import functions as F
+
+    import tensorflow_recorder_spark.types as tt
+    from tensorflow_recorder_spark.plans.convert import run_convert
+    from tensorflow_recorder_spark.schema import Schema
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "split",
+        F.expr(
+            "CASE WHEN doc_id % 10 < 7 THEN 'TRAIN' "
+            "WHEN doc_id % 10 < 9 THEN 'VALIDATION' ELSE 'TEST' END"
+        ),
+    )
+    schema = Schema(
+        OrderedDict(
+            [
+                ("split", tt.SplitKey),
+                ("doc_id", tt.IntegerInput),
+                ("text", tt.StringInput),
+                ("lang", tt.StringLabel),
+                ("source", tt.StringInput),
+                ("n_chars", tt.IntegerInput),
+            ]
+        )
+    )
+    out = tempfile.mkdtemp(prefix="bench-convert-")
+    t0 = time.time()
+    run_convert(spark, docs, schema, out, job_label="bench")
+    dt = time.time() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    return dt
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    from tensorflow_recorder_spark.queries import QUERIES
+    from tensorflow_recorder_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+
+    # Warm the JVM/Python-worker pools outside the timed region.
+    spark.range(1000).select("id").write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    timings["convert_tfrecord"] = round(bench_convert(spark, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -81,13 +81,37 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature (E1 fuzzy, fit stage).
 
-    Output: (id_col, mh_0..mh_{n-1}). Narrow projection — zero shuffle.
+    Output: (id_col, mh_0..mh_{n-1}).
+
+    Shape: explode distinct shingles to rows, then groupBy(id) with one
+    ``min(hash_k)`` per seed. Two reasons this beats the all-array
+    formulation (``array_min(transform(...))`` per seed):
+      * higher-order functions don't participate in Spark's common-
+        subexpression elimination, so the per-seed array version
+        re-evaluates the shingling ``num_hashes`` times (measured 3x
+        slower at sf0.1);
+      * per-shingle rows keep task memory flat for huge documents, and
+        map-side combine collapses each partition to |docs| x num_hashes
+        before the shuffle — shuffled bytes are signature-sized, not
+        shingle-sized.
     """
-    sh = shingle_expr(text_col, shingle_len)
-    cols = [F.col(id_col)] + [
-        F.expr(_minhash_expr(sh, k)).alias(f"mh_{k}") for k in range(num_hashes)
+    shingles = df.select(
+        F.col(id_col),
+        F.explode(F.expr(shingle_expr(text_col, shingle_len))).alias("__s"),
+    )
+    # One md5 yields four independent 32-bit slices, so num_hashes hash
+    # functions cost ceil(num_hashes/4) digests per shingle:
+    #   h_k(s) = int(md5(concat(k div 4, ':', s))[8*(k%4) .. +8], 16)
+    hash_expr = (
+        "cast(conv(substring(md5(concat('{salt}:', __s)), {start}, 8), 16, 10) as bigint)"
+    )
+    aggs = [
+        F.min(
+            F.expr(hash_expr.format(salt=k // 4, start=8 * (k % 4) + 1))
+        ).alias(f"mh_{k}")
+        for k in range(num_hashes)
     ]
-    return df.select(*cols)
+    return shingles.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -142,6 +166,21 @@ def lsh_candidate_pairs(
     return pairs.where(F.col("est_jaccard") >= min_est_jaccard)
 
 
+def hashed_shingle_expr(text_col: str, k: int = 5) -> str:
+    """Distinct 32-bit-hashed character k-grams (md5-slice ints).
+
+    Jaccard over hashed shingle sets equals Jaccard over the string sets
+    up to md5 collisions (~n^2/2^32); comparing/intersecting longs is
+    several times cheaper than strings at pair-join time.
+    """
+    return (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> cast(conv(substring(md5(substring(lower({text_col}), i, {k})), 1, 8),"
+        f" 16, 10) as bigint)))"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -150,18 +189,23 @@ def ngram_jaccard_pairs(
     shingle_len: int = 5,
     threshold: float = 0.25,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs (E1 verify stage).
+    """n-gram Jaccard similarity pairs over hashed shingle sets (E1
+    verify stage).
 
     With ``block_col`` the self-join is an equi-join within blocks (the
     scalable form: dedup within source/domain partitions); without it,
     this is the small-data verifier applied to LSH candidates.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    The hashed shingle frame is cached: it feeds both sides of the
+    self-join and its lineage has no exchange Spark could auto-reuse.
+    At cluster scale, persist it as a table instead.
     """
     sh = df.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
-        F.expr(shingle_expr(text_col, shingle_len)).alias("__sh"),
-    )
+        F.expr(hashed_shingle_expr(text_col, shingle_len)).alias("__sh"),
+    ).cache()
     a = sh.select(
         *([F.col(block_col)] if block_col else []),
         F.col(id_col).alias("id_a"),
@@ -173,10 +217,19 @@ def ngram_jaccard_pairs(
         F.col("__sh").alias("sh_b"),
     )
     joined = a.join(b, [block_col] if block_col else None) if block_col else a.crossJoin(b)
+    # Size-ratio prune BEFORE the expensive intersection: |A∩B| <= min and
+    # |A∪B| >= max, so j <= min/max — pairs failing the ratio test cannot
+    # reach the threshold. Semantics-preserving, cuts intersect work on
+    # skew-sized pairs.
+    ratio_ok = (
+        F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+        / F.greatest(F.size("sh_a"), F.size("sh_b")).cast("double")
+        >= F.lit(threshold)
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        joined.where(F.col("id_a") < F.col("id_b"))
+        joined.where((F.col("id_a") < F.col("id_b")) & ratio_ok)
         .select(
             "id_a",
             "id_b",

@@ -434,7 +434,8 @@ def _oracle_minhash_sig() -> str:
         "i -> substr(lower(text), i, 5)))"
     )
     cols = ", ".join(
-        f"list_min(list_transform({sh}, s -> ('0x' || substr(md5(concat('{k}:', s)), 1, 8))::BIGINT)) AS mh_{k}"
+        f"list_min(list_transform({sh}, "
+        f"s -> ('0x' || substr(md5(concat('{k // 4}:', s)), {8 * (k % 4) + 1}, 8))::BIGINT)) AS mh_{k}"
         for k in range(8)
     )
     return f"SELECT doc_id, {cols} FROM documents"
@@ -479,7 +480,7 @@ ORACLE_E1_JACCARD = """
 WITH sh AS (
   SELECT doc_id, source,
          list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)),
-                       i -> substr(lower(text), i, 5))) AS s
+           i -> ('0x' || substr(md5(substr(lower(text), i, 5)), 1, 8))::BIGINT)) AS s
   FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,

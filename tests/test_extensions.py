@@ -1,0 +1,194 @@
+"""Extension-operator tests (E1-E4): dedup, similarity, text analysis,
+event-time ops — small deterministic inputs with hand-checked outputs."""
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+from tensorflow_recorder_spark.operators import dedup, events, similarity, text
+
+
+# ------------------------------------------------------------------ E1
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other"), (4, "same")], "id long, txt string"
+    )
+    got = sorted(r["id"] for r in dedup.exact_dedup(df, "txt", "id").collect())
+    assert got == [1, 3]
+
+
+def test_minhash_identical_texts_share_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"), (3, "completely different words here")],
+        "id long, txt string",
+    )
+    sigs = {r["id"]: tuple(r[f"mh_{k}"] for k in range(8))
+            for r in dedup.minhash_signatures(df, "txt", "id").collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_lsh_pairs_find_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc dddd eeee"), (2, "aaaa bbbb cccc dddd eeee"), (3, "zzzz yyyy xxxx wwww vvvv")],
+        "id long, txt string",
+    )
+    sigs = dedup.minhash_signatures(df, "txt", "id")
+    pairs = dedup.lsh_candidate_pairs(sigs, "id").collect()
+    assert [(p["id_a"], p["id_b"], p["est_jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdef", "x"), (2, "abcdef", "x"), (3, "abcdeg", "x"), (4, "abcdef", "y")],
+        "id long, txt string, src string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(df, "txt", "id", block_col="src",
+                                                shingle_len=5, threshold=0.0).collect()}
+    assert pairs[(1, 2)] == 1.0
+    # "abcdef" 5-grams {abcde, bcdef}; "abcdeg" {abcde, bcdeg}: j = 1/3
+    assert abs(pairs[(1, 3)] - 1 / 3) < 1e-12
+    assert (1, 4) not in pairs  # different block
+
+
+def test_simhash_deterministic_and_near(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "alpha beta gamma delta")],
+        "id long, txt string",
+    )
+    hs = {r["id"]: r["simhash"] for r in dedup.simhash(df, "txt", "id").collect()}
+    assert hs[1] == hs[2]
+    assert 0 <= hs[1] < 2**16
+    # one extra token flips few bits
+    assert bin(hs[1] ^ hs[3]).count("1") <= 8
+
+
+# ------------------------------------------------------------------ E2
+
+
+def test_brute_force_topk_orthogonal_vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.brute_force_topk(df, df.where(F.col("vec_id") == 0), k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert got == [(1, 1), (2, 2)] or got[0] == (1, 1)
+
+
+def test_ivf_assign_and_topk(spark):
+    rows = [
+        (0, [1.0, 0.0]),   # centroid A
+        (1, [0.0, 1.0]),   # centroid B
+        (10, [0.99, 0.1]),
+        (11, [0.1, 0.99]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = {r["vec_id"]: r["centroid_id"] for r in similarity.ivf_assign(df, centroids).collect()}
+    assert assign[10] == 0 and assign[11] == 1
+    out = similarity.ivf_topk(df, centroids, df.where(F.col("vec_id") == 10), k=5)
+    neighbors = {r["neighbor_id"] for r in out.collect()}
+    assert 0 in neighbors          # same cell
+    assert 11 not in neighbors     # other cell (nprobe=1 approximation)
+
+
+# ------------------------------------------------------------------ E3
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "Hello world hello")], "id long, txt string")
+    r = text.token_stats(df, "txt", "id").collect()[0]
+    assert r["n_tokens"] == 3
+    assert r["n_distinct"] == 2
+    # hello(5)->2, world(5)->2, hello->2 pieces
+    assert r["n_subword"] == 6
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat " * 10), (2, "!!! ??? ###")],
+        "id long, txt string",
+    )
+    rows = {r["id"]: r for r in text.quality_score(df, "txt", "id").collect()}
+    assert rows[1]["quality_score"] > rows[2]["quality_score"]
+    assert 0.0 <= rows[2]["quality_score"] <= 1.0
+    assert rows[2]["punct_ratio"] > 0.5
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in that house"),
+            (2, "el perro y la casa de los gatos"),
+            (3, "der hund und die katze ist nicht da"),
+            (4, "qwz xcv bnm"),
+        ],
+        "id long, txt string",
+    )
+    got = {r["id"]: r["lang_pred"] for r in text.language_id(df, "txt", "id").collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "de"
+    assert got[4] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "different")],
+        "id long, txt string",
+    )
+    fp = {r["id"]: r["fingerprint"] for r in text.fingerprint(df, "txt", "id").collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_word_frequencies_topn_ordering(spark):
+    df = spark.createDataFrame([(1, "b b a a c")], "id long, txt string")
+    got = [(r["word"], r["n"]) for r in text.word_frequencies(df, "txt", top_n=2).collect()]
+    assert got == [("a", 2), ("b", 2)]  # count desc, word asc tiebreak
+
+
+# ------------------------------------------------------------------ E4
+
+
+def _events_df(spark):
+    rows = [
+        Row(event_id=1, ts="2024-01-01 10:00:00", user_id=1, event_type="a", value=1.0),
+        Row(event_id=2, ts="2024-01-01 10:10:00", user_id=1, event_type="b", value=2.0),
+        Row(event_id=3, ts="2024-01-01 11:30:00", user_id=1, event_type="a", value=3.0),
+        Row(event_id=4, ts="2024-01-01 10:05:00", user_id=2, event_type="a", value=4.0),
+    ]
+    return spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_hourly_rollup(spark):
+    out = events.hourly_rollup(_events_df(spark))
+    got = {(r["hour"], r["event_type"]): r["n_events"] for r in out.collect()}
+    assert got[("2024-01-01 10:00:00", "a")] == 2
+    assert got[("2024-01-01 11:00:00", "a")] == 1
+
+
+def test_sessionize_gap_splits(spark):
+    out = events.sessionize(_events_df(spark), gap_minutes=30).collect()
+    u1 = sorted([r for r in out if r["user_id"] == 1], key=lambda r: r["session_seq"])
+    assert len(u1) == 2  # 80-min gap splits into two sessions
+    assert u1[0]["n_events"] == 2 and u1[0]["duration_s"] == 600
+    assert u1[1]["n_events"] == 1
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1
+
+
+def test_asof_latest(spark):
+    out = events.asof_latest(_events_df(spark), "2024-01-01 10:30:00")
+    got = {r["user_id"]: (r["asof_value"], r["asof_type"]) for r in out.collect()}
+    assert got[1] == (2.0, "b")  # event 3 is after the cutoff
+    assert got[2] == (4.0, "a")

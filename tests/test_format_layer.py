@@ -1,0 +1,95 @@
+"""Format-layer unit tests: CRC-32C, Example proto codec, TFRecord
+framing (golden byte-level round trips, reference test strategy
+SURVEY.md §5 / beam_image_test.py:67-82 analog)."""
+
+import gzip
+
+import pytest
+
+from tensorflow_recorder_spark.functions.crc32c import crc32c, masked_crc32c
+from tensorflow_recorder_spark.functions.example_proto import (
+    decode_example,
+    encode_example,
+)
+from tensorflow_recorder_spark.functions.image_codec import (
+    channel_to_mode,
+    decode_pixels,
+    encode_pixels,
+    mode_to_channel,
+)
+from tensorflow_recorder_spark.functions.tfrecord_io import (
+    read_records,
+    records_to_bytes,
+)
+
+
+def test_crc32c_known_vectors():
+    # Published CRC-32C test vectors (RFC 3720 appendix / common suites).
+    assert crc32c(b"") == 0
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+
+
+def test_masked_crc_is_stable():
+    m = masked_crc32c(b"hello")
+    assert 0 <= m <= 0xFFFFFFFF
+    assert m == masked_crc32c(b"hello")
+    assert m != masked_crc32c(b"hellp")
+
+
+def test_example_roundtrip_all_kinds():
+    features = {
+        "s": ("bytes", [b"cat", b"goat"]),
+        "i": ("int64", [0, -1, 2**40, -(2**40)]),
+        "f": ("float", [1.5, -2.25]),
+        "empty": ("int64", []),
+    }
+    decoded = decode_example(encode_example(features))
+    assert decoded["s"] == ("bytes", [b"cat", b"goat"])
+    assert decoded["i"] == ("int64", [0, -1, 2**40, -(2**40)])
+    assert decoded["f"][0] == "float"
+    assert decoded["f"][1] == [1.5, -2.25]
+    assert decoded["empty"][1] == []
+
+
+def test_example_encoding_deterministic_key_order():
+    a = encode_example({"a": ("int64", [1]), "b": ("int64", [2])})
+    b = encode_example({"b": ("int64", [2]), "a": ("int64", [1])})
+    assert a == b
+
+
+def test_tfrecord_framing_roundtrip_and_crc_verify():
+    recs = [b"first", b"second record", b""]
+    blob = records_to_bytes(recs)
+    assert list(read_records(blob, verify=True)) == recs
+    # corrupt one payload byte -> verify must fail
+    corrupt = bytearray(blob)
+    corrupt[12] ^= 0xFF
+    with pytest.raises(ValueError):
+        list(read_records(bytes(corrupt), verify=True))
+
+
+def test_tfrecord_gzip_roundtrip():
+    recs = [b"x" * 100, b"y"]
+    blob = records_to_bytes(recs, compress=True)
+    assert blob[:2] == b"\x1f\x8b"
+    assert list(read_records(gzip.decompress(blob), verify=True)) == recs
+
+
+def test_image_codec_roundtrip_uses_urlsafe_altchars():
+    # base64 altchars '-_' (reference beam_image.py:29).
+    pixels = bytes(range(256))
+    enc = encode_pixels(pixels)
+    assert "+" not in enc and "/" not in enc
+    assert decode_pixels(enc) == pixels
+
+
+def test_mode_channel_mappings():
+    assert mode_to_channel("L") == 1
+    assert mode_to_channel("RGB") == 3
+    assert channel_to_mode(1) == "L"
+    assert channel_to_mode(3) == "RGB"
+    with pytest.raises(ValueError):
+        mode_to_channel("CMYK")
+    with pytest.raises(ValueError):
+        channel_to_mode(4)

@@ -1,0 +1,98 @@
+"""Core operator tests: split routing (P1/A1), vocabulary (A2/A3),
+scaling (A4), image extraction (T3/P2)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from tensorflow_recorder_spark.constants import DISCARD
+from tensorflow_recorder_spark.operators.image import extract_images
+from tensorflow_recorder_spark.operators.scale import fit_and_apply_scale
+from tensorflow_recorder_spark.operators.split import (
+    normalize_split,
+    require_train,
+    split_counts,
+)
+from tensorflow_recorder_spark.operators.vocabulary import (
+    apply_vocabulary,
+    fit_vocabulary,
+)
+
+
+def test_normalize_split_unknown_and_null_to_discard(spark):
+    df = spark.createDataFrame(
+        [("TRAIN",), ("VALIDATION",), ("TEST",), ("DISCARD",), ("FOO",), (None,)],
+        "split string",
+    )
+    got = {r["split"] for r in normalize_split(df).collect()}
+    assert got == {"TRAIN", "VALIDATION", "TEST", "DISCARD"}
+    n_discard = normalize_split(df).where(F.col("split") == DISCARD).count()
+    assert n_discard == 3  # DISCARD + FOO + NULL
+
+
+def test_split_counts_and_require_train(spark):
+    df = spark.createDataFrame([("TRAIN",), ("TRAIN",), ("TEST",)], "split string")
+    counts = split_counts(df)
+    assert counts == {"TRAIN": 2, "TEST": 1}
+    require_train(counts)
+    with pytest.raises(AttributeError):
+        require_train({"TEST": 1})
+
+
+def test_vocabulary_freq_desc_with_value_tiebreak(spark):
+    train = spark.createDataFrame(
+        [("b",), ("b",), ("c",), ("c",), ("a",)], "label string"
+    )
+    vocab = {r["value"]: r["index"] for r in fit_vocabulary(train, "label").collect()}
+    # b and c tie at 2 -> value asc: b=0, c=1; a (freq 1) = 2
+    assert vocab == {"b": 0, "c": 1, "a": 2}
+
+
+def test_apply_vocabulary_oov_minus_one(spark):
+    train = spark.createDataFrame([("cat",), ("cat",), ("goat",)], "label string")
+    vocab = fit_vocabulary(train, "label")
+    df = spark.createDataFrame([("cat",), ("goat",), ("emu",), (None,)], "label string")
+    got = [r["label"] for r in apply_vocabulary(df, "label", vocab).collect()]
+    assert sorted(got, key=str) == sorted([0, 1, -1, -1], key=str)
+
+
+def test_zscore_fit_on_train_only(spark):
+    df = spark.createDataFrame(
+        [("TRAIN", 1.0), ("TRAIN", 2.0), ("TRAIN", 3.0), ("TEST", 4.0)],
+        "split string, x double",
+    )
+    scaled, stats = fit_and_apply_scale(df, ["x"])
+    mean, std = stats["x"]
+    assert mean == 2.0
+    rows = {r["split"]: r["x"] for r in scaled.collect() if r["split"] == "TEST"}
+    # TEST row scaled with TRAIN stats: (4-2)/sqrt(2/3)
+    assert abs(rows["TEST"] - (4.0 - 2.0) / std) < 1e-9
+
+
+def test_zscore_zero_variance_to_zero(spark):
+    df = spark.createDataFrame([("TRAIN", 5.0), ("TRAIN", 5.0)], "split string, x double")
+    scaled, _ = fit_and_apply_scale(df, ["x"])
+    assert all(r["x"] == 0.0 for r in scaled.collect())
+
+
+def test_extract_images_good_and_bad(spark, tmp_images):
+    df = spark.createDataFrame(
+        [
+            Row(split="TRAIN", image_uri=tmp_images[0], label="cat"),
+            Row(split="TRAIN", image_uri="/nonexistent/x.png", label="goat"),
+        ]
+    )
+    out = extract_images(df, "image_uri").collect()
+    by_label = {r["label"]: r for r in out}
+    good = by_label["cat"]
+    assert good["split"] == "TRAIN"
+    assert good["__image_ok"] is True
+    assert good["image_name"] == "img0.dat"
+    assert good["image_height"] == 4 and good["image_width"] == 4
+    assert good["image_channels"] == 3
+    assert good["image"]  # base64 pixels present
+    bad = by_label["goat"]
+    # Reference: any failure -> split rewritten to DISCARD
+    # (beam_image.py:112-116).
+    assert bad["split"] == DISCARD
+    assert bad["__image_ok"] is False
+    assert bad["image"] is None

@@ -1,0 +1,75 @@
+"""Source tests (reference converter_test.py CSV/dispatch/image-dir
+coverage)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from tensorflow_recorder_spark.sources.dispatch import read_csv, to_dataframe
+from tensorflow_recorder_spark.sources.image_dir import read_image_directory
+
+
+@pytest.fixture()
+def csv_file(tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("split,image_uri,label\nTRAIN,/a.png,cat\nTEST,/b.png,goat\n")
+    return str(p)
+
+
+def test_read_csv_header_infer(spark, csv_file):
+    df = read_csv(spark, csv_file)
+    assert df.columns == ["split", "image_uri", "label"]
+    assert df.count() == 2
+
+
+def test_read_csv_names_override(spark, csv_file):
+    df = read_csv(spark, csv_file, names=["s", "u", "l"])
+    assert df.columns == ["s", "u", "l"]
+
+
+def test_read_csv_headerless_autonames(spark, tmp_path):
+    p = tmp_path / "raw.csv"
+    p.write_text("TRAIN,/a.png,cat\n")
+    df = read_csv(spark, str(p), header=None)
+    assert df.columns == ["c0", "c1", "c2"]
+
+
+def test_read_csv_names_length_mismatch(spark, csv_file):
+    with pytest.raises(ValueError):
+        read_csv(spark, csv_file, names=["only", "two"])
+
+
+def test_to_dataframe_dispatch(spark, csv_file):
+    # pandas -> spark
+    pdf = pd.DataFrame({"split": ["TRAIN"], "x": [1]})
+    assert to_dataframe(spark, pdf).count() == 1
+    # spark passthrough with projection
+    sdf = to_dataframe(spark, pdf)
+    assert to_dataframe(spark, sdf, names=["split"]).columns == ["split"]
+    # csv path
+    assert to_dataframe(spark, csv_file).count() == 2
+    # unsupported
+    with pytest.raises(ValueError):
+        to_dataframe(spark, 42)
+
+
+def test_image_directory_scan(spark, tmp_path):
+    # Reference converter_test.py:219-258 directory walk round-trip.
+    for split, label, name in [
+        ("TRAIN", "cat", "a.png"),
+        ("TRAIN", "goat", "b.png"),
+        ("TEST", "cat", "c.png"),
+        ("FOO", "cat", "d.png"),  # unknown split dir: kept, warns
+    ]:
+        d = tmp_path / split / label
+        d.mkdir(parents=True, exist_ok=True)
+        (d / name).write_bytes(b"fake")
+    df = read_image_directory(spark, str(tmp_path))
+    rows = {(r["split"], r["label"], os.path.basename(r["image_uri"])) for r in df.collect()}
+    assert rows == {
+        ("TRAIN", "cat", "a.png"),
+        ("TRAIN", "goat", "b.png"),
+        ("TEST", "cat", "c.png"),
+        ("FOO", "cat", "d.png"),
+    }
