@@ -1,0 +1,225 @@
+"""Multimodal column operators (E5, SURVEY.md §2.9) — image/audio/video
+as opaque ``binary`` columns with typed metadata.
+
+Generalizes the reference's image ingestion (T3, beam_image.py:78-119)
+to arbitrary media: bytes ride in a ``BinaryType`` column, and
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages.
+
+The media codec libraries (PIL, ffmpeg, librosa) are NOT present in
+this runtime, so the codec layer is pluggable: each operator consults a
+registered decoder and otherwise uses a clearly-marked deterministic
+stub (digest-stream pixels / pcm). The Spark-side plumbing — schema,
+partition behavior, UDF batch shape, failure routing — is real and
+tested; swapping in a real decoder changes no plan shape.
+
+Scale notes: binary payloads make rows wide — these stages deliberately
+run as narrow mapInPandas (no shuffle touches the bytes); anything
+aggregated downstream (stats, embeddings) is projected OUT of the
+binary column first so shuffles move features, not media.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+# ------------------------------------------------------------- ingest
+
+
+def attach_binary(spark: SparkSession, df: DataFrame, uri_col: str) -> DataFrame:
+    """Enrich rows with the raw bytes of ``uri_col`` files.
+
+    Implemented as an equi-join against the distributed ``binaryFile``
+    source (one task per file; the join key is the path). Rows whose file
+    is missing keep NULL content — callers route them like T3 failures.
+    """
+    uris = [r[0] for r in df.select(uri_col).distinct().collect()]
+    files = (
+        spark.read.format("binaryFile")
+        .load(uris)
+        .select(
+            F.regexp_replace("path", r"^file:", "").alias("__path"),
+            F.col("content").alias("media_bytes"),
+            F.col("length").alias("media_length"),
+        )
+    )
+    return df.join(files, df[uri_col] == files["__path"], "left").drop("__path")
+
+
+# ------------------------------------------------------------- codecs
+
+# A decoder maps raw bytes -> dict of typed fields; registered per kind.
+Decoder = Callable[[bytes], dict]
+_decoders: dict[str, Decoder] = {}
+
+
+def register_decoder(kind: str, decoder: Decoder) -> None:
+    """Install a real codec (e.g. PIL/ffmpeg-backed) for ``kind`` in
+    {'image', 'audio', 'video'}."""
+    _decoders[kind] = decoder
+
+
+def _stub_image_decode(data: bytes) -> dict:
+    """STUB (runtime has no PIL): deterministic 8x8 RGB digest-stream.
+    Replace via register_decoder('image', ...) for real decoding."""
+    digest = hashlib.sha256(data).digest()
+    n = 8 * 8 * 3
+    return {
+        "width": 8,
+        "height": 8,
+        "channels": 3,
+        "pixels": (digest * (n // len(digest) + 1))[:n],
+    }
+
+
+def _stub_audio_decode(data: bytes) -> dict:
+    """STUB: deterministic fake PCM (16 samples) + fixed sample rate."""
+    digest = hashlib.sha256(b"audio" + data).digest()
+    return {"sample_rate": 16000, "n_samples": 16, "pcm": digest[:32]}
+
+
+def _stub_video_decode(data: bytes) -> dict:
+    """STUB: deterministic fake stream header (fps, n_frames)."""
+    digest = hashlib.sha256(b"video" + data).digest()
+    return {"fps": 25.0, "n_frames": 64 + digest[0] % 64}
+
+
+def _decoder_for(kind: str) -> Decoder:
+    if kind in _decoders:
+        return _decoders[kind]
+    return {"image": _stub_image_decode, "audio": _stub_audio_decode,
+            "video": _stub_video_decode}[kind]
+
+
+# ----------------------------------------------------- decode operators
+
+
+def decode_image_features(
+    df: DataFrame, binary_col: str = "media_bytes"
+) -> DataFrame:
+    """binary -> (image_width, image_height, image_channels, image_ok).
+
+    Failure routing matches T3: a row whose decode throws gets NULL
+    metadata and image_ok = false (callers can rewrite split -> DISCARD).
+    The pixel payload is intentionally NOT emitted here — feature
+    extraction should not widen shuffled rows with raw media.
+    """
+    decoder = _decoder_for("image")
+    out_struct = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("image_width", T.LongType()),
+            T.StructField("image_height", T.LongType()),
+            T.StructField("image_channels", T.LongType()),
+            T.StructField("image_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, h, c, ok = [], [], [], []
+            for blob in pdf[binary_col]:
+                try:
+                    if blob is None:
+                        raise ValueError("missing media bytes")
+                    meta = decoder(bytes(blob))
+                    w.append(meta["width"])
+                    h.append(meta["height"])
+                    c.append(meta["channels"])
+                    ok.append(True)
+                except Exception:
+                    w.append(None)
+                    h.append(None)
+                    c.append(None)
+                    ok.append(False)
+            out = pdf.copy()
+            out["image_width"] = pd.array(w, dtype="Int64")
+            out["image_height"] = pd.array(h, dtype="Int64")
+            out["image_channels"] = pd.array(c, dtype="Int64")
+            out["image_ok"] = ok
+            yield out
+
+    return df.mapInPandas(run, schema=out_struct)
+
+
+def resize_images(
+    df: DataFrame,
+    binary_col: str = "media_bytes",
+    width: int = 64,
+    height: int = 64,
+) -> DataFrame:
+    """Decode + resize to (width, height), emitting raw pixel bytes.
+
+    With no real codec installed this raises NotImplementedError at
+    executor time UNLESS the stub decoder is in play (tests): the stub
+    path emits deterministic fake pixels of the requested shape so the
+    batch plumbing is exercised end to end.
+    """
+    decoder = _decoder_for("image")
+    out_struct = T.StructType(
+        list(df.schema.fields) + [T.StructField("resized_pixels", T.BinaryType())]
+    )
+    n_out = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels = []
+            for blob in pdf[binary_col]:
+                if blob is None:
+                    pixels.append(None)
+                    continue
+                meta = decoder(bytes(blob))
+                raw = meta.get("pixels")
+                if raw is None:  # a real decoder without resize support
+                    raise NotImplementedError(
+                        "resize requires a pixel-producing decoder; "
+                        "register one via register_decoder('image', ...)"
+                    )
+                # nearest-neighbor over the flat byte stream (stub-level
+                # resize; a real codec resizes in-decoder)
+                scaled = bytes(raw[int(i * len(raw) / n_out)] for i in range(n_out))
+                pixels.append(scaled)
+            out = pdf.copy()
+            out["resized_pixels"] = pixels
+            yield out
+
+    return df.mapInPandas(run, schema=out_struct)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    binary_col: str = "media_bytes",
+    every_n: int = 10,
+) -> DataFrame:
+    """Frame-sampling plan: one output row per sampled frame index.
+
+    Emits (source row, frame_idx) pairs — the explode happens BEFORE any
+    real frame decode so at scale the expensive per-frame work
+    parallelizes across the exploded rows.
+    """
+    decoder = _decoder_for("video")
+    keep = [f for f in df.schema.fields if f.name != binary_col]
+    out_struct = T.StructType(keep + [T.StructField("frame_idx", T.LongType())])
+    keep_names = [f.name for f in keep]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {name: [] for name in keep_names}
+            frame_idx = []
+            for i, blob in enumerate(pdf[binary_col]):
+                if blob is None:
+                    continue
+                meta = decoder(bytes(blob))
+                for idx in range(0, int(meta["n_frames"]), every_n):
+                    for name in keep_names:
+                        rows[name].append(pdf[name].iloc[i])
+                    frame_idx.append(idx)
+            out = pd.DataFrame(rows)
+            out["frame_idx"] = pd.array(frame_idx, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(run, schema=out_struct)

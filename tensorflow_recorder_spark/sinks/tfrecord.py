@@ -150,12 +150,14 @@ def write_split_tfrecords(
     split_value: str,
     compression: str | None = "gzip",
     num_shards: int = 0,
+    skip_empty: bool = False,
 ) -> dict[str, int]:
     """Write one split's Examples as sharded TFRecord files (K2).
 
     Returns {file_path: record_count}. Empty splits produce one empty
     shard file — the reference's empty-but-present output parity (V8,
-    beam_pipeline.py:269-273).
+    beam_pipeline.py:269-273) — unless ``skip_empty`` (streaming
+    appends, where per-batch empty shards would accumulate).
     """
     suffix = GZIP_SUFFIX if compression == "gzip" else TFRECORD_SUFFIX
     split_df = encoded.where(F.col("split") == split_value).select("example")
@@ -167,7 +169,13 @@ def write_split_tfrecords(
     results = rdd.mapPartitionsWithIndex(
         _write_partition_factory(job_dir, prefix, n, suffix)
     ).collect()
+    if skip_empty and results and all(count == 0 for _, count in results):
+        for path, _ in results:
+            os.remove(path)
+        return {}
     if not results:  # zero partitions: still touch one empty shard (V8)
+        if skip_empty:
+            return {}
         path = os.path.join(job_dir, f"{prefix}-00000-of-00001{suffix}")
         with open_maybe_gzip(path, "wb"):
             pass

@@ -1,0 +1,62 @@
+"""Streaming event-time operators (E4 under Structured Streaming).
+
+Batch formulations live in ``operators/events.py``; these are the
+unbounded variants with watermarks for late data. At scale the state
+store is keyed by (window, type) / session key — bounded by watermark
+horizon, not stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def streaming_hourly_rollup(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling 1-hour rollup (streaming analog of
+    operators.events.hourly_rollup). Append-mode capable: a window
+    finalizes once the watermark passes its end."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 hour").alias("win"), F.col(type_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col(type_col).alias("event_type"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessions via the native ``session_window`` (state-store
+    backed; sessions close when the watermark passes last_event + gap)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes").alias("sess"),
+            F.col(user_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.date_format("sess.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sess.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,80 @@
+"""Multimodal operator tests (E5): binary attach, decode plumbing,
+resize batch shape, frame sampling — all against the deterministic stub
+codecs (no PIL/ffmpeg in this runtime)."""
+
+from pyspark.sql import Row, functions as F
+
+from tensorflow_recorder_spark.operators import multimodal
+
+
+def _media_df(spark, tmp_path, n=3):
+    paths = []
+    for i in range(n):
+        p = tmp_path / f"m{i}.bin"
+        p.write_bytes(bytes([i]) * 64)
+        paths.append(str(p))
+    rows = [Row(media_id=i, uri=paths[i]) for i in range(n)]
+    return spark.createDataFrame(rows)
+
+
+def test_attach_binary_joins_content(spark, tmp_path):
+    df = _media_df(spark, tmp_path)
+    out = multimodal.attach_binary(spark, df, "uri")
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert bytes(rows[0]["media_bytes"]) == bytes([0]) * 64
+    assert rows[1]["media_length"] == 64
+
+
+def test_decode_image_features_and_failure(spark, tmp_path):
+    df = multimodal.attach_binary(spark, _media_df(spark, tmp_path), "uri")
+    # null out one row's bytes to exercise the failure route
+    df = df.withColumn(
+        "media_bytes", F.when(F.col("media_id") == 2, None).otherwise(F.col("media_bytes"))
+    )
+    out = {r["media_id"]: r for r in multimodal.decode_image_features(df).collect()}
+    assert out[0]["image_ok"] is True
+    assert (out[0]["image_width"], out[0]["image_height"], out[0]["image_channels"]) == (8, 8, 3)
+    assert out[2]["image_ok"] is False
+    assert out[2]["image_width"] is None
+
+
+def test_resize_emits_requested_shape(spark, tmp_path):
+    df = multimodal.attach_binary(spark, _media_df(spark, tmp_path), "uri")
+    out = multimodal.resize_images(df, width=4, height=4).collect()
+    assert all(len(bytes(r["resized_pixels"])) == 4 * 4 * 3 for r in out)
+    # deterministic: same input bytes -> same pixels
+    again = multimodal.resize_images(df, width=4, height=4).collect()
+    assert {bytes(r["resized_pixels"]) for r in out} == {
+        bytes(r["resized_pixels"]) for r in again
+    }
+
+
+def test_sample_video_frames_explodes(spark, tmp_path):
+    df = multimodal.attach_binary(spark, _media_df(spark, tmp_path), "uri")
+    out = multimodal.sample_video_frames(df, every_n=10).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    # stub: 64 + digest%64 frames, sampled every 10 -> 7..13 frames each
+    for frames in by_id.values():
+        assert frames == sorted(frames)
+        assert frames[0] == 0
+        assert 6 <= len(frames) <= 13
+    # binary column dropped from exploded output
+    assert "media_bytes" not in out[0].asDict()
+
+
+def test_register_decoder_overrides_stub(spark, tmp_path):
+    called = {}
+
+    def fake_decoder(data: bytes) -> dict:
+        called["yes"] = True
+        return {"width": 2, "height": 2, "channels": 1, "pixels": b"\x00" * 4}
+
+    multimodal.register_decoder("image", fake_decoder)
+    try:
+        df = multimodal.attach_binary(spark, _media_df(spark, tmp_path), "uri")
+        out = multimodal.decode_image_features(df).collect()
+        assert all(r["image_width"] == 2 for r in out)
+    finally:
+        multimodal._decoders.pop("image", None)

@@ -1,0 +1,102 @@
+"""Structured Streaming tests: windowed rollup, session_window, and the
+foreachBatch convert sink — driven by a file-source micro-batch over
+temp parquet (the local smoke pattern from the public Spark docs)."""
+
+import os
+from collections import OrderedDict
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+import tensorflow_recorder_spark.types as tt
+from tensorflow_recorder_spark.schema import Schema
+from tensorflow_recorder_spark.sources.tfrecord import load as load_tfr
+from tensorflow_recorder_spark.streaming import (
+    convert_stream,
+    streaming_hourly_rollup,
+    streaming_sessionize,
+)
+
+
+@pytest.fixture()
+def events_stream(spark, tmp_path):
+    rows = [
+        Row(event_id=1, ts="2024-01-01 10:00:00", user_id=1, event_type="a", value=1.0),
+        Row(event_id=2, ts="2024-01-01 10:10:00", user_id=1, event_type="b", value=2.0),
+        Row(event_id=3, ts="2024-01-01 11:30:00", user_id=1, event_type="a", value=3.0),
+        Row(event_id=4, ts="2024-01-01 10:05:00", user_id=2, event_type="a", value=4.0),
+    ]
+    src = str(tmp_path / "events_src")
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.parquet(src)
+    return spark.readStream.schema(df.schema).parquet(src)
+
+
+def _run_to_memory(spark, stream_df, name, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_hourly_rollup(spark, events_stream):
+    out = _run_to_memory(
+        spark, streaming_hourly_rollup(events_stream), "hourly_out", mode="complete"
+    )
+    got = {(r["hour"], r["event_type"]): r["n_events"] for r in out.collect()}
+    assert got[("2024-01-01 10:00:00", "a")] == 2
+    assert got[("2024-01-01 11:00:00", "a")] == 1
+
+
+def test_streaming_sessionize(spark, events_stream):
+    out = _run_to_memory(
+        spark, streaming_sessionize(events_stream), "sess_out", mode="complete"
+    )
+    u1 = [r for r in out.collect() if r["user_id"] == 1]
+    assert len(u1) == 2  # 80-min gap splits sessions
+
+
+def test_convert_stream_foreachbatch(spark, tmp_path):
+    pdf_rows = [
+        Row(split="TRAIN", name="a", label="cat"),
+        Row(split="TRAIN", name="b", label="cat"),
+        Row(split="TEST", name="c", label="goat"),
+        Row(split="FOO", name="d", label="cat"),
+    ]
+    static = spark.createDataFrame(pdf_rows)
+    src = str(tmp_path / "src")
+    static.write.parquet(src)
+
+    schema = Schema(
+        OrderedDict(
+            [("split", tt.SplitKey), ("name", tt.StringInput), ("label", tt.StringLabel)]
+        )
+    )
+    job_dir = str(tmp_path / "job")
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    q = convert_stream(
+        stream,
+        train_df=static.where(F.col("split") == "TRAIN"),
+        schema=schema,
+        job_dir=job_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    files = os.listdir(job_dir)
+    assert any(f.startswith("train-batch") for f in files)
+    assert any(f.startswith("test-batch") for f in files)
+    # FOO routed to DISCARD -> no validation/discard output files
+    assert not any(f.startswith("validation-") for f in files)
+
+    splits = load_tfr(spark, job_dir)
+    assert splits["TRAIN"].count() == 2
+    assert {r["label"] for r in splits["TRAIN"].collect()} == {0}  # cat -> 0
+    test_rows = splits["TEST"].collect()
+    assert test_rows[0]["label"] == -1  # goat absent from TRAIN vocab -> OOV
