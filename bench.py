@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "rel_top_orders",
     "rel_region_revenue",
     "rel_topk_per_group",
+    "rel_big_orders",
+    "rel_running_sum",
     # dedup
     "e1_dedup_exact",
     "e1_minhash_signatures",
@@ -39,6 +41,7 @@ BENCH_QUERIES = [
     # similarity
     "e2_topk_cosine",
     "e2_ivf_assign",
+    "e2_ivf_topk",
     # text
     "e3_token_stats",
     "e3_quality",

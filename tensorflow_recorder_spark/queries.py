@@ -402,6 +402,96 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no order above 300k (NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return cust.join(
+        big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+ORACLE_REL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+def q_rel_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-style: orders whose total quantity exceeds 150 (HAVING over a
+    shuffled agg, then a semi-join back to order/customer attributes)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+        .where(F.col("_q") > 150)
+        .select("l_orderkey", F.col("_q").cast("double").alias("total_qty"))
+    )
+    return big.join(
+        orders, big.l_orderkey == orders.o_orderkey
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "total_qty")
+
+
+ORACLE_REL_BIG_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT o_orderkey, o_custkey, o_totalprice, total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+def q_rel_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer order total over time (ordered window agg)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+ORACLE_REL_RUNNING_SUM = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+def q_rel_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median + p90 of quantity per return flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+    )
+
+
+ORACLE_REL_MEDIAN = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # =====================================================================
 # E1 dedup
 # =====================================================================
@@ -577,6 +667,85 @@ SELECT vec_id, centroid_id FROM (
          row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
   FROM scored
 ) WHERE rn = 1
+"""
+
+
+def q_e1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks, cos >= 0.3."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", block_col="label", threshold=-2.0
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).where(F.col("cosine") >= 0.3)
+
+
+ORACLE_E1_EMB_NEARDUP = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, label, e,
+         sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_aggregate(list_transform(list_zip(a.e, b.e),
+             p -> p[1] * p[2]), 'sum') / (a.nrm * b.nrm), 6) AS cosine
+FROM norms a JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_aggregate(list_transform(list_zip(a.e, b.e),
+            p -> p[1] * p[2]), 'sum') / (a.nrm * b.nrm), 6) >= 0.3
+"""
+
+
+def q_e2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-10 (nprobe=1) for queries vec_id < 5,
+    centroids vec_id < 8."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = similarity.ivf_topk(emb, centroids, emb.where(F.col("vec_id") < 5), k=10)
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+ORACLE_E2_IVF_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e, sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+assign_scored AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         round(list_aggregate(list_transform(list_zip(v.e, c.e),
+               p -> p[1] * p[2]), 'sum') / (v.nrm * c.nrm), 6) AS score
+  FROM norms v JOIN norms c ON c.vec_id < 8
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         round(list_aggregate(list_transform(list_zip(q.e, v.e),
+               p -> p[1] * p[2]), 'sum') / (q.nrm * v.nrm), 4) AS score
+  FROM norms q
+  JOIN assign qa ON qa.vec_id = q.vec_id
+  JOIN assign va ON va.centroid_id = qa.centroid_id
+  JOIN norms v ON v.vec_id = va.vec_id AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 10
 """
 
 
@@ -785,13 +954,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_rollup": q_rel_rollup,
     "rel_set_ops": q_rel_set_ops,
     "rel_pivot": q_rel_pivot,
+    "rel_anti_join": q_rel_anti_join,
+    "rel_big_orders": q_rel_big_orders,
+    "rel_running_sum": q_rel_running_sum,
+    "rel_median": q_rel_median,
     "e1_dedup_exact": q_e1_dedup_exact,
     "e1_minhash_signatures": q_e1_minhash_signatures,
     "e1_lsh_pairs": q_e1_lsh_pairs,
     "e1_jaccard_pairs": q_e1_jaccard_pairs,
     "e1_simhash": q_e1_simhash,
+    "e1_embedding_neardup": q_e1_embedding_neardup,
     "e2_topk_cosine": q_e2_topk_cosine,
     "e2_ivf_assign": q_e2_ivf_assign,
+    "e2_ivf_topk": q_e2_ivf_topk,
     "e3_token_stats": q_e3_token_stats,
     "e3_quality": q_e3_quality,
     "e3_language_id": q_e3_language_id,
@@ -817,13 +992,19 @@ ORACLES: dict[str, str] = {
     "rel_rollup": ORACLE_REL_ROLLUP,
     "rel_set_ops": ORACLE_REL_SET_OPS,
     "rel_pivot": ORACLE_REL_PIVOT,
+    "rel_anti_join": ORACLE_REL_ANTI_JOIN,
+    "rel_big_orders": ORACLE_REL_BIG_ORDERS,
+    "rel_running_sum": ORACLE_REL_RUNNING_SUM,
+    "rel_median": ORACLE_REL_MEDIAN,
     "e1_dedup_exact": ORACLE_E1_EXACT,
     "e1_minhash_signatures": _oracle_minhash_sig(),
     "e1_lsh_pairs": _oracle_lsh_pairs(),
     "e1_jaccard_pairs": ORACLE_E1_JACCARD,
     "e1_simhash": _oracle_simhash(),
+    "e1_embedding_neardup": ORACLE_E1_EMB_NEARDUP,
     "e2_topk_cosine": ORACLE_E2_TOPK,
     "e2_ivf_assign": ORACLE_E2_IVF_ASSIGN,
+    "e2_ivf_topk": ORACLE_E2_IVF_TOPK,
     "e3_token_stats": ORACLE_E3_TOKEN_STATS,
     "e3_quality": ORACLE_E3_QUALITY,
     "e3_language_id": _oracle_language_id(),
