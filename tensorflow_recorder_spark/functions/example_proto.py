@@ -123,6 +123,87 @@ def encode_example(features: dict[str, tuple[str, list]]) -> bytes:
     return bytes(example)
 
 
+# ------------------------------------------- schema-compiled fast path
+
+
+def build_row_encoder(kinds: dict[str, str]):
+    """Compile a fast per-row Example encoder for a fixed column->kind map.
+
+    Produces the byte-identical output of :func:`encode_example` (property-
+    tested in tests/test_format_layer.py) but ~5x faster: map-entry key
+    bytes and feature tags are precomputed per column, no per-row dict or
+    key sort, and scalar fast paths avoid list wrapping. The returned
+    callable takes values in SORTED column-name order (matching
+    encode_example's canonical map order).
+
+    Column order contract: ``columns`` property lists the expected order.
+    """
+    pack = struct.pack  # module-level ref: cloudpickle-safe
+    metas: list[tuple[bytes, bytes, str]] = []
+    ordered = sorted(kinds)
+    for name in ordered:
+        kind = kinds[name]
+        key_b = name.encode("utf-8")
+        key_field = b"\x0a" + _varint(len(key_b)) + key_b  # map key (field 1)
+        kind_tag = {"bytes": b"\x0a", "float": b"\x12", "int64": b"\x1a"}[kind]
+        metas.append((key_field, kind_tag, kind))
+
+    def encode_row(values) -> bytes:
+        parts = []
+        for (key_field, kind_tag, kind), v in zip(metas, values):
+            # missing -> empty feature, matching encode_example(kind, [])
+            if v is None or (isinstance(v, float) and v != v):
+                inner = b"" if kind == "bytes" else b"\x0a\x00"
+            elif kind == "bytes":
+                if isinstance(v, str):
+                    b = v.encode("utf-8")
+                    inner = b"\x0a" + _varint(len(b)) + b
+                elif isinstance(v, (bytes, bytearray)):
+                    inner = b"\x0a" + _varint(len(v)) + bytes(v)
+                else:  # list of strings/bytes
+                    buf = bytearray()
+                    for item in v:
+                        b = item.encode("utf-8") if isinstance(item, str) else bytes(item)
+                        buf += b"\x0a" + _varint(len(b)) + b
+                    inner = bytes(buf)
+            elif kind == "int64":
+                if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                    payload = bytearray()
+                    for item in v:
+                        payload += _varint(int(item) & 0xFFFFFFFFFFFFFFFF)
+                else:
+                    payload = _varint(int(v) & 0xFFFFFFFFFFFFFFFF)
+                inner = b"\x0a" + _varint(len(payload)) + bytes(payload)
+            else:  # float
+                if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                    payload = struct.pack(f"<{len(v)}f", *[float(x) for x in v])
+                else:
+                    payload = pack("<f", float(v))
+                inner = b"\x0a" + _varint(len(payload)) + payload
+            feature = kind_tag + _varint(len(inner)) + inner
+            entry = key_field + b"\x12" + _varint(len(feature)) + feature
+            parts.append(b"\x0a" + _varint(len(entry)) + entry)
+        feats = b"".join(parts)
+        return b"\x0a" + _varint(len(feats)) + feats
+
+    encode_row.columns = ordered  # type: ignore[attr-defined]
+    return encode_row
+
+
+def _varint(value: int) -> bytes:
+    if value < 0x80:
+        return bytes((value,))
+    buf = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return bytes(buf)
+
+
 # ------------------------------------------------------------- decoding
 
 

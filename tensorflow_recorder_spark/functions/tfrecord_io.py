@@ -53,9 +53,20 @@ def read_records(data: bytes, verify: bool = False) -> Iterator[bytes]:
         pos = start + length + 4
 
 
+def open_output(path: str, compressed: bool):
+    """Open a TFRecord shard for writing. Compression is an explicit flag
+    (writers stage shards under temp names, so extension sniffing would
+    silently mislabel); mtime=0 keeps gzip output byte-deterministic."""
+    if compressed:
+        return gzip.GzipFile(path, "wb", mtime=0)
+    return open(path, "wb")
+
+
 def open_maybe_gzip(path: str, mode: str = "rb"):
     if path.endswith(".gz"):
-        return gzip.open(path, mode, mtime=0) if "w" in mode else gzip.open(path, mode)
+        if "w" in mode:
+            return gzip.GzipFile(path, mode, mtime=0)
+        return gzip.open(path, mode)
     return open(path, mode)
 
 

@@ -43,7 +43,7 @@ from ..sinks.artifacts import (
     write_schema_metadata,
     write_vocabulary_assets,
 )
-from ..sinks.tfrecord import encode_examples, write_split_tfrecords
+from ..sinks.tfrecord import encode_examples, write_all_splits
 
 logger = logging.getLogger(__name__)
 
@@ -115,6 +115,13 @@ def run_convert(
         work = extract_images(work, schema.image_uri_key, split_key)
     work = normalize_split(work, split_key)  # P1 (also covers P2 reroutes)
 
+    # Each vocabulary/scale fit is its own TRAIN-subset action; cache the
+    # pre-fit lineage so fits never re-run upstream work (with image
+    # extraction in the lineage a re-scan would re-decode every image).
+    n_fits = len(schema.vocabulary_columns()) + (1 if scale_numeric else 0)
+    if n_fits > 0:
+        work = work.cache()
+
     # Fit on TRAIN, apply to all (A2/A3).
     transformed, vocabs = fit_and_apply_vocabularies(
         work, schema.vocabulary_columns(), split_key
@@ -141,28 +148,21 @@ def run_convert(
             good, bad = counter_row["good"], counter_row["bad"]
             transformed = transformed.drop("__image_ok")
 
-        encoded = encode_examples(transformed, split_key).cache()
-        try:
-            files: dict[str, dict[str, int]] = {}
-            for split in OUTPUT_SPLITS:
-                # Branch elision parity: a split branch exists iff the
-                # split appeared in the input histogram
-                # (beam_pipeline.py:274-280, 303-313) — even if image
-                # failures emptied it (V8).
-                if counts.get(split, 0) > 0:
-                    files[split] = write_split_tfrecords(
-                        encoded,
-                        job_dir,
-                        split.lower(),
-                        split,
-                        compression=compression,
-                        num_shards=num_shards,
-                    )
-            write_discarded(
-                transformed.where(F.col(split_key) == DISCARD), job_dir
-            )  # K3
-        finally:
-            encoded.unpersist()
+        # Branch elision parity: a split is written iff it appeared in
+        # the input histogram (beam_pipeline.py:274-280, 303-313) — even
+        # if image failures emptied it (V8). One pass writes all splits.
+        encoded = encode_examples(transformed, split_key)
+        wanted = [s for s in OUTPUT_SPLITS if counts.get(s, 0) > 0]
+        files = write_all_splits(
+            encoded,
+            job_dir,
+            wanted,
+            compression=compression,
+            num_shards=num_shards,
+        )
+        write_discarded(
+            transformed.where(F.col(split_key) == DISCARD), job_dir
+        )  # K3
 
         write_vocabulary_assets(job_dir, vocabs)  # K4
         if scale_stats:
@@ -170,6 +170,8 @@ def run_convert(
         write_schema_metadata(job_dir, schema, transformed.schema)
     finally:
         transformed.unpersist()
+        if n_fits > 0:
+            work.unpersist()
 
     metrics = {"rows": input_rows, "good_images": good, "bad_images": bad}
     logger.info("convert job %s complete: %s", job_name, metrics)

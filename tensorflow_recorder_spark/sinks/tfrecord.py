@@ -33,8 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..constants import GZIP_SUFFIX, TFRECORD_SUFFIX
-from ..functions.example_proto import encode_example
-from ..functions.tfrecord_io import open_maybe_gzip, write_record
+from ..functions.example_proto import build_row_encoder
+from ..functions.tfrecord_io import open_maybe_gzip, open_output, write_record
 
 # Spark simpleString -> Example feature kind
 _KIND_BY_TYPE = {
@@ -73,22 +73,6 @@ def feature_kinds(df: DataFrame, exclude: tuple[str, ...] = ()) -> dict[str, str
     return kinds
 
 
-def _to_values(kind: str, value) -> list:
-    # pd.NA / NaN / None all mean "missing" -> empty feature (the proto
-    # has no null; an absent/empty list is the conventional encoding).
-    if value is None or (isinstance(value, float) and value != value) or value is pd.NA:
-        return []
-    if isinstance(value, (list, tuple)) or type(value).__name__ == "ndarray":
-        vals = [v for v in value if v is not None]
-    else:
-        vals = [value]
-    if kind == "bytes":
-        return [v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in vals]
-    if kind == "int64":
-        return [int(v) for v in vals]
-    return [float(v) for v in vals]
-
-
 def encode_examples(
     df: DataFrame, split_key: str = "split", keep_split: bool = True
 ) -> DataFrame:
@@ -100,21 +84,18 @@ def encode_examples(
     encoded into the proto.
     """
     kinds = feature_kinds(df)
-    columns = list(kinds)
     if not keep_split:
         kinds = {k: v for k, v in kinds.items() if k != split_key}
+    encoder = build_row_encoder(kinds)
+    columns = encoder.columns  # sorted canonical order
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            examples = []
-            rows = (pdf[c] for c in columns)
-            for tup in zip(*rows):
-                features = {
-                    c: (kinds[c], _to_values(kinds[c], v))
-                    for c, v in zip(columns, tup)
-                    if c in kinds
-                }
-                examples.append(encode_example(features))
+            # normalize pandas NA/NaN to None once, vectorized per column
+            cols = [
+                pdf[c].astype(object).where(pdf[c].notna(), None) for c in columns
+            ]
+            examples = [encoder(tup) for tup in zip(*cols)]
             yield pd.DataFrame({"split": pdf[split_key], "example": examples})
 
     out_schema = T.StructType(
@@ -126,14 +107,110 @@ def encode_examples(
     return df.mapInPandas(encode_batches, schema=out_schema)
 
 
-def _write_partition_factory(job_dir: str, prefix: str, num_shards: int, suffix: str):
+def write_all_splits(
+    encoded: DataFrame,
+    job_dir: str,
+    splits: list[str],
+    compression: str | None = "gzip",
+    num_shards: int = 0,
+) -> dict[str, dict[str, int]]:
+    """Write every split's Examples in ONE pass (K2, batch convert path).
+
+    A single Arrow-batched ``mapInPandas`` walks each partition once and
+    appends rows to at most |splits| open shard files, so the encoded
+    frame is scanned once regardless of split count (the per-split
+    variant costs one pass per split and a Python row-pickle each).
+    Shard files are written under partition-id temp names and renamed by
+    the driver to contiguous ``<split>-SSSSS-of-NNNNN`` (a rename
+    manifest, not data, crosses to the driver). Splits that end up empty
+    still get one empty shard (V8 parity). Returns
+    {split: {path: record_count}}.
+    """
+    suffix = GZIP_SUFFIX if compression == "gzip" else TFRECORD_SUFFIX
+    os.makedirs(job_dir, exist_ok=True)
+    df = encoded
+    if num_shards > 0:
+        df = df.repartition(num_shards)
+    df = df.withColumn("__pid", F.spark_partition_id())
+    wanted = set(splits)
+    compressed = compression == "gzip"
+
+    out_schema = T.StructType(
+        [
+            T.StructField("split", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        handles: dict[str, tuple] = {}
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            for split_value, sub in pdf.groupby("split"):
+                if split_value not in wanted:
+                    continue
+                entry = handles.get(split_value)
+                if entry is None:
+                    path = os.path.join(
+                        job_dir, f".{split_value.lower()}-pid{pid:05d}{suffix}.inprogress"
+                    )
+                    entry = (open_output(path, compressed), path)
+                    handles[split_value] = entry
+                    counts[split_value] = 0
+                fh = entry[0]
+                for blob in sub["example"]:
+                    write_record(fh, bytes(blob))
+                counts[split_value] += len(sub)
+        for split_value, (fh, _) in handles.items():
+            fh.close()
+        yield pd.DataFrame(
+            {
+                "split": list(handles),
+                "path": [p for _, p in handles.values()],
+                "n": [counts[s] for s in handles],
+            }
+        )
+
+    manifest = df.mapInPandas(write_partition, schema=out_schema).collect()
+
+    # Driver-side rename to contiguous shard names (metadata-only).
+    results: dict[str, dict[str, int]] = {}
+    by_split: dict[str, list] = {}
+    for row in manifest:
+        by_split.setdefault(row["split"], []).append((row["path"], row["n"]))
+    for split_value in splits:
+        shards = sorted(by_split.get(split_value, []))
+        prefix = split_value.lower()
+        if not shards:  # V8: empty-but-present split output
+            path = os.path.join(job_dir, f"{prefix}-00000-of-00001{suffix}")
+            with open_output(path, compressed):
+                pass
+            results[split_value] = {path: 0}
+            continue
+        k = len(shards)
+        split_files: dict[str, int] = {}
+        for i, (tmp, n) in enumerate(shards):
+            final = os.path.join(job_dir, f"{prefix}-{i:05d}-of-{k:05d}{suffix}")
+            os.replace(tmp, final)
+            split_files[final] = n
+        results[split_value] = split_files
+    return results
+
+
+def _write_partition_factory(
+    job_dir: str, prefix: str, num_shards: int, suffix: str, compressed: bool
+):
     def write_partition(index: int, rows) -> Iterator[tuple[str, int]]:
         path = os.path.join(
             job_dir, f"{prefix}-{index:05d}-of-{num_shards:05d}{suffix}"
         )
         count = 0
         tmp = path + ".inprogress"
-        with open_maybe_gzip(tmp, "wb") as fh:
+        with open_output(tmp, compressed) as fh:
             for row in rows:
                 write_record(fh, bytes(row["example"]))
                 count += 1
@@ -167,7 +244,7 @@ def write_split_tfrecords(
     n = max(rdd.getNumPartitions(), 1)
     os.makedirs(job_dir, exist_ok=True)
     results = rdd.mapPartitionsWithIndex(
-        _write_partition_factory(job_dir, prefix, n, suffix)
+        _write_partition_factory(job_dir, prefix, n, suffix, compression == "gzip")
     ).collect()
     if skip_empty and results and all(count == 0 for _, count in results):
         for path, _ in results:
@@ -177,7 +254,7 @@ def write_split_tfrecords(
         if skip_empty:
             return {}
         path = os.path.join(job_dir, f"{prefix}-00000-of-00001{suffix}")
-        with open_maybe_gzip(path, "wb"):
+        with open_output(path, compression == "gzip"):
             pass
         results = [(path, 0)]
     return dict(results)
