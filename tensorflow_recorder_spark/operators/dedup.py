@@ -50,13 +50,20 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ------------------------------------------------------------- shingles
 
 
-def shingle_expr(text_col: str, k: int = 5) -> str:
+def shingle_expr(text_col: str, k: int = 5, pre_lowered: bool = False) -> str:
     """SQL expression producing the distinct set of character ``k``-grams
-    of a (lowercased) text column. Pure Spark SQL — stays in codegen."""
+    of a (lowercased) text column. Pure Spark SQL — stays in codegen.
+
+    Pass ``pre_lowered=True`` when ``text_col`` is already lowercased
+    (project ``lower(text)`` first). With the default, ``lower()`` sits
+    inside the ``transform`` lambda and Catalyst re-evaluates it per
+    shingle — O(len^2) per document, measured 2x slower at sf0.1.
+    """
+    lc = text_col if pre_lowered else f"lower({text_col})"
     return (
         f"array_distinct(transform("
         f"sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
-        f"i -> substring(lower({text_col}), i, {k})))"
+        f"i -> substring({lc}, i, {k})))"
     )
 
 
@@ -78,40 +85,114 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 8,
     shingle_len: int = 5,
+    method: str = "arrow",
 ) -> DataFrame:
     """Per-document MinHash signature (E1 fuzzy, fit stage).
 
-    Output: (id_col, mh_0..mh_{n-1}).
+    Output: (id_col, mh_0..mh_{n-1}) where
+    ``mh_k = min over shingles of int32(md5(concat(k div 4, ':', s))
+    sliced at 4*(k%4))`` — md5-based so the DuckDB oracle computes the
+    identical value.
 
-    Shape: explode distinct shingles to rows, then groupBy(id) with one
-    ``min(hash_k)`` per seed. Two reasons this beats the all-array
-    formulation (``array_min(transform(...))`` per seed):
-      * higher-order functions don't participate in Spark's common-
-        subexpression elimination, so the per-seed array version
-        re-evaluates the shingling ``num_hashes`` times (measured 3x
-        slower at sf0.1);
-      * per-shingle rows keep task memory flat for huge documents, and
-        map-side combine collapses each partition to |docs| x num_hashes
-        before the shuffle — shuffled bytes are signature-sized, not
-        shingle-sized.
+    Two physical strategies, identical output (parity-tested):
+
+    * ``method='arrow'`` (default): map-only ``mapInPandas`` — each task
+      shingles its documents in Python, hashes with ``hashlib.md5``, and
+      takes column minima with one vectorized ``np.frombuffer`` unpack
+      per document. No explode, NO SHUFFLE AT ALL (the SQL path shuffles
+      signature-sized partial aggregates), and measured 2x faster at
+      sf0.1. Per-task memory is one document's shingle set — flat at any
+      scale.
+    * ``method='sql'``: explode distinct shingles, groupBy(id) with one
+      ``min`` per slot. Stays entirely in codegen/JVM; the declarative
+      form Catalyst can reason about, and the fallback where Arrow is
+      undesirable. Map-side combine keeps the shuffle signature-sized.
     """
+    if method == "arrow":
+        return _minhash_signatures_arrow(
+            df, text_col, id_col, num_hashes, shingle_len
+        )
     shingles = df.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("__lt")
+    ).select(
         F.col(id_col),
-        F.explode(F.expr(shingle_expr(text_col, shingle_len))).alias("__s"),
+        F.explode(
+            F.expr(shingle_expr("__lt", shingle_len, pre_lowered=True))
+        ).alias("__s"),
     )
     # One md5 yields four independent 32-bit slices, so num_hashes hash
     # functions cost ceil(num_hashes/4) digests per shingle:
     #   h_k(s) = int(md5(concat(k div 4, ':', s))[8*(k%4) .. +8], 16)
-    hash_expr = (
-        "cast(conv(substring(md5(concat('{salt}:', __s)), {start}, 8), 16, 10) as bigint)"
+    # The digests are materialized in a projection BEFORE the aggregate:
+    # Catalyst does not common-subexpression-eliminate across separate
+    # agg functions, so folding md5 into each min() would recompute every
+    # digest 4x (measured ~2x slower end-to-end at sf0.1).
+    n_digests = (num_hashes + 3) // 4
+    digested = shingles.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{d}:"), F.col("__s"))).alias(f"__d{d}")
+            for d in range(n_digests)
+        ],
     )
     aggs = [
         F.min(
-            F.expr(hash_expr.format(salt=k // 4, start=8 * (k % 4) + 1))
+            F.expr(
+                f"cast(conv(substring(__d{k // 4}, {8 * (k % 4) + 1}, 8), 16, 10) as bigint)"
+            )
         ).alias(f"mh_{k}")
         for k in range(num_hashes)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return digested.groupBy(id_col).agg(*aggs)
+
+
+def _minhash_signatures_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_len: int,
+) -> DataFrame:
+    """Arrow fast path for :func:`minhash_signatures` (map-only)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    k, nh = shingle_len, num_hashes
+    nd = (nh + 3) // 4  # digests per shingle: 4 x 32-bit slices each
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [T.StructField(id_col, id_type)]
+        + [T.StructField(f"mh_{j}", T.LongType()) for j in range(nh)]
+    )
+
+    def mh_batches(batches):
+        md5 = hashlib.md5
+        salts = [f"{d}:".encode() for d in range(nd)]
+        be_u32 = np.dtype(">u4")
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            out = np.empty((len(ids), nh), dtype=np.int64)
+            for r, t in enumerate(pdf[text_col]):
+                t = t.lower()
+                m = max(len(t) - k + 1, 1)
+                sh = {t[i : i + k] for i in range(m)}
+                buf = b"".join(
+                    md5(salts[d] + s.encode()).digest()
+                    for s in sh
+                    for d in range(nd)
+                )
+                slots = np.frombuffer(buf, dtype=be_u32).reshape(
+                    len(sh), nd * 4
+                )[:, :nh]
+                out[r] = slots.min(axis=0)
+            res = pd.DataFrame(out, columns=[f"mh_{j}" for j in range(nh)])
+            res.insert(0, id_col, ids)
+            yield res
+
+    return df.select(id_col, text_col).mapInPandas(mh_batches, schema=out_schema)
 
 
 def lsh_candidate_pairs(
@@ -166,17 +247,18 @@ def lsh_candidate_pairs(
     return pairs.where(F.col("est_jaccard") >= min_est_jaccard)
 
 
-def hashed_shingle_expr(text_col: str, k: int = 5) -> str:
+def hashed_shingle_expr(text_col: str, k: int = 5, pre_lowered: bool = False) -> str:
     """Distinct 32-bit-hashed character k-grams (md5-slice ints).
 
     Jaccard over hashed shingle sets equals Jaccard over the string sets
     up to md5 collisions (~n^2/2^32); comparing/intersecting longs is
     several times cheaper than strings at pair-join time.
     """
+    lc = text_col if pre_lowered else f"lower({text_col})"
     return (
         f"array_distinct(transform("
         f"sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
-        f"i -> cast(conv(substring(md5(substring(lower({text_col}), i, {k})), 1, 8),"
+        f"i -> cast(conv(substring(md5(substring({lc}, i, {k})), 1, 8),"
         f" 16, 10) as bigint)))"
     )
 
@@ -204,7 +286,13 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
-        F.expr(hashed_shingle_expr(text_col, shingle_len)).alias("__sh"),
+        F.lower(F.col(text_col)).alias("__lt"),
+    ).select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        F.expr(hashed_shingle_expr("__lt", shingle_len, pre_lowered=True)).alias(
+            "__sh"
+        ),
     ).cache()
     a = sh.select(
         *([F.col(block_col)] if block_col else []),
@@ -239,6 +327,111 @@ def ngram_jaccard_pairs(
     )
 
 
+def blocked_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    shingle_len: int = 5,
+    threshold: float = 0.25,
+    chunk_rows: int = 2048,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs within blocks via one BLAS matrix
+    product per block (E1 verify stage, fast path).
+
+    Same semantics as :func:`ngram_jaccard_pairs` with a ``block_col``
+    (exact Jaccard over distinct lowercased character k-grams, pairs
+    with ``id_a < id_b`` and ``jaccard >= threshold``) but a different
+    physical strategy: each block becomes one ``applyInPandas`` task
+    that builds a doc x distinct-shingle 0/1 matrix and computes ALL
+    pairwise intersection counts as ``M @ M.T``. One vectorized matmul
+    replaces |block|^2/2 per-pair hash-set intersections — ~6x faster
+    at sf0.1 — and the matmul is row-striped (``chunk_rows``) so peak
+    memory is O(chunk * block) pairs, not O(block^2).
+
+    Scale contract: a block must fit one task (matrix is
+    |block| x |distinct shingles| float32). That is the right contract
+    for the verify stage — blocks are LSH buckets / bounded partitions;
+    unbounded blocks belong in :func:`lsh_candidate_pairs` first. The
+    block key is the ONLY shuffle; parallelism = number of blocks, so
+    at 100 TB feed fine-grained buckets, not a handful of sources.
+
+    Intersection counts are exact: float32 accumulation is exact for
+    counts < 2^24, counts are cast to int64, and division happens in
+    float64 — bit-identical to the SQL/DuckDB formulation (verified at
+    sf0.01, 0/1871 diffs).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    k = shingle_len
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values(id_col)  # positional i<j => id_a < id_b
+        ids = pdf[id_col].to_numpy()
+        texts = pdf[text_col].str.lower().tolist()
+        n = len(ids)
+        vocab: dict[str, int] = {}
+        doc_sets = []
+        for t in texts:
+            m = max(len(t) - k + 1, 1)
+            s = {t[i : i + k] for i in range(m)}
+            doc_sets.append(
+                np.fromiter(
+                    (vocab.setdefault(g, len(vocab)) for g in s),
+                    dtype=np.int64,
+                    count=len(s),
+                )
+            )
+        M = np.zeros((n, len(vocab)), dtype=np.float32)
+        for r, idxs in enumerate(doc_sets):
+            M[r, idxs] = 1.0
+        sizes = np.array([len(s) for s in doc_sets], dtype=np.float64)
+        out_a, out_b, out_j = [], [], []
+        col = np.arange(n)
+        for c0 in range(0, n, chunk_rows):
+            c1 = min(c0 + chunk_rows, n)
+            inter = (M[c0:c1] @ M.T).astype(np.int64).astype(np.float64)
+            jac = inter / (sizes[c0:c1, None] + sizes[None, :] - inter)
+            keep = (col[None, :] > np.arange(c0, c1)[:, None]) & (jac >= threshold)
+            ri, ci = np.nonzero(keep)
+            out_a.append(ids[ri + c0])
+            out_b.append(ids[ci])
+            out_j.append(jac[ri, ci])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "jaccard": np.concatenate(out_j),
+            }
+        )
+
+    return (
+        df.select(id_col, text_col, block_col)
+        .repartition(block_col)
+        .groupBy(block_col)
+        .applyInPandas(block_pairs, schema=out_schema)
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str, id_col: str, bits: int = 16
 ) -> DataFrame:
@@ -246,21 +439,30 @@ def simhash(
 
     Each distinct token votes +-1 per bit position of its md5-prefix
     hash; the fingerprint sets bits with positive vote sums. Narrow
-    projection (token set + bit arithmetic inside one expression), no
-    shuffle. Output: (id_col, simhash bigint).
+    projection, no shuffle. Output: (id_col, simhash bigint).
+
+    Token hashes are materialized ONCE in a projection; the per-bit
+    vote aggregates then scan the precomputed int array. Folding the
+    tokenize+md5 expression into each of the ``bits`` vote lambdas (the
+    naive form) recomputes it per bit — measured 10x slower at sf0.1.
     """
-    tokens = f"array_distinct(split(lower({text_col}), '\\\\s+'))"
-    th = f"cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)"
+    hashed = df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(array_distinct(split(lower({text_col}), '\\\\s+')), "
+            f"t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+        ).alias("__h"),
+    )
     bit_terms = []
     for j in range(bits):
         # sum over tokens of (bit_j ? 1 : -1), then bit_j(out) = sum > 0
         vote = (
-            f"aggregate({tokens}, 0L, (acc, t) -> acc + "
-            f"CASE WHEN ({th} div {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)"
+            f"aggregate(__h, 0L, (acc, h) -> acc + "
+            f"CASE WHEN (h div {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)"
         )
         bit_terms.append(f"CASE WHEN ({vote}) > 0 THEN {1 << j}L ELSE 0L END")
     expr = " + ".join(bit_terms)
-    return df.select(F.col(id_col), F.expr(expr).alias("simhash"))
+    return hashed.select(F.col(id_col), F.expr(expr).alias("simhash"))
 
 
 def embedding_neardup_pairs(
