@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "rel_topk_per_group",
     "rel_big_orders",
     "rel_running_sum",
+    "rel_cube",
     # dedup
     "e1_dedup_exact",
     "e1_minhash_signatures",
@@ -46,10 +47,12 @@ BENCH_QUERIES = [
     "e3_token_stats",
     "e3_quality",
     "e3_word_frequencies",
+    "e3_bigrams",
     # events
     "e4_hourly_rollup",
     "e4_sessionize",
     "e4_asof_latest",
+    "e4_sliding_window",
 ]
 
 

@@ -41,6 +41,32 @@ def hourly_rollup(df: DataFrame, ts_col: str = "ts", type_col: str = "event_type
     )
 
 
+def sliding_rollup(
+    df: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Sliding-window rollup: count + value sum per (window start, type)
+    for hopping windows of ``window`` every ``slide``.
+
+    ``F.window`` expands each event into window/slide assignments
+    (epoch-aligned, same convention as Structured Streaming), then one
+    partial-aggregated groupBy — the fan-out is window/slide rows per
+    event before map-side combine collapses them to bucket cardinality.
+    The streaming twin (watermarked) is ``streaming/windows.py``.
+    """
+    win = F.window(F.col(ts_col), window, slide)
+    return df.groupBy(
+        F.date_format(win.start, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col(type_col).alias("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 def sessionize(
     df: DataFrame,
     user_col: str = "user_id",

@@ -140,3 +140,30 @@ def word_frequencies(
         counts.orderBy(F.desc("n"), F.asc("word"))
         .limit(top_n)
     )
+
+
+def ngram_frequencies(
+    df: DataFrame, text_col: str, n: int = 2, top_n: int = 50
+) -> DataFrame:
+    """Corpus-level word n-gram frequencies, top-N by (count desc, gram
+    asc) — the phrase-mining primitive (E3).
+
+    Same shuffle shape as :func:`word_frequencies`: explode + one
+    partial-aggregated groupBy, shuffled bytes bounded by n-gram
+    vocabulary, not corpus size. The n-gram build guards ``size < n``
+    explicitly because Spark's ``sequence(1, 0)`` counts DOWN (yielding
+    [1, 0]), not empty.
+    """
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')"
+    joined = " , ' ', ".join(f"element_at(__t, i + {j})" for j in range(n))
+    grams = (
+        f"CASE WHEN size(__t) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(__t) - {n - 1}), "
+        f"i -> concat({joined})) END"
+    )
+    exploded = (
+        df.select(F.expr(toks).alias("__t"))
+        .select(F.explode(F.expr(grams)).alias("gram"))
+    )
+    counts = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("gram")).limit(top_n)

@@ -492,6 +492,25 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations
+    in one pass (Spark expands grouping sets before the hash aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+ORACLE_REL_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 # =====================================================================
 # E1 dedup
 # =====================================================================
@@ -538,7 +557,7 @@ def q_e1_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs, "doc_id")
 
 
-def _oracle_lsh_pairs() -> str:
+def _oracle_lsh_pairs(min_est: float = 0.25) -> str:
     sig = _oracle_minhash_sig()
     bands = ", ".join(
         f"md5(concat_ws(',', mh_{2 * b}, mh_{2 * b + 1})) AS band_{b}" for b in range(4)
@@ -551,7 +570,28 @@ def _oracle_lsh_pairs() -> str:
 WITH sigs AS ({sig}), banded AS (SELECT *, {bands} FROM sigs)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, ({agree}) / 8.0 AS est_jaccard
 FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({band_match})
-WHERE ({agree}) / 8.0 >= 0.25
+WHERE ({agree}) / 8.0 >= {min_est}
+"""
+
+
+def q_e1_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: MinHash -> LSH pairs (est >= 0.5) ->
+    drop the larger-id member of every pair (greedy keep-first).
+
+    The anti-join runs on doc_id only — at scale the duplicate-id side
+    is a small fraction of the corpus and broadcastable."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id")
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", min_est_jaccard=0.5)
+    dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.join(dupes, "doc_id", "left_anti").select("doc_id")
+
+
+def _oracle_neardup_filter() -> str:
+    return f"""
+WITH pairs AS ({_oracle_lsh_pairs(min_est=0.5)})
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs)
 """
 
 
@@ -856,6 +896,29 @@ GROUP BY word ORDER BY n DESC, word ASC LIMIT 50
 """
 
 
+def q_e3_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word bigrams over the corpus (phrase mining)."""
+    return text.ngram_frequencies(
+        _t(spark, sf_dir, "documents"), "text", n=2, top_n=50
+    )
+
+
+ORACLE_E3_BIGRAMS = """
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+)
+SELECT gram, count(*) AS n
+FROM (
+  SELECT unnest(CASE WHEN len(t) < 2 THEN []
+                ELSE list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i + 1]) END) AS gram
+  FROM toks
+)
+GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 50
+"""
+
+
 # =====================================================================
 # E4 event-time ops
 # =====================================================================
@@ -920,6 +983,36 @@ FROM sid GROUP BY user_id, session_seq
 """
 
 
+def q_e4_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 1-hour windows every 15 minutes: each event lands in 4
+    windows (F.window expansion), then one partial-aggregated groupBy.
+    Decimal sums for engine-portable exactness."""
+    ev = _events(spark, sf_dir)
+    win = F.window(F.col("ts"), "1 hour", "15 minutes")
+    dec = F.col("value").cast("decimal(18,6)")
+    return ev.groupBy(
+        F.date_format(win.start, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec).cast("double").alias("sum_value"),
+    )
+
+
+# Spark's F.window aligns hopping windows to the epoch; with a 15-minute
+# slide each event belongs to exactly 4 windows starting at
+# floor_15min(ts) - k*15min, k in 0..3. 900000000 us = 15 minutes.
+ORACLE_E4_SLIDING = """
+SELECT strftime(make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                               - k * 900000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events, (SELECT unnest(range(4)) AS k)
+GROUP BY 1, 2
+"""
+
+
 def q_e4_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.asof_latest(_events(spark, sf_dir), "2024-01-15 00:00:00")
 
@@ -962,12 +1055,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_big_orders": q_rel_big_orders,
     "rel_running_sum": q_rel_running_sum,
     "rel_median": q_rel_median,
+    "rel_cube": q_rel_cube,
     "e1_dedup_exact": q_e1_dedup_exact,
     "e1_minhash_signatures": q_e1_minhash_signatures,
     "e1_lsh_pairs": q_e1_lsh_pairs,
     "e1_jaccard_pairs": q_e1_jaccard_pairs,
     "e1_simhash": q_e1_simhash,
     "e1_embedding_neardup": q_e1_embedding_neardup,
+    "e1_neardup_filter": q_e1_neardup_filter,
     "e2_topk_cosine": q_e2_topk_cosine,
     "e2_ivf_assign": q_e2_ivf_assign,
     "e2_ivf_topk": q_e2_ivf_topk,
@@ -976,9 +1071,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_language_id": q_e3_language_id,
     "e3_fingerprint": q_e3_fingerprint,
     "e3_word_frequencies": q_e3_word_frequencies,
+    "e3_bigrams": q_e3_bigrams,
     "e4_hourly_rollup": q_e4_hourly_rollup,
     "e4_sessionize": q_e4_sessionize,
     "e4_asof_latest": q_e4_asof_latest,
+    "e4_sliding_window": q_e4_sliding_window,
 }
 
 ORACLES: dict[str, str] = {
@@ -1000,12 +1097,14 @@ ORACLES: dict[str, str] = {
     "rel_big_orders": ORACLE_REL_BIG_ORDERS,
     "rel_running_sum": ORACLE_REL_RUNNING_SUM,
     "rel_median": ORACLE_REL_MEDIAN,
+    "rel_cube": ORACLE_REL_CUBE,
     "e1_dedup_exact": ORACLE_E1_EXACT,
     "e1_minhash_signatures": _oracle_minhash_sig(),
     "e1_lsh_pairs": _oracle_lsh_pairs(),
     "e1_jaccard_pairs": ORACLE_E1_JACCARD,
     "e1_simhash": _oracle_simhash(),
     "e1_embedding_neardup": ORACLE_E1_EMB_NEARDUP,
+    "e1_neardup_filter": _oracle_neardup_filter(),
     "e2_topk_cosine": ORACLE_E2_TOPK,
     "e2_ivf_assign": ORACLE_E2_IVF_ASSIGN,
     "e2_ivf_topk": ORACLE_E2_IVF_TOPK,
@@ -1014,7 +1113,9 @@ ORACLES: dict[str, str] = {
     "e3_language_id": _oracle_language_id(),
     "e3_fingerprint": ORACLE_E3_FINGERPRINT,
     "e3_word_frequencies": ORACLE_E3_WORD_FREQ,
+    "e3_bigrams": ORACLE_E3_BIGRAMS,
     "e4_hourly_rollup": ORACLE_E4_HOURLY,
     "e4_sessionize": ORACLE_E4_SESSIONIZE,
     "e4_asof_latest": ORACLE_E4_ASOF,
+    "e4_sliding_window": ORACLE_E4_SLIDING,
 }

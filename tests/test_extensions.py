@@ -192,3 +192,82 @@ def test_asof_latest(spark):
     got = {r["user_id"]: (r["asof_value"], r["asof_type"]) for r in out.collect()}
     assert got[1] == (2.0, "b")  # event 3 is after the cutoff
     assert got[2] == (4.0, "a")
+
+
+def test_blocked_jaccard_matches_sql_formulation(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "x"),
+        (2, "the quick brown fox jumped over the lazy dog", "x"),
+        (3, "completely unrelated text with other words", "x"),
+        (4, "the quick brown fox jumps over the lazy dog", "y"),
+        (5, "the quick brown fox jumps over the lazy dog!", "y"),
+        (6, "short", "y"),
+    ]
+    df = spark.createDataFrame(rows, "id long, txt string, src string")
+    fast = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.blocked_jaccard_pairs(
+            df, "txt", "id", "src", shingle_len=5, threshold=0.1
+        ).collect()
+    }
+    # reference: plain-SQL pairwise formulation on UNhashed string shingles
+    sh = dedup.shingle_expr("txt", 5)
+    base = df.select("id", "src", F.expr(sh).alias("s"))
+    a = base.select(F.col("src"), F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    b = base.select(F.col("src"), F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    ref = {
+        (r["id_a"], r["id_b"]): round(r["j"], 9)
+        for r in a.join(b, "src")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (inter / union).alias("j"))
+        .where(F.col("j") >= 0.1)
+        .collect()
+    }
+    assert fast == ref
+    assert (1, 2) in fast and fast[(4, 5)] > 0.8
+    assert all(k != (1, 4) for k in fast)  # cross-block pairs never meet
+
+
+def test_blocked_jaccard_chunking_consistent(spark):
+    rows = [(i, f"document number {i % 3} with shared text body", "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, txt string, src string")
+    big = dedup.blocked_jaccard_pairs(df, "txt", "id", "src", threshold=0.5)
+    small = dedup.blocked_jaccard_pairs(
+        df, "txt", "id", "src", threshold=0.5, chunk_rows=3
+    )
+    assert sorted(map(tuple, big.collect())) == sorted(map(tuple, small.collect()))
+
+
+def test_minhash_sql_and_arrow_paths_agree(spark):
+    df = spark.createDataFrame(
+        [(1, "The Quick Brown Fox"), (2, "pack my box with five dozen jugs"), (3, "ab")],
+        "id long, txt string",
+    )
+    arrow = {r["id"]: tuple(r[f"mh_{k}"] for k in range(8))
+             for r in dedup.minhash_signatures(df, "txt", "id", method="arrow").collect()}
+    sql = {r["id"]: tuple(r[f"mh_{k}"] for k in range(8))
+           for r in dedup.minhash_signatures(df, "txt", "id", method="sql").collect()}
+    assert arrow == sql
+
+
+def test_ngram_frequencies_bigrams(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("a b",), ("  ",), ("solo",)], "txt string"
+    )
+    got = {r["gram"]: r["n"] for r in text.ngram_frequencies(df, "txt", n=2).collect()}
+    assert got == {"a b": 2, "b c": 1}
+
+
+def test_sliding_rollup_four_windows_per_event(spark):
+    df = _events_df(spark)
+    out = events.sliding_rollup(df, "1 hour", "15 minutes")
+    rows = out.collect()
+    # every event contributes to exactly 4 hopping windows
+    assert sum(r["n_events"] for r in rows) == df.count() * 4
+    starts_for_e1 = {r["window_start"] for r in rows if r["event_type"] == "b"}
+    assert starts_for_e1 == {
+        "2024-01-01 09:15:00", "2024-01-01 09:30:00",
+        "2024-01-01 09:45:00", "2024-01-01 10:00:00",
+    }
