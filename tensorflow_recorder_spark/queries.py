@@ -1033,6 +1033,121 @@ FROM ranked WHERE rn = 1
 
 
 # =====================================================================
+# S (streaming) — batch/stream parity, executed through Structured
+# Streaming for real (availableNow trigger, complete-mode memory sink)
+# =====================================================================
+
+
+def q_s1_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The E4 hourly rollup executed AS A STREAM: readStream over the
+    events parquet -> watermarked tumbling window agg -> availableNow
+    trigger drains the bounded source -> complete-mode memory sink.
+    Output is hash-identical to the batch oracle — batch/stream parity
+    is the whole point of declaring this one."""
+    from .streaming.windows import streaming_hourly_rollup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source requires a directory or a glob; the trailing
+    # character class makes the single file a glob with the dir as basePath
+    stream = (
+        spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.parque[t]")
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # decimal value keeps the multi-row sum exact (order-independent)
+    rolled = streaming_hourly_rollup(
+        stream.withColumn("value", F.col("value").cast("decimal(18,6)"))
+    ).select(
+        "hour",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+    name = "stream_hourly_rollup_sink"
+    if any(t.name == name for t in spark.catalog.listTables()):
+        spark.catalog.dropTempView(name)
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_S1_STREAM_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# E5 multimodal columns (binary payload + typed metadata; stub codecs —
+# the runtime has no PIL/ffmpeg — but the Spark plumbing is real)
+# =====================================================================
+
+
+def q_e5_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: documents' text bytes stand in as
+    the opaque payload; decode_image_features runs the Arrow-batched
+    mapInPandas decode (stub codec: 8x8x3) with per-row failure routing.
+    NULL payloads -> image_ok = false."""
+    from .operators.multimodal import decode_image_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 97 != 0, F.encode(F.col("text"), "UTF-8")
+        ).alias("media_bytes"),  # every 97th row: missing media
+    )
+    feats = decode_image_features(docs, "media_bytes")
+    return feats.select(
+        "doc_id", "image_width", "image_height", "image_channels", "image_ok"
+    )
+
+
+ORACLE_E5_IMAGE_META = """
+SELECT doc_id,
+       CASE WHEN doc_id % 97 <> 0 THEN 8 END AS image_width,
+       CASE WHEN doc_id % 97 <> 0 THEN 8 END AS image_height,
+       CASE WHEN doc_id % 97 <> 0 THEN 3 END AS image_channels,
+       doc_id % 97 <> 0 AS image_ok
+FROM documents
+"""
+
+
+def q_e5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled frame index. The
+    stub codec derives n_frames = 64 + sha256('video' || payload)[0] % 64
+    deterministically, so the exploded (doc, frame_idx) set is fully
+    oracle-checkable — the explode-before-decode plan shape is the part
+    that matters at scale."""
+    from .operators.multimodal import sample_video_frames
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("media_bytes")
+    )
+    return sample_video_frames(docs, "media_bytes", every_n=10)
+
+
+ORACLE_E5_FRAME_SAMPLE = """
+WITH meta AS (
+  SELECT doc_id,
+         64 + ('0x' || substr(sha256('video' || text), 1, 2))::INT % 64 AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx
+FROM meta
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -1076,6 +1191,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_sessionize": q_e4_sessionize,
     "e4_asof_latest": q_e4_asof_latest,
     "e4_sliding_window": q_e4_sliding_window,
+    "s1_stream_hourly_rollup": q_s1_stream_hourly_rollup,
+    "e5_image_meta": q_e5_image_meta,
+    "e5_frame_sample": q_e5_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1118,4 +1236,7 @@ ORACLES: dict[str, str] = {
     "e4_sessionize": ORACLE_E4_SESSIONIZE,
     "e4_asof_latest": ORACLE_E4_ASOF,
     "e4_sliding_window": ORACLE_E4_SLIDING,
+    "s1_stream_hourly_rollup": ORACLE_S1_STREAM_HOURLY,
+    "e5_image_meta": ORACLE_E5_IMAGE_META,
+    "e5_frame_sample": ORACLE_E5_FRAME_SAMPLE,
 }
