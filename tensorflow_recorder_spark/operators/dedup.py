@@ -31,15 +31,33 @@ from pyspark.sql import DataFrame, Window, functions as F
 # ---------------------------------------------------------------- exact
 
 
-def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, method: str = "window"
+) -> DataFrame:
     """Keep the lowest-id row per distinct ``text_col`` value (E1 exact).
 
     The shuffle key is ``sha2(text)`` (fixed 64 hex chars), not the text
-    itself — at 100 TB the shuffle moves digests, not documents. The
-    window sort within each digest group is bounded by the duplicate
-    count.
+    itself — at 100 TB the shuffle moves digests, not documents.
+
+    * ``method='window'``: one shuffle + per-digest sort. The sort is
+      bounded by the duplicate count — right when duplication is
+      moderate. A pathologically hot digest (one boilerplate document
+      duplicated millions of times) lands on a single task: window
+      partitions are NOT AQE-splittable.
+    * ``method='agg'``: the skew-resistant form. ``min(id)`` per digest
+      is a partial-aggregated groupBy — a hot digest collapses to one
+      row per map task BEFORE the shuffle — followed by a left-semi
+      join on (digest, id), which AQE can skew-split like any join.
+      Two shuffles instead of one, so it wins only under heavy
+      duplication skew. Assumes ``id_col`` is unique per row (both
+      members of a (digest, id) collision would survive).
     """
-    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    digest = F.sha2(F.col(text_col), 256)
+    if method == "agg":
+        keyed = df.withColumn("__dig", digest)
+        survivors = keyed.groupBy("__dig").agg(F.min(id_col).alias(id_col))
+        return keyed.join(survivors, ["__dig", id_col], "left_semi").drop("__dig")
+    w = Window.partitionBy(digest).orderBy(F.col(id_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

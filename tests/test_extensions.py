@@ -271,3 +271,13 @@ def test_sliding_rollup_four_windows_per_event(spark):
         "2024-01-01 09:15:00", "2024-01-01 09:30:00",
         "2024-01-01 09:45:00", "2024-01-01 10:00:00",
     }
+
+
+def test_exact_dedup_agg_method_matches_window(spark):
+    rows = [(i, f"text {i % 4}") for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "id long, txt string")
+    win = sorted(tuple(r) for r in dedup.exact_dedup(df, "txt", "id").collect())
+    agg = sorted(
+        tuple(r) for r in dedup.exact_dedup(df, "txt", "id", method="agg").collect()
+    )
+    assert win == agg == [(1, "text 1"), (2, "text 2"), (3, "text 3"), (4, "text 0")]

@@ -1,0 +1,66 @@
+"""Plan-regression tests: assert the physical properties SCALE.md
+claims (predicate pushdown, column pruning, broadcast joins, partial
+aggregation) are what Catalyst actually produces — so a refactor that
+silently degrades the plan (e.g. turns a broadcast join into a
+shuffled sort-merge join) fails CI, not a 100 TB run.
+"""
+
+import contextlib
+import io
+
+from tensorflow_recorder_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "rel_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read columns the query never uses
+    assert "l_comment" not in plan and "l_shipinstruct" not in plan
+    # partial (map-side) aggregation before the exchange
+    assert "partial_" in plan
+
+
+def test_top_orders_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "rel_top_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # top-k must not globally sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vocabulary_apply_broadcasts_fitted_state(spark):
+    plan = plan_of(spark, "a3_vocabulary_apply")
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark):
+    plan = plan_of(spark, "e1_dedup_exact")
+    assert "hashpartitioning(sha2" in plan or "hashpartitioning(_w" in plan
+
+
+def test_word_frequencies_partial_aggregates(spark):
+    plan = plan_of(spark, "e3_word_frequencies")
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_cosine_broadcasts_queries_not_corpus(spark):
+    plan = plan_of(spark, "e2_topk_cosine")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_anti_join_stays_broadcast(spark):
+    plan = plan_of(spark, "rel_anti_join")
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
