@@ -492,6 +492,54 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_rel_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-style promo revenue share per brand: lineitem x part join +
+    conditional aggregation. No forced broadcast — at TPC-H ratios the
+    part dimension tracks fact size, so Catalyst/AQE picks the join
+    strategy from measured sizes (broadcast at this SF, shuffled at
+    100 TB)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(rev).alias("_r"),
+            F.sum(promo).alias("_p"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "p_brand",
+            F.col("_r").cast("double").alias("revenue"),
+            F.round(
+                (F.col("_p") * 100).cast("double") / F.col("_r").cast("double"), 6
+            ).alias("promo_pct"),
+            "n_items",
+        )
+    )
+
+
+ORACLE_REL_PROMO_REVENUE = """
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue,
+       round(CAST(100 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+             6) AS promo_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all 4 grouping combinations
     in one pass (Spark expands grouping sets before the hash aggregate)."""
@@ -1171,6 +1219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_running_sum": q_rel_running_sum,
     "rel_median": q_rel_median,
     "rel_cube": q_rel_cube,
+    "rel_promo_revenue": q_rel_promo_revenue,
     "e1_dedup_exact": q_e1_dedup_exact,
     "e1_minhash_signatures": q_e1_minhash_signatures,
     "e1_lsh_pairs": q_e1_lsh_pairs,
@@ -1216,6 +1265,7 @@ ORACLES: dict[str, str] = {
     "rel_running_sum": ORACLE_REL_RUNNING_SUM,
     "rel_median": ORACLE_REL_MEDIAN,
     "rel_cube": ORACLE_REL_CUBE,
+    "rel_promo_revenue": ORACLE_REL_PROMO_REVENUE,
     "e1_dedup_exact": ORACLE_E1_EXACT,
     "e1_minhash_signatures": _oracle_minhash_sig(),
     "e1_lsh_pairs": _oracle_lsh_pairs(),
