@@ -56,9 +56,13 @@ def read_records(data: bytes, verify: bool = False) -> Iterator[bytes]:
 def open_output(path: str, compressed: bool):
     """Open a TFRecord shard for writing. Compression is an explicit flag
     (writers stage shards under temp names, so extension sniffing would
-    silently mislabel); mtime=0 keeps gzip output byte-deterministic."""
+    silently mislabel); mtime=0 keeps gzip output byte-deterministic.
+
+    Level 6 (the zlib/gzip-CLI default), not Python's GzipFile default
+    of 9: level 9 costs ~2x the CPU of 6 for ~1% smaller TFRecords —
+    at write-path scale that is executor time, not a win."""
     if compressed:
-        return gzip.GzipFile(path, "wb", mtime=0)
+        return gzip.GzipFile(path, "wb", compresslevel=6, mtime=0)
     return open(path, "wb")
 
 
