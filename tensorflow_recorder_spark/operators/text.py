@@ -48,14 +48,10 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Heuristic document quality score (E3): length, punctuation ratio,
-    stopword ratio, mean word length — the standard cheap pre-filters a
-    training-data pipeline runs before anything expensive.
-
-    score = 0.25*len_ok + 0.25*(1 - punct_ratio) + 0.25*stopword_signal
-            + 0.25*wordlen_ok, all deterministic column arithmetic.
-    """
+def quality_exprs(text_col: str) -> dict[str, str]:
+    """The quality-heuristic subexpressions over ``text_col`` as SQL
+    strings — shared by :func:`quality_score` and :func:`corpus_filter`
+    so composed pipelines inline them into one projection."""
     toks = _TOKENS.format(col=text_col)
     stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
     n_chars = f"length({text_col})"
@@ -71,28 +67,46 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         f"cast(aggregate({toks}, 0L, (acc, t) -> acc + length(t)) as double)"
         f" / greatest(size({toks}), 1)"
     )
+    score = (
+        f"0.25 * CASE WHEN {n_chars} BETWEEN 100 AND 100000 THEN 1.0 ELSE 0.0 END"
+        f" + 0.25 * (1.0 - ({punct_ratio}))"
+        f" + 0.25 * least(({stop_ratio}) * 5.0, 1.0)"
+        f" + 0.25 * CASE WHEN ({mean_wordlen}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END"
+    )
+    return {
+        "n_chars": n_chars,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "mean_wordlen": mean_wordlen,
+        "score": score,
+    }
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic document quality score (E3): length, punctuation ratio,
+    stopword ratio, mean word length — the standard cheap pre-filters a
+    training-data pipeline runs before anything expensive.
+
+    score = 0.25*len_ok + 0.25*(1 - punct_ratio) + 0.25*stopword_signal
+            + 0.25*wordlen_ok, all deterministic column arithmetic.
+    """
+    ex = quality_exprs(text_col)
+    n_chars, punct_ratio = ex["n_chars"], ex["punct_ratio"]
+    stop_ratio, mean_wordlen = ex["stop_ratio"], ex["mean_wordlen"]
     return df.select(
         F.col(id_col),
         F.expr(n_chars).alias("n_chars"),
         F.round(F.expr(punct_ratio), 6).alias("punct_ratio"),
         F.round(F.expr(stop_ratio), 6).alias("stopword_ratio"),
         F.round(F.expr(mean_wordlen), 6).alias("mean_word_len"),
-        F.round(
-            F.expr(
-                f"0.25 * CASE WHEN {n_chars} BETWEEN 100 AND 100000 THEN 1.0 ELSE 0.0 END"
-                f" + 0.25 * (1.0 - ({punct_ratio}))"
-                f" + 0.25 * least(({stop_ratio}) * 5.0, 1.0)"
-                f" + 0.25 * CASE WHEN ({mean_wordlen}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END"
-            ),
-            6,
-        ).alias("quality_score"),
+        F.round(F.expr(ex["score"]), 6).alias("quality_score"),
     )
 
 
-def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Marker-word language-ID heuristic (E3): score each candidate
-    language by its function-word hit count over the token set; argmax
-    wins, ties break alphabetically, zero hits -> 'und'."""
+def langpred_expr(text_col: str) -> str:
+    """SQL expression predicting the language of ``text_col`` (argmax of
+    marker-word hit counts; ties -> largest lang code; zero hits ->
+    'und'). Shared by :func:`language_id` and :func:`corpus_filter`."""
     toks = f"array_distinct({_TOKENS.format(col=text_col)})"
     score_cols = []
     for lang, markers in sorted(LANG_MARKERS.items()):
@@ -100,15 +114,19 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         score_cols.append(
             f"struct(size(array_intersect({toks}, {arr})) as hits, '{lang}' as lang)"
         )
-    # array_max on (hits, lang) structs picks max hits; for equal hits the
-    # LARGEST lang string wins, so order candidates to make ties stable:
-    # compare on (hits, negated-rank) instead — simpler: reduce manually.
+    # array_max on (hits, lang) structs picks max hits; equal hits ->
+    # largest lang string wins (stable, engine-portable).
     best = f"array_max(array({', '.join(score_cols)}))"
+    return f"CASE WHEN {best}.hits > 0 THEN {best}.lang ELSE 'und' END"
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Marker-word language-ID heuristic (E3): score each candidate
+    language by its function-word hit count over the token set; argmax
+    wins, ties break alphabetically, zero hits -> 'und'."""
     return df.select(
         F.col(id_col),
-        F.expr(f"CASE WHEN {best}.hits > 0 THEN {best}.lang ELSE 'und' END").alias(
-            "lang_pred"
-        ),
+        F.expr(langpred_expr(text_col)).alias("lang_pred"),
     )
 
 
@@ -167,3 +185,47 @@ def ngram_frequencies(
     )
     counts = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.desc("n"), F.asc("gram")).limit(top_n)
+
+
+def corpus_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    declared_lang_col: str | None = None,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """C4-style corpus cleaning in one pass (E1+E3 composition): keep
+    documents that (a) score >= ``min_quality``, (b) whose predicted
+    language agrees with ``declared_lang_col`` (when given), and (c) are
+    the lowest-id survivor of their normalized-text fingerprint group.
+
+    Physical shape — the reason this is one operator and not three
+    chained joins: every per-document signal (quality subexpressions,
+    language argmax, fingerprint digest) is inlined into a SINGLE
+    projection over the scan, the cheap predicates (a)/(b) drop rows
+    BEFORE the only shuffle, and that shuffle carries the 32-char
+    fingerprint digest + id, not documents. Output: (id, fingerprint,
+    quality_score, lang_pred) for surviving rows.
+    """
+    from pyspark.sql import Window
+
+    ex = quality_exprs(text_col)
+    normalized = (
+        f"trim(regexp_replace(regexp_replace(lower({text_col}), '[^a-z0-9 ]', ''),"
+        f" ' +', ' '))"
+    )
+    scored = df.select(
+        F.col(id_col),
+        *([F.col(declared_lang_col)] if declared_lang_col else []),
+        F.expr(f"md5({normalized})").alias("fingerprint"),
+        F.round(F.expr(ex["score"]), 6).alias("quality_score"),
+        F.expr(langpred_expr(text_col)).alias("lang_pred"),
+    ).where(F.col("quality_score") >= min_quality)
+    if declared_lang_col:
+        scored = scored.where(F.col("lang_pred") == F.col(declared_lang_col))
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "fingerprint", "quality_score", "lang_pred")
+    )

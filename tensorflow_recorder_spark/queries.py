@@ -932,6 +932,52 @@ FROM documents
 """
 
 
+def q_e3_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus cleaning (E1+E3 composed): quality >= 0.5 AND
+    predicted language agrees with the declared one AND lowest-id
+    fingerprint survivor — one projection + one digest-keyed shuffle."""
+    return text.corpus_filter(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        declared_lang_col="lang",
+        min_quality=0.5,
+    )
+
+
+def _oracle_corpus_filter() -> str:
+    toks = "list_distinct(regexp_split_to_array(lower(text), '\\s+'))"
+    hit_cols = []
+    for lang, markers in sorted(text.LANG_MARKERS.items()):
+        arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        hit_cols.append(f"len(list_intersect({toks}, {arr})) AS h_{lang}")
+    langs_desc = sorted(text.LANG_MARKERS, reverse=True)
+    mx = "greatest(" + ", ".join(f"h_{l}" for l in sorted(text.LANG_MARKERS)) + ")"
+    case = " ".join(f"WHEN h_{l} = {mx} THEN '{l}'" for l in langs_desc)
+    score = (
+        f"round(0.25 * CASE WHEN length(text) BETWEEN 100 AND 100000 THEN 1.0 ELSE 0.0 END"
+        f" + 0.25 * (1.0 - ({_Q_PUNCT}))"
+        f" + 0.25 * least(({_Q_STOPR}) * 5.0, 1.0)"
+        f" + 0.25 * CASE WHEN ({_Q_MWL}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END, 6)"
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g'))) AS fingerprint,
+         {score} AS quality_score,
+         (SELECT CASE WHEN {mx} = 0 THEN 'und' {case} END
+          FROM (SELECT {', '.join(hit_cols)})) AS lang_pred
+  FROM documents
+),
+kept AS (
+  SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM scored WHERE quality_score >= 0.5 AND lang_pred = lang
+)
+SELECT doc_id, fingerprint, quality_score, lang_pred FROM kept WHERE rn = 1
+"""
+
+
 def q_e3_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.word_frequencies(_t(spark, sf_dir, "documents"), "text", top_n=50)
 
@@ -1235,6 +1281,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_language_id": q_e3_language_id,
     "e3_fingerprint": q_e3_fingerprint,
     "e3_word_frequencies": q_e3_word_frequencies,
+    "e3_corpus_filter": q_e3_corpus_filter,
     "e3_bigrams": q_e3_bigrams,
     "e4_hourly_rollup": q_e4_hourly_rollup,
     "e4_sessionize": q_e4_sessionize,
@@ -1281,6 +1328,7 @@ ORACLES: dict[str, str] = {
     "e3_language_id": _oracle_language_id(),
     "e3_fingerprint": ORACLE_E3_FINGERPRINT,
     "e3_word_frequencies": ORACLE_E3_WORD_FREQ,
+    "e3_corpus_filter": _oracle_corpus_filter(),
     "e3_bigrams": ORACLE_E3_BIGRAMS,
     "e4_hourly_rollup": ORACLE_E4_HOURLY,
     "e4_sessionize": ORACLE_E4_SESSIONIZE,

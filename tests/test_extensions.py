@@ -281,3 +281,20 @@ def test_exact_dedup_agg_method_matches_window(spark):
         tuple(r) for r in dedup.exact_dedup(df, "txt", "id", method="agg").collect()
     )
     assert win == agg == [(1, "text 1"), (2, "text 2"), (3, "text 3"), (4, "text 0")]
+
+
+def test_corpus_filter_composition(spark):
+    good = ("the cat and the dog sat in that garden and it was warm so " * 5).strip()
+    rows = [
+        (1, good, "en"),             # survives
+        (2, good, "en"),             # dup of 1 -> dropped
+        (3, good + "!", "en"),       # same fingerprint (punct stripped) -> dropped
+        (4, good, "fr"),             # lang mismatch -> dropped
+        (5, "%$#@! **&&", "en"),     # low quality -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, body string, lang string")
+    out = text.corpus_filter(df, "body", "doc_id", declared_lang_col="lang")
+    got = [r["doc_id"] for r in out.collect()]
+    assert got == [1]
+    row = out.collect()[0]
+    assert row["lang_pred"] == "en" and row["quality_score"] >= 0.5
