@@ -526,21 +526,27 @@ def embedding_neardup_pairs(
     ``block_col`` (e.g. a cluster/label/LSH-bucket column) so the
     self-join is an equi-join, not a cross product.
     Output: (id_a, id_b, cosine)."""
-    from .similarity import cosine_expr
+    from .similarity import dot_expr, norm_expr
 
     a = df.select(
         *([F.col(block_col)] if block_col else []),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
+        F.expr(norm_expr(vec_col)).alias("na"),
     )
     b = df.select(
         *([F.col(block_col)] if block_col else []),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
+        F.expr(norm_expr(vec_col)).alias("nb"),
     )
     joined = a.join(b, [block_col] if block_col else None) if block_col else a.crossJoin(b)
     return (
         joined.where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.expr(cosine_expr("va", "vb")).alias("cosine"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(f"({dot_expr('va', 'vb')}) / (na * nb)").alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
     )

@@ -52,18 +52,32 @@ def brute_force_topk(
     are rounded before ranking so ordering is reproducible across
     engines; ties break on neighbor id.
     Output: (query_id, neighbor_id, score, rank).
+
+    Norms are materialized per SIDE before the join (|Q|+|C| sqrt-dot
+    passes), not inside the pair expression (2x|Q|x|C| passes) — the
+    per-pair work is then exactly one dot product. Same IEEE values:
+    identical sqrt input, identical division structure.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.expr(norm_expr(vec_col)).alias("__qn"),
     )
-    corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.expr(norm_expr(vec_col)).alias("__cn"),
+    )
     scored = (
         corpus.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(F.expr(cosine_expr("__qv", "__cv")), round_digits).alias("score"),
+            F.round(
+                F.expr(f"({dot_expr('__qv', '__cv')}) / (__qn * __cn)"),
+                round_digits,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -90,13 +104,20 @@ def ivf_assign(
     probes are partition-pruned scans.
     """
     c = centroids.select(
-        F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cv")
+        F.col(centroid_id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        F.expr(norm_expr(vec_col)).alias("__cn"),
     )
-    scored = df.select(F.col(id_col), F.col(vec_col).alias("__v")).crossJoin(
-        F.broadcast(c)
-    )
+    scored = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.expr(norm_expr(vec_col)).alias("__vn"),
+    ).crossJoin(F.broadcast(c))
     w = Window.partitionBy(id_col).orderBy(
-        F.desc(F.round(F.expr(cosine_expr("__v", "__cv")), 6)), F.asc("__cid")
+        F.desc(
+            F.round(F.expr(f"({dot_expr('__v', '__cv')}) / (__vn * __cn)"), 6)
+        ),
+        F.asc("__cid"),
     )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -122,6 +143,7 @@ def ivf_topk(
     corpus = df.join(assign, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        F.expr(norm_expr(vec_col)).alias("__cn"),
         F.col("centroid_id").alias("__ccell"),
     )
     q_assign = ivf_assign(queries, centroids, vec_col, id_col)
@@ -130,6 +152,7 @@ def ivf_topk(
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qv"),
+            F.expr(norm_expr(vec_col)).alias("__qn"),
             F.col("centroid_id").alias("__qcell"),
         )
     )
@@ -139,7 +162,10 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(F.expr(cosine_expr("__qv", "__cv")), round_digits).alias("score"),
+            F.round(
+                F.expr(f"({dot_expr('__qv', '__cv')}) / (__qn * __cn)"),
+                round_digits,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
