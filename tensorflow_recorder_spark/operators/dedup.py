@@ -377,6 +377,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_len: int = 5,
+    min_est_jaccard: float = 0.25,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """The canonical two-stage fuzzy dedup at scale: MinHash+LSH proposes
+    candidate pairs (sub-quadratic), exact n-gram Jaccard verifies ONLY
+    those pairs (E1 end-to-end).
+
+    The verify stage joins the candidate pair list against the hashed
+    shingle sets by id twice — the exact intersection runs on |candidates|
+    pairs, never |corpus|^2. This is the composition the README/SCALE
+    docs prescribe for unbounded corpora (vs blocked_jaccard_pairs,
+    whose contract is bounded blocks).
+    Output: (id_a, id_b, est_jaccard, jaccard) with jaccard >= threshold.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_len)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, num_hashes, bands, min_est_jaccard
+    )
+    sh = df.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("__lt")
+    ).select(
+        F.col(id_col),
+        F.expr(hashed_shingle_expr("__lt", shingle_len, pre_lowered=True)).alias(
+            "__sh"
+        ),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def blocked_jaccard_pairs(
     df: DataFrame,
     text_col: str,

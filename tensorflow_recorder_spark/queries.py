@@ -606,19 +606,25 @@ def q_e1_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_lsh_pairs(min_est: float = 0.25) -> str:
+    # One hash-joinable equi-join per band UNIONed (DuckDB would nested-
+    # loop an OR-of-bands join condition), then UNION dedups pairs that
+    # match in several bands — same set as the banded self-join.
     sig = _oracle_minhash_sig()
     bands = ", ".join(
         f"md5(concat_ws(',', mh_{2 * b}, mh_{2 * b + 1})) AS band_{b}" for b in range(4)
     )
-    band_match = " OR ".join(f"a.band_{b} = b.band_{b}" for b in range(4))
     agree = " + ".join(
         f"CASE WHEN a.mh_{k} = b.mh_{k} THEN 1 ELSE 0 END" for k in range(8)
     )
+    per_band = "\nUNION\n".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, ({agree}) / 8.0 AS est_jaccard "
+        f"FROM banded a JOIN banded b ON a.band_{b} = b.band_{b} AND a.doc_id < b.doc_id"
+        for b in range(4)
+    )
     return f"""
 WITH sigs AS ({sig}), banded AS (SELECT *, {bands} FROM sigs)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, ({agree}) / 8.0 AS est_jaccard
-FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({band_match})
-WHERE ({agree}) / 8.0 >= {min_est}
+SELECT id_a, id_b, est_jaccard FROM ({per_band})
+WHERE est_jaccard >= {min_est}
 """
 
 
@@ -671,6 +677,32 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE len(list_intersect(a.s, b.s))::DOUBLE
       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+"""
+
+
+def q_e1_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage fuzzy dedup: LSH candidates (est >= 0.25) verified by
+    exact hashed-shingle Jaccard (>= 0.3) on candidate pairs only."""
+    return dedup.lsh_verified_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).select("id_a", "id_b", "est_jaccard", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _oracle_lsh_verified() -> str:
+    return f"""
+WITH pairs AS ({_oracle_lsh_pairs()}),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)),
+           i -> ('0x' || substr(md5(substr(lower(text), i, 5)), 1, 8))::BIGINT)) AS s
+  FROM documents
+)
+SELECT p.id_a, p.id_b, p.est_jaccard,
+       round(len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM pairs p JOIN sh a ON p.id_a = a.doc_id JOIN sh b ON p.id_b = b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
 """
 
 
@@ -1269,6 +1301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_dedup_exact": q_e1_dedup_exact,
     "e1_minhash_signatures": q_e1_minhash_signatures,
     "e1_lsh_pairs": q_e1_lsh_pairs,
+    "e1_lsh_verified": q_e1_lsh_verified,
     "e1_jaccard_pairs": q_e1_jaccard_pairs,
     "e1_simhash": q_e1_simhash,
     "e1_embedding_neardup": q_e1_embedding_neardup,
@@ -1316,6 +1349,7 @@ ORACLES: dict[str, str] = {
     "e1_dedup_exact": ORACLE_E1_EXACT,
     "e1_minhash_signatures": _oracle_minhash_sig(),
     "e1_lsh_pairs": _oracle_lsh_pairs(),
+    "e1_lsh_verified": _oracle_lsh_verified(),
     "e1_jaccard_pairs": ORACLE_E1_JACCARD,
     "e1_simhash": _oracle_simhash(),
     "e1_embedding_neardup": ORACLE_E1_EMB_NEARDUP,

@@ -298,3 +298,19 @@ def test_corpus_filter_composition(spark):
     assert got == [1]
     row = out.collect()[0]
     assert row["lang_pred"] == "en" and row["quality_score"] >= 0.5
+
+
+def test_lsh_verified_pairs_end_to_end(spark):
+    near = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, near),
+        (2, near),                      # exact dup of 1
+        (3, near.replace("dog", "cat")),  # near dup
+        (4, "entirely different content about databases and queries"),
+    ]
+    df = spark.createDataFrame(rows, "id long, txt string")
+    out = {(r["id_a"], r["id_b"]): (r["est_jaccard"], r["jaccard"])
+           for r in dedup.lsh_verified_pairs(df, "txt", "id").collect()}
+    assert (1, 2) in out and out[(1, 2)][1] == 1.0
+    assert (1, 3) in out and 0.3 <= out[(1, 3)][1] < 1.0
+    assert all(4 not in k for k in out)
