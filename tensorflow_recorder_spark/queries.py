@@ -1139,6 +1139,29 @@ GROUP BY 1, 2
 """
 
 
+def q_e4_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON field extraction (JVM-side
+    get_json_object, no UDF) + grouped rollup over the extracted key."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+ORACLE_E4_JSON_PROPS = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum((props->>'k')::BIGINT) AS BIGINT) AS sum_k,
+       min((props->>'k')::BIGINT) AS min_k,
+       max((props->>'k')::BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_e4_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.asof_latest(_events(spark, sf_dir), "2024-01-15 00:00:00")
 
@@ -1320,6 +1343,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_sessionize": q_e4_sessionize,
     "e4_asof_latest": q_e4_asof_latest,
     "e4_sliding_window": q_e4_sliding_window,
+    "e4_json_props": q_e4_json_props,
     "s1_stream_hourly_rollup": q_s1_stream_hourly_rollup,
     "e5_image_meta": q_e5_image_meta,
     "e5_frame_sample": q_e5_frame_sample,
@@ -1368,6 +1392,7 @@ ORACLES: dict[str, str] = {
     "e4_sessionize": ORACLE_E4_SESSIONIZE,
     "e4_asof_latest": ORACLE_E4_ASOF,
     "e4_sliding_window": ORACLE_E4_SLIDING,
+    "e4_json_props": ORACLE_E4_JSON_PROPS,
     "s1_stream_hourly_rollup": ORACLE_S1_STREAM_HOURLY,
     "e5_image_meta": ORACLE_E5_IMAGE_META,
     "e5_frame_sample": ORACLE_E5_FRAME_SAMPLE,
