@@ -10,12 +10,14 @@ config is the runner).
 from __future__ import annotations
 
 import datetime
+import logging
 import os
+import shutil
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .constants import AUTO_SHARDS, TRAIN
+from .constants import AUTO_SHARDS, LOG_FILE, TRAIN
 from .plans.convert import ConvertResult, run_convert
 from .schema import IMAGE_CSV_SCHEMA, Schema
 from .session import get_spark
@@ -41,6 +43,7 @@ def convert(
     Returns {job_id, metrics{rows,good_images,bad_images}, tfrecord_dir}
     — the reference's DirectRunner result shape (converter.py:330-348).
     """
+    _configure_logging()
     spark = spark or get_spark()
     df = to_dataframe(spark, input_data, header=header, names=names)
     result = run_convert(
@@ -53,7 +56,36 @@ def convert(
         num_shards=num_shards,
         scale_numeric=scale_numeric,
     )
+    _copy_logfile(result.tfrecord_dir)
     return result.as_dict()
+
+
+def _configure_logging(logfile: str = LOG_FILE) -> None:
+    """Attach a file handler for the job log (V6/K6 parity; reference
+    converter.py:231-242 logs to /tmp/tfrecorder-beam.log)."""
+    root = logging.getLogger("tensorflow_recorder_spark")
+    if any(
+        isinstance(h, logging.FileHandler)
+        and getattr(h, "baseFilename", None) == logfile
+        for h in root.handlers
+    ):
+        return
+    handler = logging.FileHandler(logfile)
+    handler.setFormatter(
+        logging.Formatter("%(asctime)s %(levelname)s %(name)s: %(message)s")
+    )
+    root.addHandler(handler)
+    root.setLevel(logging.INFO)
+
+
+def _copy_logfile(job_dir: str, logfile: str = LOG_FILE) -> str | None:
+    """Copy the job log next to the output (K6 parity; reference
+    utils.py:109-119 copies to GCS — here any filesystem path)."""
+    if not os.path.exists(logfile):
+        return None
+    dest = os.path.join(job_dir, os.path.basename(logfile))
+    shutil.copyfile(logfile, dest)
+    return dest
 
 
 def load(tfrecord_dir: str, spark: SparkSession | None = None) -> dict[str, DataFrame]:

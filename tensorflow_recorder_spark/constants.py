@@ -29,3 +29,7 @@ AUTO_SHARDS = 0
 # TFRecord file suffixes. Reference: tfrecorder/beam_pipeline.py:105-110.
 TFRECORD_SUFFIX = ".tfrecord"
 GZIP_SUFFIX = ".tfrecord.gz"
+
+# Job log file (K6 parity; reference constants.py:21 logs to
+# /tmp/tfrecorder-beam.log and copies it next to the output).
+LOG_FILE = "/tmp/tfrecorder-spark.log"

@@ -141,3 +141,12 @@ def test_empty_split_parity(spark, tmp_images, tmp_path):
     assert test_files, "TEST split must produce a file even when emptied"
     splits = trs.load(result["tfrecord_dir"], spark=spark)
     assert splits["TEST"].count() == 0
+
+
+def test_logfile_written_and_copied(spark, image_pdf, tmp_path):
+    import tensorflow_recorder_spark as trs
+
+    result = trs.convert(image_pdf, output_dir=str(tmp_path / "out"), spark=spark)
+    copied = os.path.join(result["tfrecord_dir"], "tfrecorder-spark.log")
+    assert os.path.exists(copied)
+    assert "convert job" in open(copied).read()
