@@ -596,7 +596,7 @@ def embedding_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.expr(f"({dot_expr('va', 'vb')}) / (na * nb)").alias("cosine"),
+            F.expr(f"({dot_expr('va', 'vb')}) / nullif(na * nb, cast(0 as double))").alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

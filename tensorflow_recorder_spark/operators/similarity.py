@@ -75,7 +75,7 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                F.expr(f"({dot_expr('__qv', '__cv')}) / (__qn * __cn)"),
+                F.expr(f"({dot_expr('__qv', '__cv')}) / nullif(__qn * __cn, cast(0 as double))"),
                 round_digits,
             ).alias("score"),
         )
@@ -115,7 +115,7 @@ def ivf_assign(
     ).crossJoin(F.broadcast(c))
     w = Window.partitionBy(id_col).orderBy(
         F.desc(
-            F.round(F.expr(f"({dot_expr('__v', '__cv')}) / (__vn * __cn)"), 6)
+            F.round(F.expr(f"({dot_expr('__v', '__cv')}) / nullif(__vn * __cn, cast(0 as double))"), 6)
         ),
         F.asc("__cid"),
     )
@@ -123,6 +123,47 @@ def ivf_assign(
         scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .select(F.col(id_col), F.col("__cid").alias(centroid_id_col))
+    )
+
+
+def kmeans_update(
+    df: DataFrame,
+    assignments: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """One distributed Lloyd step: new centroid = mean of assigned
+    vectors (the IVF training iteration; compose with
+    :func:`ivf_assign` in a driver loop for full k-means).
+
+    Plan shape — the reason this scales: ``posexplode`` turns vectors
+    into (centroid, dim, value) rows, ONE partial-aggregated groupBy
+    computes per-(centroid, dim) means (shuffled bytes = K x D partial
+    sums per partition, not vectors), and the vector rebuild is an
+    ``array_agg`` over K x D rows — driver never touches data. Output:
+    (centroid_id, embedding, n_members).
+    """
+    joined = df.join(assignments, id_col).select(
+        F.col(centroid_id_col), F.posexplode(vec_col).alias("__dim", "__x")
+    )
+    dims = joined.groupBy(centroid_id_col, "__dim").agg(
+        F.avg(F.col("__x").cast("double")).alias("__m"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        dims.groupBy(centroid_id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__dim", "__m"))
+            ).alias("__dm"),
+            F.max("__n").alias("n_members"),
+        )
+        .select(
+            centroid_id_col,
+            F.expr("transform(__dm, s -> s.__m)").alias(vec_col),
+            "n_members",
+        )
     )
 
 
@@ -163,7 +204,7 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                F.expr(f"({dot_expr('__qv', '__cv')}) / (__qn * __cn)"),
+                F.expr(f"({dot_expr('__qv', '__cv')}) / nullif(__qn * __cn, cast(0 as double))"),
                 round_digits,
             ).alias("score"),
         )

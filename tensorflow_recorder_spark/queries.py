@@ -878,6 +878,42 @@ SELECT * FROM ranked WHERE rank <= 10
 # =====================================================================
 
 
+def q_e2_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd iteration: assign to seed centroids
+    (vec_id < 8), recompute centroids as member means. Means rounded to
+    6 digits (multi-row double accumulation, see module docstring)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = similarity.ivf_assign(emb, centroids)
+    updated = similarity.kmeans_update(emb, assign)
+    return updated.select(
+        "centroid_id",
+        F.expr("transform(embedding, x -> round(x, 6))").alias("embedding"),
+        "n_members",
+    )
+
+
+def _oracle_kmeans_update() -> str:
+    return f"""
+WITH assign AS ({ORACLE_E2_IVF_ASSIGN}),
+dims AS (
+  SELECT a.centroid_id, e.embedding AS emb,
+         unnest(generate_series(1, len(e.embedding))) AS dim
+  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+),
+means AS (
+  SELECT centroid_id, dim, avg(emb[dim]::DOUBLE) AS m, count(*) AS n
+  FROM dims GROUP BY centroid_id, dim
+)
+SELECT centroid_id,
+       list(round(m, 6) ORDER BY dim) AS embedding,
+       max(n) AS n_members
+FROM means GROUP BY centroid_id
+"""
+
+
 def q_e3_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = text.token_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")
     return df.select(
@@ -1332,6 +1368,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_topk_cosine": q_e2_topk_cosine,
     "e2_ivf_assign": q_e2_ivf_assign,
     "e2_ivf_topk": q_e2_ivf_topk,
+    "e2_kmeans_update": q_e2_kmeans_update,
     "e3_token_stats": q_e3_token_stats,
     "e3_quality": q_e3_quality,
     "e3_language_id": q_e3_language_id,
@@ -1381,6 +1418,7 @@ ORACLES: dict[str, str] = {
     "e2_topk_cosine": ORACLE_E2_TOPK,
     "e2_ivf_assign": ORACLE_E2_IVF_ASSIGN,
     "e2_ivf_topk": ORACLE_E2_IVF_TOPK,
+    "e2_kmeans_update": _oracle_kmeans_update(),
     "e3_token_stats": ORACLE_E3_TOKEN_STATS,
     "e3_quality": ORACLE_E3_QUALITY,
     "e3_language_id": _oracle_language_id(),

@@ -3,6 +3,8 @@ event-time ops — small deterministic inputs with hand-checked outputs."""
 
 import math
 
+import pytest
+
 from pyspark.sql import Row, functions as F
 
 from tensorflow_recorder_spark.operators import dedup, events, similarity, text
@@ -314,3 +316,21 @@ def test_lsh_verified_pairs_end_to_end(spark):
     assert (1, 2) in out and out[(1, 2)][1] == 1.0
     assert (1, 3) in out and 0.3 <= out[(1, 3)][1] < 1.0
     assert all(4 not in k for k in out)
+
+
+def test_kmeans_update_means_and_membership(spark):
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),            # seeds (x-axis, y-axis)
+        (2, [2.0, 0.1]), (3, [-0.1, 3.0]),            # near seed 0 / seed 1
+        (4, [5.0, 0.2]),                               # near seed 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = similarity.ivf_assign(df, cents)
+    out = {r["centroid_id"]: (r["embedding"], r["n_members"])
+           for r in similarity.kmeans_update(df, assign).collect()}
+    assert out[0][1] == 3 and out[1][1] == 2
+    assert out[0][0] == [pytest.approx(8.0 / 3), pytest.approx(0.3 / 3, abs=1e-6)]
+    assert out[1][0] == [pytest.approx(-0.05), pytest.approx(2.0)]
