@@ -114,6 +114,14 @@ def run_convert(
     # NOT cached a second time — it is only a broadcast join away from
     # ``work``, and re-deriving it per consumer is far cheaper than a
     # second full materialization (measured ~2x on 600k rows).
+    # Fan out BEFORE caching when the scan under-partitioned (small files
+    # split at row-group granularity): the one-time shuffle happens at
+    # cache materialization, and every downstream pass — including the
+    # Python-bound Example encode, which would otherwise repartition per
+    # run — inherits full parallelism from the cache.
+    parallelism = spark.sparkContext.defaultParallelism
+    if work.rdd.getNumPartitions() < parallelism:
+        work = work.repartition(parallelism)
     work = work.cache()
 
     # Split histogram (A1) runs on the *input* split column, matching the
