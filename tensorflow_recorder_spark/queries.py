@@ -475,6 +475,41 @@ FROM orders
 """
 
 
+def q_rel_moving_sum_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day moving order total per customer — a RANGE window frame
+    (value-based bounds over the order-date day number, unlike the
+    ROWS frame in rel_running_sum)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "__day", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("__day")
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("moving_30d_total"),
+    )
+
+
+ORACLE_REL_MOVING_SUM = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS moving_30d_total
+FROM orders
+"""
+
+
 def q_rel_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated median + p90 of quantity per return flag."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1354,6 +1389,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_anti_join": q_rel_anti_join,
     "rel_big_orders": q_rel_big_orders,
     "rel_running_sum": q_rel_running_sum,
+    "rel_moving_sum_30d": q_rel_moving_sum_30d,
     "rel_median": q_rel_median,
     "rel_cube": q_rel_cube,
     "rel_promo_revenue": q_rel_promo_revenue,
@@ -1404,6 +1440,7 @@ ORACLES: dict[str, str] = {
     "rel_anti_join": ORACLE_REL_ANTI_JOIN,
     "rel_big_orders": ORACLE_REL_BIG_ORDERS,
     "rel_running_sum": ORACLE_REL_RUNNING_SUM,
+    "rel_moving_sum_30d": ORACLE_REL_MOVING_SUM,
     "rel_median": ORACLE_REL_MEDIAN,
     "rel_cube": ORACLE_REL_CUBE,
     "rel_promo_revenue": ORACLE_REL_PROMO_REVENUE,
