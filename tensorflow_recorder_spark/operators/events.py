@@ -111,6 +111,61 @@ def sessionize(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    right_cols: tuple[str, ...] = ("value",),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: each left row gets the latest right row with
+    ``right.ts <= left.ts`` for the same key (the trades/quotes
+    pattern).
+
+    Physical strategy — union + ordered window, the scalable as-of
+    formulation: tag both inputs, union them, and carry the most recent
+    right-side values forward with ``last_value(ignoreNulls)`` over
+    (key, ts, side) ordering. ONE shuffle on the join key and a linear
+    per-key scan — no per-row range probe, no nested-loop join, and
+    skewed keys are one window partition (same profile as any ordered
+    window, vs the quadratic blow-up a naive range join suffers).
+    Right-side columns surface as ``<col><suffix>``; left rows with no
+    prior right row get NULLs.
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        *lcols,
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    tagged_right = right.select(
+        *[
+            F.col(c) if c in (key_col, ts_col) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    # right rows (side=0) sort before left rows at equal ts => ties are
+    # inclusive (right.ts == left.ts matches), matching <=.
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__side",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )
+    return carried.where(F.col("__side") == 1).drop("__side")
+
+
 def asof_latest(
     df: DataFrame,
     cutoff: str,

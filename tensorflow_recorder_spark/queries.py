@@ -1210,6 +1210,48 @@ GROUP BY 1, 2
 """
 
 
+def q_e4_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of JOIN (trades/quotes pattern): every click gets the user's
+    latest purchase value at-or-before its timestamp, via the
+    union+window single-shuffle formulation. The right side is deduped
+    to one row per (user, ts) so tie semantics are engine-portable;
+    oracle uses DuckDB's native ASOF LEFT JOIN."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
+    )
+    joined = events.asof_join(
+        clicks, purchases, "user_id", "ts", right_cols=("purchase_value",)
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "purchase_value_asof",
+    )
+
+
+ORACLE_E4_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, ts, max_by(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       p.purchase_value AS purchase_value_asof
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 def q_e4_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props: JSON field extraction (JVM-side
     get_json_object, no UDF) + grouped rollup over the extracted key."""
@@ -1417,6 +1459,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_asof_latest": q_e4_asof_latest,
     "e4_sliding_window": q_e4_sliding_window,
     "e4_json_props": q_e4_json_props,
+    "e4_asof_join": q_e4_asof_join,
     "s1_stream_hourly_rollup": q_s1_stream_hourly_rollup,
     "e5_image_meta": q_e5_image_meta,
     "e5_frame_sample": q_e5_frame_sample,
@@ -1468,6 +1511,7 @@ ORACLES: dict[str, str] = {
     "e4_asof_latest": ORACLE_E4_ASOF,
     "e4_sliding_window": ORACLE_E4_SLIDING,
     "e4_json_props": ORACLE_E4_JSON_PROPS,
+    "e4_asof_join": ORACLE_E4_ASOF_JOIN,
     "s1_stream_hourly_rollup": ORACLE_S1_STREAM_HOURLY,
     "e5_image_meta": ORACLE_E5_IMAGE_META,
     "e5_frame_sample": ORACLE_E5_FRAME_SAMPLE,

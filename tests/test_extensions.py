@@ -334,3 +334,23 @@ def test_kmeans_update_means_and_membership(spark):
     assert out[0][1] == 3 and out[1][1] == 2
     assert out[0][0] == [pytest.approx(8.0 / 3), pytest.approx(0.3 / 3, abs=1e-6)]
     assert out[1][0] == [pytest.approx(-0.05), pytest.approx(2.0)]
+
+
+def test_asof_join_matches_latest_prior_right_row(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1), (2, "2024-01-01 12:00:00", 1),
+         (3, "2024-01-01 09:00:00", 2)],
+        "event_id long, ts string, user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 5.0), (1, "2024-01-01 11:00:00", 7.0),
+         (1, "2024-01-01 10:00:00", 6.0), (2, "2024-01-01 09:30:00", 9.0)],
+        "user_id long, ts string, purchase_value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: r["purchase_value_asof"]
+           for r in events.asof_join(left, right, "user_id", "ts",
+                                     right_cols=("purchase_value",)).collect()}
+    # event 1 at 10:00 sees the equal-ts right row (inclusive <=)
+    assert out[1] == 6.0
+    assert out[2] == 7.0
+    assert out[3] is None  # user 2 has no purchase before 09:00
