@@ -36,6 +36,40 @@ def normalize_split(df: DataFrame, split_key: str = "split") -> DataFrame:
     )
 
 
+def derive_split(
+    df: DataFrame,
+    key_col: str,
+    split_key: str = "split",
+    train_pct: int = 80,
+    validation_pct: int = 10,
+    salt: str = "",
+) -> DataFrame:
+    """Create a deterministic TRAIN/VALIDATION/TEST split column from a
+    stable key (the step upstream of the reference, which assumes the
+    split column already exists).
+
+    The bucket is ``int(md5(salt:key)[:8]) % 100`` — a pure projection
+    (no shuffle, no RNG state), so the assignment is (a) reproducible
+    run-to-run and engine-portable, (b) stable under appends: a row's
+    split never changes when other rows arrive, which per-row random
+    sampling cannot guarantee. ``salt`` re-deals the assignment without
+    touching the data (epoch-style re-splits). TEST gets the remainder.
+    """
+    test_floor = train_pct + validation_pct
+    bucket = (
+        f"cast(conv(substring(md5(concat('{salt}:', cast({key_col} as string))),"
+        f" 1, 8), 16, 10) as bigint) % 100"
+    )
+    return df.withColumn(
+        split_key,
+        F.expr(
+            f"CASE WHEN ({bucket}) < {train_pct} THEN 'TRAIN' "
+            f"WHEN ({bucket}) < {test_floor} THEN 'VALIDATION' "
+            f"ELSE 'TEST' END"
+        ),
+    )
+
+
 def split_counts(df: DataFrame, split_key: str = "split") -> dict[str, int]:
     """Split histogram collected to the driver (A1). The result is at most
     |distinct split values| rows — safe to collect at any scale.

@@ -71,6 +71,30 @@ def q_p1_split_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_split(df).select("o_orderkey", "split")
 
 
+def q_p0_derive_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P0 (upstream of the reference): deterministic hash-based split
+    derivation from a stable key — reproducible, append-stable, salted
+    re-deals."""
+    from .operators.split import derive_split
+
+    return derive_split(_t(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "split"
+    )
+
+
+ORACLE_P0_DERIVE_SPLIT = """
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'TRAIN'
+            WHEN b < 90 THEN 'VALIDATION'
+            ELSE 'TEST' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(concat(':', doc_id::VARCHAR)), 1, 8))::BIGINT % 100 AS b
+  FROM documents
+)
+"""
+
+
 def q_a1_split_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: split histogram after normalization."""
     df = _t(spark, sf_dir, "orders").withColumn("split", F.expr(ORDERS_SPLIT))
@@ -1415,6 +1439,7 @@ FROM meta
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
+    "p0_derive_split": q_p0_derive_split,
     "a1_split_histogram": q_a1_split_histogram,
     "a2_vocabulary_fit": q_a2_vocabulary_fit,
     "a3_vocabulary_apply": q_a3_vocabulary_apply,
@@ -1467,6 +1492,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "p1_split_routing": ORACLE_P1,
+    "p0_derive_split": ORACLE_P0_DERIVE_SPLIT,
     "a1_split_histogram": ORACLE_A1,
     "a2_vocabulary_fit": ORACLE_A2,
     "a3_vocabulary_apply": ORACLE_A3,

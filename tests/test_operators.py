@@ -96,3 +96,24 @@ def test_extract_images_good_and_bad(spark, tmp_images):
     assert bad["split"] == DISCARD
     assert bad["__image_ok"] is False
     assert bad["image"] is None
+
+
+def test_derive_split_deterministic_and_stable(spark):
+    from tensorflow_recorder_spark.operators.split import derive_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    a = {r["k"]: r["split"] for r in derive_split(df, "k").collect()}
+    b = {r["k"]: r["split"] for r in derive_split(df, "k").collect()}
+    assert a == b  # reproducible
+    # appending rows never changes existing assignments
+    bigger = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    c = {r["k"]: r["split"] for r in derive_split(bigger, "k").collect()}
+    assert all(c[k] == v for k, v in a.items())
+    # ratios roughly honored
+    from collections import Counter
+    counts = Counter(a.values())
+    assert 700 < counts["TRAIN"] < 900
+    assert 50 < counts["VALIDATION"] < 160
+    # a different salt re-deals
+    d = {r["k"]: r["split"] for r in derive_split(df, "k", salt="v2").collect()}
+    assert d != a
