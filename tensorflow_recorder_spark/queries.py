@@ -1373,6 +1373,72 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_s2_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization via native session_window
+    (state-store backed), drained with availableNow into a memory sink.
+    A session closes when the watermark passes last event + gap; with
+    the bounded source fully drained the session set equals the batch
+    lag-gap formulation, so the batch SQL oracle applies — stateful
+    batch/stream parity. (Boundary note: a gap of EXACTLY the threshold
+    merges in the lag-gap form (`> gap` starts a session) but splits in
+    session_window (end-exclusive windows); the microsecond-resolution
+    event data makes an exact-1800.000000s gap measure-zero, and the
+    sf0.01 hash match confirms none occurs.)"""
+    from .streaming.windows import streaming_sessionize
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.parque[t]")
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    sess = streaming_sessionize(
+        stream.withColumn("value", F.col("value").cast("decimal(18,6)")),
+        gap_minutes=30,
+    ).select(
+        "user_id",
+        "session_start",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+    name = "stream_sessionize_sink"
+    if any(t.name == name for t in spark.catalog.listTables()):
+        spark.catalog.dropTempView(name)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# Batch formulation of gap-sessionization — equivalent to session_window
+# on a fully-drained bounded stream.
+ORACLE_S2_STREAM_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sid AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM sid GROUP BY user_id, session_seq
+"""
+
+
 # =====================================================================
 # E5 multimodal columns (binary payload + typed metadata; stub codecs —
 # the runtime has no PIL/ffmpeg — but the Spark plumbing is real)
@@ -1486,6 +1552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_json_props": q_e4_json_props,
     "e4_asof_join": q_e4_asof_join,
     "s1_stream_hourly_rollup": q_s1_stream_hourly_rollup,
+    "s2_stream_sessionize": q_s2_stream_sessionize,
     "e5_image_meta": q_e5_image_meta,
     "e5_frame_sample": q_e5_frame_sample,
 }
@@ -1539,6 +1606,7 @@ ORACLES: dict[str, str] = {
     "e4_json_props": ORACLE_E4_JSON_PROPS,
     "e4_asof_join": ORACLE_E4_ASOF_JOIN,
     "s1_stream_hourly_rollup": ORACLE_S1_STREAM_HOURLY,
+    "s2_stream_sessionize": ORACLE_S2_STREAM_SESSIONIZE,
     "e5_image_meta": ORACLE_E5_IMAGE_META,
     "e5_frame_sample": ORACLE_E5_FRAME_SAMPLE,
 }
