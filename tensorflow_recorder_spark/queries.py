@@ -350,6 +350,28 @@ def q_rel_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_topk_per_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-3-per-nation result via the salted two-phase rewrite
+    (operators/skew.py): per-(key, salt) pre-rank bounds every final
+    window partition at salt_buckets * k rows, so a pathologically hot
+    key cannot pin one task. Identical oracle to rel_topk_per_group."""
+    from .operators.skew import salted_topk_per_key
+
+    supp = _t(spark, sf_dir, "supplier")
+    return salted_topk_per_key(
+        supp,
+        ["s_nationkey"],
+        [F.desc("s_acctbal"), F.asc("s_suppkey")],
+        k=3,
+        salt_on="s_suppkey",
+    ).select(
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        "s_suppkey",
+        "s_acctbal",
+        "rk",
+    )
+
+
 ORACLE_REL_TOPK_PER_GROUP = """
 SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, s_suppkey, s_acctbal,
        CAST(rk AS BIGINT) AS rk
@@ -1516,6 +1538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_top_orders": q_rel_top_orders,
     "rel_region_revenue": q_rel_region_revenue,
     "rel_topk_per_group": q_rel_topk_per_group,
+    "rel_topk_per_group_salted": q_rel_topk_per_group_salted,
     "rel_rollup": q_rel_rollup,
     "rel_set_ops": q_rel_set_ops,
     "rel_pivot": q_rel_pivot,
@@ -1570,6 +1593,7 @@ ORACLES: dict[str, str] = {
     "rel_top_orders": ORACLE_REL_TOP_ORDERS,
     "rel_region_revenue": ORACLE_REL_REGION_REVENUE,
     "rel_topk_per_group": ORACLE_REL_TOPK_PER_GROUP,
+    "rel_topk_per_group_salted": ORACLE_REL_TOPK_PER_GROUP,
     "rel_rollup": ORACLE_REL_ROLLUP,
     "rel_set_ops": ORACLE_REL_SET_OPS,
     "rel_pivot": ORACLE_REL_PIVOT,

@@ -117,3 +117,20 @@ def test_derive_split_deterministic_and_stable(spark):
     # a different salt re-deals
     d = {r["k"]: r["split"] for r in derive_split(df, "k", salt="v2").collect()}
     assert d != a
+
+
+def test_salted_topk_matches_plain_window(spark):
+    from pyspark.sql import Window
+
+    from tensorflow_recorder_spark.operators.skew import salted_topk_per_key
+
+    rows = [(i % 3, i, float((i * 37) % 100)) for i in range(300)]
+    df = spark.createDataFrame(rows, "grp long, id long, score double")
+    order = [F.desc("score"), F.asc("id")]
+    salted = salted_topk_per_key(df, ["grp"], order, k=5, salt_on="id")
+    w = Window.partitionBy("grp").orderBy(*order)
+    plain = (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
