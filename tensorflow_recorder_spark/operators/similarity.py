@@ -36,6 +36,24 @@ def cosine_expr(a: str, b: str) -> str:
     return f"({dot_expr(a, b)}) / (({norm_expr(a)}) * ({norm_expr(b)}))"
 
 
+def l2_normalize(
+    df: DataFrame, vec_col: str = "embedding", out_col: str | None = None
+) -> DataFrame:
+    """Unit-normalize an embedding column (narrow projection, norm
+    materialized once). After normalization cosine == dot, which
+    halves per-pair work in any downstream all-pairs/top-k stage.
+    Zero vectors normalize to NULL (no direction)."""
+    out = out_col or vec_col
+    normed = df.withColumn("__n", F.expr(norm_expr(vec_col)))
+    return normed.withColumn(
+        out,
+        F.expr(
+            f"CASE WHEN __n = 0 THEN NULL "
+            f"ELSE transform({vec_col}, x -> cast(x as double) / __n) END"
+        ),
+    ).drop("__n")
+
+
 def brute_force_topk(
     df: DataFrame,
     queries: DataFrame,

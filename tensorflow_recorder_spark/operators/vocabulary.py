@@ -31,13 +31,21 @@ from ..constants import OOV_INDEX, TRAIN
 
 
 def fit_vocabulary(
-    train_df: DataFrame, column: str, value_alias: str = "value", index_alias: str = "index"
+    train_df: DataFrame,
+    column: str,
+    value_alias: str = "value",
+    index_alias: str = "index",
+    top_k: int | None = None,
 ) -> DataFrame:
     """Compute the frequency-descending vocabulary of ``column`` (A2 fit).
 
     Returns a small DataFrame (value, index) with index 0..V-1 assigned by
     count desc, value asc. NULLs do not enter the vocabulary (the
     reference's CSV path never produces NULL labels).
+
+    ``top_k`` truncates to the K most frequent values (TFT's
+    ``compute_and_apply_vocabulary(top_k=...)`` knob, tft API surface the
+    reference inherits): truncated values integerize to OOV on apply.
     """
     counts = (
         train_df.where(F.col(column).isNotNull())
@@ -47,10 +55,13 @@ def fit_vocabulary(
     # The window input is the aggregated vocabulary (small); a single
     # ordered partition here is deliberate and bounded.
     w = Window.orderBy(F.desc("_freq"), F.asc(value_alias))
-    return counts.select(
+    vocab = counts.select(
         value_alias,
         (F.row_number().over(w) - F.lit(1)).cast("long").alias(index_alias),
     )
+    if top_k is not None:
+        vocab = vocab.where(F.col(index_alias) < top_k)
+    return vocab
 
 
 def apply_vocabulary(

@@ -118,6 +118,34 @@ def q_a3_vocabulary_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return applied.select("o_orderkey", F.col("label_idx").cast("long").alias("label_idx"))
 
 
+def q_a5_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 with top_k truncation (TFT's top_k knob): only the 3 most
+    frequent TRAIN values stay in-vocabulary, the rest integerize to
+    OOV -1 on apply."""
+    df = _t(spark, sf_dir, "orders").withColumn("split", F.expr(ORDERS_SPLIT))
+    vocab = fit_vocabulary(
+        df.where(F.col("split") == "TRAIN"), "o_orderpriority", top_k=3
+    )
+    applied = apply_vocabulary(
+        df.withColumnRenamed("o_orderpriority", "label_idx"), "label_idx", vocab
+    )
+    return applied.select(
+        "o_orderkey", F.col("label_idx").cast("long").alias("label_idx")
+    )
+
+
+ORACLE_A5 = f"""
+WITH vocab AS (
+  SELECT o_orderpriority AS value,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, o_orderpriority) - 1 AS BIGINT) AS index
+  FROM orders WHERE ({ORDERS_SPLIT}) = 'TRAIN' GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey, CAST(COALESCE(v.index, -1) AS BIGINT) AS label_idx
+FROM orders o LEFT JOIN (SELECT * FROM vocab WHERE index < 3) v
+  ON o.o_orderpriority = v.value
+"""
+
+
 def q_a4_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: z-score c_acctbal with TRAIN-fitted mean/stddev_pop."""
     df = _t(spark, sf_dir, "customer").withColumn("split", F.expr(CUSTOMER_SPLIT))
@@ -518,6 +546,36 @@ SELECT o_custkey, o_orderkey,
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
 FROM orders
+"""
+
+
+def q_rel_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above their customer's average (correlated scalar
+    subquery): declared via spark.sql so Catalyst's subquery
+    decorrelation — rewrite to aggregate + join — does the planning."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_v")
+    # price > avg  <=>  price * n > sum, kept in DECIMAL so the comparison
+    # is exact on both engines (avg-of-doubles could flip membership of a
+    # row sitting within one ulp of its group mean).
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM __orders_v o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2))
+              * (SELECT count(*) FROM __orders_v i WHERE i.o_custkey = o.o_custkey)
+              > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM __orders_v i
+                 WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
+ORACLE_REL_ABOVE_AVG = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(18,2))
+      * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders i
+         WHERE i.o_custkey = o.o_custkey)
 """
 
 
@@ -957,6 +1015,32 @@ SELECT * FROM ranked WHERE rank <= 10
 # =====================================================================
 # E3 text analysis
 # =====================================================================
+
+
+def q_e2_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalize embeddings (cosine becomes plain dot downstream).
+    Elements rounded to 6 digits for engine-portable hashing; per-row
+    arithmetic so the values are otherwise IEEE-identical."""
+    out = similarity.l2_normalize(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> round(x, 6))").alias("embedding"),
+    )
+
+
+ORACLE_E2_L2_NORMALIZE = """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+              'sum')) AS nrm
+  FROM embeddings
+)
+SELECT vec_id,
+       CASE WHEN nrm = 0 THEN NULL
+            ELSE list_transform(embedding, x -> round(x::DOUBLE / nrm, 6)) END
+         AS embedding
+FROM n
+"""
 
 
 def q_e2_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1532,6 +1616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a2_vocabulary_fit": q_a2_vocabulary_fit,
     "a3_vocabulary_apply": q_a3_vocabulary_apply,
     "a4_zscore": q_a4_zscore,
+    "a5_vocabulary_topk": q_a5_vocabulary_topk,
     "t1_csv_serialize": q_t1_csv_serialize,
     "t2_typed_projection": q_t2_typed_projection,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -1546,6 +1631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_big_orders": q_rel_big_orders,
     "rel_running_sum": q_rel_running_sum,
     "rel_moving_sum_30d": q_rel_moving_sum_30d,
+    "rel_above_avg_orders": q_rel_above_avg_orders,
     "rel_median": q_rel_median,
     "rel_cube": q_rel_cube,
     "rel_promo_revenue": q_rel_promo_revenue,
@@ -1561,6 +1647,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_ivf_assign": q_e2_ivf_assign,
     "e2_ivf_topk": q_e2_ivf_topk,
     "e2_kmeans_update": q_e2_kmeans_update,
+    "e2_l2_normalize": q_e2_l2_normalize,
     "e3_token_stats": q_e3_token_stats,
     "e3_quality": q_e3_quality,
     "e3_language_id": q_e3_language_id,
@@ -1587,6 +1674,7 @@ ORACLES: dict[str, str] = {
     "a2_vocabulary_fit": ORACLE_A2,
     "a3_vocabulary_apply": ORACLE_A3,
     "a4_zscore": ORACLE_A4,
+    "a5_vocabulary_topk": ORACLE_A5,
     "t1_csv_serialize": ORACLE_T1,
     "t2_typed_projection": ORACLE_T2,
     "rel_pricing_summary": ORACLE_REL_Q1,
@@ -1601,6 +1689,7 @@ ORACLES: dict[str, str] = {
     "rel_big_orders": ORACLE_REL_BIG_ORDERS,
     "rel_running_sum": ORACLE_REL_RUNNING_SUM,
     "rel_moving_sum_30d": ORACLE_REL_MOVING_SUM,
+    "rel_above_avg_orders": ORACLE_REL_ABOVE_AVG,
     "rel_median": ORACLE_REL_MEDIAN,
     "rel_cube": ORACLE_REL_CUBE,
     "rel_promo_revenue": ORACLE_REL_PROMO_REVENUE,
@@ -1616,6 +1705,7 @@ ORACLES: dict[str, str] = {
     "e2_ivf_assign": ORACLE_E2_IVF_ASSIGN,
     "e2_ivf_topk": ORACLE_E2_IVF_TOPK,
     "e2_kmeans_update": _oracle_kmeans_update(),
+    "e2_l2_normalize": ORACLE_E2_L2_NORMALIZE,
     "e3_token_stats": ORACLE_E3_TOKEN_STATS,
     "e3_quality": ORACLE_E3_QUALITY,
     "e3_language_id": _oracle_language_id(),

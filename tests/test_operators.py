@@ -134,3 +134,33 @@ def test_salted_topk_matches_plain_window(spark):
         .where(F.col("rk") <= 5)
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_vocabulary_topk_truncates_to_oov(spark):
+    from tensorflow_recorder_spark.operators.vocabulary import (
+        apply_vocabulary,
+        fit_vocabulary,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"])],
+        "id long, lab string",
+    )
+    vocab = fit_vocabulary(df, "lab", top_k=2)
+    assert {(r["value"], r["index"]) for r in vocab.collect()} == {("a", 0), ("b", 1)}
+    out = {r["id"]: r["lab"] for r in apply_vocabulary(df, "lab", vocab).collect()}
+    assert out[0] == 0 and out[5] == 1
+    assert out[8] == -1 and out[10] == -1  # c, d truncated -> OOV
+
+
+def test_l2_normalize_unit_and_zero(spark):
+    import math
+
+    from tensorflow_recorder_spark.operators.similarity import l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = {r["vec_id"]: r["embedding"] for r in l2_normalize(df).collect()}
+    assert got[1] == [pytest.approx(0.6), pytest.approx(0.8)]
+    assert got[2] is None
