@@ -19,6 +19,45 @@ def test_every_oracle_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_driver_window_holds_all_unique_queries():
+    """The external driver evaluates only the FIRST 50 registry entries
+    (round-1 finding). Everything that needs a driver CORRECTNESS row
+    must sit in the top 50; only redundant demos may trail."""
+    top50 = list(QUERIES)[:50]
+    required = {
+        "e4_asof_join",
+        "s1_stream_hourly_rollup",
+        "s2_stream_sessionize",
+        "e5_image_meta",
+        "e5_frame_sample",
+        "e2_kmeans_update",
+        "e2_l2_normalize",
+    }
+    assert required <= set(top50)
+    redundant_ok_past_50 = {
+        "p0_derive_split",
+        "rel_topk_per_group_salted",
+        "rel_set_ops",
+        "rel_pivot",
+        "rel_median",
+    }
+    assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
+
+
+def test_no_array_typed_output_columns(spark):
+    """The external checker's pandas canonicalizer cannot hash
+    array/map/struct-typed output columns (round-1 red rows). Every
+    driver-checked query must declare scalar output columns only."""
+    for name in list(QUERIES)[:50]:
+        df = QUERIES[name](spark, SF_DIR)
+        for f in df.schema.fields:
+            assert f.dataType.typeName() not in ("array", "map", "struct"), (
+                name,
+                f.name,
+                f.dataType.simpleString(),
+            )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_runs(spark, name):
     df = QUERIES[name](spark, SF_DIR)
