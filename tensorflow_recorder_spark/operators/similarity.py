@@ -17,7 +17,9 @@ stability.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
+
+from .skew import salted_topk_per_key
 
 
 def dot_expr(a: str, b: str) -> str:
@@ -64,11 +66,17 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector (E2 baseline).
 
-    ``queries`` is small (it is broadcast); the corpus never shuffles —
-    the only wide op is the per-query top-k, a window over the
-    (|queries| x |corpus|) scored frame partitioned by query id. Scores
-    are rounded before ranking so ordering is reproducible across
-    engines; ties break on neighbor id.
+    ``queries`` is small (it is broadcast); the corpus never shuffles to
+    score. The per-query top-k runs through the two-phase salted
+    formulation (:func:`~.skew.salted_topk_per_key`): phase 1 ranks
+    within (query_id, salt-of-neighbor_id) — each task sees ~1/buckets
+    of the corpus — and phase 2 ranks the surviving ``buckets x k``
+    candidates per query. A window partitioned only by query_id over
+    the (|queries| x |corpus|) scored frame would put the ENTIRE corpus
+    in one unsplittable sort task per query at 100 TB; the salted plan
+    bounds every final partition by construction. Scores are rounded
+    before ranking so ordering is reproducible across engines; ties
+    break on neighbor id.
     Output: (query_id, neighbor_id, score, rank).
 
     Norms are materialized per SIDE before the join (|Q|+|C| sqrt-dot
@@ -98,12 +106,13 @@ def brute_force_topk(
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+    return salted_topk_per_key(
+        scored,
+        key_cols=["query_id"],
+        order_by=[F.desc("score"), F.asc("neighbor_id")],
+        k=k,
+        rank_alias="rank",
+        salt_on="neighbor_id",
     )
 
 
@@ -116,7 +125,17 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every vector to its nearest (max-cosine) centroid — the IVF
     partitioning step (E2 scale path). Centroids are broadcast; ties
-    break on centroid id. Output: (vec_id, centroid_id).
+    break on centroid id (ascending). Output: (vec_id, centroid_id).
+
+    The argmax is a ``min_by`` over struct((-score, centroid_id)) — a
+    declarative aggregate Catalyst partially aggregates map-side, so
+    the shuffle carries one (vec, best-so-far) pair per vector per
+    partition instead of sorting K x |corpus| rows through a
+    ``row_number`` window. NULL scores (zero-norm vectors) sort after
+    every real score, matching the window formulation's
+    desc-nulls-last; such vectors fall back to the smallest centroid
+    id. Scores round to 6 digits before the argmax so the choice is
+    engine-portable.
 
     At scale the result is written ``partitionBy(centroid_id)`` so
     probes are partition-pruned scans.
@@ -131,16 +150,16 @@ def ivf_assign(
         F.col(vec_col).alias("__v"),
         F.expr(norm_expr(vec_col)).alias("__vn"),
     ).crossJoin(F.broadcast(c))
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc(
-            F.round(F.expr(f"({dot_expr('__v', '__cv')}) / nullif(__vn * __cn, cast(0 as double))"), 6)
-        ),
-        F.asc("__cid"),
+    neg_score = -F.round(
+        F.expr(f"({dot_expr('__v', '__cv')}) / nullif(__vn * __cn, cast(0 as double))"),
+        6,
     )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col("__cid").alias(centroid_id_col))
+    ordering = F.struct(
+        F.coalesce(neg_score, F.lit(float("inf"))).alias("s"),
+        F.col("__cid").alias("c"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.min_by(F.col("__cid"), ordering).alias(centroid_id_col)
     )
 
 
@@ -197,7 +216,9 @@ def ivf_topk(
     """IVF-bucketed approximate top-k: each query searches only the cell
     of its own nearest centroid (nprobe=1). Output like
     :func:`brute_force_topk`; recall < 1 by design — the approximation
-    is the documented trade."""
+    is the documented trade. The final per-query rank is salted
+    two-phase (see :func:`brute_force_topk`) so a hot cell never pins
+    one sort task."""
     assign = ivf_assign(df, centroids, vec_col, id_col)
     corpus = df.join(assign, id_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -227,5 +248,11 @@ def ivf_topk(
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return salted_topk_per_key(
+        scored,
+        key_cols=["query_id"],
+        order_by=[F.desc("score"), F.asc("neighbor_id")],
+        k=k,
+        rank_alias="rank",
+        salt_on="neighbor_id",
+    )

@@ -60,6 +60,28 @@ def test_topk_cosine_broadcasts_queries_not_corpus(spark):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_topk_rank_is_salted_not_corpus_wide(spark):
+    """The per-query top-k must run the two-phase salted plan: a window
+    partitioned only by query_id over the |Q|x|corpus| scored frame is
+    an unsplittable corpus-sized sort per query at scale."""
+    import re
+
+    for name in ("e2_topk_cosine", "e2_ivf_topk"):
+        plan = plan_of(spark, name)
+        specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+        # two-phase: a salted phase-1 window must exist; reverting to a
+        # single query_id-only window leaves no __salt in any spec
+        assert specs and any("__salt" in s for s in specs), name
+
+
+def test_ivf_assign_is_partial_aggregate_not_window(spark):
+    """ivf_assign's argmax must be a partially-aggregable min_by, not a
+    row_number window sorting K x |corpus| rows."""
+    plan = plan_of(spark, "e2_ivf_assign")
+    assert "Window" not in plan
+    assert "partial_min_by" in plan or "min_by" in plan
+
+
 def test_anti_join_stays_broadcast(spark):
     plan = plan_of(spark, "rel_anti_join")
     assert "LeftAnti" in plan
