@@ -30,22 +30,34 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 # ------------------------------------------------------------- ingest
 
 
-def attach_binary(spark: SparkSession, df: DataFrame, uri_col: str) -> DataFrame:
+def attach_binary(
+    spark: SparkSession,
+    df: DataFrame,
+    uri_col: str,
+    base_dir: str,
+    path_glob: str | None = None,
+) -> DataFrame:
     """Enrich rows with the raw bytes of ``uri_col`` files.
 
-    Implemented as an equi-join against the distributed ``binaryFile``
-    source (one task per file; the join key is the path). Rows whose file
-    is missing keep NULL content — callers route them like T3 failures.
+    ``base_dir`` (a directory root, scanned recursively; narrow with
+    ``path_glob`` e.g. ``'*.jpg'``) is listed by the distributed
+    ``binaryFile`` source and equi-joined on the path column — URI
+    enumeration never touches the driver. The earlier formulation
+    collected every distinct URI driver-side, which at 100 TB is
+    billions of paths through driver RAM; a directory-rooted scan keeps
+    listing distributed (same pattern as ``sources/image_dir.py``).
+
+    Rows whose file is missing (or outside ``base_dir``) keep NULL
+    content — callers route them like T3 failures. Unreferenced files
+    under ``base_dir`` are dropped by the join.
     """
-    uris = [r[0] for r in df.select(uri_col).distinct().collect()]
-    files = (
-        spark.read.format("binaryFile")
-        .load(uris)
-        .select(
-            F.regexp_replace("path", r"^file:", "").alias("__path"),
-            F.col("content").alias("media_bytes"),
-            F.col("length").alias("media_length"),
-        )
+    reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    files = reader.load(base_dir).select(
+        F.regexp_replace("path", r"^file:", "").alias("__path"),
+        F.col("content").alias("media_bytes"),
+        F.col("length").alias("media_length"),
     )
     return df.join(files, df[uri_col] == files["__path"], "left").drop("__path")
 

@@ -19,14 +19,34 @@ def _media_df(spark, tmp_path, n=3):
 
 def test_attach_binary_joins_content(spark, tmp_path):
     df = _media_df(spark, tmp_path)
-    out = multimodal.attach_binary(spark, df, "uri")
+    out = multimodal.attach_binary(spark, df, "uri", str(tmp_path))
     rows = {r["media_id"]: r for r in out.collect()}
     assert bytes(rows[0]["media_bytes"]) == bytes([0]) * 64
     assert rows[1]["media_length"] == 64
 
 
+def test_attach_binary_missing_file_gets_null(spark, tmp_path):
+    df = _media_df(spark, tmp_path).withColumn(
+        "uri",
+        F.when(F.col("media_id") == 1, F.lit("/nonexistent/nope.bin")).otherwise(
+            F.col("uri")
+        ),
+    )
+    out = {r["media_id"]: r for r in
+           multimodal.attach_binary(spark, df, "uri", str(tmp_path)).collect()}
+    assert out[1]["media_bytes"] is None
+    assert bytes(out[0]["media_bytes"]) == bytes([0]) * 64
+
+
+def test_attach_binary_glob_filter(spark, tmp_path):
+    (tmp_path / "skip.txt").write_bytes(b"x")
+    df = _media_df(spark, tmp_path)
+    out = multimodal.attach_binary(spark, df, "uri", str(tmp_path), path_glob="*.bin")
+    assert out.where(F.col("media_bytes").isNotNull()).count() == 3
+
+
 def test_decode_image_features_and_failure(spark, tmp_path):
-    df = multimodal.attach_binary(spark, _media_df(spark, tmp_path), "uri")
+    df = multimodal.attach_binary(spark, _media_df(spark, tmp_path), "uri", str(tmp_path))
     # null out one row's bytes to exercise the failure route
     df = df.withColumn(
         "media_bytes", F.when(F.col("media_id") == 2, None).otherwise(F.col("media_bytes"))
@@ -39,7 +59,7 @@ def test_decode_image_features_and_failure(spark, tmp_path):
 
 
 def test_resize_emits_requested_shape(spark, tmp_path):
-    df = multimodal.attach_binary(spark, _media_df(spark, tmp_path), "uri")
+    df = multimodal.attach_binary(spark, _media_df(spark, tmp_path), "uri", str(tmp_path))
     out = multimodal.resize_images(df, width=4, height=4).collect()
     assert all(len(bytes(r["resized_pixels"])) == 4 * 4 * 3 for r in out)
     # deterministic: same input bytes -> same pixels
@@ -50,7 +70,7 @@ def test_resize_emits_requested_shape(spark, tmp_path):
 
 
 def test_sample_video_frames_explodes(spark, tmp_path):
-    df = multimodal.attach_binary(spark, _media_df(spark, tmp_path), "uri")
+    df = multimodal.attach_binary(spark, _media_df(spark, tmp_path), "uri", str(tmp_path))
     out = multimodal.sample_video_frames(df, every_n=10).collect()
     by_id = {}
     for r in out:
@@ -73,7 +93,7 @@ def test_register_decoder_overrides_stub(spark, tmp_path):
 
     multimodal.register_decoder("image", fake_decoder)
     try:
-        df = multimodal.attach_binary(spark, _media_df(spark, tmp_path), "uri")
+        df = multimodal.attach_binary(spark, _media_df(spark, tmp_path), "uri", str(tmp_path))
         out = multimodal.decode_image_features(df).collect()
         assert all(r["image_width"] == 2 for r in out)
     finally:
