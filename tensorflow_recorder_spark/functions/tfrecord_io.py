@@ -19,7 +19,9 @@ import io
 import struct
 from collections.abc import Iterator
 
-from .crc32c import masked_crc32c
+import numpy as np
+
+from .crc32c import masked_crc32c, masked_crc32c_many
 
 _U64 = struct.Struct("<Q")
 _U32 = struct.Struct("<I")
@@ -31,6 +33,31 @@ def write_record(fh, data: bytes) -> None:
     fh.write(_U32.pack(masked_crc32c(header)))
     fh.write(data)
     fh.write(_U32.pack(masked_crc32c(data)))
+
+
+def frame_records(records: list[bytes]) -> bytes:
+    """Frame many records into one TFRecord byte stream (batch write
+    path). Byte-identical to repeated :func:`write_record`, but both
+    masked CRC-32Cs are computed vectorized across the batch
+    (crc32c.masked_crc32c_many) and the result is a single buffer — one
+    ``fh.write`` per batch instead of four per record, which matters
+    through a GzipFile."""
+    n = len(records)
+    if not n:
+        return b""
+    lengths = np.fromiter((len(r) for r in records), dtype=np.uint64, count=n)
+    headers = lengths.astype("<u8").tobytes()  # n concatenated u64 prefixes
+    header_views = [headers[i * 8 : i * 8 + 8] for i in range(n)]
+    hcrc = masked_crc32c_many(header_views).astype("<u4").tobytes()
+    dcrc = masked_crc32c_many(records).astype("<u4").tobytes()
+    parts = []
+    for i, r in enumerate(records):
+        h8, c4 = i * 8, i * 4
+        parts.append(headers[h8 : h8 + 8])
+        parts.append(hcrc[c4 : c4 + 4])
+        parts.append(r)
+        parts.append(dcrc[c4 : c4 + 4])
+    return b"".join(parts)
 
 
 def read_records(data: bytes, verify: bool = False) -> Iterator[bytes]:

@@ -33,8 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..constants import GZIP_SUFFIX, TFRECORD_SUFFIX
-from ..functions.example_proto import build_row_encoder
-from ..functions.tfrecord_io import open_maybe_gzip, open_output, write_record
+from ..functions.example_proto import build_batch_encoder
+from ..functions.tfrecord_io import frame_records, open_maybe_gzip, open_output
 
 # Spark simpleString -> Example feature kind
 _KIND_BY_TYPE = {
@@ -86,17 +86,18 @@ def encode_examples(
     kinds = feature_kinds(df)
     if not keep_split:
         kinds = {k: v for k, v in kinds.items() if k != split_key}
-    encoder = build_row_encoder(kinds)
+    encoder = build_batch_encoder(kinds)
     columns = encoder.columns  # sorted canonical order
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # normalize pandas NA/NaN to None once, vectorized per column
+            # normalize pandas NA/NaN to None once, vectorized per column;
+            # the column-wise batch encoder amortizes all tag/length bytes
             cols = [
-                pdf[c].astype(object).where(pdf[c].notna(), None) for c in columns
+                pdf[c].astype(object).where(pdf[c].notna(), None).tolist()
+                for c in columns
             ]
-            examples = [encoder(tup) for tup in zip(*cols)]
-            yield pd.DataFrame({"split": pdf[split_key], "example": examples})
+            yield pd.DataFrame({"split": pdf[split_key], "example": encoder(cols)})
 
     out_schema = T.StructType(
         [
@@ -172,8 +173,7 @@ def write_all_splits(
                     handles[split_value] = entry
                     counts[split_value] = 0
                 fh = entry[0]
-                for blob in sub["example"]:
-                    write_record(fh, bytes(blob))
+                fh.write(frame_records([bytes(b) for b in sub["example"]]))
                 counts[split_value] += len(sub)
         for split_value, (fh, _) in handles.items():
             fh.close()
@@ -221,9 +221,16 @@ def _write_partition_factory(
         count = 0
         tmp = path + ".inprogress"
         with open_output(tmp, compressed) as fh:
+            chunk: list[bytes] = []
             for row in rows:
-                write_record(fh, bytes(row["example"]))
-                count += 1
+                chunk.append(bytes(row["example"]))
+                if len(chunk) >= 4096:
+                    fh.write(frame_records(chunk))
+                    count += len(chunk)
+                    chunk = []
+            if chunk:
+                fh.write(frame_records(chunk))
+                count += len(chunk)
         os.replace(tmp, path)  # atomic publish per shard
         yield path, count
 

@@ -1,11 +1,13 @@
-"""Property test: the schema-compiled fast encoder is byte-identical to
-the reference encoder for arbitrary inputs (hypothesis-driven)."""
+"""Property test: the schema-compiled fast encoders (per-row and
+column-wise batch) are byte-identical to the reference encoder for
+arbitrary inputs (hypothesis-driven)."""
 
 import math
 
 from hypothesis import given, settings, strategies as st
 
 from tensorflow_recorder_spark.functions.example_proto import (
+    build_batch_encoder,
     build_row_encoder,
     decode_example,
     encode_example,
@@ -50,6 +52,31 @@ def test_fast_encoder_matches_reference(schema, data):
         {c: (schema[c], canonical(schema[c], v)) for c, v in zip(encoder.columns, values)}
     )
     assert encoder(values) == reference
+    batch = build_batch_encoder(schema)
+    assert batch([[v] for v in values]) == [reference]
+
+
+@given(
+    st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        min_size=1, max_size=8,
+    ),
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=8
+    ),
+    st.lists(st.one_of(st.text(max_size=10), st.binary(max_size=10)), min_size=1, max_size=4),
+)
+@settings(max_examples=100, deadline=None)
+def test_batch_encoder_array_values_match_reference(floats, ints, blobs):
+    schema = {"f": "float", "i": "int64", "b": "bytes"}
+    batch = build_batch_encoder(schema)
+    canonical_blobs = [
+        v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in blobs
+    ]
+    reference = encode_example(
+        {"f": ("float", floats), "i": ("int64", ints), "b": ("bytes", canonical_blobs)}
+    )
+    assert batch([[blobs], [floats], [ints]]) == [reference]
 
 
 @given(

@@ -6,7 +6,11 @@ import gzip
 
 import pytest
 
-from tensorflow_recorder_spark.functions.crc32c import crc32c, masked_crc32c
+from tensorflow_recorder_spark.functions.crc32c import (
+    crc32c,
+    crc32c_many,
+    masked_crc32c,
+)
 from tensorflow_recorder_spark.functions.example_proto import (
     decode_example,
     encode_example,
@@ -18,6 +22,7 @@ from tensorflow_recorder_spark.functions.image_codec import (
     mode_to_channel,
 )
 from tensorflow_recorder_spark.functions.tfrecord_io import (
+    frame_records,
     read_records,
     records_to_bytes,
 )
@@ -28,6 +33,36 @@ def test_crc32c_known_vectors():
     assert crc32c(b"") == 0
     assert crc32c(b"123456789") == 0xE3069283
     assert crc32c(b"\x00" * 32) == 0x8A9136AA
+
+
+def test_crc32c_many_matches_scalar():
+    import os
+    import random
+
+    random.seed(11)
+    # mixed sizes incl. empty and one record big enough to force its own
+    # padding block when block_bytes is tiny
+    recs = [os.urandom(random.choice([0, 1, 8, 255, 256, 4093])) for _ in range(500)]
+    vec = crc32c_many(recs, block_bytes=1 << 12)
+    assert [int(v) for v in vec] == [crc32c(r) for r in recs]
+
+
+def test_frame_records_matches_write_record():
+    import io
+    import os
+    import random
+
+    from tensorflow_recorder_spark.functions.tfrecord_io import write_record
+
+    random.seed(13)
+    recs = [os.urandom(random.choice([0, 3, 120, 1000])) for _ in range(300)]
+    buf = io.BytesIO()
+    for r in recs:
+        write_record(buf, r)
+    framed = frame_records(recs)
+    assert framed == buf.getvalue()
+    assert list(read_records(framed, verify=True)) == recs
+    assert frame_records([]) == b""
 
 
 def test_masked_crc_is_stable():
