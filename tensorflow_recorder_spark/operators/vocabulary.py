@@ -15,17 +15,24 @@ phase 2).
 
 Scale design: the fit is a groupBy(count) shuffle over the TRAIN subset
 — partial aggregation (map-side combine) makes the shuffled data
-|distinct values|, not |rows|. The global rank uses a single-partition
-window over the *aggregated* vocabulary, which is small by construction
-(a label vocabulary, not a token vocabulary); for huge vocabularies use
-``zipWithIndex``-style two-phase ranking instead. The apply is a
-broadcast hash join (vocab is bounded), so no shuffle touches the fact
-table.
+|distinct values|, not |rows|. The global rank has two formulations
+with identical output:
+
+* :func:`fit_vocabulary` — a single-partition window over the
+  *aggregated* vocabulary, deliberate and bounded for label
+  vocabularies (the reference's semantics: a handful of classes).
+* :func:`fit_vocabulary_large` — token-scale path: range-partition the
+  aggregated counts on the rank order, sort within partitions, assign
+  contiguous global indices via ``zipWithIndex`` (per-partition offsets
+  from one count job). No single task ever holds the whole vocabulary.
+
+The apply is a broadcast hash join (vocab is fitted state), so no
+shuffle touches the fact table.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from ..constants import OOV_INDEX, TRAIN
 
@@ -47,18 +54,63 @@ def fit_vocabulary(
     ``compute_and_apply_vocabulary(top_k=...)`` knob, tft API surface the
     reference inherits): truncated values integerize to OOV on apply.
     """
-    counts = (
-        train_df.where(F.col(column).isNotNull())
-        .groupBy(F.col(column).alias(value_alias))
-        .agg(F.count(F.lit(1)).alias("_freq"))
-    )
+    counts = _value_counts(train_df, column, value_alias)
     # The window input is the aggregated vocabulary (small); a single
-    # ordered partition here is deliberate and bounded.
-    w = Window.orderBy(F.desc("_freq"), F.asc(value_alias))
+    # ordered partition here is deliberate and bounded. The partition key
+    # is a constant-valued but non-foldable expression (pmod(hash, 1) is
+    # always 0): same one-partition plan, but the partition spec survives
+    # Catalyst constant folding so WindowExec does not emit its
+    # "No Partition Defined" warning for this intentionally-global sort.
+    one_bucket = F.pmod(F.hash(F.col(value_alias)), F.lit(1))
+    w = Window.partitionBy(one_bucket).orderBy(F.desc("_freq"), F.asc(value_alias))
     vocab = counts.select(
         value_alias,
         (F.row_number().over(w) - F.lit(1)).cast("long").alias(index_alias),
     )
+    if top_k is not None:
+        vocab = vocab.where(F.col(index_alias) < top_k)
+    return vocab
+
+
+def _value_counts(train_df: DataFrame, column: str, value_alias: str) -> DataFrame:
+    return (
+        train_df.where(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias(value_alias))
+        .agg(F.count(F.lit(1)).alias("_freq"))
+    )
+
+
+def fit_vocabulary_large(
+    train_df: DataFrame,
+    column: str,
+    value_alias: str = "value",
+    index_alias: str = "index",
+    top_k: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Token-scale A2 fit: identical output to :func:`fit_vocabulary`,
+    no single-partition sort anywhere in the plan.
+
+    Two-phase global rank: ``repartitionByRange`` on (freq desc, value
+    asc) spreads the aggregated vocabulary over ``num_partitions``
+    ordered ranges, each partition sorts locally, and ``zipWithIndex``
+    assigns contiguous global indices (it runs one lightweight count job
+    for the per-partition offsets — partition SIZES cross the driver,
+    never values). Use when the vocabulary itself is too large for one
+    task (billions of distinct tokens); for label vocabularies the
+    windowed variant is one shuffle cheaper.
+    """
+    counts = _value_counts(train_df, column, value_alias)
+    n = num_partitions or train_df.sparkSession.sparkContext.defaultParallelism
+    ordered = counts.repartitionByRange(
+        n, F.desc("_freq"), F.asc(value_alias)
+    ).sortWithinPartitions(F.desc("_freq"), F.asc(value_alias))
+    value_field = ordered.schema[value_alias]
+    out_schema = T.StructType(
+        [value_field, T.StructField(index_alias, T.LongType(), False)]
+    )
+    indexed = ordered.rdd.zipWithIndex().map(lambda t: (t[0][0], t[1]))
+    vocab = train_df.sparkSession.createDataFrame(indexed, out_schema)
     if top_k is not None:
         vocab = vocab.where(F.col(index_alias) < top_k)
     return vocab

@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .operators import dedup, events, similarity, text
 from .operators.scale import fit_and_apply_scale
 from .operators.split import normalize_split, split_histogram_df
-from .operators.vocabulary import apply_vocabulary, fit_vocabulary
+from .operators.vocabulary import (
+    apply_vocabulary,
+    fit_vocabulary,
+    fit_vocabulary_large,
+)
 
 # Deterministic split derivations (shared Spark + DuckDB SQL).
 ORDERS_SPLIT = (
@@ -121,9 +125,11 @@ def q_a3_vocabulary_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_a5_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 with top_k truncation (TFT's top_k knob): only the 3 most
     frequent TRAIN values stay in-vocabulary, the rest integerize to
-    OOV -1 on apply."""
+    OOV -1 on apply. Routed through the two-phase token-scale fit
+    (range-partition + zipWithIndex) so the driver row also certifies
+    fit_vocabulary_large's output equivalence."""
     df = _t(spark, sf_dir, "orders").withColumn("split", F.expr(ORDERS_SPLIT))
-    vocab = fit_vocabulary(
+    vocab = fit_vocabulary_large(
         df.where(F.col("split") == "TRAIN"), "o_orderpriority", top_k=3
     )
     applied = apply_vocabulary(
@@ -143,6 +149,34 @@ WITH vocab AS (
 SELECT o.o_orderkey, CAST(COALESCE(v.index, -1) AS BIGINT) AS label_idx
 FROM orders o LEFT JOIN (SELECT * FROM vocab WHERE index < 3) v
   ON o.o_orderpriority = v.value
+"""
+
+
+def q_a6_vocabulary_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-scale vocabulary: whitespace tokens of the TRAIN-subset
+    documents ranked by the two-phase fit (A2 at token cardinality —
+    the plan has NO single-partition sort; see fit_vocabulary_large)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 < 7)
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    vocab = fit_vocabulary_large(toks, "tok", top_k=200)
+    return vocab.select(F.col("value"), F.col("index").cast("long").alias("index"))
+
+
+ORACLE_A6_VOCAB_TOKENS = """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                t -> t <> '')) AS tok
+  FROM documents WHERE doc_id % 10 < 7
+),
+counts AS (SELECT tok AS value, count(*) AS c FROM toks GROUP BY tok),
+ranked AS (
+  SELECT value,
+         CAST(row_number() OVER (ORDER BY c DESC, value) - 1 AS BIGINT) AS index
+  FROM counts
+)
+SELECT value, index FROM ranked WHERE index < 200
 """
 
 
@@ -1682,12 +1716,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_asof_latest": q_e4_asof_latest,
     "e4_sliding_window": q_e4_sliding_window,
     "e4_json_props": q_e4_json_props,
-    # -- positions 51+: redundant demos, oracle-checked locally only --
+    # -- positions 51+: oracle-checked locally only (driver stops at 50;
+    # a6's operator is ALSO driver-certified through a5's registry row) --
     "p0_derive_split": q_p0_derive_split,
     "rel_topk_per_group_salted": q_rel_topk_per_group_salted,
     "rel_set_ops": q_rel_set_ops,
     "rel_pivot": q_rel_pivot,
     "rel_median": q_rel_median,
+    "a6_vocabulary_tokens": q_a6_vocabulary_tokens,
 }
 
 ORACLES: dict[str, str] = {
@@ -1698,6 +1734,7 @@ ORACLES: dict[str, str] = {
     "a3_vocabulary_apply": ORACLE_A3,
     "a4_zscore": ORACLE_A4,
     "a5_vocabulary_topk": ORACLE_A5,
+    "a6_vocabulary_tokens": ORACLE_A6_VOCAB_TOKENS,
     "t1_csv_serialize": ORACLE_T1,
     "t2_typed_projection": ORACLE_T2,
     "rel_pricing_summary": ORACLE_REL_Q1,

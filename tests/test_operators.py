@@ -47,6 +47,42 @@ def test_vocabulary_freq_desc_with_value_tiebreak(spark):
     assert vocab == {"b": 0, "c": 1, "a": 2}
 
 
+def test_fit_vocabulary_large_matches_windowed_fit(spark):
+    """The two-phase token-scale fit must produce the EXACT windowed
+    ranking — contiguous indices, freq desc, value-asc tiebreak — on
+    real token data spanning many range partitions."""
+    from tensorflow_recorder_spark.operators.vocabulary import fit_vocabulary_large
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    small = {(r["value"], r["index"]) for r in fit_vocabulary(toks, "tok").collect()}
+    large = {
+        (r["value"], r["index"])
+        for r in fit_vocabulary_large(toks, "tok", num_partitions=8).collect()
+    }
+    assert small == large and len(small) > 20
+
+
+def test_fit_vocabulary_large_plan_has_no_window(spark):
+    import contextlib
+    import io
+
+    from tensorflow_recorder_spark.operators.vocabulary import fit_vocabulary_large
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fit_vocabulary_large(toks, "tok").explain("formatted")
+    assert "windowspecdefinition" not in buf.getvalue()
+
+
 def test_apply_vocabulary_oov_minus_one(spark):
     train = spark.createDataFrame([("cat",), ("cat",), ("goat",)], "label string")
     vocab = fit_vocabulary(train, "label")

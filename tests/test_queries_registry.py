@@ -40,6 +40,8 @@ def test_driver_window_holds_all_unique_queries():
         "rel_set_ops",
         "rel_pivot",
         "rel_median",
+        # operator driver-certified via a5_vocabulary_topk's row
+        "a6_vocabulary_tokens",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
