@@ -30,6 +30,12 @@ def main(argv: list[str] | None = None) -> int:
     p_convert.add_argument("--output_dir", default="./tfrecords")
     p_convert.add_argument("--compression", default="gzip")
     p_convert.add_argument("--num_shards", type=int, default=0)
+    p_convert.add_argument(
+        "--schema",
+        default=None,
+        help="path to a schema JSON file ({column: type_name}, the format "
+        "Schema.to_json writes); defaults to the image-CSV schema",
+    )
 
     p_inspect = sub.add_parser("inspect", help="dump rows from TFRecords")
     p_inspect.add_argument("--tfrecord_dir", required=True)
@@ -39,11 +45,18 @@ def main(argv: list[str] | None = None) -> int:
 
     args = parser.parse_args(argv)
     if args.command == "convert":
+        kwargs = {}
+        if args.schema:
+            from .schema import Schema
+
+            with open(args.schema) as fh:
+                kwargs["schema"] = Schema.from_json(fh.read())
         result = api.convert(
             args.input_data,
             output_dir=args.output_dir,
             compression=None if args.compression in ("", "none") else args.compression,
             num_shards=args.num_shards,
+            **kwargs,
         )
         print(json.dumps(result))
     else:

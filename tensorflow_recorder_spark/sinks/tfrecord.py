@@ -127,22 +127,41 @@ def write_all_splits(
 ) -> dict[str, dict[str, int]]:
     """Write every split's Examples in ONE pass (K2, batch convert path).
 
-    A single Arrow-batched ``mapInPandas`` walks each partition once and
-    appends rows to at most |splits| open shard files, so the encoded
-    frame is scanned once regardless of split count (the per-split
-    variant costs one pass per split and a Python row-pickle each).
-    Shard files are written under partition-id temp names and renamed by
-    the driver to contiguous ``<split>-SSSSS-of-NNNNN`` (a rename
-    manifest, not data, crosses to the driver). Splits that end up empty
-    still get one empty shard (V8 parity). Returns
-    {split: {path: record_count}}.
+    With ``num_shards=0`` (runner-chosen, the default) a single
+    Arrow-batched ``mapInPandas`` walks each partition once and appends
+    rows to at most |splits| open shard files, so the encoded frame is
+    scanned once regardless of split count. Shard files are written
+    under partition-id temp names and renamed by the driver to
+    contiguous ``<split>-SSSSS-of-NNNNN`` (a rename manifest, not data,
+    crosses to the driver). Splits that end up empty still get one
+    empty shard (V8 parity). Returns {split: {path: record_count}}.
+
+    An explicit ``num_shards`` applies PER SPLIT — the reference's
+    ``WriteToTFRecord(num_shards=N)`` runs per split
+    (beam_pipeline.py:303-313), so every split gets exactly N shards.
+    That routes through one repartition+write job per split over the
+    cached encoded frame (a deliberate trade: exact shard counts cost
+    one scan per split; the auto path stays single-pass).
     """
     suffix = GZIP_SUFFIX if compression == "gzip" else TFRECORD_SUFFIX
     os.makedirs(job_dir, exist_ok=True)
-    df = encoded
     if num_shards > 0:
-        df = df.repartition(num_shards)
-    df = df.withColumn("__pid", F.spark_partition_id())
+        encoded = encoded.cache()
+        try:
+            return {
+                split_value: write_split_tfrecords(
+                    encoded,
+                    job_dir,
+                    split_value.lower(),
+                    split_value,
+                    compression=compression,
+                    num_shards=num_shards,
+                )
+                for split_value in splits
+            }
+        finally:
+            encoded.unpersist()
+    df = encoded.withColumn("__pid", F.spark_partition_id())
     wanted = set(splits)
     compressed = compression == "gzip"
 

@@ -56,11 +56,14 @@ def test_convert_num_shards_and_uncompressed(spark, image_pdf, tmp_path):
         num_shards=2,
     )
     files = os.listdir(result["tfrecord_dir"])
-    train_files = sorted(f for f in files if f.startswith("train-"))
-    assert train_files == [
-        "train-00000-of-00002.tfrecord",
-        "train-00001-of-00002.tfrecord",
-    ]
+    # num_shards applies PER SPLIT (reference WriteToTFRecord runs per
+    # split): every written split gets exactly 2 shards
+    for prefix in ("train", "validation", "test"):
+        got = sorted(f for f in files if f.startswith(f"{prefix}-"))
+        assert got == [
+            f"{prefix}-00000-of-00002.tfrecord",
+            f"{prefix}-00001-of-00002.tfrecord",
+        ], got
 
 
 def test_inspect_writes_csv_and_images(spark, image_pdf, tmp_path):
