@@ -600,3 +600,98 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ----------------------------------------------------- cluster + resolve
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_id: str = "id",
+    cluster_col: str = "cluster_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected duplicate-pair graph:
+    every id that appears in ``pairs`` gets the MINIMUM id reachable
+    from it as its cluster id (so each component's canonical member is
+    its own cluster id). Completes the fuzzy-dedup pipeline: pair
+    emitters (:func:`lsh_verified_pairs`, :func:`embedding_neardup_pairs`)
+    find edges; this resolves transitivity (A~B, B~C => one cluster even
+    though A,C never paired).
+
+    Plan shape: iterative min-label propagation — per round, one
+    equi-join of the (cached) edge list with the current labels and one
+    min-aggregate, converging in O(graph diameter) rounds (duplicate
+    clusters are shallow: near-dup graphs are dense cliques plus short
+    chains, so typical convergence is 2-4 rounds; ``max_iterations``
+    bounds adversarial chains). All state is distributed — the driver
+    sees only the per-round changed-row count. This is the standard
+    scalable CC formulation (the GraphFrames/Pregel shape) expressed in
+    plain DataFrame ops.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("__src"), F.col(id_b).alias("__dst"))
+        .union(pairs.select(F.col(id_b).alias("__src"), F.col(id_a).alias("__dst")))
+        .cache()
+    )
+    # localCheckpoint (not cache) per round: each iteration's plan embeds
+    # the previous labels TWICE (once under neighbor_min, once as the
+    # left side), so an uncut lineage doubles per round and blows up
+    # planning/codegen after ~10 iterations. Checkpointing materializes
+    # the round and truncates the plan to a scan; on a cluster with
+    # non-resilient executors, swap for checkpoint() with a durable dir.
+    labels = (
+        edges.select(F.col("__src").alias(out_id)).distinct()
+        .withColumn(cluster_col, F.col(out_id))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels, edges["__dst"] == labels[out_id])
+                .groupBy("__src")
+                .agg(F.min(cluster_col).alias("__nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels[out_id] == neighbor_min["__src"], "left")
+                .select(
+                    F.col(out_id),
+                    F.least(
+                        F.col(cluster_col), F.coalesce("__nmin", F.col(cluster_col))
+                    ).alias(cluster_col),
+                    (F.coalesce("__nmin", F.col(cluster_col)) < F.col(cluster_col))
+                    .alias("__changed"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = new_labels.where(F.col("__changed")).count()  # bounded: 1 long
+            labels = new_labels.drop("__changed")
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end fuzzy dedup with transitive resolution: LSH-verified
+    pairs -> duplicate clusters -> keep each cluster's canonical (min-id)
+    member plus every unpaired row.
+
+    The anti-join key set is the non-canonical ids — a small fraction of
+    the corpus (it is the duplicates), so at scale the join broadcasts;
+    the corpus itself never shuffles.
+    """
+    pairs = lsh_verified_pairs(df, text_col, id_col, **lsh_kwargs)
+    clusters = duplicate_clusters(pairs)
+    dupes = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(dupes, id_col, "left_anti")

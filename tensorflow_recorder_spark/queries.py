@@ -861,6 +861,51 @@ def q_e1_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "est_jaccard", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_e1_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: connected components (iterative
+    min-label propagation) over the LSH-verified pair graph. cluster_id
+    is the minimum doc_id reachable — the canonical member."""
+    pairs = dedup.lsh_verified_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    clusters = dedup.duplicate_clusters(pairs)
+    return clusters.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def _oracle_dup_clusters() -> str:
+    return f"""
+WITH RECURSIVE verified AS ({_oracle_lsh_verified()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM verified
+  UNION
+  SELECT id_b, id_a FROM verified
+),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
+def q_e1_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fuzzy-dedup pipeline: LSH-verified pairs -> clusters -> keep
+    each cluster's canonical (min-id) doc plus all unpaired docs."""
+    out = dedup.fuzzy_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return out.select("doc_id")
+
+
+def _oracle_fuzzy_dedup() -> str:
+    return f"""
+WITH clusters AS ({_oracle_dup_clusters()})
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+"""
+
+
 def _oracle_lsh_verified() -> str:
     return f"""
 WITH pairs AS ({_oracle_lsh_pairs()}),
@@ -1724,6 +1769,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_pivot": q_rel_pivot,
     "rel_median": q_rel_median,
     "a6_vocabulary_tokens": q_a6_vocabulary_tokens,
+    "e1_dup_clusters": q_e1_dup_clusters,
+    "e1_fuzzy_dedup": q_e1_fuzzy_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -1735,6 +1782,8 @@ ORACLES: dict[str, str] = {
     "a4_zscore": ORACLE_A4,
     "a5_vocabulary_topk": ORACLE_A5,
     "a6_vocabulary_tokens": ORACLE_A6_VOCAB_TOKENS,
+    "e1_dup_clusters": _oracle_dup_clusters(),
+    "e1_fuzzy_dedup": _oracle_fuzzy_dedup(),
     "t1_csv_serialize": ORACLE_T1,
     "t2_typed_projection": ORACLE_T2,
     "rel_pricing_summary": ORACLE_REL_Q1,

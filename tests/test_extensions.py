@@ -354,3 +354,42 @@ def test_asof_join_matches_latest_prior_right_row(spark):
     assert out[1] == 6.0
     assert out[2] == 7.0
     assert out[3] is None  # user 2 has no purchase before 09:00
+
+
+def test_duplicate_clusters_transitive(spark):
+    # A~B, B~C chain plus an isolated pair D~E: {A,B,C} -> A, {D,E} -> D.
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 4)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    # 0-1-2-...-9 path: diameter 9, min-label must reach the far end.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {(i, 0) for i in range(10)}
+
+
+def test_fuzzy_dedup_keeps_canonical_and_unpaired(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again"),
+            (3, "completely different text about spark and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.fuzzy_dedup(docs, "text", "doc_id").collect()
+    )
+    assert kept == [1, 3]

@@ -42,6 +42,9 @@ def test_driver_window_holds_all_unique_queries():
         "rel_median",
         # operator driver-certified via a5_vocabulary_topk's row
         "a6_vocabulary_tokens",
+        # round-2 additions beyond the 50-slot driver window
+        "e1_dup_clusters",
+        "e1_fuzzy_dedup",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
