@@ -17,7 +17,7 @@ stability.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .skew import salted_topk_per_key
 
@@ -163,6 +163,55 @@ def ivf_assign(
     )
 
 
+def ivf_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-``nprobe`` nearest centroids per query vector (multi-probe
+    IVF). Output: (vec_id, centroid_id, probe_rank 1..nprobe).
+
+    Unlike the corpus-sized top-k, this window is BOUNDED by
+    construction: each partition holds exactly K rows (one per
+    broadcast centroid) per query, independent of corpus size — no
+    salting needed. Ties break on centroid id; scores round to 6 digits
+    for engine-portable probe choice (same contract as ivf_assign).
+    """
+    c = centroids.select(
+        F.col(centroid_id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        F.expr(norm_expr(vec_col)).alias("__cn"),
+    )
+    scored = queries.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.expr(norm_expr(vec_col)).alias("__vn"),
+    ).crossJoin(F.broadcast(c))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(
+            F.round(
+                F.expr(
+                    f"({dot_expr('__v', '__cv')}) / nullif(__vn * __cn, cast(0 as double))"
+                ),
+                6,
+            )
+        ),
+        F.asc("__cid"),
+    )
+    return (
+        scored.withColumn("__pr", F.row_number().over(w))
+        .where(F.col("__pr") <= nprobe)
+        .select(
+            F.col(id_col),
+            F.col("__cid").alias(centroid_id_col),
+            F.col("__pr").cast("long").alias("probe_rank"),
+        )
+    )
+
+
 def kmeans_update(
     df: DataFrame,
     assignments: DataFrame,
@@ -212,9 +261,12 @@ def ivf_topk(
     id_col: str = "vec_id",
     k: int = 10,
     round_digits: int = 4,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-bucketed approximate top-k: each query searches only the cell
-    of its own nearest centroid (nprobe=1). Output like
+    """IVF-bucketed approximate top-k: each query searches the cells of
+    its ``nprobe`` nearest centroids (multi-probe raises recall at
+    nprobe/K of brute-force cost; each corpus vector lives in exactly
+    one cell, so probes never produce duplicate candidates). Output like
     :func:`brute_force_topk`; recall < 1 by design — the approximation
     is the documented trade. The final per-query rank is salted
     two-phase (see :func:`brute_force_topk`) so a hot cell never pins
@@ -226,7 +278,12 @@ def ivf_topk(
         F.expr(norm_expr(vec_col)).alias("__cn"),
         F.col("centroid_id").alias("__ccell"),
     )
-    q_assign = ivf_assign(queries, centroids, vec_col, id_col)
+    if nprobe <= 1:
+        q_assign = ivf_assign(queries, centroids, vec_col, id_col)
+    else:
+        q_assign = ivf_probes(
+            queries, centroids, vec_col, id_col, nprobe=nprobe
+        ).drop("probe_rank")
     q = (
         queries.join(q_assign, id_col)
         .select(

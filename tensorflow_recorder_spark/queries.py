@@ -1091,6 +1091,70 @@ SELECT * FROM ranked WHERE rank <= 10
 """
 
 
+def q_e2_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF top-k (nprobe=2): each query searches its TWO
+    nearest centroids' cells — higher recall than nprobe=1 at 2/K of
+    brute-force cost."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = similarity.ivf_topk(
+        emb, centroids, emb.where(F.col("vec_id") < 5), k=10, nprobe=2
+    )
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+ORACLE_E2_IVF_TOPK_NPROBE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e, sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+cell_scored AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         round(list_aggregate(list_transform(list_zip(v.e, c.e),
+               p -> p[1] * p[2]), 'sum') / (v.nrm * c.nrm), 6) AS score
+  FROM norms v JOIN norms c ON c.vec_id < 8
+),
+cassign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                ORDER BY score DESC, centroid_id) AS rn
+    FROM cell_scored
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                ORDER BY score DESC, centroid_id) AS rn
+    FROM cell_scored WHERE vec_id < 5
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         round(list_aggregate(list_transform(list_zip(q.e, v.e),
+               p -> p[1] * p[2]), 'sum') / (q.nrm * v.nrm), 4) AS score
+  FROM norms q
+  JOIN qprobe qp ON qp.vec_id = q.vec_id
+  JOIN cassign va ON va.centroid_id = qp.centroid_id
+  JOIN norms v ON v.vec_id = va.vec_id AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 10
+"""
+
+
 # =====================================================================
 # E3 text analysis
 # =====================================================================
@@ -1771,6 +1835,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a6_vocabulary_tokens": q_a6_vocabulary_tokens,
     "e1_dup_clusters": q_e1_dup_clusters,
     "e1_fuzzy_dedup": q_e1_fuzzy_dedup,
+    "e2_ivf_topk_nprobe": q_e2_ivf_topk_nprobe,
 }
 
 ORACLES: dict[str, str] = {
@@ -1784,6 +1849,7 @@ ORACLES: dict[str, str] = {
     "a6_vocabulary_tokens": ORACLE_A6_VOCAB_TOKENS,
     "e1_dup_clusters": _oracle_dup_clusters(),
     "e1_fuzzy_dedup": _oracle_fuzzy_dedup(),
+    "e2_ivf_topk_nprobe": ORACLE_E2_IVF_TOPK_NPROBE,
     "t1_csv_serialize": ORACLE_T1,
     "t2_typed_projection": ORACLE_T2,
     "rel_pricing_summary": ORACLE_REL_Q1,

@@ -393,3 +393,30 @@ def test_fuzzy_dedup_keeps_canonical_and_unpaired(spark):
         r["doc_id"] for r in dedup.fuzzy_dedup(docs, "text", "doc_id").collect()
     )
     assert kept == [1, 3]
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=10).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(
+                emb, centroids, queries, k=10, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1  # more probes never lose recall
+    assert r2 > 0.2  # and find a reasonable share of true neighbors

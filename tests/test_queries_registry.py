@@ -45,6 +45,7 @@ def test_driver_window_holds_all_unique_queries():
         # round-2 additions beyond the 50-slot driver window
         "e1_dup_clusters",
         "e1_fuzzy_dedup",
+        "e2_ivf_topk_nprobe",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
