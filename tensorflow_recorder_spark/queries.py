@@ -1703,6 +1703,75 @@ FROM sid GROUP BY user_id, session_seq
 """
 
 
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the nanos-ts normalization
+    shared by every S query."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.parque[t]")
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def _drain_to_memory(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
+    spark = stream_df.sparkSession
+    if any(t.name == name for t in spark.catalog.listTables()):
+        spark.catalog.dropTempView(name)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_s3_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): first event
+    per (user_id, event_type) key; declared output is the surviving KEY
+    set, which is deterministic regardless of which physical row arrived
+    first."""
+    from .streaming.stateful import streaming_dedup
+
+    deduped = streaming_dedup(
+        _event_stream(spark, sf_dir), ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    return _drain_to_memory(deduped, "stream_dedup_sink", "append")
+
+
+ORACLE_S3_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def q_s4_stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming aggregation via applyInPandasWithState:
+    per-user running (count, min, max) accumulators in the state store.
+    Update mode re-emits running totals per micro-batch; the final
+    per-user row is recovered with order-independent aggregates (max of
+    running count, min/max of running extrema), so the result is
+    deterministic however the source batches."""
+    from .streaming.stateful import streaming_user_stats
+
+    stats = streaming_user_stats(_event_stream(spark, sf_dir))
+    table = _drain_to_memory(stats, "stream_user_stats_sink", "update")
+    return table.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+ORACLE_S4_STREAM_USER_STATS = """
+SELECT user_id, count(*) AS n_events,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
 # =====================================================================
 # E5 multimodal columns (binary payload + typed metadata; stub codecs —
 # the runtime has no PIL/ffmpeg — but the Spark plumbing is real)
@@ -1836,6 +1905,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_dup_clusters": q_e1_dup_clusters,
     "e1_fuzzy_dedup": q_e1_fuzzy_dedup,
     "e2_ivf_topk_nprobe": q_e2_ivf_topk_nprobe,
+    "s3_stream_dedup": q_s3_stream_dedup,
+    "s4_stream_user_stats": q_s4_stream_user_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -1850,6 +1921,8 @@ ORACLES: dict[str, str] = {
     "e1_dup_clusters": _oracle_dup_clusters(),
     "e1_fuzzy_dedup": _oracle_fuzzy_dedup(),
     "e2_ivf_topk_nprobe": ORACLE_E2_IVF_TOPK_NPROBE,
+    "s3_stream_dedup": ORACLE_S3_STREAM_DEDUP,
+    "s4_stream_user_stats": ORACLE_S4_STREAM_USER_STATS,
     "t1_csv_serialize": ORACLE_T1,
     "t2_typed_projection": ORACLE_T2,
     "rel_pricing_summary": ORACLE_REL_Q1,

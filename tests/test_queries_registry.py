@@ -46,6 +46,8 @@ def test_driver_window_holds_all_unique_queries():
         "e1_dup_clusters",
         "e1_fuzzy_dedup",
         "e2_ivf_topk_nprobe",
+        "s3_stream_dedup",
+        "s4_stream_user_stats",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

@@ -100,3 +100,66 @@ def test_convert_stream_foreachbatch(spark, tmp_path):
     assert {r["label"] for r in splits["TRAIN"].collect()} == {0}  # cat -> 0
     test_rows = splits["TEST"].collect()
     assert test_rows[0]["label"] == -1  # goat absent from TRAIN vocab -> OOV
+
+
+def test_streaming_dedup_suppresses_duplicates(spark, tmp_path):
+    from tensorflow_recorder_spark.streaming.stateful import streaming_dedup
+
+    rows = [
+        Row(event_id=1, ts="2024-01-01 10:00:00", user_id=1, event_type="a"),
+        Row(event_id=2, ts="2024-01-01 10:01:00", user_id=1, event_type="a"),
+        Row(event_id=3, ts="2024-01-01 10:02:00", user_id=1, event_type="b"),
+        Row(event_id=4, ts="2024-01-01 10:03:00", user_id=2, event_type="a"),
+    ]
+    src = str(tmp_path / "dd_src")
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = _run_to_memory(
+        spark,
+        streaming_dedup(stream, ["user_id", "event_type"]).select(
+            "user_id", "event_type"
+        ),
+        "dedup_out",
+    )
+    got = {(r["user_id"], r["event_type"]) for r in out.collect()}
+    assert got == {(1, "a"), (1, "b"), (2, "a")}
+    assert out.count() == 3  # the duplicate (1, a) emitted once
+
+
+def test_streaming_user_stats_state_spans_batches(spark, tmp_path):
+    """applyInPandasWithState must ACCUMULATE across micro-batches:
+    two source files + maxFilesPerTrigger=1 force two batches; the final
+    emission carries totals over both."""
+    from tensorflow_recorder_spark.streaming.stateful import streaming_user_stats
+
+    src = str(tmp_path / "us_src")
+    mk = lambda rows: spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch1 = mk([Row(event_id=1, ts="2024-01-01 10:00:00", user_id=1,
+                     event_type="a", value=5.0)])
+    batch2 = mk([
+        Row(event_id=2, ts="2024-01-01 10:01:00", user_id=1, event_type="a", value=1.0),
+        Row(event_id=3, ts="2024-01-01 10:02:00", user_id=1, event_type="b", value=9.0),
+    ])
+    batch1.write.parquet(src)
+    batch2.write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_to_memory(spark, streaming_user_stats(stream), "us_out", mode="update")
+    final = (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n"),
+            F.min("min_value").alias("mn"),
+            F.max("max_value").alias("mx"),
+        )
+        .collect()[0]
+    )
+    assert (final["n"], final["mn"], final["mx"]) == (3, 1.0, 9.0)
+    # update mode re-emitted at least once per batch that touched user 1
+    assert out.where(F.col("user_id") == 1).count() >= 2
