@@ -253,6 +253,46 @@ def kmeans_update(
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed Lloyd iteration driver loop (the IVF training phase):
+    deterministic seeding from the k lowest-id vectors, then
+    ``iterations`` rounds of :func:`ivf_assign` (broadcast centroids,
+    partial-agg argmax) + :func:`kmeans_update` (posexplode partial-agg
+    means). Assignment is by cosine, which is scale-invariant in the
+    centroid, so the un-normalized mean update follows the spherical
+    k-means trajectory exactly.
+
+    ``localCheckpoint`` truncates lineage every round — without it each
+    iteration's plan embeds the previous centroids several times and
+    planning blows up combinatorially (same pitfall as
+    ``dedup.duplicate_clusters``). Per round the driver holds only the
+    checkpoint handle; centroid data stays distributed (K x D values).
+    Returns the final (centroid_id, embedding, n_members); clusters that
+    lose all members drop out (their id disappears), matching Lloyd on
+    empty-cluster-drop semantics.
+    """
+    centroids = (
+        df.orderBy(F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+        .localCheckpoint(eager=True)
+    )
+    result = centroids.withColumn("n_members", F.lit(0).cast("long"))
+    for _ in range(iterations):
+        assign = ivf_assign(df, centroids, vec_col, id_col)
+        result = kmeans_update(df, assign, vec_col, id_col).localCheckpoint(
+            eager=True
+        )
+        centroids = result.select("centroid_id", vec_col)
+    return result
+
+
 def ivf_topk(
     df: DataFrame,
     centroids: DataFrame,

@@ -1107,6 +1107,85 @@ def q_e2_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e2_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full Lloyd iterations (seed = 8 lowest-id vectors), centroids
+    posexploded to scalar rows. Exercises the iterative driver loop with
+    checkpointed lineage — the IVF training path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    fitted = similarity.kmeans_fit(emb, k=8, iterations=2)
+    return fitted.select(
+        "centroid_id", "n_members", F.posexplode("embedding").alias("dim", "value")
+    ).select(
+        "centroid_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("value", 6).alias("value"),
+        "n_members",
+    )
+
+
+ORACLE_E2_KMEANS_FIT = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e, sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+s1 AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         round(list_aggregate(list_transform(list_zip(v.e, c.e),
+               p -> p[1] * p[2]), 'sum') / (v.nrm * c.nrm), 6) AS score
+  FROM norms v JOIN norms c ON c.vec_id < 8
+),
+a1 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                ORDER BY score DESC, centroid_id) AS rn
+    FROM s1
+  ) WHERE rn = 1
+),
+d1 AS (
+  SELECT a.centroid_id, e.e AS emb,
+         unnest(generate_series(1, len(e.e))) AS dim
+  FROM e JOIN a1 a ON e.vec_id = a.vec_id
+),
+m1 AS (SELECT centroid_id, dim, avg(emb[dim]) AS m FROM d1 GROUP BY 1, 2),
+c1 AS (
+  SELECT centroid_id, list(m ORDER BY dim) AS ce FROM m1 GROUP BY centroid_id
+),
+c1n AS (
+  SELECT centroid_id, ce,
+         sqrt(list_aggregate(list_transform(ce, x -> x * x), 'sum')) AS cn
+  FROM c1
+),
+s2 AS (
+  SELECT v.vec_id, c.centroid_id,
+         round(list_aggregate(list_transform(list_zip(v.e, c.ce),
+               p -> p[1] * p[2]), 'sum') / (v.nrm * c.cn), 6) AS score
+  FROM norms v CROSS JOIN c1n c
+),
+a2 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                ORDER BY score DESC, centroid_id) AS rn
+    FROM s2
+  ) WHERE rn = 1
+),
+d2 AS (
+  SELECT a.centroid_id, e.e AS emb,
+         unnest(generate_series(1, len(e.e))) AS dim
+  FROM e JOIN a2 a ON e.vec_id = a.vec_id
+),
+m2 AS (
+  SELECT centroid_id, dim, avg(emb[dim]) AS m, count(*) AS n
+  FROM d2 GROUP BY 1, 2
+)
+SELECT centroid_id, CAST(dim - 1 AS BIGINT) AS dim,
+       round(m, 6) AS value, n AS n_members
+FROM m2
+"""
+
+
 ORACLE_E2_IVF_TOPK_NPROBE = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 norms AS (
@@ -1907,6 +1986,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_ivf_topk_nprobe": q_e2_ivf_topk_nprobe,
     "s3_stream_dedup": q_s3_stream_dedup,
     "s4_stream_user_stats": q_s4_stream_user_stats,
+    "e2_kmeans_fit": q_e2_kmeans_fit,
 }
 
 ORACLES: dict[str, str] = {
@@ -1923,6 +2003,7 @@ ORACLES: dict[str, str] = {
     "e2_ivf_topk_nprobe": ORACLE_E2_IVF_TOPK_NPROBE,
     "s3_stream_dedup": ORACLE_S3_STREAM_DEDUP,
     "s4_stream_user_stats": ORACLE_S4_STREAM_USER_STATS,
+    "e2_kmeans_fit": ORACLE_E2_KMEANS_FIT,
     "t1_csv_serialize": ORACLE_T1,
     "t2_typed_projection": ORACLE_T2,
     "rel_pricing_summary": ORACLE_REL_Q1,

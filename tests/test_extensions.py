@@ -420,3 +420,39 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     r1, r2 = recall(1), recall(2)
     assert r2 >= r1  # more probes never lose recall
     assert r2 > 0.2  # and find a reasonable share of true neighbors
+
+
+def test_kmeans_fit_objective_non_decreasing(spark):
+    """Cosine assignment is centroid-scale-invariant, so mean updates
+    follow the spherical k-means trajectory: the summed best-cosine
+    objective must not decrease across iterations."""
+    from pyspark.sql import functions as F
+    from tensorflow_recorder_spark.operators.similarity import (
+        cosine_expr,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def objective(centroids):
+        c = centroids.select(
+            F.col("centroid_id"), F.col("embedding").alias("ce")
+        )
+        scored = emb.crossJoin(F.broadcast(c)).select(
+            "vec_id", F.expr(cosine_expr("embedding", "ce")).alias("cos")
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.max("cos").alias("best"))
+            .agg(F.sum("best"))
+            .collect()[0][0]
+        )
+
+    prev = None
+    for iters in (1, 2, 3):
+        fitted = kmeans_fit(emb, k=8, iterations=iters)
+        assert fitted.count() <= 8
+        obj = objective(fitted)
+        if prev is not None:
+            assert obj >= prev - 1e-9, (iters, prev, obj)
+        prev = obj

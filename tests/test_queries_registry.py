@@ -48,6 +48,7 @@ def test_driver_window_holds_all_unique_queries():
         "e2_ivf_topk_nprobe",
         "s3_stream_dedup",
         "s4_stream_user_stats",
+        "e2_kmeans_fit",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
