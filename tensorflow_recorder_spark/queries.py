@@ -1675,15 +1675,7 @@ def q_s1_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the whole point of declaring this one."""
     from .streaming.windows import streaming_hourly_rollup
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file stream source requires a directory or a glob; the trailing
-    # character class makes the single file a glob with the dir as basePath
-    stream = (
-        spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.parque[t]")
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = _event_stream(spark, sf_dir)
     # decimal value keeps the multi-row sum exact (order-independent)
     rolled = streaming_hourly_rollup(
         stream.withColumn("value", F.col("value").cast("decimal(18,6)"))
@@ -1693,18 +1685,7 @@ def q_s1_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("sum_value").cast("double").alias("sum_value"),
     )
-    name = "stream_hourly_rollup_sink"
-    if any(t.name == name for t in spark.catalog.listTables()):
-        spark.catalog.dropTempView(name)
-    q = (
-        rolled.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_to_memory(rolled, "stream_hourly_rollup_sink", "complete")
 
 
 ORACLE_S1_STREAM_HOURLY = """
@@ -1729,13 +1710,7 @@ def q_s2_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01 hash match confirms none occurs.)"""
     from .streaming.windows import streaming_sessionize
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.parque[t]")
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = _event_stream(spark, sf_dir)
     sess = streaming_sessionize(
         stream.withColumn("value", F.col("value").cast("decimal(18,6)")),
         gap_minutes=30,
@@ -1745,18 +1720,7 @@ def q_s2_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("sum_value").cast("double").alias("sum_value"),
     )
-    name = "stream_sessionize_sink"
-    if any(t.name == name for t in spark.catalog.listTables()):
-        spark.catalog.dropTempView(name)
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain_to_memory(sess, "stream_sessionize_sink", "complete")
 
 
 # Batch formulation of gap-sessionization — equivalent to session_window
