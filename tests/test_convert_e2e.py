@@ -153,3 +153,24 @@ def test_logfile_written_and_copied(spark, image_pdf, tmp_path):
     copied = os.path.join(result["tfrecord_dir"], "tfrecorder-spark.log")
     assert os.path.exists(copied)
     assert "convert job" in open(copied).read()
+
+
+def test_convert_from_jsonl(spark, tmp_path):
+    """JSONL corpus -> TFRecords end to end (extension source format)."""
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"split": "TRAIN", "label": "cat", "note": "a"}\n'
+        '{"split": "TRAIN", "label": "goat", "note": "b"}\n'
+        '{"split": "TEST", "label": "cat", "note": "c"}\n'
+    )
+    schema = trs.Schema(
+        OrderedDict(
+            [("split", tt.SplitKey), ("label", tt.StringLabel), ("note", tt.StringInput)]
+        )
+    )
+    result = trs.convert(
+        str(p), output_dir=str(tmp_path / "out"), schema=schema, spark=spark
+    )
+    assert result["metrics"]["rows"] == 3
+    splits = trs.load(result["tfrecord_dir"], spark=spark)
+    assert splits["TRAIN"].count() == 2 and splits["TEST"].count() == 1

@@ -73,3 +73,37 @@ def test_image_directory_scan(spark, tmp_path):
         ("TEST", "cat", "c.png"),
         ("FOO", "cat", "d.png"),
     }
+
+
+def test_to_dataframe_jsonl(spark, tmp_path):
+    from tensorflow_recorder_spark.sources.dispatch import to_dataframe
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"split": "TRAIN", "label": "cat", "x": 1}\n'
+        '{"split": "TEST", "label": "goat", "x": 2}\n'
+    )
+    df = to_dataframe(spark, str(p))
+    assert set(df.columns) == {"split", "label", "x"}
+    assert df.count() == 2
+    # names projects/reorders
+    df2 = to_dataframe(spark, str(p), names=["label", "split"])
+    assert df2.columns == ["label", "split"]
+
+
+def test_to_dataframe_parquet(spark, tmp_path):
+    from tensorflow_recorder_spark.sources.dispatch import to_dataframe
+
+    src = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.parquet(src)
+    df = to_dataframe(spark, src)
+    assert df.count() == 2 and set(df.columns) == {"id", "v"}
+
+
+def test_to_dataframe_rejects_unknown(spark):
+    import pytest as _pytest
+
+    from tensorflow_recorder_spark.sources.dispatch import to_dataframe
+
+    with _pytest.raises(ValueError):
+        to_dataframe(spark, "/no/such/thing.xyz")
