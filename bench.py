@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "e4_sessionize",
     "e4_asof_latest",
     "e4_sliding_window",
+    # round-2 operators
+    "a6_vocabulary_tokens",
+    "e2_ivf_topk_nprobe",
+    "e1_fuzzy_dedup",
 ]
 
 

@@ -353,3 +353,89 @@ def ivf_topk(
         rank_alias="rank",
         salt_on="neighbor_id",
     )
+
+
+# ------------------------------------------------- materialized IVF index
+
+
+def write_ivf_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF layout: assign every vector to its cell and
+    write parquet ``partitionBy(centroid_id)``. This is the storage half
+    of the ANN scale story — a probe against the written index reads
+    ONLY its cells' directories (partition-pruned scan), so at 100 TB
+    the I/O cost of a query is nprobe/K of the corpus, enforced by the
+    layout rather than by a filter the scan may or may not push."""
+    assign = ivf_assign(df, centroids, vec_col, id_col)
+    (
+        df.join(assign, id_col)
+        .write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    index: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    round_digits: int = 4,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Top-k probe against a materialized IVF index (the read half of
+    :func:`write_ivf_index`; ``index`` = ``spark.read.parquet(path)``).
+
+    The probe cells join the index on the PARTITION column via a
+    broadcast, so Spark's dynamic partition pruning restricts the scan
+    to the probed directories — no probe-cell ids ever reach the driver.
+    Scoring and the salted two-phase rank are identical to
+    :func:`ivf_topk`, so results match the non-materialized path.
+    """
+    if nprobe <= 1:
+        probes = ivf_assign(queries, centroids, vec_col, id_col)
+    else:
+        probes = ivf_probes(queries, centroids, vec_col, id_col, nprobe=nprobe).drop(
+            "probe_rank"
+        )
+    q = queries.join(probes, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.expr(norm_expr(vec_col)).alias("__qn"),
+        F.col("centroid_id").alias("__qcell"),
+    )
+    corpus = index.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.expr(norm_expr(vec_col)).alias("__cn"),
+        F.col("centroid_id").alias("__ccell"),
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col("__ccell") == F.col("__qcell"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(
+                    f"({dot_expr('__qv', '__cv')}) / nullif(__qn * __cn, cast(0 as double))"
+                ),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    return salted_topk_per_key(
+        scored,
+        key_cols=["query_id"],
+        order_by=[F.desc("score"), F.asc("neighbor_id")],
+        k=k,
+        rank_alias="rank",
+        salt_on="neighbor_id",
+    )

@@ -456,3 +456,43 @@ def test_kmeans_fit_objective_non_decreasing(spark):
         if prev is not None:
             assert obj >= prev - 1e-9, (iters, prev, obj)
         prev = obj
+
+
+def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
+    """Materialized IVF index: partitionBy(centroid_id) layout, probe
+    matches the non-materialized path, and the probe scan is
+    partition-pruned (dynamic pruning from the broadcast probe side)."""
+    import contextlib
+    import io
+    import os
+
+    from pyspark.sql import functions as F
+    from tensorflow_recorder_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, centroids, path)
+    # physical layout: one directory per cell
+    assert any(d.startswith("centroid_id=") for d in os.listdir(path))
+
+    index = spark.read.parquet(path)
+    got = ivf_topk_indexed(index, centroids, queries, k=5, nprobe=2)
+    want = ivf_topk(emb, centroids, queries, k=5, nprobe=2)
+    as_set = lambda df: {
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in df.collect()
+    }
+    assert as_set(got) == as_set(want)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan or "PartitionFilters: [isnotnull(centroid_id" in plan
