@@ -863,9 +863,15 @@ def q_e1_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_e1_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters: connected components (iterative
-    min-label propagation) over the LSH-verified pair graph. cluster_id
-    is the minimum doc_id reachable — the canonical member."""
-    pairs = dedup.lsh_verified_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    min-label propagation) over the LSH-verified pair graph at the
+    dedup policy point (est >= 0.5, verified Jaccard >= 0.5 — a
+    remove-near-duplicates setting; the looser 0.25/0.3 surface stays
+    declared as e1_lsh_verified). cluster_id is the minimum doc_id
+    reachable — the canonical member."""
+    pairs = dedup.lsh_verified_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        min_est_jaccard=0.5, threshold=0.5,
+    )
     clusters = dedup.duplicate_clusters(pairs)
     return clusters.select(
         F.col("id").cast("long").alias("doc_id"),
@@ -875,7 +881,7 @@ def q_e1_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_dup_clusters() -> str:
     return f"""
-WITH RECURSIVE verified AS ({_oracle_lsh_verified()}),
+WITH RECURSIVE verified AS ({_oracle_lsh_verified(0.5, 0.5)}),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM verified
   UNION
@@ -892,9 +898,13 @@ FROM reach GROUP BY id
 
 
 def q_e1_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full fuzzy-dedup pipeline: LSH-verified pairs -> clusters -> keep
-    each cluster's canonical (min-id) doc plus all unpaired docs."""
-    out = dedup.fuzzy_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    """Full fuzzy-dedup pipeline at the dedup policy point (Jaccard >=
+    0.5): LSH-verified pairs -> clusters -> keep each cluster's
+    canonical (min-id) doc plus all unpaired docs."""
+    out = dedup.fuzzy_dedup(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        min_est_jaccard=0.5, threshold=0.5,
+    )
     return out.select("doc_id")
 
 
@@ -906,9 +916,9 @@ WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
 """
 
 
-def _oracle_lsh_verified() -> str:
+def _oracle_lsh_verified(min_est: float = 0.25, threshold: float = 0.3) -> str:
     return f"""
-WITH pairs AS ({_oracle_lsh_pairs()}),
+WITH pairs AS ({_oracle_lsh_pairs(min_est)}),
 sh AS (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)),
@@ -920,7 +930,7 @@ SELECT p.id_a, p.id_b, p.est_jaccard,
              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
 FROM pairs p JOIN sh a ON p.id_a = a.doc_id JOIN sh b ON p.id_b = b.doc_id
 WHERE len(list_intersect(a.s, b.s))::DOUBLE
-      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {threshold}
 """
 
 

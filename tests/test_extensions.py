@@ -356,26 +356,31 @@ def test_asof_join_matches_latest_prior_right_row(spark):
     assert out[3] is None  # user 2 has no purchase before 09:00
 
 
-def test_duplicate_clusters_transitive(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("threshold", [1_000_000, 0])  # driver path / distributed path
+def test_duplicate_clusters_transitive(spark, threshold):
     # A~B, B~C chain plus an isolated pair D~E: {A,B,C} -> A, {D,E} -> D.
     pairs = spark.createDataFrame(
         [(2, 1), (2, 3), (5, 4)], "id_a long, id_b long"
     )
     got = {
         (r["id"], r["cluster_id"])
-        for r in dedup.duplicate_clusters(pairs).collect()
+        for r in dedup.duplicate_clusters(pairs, driver_threshold=threshold).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)}
 
 
-def test_duplicate_clusters_long_chain_converges(spark):
+@_pytest.mark.parametrize("threshold", [1_000_000, 0])
+def test_duplicate_clusters_long_chain_converges(spark, threshold):
     # 0-1-2-...-9 path: diameter 9, min-label must reach the far end.
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(9)], "id_a long, id_b long"
     )
     got = {
         (r["id"], r["cluster_id"])
-        for r in dedup.duplicate_clusters(pairs).collect()
+        for r in dedup.duplicate_clusters(pairs, driver_threshold=threshold).collect()
     }
     assert got == {(i, 0) for i in range(10)}
 

@@ -15,6 +15,11 @@ PKG = pathlib.Path(__file__).resolve().parent.parent / "tensorflow_recorder_spar
 
 # file -> (max occurrences, why each is bounded)
 ALLOWED = {
+    "operators/dedup.py": (
+        1,
+        "duplicate_clusters small-graph path: collect gated by an "
+        "explicit counted edge threshold (driver_threshold)",
+    ),
     "plans/convert.py": (1, "single metrics row (one global agg)"),
     "sinks/tfrecord.py": (2, "per-shard manifest rows (num shards, not data)"),
     "sinks/artifacts.py": (1, "fitted vocabulary (bounded by top_k)"),
