@@ -36,6 +36,22 @@ def main(argv: list[str] | None = None) -> int:
         help="path to a schema JSON file ({column: type_name}, the format "
         "Schema.to_json writes); defaults to the image-CSV schema",
     )
+    p_convert.add_argument(
+        "--header",
+        default="infer",
+        help="CSV header handling: 'infer' (default), 0, or 'none'",
+    )
+    p_convert.add_argument(
+        "--names",
+        default=None,
+        help="comma-separated column names overriding/assigning the header",
+    )
+    p_convert.add_argument("--job_label", default="convert")
+    p_convert.add_argument(
+        "--scale_numeric",
+        action="store_true",
+        help="z-score numeric input columns with TRAIN-fitted stats",
+    )
 
     p_inspect = sub.add_parser("inspect", help="dump rows from TFRecords")
     p_inspect.add_argument("--tfrecord_dir", required=True)
@@ -51,11 +67,21 @@ def main(argv: list[str] | None = None) -> int:
 
             with open(args.schema) as fh:
                 kwargs["schema"] = Schema.from_json(fh.read())
+        if args.names:
+            kwargs["names"] = [n.strip() for n in args.names.split(",")]
+        header = args.header
+        if header in ("none", ""):
+            header = None
+        elif header != "infer":
+            header = int(header)
         result = api.convert(
             args.input_data,
             output_dir=args.output_dir,
             compression=None if args.compression in ("", "none") else args.compression,
             num_shards=args.num_shards,
+            header=header,
+            job_label=args.job_label,
+            scale_numeric=args.scale_numeric,
             **kwargs,
         )
         print(json.dumps(result))
