@@ -774,3 +774,75 @@ def fuzzy_dedup(
         F.col("id").alias(id_col)
     )
     return df.join(dupes, id_col, "left_anti")
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+    num_bits: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs within a Hamming ball over SimHash
+    fingerprints (E1) — the bit-space analog of MinHash LSH.
+
+    The ``num_bits``-bit fingerprint splits into ``bands`` equal bit
+    slices; by pigeonhole any pair with hamming distance <= bands-1
+    agrees exactly on at least one slice, so candidates come from an
+    ordinary equi-join on (band_idx, slice_value) — sub-quadratic, AQE
+    skew-splittable — and the verify is one ``bit_count(xor)`` per
+    candidate. Exact recall requires ``max_hamming <= bands - 1``
+    (asserted); duplicates from multi-band agreement are removed by the
+    same first-matching-band filter as :func:`lsh_candidate_pairs` (no
+    ``distinct()`` shuffle). Output: (id_a, id_b, hamming).
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming "
+            f"(got bands={bands}) for exact recall"
+        )
+    width = num_bits // bands
+    sims = simhash(df, text_col, id_col)
+    band_structs = [
+        f"struct({b} as band_idx, "
+        f"(simhash div {1 << (b * width)}) % {1 << width} as band_key)"
+        for b in range(bands)
+    ]
+    banded = sims.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.expr("array(" + ", ".join(band_structs) + ")")).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_key")
+    left = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("__sa"),
+        "band_idx",
+        "band_key",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("__sb"),
+        "band_idx",
+        "band_key",
+    )
+
+    def band_agrees(b: int):
+        return F.expr(
+            f"(__sa div {1 << (b * width)}) % {1 << width} = "
+            f"(__sb div {1 << (b * width)}) % {1 << width}"
+        )
+
+    not_earlier = F.lit(True)
+    for b in range(bands - 1):
+        not_earlier = not_earlier & ~((F.col("band_idx") > b) & band_agrees(b))
+    return (
+        left.join(right, ["band_idx", "band_key"])
+        .where((F.col("id_a") < F.col("id_b")) & not_earlier)
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("bit_count(__sa ^ __sb)").cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

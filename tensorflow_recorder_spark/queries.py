@@ -939,6 +939,31 @@ def q_e1_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_e1_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded bit-slice candidates + hamming <= 3
+    verify (exact within the ball since bands=4 > max_hamming)."""
+    return dedup.simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def _oracle_simhash_pairs() -> str:
+    sims = _oracle_simhash()
+    per_band = "\nUNION\n".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        f"CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+        f"FROM sims a JOIN sims b "
+        f"ON (a.simhash // {1 << (b * 4)}) % 16 = (b.simhash // {1 << (b * 4)}) % 16 "
+        f"AND a.doc_id < b.doc_id"
+        for b in range(4)
+    )
+    return f"""
+WITH sims AS ({sims})
+SELECT id_a, id_b, hamming FROM ({per_band})
+WHERE hamming <= 3
+"""
+
+
 def _oracle_simhash() -> str:
     toks = "list_distinct(regexp_split_to_array(lower(text), '\\s+'))"
     th = "('0x' || substr(md5(t), 1, 8))::BIGINT"
@@ -1961,6 +1986,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s3_stream_dedup": q_s3_stream_dedup,
     "s4_stream_user_stats": q_s4_stream_user_stats,
     "e2_kmeans_fit": q_e2_kmeans_fit,
+    "e1_simhash_pairs": q_e1_simhash_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1978,6 +2004,7 @@ ORACLES: dict[str, str] = {
     "s3_stream_dedup": ORACLE_S3_STREAM_DEDUP,
     "s4_stream_user_stats": ORACLE_S4_STREAM_USER_STATS,
     "e2_kmeans_fit": ORACLE_E2_KMEANS_FIT,
+    "e1_simhash_pairs": _oracle_simhash_pairs(),
     "t1_csv_serialize": ORACLE_T1,
     "t2_typed_projection": ORACLE_T2,
     "rel_pricing_summary": ORACLE_REL_Q1,

@@ -501,3 +501,23 @@ def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
         got.explain("formatted")
     plan = buf.getvalue()
     assert "dynamicpruning" in plan or "PartitionFilters: [isnotnull(centroid_id" in plan
+
+
+def test_simhash_neardup_pairs_finds_identical_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a completely different document about spark sql engines"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_neardup_pairs(docs, "text", "doc_id").collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got or got[(1, 3)] > 0
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        dedup.simhash_neardup_pairs(docs, "text", "doc_id", bands=2, max_hamming=3)

@@ -49,6 +49,7 @@ def test_driver_window_holds_all_unique_queries():
         "s3_stream_dedup",
         "s4_stream_user_stats",
         "e2_kmeans_fit",
+        "e1_simhash_pairs",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
