@@ -118,10 +118,13 @@ def asof_join(
     ts_col: str = "ts",
     right_cols: tuple[str, ...] = ("value",),
     suffix: str = "_asof",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: each left row gets the latest right row with
     ``right.ts <= left.ts`` for the same key (the trades/quotes
-    pattern).
+    pattern). ``tolerance_seconds`` bounds the lookback (pandas
+    ``merge_asof(tolerance=...)`` semantics): a match older than the
+    tolerance yields NULLs instead.
 
     Physical strategy — union + ordered window, the scalable as-of
     formulation: tag both inputs, union them, and carry the most recent
@@ -130,6 +133,8 @@ def asof_join(
     per-key scan — no per-row range probe, no nested-loop join, and
     skewed keys are one window partition (same profile as any ordered
     window, vs the quadratic blow-up a naive range join suffers).
+    The tolerance adds only a carried match-timestamp and one
+    post-window comparison — no plan-shape change.
     Right-side columns surface as ``<col><suffix>``; left rows with no
     prior right row get NULLs.
     """
@@ -138,6 +143,7 @@ def asof_join(
         *lcols,
         F.lit(1).alias("__side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("__r_ts"),
     )
     tagged_right = right.select(
         *[
@@ -146,6 +152,7 @@ def asof_join(
         ],
         F.lit(0).alias("__side"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(ts_col).alias("__r_ts"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     # right rows (side=0) sort before left rows at equal ts => ties are
@@ -162,8 +169,21 @@ def asof_join(
             F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
             for c in right_cols
         ],
+        F.last(F.col("__r_ts"), ignorenulls=True).over(w).alias("__m_ts"),
     )
-    return carried.where(F.col("__side") == 1).drop("__side")
+    out = carried.where(F.col("__side") == 1).drop("__side")
+    if tolerance_seconds is not None:
+        in_window = (
+            F.col(ts_col).cast("double") - F.col("__m_ts").cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+        out = out.select(
+            *lcols,
+            *[
+                F.when(in_window, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+                for c in right_cols
+            ],
+        )
+    return out.drop("__m_ts")
 
 
 def asof_latest(

@@ -1654,6 +1654,51 @@ FROM clicks c ASOF LEFT JOIN purch p
 """
 
 
+def q_e4_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a bounded lookback (pandas merge_asof tolerance
+    semantics): matches older than 1 hour yield NULL."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
+    )
+    joined = events.asof_join(
+        clicks,
+        purchases,
+        "user_id",
+        "ts",
+        right_cols=("purchase_value",),
+        tolerance_seconds=3600,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "purchase_value_asof",
+    )
+
+
+ORACLE_E4_ASOF_JOIN_TOLERANCE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, ts, max_by(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+            THEN p.purchase_value END AS purchase_value_asof
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 def q_e4_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props: JSON field extraction (JVM-side
     get_json_object, no UDF) + grouped rollup over the extracted key."""
@@ -1987,6 +2032,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s4_stream_user_stats": q_s4_stream_user_stats,
     "e2_kmeans_fit": q_e2_kmeans_fit,
     "e1_simhash_pairs": q_e1_simhash_pairs,
+    "e4_asof_join_tolerance": q_e4_asof_join_tolerance,
 }
 
 ORACLES: dict[str, str] = {
@@ -2005,6 +2051,7 @@ ORACLES: dict[str, str] = {
     "s4_stream_user_stats": ORACLE_S4_STREAM_USER_STATS,
     "e2_kmeans_fit": ORACLE_E2_KMEANS_FIT,
     "e1_simhash_pairs": _oracle_simhash_pairs(),
+    "e4_asof_join_tolerance": ORACLE_E4_ASOF_JOIN_TOLERANCE,
     "t1_csv_serialize": ORACLE_T1,
     "t2_typed_projection": ORACLE_T2,
     "rel_pricing_summary": ORACLE_REL_Q1,

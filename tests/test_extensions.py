@@ -521,3 +521,26 @@ def test_simhash_neardup_pairs_finds_identical_docs(spark):
 
     with _p.raises(ValueError):
         dedup.simhash_neardup_pairs(docs, "text", "doc_id", bands=2, max_hamming=3)
+
+
+def test_asof_join_tolerance(spark):
+    from pyspark.sql import functions as F
+    from tensorflow_recorder_spark.operators.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 12:00:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 5.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    no_tol = {r["event_id"]: r["value_asof"]
+              for r in asof_join(left, right, "user_id").collect()}
+    assert no_tol == {1: 5.0, 2: 5.0}
+    with_tol = {r["event_id"]: r["value_asof"]
+                for r in asof_join(left, right, "user_id",
+                                   tolerance_seconds=3600).collect()}
+    # 10:00 click is 30 min after the quote (within 1h); 12:00 is 2.5h after
+    assert with_tol == {1: 5.0, 2: None}

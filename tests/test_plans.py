@@ -86,3 +86,22 @@ def test_anti_join_stays_broadcast(spark):
     plan = plan_of(spark, "rel_anti_join")
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lsh_verify_joins_broadcast_shingle_sides(spark):
+    """The verify stage must broadcast both shingle sides below the
+    candidate-doc threshold: the shuffled formulation moves |pairs| x
+    shingle-array bytes twice and skews on duplicate-family hot ids."""
+    import contextlib
+    import io
+
+    from tensorflow_recorder_spark.operators.dedup import lsh_verified_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = lsh_verified_pairs(docs, "text", "doc_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

@@ -50,6 +50,7 @@ def test_driver_window_holds_all_unique_queries():
         "s4_stream_user_stats",
         "e2_kmeans_fit",
         "e1_simhash_pairs",
+        "e4_asof_join_tolerance",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
