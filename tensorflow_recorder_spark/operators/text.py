@@ -229,3 +229,32 @@ def corpus_filter(
         .where(F.col("__rn") == 1)
         .select(id_col, "fingerprint", "quality_score", "lang_pred")
     )
+
+
+def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Shannon entropy (bits/char) of each document's character
+    distribution (E3) — the cheap gibberish/boilerplate detector:
+    natural text sits ~4-4.5 bits, runs of one character near 0,
+    uniform noise near log2(alphabet).
+
+    Computed entirely in-row with higher-order functions: one
+    aggregate builds the per-document char->count map, a second sums
+    -p*log2(p) over the map values. No explode, no shuffle — a narrow
+    projection whatever the corpus size.
+    """
+    counts = (
+        f"aggregate(split({text_col}, ''), cast(map() as map<string,int>), "
+        f"(m, c) -> map_concat(map_filter(m, (k, v) -> k != c), "
+        f"map(c, coalesce(element_at(m, c), 0) + 1)))"
+    )
+    n = f"cast(length({text_col}) as double)"
+    entropy = (
+        f"aggregate(map_values({counts}), cast(0 as double), "
+        f"(acc, v) -> acc - (v / {n}) * log2(v / {n}))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(F.length(text_col) > 0, F.expr(entropy))
+        .otherwise(F.lit(0.0))
+        .alias("char_entropy"),
+    )

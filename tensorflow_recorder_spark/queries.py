@@ -1523,6 +1523,28 @@ GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 50
 # =====================================================================
 
 
+def q_e3_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (bits/char), computed in-row
+    with higher-order functions — no shuffle."""
+    out = text.char_entropy(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return out.select("doc_id", F.round("char_entropy", 6).alias("char_entropy"))
+
+
+ORACLE_E3_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c,
+         length(text) AS n
+  FROM documents WHERE length(text) > 0
+),
+freq AS (SELECT doc_id, c, n, count(*) AS cnt FROM chars GROUP BY doc_id, c, n)
+SELECT doc_id,
+       round(sum(-(cnt::DOUBLE / n) * log2(cnt::DOUBLE / n)), 6) AS char_entropy
+FROM freq GROUP BY doc_id
+UNION ALL
+SELECT doc_id, 0.0 AS char_entropy FROM documents WHERE length(text) = 0
+"""
+
+
 def q_e4_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     dec = F.col("value").cast("decimal(18,6)")
@@ -2033,6 +2055,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_kmeans_fit": q_e2_kmeans_fit,
     "e1_simhash_pairs": q_e1_simhash_pairs,
     "e4_asof_join_tolerance": q_e4_asof_join_tolerance,
+    "e3_char_entropy": q_e3_char_entropy,
 }
 
 ORACLES: dict[str, str] = {
@@ -2052,6 +2075,7 @@ ORACLES: dict[str, str] = {
     "e2_kmeans_fit": ORACLE_E2_KMEANS_FIT,
     "e1_simhash_pairs": _oracle_simhash_pairs(),
     "e4_asof_join_tolerance": ORACLE_E4_ASOF_JOIN_TOLERANCE,
+    "e3_char_entropy": ORACLE_E3_CHAR_ENTROPY,
     "t1_csv_serialize": ORACLE_T1,
     "t2_typed_projection": ORACLE_T2,
     "rel_pricing_summary": ORACLE_REL_Q1,

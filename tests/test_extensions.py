@@ -544,3 +544,18 @@ def test_asof_join_tolerance(spark):
                                    tolerance_seconds=3600).collect()}
     # 10:00 click is 30 min after the quote (within 1h); 12:00 is 2.5h after
     assert with_tol == {1: 5.0, 2: None}
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["char_entropy"]
+           for r in text.char_entropy(docs, "text", "doc_id").collect()}
+    assert got[1] == 0.0                       # one symbol: zero entropy
+    assert abs(got[2] - 1.0) < 1e-9            # two equiprobable symbols
+    assert abs(got[3] - 2.0) < 1e-9            # four equiprobable symbols
+    assert got[4] == 0.0                       # empty doc
