@@ -1523,6 +1523,32 @@ GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 50
 # =====================================================================
 
 
+def q_p2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling of documents by language
+    (class rebalancing): membership is a pure function of doc_id, so
+    the sample is identical across retries/engines."""
+    from .operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.5, "de": 0.25}, default_fraction=0.1
+    )
+    return out.select("doc_id", "lang")
+
+
+ORACLE_P2_STRATIFIED_SAMPLE = """
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+               ELSE 100000 END
+"""
+
+
 def q_e3_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy quality signal (bits/char), computed in-row
     with higher-order functions — no shuffle."""
@@ -2056,6 +2082,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_simhash_pairs": q_e1_simhash_pairs,
     "e4_asof_join_tolerance": q_e4_asof_join_tolerance,
     "e3_char_entropy": q_e3_char_entropy,
+    "p2_stratified_sample": q_p2_stratified_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -2076,6 +2103,7 @@ ORACLES: dict[str, str] = {
     "e1_simhash_pairs": _oracle_simhash_pairs(),
     "e4_asof_join_tolerance": ORACLE_E4_ASOF_JOIN_TOLERANCE,
     "e3_char_entropy": ORACLE_E3_CHAR_ENTROPY,
+    "p2_stratified_sample": ORACLE_P2_STRATIFIED_SAMPLE,
     "t1_csv_serialize": ORACLE_T1,
     "t2_typed_projection": ORACLE_T2,
     "rel_pricing_summary": ORACLE_REL_Q1,

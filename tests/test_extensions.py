@@ -559,3 +559,30 @@ def test_char_entropy_known_values(spark):
     assert abs(got[2] - 1.0) < 1e-9            # two equiprobable symbols
     assert abs(got[3] - 2.0) < 1e-9            # four equiprobable symbols
     assert got[4] == 0.0                       # empty doc
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from tensorflow_recorder_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).collect()}
+    assert s1 == s2  # reproducible
+    assert 0.15 < len(s1) / 2000 < 0.25  # ~fraction
+    bigger = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.5).collect()}
+    assert s1 <= bigger  # nested: growing the rate keeps existing rows
+    other_salt = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2, salt="v2").collect()}
+    assert other_salt != s1  # independent draw
+
+    from pyspark.sql import functions as F
+
+    strat = docs.withColumn(
+        "grp", F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b")
+    )
+    out = stratified_sample(strat, "grp", "doc_id", {"a": 1.0}, default_fraction=0.0)
+    got = {r["grp"] for r in out.collect()}
+    assert got == {"a"}
+    assert out.count() == 1000

@@ -52,6 +52,7 @@ def test_driver_window_holds_all_unique_queries():
         "e1_simhash_pairs",
         "e4_asof_join_tolerance",
         "e3_char_entropy",
+        "p2_stratified_sample",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
