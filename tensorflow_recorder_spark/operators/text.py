@@ -258,3 +258,69 @@ def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("char_entropy"),
     )
+
+
+def bigram_pmi(
+    df: DataFrame, text_col: str, min_count: int = 5, top_n: int = 50
+) -> DataFrame:
+    """Pointwise mutual information of corpus bigrams — the classic
+    collocation/phrase-detection signal: PMI(a,b) = log2(p(ab) /
+    (p(a)p(b))) with unigram probs over token count N1 and bigram probs
+    over bigram count N2.
+
+    Plan shape: two partial-aggregated counts (unigrams, bigrams — both
+    shuffles bounded by vocabulary, not corpus), the two scalar totals
+    ride along as broadcast single-row frames, and the bigram->unigram
+    joins hash on words. PMI is computed as log2 of ONE integer-derived
+    ratio (c_ab*N1*N1 / (N2*c_a*c_b)) so the double result is a single
+    division + log — engine-portable at 6-digit rounding. Output:
+    (gram, n, pmi), top-N by (pmi desc, gram asc) among bigrams with
+    n >= min_count.
+    """
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')"
+    tokens = df.select(F.explode(F.expr(toks)).alias("w"))
+    uni = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n1 = tokens.agg(F.count(F.lit(1)).alias("n1"))
+    grams = (
+        f"CASE WHEN size(__t) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size(__t) - 1), "
+        f"i -> struct(element_at(__t, i) as w1, element_at(__t, i + 1) as w2)) END"
+    )
+    bigrams = (
+        df.select(F.expr(toks).alias("__t"))
+        .select(F.explode(F.expr(grams)).alias("g"))
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    n2 = (
+        df.select(F.expr(f"greatest(size({toks}) - 1, 0)").alias("k"))
+        .agg(F.sum("k").alias("n2"))
+    )
+    a = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    b = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    joined = (
+        bigrams.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+    )
+    return (
+        joined.where(F.col("c_ab") >= min_count)
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("gram"),
+            F.col("c_ab").cast("long").alias("n"),
+            # cast-first products: integer c_ab*N1^2 overflows int64 at
+            # trillion-token corpora; identical double op order on the
+            # oracle side keeps 6-digit rounding stable
+            F.round(
+                F.log2(
+                    (F.col("c_ab").cast("double") * F.col("n1") * F.col("n1"))
+                    / (F.col("n2").cast("double") * F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("gram"))
+        .limit(top_n)
+    )

@@ -1523,6 +1523,39 @@ GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 50
 # =====================================================================
 
 
+def q_e3_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations over corpus bigrams (count >= 5, top 50 by PMI)."""
+    return text.bigram_pmi(_t(spark, sf_dir, "documents"), "text")
+
+
+ORACLE_E3_BIGRAM_PMI = """
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+words AS (SELECT unnest(t) AS w FROM toks),
+uni AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+n1 AS (SELECT count(*) AS n1 FROM words),
+bg AS (
+  SELECT unnest(CASE WHEN len(t) < 2 THEN []
+                ELSE list_transform(generate_series(1, len(t) - 1),
+                                    i -> struct_pack(w1 := t[i], w2 := t[i + 1])) END) AS g
+  FROM toks
+),
+bigrams AS (SELECT g.w1 AS w1, g.w2 AS w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+n2 AS (SELECT sum(greatest(len(t) - 1, 0)) AS n2 FROM toks)
+SELECT w1 || ' ' || w2 AS gram, CAST(c_ab AS BIGINT) AS n,
+       round(log2((c_ab::DOUBLE * n1.n1 * n1.n1)
+             / (n2.n2::DOUBLE * a.c * b.c)), 6) AS pmi
+FROM bigrams
+JOIN uni a ON bigrams.w1 = a.w
+JOIN uni b ON bigrams.w2 = b.w
+CROSS JOIN n1 CROSS JOIN n2
+WHERE c_ab >= 5
+ORDER BY pmi DESC, gram ASC LIMIT 50
+"""
+
+
 def q_p2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling of documents by language
     (class rebalancing): membership is a pure function of doc_id, so
@@ -2083,6 +2116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_asof_join_tolerance": q_e4_asof_join_tolerance,
     "e3_char_entropy": q_e3_char_entropy,
     "p2_stratified_sample": q_p2_stratified_sample,
+    "e3_bigram_pmi": q_e3_bigram_pmi,
 }
 
 ORACLES: dict[str, str] = {
@@ -2104,6 +2138,7 @@ ORACLES: dict[str, str] = {
     "e4_asof_join_tolerance": ORACLE_E4_ASOF_JOIN_TOLERANCE,
     "e3_char_entropy": ORACLE_E3_CHAR_ENTROPY,
     "p2_stratified_sample": ORACLE_P2_STRATIFIED_SAMPLE,
+    "e3_bigram_pmi": ORACLE_E3_BIGRAM_PMI,
     "t1_csv_serialize": ORACLE_T1,
     "t2_typed_projection": ORACLE_T2,
     "rel_pricing_summary": ORACLE_REL_Q1,

@@ -586,3 +586,17 @@ def test_hash_sample_deterministic_and_nested(spark):
     got = {r["grp"] for r in out.collect()}
     assert got == {"a"}
     assert out.count() == 1000
+
+
+def test_bigram_pmi_collocation_beats_chance(spark):
+    # "san francisco" always co-occurs; "the" pairs with everything.
+    docs = spark.createDataFrame(
+        [(i, "the city of san francisco is near the bay of the west") for i in range(5)]
+        + [(99, "the west and the bay and the city")],
+        "doc_id long, text string",
+    )
+    out = {r["gram"]: r["pmi"] for r in
+           text.bigram_pmi(docs, "text", min_count=5).collect()}
+    assert "san francisco" in out
+    # perfect collocation has higher PMI than a stopword-led bigram
+    assert out["san francisco"] > out.get("of the", float("-inf"))

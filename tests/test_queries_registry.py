@@ -53,6 +53,7 @@ def test_driver_window_holds_all_unique_queries():
         "e4_asof_join_tolerance",
         "e3_char_entropy",
         "p2_stratified_sample",
+        "e3_bigram_pmi",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
