@@ -439,3 +439,103 @@ def ivf_topk_indexed(
         rank_alias="rank",
         salt_on="neighbor_id",
     )
+
+
+# --------------------------------------------- random-hyperplane LSH ANN
+
+
+def rp_hyperplanes(dim: int, n_planes: int, seed: str = "rp") -> list[list[float]]:
+    """Deterministic +-1 random hyperplanes derived from md5(seed:plane:dim)
+    parity — the 'fitted' constants of sign-LSH. Pure data (no RNG
+    state), so both the Spark plan and the SQL oracle embed identical
+    literals and bucketing is engine-portable and retry-stable."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{seed}:{b}:{d}".encode()).digest()[0] % 2 == 0 else -1.0
+            for d in range(dim)
+        ]
+        for b in range(n_planes)
+    ]
+
+
+def _plane_lit(plane: list[float]) -> str:
+    return "array(" + ", ".join(f"cast({x} as double)" for x in plane) + ")"
+
+
+def rp_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    seed: str = "rp",
+) -> DataFrame:
+    """Attach the sign-LSH bucket id (0..2^n_planes-1): bit b is the
+    sign of dot(v, hyperplane_b). A narrow projection — the hyperplanes
+    are expression literals, nothing is broadcast or shuffled. Cosine-
+    similar vectors agree on most signs, so they collide with high
+    probability; n_planes trades bucket count (pruning) against recall.
+    """
+    planes = rp_hyperplanes(dim, n_planes, seed)
+    terms = [
+        f"(CASE WHEN ({dot_expr(vec_col, _plane_lit(p))}) >= 0 "
+        f"THEN {1 << b}L ELSE 0L END)"
+        for b, p in enumerate(planes)
+    ]
+    return df.withColumn("rp_bucket", F.expr(" + ".join(terms)))
+
+
+def rp_lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 4,
+    round_digits: int = 4,
+    seed: str = "rp",
+) -> DataFrame:
+    """Sign-LSH bucketed approximate top-k (the second ANN scale path
+    next to IVF): queries search only their own LSH bucket — an
+    equi-join on the bucket id over a corpus that never shuffles to
+    score, with the same salted two-phase final rank as
+    :func:`brute_force_topk`. Unlike IVF there is no centroid fit:
+    bucketing is stateless, so this is the right shape when the corpus
+    churns faster than a centroid refresh cycle. Recall < 1 by design.
+    """
+    corpus = rp_lsh_bucket(df, dim, vec_col, n_planes, seed).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.expr(norm_expr(vec_col)).alias("__cn"),
+        F.col("rp_bucket").alias("__cb"),
+    )
+    q = rp_lsh_bucket(queries, dim, vec_col, n_planes, seed).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.expr(norm_expr(vec_col)).alias("__qn"),
+        F.col("rp_bucket").alias("__qb"),
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col("__cb") == F.col("__qb"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(
+                    f"({dot_expr('__qv', '__cv')}) / nullif(__qn * __cn, cast(0 as double))"
+                ),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    return salted_topk_per_key(
+        scored,
+        key_cols=["query_id"],
+        order_by=[F.desc("score"), F.asc("neighbor_id")],
+        k=k,
+        rank_alias="rank",
+        salt_on="neighbor_id",
+    )

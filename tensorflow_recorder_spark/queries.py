@@ -1221,6 +1221,53 @@ FROM m2
 """
 
 
+def q_e2_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-k (queries vec_id < 5, 4
+    hyperplanes -> 16 buckets): the stateless ANN scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.rp_lsh_topk(
+        emb, emb.where(F.col("vec_id") < 5), dim=64, k=10
+    )
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _oracle_rp_lsh_topk() -> str:
+    planes = similarity.rp_hyperplanes(64, 4)
+    bucket_terms = []
+    for b, p in enumerate(planes):
+        lit = "[" + ", ".join(f"{x}::DOUBLE" for x in p) + "]"
+        dot = (
+            f"list_aggregate(list_transform(list_zip(e, {lit}), "
+            f"p -> p[1] * p[2]), 'sum')"
+        )
+        bucket_terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << b} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e, sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm,
+         {bucket} AS bucket
+  FROM e
+),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         round(list_aggregate(list_transform(list_zip(q.e, v.e),
+               p -> p[1] * p[2]), 'sum') / (q.nrm * v.nrm), 4) AS score
+  FROM norms q JOIN norms v
+    ON q.vec_id < 5 AND q.bucket = v.bucket AND q.vec_id <> v.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 10
+"""
+
+
 ORACLE_E2_IVF_TOPK_NPROBE = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 norms AS (
@@ -2117,6 +2164,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_char_entropy": q_e3_char_entropy,
     "p2_stratified_sample": q_p2_stratified_sample,
     "e3_bigram_pmi": q_e3_bigram_pmi,
+    "e2_rp_lsh_topk": q_e2_rp_lsh_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -2139,6 +2187,7 @@ ORACLES: dict[str, str] = {
     "e3_char_entropy": ORACLE_E3_CHAR_ENTROPY,
     "p2_stratified_sample": ORACLE_P2_STRATIFIED_SAMPLE,
     "e3_bigram_pmi": ORACLE_E3_BIGRAM_PMI,
+    "e2_rp_lsh_topk": _oracle_rp_lsh_topk(),
     "t1_csv_serialize": ORACLE_T1,
     "t2_typed_projection": ORACLE_T2,
     "rel_pricing_summary": ORACLE_REL_Q1,

@@ -600,3 +600,29 @@ def test_bigram_pmi_collocation_beats_chance(spark):
     assert "san francisco" in out
     # perfect collocation has higher PMI than a stopword-led bigram
     assert out["san francisco"] > out.get("of the", float("-inf"))
+
+
+def test_rp_lsh_bucket_and_topk(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    buckets = similarity.rp_lsh_bucket(emb, dim)
+    n_buckets = buckets.select("rp_bucket").distinct().count()
+    assert 2 <= n_buckets <= 16  # 4 planes
+    # deterministic: same plan, same buckets
+    b1 = {(r["vec_id"], r["rp_bucket"]) for r in buckets.collect()}
+    b2 = {(r["vec_id"], r["rp_bucket"])
+          for r in similarity.rp_lsh_bucket(emb, dim).collect()}
+    assert b1 == b2
+    queries = emb.where(F.col("vec_id") < 3)
+    out = similarity.rp_lsh_topk(emb, queries, dim, k=5).collect()
+    assert out, "bucketed search returns neighbors"
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {(r["query_id"], r["neighbor_id"]) for r in out}
+    # approximate results are a biased-toward-similar subset: at least
+    # some true top-5 neighbors are recovered from same-bucket search
+    assert len(approx & exact) > 0

@@ -54,6 +54,7 @@ def test_driver_window_holds_all_unique_queries():
         "e3_char_entropy",
         "p2_stratified_sample",
         "e3_bigram_pmi",
+        "e2_rp_lsh_topk",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
