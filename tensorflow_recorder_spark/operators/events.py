@@ -143,7 +143,10 @@ def asof_join(
         *lcols,
         F.lit(1).alias("__side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
-        F.lit(None).cast(right.schema[ts_col].dataType).alias("__r_ts"),
+        # Reserved alias, NOT __r_{ts_col}: right_cols may legitimately
+        # contain the ts column itself (carry the match timestamp out),
+        # and the generated __r_{c} alias must not collide with it.
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("__asof_match_ts"),
     )
     tagged_right = right.select(
         *[
@@ -152,7 +155,7 @@ def asof_join(
         ],
         F.lit(0).alias("__side"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        F.col(ts_col).alias("__r_ts"),
+        F.col(ts_col).alias("__asof_match_ts"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     # right rows (side=0) sort before left rows at equal ts => ties are
@@ -169,7 +172,7 @@ def asof_join(
             F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
             for c in right_cols
         ],
-        F.last(F.col("__r_ts"), ignorenulls=True).over(w).alias("__m_ts"),
+        F.last(F.col("__asof_match_ts"), ignorenulls=True).over(w).alias("__m_ts"),
     )
     out = carried.where(F.col("__side") == 1).drop("__side")
     if tolerance_seconds is not None:

@@ -626,3 +626,77 @@ def test_rp_lsh_bucket_and_topk(spark):
     # approximate results are a biased-toward-similar subset: at least
     # some true top-5 neighbors are recovered from same-bucket search
     assert len(approx & exact) > 0
+
+
+def test_lsh_verified_blocked_fallback_parity(spark):
+    """The beyond-broadcast-threshold verify path (blocked matmul over
+    cogrouped pair blocks) must be bit-identical to the broadcast-join
+    path. Forcing verify_broadcast_docs=0 routes every pair through
+    _verify_pairs_blocked."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(min_est_jaccard=0.25, threshold=0.25)
+    bc = {
+        (r["id_a"], r["id_b"]): (r["est_jaccard"], r["jaccard"])
+        for r in dedup.lsh_verified_pairs(docs, "text", "doc_id", **kw).collect()
+    }
+    fb = {
+        (r["id_a"], r["id_b"]): (r["est_jaccard"], r["jaccard"])
+        for r in dedup.lsh_verified_pairs(
+            docs, "text", "doc_id", verify_broadcast_docs=0, **kw
+        ).collect()
+    }
+    assert bc == fb and len(bc) > 0
+
+
+def test_lsh_verified_byte_gate_forces_fallback(spark):
+    """The broadcast gate is byte-based: tiny verify_broadcast_bytes must
+    route through the blocked path even when the doc count fits, and the
+    result stays identical."""
+    near = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, near), (2, near), (3, near.replace("dog", "cat"))],
+        "id long, txt string",
+    )
+    default = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.lsh_verified_pairs(df, "txt", "id").collect()
+    }
+    gated = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.lsh_verified_pairs(
+            df, "txt", "id", verify_broadcast_bytes=1
+        ).collect()
+    }
+    assert default == gated and (1, 2) in gated
+
+
+def test_duplicate_clusters_nonconvergence_raises(spark):
+    """Distributed min-label path must raise (not silently return wrong
+    cluster ids) when a component's diameter exceeds max_iterations."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(
+            pairs, driver_threshold=0, max_iterations=2
+        ).collect()
+
+
+def test_asof_join_right_cols_may_include_ts(spark):
+    """right_cols containing the ts column itself must not collide with
+    the internal match-timestamp alias (regression: __r_ts collision)."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1)], "event_id long, ts string, user_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 5.0)], "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = events.asof_join(
+        left, right, "user_id", "ts", right_cols=("ts", "value")
+    )
+    assert sorted(out.columns) == sorted(
+        ["event_id", "ts", "user_id", "ts_asof", "value_asof"]
+    )
+    row = out.collect()[0]
+    assert row["value_asof"] == 5.0
+    assert str(row["ts_asof"]) == "2024-01-01 09:30:00"

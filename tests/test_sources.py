@@ -107,3 +107,13 @@ def test_to_dataframe_rejects_unknown(spark):
 
     with _pytest.raises(ValueError):
         to_dataframe(spark, "/no/such/thing.xyz")
+
+
+def test_to_dataframe_plain_json_multiline(spark, tmp_path):
+    """Pretty-printed .json must parse as whole documents (multiLine),
+    not yield _corrupt_record rows from the line-delimited reader."""
+    p = tmp_path / "docs.json"
+    p.write_text('[\n  {"a": 1, "b": "x"},\n  {"a": 2, "b": "y"}\n]\n')
+    df = to_dataframe(spark, str(p))
+    assert "_corrupt_record" not in df.columns
+    assert sorted((r["a"], r["b"]) for r in df.collect()) == [(1, "x"), (2, "y")]
