@@ -950,6 +950,116 @@ def fuzzy_dedup(
     return df.join(dupes, id_col, "left_anti")
 
 
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_len: int = 5,
+    min_shared: int = 5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Train/eval contamination edges: (eval_id, train_id, shared) for
+    every train doc sharing at least ``min_shared`` distinct hashed
+    ``shingle_len``-gram shingles with an eval doc.
+
+    The n^2-avoidance is the same move as LSH banding: instead of
+    comparing every (train, eval) document pair, explode both sides to
+    (shingle_hash, id) and equi-join on the 32-bit shingle hash — only
+    pairs that actually share a shingle ever meet, and the join is an
+    ordinary AQE-skew-splittable shuffle keyed by an 8-byte int.
+    ``count(*)`` per (eval_id, train_id) afterwards IS the shared-shingle
+    count because each side's shingle sets are distinct per doc.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    TRAIN docs before the join — boilerplate shingles ("in conclusion,")
+    are not contamination evidence, and at 100 TB they are also exactly
+    the hot keys that would dominate the join output (the pair blow-up
+    is sum over shingles of train_df x eval_df). The document-frequency
+    cut is computed with one partial-aggregated groupBy on the train
+    side and applied as a broadcastable anti-join.
+    """
+    tr = train.select(
+        F.col(id_col).alias("train_id"),
+        F.lower(F.col(text_col)).alias("__lt"),
+    ).select(
+        "train_id",
+        F.explode(
+            F.expr(hashed_shingle_expr("__lt", shingle_len, pre_lowered=True))
+        ).alias("__g"),
+    )
+    if max_shingle_df is not None:
+        hot = (
+            tr.groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_shingle_df)
+            .select("__g")
+        )
+        tr = tr.join(hot, "__g", "left_anti")
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.lower(F.col(text_col)).alias("__lt"),
+    ).select(
+        "eval_id",
+        F.explode(
+            F.expr(hashed_shingle_expr("__lt", shingle_len, pre_lowered=True))
+        ).alias("__g"),
+    )
+    return (
+        tr.join(ev, "__g")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_len: int = 5,
+    min_shared: int = 5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Per-eval-doc contamination summary: how many train docs exceed the
+    shared-shingle floor, the worst overlap, and the worst overlap as a
+    fraction of the eval doc's own shingle count.
+
+    Output: (``id_col``, n_train_docs, max_shared, overlap_frac) for
+    contaminated eval docs only. ``overlap_frac`` is
+    ``max_shared / |eval shingles|`` — near 1.0 means an eval doc is
+    (almost) wholly contained in some training document. The per-eval
+    aggregate is a partial-agg groupBy on eval_id (bounded by the eval
+    set, which is small by construction); the eval shingle-count join is
+    broadcastable for the same reason.
+    """
+    pairs = contamination_pairs(
+        train, eval_df, text_col, id_col, shingle_len, min_shared, max_shingle_df
+    )
+    per_eval = pairs.groupBy("eval_id").agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.max("shared").alias("max_shared"),
+    )
+    sizes = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.lower(F.col(text_col)).alias("__lt"),
+    ).select(
+        "eval_id",
+        F.size(
+            F.expr(hashed_shingle_expr("__lt", shingle_len, pre_lowered=True))
+        ).alias("__n_sh"),
+    )
+    return per_eval.join(F.broadcast(sizes), "eval_id").select(
+        F.col("eval_id").alias(id_col),
+        "n_train_docs",
+        "max_shared",
+        (F.col("max_shared").cast("double") / F.col("__n_sh").cast("double")).alias(
+            "overlap_frac"
+        ),
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str,

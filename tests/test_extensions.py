@@ -700,3 +700,43 @@ def test_asof_join_right_cols_may_include_ts(spark):
     row = out.collect()[0]
     assert row["value_asof"] == 5.0
     assert str(row["ts_asof"]) == "2024-01-01 09:30:00"
+
+
+def test_contamination_report_flags_overlapping_eval_doc(spark):
+    shared_blob = "the quick brown fox jumps over the lazy dog " * 3
+    train = spark.createDataFrame(
+        [(1, shared_blob + "unique train tail"),
+         (2, "completely unrelated training text about databases")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(10, shared_blob + "eval specific ending"),
+         (11, "totally fresh evaluation prompt with no overlap at all")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.contamination_report(
+        train, eval_df, "text", "doc_id", min_shared=20
+    ).collect()}
+    assert 10 in out and 11 not in out
+    assert out[10]["n_train_docs"] == 1
+    assert 0.0 < out[10]["overlap_frac"] <= 1.0
+
+
+def test_contamination_df_cap_drops_boilerplate_shingles(spark):
+    # One shingle-rich boilerplate string shared by MANY train docs and
+    # the eval doc: with the cap below the train count, those shingles
+    # are dropped and the eval doc is no longer flagged.
+    blob = "standard legal disclaimer boilerplate text repeated " * 2
+    train = spark.createDataFrame(
+        [(i, blob + f"doc {i}") for i in range(5)], "doc_id long, text string"
+    )
+    eval_df = spark.createDataFrame(
+        [(100, blob + "the eval doc")], "doc_id long, text string"
+    )
+    flagged = dedup.contamination_report(
+        train, eval_df, "text", "doc_id", min_shared=20
+    ).count()
+    capped = dedup.contamination_report(
+        train, eval_df, "text", "doc_id", min_shared=20, max_shingle_df=3
+    ).count()
+    assert flagged == 1 and capped == 0
