@@ -12,9 +12,11 @@ import base64
 
 _ALTCHARS = b"-_"
 
-# PIL mode <-> channel count (reference beam_image.py:32-41).
-_MODE_TO_CHANNEL = {"L": 1, "RGB": 3}
-_CHANNEL_TO_MODE = {1: "L", 3: "RGB"}
+# PIL mode <-> channel count. The reference is LENIENT: any mode NOT
+# containing 'L' maps to 3 channels and any non-1 count maps back to
+# 'RGB' (beam_image.py:32-41) — matched exactly since round 3
+# (previously unknown modes raised and routed to DISCARD, a documented
+# parity deviation).
 
 
 def encode_pixels(pixels: bytes) -> str:
@@ -30,14 +32,10 @@ def decode_pixels(encoded: str | bytes) -> bytes:
 
 
 def mode_to_channel(mode: str) -> int:
-    try:
-        return _MODE_TO_CHANNEL[mode]
-    except KeyError:
-        raise ValueError(f"unsupported image mode {mode!r}") from None
+    # substring test, not equality: the reference counts any L-bearing
+    # mode ('L', 'LA') as single-channel (beam_image.py:36).
+    return 1 if "L" in mode else 3
 
 
 def channel_to_mode(channels: int) -> str:
-    try:
-        return _CHANNEL_TO_MODE[channels]
-    except KeyError:
-        raise ValueError(f"unsupported channel count {channels}") from None
+    return "L" if channels == 1 else "RGB"

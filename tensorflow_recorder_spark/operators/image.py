@@ -56,14 +56,20 @@ try:  # pragma: no cover - PIL not present in this runtime
 except ImportError:
     HAVE_PIL = False
 
-    def _synthetic_loader(path: str) -> tuple[bytes, int, int, str]:
-        """Deterministic stand-in for PIL decode (runtime lacks PIL).
+    from ..functions.png_codec import decode_png, is_png
 
-        Real filesystem semantics are preserved: the file must exist and
-        be readable (missing file -> the DISCARD route). Pixels are a
-        deterministic digest-stream of the file contents, 4x4 RGB."""
+    def _stdlib_loader(path: str) -> tuple[bytes, int, int, str]:
+        """No-PIL loader: REAL decode for PNG (pure-stdlib zlib inflate
+        + per-row unfilter, ``functions/png_codec.py``), deterministic
+        synthetic pixels for any other format (this runtime has no
+        JPEG/WebP codec). Real filesystem semantics either way: the
+        file must exist and be readable (missing file -> the DISCARD
+        route), and a corrupt PNG raises -> DISCARD, matching the
+        reference's failure handling (beam_image.py:112-116)."""
         with open(path, "rb") as fh:
             content = fh.read()
+        if is_png(content):
+            return decode_png(content)
         width = height = 4
         mode = "RGB"
         n = width * height * 3
@@ -71,7 +77,7 @@ except ImportError:
         pixels = (digest * (n // len(digest) + 1))[:n]
         return pixels, width, height, mode
 
-    DEFAULT_LOADER = _synthetic_loader
+    DEFAULT_LOADER = _stdlib_loader
 
 _loader: ImageLoader = DEFAULT_LOADER
 

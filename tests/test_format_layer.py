@@ -124,7 +124,9 @@ def test_mode_channel_mappings():
     assert mode_to_channel("RGB") == 3
     assert channel_to_mode(1) == "L"
     assert channel_to_mode(3) == "RGB"
-    with pytest.raises(ValueError):
-        mode_to_channel("CMYK")
-    with pytest.raises(ValueError):
-        channel_to_mode(4)
+    # lenient reference mapping (beam_image.py:32-41): 'L'-bearing modes
+    # are single-channel, everything else is 3; unknown counts -> RGB
+    assert mode_to_channel("LA") == 1
+    assert mode_to_channel("CMYK") == 3
+    assert mode_to_channel("RGBA") == 3
+    assert channel_to_mode(4) == "RGB"
