@@ -23,6 +23,7 @@ from .schema import IMAGE_CSV_SCHEMA, Schema
 from .session import get_spark
 from .sources.dispatch import to_dataframe
 from .sources.tfrecord import load as load_tfrecords
+from .functions import fs
 from .functions.image_codec import channel_to_mode, decode_pixels
 
 
@@ -83,8 +84,8 @@ def _copy_logfile(job_dir: str, logfile: str = LOG_FILE) -> str | None:
     utils.py:109-119 copies to GCS — here any filesystem path)."""
     if not os.path.exists(logfile):
         return None
-    dest = os.path.join(job_dir, os.path.basename(logfile))
-    shutil.copyfile(logfile, dest)
+    dest = fs.join(job_dir, os.path.basename(logfile))
+    fs.copyfile(logfile, dest)
     return dest
 
 
@@ -121,14 +122,15 @@ def inspect(
         raise ValueError(f"Split {split!r} not found in {tfrecord_dir}")
 
     ts = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
-    out_dir = os.path.join(output_dir, f"check-tfrecords-{ts}")
-    os.makedirs(out_dir)
+    out_dir = fs.join(output_dir, f"check-tfrecords-{ts}")
+    fs.makedirs(out_dir)
 
     # limit(n) is the reference's only top-k (dataset.take, utils.py:80-87);
     # tiny by construction, so driver-side pandas is fine here.
     pdf = datasets[split].limit(num_records).toPandas()
     csv_cols = [c for c in pdf.columns if c != "image"]
-    pdf[csv_cols].to_csv(os.path.join(out_dir, "data.csv"), index=False)
+    with fs.open_output(fs.join(out_dir, "data.csv"), "w") as fh:
+        pdf[csv_cols].to_csv(fh, index=False)
 
     if "image_name" in pdf.columns and "image" in pdf.columns:
         for _, row in pdf.iterrows():
@@ -140,7 +142,7 @@ def inspect(
                 int(row["image_width"]),
                 int(row["image_height"]),
                 int(row["image_channels"]),
-                os.path.join(out_dir, str(row["image_name"])),
+                fs.join(out_dir, str(row["image_name"])),
             )
     return out_dir
 
@@ -154,5 +156,10 @@ def _save_image(pixels: bytes, width: int, height: int, channels: int, path: str
         img = Image.frombytes(channel_to_mode(channels), (width, height), pixels)
         img.save(path)
     except ImportError:
-        with open(path + ".raw", "wb") as fh:
-            fh.write(pixels)
+        # No PIL: write a REAL PNG via the pure-stdlib encoder (r3) —
+        # the reference saves a viewable image file (utils.py:93-97).
+        from .functions.png_codec import encode_png
+
+        mode = channel_to_mode(channels)
+        with fs.open_output(path + ".png", "wb") as fh:
+            fh.write(encode_png(pixels, width, height, mode))

@@ -21,10 +21,20 @@ from collections.abc import Iterator
 
 import numpy as np
 
+from . import fs
 from .crc32c import masked_crc32c, masked_crc32c_many
 
 _U64 = struct.Struct("<Q")
 _U32 = struct.Struct("<I")
+
+
+def _gzip_owning(raw, mode: str, **kw) -> gzip.GzipFile:
+    """GzipFile over ``raw`` that CLOSES raw on close. GzipFile(fileobj=)
+    deliberately leaves the fileobj open; assigning ``myfileobj`` is how
+    GzipFile(filename=) itself transfers ownership (stdlib gzip.py)."""
+    gz = gzip.GzipFile(fileobj=raw, mode=mode, **kw)
+    gz.myfileobj = raw
+    return gz
 
 
 def write_record(fh, data: bytes) -> None:
@@ -87,18 +97,26 @@ def open_output(path: str, compressed: bool):
 
     Level 6 (the zlib/gzip-CLI default), not Python's GzipFile default
     of 9: level 9 costs ~2x the CPU of 6 for ~1% smaller TFRecords —
-    at write-path scale that is executor time, not a win."""
+    at write-path scale that is executor time, not a win.
+
+    Paths route through the FS shim (functions/fs.py): plain paths and
+    ``file://`` URIs open locally anywhere; remote schemes work from
+    the driver (Hadoop FS) — the reference's ``tf.io.gfile``
+    transparency (utils.py:109-119)."""
+    raw = fs.open_output(path, "wb")
     if compressed:
-        return gzip.GzipFile(path, "wb", compresslevel=6, mtime=0)
-    return open(path, "wb")
+        return _gzip_owning(raw, "wb", compresslevel=6, mtime=0)
+    return raw
 
 
 def open_maybe_gzip(path: str, mode: str = "rb"):
     if path.endswith(".gz"):
         if "w" in mode:
-            return gzip.GzipFile(path, mode, mtime=0)
-        return gzip.open(path, mode)
-    return open(path, mode)
+            return _gzip_owning(fs.open_output(path, "wb"), mode, mtime=0)
+        return _gzip_owning(fs.open_input(path, "rb"), mode)
+    if "w" in mode:
+        return fs.open_output(path, mode)
+    return fs.open_input(path, mode)
 
 
 def read_file_records(path_or_bytes, compressed: bool | None = None) -> Iterator[bytes]:

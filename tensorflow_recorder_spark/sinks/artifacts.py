@@ -24,6 +24,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, types as T
 
+from ..functions import fs
 from ..schema import Schema
 
 VOCAB_ASSET_DIR = os.path.join("transform_fn", "assets")
@@ -31,7 +32,7 @@ METADATA_DIR = "transformed_metadata"
 
 
 def vocab_asset_path(job_dir: str, column: str) -> str:
-    return os.path.join(job_dir, VOCAB_ASSET_DIR, f"vocab_{column}_vocabulary")
+    return fs.join(job_dir, VOCAB_ASSET_DIR, f"vocab_{column}_vocabulary")
 
 
 def write_vocabulary_assets(job_dir: str, vocabs: dict[str, DataFrame]) -> None:
@@ -39,23 +40,23 @@ def write_vocabulary_assets(job_dir: str, vocabs: dict[str, DataFrame]) -> None:
     in index order. Vocabularies are fitted state (bounded, already
     aggregated) — collecting them to the driver is the design, exactly as
     the reference materializes them into SavedModel assets."""
-    os.makedirs(os.path.join(job_dir, VOCAB_ASSET_DIR), exist_ok=True)
+    fs.makedirs(fs.join(job_dir, VOCAB_ASSET_DIR))
     for column, vocab in vocabs.items():
         rows = vocab.orderBy("index").collect()
-        with open(vocab_asset_path(job_dir, column), "w", encoding="utf-8") as fh:
+        with fs.open_output(vocab_asset_path(job_dir, column), "w") as fh:
             fh.write("\n".join(r["value"] for r in rows))
 
 
 def read_vocabulary_asset(job_dir: str, column: str) -> list[str]:
-    with open(vocab_asset_path(job_dir, column), encoding="utf-8") as fh:
+    with fs.open_input(vocab_asset_path(job_dir, column), "r") as fh:
         content = fh.read()
     return content.split("\n") if content else []
 
 
 def write_scale_stats(job_dir: str, stats: dict[str, tuple[float, float]]) -> None:
-    os.makedirs(os.path.join(job_dir, "transform_fn"), exist_ok=True)
-    path = os.path.join(job_dir, "transform_fn", "scale_stats.json")
-    with open(path, "w", encoding="utf-8") as fh:
+    fs.makedirs(fs.join(job_dir, "transform_fn"))
+    path = fs.join(job_dir, "transform_fn", "scale_stats.json")
+    with fs.open_output(path, "w") as fh:
         json.dump({c: {"mean": m, "stddev": s} for c, (m, s) in stats.items()}, fh, indent=2)
 
 
@@ -63,18 +64,18 @@ def write_schema_metadata(
     job_dir: str, schema: Schema, transformed_struct: T.StructType
 ) -> None:
     """Persist the transformed schema (replaces schema.pbtxt, K4)."""
-    os.makedirs(os.path.join(job_dir, METADATA_DIR), exist_ok=True)
+    fs.makedirs(fs.join(job_dir, METADATA_DIR))
     payload = {
         "input_schema": {n: t.name for n, t in schema.input_schema_map.items()},
         "transformed_struct": json.loads(transformed_struct.json()),
     }
-    with open(os.path.join(job_dir, METADATA_DIR, "schema.json"), "w") as fh:
+    with fs.open_output(fs.join(job_dir, METADATA_DIR, "schema.json"), "w") as fh:
         json.dump(payload, fh, indent=2)
 
 
 def read_schema_metadata(job_dir: str) -> tuple[Schema, T.StructType]:
-    path = os.path.join(job_dir, METADATA_DIR, "schema.json")
-    with open(path, encoding="utf-8") as fh:
+    path = fs.join(job_dir, METADATA_DIR, "schema.json")
+    with fs.open_input(path, "r") as fh:
         payload = json.load(fh)
     schema = Schema.from_json(json.dumps(payload["input_schema"]))
     struct = T.StructType.fromJson(payload["transformed_struct"])
@@ -84,7 +85,7 @@ def read_schema_metadata(job_dir: str) -> tuple[Schema, T.StructType]:
 def write_discarded(df: DataFrame, job_dir: str) -> None:
     """Write DISCARD-routed rows as CSV text (K3). Reference:
     beam_pipeline.py:315-318 (WriteToText to '<job_dir>/discarded-data')."""
-    out = os.path.join(job_dir, "discarded-data")
+    out = fs.join(job_dir, "discarded-data")
     df.write.mode("overwrite").option("header", True).csv(out)
 
 
@@ -92,10 +93,10 @@ def validate_job_dir(job_dir: str) -> None:
     """Reader-side layout validation (reference:
     dataset_loader.py:38-48 — requires transformed_metadata/ and
     transform_fn/)."""
-    if not os.path.isdir(job_dir):
+    if not fs.exists(job_dir):
         raise FileNotFoundError(f"no such tfrecord dir: {job_dir}")
     for required in (METADATA_DIR, "transform_fn"):
-        if not os.path.isdir(os.path.join(job_dir, required)):
+        if not fs.exists(fs.join(job_dir, required)):
             raise FileNotFoundError(
                 f"{job_dir} is not a tfrecorder output dir (missing {required}/)"
             )

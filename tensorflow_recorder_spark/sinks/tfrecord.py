@@ -26,13 +26,14 @@ Spark-first design:
 
 from __future__ import annotations
 
-import os
+
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..constants import GZIP_SUFFIX, TFRECORD_SUFFIX
+from ..functions import fs
 from ..functions.example_proto import build_batch_encoder
 from ..functions.tfrecord_io import frame_records, open_maybe_gzip, open_output
 
@@ -144,7 +145,7 @@ def write_all_splits(
     one scan per split; the auto path stays single-pass).
     """
     suffix = GZIP_SUFFIX if compression == "gzip" else TFRECORD_SUFFIX
-    os.makedirs(job_dir, exist_ok=True)
+    fs.makedirs(job_dir)
     if num_shards > 0:
         encoded = encoded.cache()
         try:
@@ -185,7 +186,7 @@ def write_all_splits(
                     continue
                 entry = handles.get(split_value)
                 if entry is None:
-                    path = os.path.join(
+                    path = fs.join(
                         job_dir, f".{split_value.lower()}-pid{pid:05d}{suffix}.inprogress"
                     )
                     entry = (open_output(path, compressed), path)
@@ -215,7 +216,7 @@ def write_all_splits(
         shards = sorted(by_split.get(split_value, []))
         prefix = split_value.lower()
         if not shards:  # V8: empty-but-present split output
-            path = os.path.join(job_dir, f"{prefix}-00000-of-00001{suffix}")
+            path = fs.join(job_dir, f"{prefix}-00000-of-00001{suffix}")
             with open_output(path, compressed):
                 pass
             results[split_value] = {path: 0}
@@ -223,8 +224,8 @@ def write_all_splits(
         k = len(shards)
         split_files: dict[str, int] = {}
         for i, (tmp, n) in enumerate(shards):
-            final = os.path.join(job_dir, f"{prefix}-{i:05d}-of-{k:05d}{suffix}")
-            os.replace(tmp, final)
+            final = fs.join(job_dir, f"{prefix}-{i:05d}-of-{k:05d}{suffix}")
+            fs.replace(tmp, final)
             split_files[final] = n
         results[split_value] = split_files
     return results
@@ -234,7 +235,7 @@ def _write_partition_factory(
     job_dir: str, prefix: str, num_shards: int, suffix: str, compressed: bool
 ):
     def write_partition(index: int, rows) -> Iterator[tuple[str, int]]:
-        path = os.path.join(
+        path = fs.join(
             job_dir, f"{prefix}-{index:05d}-of-{num_shards:05d}{suffix}"
         )
         count = 0
@@ -250,7 +251,7 @@ def _write_partition_factory(
             if chunk:
                 fh.write(frame_records(chunk))
                 count += len(chunk)
-        os.replace(tmp, path)  # atomic publish per shard
+        fs.replace(tmp, path)  # atomic publish per shard
         yield path, count
 
     return write_partition
@@ -278,18 +279,18 @@ def write_split_tfrecords(
         split_df = split_df.repartition(num_shards)
     rdd = split_df.rdd
     n = max(rdd.getNumPartitions(), 1)
-    os.makedirs(job_dir, exist_ok=True)
+    fs.makedirs(job_dir)
     results = rdd.mapPartitionsWithIndex(
         _write_partition_factory(job_dir, prefix, n, suffix, compression == "gzip")
     ).collect()
     if skip_empty and results and all(count == 0 for _, count in results):
         for path, _ in results:
-            os.remove(path)
+            fs.remove(path)
         return {}
     if not results:  # zero partitions: still touch one empty shard (V8)
         if skip_empty:
             return {}
-        path = os.path.join(job_dir, f"{prefix}-00000-of-00001{suffix}")
+        path = fs.join(job_dir, f"{prefix}-00000-of-00001{suffix}")
         with open_output(path, compression == "gzip"):
             pass
         results = [(path, 0)]

@@ -3,6 +3,7 @@ accessor_test.py / utils_test.py / dataset_loader_test.py analogs)."""
 
 import os
 from collections import OrderedDict
+from pathlib import Path
 
 import pandas as pd
 import pytest
@@ -77,8 +78,13 @@ def test_inspect_writes_csv_and_images(spark, image_pdf, tmp_path):
     csv = pd.read_csv(os.path.join(out_dir, "data.csv"))
     assert len(csv) == 2
     assert "image" not in csv.columns  # image bytes excluded (utils.py:80-85)
-    # synthetic-loader pixel dumps (PIL absent -> .raw fallback)
-    assert sum(e.endswith(".raw") for e in entries) == 2
+    # PIL absent -> real PNGs via the pure-stdlib encoder (r3)
+    pngs = [e for e in entries if e.endswith(".png")]
+    assert len(pngs) == 2
+    from tensorflow_recorder_spark.functions.png_codec import decode_png
+
+    pixels, w, h, mode = decode_png((Path(out_dir) / pngs[0]).read_bytes())
+    assert mode == "RGB" and len(pixels) == w * h * 3
 
 
 def test_convert_and_load_composition(spark, image_pdf, tmp_path):
