@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "a6_vocabulary_tokens",
     "e2_ivf_topk_nprobe",
     "e1_fuzzy_dedup",
+    # round-3 operators
+    "e1_contamination",
+    "e4_partitioned_rollup",
 ]
 
 

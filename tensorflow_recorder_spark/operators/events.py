@@ -111,6 +111,53 @@ def sessionize(
     )
 
 
+def write_events_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    date_col: str = "event_date",
+) -> None:
+    """Materialize the 100 TB event layout: parquet partitioned by event
+    DATE. Time-range queries against the written table read only the
+    touched day directories — the scan prune is enforced by the storage
+    layout (``PartitionFilters`` on the date column), not by a filter
+    the reader may or may not push. The storage half of the same
+    pattern as :func:`~..similarity.write_ivf_index` (E4 applied to
+    time instead of ANN cells).
+
+    Day granularity is the standard event-lake choice: hour-level
+    directories explode the file count (24x directories, small files);
+    day directories keep partition count linear in retention while the
+    in-day hour rollup stays a cheap in-partition aggregation.
+    """
+    (
+        df.withColumn(date_col, F.to_date(F.col(ts_col)))
+        .write.partitionBy(date_col)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def hourly_rollup_pruned(
+    index: DataFrame,
+    start_date: str,
+    end_date: str,
+    date_col: str = "event_date",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Hourly rollup over a date-partitioned event table, restricted to
+    ``[start_date, end_date]`` (inclusive). The range predicate is on
+    the PARTITION column, so it resolves to directory pruning at plan
+    time — the scan never opens files outside the window (pinned by a
+    plan-regression test)."""
+    pruned = index.where(
+        (F.col(date_col) >= F.lit(start_date).cast("date"))
+        & (F.col(date_col) <= F.lit(end_date).cast("date"))
+    )
+    return hourly_rollup(pruned, ts_col=ts_col, type_col=type_col)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

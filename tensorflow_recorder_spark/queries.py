@@ -1732,6 +1732,54 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_e4_partitioned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup over the DATE-PARTITIONED event layout, pruned to
+    2024-01-10..2024-01-12: materializes events partitioned by
+    ``event_date`` (the 100 TB event-lake layout), then aggregates only
+    the three pruned day directories — the scan's PartitionFilters
+    carry the date bounds (pinned in tests/test_plans.py)."""
+    import hashlib as _hashlib
+    import os as _os
+
+    path = _os.path.join(
+        "/tmp",
+        f"trs_events_by_date_{_hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
+    )
+    # Materialize once per sf_dir (testdata is immutable; the path is
+    # keyed by sf_dir): re-declaring the query — the bench warm run —
+    # then measures the pruned scan, not a layout rewrite.
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        events.write_events_partitioned(_events(spark, sf_dir), path)
+    index = spark.read.parquet(path)
+    pruned = index.where(
+        (F.col("event_date") >= F.lit("2024-01-10").cast("date"))
+        & (F.col("event_date") <= F.lit("2024-01-12").cast("date"))
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    return pruned.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec).cast("double").alias("sum_value"),
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+    )
+
+
+ORACLE_E4_PARTITIONED_ROLLUP = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+GROUP BY 1, 2
+"""
+
+
 def q_e4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = events.sessionize(_events(spark, sf_dir), gap_minutes=30)
     return sess.select(
@@ -2229,6 +2277,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_char_entropy": q_e3_char_entropy,
     "p2_stratified_sample": q_p2_stratified_sample,
     "e3_bigram_pmi": q_e3_bigram_pmi,
+    "e4_partitioned_rollup": q_e4_partitioned_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2292,6 +2341,7 @@ ORACLES: dict[str, str] = {
     "e3_corpus_filter": _oracle_corpus_filter(),
     "e3_bigrams": ORACLE_E3_BIGRAMS,
     "e4_hourly_rollup": ORACLE_E4_HOURLY,
+    "e4_partitioned_rollup": ORACLE_E4_PARTITIONED_ROLLUP,
     "e4_sessionize": ORACLE_E4_SESSIONIZE,
     "e4_asof_latest": ORACLE_E4_ASOF,
     "e4_sliding_window": ORACLE_E4_SLIDING,

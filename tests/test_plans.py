@@ -105,3 +105,40 @@ def test_lsh_verify_joins_broadcast_shingle_sides(spark):
     plan = buf.getvalue()
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_partitioned_events_scan_prunes_date_range(spark, tmp_path):
+    """hourly_rollup_pruned over the date-partitioned layout must carry
+    the date bounds as PartitionFilters (directory pruning), not a
+    post-scan Filter: at 100 TB the range query reads only the touched
+    day directories."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+    from tensorflow_recorder_spark.operators.events import (
+        hourly_rollup_pruned,
+        write_events_partitioned,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    path = str(tmp_path / "events_by_date")
+    write_events_partitioned(ev, path)
+    index = spark.read.parquet(path)
+    out = hourly_rollup_pruned(index, "2024-01-10", "2024-01-12")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_date" in pf and "2024-01-10" in pf and "2024-01-12" in pf
+    # and the result matches filtering the source frame directly
+    expect = (
+        ev.where(F.to_date("ts").between("2024-01-10", "2024-01-12")).count()
+    )
+    got = out.agg(F.sum("n_events")).first()[0]
+    assert got == expect and expect > 0

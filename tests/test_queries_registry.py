@@ -43,8 +43,6 @@ def test_driver_window_holds_all_unique_queries():
         # operator driver-certified via a5_vocabulary_topk's row
         "a6_vocabulary_tokens",
         # round-2 additions beyond the 50-slot driver window
-        "e1_dup_clusters",
-        "e1_fuzzy_dedup",
         "e2_ivf_topk_nprobe",
         "s3_stream_dedup",
         "s4_stream_user_stats",
@@ -54,7 +52,16 @@ def test_driver_window_holds_all_unique_queries():
         "e3_char_entropy",
         "p2_stratified_sample",
         "e3_bigram_pmi",
-        "e2_rp_lsh_topk",
+        # round-3 swap-outs: each near-duplicates a still-scored
+        # neighbor (they were driver-green in r02, and the flagship ops
+        # e1_fuzzy_dedup/e1_dup_clusters/e2_rp_lsh_topk/e1_contamination
+        # took their top-50 slots)
+        "rel_moving_sum_30d",
+        "e1_neardup_filter",
+        "e3_language_id",
+        "e3_fingerprint",
+        # round-3 addition past the window (plan-test-pinned pruning demo)
+        "e4_partitioned_rollup",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
