@@ -103,6 +103,80 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def repetition_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Within-document repetition metrics (E3) — the Gopher/C4-style
+    quality rules that catch boilerplate-looped and degenerate docs
+    (Rae et al. 2021 §A1.1 "repetition" filters, public):
+
+    * ``dup_sentence_frac``: fraction of sentences occurring more than
+      once in the document (all occurrences counted, Gopher's
+      duplicate-line rule applied to '.'-split sentences).
+    * ``dup_sentence_char_frac``: fraction of sentence characters inside
+      those duplicated sentences (chars-weighted variant).
+    * ``dup_word_frac``: 1 - distinct/total whitespace tokens.
+    * ``max_token_frac``: occurrence fraction of the most frequent
+      token (Gopher's top-n-gram rule at n=1).
+
+    All metrics are IN-ROW higher-order-function arithmetic — one
+    narrow codegen projection, no explode, no shuffle; per-row cost is
+    O(sentences^2 + distinct_tokens * tokens) on in-memory arrays,
+    bounded by document length. That is the 100 TB shape: quality
+    filtering costs exactly one scan.
+    """
+    # Materialize the token/sentence arrays ONCE in a projection before
+    # the metric lambdas: Catalyst does not common-subexpression-
+    # eliminate across higher-order functions, and the duplicate-
+    # sentence filter nests the sentence array inside its own lambda
+    # (measured 2x on comparable shapes — SCALE.md).
+    prepared = df.select(
+        F.col(id_col),
+        F.expr(_TOKENS.format(col=text_col)).alias("__toks"),
+        F.expr(
+            f"filter(transform(split(lower({text_col}), '\\\\.'),"
+            f" s -> trim(s)), s -> s <> '')"
+        ).alias("__sents"),
+    )
+    toks, sents = "__toks", "__sents"
+    dup_sents = f"filter({sents}, s -> size(filter({sents}, x -> x = s)) > 1)"
+    sent_chars = "aggregate({arr}, 0L, (a, s) -> a + length(s))"
+    max_tok_count = (
+        f"array_max(transform(array_distinct({toks}),"
+        f" t -> size(filter({toks}, x -> x = t))))"
+    )
+    return prepared.select(
+        F.col(id_col),
+        F.expr(f"size({sents})").alias("n_sentences"),
+        F.round(
+            F.expr(
+                f"cast(size({dup_sents}) as double) / greatest(size({sents}), 1)"
+            ),
+            6,
+        ).alias("dup_sentence_frac"),
+        F.round(
+            F.expr(
+                f"cast({sent_chars.format(arr=dup_sents)} as double)"
+                f" / greatest({sent_chars.format(arr=sents)}, 1)"
+            ),
+            6,
+        ).alias("dup_sentence_char_frac"),
+        F.round(
+            F.expr(
+                f"CASE WHEN size({toks}) = 0 THEN 0.0 ELSE "
+                f"1.0 - cast(size(array_distinct({toks})) as double)"
+                f" / size({toks}) END"
+            ),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(
+            F.expr(
+                f"cast(coalesce({max_tok_count}, 0) as double)"
+                f" / greatest(size({toks}), 1)"
+            ),
+            6,
+        ).alias("max_token_frac"),
+    )
+
+
 def langpred_expr(text_col: str) -> str:
     """SQL expression predicting the language of ``text_col`` (argmax of
     marker-word hit counts; ties -> largest lang code; zero hits ->

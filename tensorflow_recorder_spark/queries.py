@@ -1479,6 +1479,44 @@ def q_e3_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_e3_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition metrics (duplicate
+    sentences, duplicate-token fraction, top-token fraction) — in-row
+    higher-order-function arithmetic, one scan, no shuffle."""
+    return text.repetition_scores(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+ORACLE_E3_REPETITION = """
+WITH prep AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(text), '\\s+') AS toks,
+         list_filter(list_transform(string_split(lower(text), '.'),
+                                    s -> trim(s)), s -> s <> '') AS sents
+  FROM documents
+), dup AS (
+  SELECT doc_id, toks, sents,
+         list_filter(sents, s -> len(list_filter(sents, x -> x = s)) > 1)
+           AS dup_sents
+  FROM prep
+)
+SELECT doc_id,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       round(len(dup_sents)::DOUBLE / greatest(len(sents), 1), 6)
+         AS dup_sentence_frac,
+       round(coalesce(list_sum(list_transform(dup_sents, s -> length(s))), 0)::DOUBLE
+             / greatest(coalesce(list_sum(list_transform(sents, s -> length(s))), 0), 1), 6)
+         AS dup_sentence_char_frac,
+       round(CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(toks))::DOUBLE / len(toks) END, 6)
+         AS dup_word_frac,
+       round(coalesce(list_max(list_transform(list_distinct(toks),
+                                t -> len(list_filter(toks, x -> x = t)))), 0)::DOUBLE
+             / greatest(len(toks), 1), 6)
+         AS max_token_frac
+FROM dup
+"""
+
+
 _Q_TOKS = "regexp_split_to_array(lower(text), '\\s+')"
 _Q_STOP = "['the', 'and', 'of', 'to', 'is', 'in', 'that', 'it']"
 _Q_PUNCT = (
@@ -2278,6 +2316,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p2_stratified_sample": q_p2_stratified_sample,
     "e3_bigram_pmi": q_e3_bigram_pmi,
     "e4_partitioned_rollup": q_e4_partitioned_rollup,
+    "e3_repetition": q_e3_repetition,
 }
 
 ORACLES: dict[str, str] = {
@@ -2342,6 +2381,7 @@ ORACLES: dict[str, str] = {
     "e3_bigrams": ORACLE_E3_BIGRAMS,
     "e4_hourly_rollup": ORACLE_E4_HOURLY,
     "e4_partitioned_rollup": ORACLE_E4_PARTITIONED_ROLLUP,
+    "e3_repetition": ORACLE_E3_REPETITION,
     "e4_sessionize": ORACLE_E4_SESSIONIZE,
     "e4_asof_latest": ORACLE_E4_ASOF,
     "e4_sliding_window": ORACLE_E4_SLIDING,

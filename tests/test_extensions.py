@@ -740,3 +740,21 @@ def test_contamination_df_cap_drops_boilerplate_shingles(spark):
         train, eval_df, "text", "doc_id", min_shared=20, max_shingle_df=3
     ).count()
     assert flagged == 1 and capped == 0
+
+
+def test_repetition_scores_flags_looped_doc(spark):
+    looped = "buy now. limited offer. buy now. limited offer. buy now."
+    clean = "the quick brown fox. it jumps over lazy dogs. nothing repeats here."
+    df = spark.createDataFrame(
+        [(1, looped), (2, clean), (3, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           text.repetition_scores(df, "text", "doc_id").collect()}
+    # every sentence in the looped doc occurs >1 times
+    assert out[1]["dup_sentence_frac"] == 1.0
+    assert out[1]["dup_sentence_char_frac"] == 1.0
+    assert out[1]["max_token_frac"] > out[2]["max_token_frac"]
+    assert out[1]["dup_word_frac"] > 0.5
+    assert out[2]["dup_sentence_frac"] == 0.0
+    # empty doc: all-zero metrics, no division blow-ups
+    assert out[3]["dup_sentence_frac"] == 0.0 and out[3]["dup_word_frac"] == 0.0

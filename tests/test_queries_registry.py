@@ -60,8 +60,9 @@ def test_driver_window_holds_all_unique_queries():
         "e1_neardup_filter",
         "e3_language_id",
         "e3_fingerprint",
-        # round-3 addition past the window (plan-test-pinned pruning demo)
+        # round-3 additions past the window
         "e4_partitioned_rollup",
+        "e3_repetition",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
