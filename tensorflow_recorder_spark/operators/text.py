@@ -305,6 +305,42 @@ def corpus_filter(
     )
 
 
+def corpus_stats(
+    df: DataFrame,
+    text_col: str,
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source corpus statistics rollup (E3) — the "dataset card"
+    aggregation over a training corpus: document counts, size
+    distribution, token volume, and mean quality per ``group_col``.
+
+    One partial-aggregated groupBy over per-row projections (the
+    quality/token expressions inline into the same scan); group
+    cardinality is sources/domains — low, so the shuffle moves one
+    partial row per (task, source). At 100 TB this is the cheapest
+    possible shape: every statistic map-combines.
+    """
+    ex = quality_exprs(text_col)
+    toks = _TOKENS.format(col=text_col)
+    dec = lambda e: F.expr(e).cast("decimal(28,6)")  # noqa: E731 — order-stable sums
+    return (
+        df.groupBy(F.col(group_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr(f"length({text_col})")).alias("total_chars"),
+            F.min(F.expr(f"length({text_col})")).alias("min_chars"),
+            F.max(F.expr(f"length({text_col})")).alias("max_chars"),
+            F.sum(F.expr(f"size({toks})")).alias("total_tokens"),
+            # sum in decimal (order-independent), then ONE double
+            # division — the same IEEE op the SQL oracle performs
+            (F.sum(dec(ex["score"])).cast("double") / F.count(F.lit(1)))
+            .alias("mean_quality"),
+            (F.sum(dec(ex["stop_ratio"])).cast("double") / F.count(F.lit(1)))
+            .alias("mean_stop_ratio"),
+        )
+    )
+
+
 def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Shannon entropy (bits/char) of each document's character
     distribution (E3) — the cheap gibberish/boilerplate detector:

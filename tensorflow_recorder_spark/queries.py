@@ -1547,6 +1547,37 @@ FROM documents
 """
 
 
+def q_e3_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus statistics (doc counts, char/token volume, mean
+    quality) — one partial-aggregated groupBy, map-combining every
+    statistic."""
+    return text.corpus_stats(_t(spark, sf_dir, "documents"), "text", "source")
+
+
+_Q_SCORE = (
+    "0.25 * CASE WHEN length(text) BETWEEN 100 AND 100000 THEN 1.0 ELSE 0.0 END"
+    " + 0.25 * (1.0 - ({punct}))"
+    " + 0.25 * least(({stopr}) * 5.0, 1.0)"
+    " + 0.25 * CASE WHEN ({mwl}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END"
+)
+
+
+def _oracle_corpus_stats() -> str:
+    score = _Q_SCORE.format(punct=_Q_PUNCT, stopr=_Q_STOPR, mwl=_Q_MWL)
+    toks = "regexp_split_to_array(lower(text), '\\s+')"
+    return f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(min(length(text)) AS BIGINT) AS min_chars,
+       CAST(max(length(text)) AS BIGINT) AS max_chars,
+       CAST(sum(len({toks})) AS BIGINT) AS total_tokens,
+       CAST(sum(CAST(({score}) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mean_quality,
+       CAST(sum(CAST(({_Q_STOPR}) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mean_stop_ratio
+FROM documents GROUP BY source
+"""
+
+
 def q_e3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -2317,6 +2348,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_bigram_pmi": q_e3_bigram_pmi,
     "e4_partitioned_rollup": q_e4_partitioned_rollup,
     "e3_repetition": q_e3_repetition,
+    "e3_corpus_stats": q_e3_corpus_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -2382,6 +2414,7 @@ ORACLES: dict[str, str] = {
     "e4_hourly_rollup": ORACLE_E4_HOURLY,
     "e4_partitioned_rollup": ORACLE_E4_PARTITIONED_ROLLUP,
     "e3_repetition": ORACLE_E3_REPETITION,
+    "e3_corpus_stats": _oracle_corpus_stats(),
     "e4_sessionize": ORACLE_E4_SESSIONIZE,
     "e4_asof_latest": ORACLE_E4_ASOF,
     "e4_sliding_window": ORACLE_E4_SLIDING,

@@ -758,3 +758,18 @@ def test_repetition_scores_flags_looped_doc(spark):
     assert out[2]["dup_sentence_frac"] == 0.0
     # empty doc: all-zero metrics, no division blow-ups
     assert out[3]["dup_sentence_frac"] == 0.0 and out[3]["dup_word_frac"] == 0.0
+
+
+def test_corpus_stats_per_source(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is fine", "a"),
+         (2, "x", "a"),
+         (3, "another document here with the tokens", "b")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in text.corpus_stats(df, "text", "source").collect()}
+    assert out["a"]["n_docs"] == 2 and out["b"]["n_docs"] == 1
+    assert out["a"]["total_chars"] == len("the cat sat on the mat and it is fine") + 1
+    assert out["a"]["min_chars"] == 1
+    assert out["b"]["total_tokens"] == 6
+    assert 0.0 <= out["a"]["mean_quality"] <= 1.0

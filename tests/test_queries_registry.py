@@ -63,6 +63,7 @@ def test_driver_window_holds_all_unique_queries():
         # round-3 additions past the window
         "e4_partitioned_rollup",
         "e3_repetition",
+        "e3_corpus_stats",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
