@@ -1578,6 +1578,38 @@ FROM documents GROUP BY source
 """
 
 
+def q_e3_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution per source (p10/p50/p90/p99, exact
+    interpolated percentiles) — the length-distribution slice of a
+    dataset card. The per-doc token count inlines into the scan; the
+    percentile aggregate shuffles one partial state per (task, source).
+    At 100 TB swap `percentile` for `percentile_approx` (mergeable
+    sketch, same plan shape) — exact here so DuckDB's quantile_cont
+    verifies bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.expr("size(split(lower(text), '\\\\s+'))")
+    return docs.select(F.col("source"), n_tok.alias("__n")).groupBy("source").agg(
+        F.round(F.expr("percentile(__n, 0.1)"), 6).alias("p10_tokens"),
+        F.round(F.expr("percentile(__n, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(__n, 0.9)"), 6).alias("p90_tokens"),
+        F.round(F.expr("percentile(__n, 0.99)"), 6).alias("p99_tokens"),
+    )
+
+
+ORACLE_E3_TOKEN_QUANTILES = """
+WITH n AS (
+  SELECT source, len(regexp_split_to_array(lower(text), '\\s+')) AS nt
+  FROM documents
+)
+SELECT source,
+       round(quantile_cont(nt, 0.1), 6) AS p10_tokens,
+       round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(nt, 0.9), 6) AS p90_tokens,
+       round(quantile_cont(nt, 0.99), 6) AS p99_tokens
+FROM n GROUP BY source
+"""
+
+
 def q_e3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -2349,6 +2381,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_partitioned_rollup": q_e4_partitioned_rollup,
     "e3_repetition": q_e3_repetition,
     "e3_corpus_stats": q_e3_corpus_stats,
+    "e3_token_quantiles": q_e3_token_quantiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -2415,6 +2448,7 @@ ORACLES: dict[str, str] = {
     "e4_partitioned_rollup": ORACLE_E4_PARTITIONED_ROLLUP,
     "e3_repetition": ORACLE_E3_REPETITION,
     "e3_corpus_stats": _oracle_corpus_stats(),
+    "e3_token_quantiles": ORACLE_E3_TOKEN_QUANTILES,
     "e4_sessionize": ORACLE_E4_SESSIONIZE,
     "e4_asof_latest": ORACLE_E4_ASOF,
     "e4_sliding_window": ORACLE_E4_SLIDING,

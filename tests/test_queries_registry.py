@@ -64,6 +64,7 @@ def test_driver_window_holds_all_unique_queries():
         "e4_partitioned_rollup",
         "e3_repetition",
         "e3_corpus_stats",
+        "e3_token_quantiles",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
