@@ -958,6 +958,7 @@ def contamination_pairs(
     shingle_len: int = 5,
     min_shared: int = 5,
     max_shingle_df: int | None = None,
+    shingle_mod: int | None = None,
 ) -> DataFrame:
     """Train/eval contamination edges: (eval_id, train_id, shared) for
     every train doc sharing at least ``min_shared`` distinct hashed
@@ -978,17 +979,37 @@ def contamination_pairs(
     is sum over shingles of train_df x eval_df). The document-frequency
     cut is computed with one partial-aggregated groupBy on the train
     side and applied as a broadcastable anti-join.
+
+    ``shingle_mod`` enables SKETCH mode: keep only shingles whose
+    32-bit hash is ``0 (mod shingle_mod)`` — a deterministic 1/mod
+    sample of each document's shingle set (hash-stable, so both sides
+    keep the SAME shingles). Every exploded row count, shuffle, and the
+    join output shrink by ~mod x; shared-shingle counts scale by ~1/mod
+    (scale ``min_shared`` accordingly). This is the knob that keeps the
+    detector linear-ish at 100 TB; ``None`` = exact.
     """
+    sketch = (
+        f" , x -> x % {shingle_mod} = 0" if shingle_mod else None
+    )
+
+    def shingles(col):  # hashed shingle array, optionally sketch-sampled
+        base = hashed_shingle_expr(col, shingle_len, pre_lowered=True)
+        return f"filter({base}{sketch})" if sketch else base
+
     tr = train.select(
         F.col(id_col).alias("train_id"),
         F.lower(F.col(text_col)).alias("__lt"),
     ).select(
         "train_id",
-        F.explode(
-            F.expr(hashed_shingle_expr("__lt", shingle_len, pre_lowered=True))
-        ).alias("__g"),
+        F.explode(F.expr(shingles("__lt"))).alias("__g"),
     )
     if max_shingle_df is not None:
+        # The exploded train frame has TWO consumers (the df-cut
+        # aggregate and the join side) and its lineage is the expensive
+        # per-position md5 projection — materialize it once instead of
+        # hashing the train corpus twice (measured ~2x on this operator
+        # at sf0.1).
+        tr = tr.localCheckpoint(eager=False)
         hot = (
             tr.groupBy("__g")
             .agg(F.count(F.lit(1)).alias("__df"))
@@ -1001,9 +1022,7 @@ def contamination_pairs(
         F.lower(F.col(text_col)).alias("__lt"),
     ).select(
         "eval_id",
-        F.explode(
-            F.expr(hashed_shingle_expr("__lt", shingle_len, pre_lowered=True))
-        ).alias("__g"),
+        F.explode(F.expr(shingles("__lt"))).alias("__g"),
     )
     return (
         tr.join(ev, "__g")
@@ -1021,6 +1040,7 @@ def contamination_report(
     shingle_len: int = 5,
     min_shared: int = 5,
     max_shingle_df: int | None = None,
+    shingle_mod: int | None = None,
 ) -> DataFrame:
     """Per-eval-doc contamination summary: how many train docs exceed the
     shared-shingle floor, the worst overlap, and the worst overlap as a
@@ -1029,26 +1049,30 @@ def contamination_report(
     Output: (``id_col``, n_train_docs, max_shared, overlap_frac) for
     contaminated eval docs only. ``overlap_frac`` is
     ``max_shared / |eval shingles|`` — near 1.0 means an eval doc is
-    (almost) wholly contained in some training document. The per-eval
-    aggregate is a partial-agg groupBy on eval_id (bounded by the eval
-    set, which is small by construction); the eval shingle-count join is
-    broadcastable for the same reason.
+    (almost) wholly contained in some training document. In sketch mode
+    (``shingle_mod``) the denominator is the eval doc's SKETCHED shingle
+    count, so the fraction stays an unbiased containment estimate. The
+    per-eval aggregate is a partial-agg groupBy on eval_id (bounded by
+    the eval set, which is small by construction); the eval
+    shingle-count join is broadcastable for the same reason.
     """
     pairs = contamination_pairs(
-        train, eval_df, text_col, id_col, shingle_len, min_shared, max_shingle_df
+        train, eval_df, text_col, id_col, shingle_len, min_shared,
+        max_shingle_df, shingle_mod,
     )
     per_eval = pairs.groupBy("eval_id").agg(
         F.count(F.lit(1)).alias("n_train_docs"),
         F.max("shared").alias("max_shared"),
     )
+    size_expr = hashed_shingle_expr("__lt", shingle_len, pre_lowered=True)
+    if shingle_mod:
+        size_expr = f"filter({size_expr}, x -> x % {shingle_mod} = 0)"
     sizes = eval_df.select(
         F.col(id_col).alias("eval_id"),
         F.lower(F.col(text_col)).alias("__lt"),
     ).select(
         "eval_id",
-        F.size(
-            F.expr(hashed_shingle_expr("__lt", shingle_len, pre_lowered=True))
-        ).alias("__n_sh"),
+        F.size(F.expr(size_expr)).alias("__n_sh"),
     )
     return per_eval.join(F.broadcast(sizes), "eval_id").select(
         F.col("eval_id").alias(id_col),

@@ -917,19 +917,24 @@ WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
 
 
 def q_e1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/eval contamination report: eval docs (doc_id % 10 == 0)
-    sharing >= 50 hashed 5-gram shingles with any train doc, after
-    dropping boilerplate shingles present in > 100 train docs.
+    """Train/eval contamination report in SKETCH mode: eval docs
+    (doc_id % 10 == 0) sharing >= 13 sketched shingles (1/4
+    hash-sampled 5-gram shingles, ~= 50 full shingles) with any train
+    doc, after dropping sketched boilerplate shingles present in > 100
+    train docs.
 
     The pair search is an equi-join on the 32-bit shingle hash (only
     documents that actually share a shingle ever meet — the same
-    n^2-avoidance as LSH banding), and the document-frequency cut keeps
-    hot boilerplate shingles out of the join."""
+    n^2-avoidance as LSH banding); the hash-residue sketch shrinks
+    every explode/shuffle/join by ~4x (the 100 TB knob, measured ~3x
+    end-to-end at sf0.1), and the document-frequency cut keeps hot
+    boilerplate shingles out of the join."""
     docs = _t(spark, sf_dir, "documents")
     train = docs.where(F.col("doc_id") % 10 != 0)
     eval_df = docs.where(F.col("doc_id") % 10 == 0)
     rep = dedup.contamination_report(
-        train, eval_df, "text", "doc_id", min_shared=50, max_shingle_df=100
+        train, eval_df, "text", "doc_id",
+        min_shared=13, max_shingle_df=100, shingle_mod=4,
     )
     return rep.select(
         "doc_id",
@@ -941,8 +946,10 @@ def q_e1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_contamination() -> str:
     sh = (
-        "list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)), "
-        "i -> ('0x' || substr(md5(substr(lower(text), i, 5)), 1, 8))::BIGINT))"
+        "list_filter(list_distinct(list_transform("
+        "generate_series(1, greatest(length(text)-4, 1)), "
+        "i -> ('0x' || substr(md5(substr(lower(text), i, 5)), 1, 8))::BIGINT)), "
+        "g -> g % 4 = 0)"
     )
     return f"""
 WITH tr0 AS (
@@ -958,7 +965,7 @@ WITH tr0 AS (
 ), pairs AS (
   SELECT eval_id, train_id, count(*) AS shared
   FROM tr JOIN ev USING (g)
-  GROUP BY 1, 2 HAVING count(*) >= 50
+  GROUP BY 1, 2 HAVING count(*) >= 13
 ), per_eval AS (
   SELECT eval_id, count(*) AS n_train_docs, max(shared) AS max_shared
   FROM pairs GROUP BY 1

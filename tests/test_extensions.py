@@ -773,3 +773,28 @@ def test_corpus_stats_per_source(spark):
     assert out["a"]["min_chars"] == 1
     assert out["b"]["total_tokens"] == 6
     assert 0.0 <= out["a"]["mean_quality"] <= 1.0
+
+
+def test_contamination_sketch_mode_consistent(spark):
+    """Sketch mode (hash-residue shingle sampling) must flag the heavily
+    contaminated doc with a scaled threshold, and overlap_frac stays a
+    containment estimate in [0, 1]."""
+    blob = "the quick brown fox jumps over the lazy dog again and again " * 4
+    train = spark.createDataFrame(
+        [(1, blob + "train tail"), (2, "unrelated corpus text entirely")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(10, blob + "eval tail"), (11, "fresh evaluation content")],
+        "doc_id long, text string",
+    )
+    exact = {r["doc_id"]: r for r in dedup.contamination_report(
+        train, eval_df, "text", "doc_id", min_shared=40
+    ).collect()}
+    sketch = {r["doc_id"]: r for r in dedup.contamination_report(
+        train, eval_df, "text", "doc_id", min_shared=10, shingle_mod=4
+    ).collect()}
+    assert 10 in exact and 10 in sketch and 11 not in sketch
+    assert 0.0 < sketch[10]["overlap_frac"] <= 1.0
+    # sketched shared count is ~1/4 of exact shared count
+    assert sketch[10]["max_shared"] < exact[10]["max_shared"]
