@@ -2295,6 +2295,75 @@ FROM meta
 """
 
 
+def q_e6_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (greedy bin-packing of docs into fixed
+    token-budget training sequences): deterministic shard-then-pack, the
+    text column never enters the Python stage — only (id, shard,
+    n_tokens) shuffles. Oracle: a recursive CTE replaying the greedy
+    pass per shard."""
+    from .operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", capacity=256, nshards=8)
+
+
+def q_e6_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency rollup (bins used / fill ratio per shard) —
+    the dataset-card view of context-window waste for a packing run."""
+    from .operators.packing import pack_sequences, pack_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, "doc_id", "text", capacity=256, nshards=8)
+    return pack_stats(packed, capacity=256)
+
+
+# The greedy packing recurrence, replayed exactly: within a shard, in
+# ascending doc_id order, a doc opens a new bin iff the current bin is
+# non-empty and would overflow capacity.
+_PACK_REC = """
+WITH RECURSIVE pre AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 8 AS INTEGER) AS shard,
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), base AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM pre
+), rec AS (
+  SELECT doc_id, shard, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS bin_offset,
+         n_tokens AS fill
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.doc_id, b.shard, b.n_tokens, b.rn,
+         CASE WHEN r.fill > 0 AND r.fill + b.n_tokens > 256
+              THEN r.bin_id + 1 ELSE r.bin_id END,
+         CASE WHEN r.fill > 0 AND r.fill + b.n_tokens > 256
+              THEN 0 ELSE r.fill END,
+         CASE WHEN r.fill > 0 AND r.fill + b.n_tokens > 256
+              THEN b.n_tokens ELSE r.fill + b.n_tokens END
+  FROM rec r JOIN base b ON b.shard = r.shard AND b.rn = r.rn + 1
+)
+"""
+
+ORACLE_E6_SEQUENCE_PACK = (
+    _PACK_REC
+    + "SELECT doc_id, shard, bin_id, bin_offset, n_tokens FROM rec"
+)
+
+ORACLE_E6_PACK_STATS = (
+    _PACK_REC
+    + """
+SELECT shard,
+       max(bin_id) + 1 AS n_bins,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       round(sum(n_tokens)::DOUBLE / ((max(bin_id) + 1) * 256.0), 6) AS fill_ratio
+FROM rec GROUP BY shard
+"""
+)
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2389,6 +2458,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_repetition": q_e3_repetition,
     "e3_corpus_stats": q_e3_corpus_stats,
     "e3_token_quantiles": q_e3_token_quantiles,
+    "e6_sequence_pack": q_e6_sequence_pack,
+    "e6_pack_stats": q_e6_pack_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -2456,6 +2527,8 @@ ORACLES: dict[str, str] = {
     "e3_repetition": ORACLE_E3_REPETITION,
     "e3_corpus_stats": _oracle_corpus_stats(),
     "e3_token_quantiles": ORACLE_E3_TOKEN_QUANTILES,
+    "e6_sequence_pack": ORACLE_E6_SEQUENCE_PACK,
+    "e6_pack_stats": ORACLE_E6_PACK_STATS,
     "e4_sessionize": ORACLE_E4_SESSIONIZE,
     "e4_asof_latest": ORACLE_E4_ASOF,
     "e4_sliding_window": ORACLE_E4_SLIDING,
