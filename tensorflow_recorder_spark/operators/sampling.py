@@ -71,3 +71,63 @@ def stratified_sample(
             .otherwise(threshold)
         )
     return df.where(F.expr(_bucket_expr(id_col, salt)) < threshold)
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    token_count: Column,
+    weights: dict,
+    token_budget: float,
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted data-mixture sampling: draw ~``token_budget`` tokens with
+    per-source proportions ``weights`` (the "data mixing" step of an LLM
+    training pipeline — e.g. 50% web, 20% code, ...).
+
+    For each source ``s`` the target take is ``weights[s] *
+    token_budget`` tokens; the sampling rate is ``min(1, take_s /
+    total_tokens_s)`` (a source smaller than its target is taken whole —
+    the cap, not an error). Sources absent from ``weights`` get rate 0.
+    Membership is then the same deterministic md5 bucket as
+    :func:`hash_sample`, so the drawn mixture is identical across
+    retries, partitionings, and engines, and nested in the budget (a
+    bigger budget only ever ADDS rows per source).
+
+    Plan shape at 100 TB: one tiny partial-aggregated groupBy (one row
+    per source) broadcast back onto the corpus, then a narrow
+    deterministic filter — no corpus shuffle, no ``rand()``.
+
+    Returns the sampled rows plus ``n_tokens`` and the per-source
+    ``sample_rate`` applied.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {s!r} must be >= 0")
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+
+    with_tok = df.withColumn("n_tokens", token_count.cast("long"))
+    totals = with_tok.groupBy(source_col).agg(
+        F.sum("n_tokens").alias("__total_tokens")
+    )
+    weight: Column = F.lit(0.0)
+    for value, w in sorted(weights.items()):
+        weight = F.when(
+            F.col(source_col) == F.lit(value), F.lit(float(w))
+        ).otherwise(weight)
+    rates = totals.select(
+        F.col(source_col),
+        F.least(
+            F.lit(1.0),
+            (weight * F.lit(float(token_budget))) / F.col("__total_tokens"),
+        ).alias("sample_rate"),
+    )
+    joined = with_tok.join(F.broadcast(rates), source_col)
+    return joined.where(
+        F.expr(_bucket_expr(id_col, salt))
+        < F.floor(F.col("sample_rate") * F.lit(float(_DENOM))).cast("bigint")
+    )

@@ -2317,6 +2317,52 @@ def q_e6_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stats(packed, capacity=256)
 
 
+def q_e6_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data-mixture draw (50/20/20/10 over four sources, 6k
+    token budget): per-source rate = min(1, weight*budget/total_tokens),
+    membership a pure md5-bucket function — retry/engine-stable. src0's
+    50% share exceeds its corpus, exercising the rate cap."""
+    from .operators.packing import token_count_expr
+    from .operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs,
+        "source",
+        "doc_id",
+        token_count_expr("text"),
+        {"src0": 0.5, "src1": 0.2, "src2": 0.2, "src3": 0.1},
+        token_budget=6000.0,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round("sample_rate", 6).alias("sample_rate"),
+    )
+
+
+ORACLE_E6_MIXTURE_SAMPLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000 AS bucket
+  FROM documents
+), r AS (
+  SELECT source,
+         least(1.0,
+               (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.2
+                            WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1
+                            ELSE 0.0 END * 6000.0) / sum(n_tokens)) AS sample_rate
+  FROM t GROUP BY source
+)
+SELECT t.doc_id, t.source, t.n_tokens, round(r.sample_rate, 6) AS sample_rate
+FROM t JOIN r USING (source)
+WHERE t.bucket < CAST(floor(r.sample_rate * 1000000.0) AS BIGINT)
+"""
+
+
 # The greedy packing recurrence, replayed exactly: within a shard, in
 # ascending doc_id order, a doc opens a new bin iff the current bin is
 # non-empty and would overflow capacity.
@@ -2460,6 +2506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_token_quantiles": q_e3_token_quantiles,
     "e6_sequence_pack": q_e6_sequence_pack,
     "e6_pack_stats": q_e6_pack_stats,
+    "e6_mixture_sample": q_e6_mixture_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -2529,6 +2576,7 @@ ORACLES: dict[str, str] = {
     "e3_token_quantiles": ORACLE_E3_TOKEN_QUANTILES,
     "e6_sequence_pack": ORACLE_E6_SEQUENCE_PACK,
     "e6_pack_stats": ORACLE_E6_PACK_STATS,
+    "e6_mixture_sample": ORACLE_E6_MIXTURE_SAMPLE,
     "e4_sessionize": ORACLE_E4_SESSIONIZE,
     "e4_asof_latest": ORACLE_E4_ASOF,
     "e4_sliding_window": ORACLE_E4_SLIDING,

@@ -588,6 +588,60 @@ def test_hash_sample_deterministic_and_nested(spark):
     assert out.count() == 1000
 
 
+def test_mixture_sample_rates_cap_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from tensorflow_recorder_spark.operators.sampling import mixture_sample
+
+    # two sources, 10 tokens per doc: "big" has 1000 docs (10k tokens),
+    # "small" has 20 docs (200 tokens)
+    docs = spark.range(0, 1020).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, "big").otherwise("small").alias("source"),
+        F.lit("t " * 10).alias("text"),
+    )
+    tok = F.expr("size(split(lower(text), '\\\\s+'))") - 1  # trailing blank
+    out = mixture_sample(
+        docs, "source", "doc_id", tok,
+        {"big": 0.5, "small": 0.5}, token_budget=2000.0,
+    )
+    rates = {
+        r.source: r.sample_rate
+        for r in out.select("source", "sample_rate").distinct().collect()
+    }
+    # big: 1000 tokens wanted of 10000 -> 0.1; small: capped at 1.0
+    assert abs(rates["big"] - 0.1) < 1e-9
+    assert rates["small"] == 1.0
+    got = out.groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in got}
+    assert counts["small"] == 20  # whole source taken at rate 1.0
+    assert 60 < counts["big"] < 140  # ~10% of 1000
+    # deterministic across re-runs
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in mixture_sample(
+            docs, "source", "doc_id", tok,
+            {"big": 0.5, "small": 0.5}, token_budget=2000.0,
+        ).collect()
+    )
+    assert a == b
+    # unweighted sources are dropped entirely
+    none = mixture_sample(
+        docs, "source", "doc_id", tok, {"other": 1.0}, token_budget=2000.0
+    )
+    assert none.count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_sample(docs, "source", "doc_id", tok, {}, 100.0)
+    with _pytest.raises(ValueError):
+        mixture_sample(docs, "source", "doc_id", tok, {"big": -1.0}, 100.0)
+    with _pytest.raises(ValueError):
+        mixture_sample(docs, "source", "doc_id", tok, {"big": 0.5}, 0.0)
+
+
 def test_bigram_pmi_collocation_beats_chance(spark):
     # "san francisco" always co-occurs; "the" pairs with everything.
     docs = spark.createDataFrame(

@@ -67,6 +67,7 @@ def test_driver_window_holds_all_unique_queries():
         "e3_token_quantiles",
         "e6_sequence_pack",
         "e6_pack_stats",
+        "e6_mixture_sample",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
