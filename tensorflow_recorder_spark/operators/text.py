@@ -434,3 +434,128 @@ def bigram_pmi(
         .orderBy(F.desc("pmi"), F.asc("gram"))
         .limit(top_n)
     )
+
+
+PII_PATTERNS: dict[str, str] = {
+    # pragmatic (not RFC-exact) detectors, the usual pre-training
+    # scrubbing set; all three compile identically under Java regex
+    # (Spark) and RE2 (DuckDB) — no lookbehind, no backrefs
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\b\d[\d\s().-]{7,}\d\b",
+}
+
+
+def redact(
+    df: DataFrame,
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """PII / sensitive-term redaction: replace every match of each
+    pattern with ``[LABEL]`` and report a per-pattern match count.
+
+    Counts are computed on the ORIGINAL text (so they are independent
+    of pattern application order); replacements are applied
+    sequentially in sorted-label order (deterministic when patterns
+    overlap). Everything is JVM-side ``regexp_replace`` /
+    ``regexp_extract_all`` — a narrow per-row projection, no shuffle,
+    no Python. At 100 TB this is a map-only pass that fuses into
+    whatever scan or filter precedes it.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    if not pats:
+        raise ValueError("patterns must be non-empty")
+    out_col = out_col or text_col
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{label}")
+        for label, pat in sorted(pats.items())
+    ]
+    redacted = F.col(text_col)
+    for label, pat in sorted(pats.items()):
+        redacted = F.regexp_replace(redacted, pat, f"[{label.upper()}]")
+    return df.select("*", *counts).withColumn(out_col, redacted)
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    train_df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Bigram language-model cross-entropy per document — the classic
+    cheap "perplexity filter" for pre-training corpora (docs that score
+    far above the corpus norm are gibberish; far below are boilerplate).
+
+    Fits an add-one-smoothed bigram LM on ``train_df``:
+    ``P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)`` with ``V`` = distinct
+    training unigrams, then scores every doc in ``df`` as the mean
+    ``-log2 P`` over its bigrams (docs with < 2 tokens score 0).
+
+    Plan shape: two vocabulary-bounded training aggregates; scored-doc
+    bigrams hash-join the bigram table on (w1, w2) and the unigram
+    table on w1 (both vocabulary-sized — broadcast when small, plain
+    hash join when not); V rides along as a broadcast scalar. Per-term
+    ``-log2 P`` is cast to DECIMAL(28,12) before the per-doc sum so the
+    result is independent of accumulation order (engine- and
+    partitioning-portable at 6-digit rounding).
+
+    Output: ``(id_col, n_bigrams, n_unseen, cross_entropy)`` where
+    ``n_unseen`` counts bigrams never seen in training.
+    """
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')"
+    grams = (
+        "CASE WHEN size(__t) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(__t) - 1), "
+        "i -> struct(element_at(__t, i) as w1, element_at(__t, i + 1) as w2)) END"
+    )
+
+    train_tokens = train_df.select(F.explode(F.expr(toks)).alias("w"))
+    uni = train_tokens.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    bi = (
+        train_df.select(F.expr(toks).alias("__t"))
+        .select(F.explode(F.expr(grams)).alias("g"))
+        .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+
+    doc_grams = (
+        df.select(F.col(id_col), F.expr(toks).alias("__t"))
+        .select(F.col(id_col), F.explode(F.expr(grams)).alias("g"))
+        .select(F.col(id_col), F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+    scored = (
+        doc_grams.join(bi, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("c12"), F.lit(0)).alias("c12"),
+            (
+                -F.log2(
+                    (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+                )
+            ).cast("decimal(28,12)").alias("nll"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum((F.col("c12") == 0).cast("long")).alias("n_unseen"),
+        # exact decimal accumulation, then ONE double division — the
+        # result is independent of partitioning/accumulation order
+        F.round(
+            F.sum("nll").cast("double") / F.count(F.lit(1)), 6
+        ).alias("cross_entropy"),
+    )
+    # docs with < 2 tokens have no bigrams: left-join them back at 0
+    ids = df.select(F.col(id_col)).distinct()
+    return ids.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.col("n_unseen"), F.lit(0)).alias("n_unseen"),
+        F.coalesce(F.col("cross_entropy"), F.lit(0.0)).alias("cross_entropy"),
+    )

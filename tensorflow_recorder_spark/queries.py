@@ -2295,6 +2295,88 @@ FROM meta
 """
 
 
+def q_e3_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-term redaction over the corpus (the PII-scrubbing
+    machinery — operators.text.PII_PATTERNS — demonstrated on a term
+    set that actually occurs in the synthetic docs): every match is
+    replaced by [TERM] and counted. Map-only, JVM-side regex."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.redact(
+        docs, "text", {"term": r"\b(spark|hash|merge)\b"}, out_col="redacted"
+    )
+    return out.select("doc_id", "redacted", "n_term")
+
+
+ORACLE_E3_REDACT = """
+SELECT doc_id,
+       regexp_replace(text, '\\b(spark|hash|merge)\\b', '[TERM]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '\\b(spark|hash|merge)\\b')) AS BIGINT)
+         AS n_term
+FROM documents
+"""
+
+
+def q_e3_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per document (perplexity filtering): fit
+    add-one-smoothed bigram probabilities on the src0-src4 slice, score
+    every doc as mean -log2 P(w2|w1). Decimal-exact accumulation makes
+    the score partitioning-independent."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    )
+    return text.bigram_lm_score(docs, train, "text", "doc_id")
+
+
+ORACLE_E3_LM_SCORE = """
+WITH train AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+),
+words AS (SELECT unnest(t) AS w FROM train),
+uni AS (SELECT w, count(*) AS c1 FROM words GROUP BY w),
+v AS (SELECT count(*) AS v FROM uni),
+tb AS (
+  SELECT unnest(CASE WHEN len(t) < 2 THEN []
+                ELSE list_transform(generate_series(1, len(t) - 1),
+                                    i -> struct_pack(w1 := t[i], w2 := t[i + 1])) END) AS g
+  FROM train
+),
+bi AS (SELECT g.w1 AS w1, g.w2 AS w2, count(*) AS c12 FROM tb GROUP BY 1, 2),
+docs AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+dg AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN []
+                ELSE list_transform(generate_series(1, len(t) - 1),
+                                    i -> struct_pack(w1 := t[i], w2 := t[i + 1])) END) AS g
+  FROM docs
+),
+scored AS (
+  SELECT doc_id,
+         coalesce(bi.c12, 0) AS c12,
+         CAST(-log2((coalesce(bi.c12, 0) + 1)::DOUBLE
+                    / (coalesce(uni.c1, 0) + v.v)::DOUBLE) AS DECIMAL(28,12)) AS nll
+  FROM dg
+  LEFT JOIN bi ON dg.g.w1 = bi.w1 AND dg.g.w2 = bi.w2
+  LEFT JOIN uni ON dg.g.w1 = uni.w
+  CROSS JOIN v
+),
+per AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         sum(CASE WHEN c12 = 0 THEN 1 ELSE 0 END) AS n_unseen,
+         round(sum(nll)::DOUBLE / count(*), 6) AS cross_entropy
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(per.n_unseen, 0) AS BIGINT) AS n_unseen,
+       coalesce(per.cross_entropy, 0.0) AS cross_entropy
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+"""
+
+
 def q_e6_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (greedy bin-packing of docs into fixed
     token-budget training sequences): deterministic shard-then-pack, the
@@ -2504,6 +2586,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_repetition": q_e3_repetition,
     "e3_corpus_stats": q_e3_corpus_stats,
     "e3_token_quantiles": q_e3_token_quantiles,
+    "e3_redact": q_e3_redact,
+    "e3_lm_score": q_e3_lm_score,
     "e6_sequence_pack": q_e6_sequence_pack,
     "e6_pack_stats": q_e6_pack_stats,
     "e6_mixture_sample": q_e6_mixture_sample,
@@ -2574,6 +2658,8 @@ ORACLES: dict[str, str] = {
     "e3_repetition": ORACLE_E3_REPETITION,
     "e3_corpus_stats": _oracle_corpus_stats(),
     "e3_token_quantiles": ORACLE_E3_TOKEN_QUANTILES,
+    "e3_redact": ORACLE_E3_REDACT,
+    "e3_lm_score": ORACLE_E3_LM_SCORE,
     "e6_sequence_pack": ORACLE_E6_SEQUENCE_PACK,
     "e6_pack_stats": ORACLE_E6_PACK_STATS,
     "e6_mixture_sample": ORACLE_E6_MIXTURE_SAMPLE,

@@ -588,6 +588,55 @@ def test_hash_sample_deterministic_and_nested(spark):
     assert out.count() == 1000
 
 
+def test_redact_pii_patterns(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com or +1 (555) 123-4567 from 10.0.0.1"),
+            (2, "no pii here"),
+            (3, "two mails: a@b.io and c.d+x@e-f.org"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.redact(docs, "text").collect()}
+    assert out[1].n_email == 1 and out[1].n_ipv4 == 1 and out[1].n_phone == 1
+    assert "[EMAIL]" in out[1].text and "[IPV4]" in out[1].text
+    assert "bob@example.com" not in out[1].text
+    assert out[2].text == "no pii here"
+    assert out[2].n_email == out[2].n_ipv4 == out[2].n_phone == 0
+    assert out[3].n_email == 2
+    assert out[3].text.count("[EMAIL]") == 2
+    # counts reflect the ORIGINAL text even when patterns overlap
+    over = spark.createDataFrame([(1, "x@y.zz")], "doc_id long, text string")
+    r = text.redact(over, "text", {"a": r"x@y\.zz", "b": r"x@y"}).collect()[0]
+    assert r.n_a == 1 and r.n_b == 1  # both counted pre-replacement
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        text.redact(docs, "text", {})
+
+
+def test_bigram_lm_score_semantics(spark):
+    train = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    # train: unigrams a:3 b:3 c:1 -> V=3; bigrams ab:3, ba:1, bc:1
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "z z"), (12, "a")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in
+           text.bigram_lm_score(score, train, "text", "doc_id").collect()}
+    import math
+
+    # P(b|a) = (3+1)/(3+3) = 2/3 -> CE = log2(1.5)
+    assert out[10].n_bigrams == 1 and out[10].n_unseen == 0
+    assert abs(out[10].cross_entropy - math.log2(1.5)) < 1e-6
+    # unseen bigram with unseen head: P = 1/(0+3)
+    assert out[11].n_unseen == 1
+    assert abs(out[11].cross_entropy - math.log2(3)) < 1e-6
+    # single-token doc: no bigrams, scores 0
+    assert out[12].n_bigrams == 0 and out[12].cross_entropy == 0.0
+
+
 def test_mixture_sample_rates_cap_and_determinism(spark):
     from pyspark.sql import functions as F
 

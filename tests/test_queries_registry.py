@@ -65,6 +65,8 @@ def test_driver_window_holds_all_unique_queries():
         "e3_repetition",
         "e3_corpus_stats",
         "e3_token_quantiles",
+        "e3_redact",
+        "e3_lm_score",
         "e6_sequence_pack",
         "e6_pack_stats",
         "e6_mixture_sample",
