@@ -950,6 +950,44 @@ def fuzzy_dedup(
     return df.join(dupes, id_col, "left_anti")
 
 
+def sketched_shingles_expr(
+    text_col: str,
+    shingle_len: int = 5,
+    shingle_mod: int | None = None,
+    pre_lowered: bool = True,
+) -> str:
+    """Hashed shingle array expr, optionally hash-residue sketched:
+    keep only shingles with hash ``0 (mod shingle_mod)`` — a
+    deterministic 1/mod sample of each document's shingle set
+    (hash-stable, so any two documents keep the SAME shingles)."""
+    base = hashed_shingle_expr(text_col, shingle_len, pre_lowered=pre_lowered)
+    if shingle_mod:
+        return f"filter({base}, x -> x % {shingle_mod} = 0)"
+    return base
+
+
+def exploded_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_id: str,
+    shingle_len: int = 5,
+    shingle_mod: int | None = None,
+) -> DataFrame:
+    """(id, shingle_hash) rows for every (sketched) shingle of every
+    doc — the shared explode feeding batch AND streaming contamination
+    (stateless narrow projection, legal on a streaming DataFrame)."""
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.lower(F.col(text_col)).alias("__lt"),
+    ).select(
+        out_id,
+        F.explode(
+            F.expr(sketched_shingles_expr("__lt", shingle_len, shingle_mod))
+        ).alias("__g"),
+    )
+
+
 def contamination_pairs(
     train: DataFrame,
     eval_df: DataFrame,
@@ -988,20 +1026,8 @@ def contamination_pairs(
     (scale ``min_shared`` accordingly). This is the knob that keeps the
     detector linear-ish at 100 TB; ``None`` = exact.
     """
-    sketch = (
-        f" , x -> x % {shingle_mod} = 0" if shingle_mod else None
-    )
-
-    def shingles(col):  # hashed shingle array, optionally sketch-sampled
-        base = hashed_shingle_expr(col, shingle_len, pre_lowered=True)
-        return f"filter({base}{sketch})" if sketch else base
-
-    tr = train.select(
-        F.col(id_col).alias("train_id"),
-        F.lower(F.col(text_col)).alias("__lt"),
-    ).select(
-        "train_id",
-        F.explode(F.expr(shingles("__lt"))).alias("__g"),
+    tr = exploded_shingles(
+        train, text_col, id_col, "train_id", shingle_len, shingle_mod
     )
     if max_shingle_df is not None:
         # The exploded train frame has TWO consumers (the df-cut
@@ -1017,12 +1043,8 @@ def contamination_pairs(
             .select("__g")
         )
         tr = tr.join(hot, "__g", "left_anti")
-    ev = eval_df.select(
-        F.col(id_col).alias("eval_id"),
-        F.lower(F.col(text_col)).alias("__lt"),
-    ).select(
-        "eval_id",
-        F.explode(F.expr(shingles("__lt"))).alias("__g"),
+    ev = exploded_shingles(
+        eval_df, text_col, id_col, "eval_id", shingle_len, shingle_mod
     )
     return (
         tr.join(ev, "__g")
@@ -1060,13 +1082,27 @@ def contamination_report(
         train, eval_df, text_col, id_col, shingle_len, min_shared,
         max_shingle_df, shingle_mod,
     )
+    return report_from_pairs(
+        pairs, eval_df, text_col, id_col, shingle_len, shingle_mod
+    )
+
+
+def report_from_pairs(
+    pairs: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_len: int = 5,
+    shingle_mod: int | None = None,
+) -> DataFrame:
+    """Fold (eval_id, train_id, shared) contamination edges into the
+    per-eval-doc report (shared by the batch and streaming detectors —
+    the streaming path drains its edges from the state store first)."""
     per_eval = pairs.groupBy("eval_id").agg(
         F.count(F.lit(1)).alias("n_train_docs"),
         F.max("shared").alias("max_shared"),
     )
-    size_expr = hashed_shingle_expr("__lt", shingle_len, pre_lowered=True)
-    if shingle_mod:
-        size_expr = f"filter({size_expr}, x -> x % {shingle_mod} = 0)"
+    size_expr = sketched_shingles_expr("__lt", shingle_len, shingle_mod)
     sizes = eval_df.select(
         F.col(id_col).alias("eval_id"),
         F.lower(F.col(text_col)).alias("__lt"),

@@ -2235,6 +2235,42 @@ FROM events GROUP BY user_id
 """
 
 
+def q_s5_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The e1_contamination detector executed AS A STREAM: eval docs
+    (doc_id % 10 == 0) arrive via readStream and stream-static-join the
+    static train shingle index; the running (eval, train) shared-shingle
+    counts live in the state store, drained with availableNow. Same
+    sketch policy as the batch query (mod 4, floor 13, df cap 100), so
+    with the bounded source fully drained the report hash-matches the
+    batch oracle — stream/batch parity for the contamination path."""
+    from .operators import dedup
+    from .streaming.contamination import streaming_contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    ev_stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/documents.parque[t]"
+    ).where(F.col("doc_id") % 10 == 0)
+    pairs = streaming_contamination_pairs(
+        ev_stream, train, "text", "doc_id", max_shingle_df=100, shingle_mod=4
+    )
+    table = _drain_to_memory(pairs, "stream_contamination_sink", "complete")
+    rep = dedup.report_from_pairs(
+        table.where(F.col("shared") >= 13),
+        docs.where(F.col("doc_id") % 10 == 0),
+        "text",
+        "doc_id",
+        shingle_mod=4,
+    )
+    return rep.select(
+        "doc_id",
+        "n_train_docs",
+        "max_shared",
+        F.round("overlap_frac", 6).alias("overlap_frac"),
+    )
+
+
 # =====================================================================
 # E5 multimodal columns (binary payload + typed metadata; stub codecs —
 # the runtime has no PIL/ffmpeg — but the Spark plumbing is real)
@@ -2591,6 +2627,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_sequence_pack": q_e6_sequence_pack,
     "e6_pack_stats": q_e6_pack_stats,
     "e6_mixture_sample": q_e6_mixture_sample,
+    "s5_stream_contamination": q_s5_stream_contamination,
 }
 
 ORACLES: dict[str, str] = {
@@ -2663,6 +2700,7 @@ ORACLES: dict[str, str] = {
     "e6_sequence_pack": ORACLE_E6_SEQUENCE_PACK,
     "e6_pack_stats": ORACLE_E6_PACK_STATS,
     "e6_mixture_sample": ORACLE_E6_MIXTURE_SAMPLE,
+    "s5_stream_contamination": _oracle_contamination(),
     "e4_sessionize": ORACLE_E4_SESSIONIZE,
     "e4_asof_latest": ORACLE_E4_ASOF,
     "e4_sliding_window": ORACLE_E4_SLIDING,

@@ -70,6 +70,7 @@ def test_driver_window_holds_all_unique_queries():
         "e6_sequence_pack",
         "e6_pack_stats",
         "e6_mixture_sample",
+        "s5_stream_contamination",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

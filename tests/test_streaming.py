@@ -163,3 +163,35 @@ def test_streaming_user_stats_state_spans_batches(spark, tmp_path):
     assert (final["n"], final["mn"], final["mx"]) == (3, 1.0, 9.0)
     # update mode re-emitted at least once per batch that touched user 1
     assert out.where(F.col("user_id") == 1).count() >= 2
+
+
+def test_streaming_contamination_matches_batch(spark, tmp_path):
+    from tensorflow_recorder_spark.operators import dedup
+    from tensorflow_recorder_spark.streaming.contamination import (
+        streaming_contamination_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    train_rows = [(i, shared if i < 3 else f"unique train doc number {i} xyz")
+                  for i in range(10)]
+    eval_rows = [(100, shared), (101, "completely unrelated evaluation text")]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    src = str(tmp_path / "eval_docs")
+    spark.createDataFrame(eval_rows, "doc_id long, text string").write.parquet(src)
+    ev_stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    stream_pairs = streaming_contamination_pairs(
+        ev_stream, train, "text", "doc_id", shingle_len=5
+    )
+    got = _run_to_memory(spark, stream_pairs, "contam_pairs_out", mode="complete")
+    batch = dedup.contamination_pairs(
+        train, spark.createDataFrame(eval_rows, "doc_id long, text string"),
+        "text", "doc_id", shingle_len=5, min_shared=1,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    # the contaminated eval doc matches exactly the 3 verbatim train docs
+    assert got.where(F.col("eval_id") == 100).count() == 3
+    assert got.where(F.col("eval_id") == 101).count() == 0
+
+    with pytest.raises(ValueError):
+        streaming_contamination_pairs(train, train, "text", "doc_id")
