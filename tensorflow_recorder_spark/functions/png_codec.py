@@ -14,7 +14,9 @@ subset:
   — expansion is the useful behavior for a pixel pipeline and is
   documented as the one deviation), 4 (gray+alpha -> 'LA'),
   6 (RGBA).
-* no interlacing (Adam7 raises -> the caller's DISCARD route).
+* both interlace methods: none and Adam7 (each of the seven reduced
+  passes is unfiltered independently, then scattered onto the full
+  grid per RFC 2083 §2 — filters never cross pass boundaries).
 
 Decoding is per-file Python, which is the right cost model: it runs
 inside the Arrow-batched ``mapInPandas`` of ``operators/image.py``, so
@@ -32,6 +34,17 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # color type -> (samples per pixel, mode for 8-bit depth)
 _COLOR_TYPES = {0: (1, "L"), 2: (3, "RGB"), 3: (1, "P"), 4: (2, "LA"), 6: (4, "RGBA")}
 
+# Adam7 pass grid: (x_origin, y_origin, x_step, y_step), RFC 2083 §2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
 
 def is_png(data: bytes) -> bool:
     return data[:8] == PNG_SIGNATURE
@@ -45,6 +58,59 @@ def _paeth(a: int, b: int, c: int) -> int:
     if pb <= pc:
         return b
     return c
+
+
+def _unfilter(
+    raw: bytes, offset: int, stride: int, height: int, samples: int
+) -> tuple[bytearray, int]:
+    """Undo the five RFC 2083 row filters for one scanline sequence
+    (a whole non-interlaced image, or one Adam7 pass). Returns the
+    unfiltered pixels and the offset just past the consumed bytes."""
+    need = offset + (stride + 1) * height
+    if len(raw) < need:
+        raise ValueError("PNG pixel data shorter than declared dimensions")
+    out = bytearray(stride * height)
+    for y in range(height):
+        fpos = offset + y * (stride + 1)
+        ftype = raw[fpos]
+        row = raw[fpos + 1 : fpos + 1 + stride]
+        ostart = y * stride
+        pstart = ostart - stride  # row above; y == 0 reads as zeros
+        if ftype == 0:  # None
+            out[ostart : ostart + stride] = row
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                left = out[ostart + x - samples] if x >= samples else 0
+                out[ostart + x] = (row[x] + left) & 0xFF
+        elif ftype == 2:  # Up
+            if y == 0:
+                out[ostart : ostart + stride] = row
+            else:
+                for x in range(stride):
+                    out[ostart + x] = (row[x] + out[pstart + x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = out[ostart + x - samples] if x >= samples else 0
+                up = out[pstart + x] if y > 0 else 0
+                out[ostart + x] = (row[x] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = out[ostart + x - samples] if x >= samples else 0
+                up = out[pstart + x] if y > 0 else 0
+                ul = out[pstart + x - samples] if (y > 0 and x >= samples) else 0
+                out[ostart + x] = (row[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+    return out, need
+
+
+def _adam7_passes(width: int, height: int):
+    """Non-empty Adam7 passes as (x0, y0, dx, dy, pass_w, pass_h)."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy, pw, ph
 
 
 def decode_png(data: bytes) -> tuple[bytes, int, int, str]:
@@ -84,48 +150,27 @@ def decode_png(data: bytes) -> tuple[bytes, int, int, str]:
         raise ValueError(f"unsupported PNG color type {color_type}")
     if bit_depth != 8:
         raise ValueError(f"unsupported PNG bit depth {bit_depth} (only 8)")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
 
     samples, mode = _COLOR_TYPES[color_type]
     raw = zlib.decompress(bytes(idat))
     stride = width * samples  # bytes per unfiltered row (bpp = samples at depth 8)
-    expected = (stride + 1) * height
-    if len(raw) < expected:
-        raise ValueError("PNG pixel data shorter than declared dimensions")
 
-    out = bytearray(stride * height)
-    prev_start = -stride  # row above; first row's "above" reads as zeros
-    for y in range(height):
-        fpos = y * (stride + 1)
-        ftype = raw[fpos]
-        row = raw[fpos + 1 : fpos + 1 + stride]
-        ostart = y * stride
-        if ftype == 0:  # None
-            out[ostart : ostart + stride] = row
-        elif ftype == 1:  # Sub
-            for x in range(stride):
-                left = out[ostart + x - samples] if x >= samples else 0
-                out[ostart + x] = (row[x] + left) & 0xFF
-        elif ftype == 2:  # Up
-            if y == 0:
-                out[ostart : ostart + stride] = row
-            else:
-                for x in range(stride):
-                    out[ostart + x] = (row[x] + out[ostart + prev_start + x]) & 0xFF
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                left = out[ostart + x - samples] if x >= samples else 0
-                up = out[ostart + prev_start + x] if y > 0 else 0
-                out[ostart + x] = (row[x] + ((left + up) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                left = out[ostart + x - samples] if x >= samples else 0
-                up = out[ostart + prev_start + x] if y > 0 else 0
-                ul = out[ostart + prev_start + x - samples] if (y > 0 and x >= samples) else 0
-                out[ostart + x] = (row[x] + _paeth(left, up, ul)) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ftype}")
+    if interlace == 0:
+        out, _ = _unfilter(raw, 0, stride, height, samples)
+    else:  # Adam7: unfilter each reduced pass, scatter onto the grid
+        out = bytearray(stride * height)
+        offset = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+            sub, offset = _unfilter(raw, offset, pw * samples, ph, samples)
+            for py in range(ph):
+                srow = py * pw * samples
+                drow = (y0 + py * dy) * stride
+                for px in range(pw):
+                    src = srow + px * samples
+                    dst = drow + (x0 + px * dx) * samples
+                    out[dst : dst + samples] = sub[src : src + samples]
 
     if color_type == 3:  # palette -> RGB expansion (documented deviation)
         if palette is None:
@@ -141,25 +186,42 @@ def decode_png(data: bytes) -> tuple[bytes, int, int, str]:
 
 
 def encode_png(
-    pixels: bytes, width: int, height: int, mode: str = "RGB"
+    pixels: bytes,
+    width: int,
+    height: int,
+    mode: str = "RGB",
+    interlace: bool = False,
 ) -> bytes:
     """Minimal PNG writer (filter 0 rows, one zlib IDAT) — the test-side
     inverse of :func:`decode_png`, also used to build fixtures without
-    PIL. Supports modes L/LA/RGB/RGBA at depth 8."""
+    PIL. Supports modes L/LA/RGB/RGBA at depth 8, optionally Adam7
+    interlaced."""
     ct = {"L": 0, "RGB": 2, "LA": 4, "RGBA": 6}[mode]
     samples = {"L": 1, "RGB": 3, "LA": 2, "RGBA": 4}[mode]
     if len(pixels) != width * height * samples:
         raise ValueError("pixel buffer does not match dimensions")
     stride = width * samples
-    raw = b"".join(
-        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
-    )
+    if not interlace:
+        raw = b"".join(
+            b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+        )
+    else:
+        parts = []
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+            for py in range(ph):
+                row = bytearray()
+                srow = (y0 + py * dy) * stride
+                for px in range(pw):
+                    s = srow + (x0 + px * dx) * samples
+                    row += pixels[s : s + samples]
+                parts.append(b"\x00" + bytes(row))
+        raw = b"".join(parts)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
         return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, ct, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ct, 0, 0, 1 if interlace else 0)
     return (
         PNG_SIGNATURE
         + chunk(b"IHDR", ihdr)

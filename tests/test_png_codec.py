@@ -136,16 +136,82 @@ def test_corrupt_pngs_raise(mutate, err):
         decode_png(mutate(data))
 
 
-def test_interlaced_rejected():
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+@pytest.mark.parametrize("mode,samples", [("L", 1), ("RGB", 3), ("RGBA", 4)])
+@pytest.mark.parametrize(
+    "width,height",
+    [(1, 1), (3, 2), (7, 5), (8, 8), (9, 9), (16, 11)],
+)
+def test_adam7_round_trip(mode, samples, width, height):
+    # sizes below 8 exercise empty/partial passes; 8x8 the full grid
+    pixels = bytes((i * 37 + 11) % 256 for i in range(width * height * samples))
+    data = encode_png(pixels, width, height, mode, interlace=True)
+    out, w, h, m = decode_png(data)
+    assert (w, h, m) == (width, height, mode)
+    assert out == pixels
+    # and the interlaced file decodes to the same pixels as the
+    # non-interlaced encoding of the same image
+    plain, _, _, _ = decode_png(encode_png(pixels, width, height, mode))
+    assert out == plain
+
+
+@pytest.mark.parametrize("ftype", [1, 2, 3, 4])
+def test_adam7_filters_within_passes(ftype):
+    # filters apply WITHIN each reduced pass (never across passes):
+    # forward-filter every pass as its own little image, then check the
+    # decoder reassembles the original grid
+    from tensorflow_recorder_spark.functions.png_codec import _adam7_passes
+
+    width, height, samples = 10, 9, 3
+    stride = width * samples
+    pixels = bytes((i * 29 + 5) % 256 for i in range(width * height * samples))
+    parts = []
+    for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+        sub = bytearray()
+        for py in range(ph):
+            srow = (y0 + py * dy) * stride
+            for px in range(pw):
+                s = srow + (x0 + px * dx) * samples
+                sub += pixels[s : s + samples]
+        parts += _forward_filter(bytes(sub), pw, ph, samples, ftype)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)
+    data = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + _chunk(b"IEND", b"")
+    )
+    out, w, h, m = decode_png(data)
+    assert (w, h, m) == (width, height, "RGB")
+    assert out == pixels
+
+
+def test_bad_interlace_method_rejected():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 7)  # bogus method
     data = (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)
         + _chunk(b"IDAT", zlib.compress(bytes(20)))
         + _chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises(ValueError, match="interlace"):
         decode_png(data)
+
+
+def test_adam7_truncated_data_raises():
+    data = encode_png(bytes(81), 9, 9, "L", interlace=True)
+    # chop the IDAT: decoder must raise, not return garbage
+    idat_at = data.find(b"IDAT")
+    body_len = struct.unpack(">I", data[idat_at - 4 : idat_at])[0]
+    shortened = zlib.compress(
+        zlib.decompress(data[idat_at + 4 : idat_at + 4 + body_len])[:-30]
+    )
+    rebuilt = (
+        data[: idat_at - 4]
+        + _chunk(b"IDAT", shortened)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="shorter"):
+        decode_png(rebuilt)
 
 
 def test_extract_images_decodes_real_png(spark, tmp_path):
