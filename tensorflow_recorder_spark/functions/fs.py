@@ -181,6 +181,41 @@ def remove(path: str) -> None:
     fs.delete(jpath, False)
 
 
+def remove_tree(path: str) -> None:
+    """Recursive delete (directory trees; missing path is a no-op)."""
+    if is_local(path):
+        local = to_local(path)
+        if os.path.exists(local):
+            shutil.rmtree(local)
+        return
+    fs, jpath, _ = _hadoop(path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
+def swap_dir(src: str, dst: str) -> None:
+    """Replace directory ``dst`` with directory ``src`` (compaction
+    commit): the old tree is parked aside, the new one renamed in, then
+    the old tree deleted — the window where ``dst`` is missing is one
+    rename, not a full rewrite."""
+    old = dst.rstrip("/") + "__old"
+    remove_tree(old)
+    if is_local(src) and is_local(dst):
+        if os.path.exists(to_local(dst)):
+            os.replace(to_local(dst), to_local(old))
+        os.replace(to_local(src), to_local(dst))
+        remove_tree(old)
+        return
+    fs, jsrc, _ = _hadoop(src)
+    _, jdst, _ = _hadoop(dst)
+    _, jold, _ = _hadoop(old)
+    if fs.exists(jdst) and not fs.rename(jdst, jold):
+        raise OSError(f"rename {dst!r} -> {old!r} failed")
+    if not fs.rename(jsrc, jdst):
+        raise OSError(f"rename {src!r} -> {dst!r} failed")
+    remove_tree(old)
+
+
 def copyfile(src: str, dst: str) -> None:
     if is_local(src) and is_local(dst):
         shutil.copyfile(to_local(src), to_local(dst))

@@ -380,6 +380,71 @@ def write_ivf_index(
     )
 
 
+def append_ivf_index(
+    new_df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally add vectors to a materialized IVF index: assign the
+    NEW batch to its cells (broadcast centroids — the batch never
+    shuffles) and append into the existing ``partitionBy(centroid_id)``
+    layout. Probes see the new vectors on their next read; no rewrite of
+    resident data. Each append lays one file set per touched cell, so
+    after many small batches run :func:`compact_ivf_index` — the
+    classic LSM-ish write-amplification trade."""
+    assign = ivf_assign(new_df, centroids, vec_col, id_col)
+    (
+        new_df.join(assign, id_col)
+        .write.partitionBy("centroid_id")
+        .mode("append")
+        .parquet(path)
+    )
+
+
+def compact_ivf_index(spark, path: str) -> None:
+    """Rewrite the IVF index so each cell holds one file (many small
+    appended files make a probe's partition-pruned scan open
+    files-per-append instead of ~1). The compacted tree is fully
+    written to a side directory, then swapped in with two renames —
+    readers never observe a half-written index. ``repartition`` on the
+    partition column puts each cell in exactly one task, so the
+    rewrite is one shuffle of the index (NOT the corpus — the index IS
+    the corpus here, but compaction is rare and amortized; at 100 TB
+    compact only cells whose file count crossed a threshold by adding
+    a ``WHERE centroid_id IN (...)`` slice and appending the rewritten
+    cells back)."""
+    from ..functions import fs
+
+    tmp = path.rstrip("/") + "__compacting"
+    fs.remove_tree(tmp)
+    index = spark.read.parquet(path)
+    (
+        index.repartition("centroid_id")
+        .write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    fs.swap_dir(tmp, path)
+
+
+def ivf_index_stats(index: DataFrame) -> DataFrame:
+    """Per-cell health of a materialized index: rows and file count
+    (``input_file_name`` — counted distributively, no driver listing).
+    ``n_files`` >> 1 per cell is the compaction signal."""
+    return (
+        index.select(
+            "centroid_id", F.input_file_name().alias("__f")
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("__f").alias("n_files"),
+        )
+    )
+
+
 def ivf_topk_indexed(
     index: DataFrame,
     centroids: DataFrame,

@@ -503,6 +503,53 @@ def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
     assert "dynamicpruning" in plan or "PartitionFilters: [isnotnull(centroid_id" in plan
 
 
+def test_ivf_index_append_compact_lifecycle(spark, tmp_path):
+    """Index maintenance: appends land in the partitioned layout and are
+    probe-visible; compaction collapses per-cell files back to one
+    without changing any probe result."""
+    from pyspark.sql import functions as F
+    from tensorflow_recorder_spark.operators.similarity import (
+        append_ivf_index,
+        compact_ivf_index,
+        ivf_index_stats,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(base, centroids, path)
+
+    # two incremental appends
+    append_ivf_index(emb.where(F.col("vec_id") % 3 == 1), centroids, path)
+    append_ivf_index(emb.where(F.col("vec_id") % 3 == 2), centroids, path)
+    index = spark.read.parquet(path)
+    assert index.count() == emb.count()  # nothing lost, nothing doubled
+    stats = ivf_index_stats(index).collect()
+    assert max(r.n_files for r in stats) > 1  # fragmentation is real
+
+    before = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk_indexed(index, centroids, queries, k=5, nprobe=2).collect()
+    }
+
+    compact_ivf_index(spark, path)
+    index2 = spark.read.parquet(path)
+    assert index2.count() == emb.count()
+    stats2 = ivf_index_stats(index2).collect()
+    assert max(r.n_files for r in stats2) == 1  # one file per cell
+    after = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk_indexed(index2, centroids, queries, k=5, nprobe=2).collect()
+    }
+    assert before == after
+
+
 def test_simhash_neardup_pairs_finds_identical_docs(spark):
     docs = spark.createDataFrame(
         [

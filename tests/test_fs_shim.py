@@ -94,3 +94,29 @@ def test_convert_e2e_with_file_uri_output(spark, tmp_path):
     assert os.path.isdir(os.path.join(job_dir, "transformed_metadata"))
     loaded = trs.load(job_dir, spark=spark)
     assert set(loaded) == {"TRAIN", "VALIDATION", "TEST"}
+
+
+def test_swap_dir_and_remove_tree(tmp_path):
+    from tensorflow_recorder_spark.functions import fs
+
+    old = tmp_path / "idx"
+    new = tmp_path / "idx__compacting"
+    (old / "cell=1").mkdir(parents=True)
+    (old / "cell=1" / "a.parquet").write_text("old")
+    (new / "cell=1").mkdir(parents=True)
+    (new / "cell=1" / "b.parquet").write_text("new")
+    fs.swap_dir(str(new), str(old))
+    assert (old / "cell=1" / "b.parquet").read_text() == "new"
+    assert not (old / "cell=1" / "a.parquet").exists()
+    assert not new.exists()
+    assert not (tmp_path / "idx__old").exists()  # parked tree cleaned up
+    # swap into a non-existent destination works too (first write)
+    target = tmp_path / "fresh"
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    (src2 / "x").write_text("x")
+    fs.swap_dir(str(src2), str(target))
+    assert (target / "x").read_text() == "x"
+    fs.remove_tree(str(target))
+    assert not target.exists()
+    fs.remove_tree(str(target))  # missing path is a no-op
