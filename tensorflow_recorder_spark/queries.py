@@ -2536,14 +2536,19 @@ FROM rec GROUP BY shard
 # FIRST 50 entries only (round-1 finding), so every query that needs a
 # driver CORRECTNESS row sits in the top 50; redundant demos whose
 # semantics are already covered by an earlier entry occupy positions
-# 51+ and stay covered by scripts/check_oracle.py. Round-3 swap (judge
-# task): flagship LLM-pipeline operators (e1_fuzzy_dedup,
-# e1_dup_clusters, e2_rp_lsh_topk, e1_contamination) moved INTO the top
-# 50; moved out were near-duplicates of still-scored neighbors
-# (e3_language_id/e3_fingerprint duplicate e3_quality/e3_token_stats'
-# text-derivation shape, rel_moving_sum_30d duplicates rel_running_sum's
-# window shape, e1_neardup_filter is the weaker sibling of the now-scored
-# e1_fuzzy_dedup).
+# 51+ and stay covered by scripts/check_oracle.py. Round-3 swaps (judge
+# task, then session 2): flagship LLM-pipeline operators (e1_fuzzy_dedup,
+# e1_dup_clusters, e2_rp_lsh_topk, e1_contamination, then
+# e6_sequence_pack, e6_mixture_sample, s5_stream_contamination,
+# e3_lm_score) moved INTO the top 50; moved out were near-duplicates of
+# still-scored neighbors (e3_language_id/e3_fingerprint duplicate
+# e3_quality/e3_token_stats' text-derivation shape, rel_moving_sum_30d
+# duplicates rel_running_sum's window shape, e1_neardup_filter is the
+# weaker sibling of the now-scored e1_fuzzy_dedup, e4_hourly_rollup/
+# e4_sessionize share their ORACLES verbatim with the still-scored s1/s2
+# streaming twins, e3_bigrams duplicates e3_word_frequencies'
+# explode-count-topk shape, rel_cube duplicates rel_rollup's
+# grouping-set shape).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -2562,7 +2567,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_big_orders": q_rel_big_orders,
     "rel_running_sum": q_rel_running_sum,
     "rel_above_avg_orders": q_rel_above_avg_orders,
-    "rel_cube": q_rel_cube,
     "rel_promo_revenue": q_rel_promo_revenue,
     "e4_asof_join": q_e4_asof_join,
     "s1_stream_hourly_rollup": q_s1_stream_hourly_rollup,
@@ -2589,12 +2593,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_quality": q_e3_quality,
     "e3_word_frequencies": q_e3_word_frequencies,
     "e3_corpus_filter": q_e3_corpus_filter,
-    "e3_bigrams": q_e3_bigrams,
-    "e4_hourly_rollup": q_e4_hourly_rollup,
-    "e4_sessionize": q_e4_sessionize,
     "e4_asof_latest": q_e4_asof_latest,
     "e4_sliding_window": q_e4_sliding_window,
     "e4_json_props": q_e4_json_props,
+    "e6_sequence_pack": q_e6_sequence_pack,
+    "e6_mixture_sample": q_e6_mixture_sample,
+    "s5_stream_contamination": q_s5_stream_contamination,
+    "e3_lm_score": q_e3_lm_score,
     # -- positions 51+: oracle-checked locally only (driver stops at 50;
     # a6's operator is ALSO driver-certified through a5's registry row;
     # language_id/fingerprint/moving_sum/neardup_filter were driver-green
@@ -2623,11 +2628,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_corpus_stats": q_e3_corpus_stats,
     "e3_token_quantiles": q_e3_token_quantiles,
     "e3_redact": q_e3_redact,
-    "e3_lm_score": q_e3_lm_score,
-    "e6_sequence_pack": q_e6_sequence_pack,
+    "e4_hourly_rollup": q_e4_hourly_rollup,
+    "e4_sessionize": q_e4_sessionize,
+    "e3_bigrams": q_e3_bigrams,
+    "rel_cube": q_rel_cube,
     "e6_pack_stats": q_e6_pack_stats,
-    "e6_mixture_sample": q_e6_mixture_sample,
-    "s5_stream_contamination": q_s5_stream_contamination,
 }
 
 ORACLES: dict[str, str] = {

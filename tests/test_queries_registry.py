@@ -66,11 +66,15 @@ def test_driver_window_holds_all_unique_queries():
         "e3_corpus_stats",
         "e3_token_quantiles",
         "e3_redact",
-        "e3_lm_score",
-        "e6_sequence_pack",
         "e6_pack_stats",
-        "e6_mixture_sample",
-        "s5_stream_contamination",
+        # session-2 swap-outs: e4_hourly_rollup/e4_sessionize share
+        # their oracle SQL verbatim with the still-scored s1/s2
+        # streaming twins; e3_bigrams and rel_cube near-duplicate
+        # still-scored neighbors (e3_word_frequencies, rel_rollup)
+        "e4_hourly_rollup",
+        "e4_sessionize",
+        "e3_bigrams",
+        "rel_cube",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
