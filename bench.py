@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     # round-3 operators
     "e1_contamination",
     "e4_partitioned_rollup",
+    "e6_sequence_pack",
+    "e6_mixture_sample",
+    "e3_lm_score",
+    "e3_redact",
 ]
 
 

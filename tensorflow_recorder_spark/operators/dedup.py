@@ -1034,8 +1034,12 @@ def contamination_pairs(
         # aggregate and the join side) and its lineage is the expensive
         # per-position md5 projection — materialize it once instead of
         # hashing the train corpus twice (measured ~2x on this operator
-        # at sf0.1).
-        tr = tr.localCheckpoint(eager=False)
+        # at sf0.1). EAGER: a lazy checkpoint materializes inside the
+        # consuming job and truncates lineage mid-flight, letting the
+        # ContextCleaner drop broadcasts other tasks of that job still
+        # hold (observed as a transient "Block broadcast_N does not
+        # exist" failure); eager runs materialization as its own job.
+        tr = tr.localCheckpoint(eager=True)
         hot = (
             tr.groupBy("__g")
             .agg(F.count(F.lit(1)).alias("__df"))

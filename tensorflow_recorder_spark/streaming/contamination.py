@@ -10,8 +10,8 @@ stream-static join is exactly that shape:
 - **Static side** = the exploded ``(shingle_hash, train_id)`` index,
   optionally document-frequency-cut (boilerplate shingles are not
   contamination evidence and are also the join's hot keys). At 100 TB
-  of train data this side is computed ONCE and materialized (here a
-  lazy ``localCheckpoint``; in production a bucketed parquet/Delta
+  of train data this side is computed ONCE and materialized (here
+  an eager ``localCheckpoint``; in production a bucketed parquet/Delta
   index keyed by shingle hash) — Spark re-evaluates the static plan
   every micro-batch, so an unmaterialized explode of the train corpus
   would re-hash 100 TB per batch.
@@ -54,8 +54,11 @@ def streaming_contamination_pairs(
     )
     if max_shingle_df is not None:
         # two consumers (df-cut aggregate + join side): materialize the
-        # expensive per-position hash projection once
-        tr = tr.localCheckpoint(eager=False)
+        # expensive per-position hash projection once. EAGER, like the
+        # batch detector: a lazy checkpoint would materialize inside the
+        # first micro-batch and truncate lineage mid-flight (transient
+        # missing-broadcast failures)
+        tr = tr.localCheckpoint(eager=True)
         hot = (
             tr.groupBy("__g")
             .agg(F.count(F.lit(1)).alias("__df"))
