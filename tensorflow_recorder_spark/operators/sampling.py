@@ -17,7 +17,7 @@ no state.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _DENOM = 1_000_000
 
@@ -130,4 +130,75 @@ def mixture_sample(
     return joined.where(
         F.expr(_bucket_expr(id_col, salt))
         < F.floor(F.col("sample_rate") * F.lit(float(_DENOM))).cast("bigint")
+    )
+
+
+def with_shuffle_key(
+    df: DataFrame, id_col: str, salt: str = "shuffle"
+) -> DataFrame:
+    """Deterministic training-order shuffle: attach ``shuffle_key``, the
+    md5 of the salted id. Sorting by it IS the epoch's global shuffle —
+    a pure function of (salt, id), so the order is identical across
+    retries/engines, and a different ``salt`` is a fresh epoch
+    permutation.
+
+    At 100 TB the materialization is
+    ``df.repartitionByRange(N, "shuffle_key").sortWithinPartitions(...)``
+    — a range-partitioned total sort on a uniform 32-hex key: no skew,
+    no single-task window, and consumers read shards in shard order.
+    (Never ``orderBy(rand())``: not retry-stable, and a failed task
+    resamples its partition.)
+    """
+    return df.withColumn(
+        "shuffle_key",
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+    )
+
+
+def source_token_quota(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    token_count: Column,
+    quota_tokens: int,
+    nshards: int = 1,
+    salt: str = "quota",
+) -> DataFrame:
+    """Cap each source's token contribution at ``quota_tokens`` (the
+    anti-domination rule of corpus curation: no single crawl/domain may
+    exceed its budget).
+
+    Docs are visited in deterministic md5-bucket order within their
+    source (retry/engine-stable, and unbiased w.r.t. doc_id order); a
+    doc is kept iff the running token total INCLUDING it fits the
+    quota. Prefix semantics: the cut is a pure prefix of the per-shard
+    order — the first doc that overflows ends the shard's intake (one
+    window pass; greedy skip-and-continue would need a sequential
+    rescan and changes the sample by at most one partial doc per
+    shard). With
+    ``nshards > 1`` the quota splits evenly across hash shards and the
+    running sum is computed per (source, shard) — the scalable form:
+    the window sort is bounded by a shard, not a whole source (a single
+    source can be 40% of a 100 TB corpus; its shards are quota-sized).
+
+    Returns the surviving rows with ``n_tokens`` attached.
+    """
+    if quota_tokens <= 0:
+        raise ValueError(f"quota_tokens must be positive, got {quota_tokens}")
+    if nshards <= 0:
+        raise ValueError(f"nshards must be positive, got {nshards}")
+    per_shard = quota_tokens // nshards
+    with_tok = df.withColumn("n_tokens", token_count.cast("long")).withColumn(
+        "__b", F.expr(_bucket_expr(id_col, salt))
+    )
+    w = (
+        Window.partitionBy(F.col(source_col), F.col("__b") % F.lit(nshards))
+        .orderBy("__b", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        with_tok.withColumn("__cum", cum_before)
+        .where(F.col("__cum") + F.col("n_tokens") <= F.lit(per_shard))
+        .drop("__b", "__cum")
     )

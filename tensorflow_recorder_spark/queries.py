@@ -2481,6 +2481,56 @@ WHERE t.bucket < CAST(floor(r.sample_rate * 1000000.0) AS BIGINT)
 """
 
 
+def q_e6_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: every doc gets its md5 shuffle key
+    (sorting by it is the training order). Pure narrow projection —
+    at scale the materialization is a range-partitioned sort on the
+    uniform key, never orderBy(rand())."""
+    from .operators.sampling import with_shuffle_key
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_shuffle_key(docs, "doc_id").select("doc_id", "shuffle_key")
+
+
+ORACLE_E6_SHUFFLE_ORDER = """
+SELECT doc_id, md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents
+"""
+
+
+def q_e6_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token quota (anti-domination curation): each source
+    contributes at most 800 tokens, filled in deterministic hash order
+    across 2 shards (400 each) — the window sort is bounded by a shard,
+    not a whole source."""
+    from .operators.packing import token_count_expr
+    from .operators.sampling import source_token_quota
+
+    docs = _t(spark, sf_dir, "documents")
+    out = source_token_quota(
+        docs, "source", "doc_id", token_count_expr("text"),
+        quota_tokens=800, nshards=2,
+    )
+    return out.select("doc_id", "source", "n_tokens")
+
+
+ORACLE_E6_SOURCE_QUOTA = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000 AS b
+  FROM documents
+), c AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (
+           PARTITION BY source, b % 2 ORDER BY b, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens FROM c WHERE cum + n_tokens <= 400
+"""
+
+
 # The greedy packing recurrence, replayed exactly: within a shard, in
 # ascending doc_id order, a doc opens a new bin iff the current bin is
 # non-empty and would overflow capacity.
@@ -2633,6 +2683,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_bigrams": q_e3_bigrams,
     "rel_cube": q_rel_cube,
     "e6_pack_stats": q_e6_pack_stats,
+    "e6_shuffle_order": q_e6_shuffle_order,
+    "e6_source_quota": q_e6_source_quota,
 }
 
 ORACLES: dict[str, str] = {
@@ -2705,6 +2757,8 @@ ORACLES: dict[str, str] = {
     "e6_sequence_pack": ORACLE_E6_SEQUENCE_PACK,
     "e6_pack_stats": ORACLE_E6_PACK_STATS,
     "e6_mixture_sample": ORACLE_E6_MIXTURE_SAMPLE,
+    "e6_shuffle_order": ORACLE_E6_SHUFFLE_ORDER,
+    "e6_source_quota": ORACLE_E6_SOURCE_QUOTA,
     "s5_stream_contamination": _oracle_contamination(),
     "e4_sessionize": ORACLE_E4_SESSIONIZE,
     "e4_asof_latest": ORACLE_E4_ASOF,

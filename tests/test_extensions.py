@@ -662,6 +662,50 @@ def test_redact_pii_patterns(spark):
         text.redact(docs, "text", {})
 
 
+def test_source_token_quota_prefix_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from tensorflow_recorder_spark.operators.sampling import (
+        source_token_quota,
+        with_shuffle_key,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s", "w " * 10) for i in range(50)],
+        "doc_id long, source string, text string",
+    )
+    tok = F.expr("size(split(lower(text), '\\\\s+'))") - 1  # trailing blank
+    out = source_token_quota(docs, "source", "doc_id", tok, quota_tokens=100)
+    rows = out.collect()
+    # 10 tokens per doc, 100-token quota -> exactly 10 docs survive
+    assert len(rows) == 10
+    assert sum(r.n_tokens for r in rows) == 100
+    # deterministic: same survivors on re-run
+    again = source_token_quota(docs, "source", "doc_id", tok, quota_tokens=100)
+    assert sorted(r.doc_id for r in rows) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # sharded: quota splits across shards, total never exceeds quota
+    sharded = source_token_quota(
+        docs, "source", "doc_id", tok, quota_tokens=100, nshards=2
+    ).collect()
+    assert sum(r.n_tokens for r in sharded) <= 100
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        source_token_quota(docs, "source", "doc_id", tok, 0)
+
+    # shuffle key: pure function of (salt, id); salts give distinct orders
+    k1 = {r.doc_id: r.shuffle_key for r in with_shuffle_key(docs, "doc_id").collect()}
+    k2 = {r.doc_id: r.shuffle_key for r in with_shuffle_key(docs, "doc_id").collect()}
+    k3 = {r.doc_id: r.shuffle_key
+          for r in with_shuffle_key(docs, "doc_id", salt="epoch2").collect()}
+    assert k1 == k2 and k1 != k3
+    order1 = [d for d, _ in sorted(k1.items(), key=lambda kv: kv[1])]
+    order3 = [d for d, _ in sorted(k3.items(), key=lambda kv: kv[1])]
+    assert order1 != order3  # a new salt is a fresh permutation
+
+
 def test_bigram_lm_score_semantics(spark):
     train = spark.createDataFrame(
         [(0, "a b a b"), (1, "a b c")], "doc_id long, text string"

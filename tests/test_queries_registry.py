@@ -67,6 +67,8 @@ def test_driver_window_holds_all_unique_queries():
         "e3_token_quantiles",
         "e3_redact",
         "e6_pack_stats",
+        "e6_shuffle_order",
+        "e6_source_quota",
         # session-2 swap-outs: e4_hourly_rollup/e4_sessionize share
         # their oracle SQL verbatim with the still-scored s1/s2
         # streaming twins; e3_bigrams and rel_cube near-duplicate
