@@ -142,3 +142,39 @@ def test_partitioned_events_scan_prunes_date_range(spark, tmp_path):
     )
     got = out.agg(F.sum("n_events")).first()[0]
     assert got == expect and expect > 0
+
+
+def test_mixture_sample_broadcasts_rates_not_corpus(spark):
+    plan = plan_of(spark, "e6_mixture_sample")
+    # the per-source rate table (one row per source) broadcasts; the
+    # corpus side must not move through a broadcast/sort-merge exchange
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # rates come from a partial-aggregated groupBy
+    assert "partial_" in plan
+
+
+def test_source_quota_windows_over_shard_not_source(spark):
+    df = QUERIES["e6_source_quota"](spark, SF_DIR)
+    import io as _io
+    import contextlib as _ctx
+
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    # window partition spec must include the shard term, so one giant
+    # source never lands on one task
+    assert "windowspecdefinition(source" in plan
+    assert "% 2)" in plan
+
+
+def test_shuffle_order_is_narrow_projection(spark):
+    plan = plan_of(spark, "e6_shuffle_order")
+    # a pure map-side projection: no exchange of any kind
+    assert "Exchange" not in plan
+
+
+def test_redact_is_narrow_projection(spark):
+    plan = plan_of(spark, "e3_redact")
+    assert "Exchange" not in plan
