@@ -1194,3 +1194,23 @@ def simhash_neardup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def cross_split_exact_overlap(
+    a: DataFrame, b: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Verbatim-overlap pairs between two row sets (split-leakage
+    validation: a TRAIN doc reappearing verbatim in TEST invalidates
+    the eval). The join key is ``sha2(text)`` — 32-byte digests shuffle,
+    never documents — and the join is an ordinary AQE-skew-splittable
+    equi-join (a boilerplate doc duplicated across both splits is a hot
+    digest). Output: (id_a, id_b) for every cross-pair."""
+    da = a.select(
+        F.sha2(F.col(text_col), 256).alias("__dig"),
+        F.col(id_col).alias("id_a"),
+    )
+    db = b.select(
+        F.sha2(F.col(text_col), 256).alias("__dig"),
+        F.col(id_col).alias("id_b"),
+    )
+    return da.join(db, "__dig").select("id_a", "id_b")

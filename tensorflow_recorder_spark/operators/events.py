@@ -260,3 +260,59 @@ def asof_latest(
             F.col("event_type"), F.struct(F.col(ts_col), F.col("event_id"))
         ).alias("asof_type"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    step_a: str,
+    step_b: str,
+    max_gap_seconds: int,
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Two-step conversion funnel: per user, how many ``step_a`` events
+    were followed by a ``step_b`` event within ``max_gap_seconds``.
+
+    The declarative trap here is an (A, B) self-range-join — per-user
+    quadratic on busy users. The scalable form is one window pass: for
+    every event, the NEXT ``step_b`` timestamp is a reversed running
+    ``min`` over the user's future rows; an A-row converts iff that
+    next-B lands inside the gap. One shuffle (by user), per-row state
+    O(1), AQE-skew-splittable like any window on a hot user... it is
+    NOT (windows aren't splittable) — but the window state itself is a
+    single running min, so a hot user costs a sort, not memory. Output
+    per user: ``n_a``, ``n_converted``, and the first conversion's A/B
+    timestamps.
+
+    Ties on ts order by ``id_col`` for determinism.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_b = F.min(
+        F.when(F.col(type_col) == F.lit(step_b), F.col(ts_col))
+    ).over(w)
+    marked = df.withColumn("__next_b", next_b).where(
+        F.col(type_col) == F.lit(step_a)
+    )
+    # NULL next-B (no future B at all) must count as not-converted, not
+    # poison the sum into NULL
+    converted = F.coalesce(
+        F.col("__next_b")
+        <= F.col(ts_col) + F.expr(f"INTERVAL {int(max_gap_seconds)} SECONDS"),
+        F.lit(False),
+    )
+    return marked.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.sum(converted.cast("long")).alias("n_converted"),
+        F.date_format(
+            F.min(F.when(converted, F.col(ts_col))), "yyyy-MM-dd HH:mm:ss"
+        ).alias("first_conv_a_ts"),
+        F.date_format(
+            F.min(F.when(converted, F.col("__next_b"))), "yyyy-MM-dd HH:mm:ss"
+        ).alias("first_conv_b_ts"),
+    )

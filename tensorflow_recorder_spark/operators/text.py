@@ -11,7 +11,7 @@ viable at 100 TB: per-document scoring costs one scan, no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Tiny per-language function-word marker lists for the n-gram/stopword
 # language-ID heuristic. Public knowledge (standard stopword lists).
@@ -558,4 +558,70 @@ def bigram_lm_score(
         F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
         F.coalesce(F.col("n_unseen"), F.lit(0)).alias("n_unseen"),
         F.coalesce(F.col("cross_entropy"), F.lit(0.0)).alias("cross_entropy"),
+    )
+
+
+def zipf_fit(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
+    """Zipf's-law fit over the corpus word distribution: least-squares
+    slope/intercept/r2 of ln(freq) on ln(rank) for the ``top_n`` most
+    frequent words (natural text slopes toward -1; a flat or cliffy
+    curve flags synthetic/templated corpora on a dataset card).
+
+    Plan shape: word counts are a vocabulary-bounded partial-aggregated
+    groupBy; ranking is a global top-N (TakeOrdered — no full sort);
+    the regression runs on <= ``top_n`` rows. The rank tie-break is
+    (freq desc, word asc), deterministic across engines. Each ln() term
+    is cast to DECIMAL(28,12) before summing, so every regression sum
+    is EXACT and the fit is independent of accumulation order; the
+    final slope/intercept/r2 are each ONE double expression over those
+    exact sums.
+    """
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')"
+    counts = (
+        df.select(F.explode(F.expr(toks)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = (
+        counts.orderBy(F.desc("c"), F.asc("w"))
+        .limit(top_n)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("c"), F.asc("w"))
+            ),
+        )
+    )
+    dec = "decimal(28,12)"
+    terms = ranked.select(
+        F.expr(f"cast(ln(rk) as {dec})").alias("x"),
+        F.expr(f"cast(ln(c) as {dec})").alias("y"),
+        F.expr(f"cast(cast(ln(rk) as {dec}) * cast(ln(c) as {dec}) as {dec})").alias("xy"),
+        F.expr(f"cast(cast(ln(rk) as {dec}) * cast(ln(rk) as {dec}) as {dec})").alias("xx"),
+        F.expr(f"cast(cast(ln(c) as {dec}) * cast(ln(c) as {dec}) as {dec})").alias("yy"),
+    )
+    sums = terms.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_words"),
+        F.round(
+            F.expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)"), 6
+        ).alias("zipf_slope"),
+        F.round(
+            F.expr("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n"),
+            6,
+        ).alias("zipf_intercept"),
+        F.round(
+            F.expr(
+                "(n * sxy - sx * sy) * (n * sxy - sx * sy)"
+                " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+            ),
+            6,
+        ).alias("r2"),
     )

@@ -2481,6 +2481,119 @@ WHERE t.bucket < CAST(floor(r.sample_rate * 1000000.0) AS BIGINT)
 """
 
 
+def q_p3_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage validation (V-family extension): documents
+    appearing VERBATIM in both the derived TRAIN and TEST splits —
+    digest equi-join, 32-byte shuffle keys, never the text."""
+    from .operators.dedup import cross_split_exact_overlap
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "split",
+        F.expr(
+            "CASE WHEN doc_id % 10 < 7 THEN 'TRAIN' "
+            "WHEN doc_id % 10 < 9 THEN 'VALIDATION' ELSE 'TEST' END"
+        ),
+    )
+    pairs = cross_split_exact_overlap(
+        docs.where(F.col("split") == "TRAIN"),
+        docs.where(F.col("split") == "TEST"),
+        "text",
+        "doc_id",
+    )
+    return pairs.select(
+        F.col("id_a").alias("train_doc_id"), F.col("id_b").alias("test_doc_id")
+    )
+
+
+ORACLE_P3_SPLIT_LEAKAGE = """
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 10 < 7 THEN 'TRAIN'
+              WHEN doc_id % 10 < 9 THEN 'VALIDATION' ELSE 'TEST' END AS split
+  FROM documents
+)
+SELECT a.doc_id AS train_doc_id, b.doc_id AS test_doc_id
+FROM s a JOIN s b ON a.text = b.text
+WHERE a.split = 'TRAIN' AND b.split = 'TEST'
+"""
+
+
+def q_e3_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus word distribution (dataset-card
+    statistic): ln(freq)-on-ln(rank) least squares over the top 1000
+    words, with exact decimal sums so the fit is accumulation-order
+    independent."""
+    return text.zipf_fit(_t(spark, sf_dir, "documents"), "text", top_n=1000)
+
+
+ORACLE_E3_ZIPF = """
+WITH counts AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS w
+    FROM documents
+  ) GROUP BY w
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rk
+  FROM counts ORDER BY c DESC, w ASC LIMIT 1000
+), terms AS (
+  SELECT CAST(ln(rk) AS DECIMAL(28,12)) AS x,
+         CAST(ln(c) AS DECIMAL(28,12)) AS y,
+         CAST(CAST(ln(rk) AS DECIMAL(28,12)) * CAST(ln(c) AS DECIMAL(28,12))
+              AS DECIMAL(28,12)) AS xy,
+         CAST(CAST(ln(rk) AS DECIMAL(28,12)) * CAST(ln(rk) AS DECIMAL(28,12))
+              AS DECIMAL(28,12)) AS xx,
+         CAST(CAST(ln(c) AS DECIMAL(28,12)) * CAST(ln(c) AS DECIMAL(28,12))
+              AS DECIMAL(28,12)) AS yy
+  FROM ranked
+), sums AS (
+  SELECT count(*)::DOUBLE AS n, sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+         sum(xy)::DOUBLE AS sxy, sum(xx)::DOUBLE AS sxx, sum(yy)::DOUBLE AS syy
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_words,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS zipf_intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM sums
+"""
+
+
+def q_e4_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step conversion funnel (click -> purchase within 1h): one
+    window pass computes each event's next-purchase timestamp (reversed
+    running min), so busy users cost a sort, never a per-user quadratic
+    self-join."""
+    return events.funnel(
+        _events(spark, sf_dir), "user_id", "ts",
+        step_a="click", step_b="purchase", max_gap_seconds=3600,
+    )
+
+
+ORACLE_E4_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_b
+  FROM events
+), a AS (
+  SELECT *, next_b <= ts + INTERVAL 3600 SECONDS AS conv
+  FROM e WHERE event_type = 'click'
+)
+SELECT user_id,
+       count(*) AS n_a,
+       CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       strftime(min(CASE WHEN conv THEN ts END), '%Y-%m-%d %H:%M:%S')
+         AS first_conv_a_ts,
+       strftime(min(CASE WHEN conv THEN next_b END), '%Y-%m-%d %H:%M:%S')
+         AS first_conv_b_ts
+FROM a GROUP BY user_id
+"""
+
+
 def q_e6_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle: every doc gets its md5 shuffle key
     (sorting by it is the training order). Pure narrow projection —
@@ -2685,6 +2798,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_pack_stats": q_e6_pack_stats,
     "e6_shuffle_order": q_e6_shuffle_order,
     "e6_source_quota": q_e6_source_quota,
+    "e4_funnel": q_e4_funnel,
+    "e3_zipf": q_e3_zipf,
+    "p3_split_leakage": q_p3_split_leakage,
 }
 
 ORACLES: dict[str, str] = {
@@ -2759,6 +2875,9 @@ ORACLES: dict[str, str] = {
     "e6_mixture_sample": ORACLE_E6_MIXTURE_SAMPLE,
     "e6_shuffle_order": ORACLE_E6_SHUFFLE_ORDER,
     "e6_source_quota": ORACLE_E6_SOURCE_QUOTA,
+    "e4_funnel": ORACLE_E4_FUNNEL,
+    "e3_zipf": ORACLE_E3_ZIPF,
+    "p3_split_leakage": ORACLE_P3_SPLIT_LEAKAGE,
     "s5_stream_contamination": _oracle_contamination(),
     "e4_sessionize": ORACLE_E4_SESSIONIZE,
     "e4_asof_latest": ORACLE_E4_ASOF,

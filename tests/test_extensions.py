@@ -570,6 +570,36 @@ def test_simhash_neardup_pairs_finds_identical_docs(spark):
         dedup.simhash_neardup_pairs(docs, "text", "doc_id", bands=2, max_hamming=3)
 
 
+def test_funnel_conversion_window(spark):
+    from pyspark.sql import functions as F
+    from tensorflow_recorder_spark.operators.events import funnel
+
+    rows = [
+        # user 1: click 10:00 -> purchase 10:30 (converts, 1h gap)
+        (1, 1, "2024-01-01 10:00:00", "click"),
+        (2, 1, "2024-01-01 10:30:00", "purchase"),
+        # user 1: click 12:00 -> purchase 14:00 (outside 1h: no)
+        (3, 1, "2024-01-01 12:00:00", "click"),
+        (4, 1, "2024-01-01 14:00:00", "purchase"),
+        # user 2: purchase BEFORE click only: no conversion
+        (5, 2, "2024-01-01 09:00:00", "purchase"),
+        (6, 2, "2024-01-01 10:00:00", "click"),
+        # user 3: no clicks at all -> absent from output
+        (7, 3, "2024-01-01 10:00:00", "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.user_id: r for r in
+           funnel(df, "user_id", "ts", "click", "purchase", 3600).collect()}
+    assert got[1].n_a == 2 and got[1].n_converted == 1
+    assert got[1].first_conv_a_ts == "2024-01-01 10:00:00"
+    assert got[1].first_conv_b_ts == "2024-01-01 10:30:00"
+    assert got[2].n_a == 1 and got[2].n_converted == 0
+    assert got[2].first_conv_a_ts is None
+    assert 3 not in got
+
+
 def test_asof_join_tolerance(spark):
     from pyspark.sql import functions as F
     from tensorflow_recorder_spark.operators.events import asof_join
@@ -894,6 +924,28 @@ def test_asof_join_right_cols_may_include_ts(spark):
     row = out.collect()[0]
     assert row["value_asof"] == 5.0
     assert str(row["ts_asof"]) == "2024-01-01 09:30:00"
+
+
+def test_cross_split_exact_overlap_finds_injected_leakage(spark):
+    leaked = "this exact document is in both train and test splits"
+    train = spark.createDataFrame(
+        [(1, leaked), (2, "train only doc"), (3, leaked)],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(10, leaked), (11, "test only doc")], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup.cross_split_exact_overlap(
+            train, test, "text", "doc_id"
+        ).collect()
+    )
+    assert got == [(1, 10), (3, 10)]  # every cross-pair, nothing else
+    clean = dedup.cross_split_exact_overlap(
+        train.where("doc_id = 2"), test, "text", "doc_id"
+    )
+    assert clean.count() == 0
 
 
 def test_contamination_report_flags_overlapping_eval_doc(spark):
