@@ -2481,6 +2481,52 @@ WHERE t.bucket < CAST(floor(r.sample_rate * 1000000.0) AS BIGINT)
 """
 
 
+def q_e6_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation plan (plans/curate.py): quality floor 0.75
+    -> exact dedup -> 800-token source quota over 2 shards -> epoch
+    shuffle key. Cheap narrow filters run first so each shuffle moves
+    an already-shrunk corpus; the whole chain is a pure function of row
+    content, oracle-checked end-to-end."""
+    from .operators.packing import token_count_expr
+    from .plans.curate import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curate_corpus(
+        docs, "text", "doc_id", "source",
+        token_count=token_count_expr("text"),
+        min_quality=0.75, dedup=True, quota_tokens=800, quota_shards=2,
+    )
+    return out.select("doc_id", "source", "n_tokens", "shuffle_key")
+
+
+def _oracle_curate() -> str:
+    score = _Q_SCORE.format(punct=_Q_PUNCT, stopr=_Q_STOPR, mwl=_Q_MWL)
+    return f"""
+WITH q AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE round({score}, 6) >= 0.75
+), d AS (
+  SELECT q.doc_id, q.source, q.text FROM q
+  JOIN (SELECT text, min(doc_id) AS doc_id FROM q GROUP BY text) k
+    ON q.text = k.text AND q.doc_id = k.doc_id
+), t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000 AS b
+  FROM d
+), c AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (
+           PARTITION BY source, b % 2 ORDER BY b, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM c WHERE cum + n_tokens <= 400
+"""
+
+
 def q_p3_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-leakage validation (V-family extension): documents
     appearing VERBATIM in both the derived TRAIN and TEST splits —
@@ -2801,6 +2847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_funnel": q_e4_funnel,
     "e3_zipf": q_e3_zipf,
     "p3_split_leakage": q_p3_split_leakage,
+    "e6_curate": q_e6_curate,
 }
 
 ORACLES: dict[str, str] = {
@@ -2878,6 +2925,7 @@ ORACLES: dict[str, str] = {
     "e4_funnel": ORACLE_E4_FUNNEL,
     "e3_zipf": ORACLE_E3_ZIPF,
     "p3_split_leakage": ORACLE_P3_SPLIT_LEAKAGE,
+    "e6_curate": _oracle_curate(),
     "s5_stream_contamination": _oracle_contamination(),
     "e4_sessionize": ORACLE_E4_SESSIONIZE,
     "e4_asof_latest": ORACLE_E4_ASOF,

@@ -926,6 +926,50 @@ def test_asof_join_right_cols_may_include_ts(spark):
     assert str(row["ts_asof"]) == "2024-01-01 09:30:00"
 
 
+def test_curate_corpus_stage_composition(spark):
+    from pyspark.sql import functions as F
+
+    from tensorflow_recorder_spark.operators.packing import token_count_expr
+    from tensorflow_recorder_spark.plans.curate import (
+        curate_corpus,
+        curate_report,
+    )
+
+    good = (
+        "the data pipeline reads and writes the tables in the cluster "
+        "and it is fast to scan them all day"
+    ) * 3
+    rows = (
+        [(i, "web", good) for i in range(4)]           # 0-3 identical: dedup
+        + [(10, "web", "x@#$%^" * 50)]                 # junk: quality drop
+        + [(20, "code", good + " extra tail")]         # unique survivor
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    tok = token_count_expr("text")
+    report = curate_report(
+        docs, "text", "doc_id", "source", tok,
+        min_quality=0.5, dedup=True, quota_tokens=10_000,
+    )
+    assert report["input"] == 6
+    assert report["quality"] == 5          # junk doc gone
+    assert report["dedup"] == 2            # 4 identical collapse to doc 0
+    assert report["quota"] == 2            # quota ample: all fit
+    assert report["shuffled"] == 2
+    out = curate_corpus(
+        docs, "text", "doc_id", "source", tok,
+        min_quality=0.5, dedup=True, quota_tokens=10_000,
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {0, 20}             # lowest-id dup survives
+    assert all(len(r.shuffle_key) == 32 for r in got.values())
+    # tight quota cuts tokens
+    tight = curate_corpus(
+        docs, "text", "doc_id", "source", tok,
+        min_quality=0.5, dedup=True, quota_tokens=70,
+    )
+    assert tight.agg(F.sum("n_tokens")).collect()[0][0] <= 70 * 2  # per source
+
+
 def test_cross_split_exact_overlap_finds_injected_leakage(spark):
     leaked = "this exact document is in both train and test splits"
     train = spark.createDataFrame(

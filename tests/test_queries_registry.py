@@ -72,6 +72,7 @@ def test_driver_window_holds_all_unique_queries():
         "e4_funnel",
         "e3_zipf",
         "p3_split_leakage",
+        "e6_curate",
         # session-2 swap-outs: e4_hourly_rollup/e4_sessionize share
         # their oracle SQL verbatim with the still-scored s1/s2
         # streaming twins; e3_bigrams and rel_cube near-duplicate
