@@ -2797,7 +2797,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_ivf_assign": q_e2_ivf_assign,
     "e2_ivf_topk": q_e2_ivf_topk,
     "e2_kmeans_update": q_e2_kmeans_update,
-    "e2_l2_normalize": q_e2_l2_normalize,
+    "e6_curate": q_e6_curate,
     "e3_token_stats": q_e3_token_stats,
     "e3_quality": q_e3_quality,
     "e3_word_frequencies": q_e3_word_frequencies,
@@ -2847,7 +2847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_funnel": q_e4_funnel,
     "e3_zipf": q_e3_zipf,
     "p3_split_leakage": q_p3_split_leakage,
-    "e6_curate": q_e6_curate,
+    "e2_l2_normalize": q_e2_l2_normalize,
 }
 
 ORACLES: dict[str, str] = {

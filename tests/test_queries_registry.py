@@ -31,7 +31,7 @@ def test_driver_window_holds_all_unique_queries():
         "e5_image_meta",
         "e5_frame_sample",
         "e2_kmeans_update",
-        "e2_l2_normalize",
+        "e6_curate",
     }
     assert required <= set(top50)
     redundant_ok_past_50 = {
@@ -72,7 +72,6 @@ def test_driver_window_holds_all_unique_queries():
         "e4_funnel",
         "e3_zipf",
         "p3_split_leakage",
-        "e6_curate",
         # session-2 swap-outs: e4_hourly_rollup/e4_sessionize share
         # their oracle SQL verbatim with the still-scored s1/s2
         # streaming twins; e3_bigrams and rel_cube near-duplicate
@@ -81,6 +80,9 @@ def test_driver_window_holds_all_unique_queries():
         "e4_sessionize",
         "e3_bigrams",
         "rel_cube",
+        # e2_l2_normalize's narrow-projection shape is embedded in every
+        # scored E2 scorer; its slot went to the composed e6_curate plan
+        "e2_l2_normalize",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
