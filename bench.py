@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "e6_mixture_sample",
     "e3_lm_score",
     "e3_redact",
+    "e6_curate",
 ]
 
 
