@@ -201,17 +201,26 @@ def swap_dir(src: str, dst: str) -> None:
     old = dst.rstrip("/") + "__old"
     remove_tree(old)
     if is_local(src) and is_local(dst):
-        if os.path.exists(to_local(dst)):
+        parked = os.path.exists(to_local(dst))
+        if parked:
             os.replace(to_local(dst), to_local(old))
-        os.replace(to_local(src), to_local(dst))
+        try:
+            os.replace(to_local(src), to_local(dst))
+        except OSError:
+            if parked:  # roll the live tree back before surfacing
+                os.replace(to_local(old), to_local(dst))
+            raise
         remove_tree(old)
         return
     fs, jsrc, _ = _hadoop(src)
     _, jdst, _ = _hadoop(dst)
     _, jold, _ = _hadoop(old)
-    if fs.exists(jdst) and not fs.rename(jdst, jold):
+    parked = bool(fs.exists(jdst))
+    if parked and not fs.rename(jdst, jold):
         raise OSError(f"rename {dst!r} -> {old!r} failed")
     if not fs.rename(jsrc, jdst):
+        if parked:  # roll the live tree back before surfacing
+            fs.rename(jold, jdst)
         raise OSError(f"rename {src!r} -> {dst!r} failed")
     remove_tree(old)
 

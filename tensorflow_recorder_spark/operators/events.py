@@ -279,12 +279,11 @@ def funnel(
     quadratic on busy users. The scalable form is one window pass: for
     every event, the NEXT ``step_b`` timestamp is a reversed running
     ``min`` over the user's future rows; an A-row converts iff that
-    next-B lands inside the gap. One shuffle (by user), per-row state
-    O(1), AQE-skew-splittable like any window on a hot user... it is
-    NOT (windows aren't splittable) — but the window state itself is a
-    single running min, so a hot user costs a sort, not memory. Output
-    per user: ``n_a``, ``n_converted``, and the first conversion's A/B
-    timestamps.
+    next-B lands inside the gap. One shuffle (by user); window
+    partitions are not AQE-splittable, but the per-row window state is
+    a single running min, so a hot user costs a sort, not memory.
+    Output per ``user_col`` value: ``n_a``, ``n_converted``, and the
+    first conversion's A/B timestamps.
 
     Ties on ts order by ``id_col`` for determinism.
     """
@@ -306,7 +305,7 @@ def funnel(
         <= F.col(ts_col) + F.expr(f"INTERVAL {int(max_gap_seconds)} SECONDS"),
         F.lit(False),
     )
-    return marked.groupBy(F.col(user_col).alias("user_id")).agg(
+    return marked.groupBy(F.col(user_col)).agg(
         F.count(F.lit(1)).alias("n_a"),
         F.sum(converted.cast("long")).alias("n_converted"),
         F.date_format(

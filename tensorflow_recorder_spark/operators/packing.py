@@ -39,18 +39,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-_DENOM = 1_000_000
-
-
-def _shard_expr(id_col: str, nshards: int, salt: str) -> str:
-    # Same md5-slice bucket as operators.sampling._bucket_expr — a pure
-    # function of the id, identical in Spark and DuckDB.
-    return (
-        f"pmod(cast(conv(substring(md5(concat('{salt}:', "
-        f"cast({id_col} as string))), 1, 8), 16, 10) as bigint), {nshards})"
-    )
-
-
 def token_count_expr(text_col: str) -> F.Column:
     """Whitespace token count, matching operators.text's convention."""
     return F.expr(f"size(split(lower({text_col}), '\\\\s+'))")
@@ -77,11 +65,21 @@ def pack_sequences(
     if nshards <= 0:
         raise ValueError(f"nshards must be positive, got {nshards}")
 
+    # the md5-slice bucket shared with operators.sampling — one recipe,
+    # one engine-parity contract
+    from .sampling import _bucket_expr
+
     id_field = df.schema[id_col]
     narrow = df.select(
         F.col(id_col),
-        F.expr(_shard_expr(id_col, nshards, salt)).cast("int").alias("shard"),
-        token_count_expr(text_col).cast("long").alias("n_tokens"),
+        F.expr(_bucket_expr(id_col, salt, denom=nshards))
+        .cast("int")
+        .alias("shard"),
+        # NULL text -> 0 tokens (a NaN would crash int() in the pandas
+        # stage; every sibling curation operator tolerates dirty rows)
+        F.coalesce(token_count_expr(text_col).cast("long"), F.lit(0)).alias(
+            "n_tokens"
+        ),
     )
 
     out_schema = StructType(

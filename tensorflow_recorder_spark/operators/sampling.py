@@ -22,10 +22,13 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 _DENOM = 1_000_000
 
 
-def _bucket_expr(id_col: str, salt: str) -> str:
+def _bucket_expr(id_col: str, salt: str, denom: int = _DENOM) -> str:
+    """The md5-slice bucket shared by every deterministic-membership
+    operator (sampling, quotas, packing shards): one recipe, one
+    engine-parity contract with the DuckDB oracles."""
     return (
         f"pmod(cast(conv(substring(md5(concat('{salt}:', "
-        f"cast({id_col} as string))), 1, 8), 16, 10) as bigint), {_DENOM})"
+        f"cast({id_col} as string))), 1, 8), 16, 10) as bigint), {denom})"
     )
 
 

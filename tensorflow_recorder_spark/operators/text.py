@@ -475,7 +475,10 @@ def redact(
     ]
     redacted = F.col(text_col)
     for label, pat in sorted(pats.items()):
-        redacted = F.regexp_replace(redacted, pat, f"[{label.upper()}]")
+        # Matcher.quoteReplacement semantics: $ and \ are group-reference
+        # metacharacters in the replacement string
+        repl = f"[{label.upper()}]".replace("\\", "\\\\").replace("$", "\\$")
+        redacted = F.regexp_replace(redacted, pat, repl)
     return df.select("*", *counts).withColumn(out_col, redacted)
 
 

@@ -2170,7 +2170,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the nanos-ts normalization
     shared by every S query."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _t(spark, sf_dir, "events").schema
     stream = spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.parque[t]")
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -2248,8 +2248,7 @@ def q_s5_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     train = docs.where(F.col("doc_id") % 10 != 0)
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    ev_stream = spark.readStream.schema(schema).parquet(
+    ev_stream = spark.readStream.schema(docs.schema).parquet(
         f"{sf_dir}/documents.parque[t]"
     ).where(F.col("doc_id") % 10 == 0)
     pairs = streaming_contamination_pairs(

@@ -686,6 +686,12 @@ def test_redact_pii_patterns(spark):
     over = spark.createDataFrame([(1, "x@y.zz")], "doc_id long, text string")
     r = text.redact(over, "text", {"a": r"x@y\.zz", "b": r"x@y"}).collect()[0]
     assert r.n_a == 1 and r.n_b == 1  # both counted pre-replacement
+    # labels containing regex-replacement metacharacters must not blow
+    # up Java's Matcher ($ is a group reference in the replacement)
+    meta = spark.createDataFrame([(1, "pay 5 now")], "doc_id long, text string")
+    r = text.redact(meta, "text", {"usd$amt": r"\d+"}).collect()[0]
+    assert r.text == "pay [USD$AMT] now"
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError):

@@ -120,3 +120,13 @@ def test_swap_dir_and_remove_tree(tmp_path):
     fs.remove_tree(str(target))
     assert not target.exists()
     fs.remove_tree(str(target))  # missing path is a no-op
+
+    # failed swap rolls the live tree back instead of leaving dst missing
+    live = tmp_path / "live"
+    (live / "cell=1").mkdir(parents=True)
+    (live / "cell=1" / "data").write_text("live")
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        fs.swap_dir(str(tmp_path / "does_not_exist"), str(live))
+    assert (live / "cell=1" / "data").read_text() == "live"

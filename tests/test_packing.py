@@ -90,6 +90,18 @@ def test_pack_stats_consistency(spark):
         assert 0 < s.fill_ratio <= 1.0
 
 
+def test_null_text_packs_as_zero_tokens(spark):
+    rows = [(0, "a b c"), (1, None), (2, "d e")]
+    out = (
+        pack_sequences(_docs(spark, rows), "doc_id", "text", 8, nshards=1)
+        .orderBy("doc_id")
+        .collect()
+    )
+    # NULL text costs 0 tokens and never crashes the pandas stage
+    assert [r.n_tokens for r in out] == [3, 0, 2]
+    assert [r.bin_id for r in out] == [0, 0, 0]
+
+
 def test_validation(spark):
     df = _docs(spark, [(0, "a")])
     with pytest.raises(ValueError):
