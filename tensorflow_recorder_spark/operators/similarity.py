@@ -509,6 +509,37 @@ def ivf_topk_indexed(
 # --------------------------------------------- random-hyperplane LSH ANN
 
 
+def ann_recall(ann: DataFrame, exact: DataFrame) -> DataFrame:
+    """Recall@k of an ANN result against exact ground truth — the
+    metric that decides whether an IVF/LSH configuration (K, nprobe,
+    bands) is good enough to ship. Both inputs are top-k frames with
+    ``(query_id, neighbor_id)``; output is per-query
+    ``(query_id, n_true, n_hits, recall)``.
+
+    Plan shape: one equi-join on (query_id, neighbor_id) + two
+    query-bounded aggregates — at any corpus scale the inputs are
+    k x queries rows, so this costs nothing next to the searches it
+    evaluates."""
+    a = ann.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id")
+    truth = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    hits = (
+        a.join(e, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return truth.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_true",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.col("n_true"),
+            6,
+        ).alias("recall"),
+    )
+
+
 def rp_hyperplanes(dim: int, n_planes: int, seed: str = "rp") -> list[list[float]]:
     """Deterministic +-1 random hyperplanes derived from md5(seed:plane:dim)
     parity — the 'fitted' constants of sign-LSH. Pure data (no RNG

@@ -1205,6 +1205,85 @@ def q_e2_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e2_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: per-query recall@10 of the IVF search
+    (nprobe=1, the e2_ivf_topk configuration) against brute-force
+    ground truth (the e2_topk_cosine configuration) — the metric that
+    tunes K/nprobe before shipping an index."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    ivf = similarity.ivf_topk(emb, centroids, queries, k=10)
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    return similarity.ann_recall(ivf, exact)
+
+
+ORACLE_E2_ANN_RECALL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e, sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+bf_scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_aggregate(list_transform(list_zip(a.e, b.e),
+               p -> p[1] * p[2]), 'sum') / (a.nrm * b.nrm), 4) AS score
+  FROM norms a JOIN norms b ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id) AS rank
+    FROM bf_scored
+  ) WHERE rank <= 10
+),
+assign_scored AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         round(list_aggregate(list_transform(list_zip(v.e, c.e),
+               p -> p[1] * p[2]), 'sum') / (v.nrm * c.nrm), 6) AS score
+  FROM norms v JOIN norms c ON c.vec_id < 8
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+ivf_scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         round(list_aggregate(list_transform(list_zip(q.e, v.e),
+               p -> p[1] * p[2]), 'sum') / (q.nrm * v.nrm), 4) AS score
+  FROM norms q
+  JOIN assign qa ON qa.vec_id = q.vec_id
+  JOIN assign va ON va.centroid_id = qa.centroid_id
+  JOIN norms v ON v.vec_id = va.vec_id AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id) AS rank
+    FROM ivf_scored
+  ) WHERE rank <= 10
+),
+truth AS (SELECT query_id, count(*) AS n_true FROM bf GROUP BY query_id),
+hits AS (
+  SELECT query_id, count(*) AS n_hits
+  FROM ivf JOIN bf USING (query_id, neighbor_id) GROUP BY query_id
+)
+SELECT t.query_id,
+       CAST(t.n_true AS BIGINT) AS n_true,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0)::DOUBLE / t.n_true, 6) AS recall
+FROM truth t LEFT JOIN hits h USING (query_id)
+"""
+
+
 def q_e2_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two full Lloyd iterations (seed = 8 lowest-id vectors), centroids
     posexploded to scalar rows. Exercises the iterative driver loop with
@@ -2847,6 +2926,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_zipf": q_e3_zipf,
     "p3_split_leakage": q_p3_split_leakage,
     "e2_l2_normalize": q_e2_l2_normalize,
+    "e2_ann_recall": q_e2_ann_recall,
 }
 
 ORACLES: dict[str, str] = {
@@ -2925,6 +3005,7 @@ ORACLES: dict[str, str] = {
     "e3_zipf": ORACLE_E3_ZIPF,
     "p3_split_leakage": ORACLE_P3_SPLIT_LEAKAGE,
     "e6_curate": _oracle_curate(),
+    "e2_ann_recall": ORACLE_E2_ANN_RECALL,
     "s5_stream_contamination": _oracle_contamination(),
     "e4_sessionize": ORACLE_E4_SESSIONIZE,
     "e4_asof_latest": ORACLE_E4_ASOF,

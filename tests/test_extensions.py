@@ -503,6 +503,23 @@ def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
     assert "dynamicpruning" in plan or "PartitionFilters: [isnotnull(centroid_id" in plan
 
 
+def test_ann_recall_metric(spark):
+    from tensorflow_recorder_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long",
+    )
+    ann = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 77)],  # q1: 2/3 hit; q2: 0/2
+        "query_id long, neighbor_id long",
+    )
+    got = {r.query_id: r for r in ann_recall(ann, exact).collect()}
+    assert got[1].n_true == 3 and got[1].n_hits == 2
+    assert abs(got[1].recall - 2 / 3) < 1e-6
+    assert got[2].n_hits == 0 and got[2].recall == 0.0
+
+
 def test_ivf_index_append_compact_lifecycle(spark, tmp_path):
     """Index maintenance: appends land in the partitioned layout and are
     probe-visible; compaction collapses per-cell files back to one

@@ -83,6 +83,7 @@ def test_driver_window_holds_all_unique_queries():
         # e2_l2_normalize's narrow-projection shape is embedded in every
         # scored E2 scorer; its slot went to the composed e6_curate plan
         "e2_l2_normalize",
+        "e2_ann_recall",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
