@@ -89,9 +89,14 @@ def _stub_image_decode(data: bytes) -> dict:
 
 
 def _stub_audio_decode(data: bytes) -> dict:
-    """STUB: deterministic fake PCM (16 samples) + fixed sample rate."""
+    """STUB: deterministic fake PCM header — 1-5 s at 16 kHz, derived
+    from the payload digest so window plans are oracle-checkable."""
     digest = hashlib.sha256(b"audio" + data).digest()
-    return {"sample_rate": 16000, "n_samples": 16, "pcm": digest[:32]}
+    return {
+        "sample_rate": 16000,
+        "n_samples": 16000 + digest[0] * 256,
+        "pcm": digest[:32],
+    }
 
 
 def _stub_video_decode(data: bytes) -> dict:
@@ -232,6 +237,59 @@ def sample_video_frames(
                     frame_idx.append(idx)
             out = pd.DataFrame(rows)
             out["frame_idx"] = pd.array(frame_idx, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(run, schema=out_struct)
+
+
+def sample_audio_windows(
+    df: DataFrame,
+    binary_col: str = "media_bytes",
+    window_samples: int = 16000,
+    hop_samples: int = 8000,
+) -> DataFrame:
+    """Audio windowing plan: one output row per (window_start, length)
+    hop — the audio twin of :func:`sample_video_frames` (ASR/audio
+    feature pipelines consume fixed-length overlapping windows, not
+    whole files).
+
+    The explode happens BEFORE any real feature extraction, so the
+    per-window work (fbank/MFCC/codec inference) parallelizes across
+    exploded rows; a final partial window is emitted iff at least one
+    sample remains past the last full hop. Window geometry comes from
+    the decoded header only — the PCM payload never enters this plan.
+    """
+    if window_samples <= 0 or hop_samples <= 0:
+        raise ValueError("window_samples and hop_samples must be positive")
+    decoder = _decoder_for("audio")
+    keep = [f for f in df.schema.fields if f.name != binary_col]
+    out_struct = T.StructType(
+        keep
+        + [
+            T.StructField("window_start", T.LongType()),
+            T.StructField("window_len", T.LongType()),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {name: [] for name in keep_names}
+            starts, lens = [], []
+            for i, blob in enumerate(pdf[binary_col]):
+                if blob is None:
+                    continue
+                n = int(decoder(bytes(blob))["n_samples"])
+                for start in range(0, n, hop_samples):
+                    if start >= n:
+                        break
+                    for name in keep_names:
+                        rows[name].append(pdf[name].iloc[i])
+                    starts.append(start)
+                    lens.append(min(window_samples, n - start))
+            out = pd.DataFrame(rows)
+            out["window_start"] = pd.array(starts, dtype="Int64")
+            out["window_len"] = pd.array(lens, dtype="Int64")
             yield out
 
     return df.mapInPandas(run, schema=out_struct)

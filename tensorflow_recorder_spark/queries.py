@@ -2815,6 +2815,35 @@ FROM rec GROUP BY shard
 )
 
 
+def q_e5_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio window-sampling plan: one row per 1s window at 0.5s hop
+    (the ASR feature-extraction shape). The stub codec derives
+    n_samples = 16000 + sha256('audio' || payload)[0] * 256
+    deterministically, so the exploded (doc, window) set is fully
+    oracle-checkable — explode-before-extract is the part that matters
+    at scale."""
+    from .operators.multimodal import sample_audio_windows
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("media_bytes")
+    )
+    return sample_audio_windows(
+        docs, "media_bytes", window_samples=16000, hop_samples=8000
+    )
+
+
+ORACLE_E5_AUDIO_WINDOWS = """
+WITH meta AS (
+  SELECT doc_id,
+         16000 + ('0x' || substr(sha256('audio' || text), 1, 2))::INT * 256 AS n
+  FROM documents
+)
+SELECT doc_id, CAST(w AS BIGINT) AS window_start,
+       CAST(least(16000, n - w) AS BIGINT) AS window_len
+FROM (SELECT doc_id, n, unnest(range(0, n, 8000)) AS w FROM meta)
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2927,6 +2956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p3_split_leakage": q_p3_split_leakage,
     "e2_l2_normalize": q_e2_l2_normalize,
     "e2_ann_recall": q_e2_ann_recall,
+    "e5_audio_windows": q_e5_audio_windows,
 }
 
 ORACLES: dict[str, str] = {
@@ -3006,6 +3036,7 @@ ORACLES: dict[str, str] = {
     "p3_split_leakage": ORACLE_P3_SPLIT_LEAKAGE,
     "e6_curate": _oracle_curate(),
     "e2_ann_recall": ORACLE_E2_ANN_RECALL,
+    "e5_audio_windows": ORACLE_E5_AUDIO_WINDOWS,
     "s5_stream_contamination": _oracle_contamination(),
     "e4_sessionize": ORACLE_E4_SESSIONIZE,
     "e4_asof_latest": ORACLE_E4_ASOF,

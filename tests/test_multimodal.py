@@ -98,3 +98,32 @@ def test_register_decoder_overrides_stub(spark, tmp_path):
         assert all(r["image_width"] == 2 for r in out)
     finally:
         multimodal._decoders.pop("image", None)
+
+
+def test_audio_window_sampling_geometry(spark):
+    from pyspark.sql import functions as F
+    from tensorflow_recorder_spark.operators.multimodal import (
+        _stub_audio_decode,
+        sample_audio_windows,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, b"payload-a"), (2, b"payload-b"), (3, None)],
+        "doc_id long, media_bytes binary",
+    )
+    out = sample_audio_windows(docs, window_samples=16000, hop_samples=8000)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.window_start))
+    # NULL payload contributes no windows
+    assert {r.doc_id for r in rows} == {1, 2}
+    for doc_id, payload in [(1, b"payload-a"), (2, b"payload-b")]:
+        n = _stub_audio_decode(payload)["n_samples"]
+        mine = [r for r in rows if r.doc_id == doc_id]
+        # hop grid covers the whole clip, last window may be partial
+        assert [r.window_start for r in mine] == list(range(0, n, 8000))
+        assert all(r.window_len == min(16000, n - r.window_start) for r in mine)
+        assert mine[-1].window_start + mine[-1].window_len == n
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        sample_audio_windows(docs, window_samples=0)

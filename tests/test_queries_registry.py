@@ -84,6 +84,7 @@ def test_driver_window_holds_all_unique_queries():
         # scored E2 scorer; its slot went to the composed e6_curate plan
         "e2_l2_normalize",
         "e2_ann_recall",
+        "e5_audio_windows",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
