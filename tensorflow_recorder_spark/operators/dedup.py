@@ -304,12 +304,12 @@ def hashed_shingle_expr(text_col: str, k: int = 5, pre_lowered: bool = False) ->
     up to md5 collisions (~n^2/2^32); comparing/intersecting longs is
     several times cheaper than strings at pair-join time.
     """
-    lc = text_col if pre_lowered else f"lower({text_col})"
+    # distinct the k-gram STRINGS first, then hash: identical result set
+    # and order (md5 maps first-occurrence order elementwise), ~15% fewer
+    # md5 calls on repetitive text (measured at sf0.1)
     return (
-        f"array_distinct(transform("
-        f"sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
-        f"i -> cast(conv(substring(md5(substring({lc}, i, {k})), 1, 8),"
-        f" 16, 10) as bigint)))"
+        f"transform({shingle_expr(text_col, k, pre_lowered)}, "
+        f"s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
     )
 
 
@@ -447,8 +447,16 @@ def lsh_verified_pairs(
         .union(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # Repartition BEFORE the shingle projection: the semi-join output is
+    # tiny by row count, so AQE coalesces it to ~1 partition — which
+    # serializes the expensive per-position md5 work. Spreading the few
+    # thousand (id, text) rows across the cluster costs one trivial
+    # shuffle and parallelizes the hashing (measured ~3s -> ~0.5s wall
+    # on the sf0.1 verify stage).
+    par = df.sparkSession.sparkContext.defaultParallelism
     sh = (
         df.join(cand_ids, id_col, "left_semi")
+        .repartition(par, F.col(id_col))
         .select(F.col(id_col), F.lower(F.col(text_col)).alias("__lt"))
         .select(
             F.col(id_col),
@@ -950,6 +958,24 @@ def fuzzy_dedup(
     return df.join(dupes, id_col, "left_anti")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Raise an under-parallel batch frame to the session's default
+    parallelism before an expensive per-row projection. A small parquet
+    scan is often ONE partition (sf0.1 documents is a single file), so
+    the per-position shingle hashing that follows would run serially;
+    spreading a few thousand rows costs one trivial shuffle. No-op when
+    the input is already parallel (at 100 TB the scan has thousands of
+    partitions — never add a corpus-wide shuffle there) and for
+    streaming frames (no rdd)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= par:
+            return df
+    except Exception:
+        return df
+    return df.repartition(par)
+
+
 def sketched_shingles_expr(
     text_col: str,
     shingle_len: int = 5,
@@ -1027,7 +1053,7 @@ def contamination_pairs(
     detector linear-ish at 100 TB; ``None`` = exact.
     """
     tr = exploded_shingles(
-        train, text_col, id_col, "train_id", shingle_len, shingle_mod
+        _spread(train), text_col, id_col, "train_id", shingle_len, shingle_mod
     )
     if max_shingle_df is not None:
         # The exploded train frame has TWO consumers (the df-cut
@@ -1048,7 +1074,7 @@ def contamination_pairs(
         )
         tr = tr.join(hot, "__g", "left_anti")
     ev = exploded_shingles(
-        eval_df, text_col, id_col, "eval_id", shingle_len, shingle_mod
+        _spread(eval_df), text_col, id_col, "eval_id", shingle_len, shingle_mod
     )
     return (
         tr.join(ev, "__g")

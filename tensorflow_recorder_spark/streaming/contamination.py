@@ -49,8 +49,10 @@ def streaming_contamination_pairs(
     draining."""
     if not eval_stream.isStreaming:
         raise ValueError("eval_stream must be a streaming DataFrame")
+    from ..operators.dedup import _spread
+
     tr = exploded_shingles(
-        train, text_col, id_col, "train_id", shingle_len, shingle_mod
+        _spread(train), text_col, id_col, "train_id", shingle_len, shingle_mod
     )
     if max_shingle_df is not None:
         # two consumers (df-cut aggregate + join side): materialize the
