@@ -442,6 +442,37 @@ def lsh_verified_pairs(
     cands = lsh_candidate_pairs(
         sigs, id_col, num_hashes, bands, min_est_jaccard
     ).localCheckpoint(eager=True)
+    return _verify_candidate_pairs(
+        df,
+        cands,
+        text_col,
+        id_col,
+        shingle_len,
+        threshold,
+        verify_broadcast_docs,
+        verify_broadcast_bytes,
+        verify_block_docs,
+    )
+
+
+def _verify_candidate_pairs(
+    df: DataFrame,
+    cands: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_len: int,
+    threshold: float,
+    verify_broadcast_docs: int,
+    verify_broadcast_bytes: int,
+    verify_block_docs: int,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs (the shared tail of
+    :func:`lsh_verified_pairs` and :func:`incremental_neardup_pairs`):
+    shingle only candidate docs, size-ratio prune, broadcast verify
+    under the byte gate, blocked-matmul verify beyond it. ``cands`` must
+    be materialized (it is consumed twice) and carry
+    (id_a, id_b, est_jaccard); ``df`` must cover every id in ``cands``.
+    """
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
@@ -974,6 +1005,126 @@ def _spread(df: DataFrame) -> DataFrame:
     except Exception:
         return df
     return df.repartition(par)
+
+
+def _banded(
+    signatures: DataFrame, id_col: str, side: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Explode a MinHash signature frame into (id, mh slots, band_idx,
+    band_key) rows with side-prefixed column names — the join input for
+    asymmetric LSH banding. Identical banding to
+    :func:`lsh_candidate_pairs` (md5 over the band's slots)."""
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        slots = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = "md5(concat_ws(',', " + ", ".join(slots) + "))"
+        band_structs.append(f"struct({b} as band_idx, {key} as band_key)")
+    return signatures.select(
+        F.col(id_col).alias(f"id_{side}"),
+        *[F.col(f"mh_{k}").alias(f"{side}_{k}") for k in range(num_hashes)],
+        F.explode(F.expr("array(" + ", ".join(band_structs) + ")")).alias("band"),
+    ).select(
+        f"id_{side}",
+        *[f"{side}_{k}" for k in range(num_hashes)],
+        "band.band_idx",
+        "band.band_key",
+    )
+
+
+def incremental_neardup_pairs(
+    index_df: DataFrame,
+    batch_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_len: int = 5,
+    min_est_jaccard: float = 0.25,
+    threshold: float = 0.3,
+    verify_broadcast_docs: int = 100_000,
+    verify_broadcast_bytes: int = 256 << 20,
+    verify_block_docs: int = 4096,
+) -> DataFrame:
+    """Incremental fuzzy dedup of a NEW BATCH against an already-ingested
+    corpus — the production shape of continuous dataset building: the
+    historical corpus is not re-deduplicated against itself on every
+    ingest; only index x batch candidate pairs are generated and
+    verified. Ids must be disjoint across the two frames (same id space,
+    new ids for new docs).
+
+    Plan shape, sized for a 100 TB index + small daily batch:
+
+    * Signatures are computed per side with the map-only Arrow MinHash
+      (in production the INDEX side would be a persisted signature
+      table — the plan from ``minhash_signatures`` on, which this
+      function takes as its contract, is identical).
+    * The band join is ASYMMETRIC: index bands x batch bands on
+      (band_idx, band_key). The shuffle is bounded by bands x rows, and
+      with a small batch the batch side broadcasts (AQE decides) — the
+      index never self-joins, which is what makes re-ingest linear in
+      batch size instead of quadratic-ish in corpus size.
+    * First-matching-band dedup and the est-Jaccard floor are the same
+      as :func:`lsh_candidate_pairs`; verification (size-ratio prune,
+      byte-gated broadcast, blocked-matmul fallback) is the shared
+      :func:`_verify_candidate_pairs` tail, shingling ONLY candidate
+      docs from either side.
+
+    Output: (id_a = index doc, id_b = batch doc, est_jaccard, jaccard)
+    with jaccard >= ``threshold`` — feed to an anti-join on id_b to drop
+    duplicated new docs, or route to review.
+    """
+    sigs_idx = minhash_signatures(
+        index_df, text_col, id_col, num_hashes, shingle_len
+    )
+    sigs_new = minhash_signatures(
+        batch_df, text_col, id_col, num_hashes, shingle_len
+    )
+    left = _banded(sigs_idx, id_col, "a", num_hashes, bands)
+    right = _banded(sigs_new, id_col, "b", num_hashes, bands)
+    rows_per_band = num_hashes // bands
+    agree = sum(
+        F.when(F.col(f"a_{k}") == F.col(f"b_{k}"), 1).otherwise(0)
+        for k in range(num_hashes)
+    )
+
+    def band_agrees(b: int):
+        cond = F.lit(True)
+        for r in range(rows_per_band):
+            k = b * rows_per_band + r
+            cond = cond & (F.col(f"a_{k}") == F.col(f"b_{k}"))
+        return cond
+
+    not_earlier = F.lit(True)
+    for b in range(bands - 1):
+        not_earlier = not_earlier & ~(
+            (F.col("band_idx") > b) & band_agrees(b)
+        )
+    cands = (
+        left.join(right, ["band_idx", "band_key"])
+        .where(not_earlier)
+        .select(
+            "id_a",
+            "id_b",
+            (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= min_est_jaccard)
+        .localCheckpoint(eager=True)
+    )
+    both = index_df.select(id_col, text_col).unionByName(
+        batch_df.select(id_col, text_col)
+    )
+    return _verify_candidate_pairs(
+        both,
+        cands,
+        text_col,
+        id_col,
+        shingle_len,
+        threshold,
+        verify_broadcast_docs,
+        verify_broadcast_bytes,
+        verify_block_docs,
+    )
 
 
 def sketched_shingles_expr(

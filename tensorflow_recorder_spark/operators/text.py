@@ -628,3 +628,130 @@ def zipf_fit(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document top-``k`` terms by smoothed TF-IDF — the standard
+    keyword-extraction / relevance signal over a corpus:
+    ``tfidf = tf * (ln((N + 1) / (df + 1)) + 1)`` (add-one-smoothed
+    idf, so terms present in every document still score > 0).
+
+    Plan shape, sized for 100 TB: term frequencies are ONE explode +
+    partial-aggregated groupBy on (doc, term) — the shuffle carries
+    (doc, term, partial count), bounded by distinct doc-term pairs, not
+    token occurrences; document frequencies reuse that frame (a second
+    vocabulary-bounded agg, no re-scan of the corpus); the corpus doc
+    count rides along as a broadcast single-row frame; and the final
+    per-doc top-k is a window partitioned BY DOCUMENT, so every
+    partition is bounded by one document's vocabulary — nothing here is
+    a global sort. The tf->df join hashes on term; AQE may broadcast
+    the df side when the vocabulary is small.
+
+    Cross-engine determinism: tf/df/N are exact integers; idf is one
+    double division + ln per row (identical op order in the oracle);
+    ranking uses the ROUNDED tfidf with a term-asc tie-break, so an
+    ulp disagreement in ``ln`` between engines cannot flip ranks.
+    """
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')"
+    tf = (
+        df.select(F.col(id_col), F.explode(F.expr(toks)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("n_docs").cast("double") + 1.0)
+                        / (F.col("df").cast("double") + 1.0)
+                    )
+                    + 1.0
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "tfidf", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def dup_ngram_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-n-gram coverage (the Gopher/MassiveText
+    cross-document repetition filter): the fraction of a document's
+    word ``n``-gram occurrences whose n-gram also appears in at least
+    ``min_docs`` distinct documents. High coverage flags boilerplate /
+    templated pages that per-document repetition metrics miss because
+    the repetition lives ACROSS documents.
+
+    Plan shape, sized for 100 TB: one explode to (doc, gram)
+    occurrences; the gram document-frequency aggregate first collapses
+    to DISTINCT (doc, gram) map-side before counting, so both shuffles
+    are bounded by distinct doc-gram pairs / n-gram vocabulary, not by
+    token occurrences; the coverage join hashes occurrences against the
+    df table on gram; the final per-doc agg is a partial-aggregated
+    groupBy. Documents shorter than ``n`` tokens surface with
+    ``n_ngrams = 0`` and coverage 0 (left join back to the corpus), so
+    the operator is total over the input.
+    """
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')"
+    joined = " , ' ', ".join(f"element_at(__t, i + {j})" for j in range(n))
+    grams = (
+        f"CASE WHEN size(__t) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(__t) - {n - 1}), "
+        f"i -> concat({joined})) END"
+    )
+    occ = (
+        df.select(F.col(id_col), F.expr(toks).alias("__t"))
+        .select(F.col(id_col), F.explode(F.expr(grams)).alias("gram"))
+    )
+    gram_df = (
+        occ.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gdf"))
+    )
+    per_doc = (
+        occ.join(gram_df, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("gdf") >= min_docs, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+            F.round(
+                F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce(F.col("n_ngrams"), F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -861,6 +861,58 @@ def q_e1_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "est_jaccard", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_e1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch (doc_id % 10 == 0) against the
+    already-ingested corpus (doc_id % 10 != 0): asymmetric LSH band
+    join (index never self-joins — ingest cost is linear in batch
+    size), then exact-Jaccard verification of candidates only."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.incremental_neardup_pairs(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        "text",
+        "doc_id",
+    ).select("id_a", "id_b", "est_jaccard", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _oracle_incremental_dedup(
+    min_est: float = 0.25, threshold: float = 0.3
+) -> str:
+    sig = _oracle_minhash_sig()
+    bands = ", ".join(
+        f"md5(concat_ws(',', mh_{2 * b}, mh_{2 * b + 1})) AS band_{b}"
+        for b in range(4)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.mh_{k} = b.mh_{k} THEN 1 ELSE 0 END" for k in range(8)
+    )
+    per_band = "\nUNION\n".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, ({agree}) / 8.0 AS est_jaccard "
+        f"FROM banded a JOIN banded b ON a.band_{b} = b.band_{b} "
+        f"AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0"
+        for b in range(4)
+    )
+    return f"""
+WITH sigs AS ({sig}), banded AS (SELECT *, {bands} FROM sigs),
+pairs AS (
+  SELECT id_a, id_b, est_jaccard FROM ({per_band})
+  WHERE est_jaccard >= {min_est}
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)),
+           i -> ('0x' || substr(md5(substr(lower(text), i, 5)), 1, 8))::BIGINT)) AS s
+  FROM documents
+)
+SELECT p.id_a, p.id_b, p.est_jaccard,
+       round(len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM pairs p JOIN sh a ON p.id_a = a.doc_id JOIN sh b ON p.id_b = b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {threshold}
+"""
+
+
 def q_e1_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters: connected components (iterative
     min-label propagation) over the LSH-verified pair graph at the
@@ -1203,6 +1255,48 @@ def q_e2_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank")
     )
+
+
+def q_e2_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus: per-dim
+    (min, max) fit broadcast as one single-row frame, codes + exact
+    decimal-summed reconstruction MSE as a narrow projection."""
+    return similarity.scalar_quantize(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id"
+    )
+
+
+ORACLE_E2_QUANTIZE = """
+WITH stats AS (
+  SELECT i, min(CAST(e AS DOUBLE)) AS mn, max(CAST(e AS DOUBLE)) AS mx FROM (
+    SELECT unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  ) GROUP BY i
+), fitted AS (
+  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM stats
+), coded AS (
+  SELECT vec_id, embedding, mns, mxs,
+         list_transform(generate_series(1, len(embedding)), i ->
+           CASE WHEN mxs[i] = mns[i] THEN 0
+           ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+                / (mxs[i] - mns[i]) * 254.0 + 0.5) AS INT) - 127 END) AS codes
+  FROM embeddings CROSS JOIN fitted
+)
+SELECT vec_id,
+       codes[1] AS q_first,
+       list_min(codes) AS q_min,
+       list_max(codes) AS q_max,
+       round(CAST(list_aggregate(list_transform(generate_series(1, len(codes)), i ->
+           CAST((CAST(embedding[i] AS DOUBLE)
+                 - (mns[i] + (CAST(codes[i] AS DOUBLE) + 127.0) / 254.0
+                    * (mxs[i] - mns[i])))
+                * (CAST(embedding[i] AS DOUBLE)
+                   - (mns[i] + (CAST(codes[i] AS DOUBLE) + 127.0) / 254.0
+                      * (mxs[i] - mns[i])))
+             AS DECIMAL(28,12))), 'sum') AS DOUBLE)
+             / CAST(len(codes) AS DOUBLE), 6) AS mse
+FROM coded
+"""
 
 
 def q_e2_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2642,6 +2736,85 @@ WHERE a.split = 'TRAIN' AND b.split = 'TEST'
 """
 
 
+def q_e3_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by smoothed TF-IDF (keyword extraction /
+    relevance scoring): one doc-term aggregate reused for both tf and
+    df, broadcast scalar doc count, per-document window top-k. Ranking
+    uses the rounded score with a term-asc tie-break so an ulp
+    disagreement in ln() between engines cannot flip ranks."""
+    return text.tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3
+    )
+
+
+ORACLE_E3_TFIDF = """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS term
+    FROM documents
+  ) GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+         round(tf.tf::DOUBLE * (ln((nd.n_docs::DOUBLE + 1.0)
+                                   / (dfreq.df::DOUBLE + 1.0)) + 1.0), 6)
+           AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+def q_e3_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-3-gram coverage per document (the
+    MassiveText boilerplate filter): fraction of each doc's 3-gram
+    occurrences whose gram appears in >= 2 distinct documents. Both
+    aggregates are bounded by n-gram vocabulary, not token count."""
+    return text.dup_ngram_coverage(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, min_docs=2
+    )
+
+
+ORACLE_E3_DUP_NGRAMS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+), occ AS (
+  SELECT doc_id, unnest(
+           CASE WHEN len(t) < 3 THEN []
+           ELSE list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END
+         ) AS gram
+  FROM toks
+), gram_df AS (
+  SELECT gram, count(*) AS gdf
+  FROM (SELECT DISTINCT doc_id, gram FROM occ) GROUP BY gram
+), per_doc AS (
+  SELECT occ.doc_id, count(*) AS n_ngrams,
+         sum(CASE WHEN gram_df.gdf >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM occ JOIN gram_df USING (gram) GROUP BY occ.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup,
+       round(coalesce(p.n_dup, 0)::DOUBLE
+             / greatest(coalesce(p.n_ngrams, 0), 1), 6) AS dup_frac
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 def q_e3_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit over the corpus word distribution (dataset-card
     statistic): ln(freq)-on-ln(rank) least squares over the top 1000
@@ -2957,6 +3130,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_l2_normalize": q_e2_l2_normalize,
     "e2_ann_recall": q_e2_ann_recall,
     "e5_audio_windows": q_e5_audio_windows,
+    "e3_tfidf": q_e3_tfidf,
+    "e3_dup_ngrams": q_e3_dup_ngrams,
+    "e1_incremental_dedup": q_e1_incremental_dedup,
+    "e2_quantize": q_e2_quantize,
 }
 
 ORACLES: dict[str, str] = {
@@ -3033,6 +3210,10 @@ ORACLES: dict[str, str] = {
     "e6_source_quota": ORACLE_E6_SOURCE_QUOTA,
     "e4_funnel": ORACLE_E4_FUNNEL,
     "e3_zipf": ORACLE_E3_ZIPF,
+    "e3_tfidf": ORACLE_E3_TFIDF,
+    "e3_dup_ngrams": ORACLE_E3_DUP_NGRAMS,
+    "e1_incremental_dedup": _oracle_incremental_dedup(),
+    "e2_quantize": ORACLE_E2_QUANTIZE,
     "p3_split_leakage": ORACLE_P3_SPLIT_LEAKAGE,
     "e6_curate": _oracle_curate(),
     "e2_ann_recall": ORACLE_E2_ANN_RECALL,

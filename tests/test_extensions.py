@@ -1111,3 +1111,124 @@ def test_contamination_sketch_mode_consistent(spark):
     assert 0.0 < sketch[10]["overlap_frac"] <= 1.0
     # sketched shared count is ~1/4 of exact shared count
     assert sketch[10]["max_shared"] < exact[10]["max_shared"]
+
+
+def test_tfidf_top_terms_ranks_rare_terms_higher(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rare"),
+            (2, "common stuff here"),
+            (3, "common stuff there"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.tfidf_top_terms(docs, "text", "doc_id", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 'rare' (df=1) must outrank 'common' (df=3) despite tf 1 vs 2?
+    # tf('common')=2, idf=ln(4/4)+1=1 -> 2.0; tf('rare')=1, idf=ln(4/2)+1
+    # ~1.693 -> 1.693: 'common' wins on tf. Check exact ordering instead.
+    d1 = sorted(by_doc[1], key=lambda r: r["rk"])
+    assert [r["term"] for r in d1] == ["common", "rare"]
+    assert abs(d1[0]["tfidf"] - 2.0) < 1e-6
+    assert abs(d1[1]["tfidf"] - (math.log(4 / 2) + 1)) < 1e-5
+    # every doc surfaces exactly min(k, n_terms) rows with ranks 1..n
+    for rows in by_doc.values():
+        assert sorted(r["rk"] for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_dup_ngram_coverage_flags_shared_boilerplate(spark):
+    boiler = "all rights reserved contact us"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha words {boiler}"),
+            (2, f"other beta content {boiler}"),
+            (3, "totally original text nothing shared anywhere"),
+            (4, "ab"),  # < 3 tokens -> zero n-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           text.dup_ngram_coverage(docs, "text", "doc_id", n=3, min_docs=2).collect()}
+    assert got[3]["n_dup"] == 0 and got[3]["dup_frac"] == 0.0
+    assert got[4]["n_ngrams"] == 0 and got[4]["dup_frac"] == 0.0
+    # docs 1 and 2 share the 3 grams inside the 5-token boilerplate
+    assert got[1]["n_dup"] == 3 and got[2]["n_dup"] == 3
+    assert got[1]["n_ngrams"] == 6  # 8 tokens -> 6 grams
+    assert abs(got[1]["dup_frac"] - 0.5) < 1e-9
+
+
+def test_incremental_neardup_flags_batch_dup_of_index(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    index = spark.createDataFrame(
+        [(1, base), (2, "completely different historical document text here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(101, base), (102, "fresh novel content never seen before at all")],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_neardup_pairs(
+        index, batch, "text", "doc_id", threshold=0.9
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 101)}
+    assert out[0]["jaccard"] == 1.0
+    # index docs never pair with each other; batch keeps its novel doc
+    assert all(r["id_b"] >= 100 and r["id_a"] < 100 for r in out)
+
+
+def test_incremental_neardup_matches_symmetric_verify(spark):
+    """Asymmetric index x batch pairs must equal the cross-side subset
+    of the symmetric all-pairs run on the union (same params)."""
+    rows = [
+        (i, f"document number {i} shares a very long common template "
+            f"with tiny variation token{i % 3}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    index = df.where(F.col("doc_id") % 4 != 0)
+    batch = df.where(F.col("doc_id") % 4 == 0)
+    asym = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.incremental_neardup_pairs(
+            index, batch, "text", "doc_id",
+            min_est_jaccard=0.25, threshold=0.3,
+        ).collect()
+    }
+    sym = dedup.lsh_verified_pairs(
+        df, "text", "doc_id", min_est_jaccard=0.25, threshold=0.3
+    ).collect()
+    expect = set()
+    for r in sym:
+        a_idx, b_idx = r["id_a"] % 4 != 0, r["id_b"] % 4 != 0
+        if a_idx and not b_idx:
+            expect.add((r["id_a"], r["id_b"]))
+        elif b_idx and not a_idx:
+            expect.add((r["id_b"], r["id_a"]))
+    assert asym == expect and asym  # non-trivial on this template corpus
+
+
+def test_scalar_quantize_bounds_and_error(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.0, 10.0, -1.0]),
+            (2, [1.0, 20.0, -1.0]),   # dim 2 constant -> code 0
+            (3, [0.5, 15.0, -1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in
+           similarity.scalar_quantize(vecs, "embedding", "vec_id").collect()}
+    # extremes hit the code range ends exactly
+    assert out[1]["q_first"] == -127 and out[2]["q_first"] == 127
+    # constant dim quantizes to 0 everywhere; range codes within [-127,127]
+    for r in out.values():
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        assert r["mse"] >= 0.0
+    # midpoint 0.5 -> code 0 -> dequant 0.5: near-zero error on dim 1
+    assert out[3]["q_first"] == 0
+    # max reconstruction error per dim is half a quantization step
+    for vid, vec in ((1, [0.0, 10.0, -1.0]), (3, [0.5, 15.0, -1.0])):
+        step = max((1.0 - 0.0) / 254, (20.0 - 10.0) / 254)
+        assert out[vid]["mse"] <= (step / 2) ** 2 * 3 + 1e-9

@@ -85,6 +85,11 @@ def test_driver_window_holds_all_unique_queries():
         "e2_l2_normalize",
         "e2_ann_recall",
         "e5_audio_windows",
+        # session-3 additions past the window
+        "e3_tfidf",
+        "e3_dup_ngrams",
+        "e1_incremental_dedup",
+        "e2_quantize",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
