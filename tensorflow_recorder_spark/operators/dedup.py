@@ -989,6 +989,44 @@ def fuzzy_dedup(
     return df.join(dupes, id_col, "left_anti")
 
 
+def fuzzy_dedup_keep_best(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    quality_col: str,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Fuzzy dedup with a QUALITY retention policy: within each
+    transitive duplicate cluster keep the member with the highest
+    ``quality_col`` (ties: lowest id), not the arbitrary min-id member.
+    This is the policy real curation pipelines want — near-dup groups
+    keep their longest / highest-scoring variant, so dedup never
+    degrades the surviving corpus.
+
+    Plan shape on top of :func:`fuzzy_dedup`'s: the cluster frame joins
+    the corpus ONLY to fetch (id, quality) — a projection of two scalar
+    columns, id-keyed; the keep-best choice is a window partitioned BY
+    CLUSTER (bounded by cluster size, no global sort); and the final
+    anti-join key set is again the non-kept duplicate ids — the small
+    side, broadcastable. The corpus itself never shuffles.
+    """
+    pairs = lsh_verified_pairs(df, text_col, id_col, **lsh_kwargs)
+    clusters = duplicate_clusters(pairs)
+    ranked = clusters.join(
+        df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("__q")),
+        "id",
+    ).withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.desc("__q"), F.asc("id")
+            )
+        ),
+    )
+    dupes = ranked.where(F.col("__rk") > 1).select(F.col("id").alias(id_col))
+    return df.join(dupes, id_col, "left_anti")
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Raise an under-parallel batch frame to the session's default
     parallelism before an expensive per-row projection. A small parquet

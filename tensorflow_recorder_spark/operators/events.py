@@ -315,3 +315,44 @@ def funnel(
             F.min(F.when(converted, F.col("__next_b"))), "yyyy-MM-dd HH:mm:ss"
         ).alias("first_conv_b_ts"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort retention (E4): users are cohorted by the Monday of
+    the week of their FIRST event; each (cohort_week, week_offset) cell
+    counts the distinct cohort members active in that later week — the
+    standard retention triangle behind every product-analytics chart.
+
+    Plan shape at scale: first-seen is one user-keyed partial-aggregated
+    min; the events->first-seen join hashes on the SAME user key, so it
+    reuses that shuffle's partitioning; the cell aggregate is a
+    count-distinct over (cohort, offset, user), which Spark executes as
+    a two-phase expand/agg — every stage is key-bounded, nothing global.
+    Offsets are computed on week-truncated DATES (both engines truncate
+    weeks to Monday), so the day diff is an exact multiple of 7.
+
+    Output: (cohort_week string yyyy-MM-dd, week_offset bigint,
+    n_users bigint).
+    """
+    first = df.groupBy(user_col).agg(F.min(ts_col).alias("__first_ts"))
+    joined = df.join(first, user_col)
+    cohort = F.date_trunc("week", F.col("__first_ts")).cast("date")
+    week = F.date_trunc("week", F.col(ts_col)).cast("date")
+    return (
+        joined.select(
+            F.col(user_col),
+            cohort.alias("__cohort"),
+            (F.datediff(week, cohort) / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy("__cohort", "week_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+        .select(
+            F.date_format("__cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+    )

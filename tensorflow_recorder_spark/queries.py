@@ -968,6 +968,32 @@ WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
 """
 
 
+def q_e1_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup with a quality retention policy: each duplicate
+    cluster keeps its LONGEST member (n_chars desc, id asc) instead of
+    the arbitrary min-id one — dedup without degrading the surviving
+    corpus."""
+    out = dedup.fuzzy_dedup_keep_best(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", "n_chars",
+        min_est_jaccard=0.5, threshold=0.5,
+    )
+    return out.select("doc_id")
+
+
+def _oracle_keep_best() -> str:
+    return f"""
+WITH clusters AS ({_oracle_dup_clusters()}),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+  FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)
+"""
+
+
 def q_e1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination report in SKETCH mode: eval docs
     (doc_id % 10 == 0) sharing >= 13 sketched shingles (1/4
@@ -2001,6 +2027,28 @@ def q_e4_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec).cast("double").alias("sum_value"),
         (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("avg_value"),
     )
+
+
+def q_e4_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users cohorted by the Monday of
+    their first-event week; each (cohort_week, week_offset) counts
+    distinct cohort members active that week. The events->first-seen
+    join reuses the user-key shuffle partitioning."""
+    return events.cohort_retention(_events(spark, sf_dir), "user_id", "ts")
+
+
+ORACLE_E4_RETENTION = """
+WITH first AS (
+  SELECT user_id, min(ts) AS f FROM events GROUP BY user_id
+)
+SELECT strftime(date_trunc('week', first.f)::DATE, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', date_trunc('week', first.f)::DATE,
+                      date_trunc('week', e.ts)::DATE) // 7 AS BIGINT)
+         AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
 
 
 ORACLE_E4_HOURLY = """
@@ -3134,6 +3182,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_dup_ngrams": q_e3_dup_ngrams,
     "e1_incremental_dedup": q_e1_incremental_dedup,
     "e2_quantize": q_e2_quantize,
+    "e1_keep_best": q_e1_keep_best,
+    "e4_retention": q_e4_retention,
 }
 
 ORACLES: dict[str, str] = {
@@ -3214,6 +3264,8 @@ ORACLES: dict[str, str] = {
     "e3_dup_ngrams": ORACLE_E3_DUP_NGRAMS,
     "e1_incremental_dedup": _oracle_incremental_dedup(),
     "e2_quantize": ORACLE_E2_QUANTIZE,
+    "e1_keep_best": _oracle_keep_best(),
+    "e4_retention": ORACLE_E4_RETENTION,
     "p3_split_leakage": ORACLE_P3_SPLIT_LEAKAGE,
     "e6_curate": _oracle_curate(),
     "e2_ann_recall": ORACLE_E2_ANN_RECALL,

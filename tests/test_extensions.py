@@ -1232,3 +1232,56 @@ def test_scalar_quantize_bounds_and_error(spark):
     for vid, vec in ((1, [0.0, 10.0, -1.0]), (3, [0.5, 15.0, -1.0])):
         step = max((1.0 - 0.0) / 254, (20.0 - 10.0) / 254)
         assert out[vid]["mse"] <= (step / 2) ** 2 * 3 + 1e-9
+
+
+def test_fuzzy_dedup_keep_best_keeps_longest(spark):
+    base = "shared template text that repeats across near duplicate docs"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " x", 10),
+            (2, base + " x longer", 99),   # same cluster, higher quality
+            (3, "completely unrelated standalone document", 5),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    kept_min_id = sorted(
+        r["doc_id"]
+        for r in dedup.fuzzy_dedup(
+            docs, "text", "doc_id", min_est_jaccard=0.5, threshold=0.5
+        ).collect()
+    )
+    kept_best = sorted(
+        r["doc_id"]
+        for r in dedup.fuzzy_dedup_keep_best(
+            docs, "text", "doc_id", "n_chars",
+            min_est_jaccard=0.5, threshold=0.5,
+        ).collect()
+    )
+    assert kept_min_id == [1, 3]   # canonical = min id
+    assert kept_best == [2, 3]     # policy = highest n_chars
+
+
+def test_cohort_retention_triangle(spark):
+    import datetime as dt
+
+    rows = [
+        # user 1: first Mon 2024-01-01 week, returns 2 weeks later
+        (1, dt.datetime(2024, 1, 2, 10), ),
+        (1, dt.datetime(2024, 1, 16, 9), ),
+        # user 2: same cohort week, active only then
+        (2, dt.datetime(2024, 1, 5, 8), ),
+        # user 3: next week's cohort
+        (3, dt.datetime(2024, 1, 9, 12), ),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t) for u, t in rows], "user_id long, ts timestamp"
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in events.cohort_retention(ev, "user_id", "ts").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }

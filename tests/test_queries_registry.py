@@ -90,6 +90,8 @@ def test_driver_window_holds_all_unique_queries():
         "e3_dup_ngrams",
         "e1_incremental_dedup",
         "e2_quantize",
+        "e1_keep_best",
+        "e4_retention",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
