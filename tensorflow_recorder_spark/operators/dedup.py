@@ -1429,3 +1429,118 @@ def cross_split_exact_overlap(
         F.col(id_col).alias("id_b"),
     )
     return da.join(db, "__dig").select("id_a", "id_b")
+
+
+def duplicated_span_occurrences(
+    df: DataFrame, text_col: str, id_col: str, k: int = 10
+) -> DataFrame:
+    """Every NON-FIRST occurrence of a duplicated ``k``-token span:
+    (id, pos) rows where the ``k``-gram starting at token ``pos`` also
+    occurs somewhere earlier in the corpus (global (id, pos) order).
+
+    This is the Spark shape of exact substring deduplication ("
+    Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022 — the reference pipeline uses a suffix array; a suffix
+    array is a single-machine data structure, so at 100 TB the
+    equivalent signal is computed relationally): explode every token
+    position into its ``k``-gram hash, find each gram's first
+    occurrence with ONE partial-aggregated ``min(struct(id, pos))``
+    groupBy — the shuffle carries 16-byte digests + 12-byte keeper
+    structs, never text — and re-join to mark later occurrences.
+    Boilerplate grams (the hot keys) are exactly what AQE skew-split
+    handles; the groupBy form (vs a per-gram window) keeps the hot
+    gram's combine map-side.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.expr(
+            f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+        ).alias("__toks"),
+    )
+    grams = (
+        toks.select(
+            id_col,
+            F.expr(
+                f"CASE WHEN size(__toks) >= {k} THEN "
+                f"transform(sequence(0, size(__toks) - {k}), "
+                f"p -> struct(p AS pos, md5(concat_ws(' ', slice(__toks, p + 1, {k}))) AS gh)) "
+                f"ELSE array() END"
+            ).alias("__gs"),
+        )
+        .select(id_col, F.explode("__gs").alias("__g"))
+        .select(id_col, F.col("__g.pos").alias("pos"), F.col("__g.gh").alias("gh"))
+    )
+    info = grams.groupBy("gh").agg(
+        F.min(F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))).alias(
+            "__keep"
+        ),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    return (
+        grams.join(info.where(F.col("__cnt") > 1), "gh")
+        .where(
+            ~(
+                (F.col(id_col) == F.col("__keep.kid"))
+                & (F.col("pos") == F.col("__keep.kpos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+
+
+def span_dedup(
+    df: DataFrame, text_col: str, id_col: str, k: int = 10
+) -> DataFrame:
+    """Exact duplicated-span removal: drop from each document every
+    token covered by a ``k``-token span whose first corpus occurrence
+    is elsewhere, keeping exactly one copy of every duplicated span
+    (within-document repeats collapse too). Output:
+    (id, clean_text, n_tokens, n_kept, n_dropped).
+
+    Scale shape: the only wide ops are the gram groupBy + re-join in
+    :func:`duplicated_span_occurrences` and one groupBy(id) that
+    collects each document's duplicate START POSITIONS (bounded by
+    tokens-per-doc, carried as ints — the document text itself never
+    reshuffles: reconstruction re-joins the positions back onto the
+    original row by id). Interval-cover + rebuild are per-row
+    higher-order functions, fully codegen'd, no Python.
+    """
+    dup = duplicated_span_occurrences(df, text_col, id_col, k)
+    dup_pos = dup.groupBy(id_col).agg(F.collect_list("pos").alias("__dp"))
+    toks = df.select(
+        F.col(id_col),
+        F.expr(
+            f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+        ).alias("__toks"),
+    )
+    covered = (
+        f"exists(__dp, p -> p <= t AND t < p + {k})"
+    )
+    return (
+        toks.join(dup_pos, id_col, "left")
+        .select(
+            id_col,
+            "__toks",
+            F.expr("coalesce(__dp, array())").alias("__dp"),
+        )
+        .select(
+            id_col,
+            "__toks",
+            # sequence(0, -1) counts DOWN ([0, -1]) and element_at(_, 0)
+            # raises under ANSI — empty docs need the explicit guard.
+            F.expr(
+                f"CASE WHEN size(__toks) > 0 THEN "
+                f"filter(sequence(0, size(__toks) - 1), t -> NOT ({covered})) "
+                f"ELSE array() END"
+            ).alias("__kept"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(
+                "concat_ws(' ', transform(__kept, t -> element_at(__toks, t + 1)))"
+            ).alias("clean_text"),
+            F.expr("size(__toks)").cast("long").alias("n_tokens"),
+            F.expr("size(__kept)").cast("long").alias("n_kept"),
+            F.expr("size(__toks) - size(__kept)").cast("long").alias("n_dropped"),
+        )
+    )

@@ -2393,8 +2393,14 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = _t(spark, sf_dir, "events").schema
     stream = spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.parque[t]")
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) infers NTZ,
+        # which withWatermark rejects; under the UTC session timezone the
+        # LTZ cast is value-identical to the oracle's naive timestamps.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
