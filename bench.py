@@ -65,6 +65,11 @@ BENCH_QUERIES = [
     "e3_lm_score",
     "e3_redact",
     "e6_curate",
+    # round-4: track the new heavy dedup operators before they get
+    # expensive (r3 verdict item 6)
+    "e1_incremental_dedup",
+    "e1_keep_best",
+    "e4_asof_join_tolerance",
 ]
 
 

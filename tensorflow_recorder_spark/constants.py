@@ -29,6 +29,9 @@ AUTO_SHARDS = 0
 # TFRecord file suffixes. Reference: tfrecorder/beam_pipeline.py:105-110.
 TFRECORD_SUFFIX = ".tfrecord"
 GZIP_SUFFIX = ".tfrecord.gz"
+# TF ZLIB option; reference infers it from the extension
+# (dataset_loader.py:32-35).
+ZLIB_SUFFIX = ".tfrecord.zlib"
 
 # Job log file (K6 parity; reference constants.py:21 logs to
 # /tmp/tfrecorder-beam.log and copies it next to the output).

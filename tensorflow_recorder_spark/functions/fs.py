@@ -38,18 +38,28 @@ import re
 import shutil
 
 _SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://")
+# Hadoop Path.toString() normalizes file:///x to file:/x (single slash).
+# Spark APIs hand these back (e.g. df.inputFiles, job dirs), so the file
+# scheme must also be recognized in its one-slash form — otherwise the
+# URI is mistaken for a relative path and writes land under CWD in a
+# literal "file:" directory.
+_FILE_ONE_SLASH_RE = re.compile(r"^file:/(?!/)", re.IGNORECASE)
 
 
 def parse_uri(path: str) -> tuple[str | None, str]:
     """Split ``scheme://rest`` -> (scheme, rest); plain paths -> (None, path).
 
+    ``file:/abs/path`` (Hadoop's normalized single-slash form) is also
+    recognized as the file scheme, with rest keeping its leading slash.
     Windows drive letters are not schemes (single char); any
     single-letter "scheme" is treated as a plain path.
     """
     m = _SCHEME_RE.match(path)
-    if not m or len(m.group(1)) < 2:
-        return None, path
-    return m.group(1).lower(), path[m.end() :]
+    if m and len(m.group(1)) >= 2:
+        return m.group(1).lower(), path[m.end() :]
+    if _FILE_ONE_SLASH_RE.match(path):
+        return "file", path[len("file:") :]
+    return None, path
 
 
 def is_local(path: str) -> bool:
@@ -67,7 +77,7 @@ def to_local(path: str) -> str:
     if scheme is None:
         return path
     if scheme == "file":
-        # file:///abs/path -> /abs/path ; file:/abs/path handled by regex miss
+        # file:///abs/path and file:/abs/path both -> /abs/path
         return rest if rest.startswith("/") else "/" + rest
     raise ValueError(
         f"path {path!r} has remote scheme {scheme!r}: remote filesystems are "

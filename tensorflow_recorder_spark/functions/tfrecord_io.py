@@ -7,9 +7,12 @@ Public on-disk format (tensorflow/core/lib/io/record_writer.h):
     bytes  data[length]
     uint32 masked_crc32c(data)
 
-Used by both the sink (K2) and the scan (S5). Gzip compression operates
-on the whole file stream, matching the reference's ``.tfrecord.gz``
-output (/root/reference/tfrecorder/beam_pipeline.py:105-110).
+Used by both the sink (K2) and the scan (S5). Compression operates on
+the whole file stream — gzip matching the reference's ``.tfrecord.gz``
+output (/root/reference/tfrecorder/beam_pipeline.py:105-110), and raw
+zlib matching TF's ZLIB option, which the reference infers from the
+``.zlib`` extension (/root/reference/tfrecorder/dataset_loader.py:32-35,
+72-79).
 """
 
 from __future__ import annotations
@@ -17,6 +20,7 @@ from __future__ import annotations
 import gzip
 import io
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -35,6 +39,42 @@ def _gzip_owning(raw, mode: str, **kw) -> gzip.GzipFile:
     gz = gzip.GzipFile(fileobj=raw, mode=mode, **kw)
     gz.myfileobj = raw
     return gz
+
+
+class _ZlibWriter(io.RawIOBase):
+    """Streaming raw-zlib (RFC 1950) writer over ``raw``; owns and closes
+    the underlying file. TF's ZLIB record compression is a whole-file
+    zlib stream, so one compressobj spans the file."""
+
+    def __init__(self, raw, level: int = 6):
+        self._raw = raw
+        self._z = zlib.compressobj(level)
+
+    def write(self, data) -> int:
+        self._raw.write(self._z.compress(bytes(data)))
+        return len(data)
+
+    def writable(self) -> bool:
+        return True
+
+    def close(self) -> None:
+        if not self.closed:
+            self._raw.write(self._z.flush())
+            self._raw.close()
+        super().close()
+
+
+def _normalize_compression(compressed) -> str | None:
+    """Normalize the sink flag: legacy bool (True == gzip) or the
+    reference's string names ('gzip' | 'zlib' | None/'')."""
+    if compressed is True:
+        return "gzip"
+    if compressed in (False, None, ""):
+        return None
+    value = str(compressed).lower()
+    if value in ("gzip", "zlib"):
+        return value
+    raise ValueError(f"unsupported TFRecord compression {compressed!r}")
 
 
 def write_record(fh, data: bytes) -> None:
@@ -90,10 +130,11 @@ def read_records(data: bytes, verify: bool = False) -> Iterator[bytes]:
         pos = start + length + 4
 
 
-def open_output(path: str, compressed: bool):
+def open_output(path: str, compressed: bool | str | None):
     """Open a TFRecord shard for writing. Compression is an explicit flag
-    (writers stage shards under temp names, so extension sniffing would
-    silently mislabel); mtime=0 keeps gzip output byte-deterministic.
+    — legacy bool (True == gzip) or 'gzip' | 'zlib' | None — because
+    writers stage shards under temp names, so extension sniffing would
+    silently mislabel; mtime=0 keeps gzip output byte-deterministic.
 
     Level 6 (the zlib/gzip-CLI default), not Python's GzipFile default
     of 9: level 9 costs ~2x the CPU of 6 for ~1% smaller TFRecords —
@@ -103,34 +144,67 @@ def open_output(path: str, compressed: bool):
     ``file://`` URIs open locally anywhere; remote schemes work from
     the driver (Hadoop FS) — the reference's ``tf.io.gfile``
     transparency (utils.py:109-119)."""
+    codec = _normalize_compression(compressed)
     raw = fs.open_output(path, "wb")
-    if compressed:
+    if codec == "gzip":
         return _gzip_owning(raw, "wb", compresslevel=6, mtime=0)
+    if codec == "zlib":
+        return _ZlibWriter(raw, level=6)
     return raw
 
 
 def open_maybe_gzip(path: str, mode: str = "rb"):
+    """Open with compression inferred from the extension (.gz / .zlib),
+    the reference's read-side convention (dataset_loader.py:32-35)."""
     if path.endswith(".gz"):
         if "w" in mode:
             return _gzip_owning(fs.open_output(path, "wb"), mode, mtime=0)
         return _gzip_owning(fs.open_input(path, "rb"), mode)
+    if path.endswith(".zlib"):
+        if "w" in mode:
+            return _ZlibWriter(fs.open_output(path, "wb"), level=6)
+        with fs.open_input(path, "rb") as fh:
+            return io.BytesIO(zlib.decompress(fh.read()))
     if "w" in mode:
         return fs.open_output(path, mode)
     return fs.open_input(path, mode)
 
 
-def read_file_records(path_or_bytes, compressed: bool | None = None) -> Iterator[bytes]:
+def _maybe_decompress_blob(blob: bytes, compressed) -> bytes:
+    """Decompress an in-memory shard image if flagged or magic-sniffed.
+
+    gzip has an unambiguous 2-byte magic. zlib's 0x78 first byte can
+    collide with a raw TFRecord whose first record length ends in 0x78,
+    so the zlib sniff validates the header checksum AND falls back to
+    the raw bytes if inflate fails — inference is best-effort; callers
+    that know the codec should pass ``compressed`` explicitly."""
+    codec = _normalize_compression(compressed) if compressed is not None else None
+    if codec == "gzip" or (compressed is None and blob[:2] == b"\x1f\x8b"):
+        return gzip.decompress(blob)
+    if codec == "zlib":
+        return zlib.decompress(blob)
+    if (
+        compressed is None
+        and len(blob) >= 2
+        and (blob[0] & 0x0F) == 8
+        and ((blob[0] << 8) | blob[1]) % 31 == 0
+    ):
+        try:
+            return zlib.decompress(blob)
+        except zlib.error:
+            return blob
+    return blob
+
+
+def read_file_records(path_or_bytes, compressed=None) -> Iterator[bytes]:
     """Read all records from a file path or an in-memory bytes blob.
 
-    ``compressed=None`` infers from the path extension (paths) or the gzip
+    ``compressed=None`` infers from the path extension (paths) or the
     magic bytes (blobs) — the reference infers from extension
-    (dataset_loader.py:72-79).
+    (dataset_loader.py:72-79). Accepts bool or 'gzip'/'zlib'.
     """
     if isinstance(path_or_bytes, (bytes, bytearray)):
-        blob = bytes(path_or_bytes)
-        if compressed or (compressed is None and blob[:2] == b"\x1f\x8b"):
-            blob = gzip.decompress(blob)
-        yield from read_records(blob)
+        yield from read_records(_maybe_decompress_blob(bytes(path_or_bytes), compressed))
     else:
         with open_maybe_gzip(path_or_bytes, "rb") as fh:
             yield from read_records(fh.read())

@@ -1450,11 +1450,17 @@ def duplicated_span_occurrences(
     Boilerplate grams (the hot keys) are exactly what AQE skew-split
     handles; the groupBy form (vs a per-gram window) keeps the hot
     gram's combine map-side.
+
+    Matching is case-insensitive (grams hash the LOWERCASED join of the
+    whitespace tokens); positions index the whitespace token sequence of
+    the ORIGINAL text, so callers can reconstruct original-case output.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     toks = df.select(
         F.col(id_col),
         F.expr(
-            f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+            f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
         ).alias("__toks"),
     )
     grams = (
@@ -1463,7 +1469,7 @@ def duplicated_span_occurrences(
             F.expr(
                 f"CASE WHEN size(__toks) >= {k} THEN "
                 f"transform(sequence(0, size(__toks) - {k}), "
-                f"p -> struct(p AS pos, md5(concat_ws(' ', slice(__toks, p + 1, {k}))) AS gh)) "
+                f"p -> struct(p AS pos, md5(lower(concat_ws(' ', slice(__toks, p + 1, {k})))) AS gh)) "
                 f"ELSE array() END"
             ).alias("__gs"),
         )
@@ -1491,11 +1497,23 @@ def duplicated_span_occurrences(
 def span_dedup(
     df: DataFrame, text_col: str, id_col: str, k: int = 10
 ) -> DataFrame:
-    """Exact duplicated-span removal: drop from each document every
-    token covered by a ``k``-token span whose first corpus occurrence
-    is elsewhere, keeping exactly one copy of every duplicated span
-    (within-document repeats collapse too). Output:
+    """Approximate duplicated-span removal (greedy first-occurrence-wins):
+    drop from each document every token covered by a ``k``-token span
+    whose gram's first corpus occurrence is elsewhere (within-document
+    repeats collapse too). Output:
     (id, clean_text, n_tokens, n_kept, n_dropped).
+
+    APPROXIMATION, not the suffix-array guarantee: every non-first gram
+    occurrence is removed independently, so when duplicated spans
+    OVERLAP, a keeper span can be clipped by a different span's removal
+    — the corpus-wide "exactly one surviving copy per span" property
+    holds for isolated duplicates but not for overlapping ones (Lee et
+    al. 2022's suffix-array pass resolves overlaps globally; that is a
+    single-machine structure, this is the relational form).
+
+    Reconstruction: matching is case-insensitive, but ``clean_text`` is
+    rebuilt from the ORIGINAL-case whitespace tokens — only inter-token
+    whitespace is normalized to single spaces; casing survives.
 
     Scale shape: the only wide ops are the gram groupBy + re-join in
     :func:`duplicated_span_occurrences` and one groupBy(id) that
@@ -1505,12 +1523,14 @@ def span_dedup(
     original row by id). Interval-cover + rebuild are per-row
     higher-order functions, fully codegen'd, no Python.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     dup = duplicated_span_occurrences(df, text_col, id_col, k)
     dup_pos = dup.groupBy(id_col).agg(F.collect_list("pos").alias("__dp"))
     toks = df.select(
         F.col(id_col),
         F.expr(
-            f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+            f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
         ).alias("__toks"),
     )
     covered = (

@@ -18,6 +18,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def normalize_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP (LTZ) regardless of
+    input flavor, so downstream numeric arithmetic (``cast("long")`` /
+    ``cast("double")``) is legal:
+
+    * ``timestamp``      — passthrough.
+    * ``timestamp_ntz``  — parquet TIMESTAMP(isAdjustedToUTC=false) infers
+      NTZ, which Spark refuses to cast to numerics; under a UTC session
+      timezone the LTZ cast is value-identical.
+    * ``bigint``         — epoch NANOSECONDS as long (what
+      ``spark.sql.legacy.parquet.nanosAsLong`` yields for
+      TIMESTAMP(NANOS) parquet), truncated to micros.
+    * ``date``/``string`` — cast through timestamp.
+
+    Every E4 operator calls this at entry, so the operators accept any
+    flavor the storage layer produces (the driver's testdata has shipped
+    all three at different times).
+    """
+    dt = dict(df.dtypes).get(ts_col)
+    if dt == "timestamp" or dt is None:
+        return df
+    if dt == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if dt == "bigint":
+        return df.withColumn(
+            ts_col, F.expr(f"timestamp_micros(`{ts_col}` div 1000)")
+        )
+    return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+
+
 def hourly_rollup(df: DataFrame, ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
     """Tumbling 1-hour rollup: count + value stats per (hour, type).
 
@@ -26,6 +56,7 @@ def hourly_rollup(df: DataFrame, ts_col: str = "ts", type_col: str = "event_type
     joins and to the SQL oracle. Output hour is formatted as a string
     for engine-portable comparison.
     """
+    df = normalize_event_time(df, ts_col)
     return (
         df.groupBy(
             F.date_format(F.date_trunc("hour", F.col(ts_col)), "yyyy-MM-dd HH:mm:ss").alias(
@@ -57,6 +88,7 @@ def sliding_rollup(
     event before map-side combine collapses them to bucket cardinality.
     The streaming twin (watermarked) is ``streaming/windows.py``.
     """
+    df = normalize_event_time(df, ts_col)
     win = F.window(F.col(ts_col), window, slide)
     return df.groupBy(
         F.date_format(win.start, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -79,6 +111,7 @@ def sessionize(
     Classic lag + cumulative-sum-of-boundaries double window. Output:
     one row per session with bounds and size.
     """
+    df = normalize_event_time(df, ts_col)
     gap_s = gap_minutes * 60
     w_user = Window.partitionBy(user_col).orderBy(F.col(ts_col), "event_id")
     with_gap = df.withColumn(
@@ -130,6 +163,7 @@ def write_events_partitioned(
     day directories keep partition count linear in retention while the
     in-day hour rollup stays a cheap in-partition aggregation.
     """
+    df = normalize_event_time(df, ts_col)
     (
         df.withColumn(date_col, F.to_date(F.col(ts_col)))
         .write.partitionBy(date_col)
@@ -185,6 +219,8 @@ def asof_join(
     Right-side columns surface as ``<col><suffix>``; left rows with no
     prior right row get NULLs.
     """
+    left = normalize_event_time(left, ts_col)
+    right = normalize_event_time(right, ts_col)
     lcols = left.columns
     tagged_left = left.select(
         *lcols,
@@ -250,6 +286,7 @@ def asof_latest(
     ``max_by`` keeps it one partial-aggregated groupBy — no window sort.
     Ties on ts break by event_id (max wins) for determinism.
     """
+    df = normalize_event_time(df, ts_col)
     filtered = df.where(F.col(ts_col) <= F.lit(cutoff).cast("timestamp"))
     return filtered.groupBy(F.col(user_col).alias("user_id")).agg(
         F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("asof_ts"),
@@ -287,6 +324,7 @@ def funnel(
 
     Ties on ts order by ``id_col`` for determinism.
     """
+    df = normalize_event_time(df, ts_col)
     w = (
         Window.partitionBy(user_col)
         .orderBy(F.col(ts_col), F.col(id_col))
@@ -338,6 +376,7 @@ def cohort_retention(
     Output: (cohort_week string yyyy-MM-dd, week_offset bigint,
     n_users bigint).
     """
+    df = normalize_event_time(df, ts_col)
     first = df.groupBy(user_col).agg(F.min(ts_col).alias("__first_ts"))
     joined = df.join(first, user_col)
     cohort = F.date_trunc("week", F.col("__first_ts")).cast("date")

@@ -26,12 +26,12 @@ from __future__ import annotations
 
 import datetime
 import logging
-import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..constants import AUTO_SHARDS, DISCARD, JOB_NAME_PREFIX, OUTPUT_SPLITS
+from ..functions import fs
 from ..operators.image import extract_images
 from ..operators.scale import fit_and_apply_scale
 from ..operators.split import normalize_split, require_train, split_counts
@@ -147,8 +147,11 @@ def run_convert(
         )
 
     job_name = get_job_name(job_label)
-    job_dir = os.path.join(output_dir, job_name)
-    os.makedirs(job_dir, exist_ok=True)
+    # URI-aware join/mkdir: output_dir may be file:/..., file://... or a
+    # remote scheme — os.path on the raw URI would create a literal
+    # "file:" tree under CWD (r3 verdict bug).
+    job_dir = fs.join(output_dir, job_name)
+    fs.makedirs(job_dir)
 
     try:
         good = bad = 0

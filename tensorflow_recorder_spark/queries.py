@@ -59,8 +59,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines see identical timestamps."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = _t(spark, sf_dir, "events")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) infers NTZ;
+        # under the UTC session timezone the LTZ cast is value-identical
+        # to the oracle's naive timestamps (same branch as _event_stream).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -3071,6 +3077,78 @@ FROM (SELECT doc_id, n, unnest(range(0, n, 8000)) AS w FROM meta)
 """
 
 
+def q_e3_span_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-first occurrences of duplicated 5-token spans across the
+    corpus (the relational form of Lee et al. 2022 exact-substring
+    dedup; suffix arrays don't distribute, gram groupBys do)."""
+    return dedup.duplicated_span_occurrences(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=5
+    )
+
+
+ORACLE_E3_SPAN_OCCURRENCES = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT toks.doc_id, u.pos,
+         md5(lower(array_to_string(t[u.pos+1 : u.pos+5], ' '))) AS gh
+  FROM toks, UNNEST(range(0, greatest(len(t)-5+1, 0))) AS u(pos)
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+  FROM grams
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos FROM ranked WHERE rn > 1
+"""
+
+
+def q_e3_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy duplicated-span removal over the documents table: rebuild
+    each doc's text with every non-first 5-token duplicate span dropped
+    (original casing preserved; see operators/dedup.py span_dedup for
+    the overlap approximation contract)."""
+    return dedup.span_dedup(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=5
+    )
+
+
+ORACLE_E3_SPAN_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT toks.doc_id, u.pos,
+         md5(lower(array_to_string(t[u.pos+1 : u.pos+5], ' '))) AS gh
+  FROM toks, UNNEST(range(0, greatest(len(t)-5+1, 0))) AS u(pos)
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+  FROM grams
+),
+dups AS (
+  SELECT doc_id, list(pos) AS dp FROM ranked WHERE rn > 1 GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT toks.doc_id, t,
+         list_filter(range(0, len(t)),
+                     x -> len(list_filter(coalesce(dp, []),
+                                          p -> p <= x AND x < p + 5)) = 0) AS kept
+  FROM toks LEFT JOIN dups USING (doc_id)
+)
+SELECT doc_id,
+       coalesce(array_to_string(list_transform(kept, x -> t[x+1]), ' '), '') AS clean_text,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(len(t) - len(kept) AS BIGINT) AS n_dropped
+FROM rebuilt
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3190,6 +3268,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_quantize": q_e2_quantize,
     "e1_keep_best": q_e1_keep_best,
     "e4_retention": q_e4_retention,
+    "e3_span_occurrences": q_e3_span_occurrences,
+    "e3_span_dedup": q_e3_span_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -3286,4 +3366,6 @@ ORACLES: dict[str, str] = {
     "s2_stream_sessionize": ORACLE_S2_STREAM_SESSIONIZE,
     "e5_image_meta": ORACLE_E5_IMAGE_META,
     "e5_frame_sample": ORACLE_E5_FRAME_SAMPLE,
+    "e3_span_occurrences": ORACLE_E3_SPAN_OCCURRENCES,
+    "e3_span_dedup": ORACLE_E3_SPAN_DEDUP,
 }

@@ -32,7 +32,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..constants import GZIP_SUFFIX, TFRECORD_SUFFIX
+from ..constants import GZIP_SUFFIX, TFRECORD_SUFFIX, ZLIB_SUFFIX
 from ..functions import fs
 from ..functions.example_proto import build_batch_encoder
 from ..functions.tfrecord_io import frame_records, open_maybe_gzip, open_output
@@ -143,8 +143,16 @@ def write_all_splits(
     That routes through one repartition+write job per split over the
     cached encoded frame (a deliberate trade: exact shard counts cost
     one scan per split; the auto path stays single-pass).
+
+    ``compression``: 'gzip' (default), 'zlib' (TF's ZLIB whole-file
+    stream; reference infers it from the .zlib extension,
+    dataset_loader.py:32-35), or None for raw.
     """
-    suffix = GZIP_SUFFIX if compression == "gzip" else TFRECORD_SUFFIX
+    if compression not in (None, "", "gzip", "zlib"):
+        raise ValueError(f"unsupported TFRecord compression {compression!r}")
+    suffix = {"gzip": GZIP_SUFFIX, "zlib": ZLIB_SUFFIX}.get(
+        compression or "", TFRECORD_SUFFIX
+    )
     fs.makedirs(job_dir)
     if num_shards > 0:
         encoded = encoded.cache()
@@ -164,7 +172,7 @@ def write_all_splits(
             encoded.unpersist()
     df = encoded.withColumn("__pid", F.spark_partition_id())
     wanted = set(splits)
-    compressed = compression == "gzip"
+    compressed = compression
 
     out_schema = T.StructType(
         [
@@ -232,7 +240,7 @@ def write_all_splits(
 
 
 def _write_partition_factory(
-    job_dir: str, prefix: str, num_shards: int, suffix: str, compressed: bool
+    job_dir: str, prefix: str, num_shards: int, suffix: str, compressed: str | None
 ):
     def write_partition(index: int, rows) -> Iterator[tuple[str, int]]:
         path = fs.join(
@@ -273,7 +281,11 @@ def write_split_tfrecords(
     beam_pipeline.py:269-273) — unless ``skip_empty`` (streaming
     appends, where per-batch empty shards would accumulate).
     """
-    suffix = GZIP_SUFFIX if compression == "gzip" else TFRECORD_SUFFIX
+    if compression not in (None, "", "gzip", "zlib"):
+        raise ValueError(f"unsupported TFRecord compression {compression!r}")
+    suffix = {"gzip": GZIP_SUFFIX, "zlib": ZLIB_SUFFIX}.get(
+        compression or "", TFRECORD_SUFFIX
+    )
     split_df = encoded.where(F.col("split") == split_value).select("example")
     if num_shards > 0:
         split_df = split_df.repartition(num_shards)
@@ -281,7 +293,7 @@ def write_split_tfrecords(
     n = max(rdd.getNumPartitions(), 1)
     fs.makedirs(job_dir)
     results = rdd.mapPartitionsWithIndex(
-        _write_partition_factory(job_dir, prefix, n, suffix, compression == "gzip")
+        _write_partition_factory(job_dir, prefix, n, suffix, compression)
     ).collect()
     if skip_empty and results and all(count == 0 for _, count in results):
         for path, _ in results:
@@ -291,7 +303,7 @@ def write_split_tfrecords(
         if skip_empty:
             return {}
         path = fs.join(job_dir, f"{prefix}-00000-of-00001{suffix}")
-        with open_output(path, compression == "gzip"):
+        with open_output(path, compression):
             pass
         results = [(path, 0)]
     return dict(results)

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, types as T
 
 from ..constants import OUTPUT_SPLITS
+from ..functions import fs
 from ..functions.example_proto import decode_example
 from ..functions.tfrecord_io import read_file_records
 from ..sinks.artifacts import read_schema_metadata, validate_job_dir
@@ -69,7 +70,12 @@ def read_tfrecords(
 
 
 def split_files(job_dir: str, split: str) -> list[str]:
-    """Glob one split's shard files (reference dataset_loader.py:52-69)."""
+    """Glob one split's shard files (reference dataset_loader.py:52-69).
+
+    ``file:``/``file://`` URIs are globbed on their local form — glob on
+    the raw URI string would silently match nothing."""
+    if fs.is_local(job_dir):
+        job_dir = fs.to_local(job_dir)
     return sorted(globlib.glob(os.path.join(job_dir, f"{split.lower()}-*")))
 
 

@@ -11,13 +11,13 @@ depend on micro-batch boundaries.
 
 from __future__ import annotations
 
-import os
 from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..constants import DISCARD, TRAIN
+from ..functions import fs
 from ..operators.split import normalize_split
 from ..operators.vocabulary import apply_vocabulary, fit_vocabulary
 from ..schema import Schema
@@ -46,7 +46,7 @@ def convert_stream(
     vocab_cols = schema.vocabulary_columns()
     vocabs = {c: fit_vocabulary(train_df, c) for c in vocab_cols}
 
-    os.makedirs(job_dir, exist_ok=True)
+    fs.makedirs(job_dir)
     write_vocabulary_assets(job_dir, vocabs)
     write_schema_metadata(job_dir, schema, schema.transformed_struct())
     # Materialize fitted state once; micro-batches join against these

@@ -67,6 +67,21 @@ def test_convert_num_shards_and_uncompressed(spark, image_pdf, tmp_path):
         ], got
 
 
+def test_convert_zlib_compression_round_trips(spark, image_pdf, tmp_path):
+    """compression='zlib' writes .tfrecord.zlib shards that load() reads
+    back (reference extension-inferred compression,
+    dataset_loader.py:32-35)."""
+    result = trs.convert(
+        image_pdf, output_dir=str(tmp_path), spark=spark, compression="zlib"
+    )
+    files = os.listdir(result["tfrecord_dir"])
+    assert any(f.endswith(".tfrecord.zlib") for f in files), files
+    assert not any(f.endswith(".gz") for f in files), files
+    splits = trs.load(result["tfrecord_dir"], spark=spark)
+    total = sum(df.count() for df in splits.values())
+    assert total == result["metrics"]["good_images"]
+
+
 def test_inspect_writes_csv_and_images(spark, image_pdf, tmp_path):
     result = trs.convert(image_pdf, output_dir=str(tmp_path), spark=spark)
     out_dir = trs.inspect(

@@ -640,6 +640,126 @@ def test_asof_join_tolerance(spark):
     assert with_tol == {1: 5.0, 2: None}
 
 
+def test_duplicated_span_occurrences_positions(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),            # first occurrence of "a b c"
+            (2, "x y a b c z"),          # dup of "a b c" at pos 2
+            (3, "q q q q"),              # within-doc repeats of "q q q"
+            (4, ""),                     # empty doc
+            (5, "u v"),                  # shorter than k
+            (6, "A B C extra"),          # case-insensitive dup at pos 0
+        ],
+        "id long, txt string",
+    )
+    got = sorted(
+        (r["id"], r["pos"])
+        for r in dedup.duplicated_span_occurrences(docs, "txt", "id", k=3).collect()
+    )
+    # doc1 pos0 is the corpus-first "a b c"; doc3 pos0 is first "q q q",
+    # pos1 is its within-doc repeat; docs 4/5 contribute nothing
+    assert got == [(2, 2), (3, 1), (6, 0)]
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        dedup.duplicated_span_occurrences(docs, "txt", "id", k=0)
+
+
+def test_span_dedup_preserves_case_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "The Quick Brown fox"),       # keeper: survives VERBATIM
+            (2, "pre the quick brown post"),  # loses the 3-token dup span
+            (3, ""),                          # empty doc passes through
+            (4, "one two"),                   # shorter than k: untouched
+        ],
+        "id long, txt string",
+    )
+    got = {r["id"]: r for r in dedup.span_dedup(docs, "txt", "id", k=3).collect()}
+    # original casing survives reconstruction (ADVICE.md r3)
+    assert got[1]["clean_text"] == "The Quick Brown fox"
+    assert got[1]["n_kept"] == 4 and got[1]["n_dropped"] == 0
+    assert got[2]["clean_text"] == "pre post"
+    assert got[2]["n_tokens"] == 5 and got[2]["n_dropped"] == 3
+    assert got[3]["clean_text"] == "" and got[3]["n_tokens"] == 0
+    assert got[4]["clean_text"] == "one two" and got[4]["n_dropped"] == 0
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        dedup.span_dedup(docs, "txt", "id", k=0)
+
+
+def test_span_dedup_overlap_approximation_documented(spark):
+    """Overlapping duplicated grams may clip the keeper copy — the
+    documented approximation (first gram occurrence survives, others
+    drop independently)."""
+    docs = spark.createDataFrame(
+        [(1, "p q r"), (2, "q r s"), (3, "p q r s")],
+        "id long, txt string",
+    )
+    got = {r["id"]: r["clean_text"]
+           for r in dedup.span_dedup(docs, "txt", "id", k=2).collect()}
+    assert got[1] == "p q r"      # all grams are corpus-first here
+    # docs 2 and 3 lose their non-first gram occurrences
+    assert got[2] == "s" and got[3] == ""
+
+
+def _as_ts_flavor(df, flavor, ts_col="ts"):
+    """Re-express a TIMESTAMP column in one of the three flavors the
+    storage layer has actually shipped: LTZ timestamp, parquet-NTZ
+    timestamp, or epoch-nanos bigint (nanosAsLong legacy read)."""
+    if flavor == "ltz":
+        return df
+    if flavor == "ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp_ntz"))
+    if flavor == "nanos_long":
+        return df.withColumn(
+            ts_col, (F.col(ts_col).cast("double") * 1_000_000_000).cast("long")
+        )
+    raise AssertionError(flavor)
+
+
+@pytest.mark.parametrize("flavor", ["ltz", "ntz", "nanos_long"])
+def test_e4_operators_accept_all_ts_flavors(spark, flavor):
+    """Regression matrix for the r3 TIMESTAMP_NTZ breakage: every E4
+    operator must produce identical results whether ts arrives as
+    TIMESTAMP, TIMESTAMP_NTZ, or epoch-nanos long."""
+    df = _as_ts_flavor(_events_df(spark), flavor)
+
+    sess = {(r["user_id"], r["session_seq"]): (r["n_events"], r["duration_s"])
+            for r in events.sessionize(df, gap_minutes=30).collect()}
+    assert sess[(1, 0)] == (2, 600) and sess[(1, 1)] == (1, 0)
+    assert sess[(2, 0)] == (1, 0)
+
+    roll = {(r["hour"], r["event_type"]): r["n_events"]
+            for r in events.hourly_rollup(df).collect()}
+    assert roll[("2024-01-01 10:00:00", "a")] == 2
+
+    latest = {r["user_id"]: r["asof_value"]
+              for r in events.asof_latest(df, "2024-01-01 10:30:00").collect()}
+    assert latest == {1: 2.0, 2: 4.0}
+
+    fun = {r["user_id"]: (r["n_a"], r["n_converted"])
+           for r in events.funnel(df, "user_id", "ts", "a", "b", 3600).collect()}
+    assert fun[1] == (2, 1) and fun[2] == (1, 0)
+
+    ret = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in events.cohort_retention(df, "user_id", "ts").collect()}
+    assert ret[("2024-01-01", 0)] == 2
+
+    right = _as_ts_flavor(
+        spark.createDataFrame(
+            [(1, "2024-01-01 09:30:00", 5.0)],
+            "user_id long, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp")),
+        flavor,
+    )
+    left = df.select("event_id", "user_id", "ts")
+    tol = {r["event_id"]: r["value_asof"]
+           for r in events.asof_join(
+               left, right, "user_id", tolerance_seconds=3600
+           ).collect()}
+    # user 1's events at 10:00/10:10 are within 1h of the 09:30 quote;
+    # 11:30 is outside tolerance; user 2 has no quote at all
+    assert tol == {1: 5.0, 2: 5.0, 3: None, 4: None}
+
+
 def test_char_entropy_known_values(spark):
     import math
 

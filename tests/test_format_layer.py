@@ -111,6 +111,38 @@ def test_tfrecord_gzip_roundtrip():
     assert list(read_records(gzip.decompress(blob), verify=True)) == recs
 
 
+def test_tfrecord_zlib_roundtrip(tmp_path):
+    """.zlib shards: write through open_output('zlib'), read back via
+    extension inference AND blob magic inference (reference infers from
+    .zlib extension, dataset_loader.py:32-35,72-79)."""
+    import zlib
+
+    from tensorflow_recorder_spark.functions.tfrecord_io import (
+        frame_records,
+        open_maybe_gzip,
+        open_output,
+        read_file_records,
+    )
+
+    recs = [b"alpha", b"b" * 4096, b""]
+    path = str(tmp_path / "part-00000.tfrecord.zlib")
+    with open_output(path, "zlib") as fh:
+        fh.write(frame_records(recs))
+    raw = (tmp_path / "part-00000.tfrecord.zlib").read_bytes()
+    assert raw[0] == 0x78  # real zlib stream on disk
+    assert list(read_records(zlib.decompress(raw), verify=True)) == recs
+    # path read: extension-inferred
+    assert list(read_file_records(path)) == recs
+    with open_maybe_gzip(path, "rb") as fh:
+        assert list(read_records(fh.read())) == recs
+    # blob read: magic-sniffed and explicit
+    assert list(read_file_records(raw)) == recs
+    assert list(read_file_records(raw, compressed="zlib")) == recs
+    # a raw (uncompressed) blob is still read as raw, not mis-sniffed
+    plain = frame_records(recs)
+    assert list(read_file_records(plain)) == recs
+
+
 def test_image_codec_roundtrip_uses_urlsafe_altchars():
     # base64 altchars '-_' (reference beam_image.py:29).
     pixels = bytes(range(256))

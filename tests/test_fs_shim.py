@@ -24,11 +24,17 @@ def test_parse_uri():
     assert fs.parse_uri("s3a://bucket/key") == ("s3a", "bucket/key")
     # single letters are drive-ish, not schemes
     assert fs.parse_uri("C://weird")[0] is None
+    # Hadoop's normalized single-slash form IS the file scheme
+    assert fs.parse_uri("file:/a/b") == ("file", "/a/b")
+    assert fs.parse_uri("FILE:/a/b") == ("file", "/a/b")
+    # but a file-named relative path is not a URI
+    assert fs.parse_uri("file:x")[0] is None
 
 
 def test_to_local_and_is_local():
     assert fs.is_local("/a") and fs.is_local("file:///a") and not fs.is_local("gs://b/k")
     assert fs.to_local("file:///a/b") == "/a/b"
+    assert fs.to_local("file:/a/b") == "/a/b"
     assert fs.to_local("/a/b") == "/a/b"
     with pytest.raises(ValueError, match="remote scheme"):
         fs.to_local("gs://bucket/key")
@@ -94,6 +100,32 @@ def test_convert_e2e_with_file_uri_output(spark, tmp_path):
     assert os.path.isdir(os.path.join(job_dir, "transformed_metadata"))
     loaded = trs.load(job_dir, spark=spark)
     assert set(loaded) == {"TRAIN", "VALIDATION", "TEST"}
+
+
+def test_single_slash_file_uri_writes_nothing_under_cwd(spark, tmp_path):
+    """Regression (r3 verdict): ``file:/abs`` (Hadoop's normalized form,
+    what Spark APIs hand back) used to be mistaken for a relative path,
+    landing writes in a literal ``./file:`` tree under CWD."""
+    fs.makedirs(f"file:{tmp_path}/one")
+    with fs.open_output(f"file:{tmp_path}/one/out.bin") as fh:
+        fh.write(b"x")
+    assert (tmp_path / "one" / "out.bin").read_bytes() == b"x"
+
+    pdf = pd.DataFrame(
+        {
+            "split": ["TRAIN", "VALIDATION", "TEST"],
+            "image_uri": ["/nonexistent/a.png"] * 3,
+            "label": ["x", "y", "x"],
+        }
+    )
+    res = trs.convert(pdf, output_dir=f"file:{tmp_path}/out", spark=spark)
+    assert res["metrics"]["rows"] == 3
+    assert os.listdir(tmp_path / "out")  # landed at the real destination
+    assert not os.path.exists(os.path.join(os.getcwd(), "file:"))
+    # load() back through the returned file: URI (glob must localize it)
+    assert set(trs.load(res["tfrecord_dir"], spark=spark)) == {
+        "TRAIN", "VALIDATION", "TEST",
+    }
 
 
 def test_swap_dir_and_remove_tree(tmp_path):
