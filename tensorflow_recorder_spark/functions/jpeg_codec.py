@@ -1,0 +1,696 @@
+"""Baseline JPEG (JFIF) codec — pure stdlib + numpy, no PIL.
+
+Closes the last T3 format gap: the reference's PIL loader opens any
+format (/root/reference/tfrecorder/beam_image.py:62-73); this runtime
+has no PIL, so PNG decodes via ``png_codec.py`` and JPEG decodes here.
+Only what a training-data pipeline actually meets is implemented:
+
+* decode: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr,
+  4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, restart markers (DRI/RSTn).
+  Progressive (SOF2), arithmetic coding, and 12-bit raise ValueError —
+  the caller's failure path (split -> DISCARD) handles them, exactly
+  like a truly corrupt file.
+* encode: baseline 4:4:4 (or single-component for mode "L") with the
+  ITU T.81 Annex K quantization + Huffman tables — the fixture-builder
+  twin of ``png_codec.encode_png`` (tests need real JPEGs and PIL is
+  not available to make them).
+
+Everything here follows the public ITU T.81 spec; the hot loops are
+numpy-vectorized per 8x8 block (the IDCT/DCT is one einsum over the
+whole block array), with only the Huffman bitstream walked in Python —
+this code runs inside the Arrow-batched image loader, not per-row UDFs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------
+# Markers
+# --------------------------------------------------------------------
+
+SOI = 0xD8
+EOI = 0xD9
+SOS = 0xDA
+DQT = 0xDB
+DNL = 0xDC
+DRI = 0xDD
+SOF0 = 0xC0  # baseline
+SOF1 = 0xC1  # extended sequential (same entropy coding; accepted)
+DHT = 0xC4
+_SOF_UNSUPPORTED = {0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def is_jpeg(data: bytes) -> bool:
+    """SOI magic check (any JPEG flavor — decode may still reject)."""
+    return len(data) >= 2 and data[0] == 0xFF and data[1] == SOI
+
+
+# Zig-zag order: index i of the scan -> (row, col) flat index.
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Orthonormal 8-point DCT-II basis; IDCT is C.T @ block @ C.
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos(np.pi * _k * (2 * _n + 1) / 16) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+# --------------------------------------------------------------------
+# Huffman table -> flat decode LUTs
+# --------------------------------------------------------------------
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table with a (length, code) -> symbol map.
+
+    Decoding peeks 16 bits and walks lengths 1..16; JPEG codes are
+    canonical so at each length the in-range check is two compares.
+    """
+
+    __slots__ = ("mincode", "maxcode", "valptr", "values")
+
+    def __init__(self, counts: list[int], values: bytes):
+        self.values = values
+        code = 0
+        k = 0
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        for length in range(1, 17):
+            n = counts[length - 1]
+            self.valptr[length] = k
+            self.mincode[length] = code
+            code += n
+            k += n
+            self.maxcode[length] = code - 1 if n else -1
+            code <<= 1
+
+
+class _BitReader:
+    """Entropy-coded segment reader: handles 0xFF00 stuffing, stops at
+    markers (leaving them for the caller)."""
+
+    __slots__ = ("data", "pos", "bits", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.bits = (self.bits << 8) | 0xFF  # pad past EOF
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else EOI
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    break  # restart marker: caller consumes via sync()
+                else:
+                    break  # real marker (EOI/DNL): stop, pad with 1s
+                self.bits = (self.bits << 8) | 0xFF
+                self.nbits += 8
+                continue
+            self.pos += 1
+            self.bits = (self.bits << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                self.bits = 0xFF
+                self.nbits = 8
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode(self, table: _HuffTable) -> int:
+        code = self.read_bit()
+        for length in range(1, 17):
+            if table.maxcode[length] >= code >= table.mincode[length]:
+                return table.values[
+                    table.valptr[length] + code - table.mincode[length]
+                ]
+            code = (code << 1) | self.read_bit()
+        raise ValueError("corrupt JPEG: invalid Huffman code")
+
+    def sync_restart(self, n: int) -> None:
+        """Discard padding bits and consume the RSTn marker."""
+        self.bits = 0
+        self.nbits = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and self.data[self.pos + 1] == 0xD0 + n:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("corrupt JPEG: missing restart marker")
+
+
+def _extend(v: int, n: int) -> int:
+    """T.81 F.2.2.1 sign extension of an n-bit magnitude."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+# --------------------------------------------------------------------
+# Decode
+# --------------------------------------------------------------------
+
+
+def decode_jpeg(data: bytes) -> tuple[bytes, int, int, str]:
+    """Decode a baseline JPEG -> (pixels, width, height, mode) with
+    mode 'L' (1 component) or 'RGB' (3, YCbCr->RGB per JFIF), the same
+    contract as ``png_codec.decode_png``. Raises ValueError for
+    non-baseline streams (progressive etc.) and corrupt data."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (missing SOI)")
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, _HuffTable] = {}
+    ac_tables: dict[int, _HuffTable] = {}
+    restart_interval = 0
+    frame = None  # (width, height, [(cid, h, v, tq)])
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == EOI:
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue  # parameterless
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker in _SOF_UNSUPPORTED:
+            raise ValueError(
+                f"unsupported JPEG (SOF{marker - 0xC0}): only baseline "
+                "sequential DCT is implemented"
+            )
+        if marker == DQT:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq:  # 16-bit table
+                    q = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                else:
+                    q = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int32)
+                    p += 64
+                zz = np.zeros(64, dtype=np.int32)
+                zz[_ZIGZAG] = q
+                qtables[tq] = zz.reshape(8, 8)
+        elif marker == DHT:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                counts = list(seg[p + 1 : p + 17])
+                nv = sum(counts)
+                values = seg[p + 17 : p + 17 + nv]
+                table = _HuffTable(counts, values)
+                (ac_tables if tc else dc_tables)[th] = table
+                p += 17 + nv
+        elif marker in (SOF0, SOF1):
+            precision = seg[0]
+            if precision != 8:
+                raise ValueError(f"unsupported JPEG precision {precision}")
+            height, width = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (width, height, comps)
+        elif marker == DRI:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == SOS:
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 0xF))
+            return _decode_scan(
+                data,
+                pos + seglen,
+                frame,
+                scan,
+                qtables,
+                dc_tables,
+                ac_tables,
+                restart_interval,
+            )
+        pos += seglen
+    raise ValueError("corrupt JPEG: no SOS marker")
+
+
+def _decode_scan(
+    data, pos, frame, scan, qtables, dc_tables, ac_tables, restart_interval
+):
+    width, height, comps = frame
+    if width == 0 or height == 0:
+        raise ValueError("corrupt JPEG: zero dimension")
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+
+    # Per scan component: huffman tables, block store sized to MCU grid.
+    planes = []  # (h, v, qt, dc_table, ac_table, coeff array)
+    for cs, td, ta in scan:
+        h, v, tq = by_id[cs]
+        nblocks = mcux * h * mcuy * v
+        planes.append(
+            [
+                h,
+                v,
+                qtables[tq],
+                dc_tables[td],
+                ac_tables[ta],
+                np.zeros((nblocks, 64), dtype=np.int32),
+            ]
+        )
+
+    reader = _BitReader(data, pos)
+    preds = [0] * len(planes)
+    rst = 0
+    mcu_index = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                reader.sync_restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(planes)
+            for ci, plane in enumerate(planes):
+                h, v, _qt, dct, act, blocks = plane
+                for bv in range(v):
+                    for bh in range(h):
+                        coeffs = blocks[((my * v + bv) * mcux * h) + mx * h + bh]
+                        t = reader.decode(dct)
+                        diff = _extend(reader.receive(t), t)
+                        preds[ci] += diff
+                        coeffs[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode(act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("corrupt JPEG: AC overflow")
+                            coeffs[_ZIGZAG[k]] = _extend(reader.receive(s), s)
+                            k += 1
+            mcu_index += 1
+
+    # Dequantize + IDCT every block of every plane in one einsum each.
+    out_planes = []
+    for h, v, qt, _dct, _act, blocks in planes:
+        spatial = blocks.reshape(-1, 8, 8) * qt[None, :, :]
+        pix = np.einsum("ij,njk,kl->nil", _C.T, spatial.astype(np.float64), _C)
+        pix = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
+        # blocks are stored row-major over the component's block grid
+        bw, bh_ = mcux * h, mcuy * v
+        plane = (
+            pix.reshape(bh_, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh_ * 8, bw * 8)
+        )
+        # upsample to full MCU-grid resolution, then crop
+        if h != hmax or v != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
+        out_planes.append(plane[:height, :width])
+
+    if len(out_planes) == 1:
+        return out_planes[0].tobytes(), width, height, "L"
+    if len(out_planes) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(out_planes)}")
+    y = out_planes[0].astype(np.float64)
+    cb = out_planes[1].astype(np.float64) - 128.0
+    cr = out_planes[2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack(
+        [np.clip(np.round(c), 0, 255).astype(np.uint8) for c in (r, g, b)], axis=-1
+    )
+    return rgb.tobytes(), width, height, "RGB"
+
+
+# --------------------------------------------------------------------
+# Encode (fixture builder; T.81 Annex K tables)
+# --------------------------------------------------------------------
+
+# Annex K.1/K.2 quantization tables (quality 50), zig-zag order applied
+# at write time.
+_Q_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+)
+_Q_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+)
+
+# Annex K.3 typical Huffman tables: (counts[16], values).
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    bytes(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    bytes(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    bytes(
+        [
+            0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+            0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+            0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+            0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+            0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+            0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+            0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+            0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+            0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+            0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+            0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+            0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+            0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+            0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+        ]
+    ),
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    bytes(
+        [
+            0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+            0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+            0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+            0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+            0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+            0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+            0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+            0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+            0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+            0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+            0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+            0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+            0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+            0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+            0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+        ]
+    ),
+)
+
+
+def _build_encode_map(counts, values):
+    code = 0
+    k = 0
+    table = {}
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    __slots__ = ("out", "bits", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.bits = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.bits = (self.bits << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.bits >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def restart(self, n: int) -> None:
+        """Byte-align and emit an RSTn marker (markers are not stuffed)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + n])
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _encode_block(row: np.ndarray, dc_map, ac_map, w: _BitWriter, pred: int) -> int:
+    """Entropy-code one already-quantized zig-zag block. Returns the
+    updated DC predictor."""
+    diff = int(row[0]) - pred
+    pred = int(row[0])
+    nbits_ = abs(diff).bit_length()
+    code, length = dc_map[nbits_]
+    w.put(code, length)
+    if nbits_:
+        w.put(diff if diff > 0 else diff + (1 << nbits_) - 1, nbits_)
+    run = 0
+    nz = np.nonzero(row[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(row[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_map[0xF0]
+            w.put(code, length)
+            run -= 16
+        nbits_ = abs(v).bit_length()
+        code, length = ac_map[(run << 4) | nbits_]
+        w.put(code, length)
+        w.put(v if v > 0 else v + (1 << nbits_) - 1, nbits_)
+        run = 0
+    if last < 63:
+        code, length = ac_map[0x00]
+        w.put(code, length)
+    return pred
+
+
+def _quantize_plane(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Forward-DCT + quantize all 8x8 blocks of a plane; returns zig-zag
+    rows, one per block, row-major over the block grid."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    dct = np.einsum("ij,njk,kl->nil", _C, blocks.astype(np.float64) - 128.0, _C.T)
+    quant = np.round(dct / q[None, :, :]).astype(np.int32).reshape(-1, 64)
+    return quant[:, _ZIGZAG]
+
+
+def encode_jpeg(
+    pixels: bytes,
+    width: int,
+    height: int,
+    mode: str = "RGB",
+    subsample: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline JPEG writer (Annex K tables) — the test-side
+    inverse of :func:`decode_jpeg`, for building fixtures without PIL.
+    Supports modes L and RGB at 8-bit depth; RGB optionally chroma
+    subsampled ('4:4:4', '4:2:2', or '4:2:0' — box-filter downsample);
+    ``restart_interval`` emits DRI + RSTn markers every N MCUs."""
+    if mode not in ("L", "RGB"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    factors = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+    if subsample not in factors:
+        raise ValueError(f"unsupported subsampling {subsample!r}")
+    sh, sv = factors[subsample] if mode == "RGB" else (1, 1)
+    nchan = 1 if mode == "L" else 3
+    arr = np.frombuffer(pixels, dtype=np.uint8)
+    if len(arr) != width * height * nchan:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    if mode == "RGB":
+        rgb = arr.reshape(height, width, 3).astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if (sh, sv) != (1, 1):
+            cb = _downsample(cb, sh, sv)
+            cr = _downsample(cr, sh, sv)
+        planes = [np.clip(np.round(p), 0, 255) for p in (y, cb, cr)]
+        # (h, v) sampling factors per component: luma gets the max
+        comps = [(sh, sv, 0), (1, 1, 1), (1, 1, 1)]
+    else:
+        planes = [arr.reshape(height, width).astype(np.float64)]
+        comps = [(1, 1, 0)]
+
+    hmax = max(h for h, _, _ in comps)
+    vmax = max(v for _, v, _ in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+
+    out = bytearray()
+    out += b"\xff" + bytes([SOI])
+    # JFIF APP0
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HH", 1, 1
+    ) + b"\x00\x00"
+    # DQT (zig-zag order on the wire)
+    used_q = sorted({tq for _, _, tq in comps})
+    for tq in used_q:
+        q = _Q_LUMA if tq == 0 else _Q_CHROMA
+        # wire order is the zig-zag SCAN of the natural-order table
+        zz = q.reshape(64)[_ZIGZAG]
+        out += b"\xff" + bytes([DQT]) + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(x) for x in zz
+        )
+    # SOF0
+    ncomp = nchan
+    out += (
+        b"\xff"
+        + bytes([SOF0])
+        + struct.pack(">H", 8 + 3 * ncomp)
+        + bytes([8])
+        + struct.pack(">HH", height, width)
+        + bytes([ncomp])
+    )
+    for c, (h, v, tq) in enumerate(comps):
+        out += bytes([c + 1, (h << 4) | v, tq])
+    # DHT
+    tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if mode == "RGB":
+        tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tclass, (counts, values) in tables:
+        out += (
+            b"\xff"
+            + bytes([DHT])
+            + struct.pack(">H", 19 + len(values))
+            + bytes([tclass])
+            + bytes(counts)
+            + values
+        )
+    # DRI
+    if restart_interval:
+        out += b"\xff" + bytes([DRI]) + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    out += b"\xff" + bytes([SOS]) + struct.pack(">H", 6 + 2 * ncomp) + bytes([ncomp])
+    for c in range(ncomp):
+        out += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    out += bytes([0, 63, 0])
+
+    dc_l = _build_encode_map(*_DC_LUMA)
+    ac_l = _build_encode_map(*_AC_LUMA)
+    dc_c = _build_encode_map(*_DC_CHROMA)
+    ac_c = _build_encode_map(*_AC_CHROMA)
+
+    # Quantize every component padded to its MCU-grid size; blocks are
+    # row-major over the component's block grid (bh_ = mcuy*v rows,
+    # bw = mcux*h cols) — the same layout the decoder reassembles.
+    zigzags = []
+    for (h, v, tq), plane in zip(comps, planes):
+        ph, pw = mcuy * v * 8, mcux * h * 8
+        padded = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+        zigzags.append(_quantize_plane(padded, (_Q_LUMA if tq == 0 else _Q_CHROMA).reshape(8, 8)))
+
+    w = _BitWriter()
+    preds = [0] * ncomp
+    rst = 0
+    mcu_index = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_index
+                and mcu_index % restart_interval == 0
+            ):
+                w.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * ncomp
+            mcu_index += 1
+            for c, (h, v, _tq) in enumerate(comps):
+                bw = mcux * h
+                for bv in range(v):
+                    for bh in range(h):
+                        bi = (my * v + bv) * bw + mx * h + bh
+                        preds[c] = _encode_block(
+                            zigzags[c][bi],
+                            dc_l if c == 0 else dc_c,
+                            ac_l if c == 0 else ac_c,
+                            w,
+                            preds[c],
+                        )
+    out += w.flush()
+    out += b"\xff" + bytes([EOI])
+    return bytes(out)
+
+
+def _downsample(plane: np.ndarray, sh: int, sv: int) -> np.ndarray:
+    """Box-filter downsample by (sh, sv), edge-padding odd dimensions."""
+    h, w = plane.shape
+    ph, pw = -(-h // sv) * sv, -(-w // sh) * sh
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return padded.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))

@@ -56,20 +56,26 @@ try:  # pragma: no cover - PIL not present in this runtime
 except ImportError:
     HAVE_PIL = False
 
+    from ..functions.jpeg_codec import decode_jpeg, is_jpeg
     from ..functions.png_codec import decode_png, is_png
 
     def _stdlib_loader(path: str) -> tuple[bytes, int, int, str]:
         """No-PIL loader: REAL decode for PNG (pure-stdlib zlib inflate
-        + per-row unfilter, ``functions/png_codec.py``), deterministic
-        synthetic pixels for any other format (this runtime has no
-        JPEG/WebP codec). Real filesystem semantics either way: the
-        file must exist and be readable (missing file -> the DISCARD
-        route), and a corrupt PNG raises -> DISCARD, matching the
-        reference's failure handling (beam_image.py:112-116)."""
+        + per-row unfilter, ``functions/png_codec.py``) and baseline
+        JPEG (``functions/jpeg_codec.py``); deterministic synthetic
+        pixels for any other format (this runtime has no WebP/GIF
+        codec). Real filesystem semantics either way: the file must
+        exist and be readable (missing file -> the DISCARD route), and
+        a corrupt PNG/JPEG — including non-baseline JPEG flavors the
+        decoder rejects (progressive, 12-bit) — raises -> DISCARD,
+        matching the reference's failure handling
+        (beam_image.py:112-116)."""
         with open(path, "rb") as fh:
             content = fh.read()
         if is_png(content):
             return decode_png(content)
+        if is_jpeg(content):
+            return decode_jpeg(content)
         width = height = 4
         mode = "RGB"
         n = width * height * 3
