@@ -1,0 +1,178 @@
+"""Deterministic streaming sketches (E3/E4 extension): count-min heavy
+hitters and HyperLogLog distinct counting.
+
+At 100 TB, exact per-key state for "which values are hot" and "how many
+distinct users" is itself a shuffle problem; the production answer is a
+BOUNDED sketch built with one partial-aggregated pass. Spark ships
+approx_count_distinct (HLL++) and stat.countMinSketch, but their
+merge-order-dependent internals cannot be replayed by another engine —
+these implementations use md5-derived hash functions instead, so the
+sketch contents (not just the trend) are bit-reproducible and the DuckDB
+oracle can rebuild them exactly. The accuracy/width trade-offs are the
+published ones (Cormode & Muthukrishnan 2005 for CMS; Flajolet et al.
+2007 for HLL).
+
+The reference has no sketch surface at all (its analytics stop at the
+split histogram, SURVEY.md §2.5); these are extension operators for the
+telemetry/curation side of a training-data pipeline.
+
+Scale notes: both sketches reduce to a groupBy over a KEY SPACE THAT IS
+THE SKETCH (d*w cells / m registers), not the data — partial aggregation
+does almost all the work map-side, the shuffle moves kilobytes, and the
+fitted sketch is a broadcastable table. Nothing here holds per-key
+state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _bucket_expr(key_expr: str, salt: int, width: int) -> str:
+    """Deterministic hash bucket: first 8 hex chars of md5('<salt>:'||key)
+    mod width — the same construction both engines evaluate identically
+    (matches the split-derivation hash in operators/split.py)."""
+    return (
+        f"cast(conv(substring(md5(concat('{salt}:', {key_expr})), 1, 8), 16, 10) "
+        f"as bigint) % {width}"
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a count-min sketch over ``key_col``: ``depth`` independent
+    hash rows x ``width`` buckets, cell = sum of weights (1 per row when
+    ``weight_col`` is None). Output: (row_id, bucket, cell_count) —
+    at most depth*width rows regardless of input size.
+
+    One explode (depth rows per input row, a narrow map) + one
+    partial-aggregated groupBy on (row_id, bucket): the combine runs
+    map-side into at most depth*width cells per task, so the shuffle
+    carries the sketch, not the data.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    weight = f"cast({weight_col} as long)" if weight_col else "1L"
+    rows = df.select(
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({d}L as row_id, "
+                    f"{_bucket_expr(key_col, d, width)} as bucket, "
+                    f"{weight} as w)"
+                    for d in range(depth)
+                )
+                + ")"
+            )
+        ).alias("c")
+    ).select("c.row_id", "c.bucket", "c.w")
+    return rows.groupBy("row_id", "bucket").agg(
+        F.sum("w").cast("long").alias("cell_count")
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Keys whose count-min ESTIMATE (min over depth cells) reaches
+    ``threshold``. Output: (key, est_count) with est_count >= the true
+    count (one-sided CMS error).
+
+    The sketch is depth*width cells -> broadcast; the candidate pass is
+    the distinct keys joined against it map-side (each key probes its
+    depth buckets). The distinct() is the only data-sized shuffle and is
+    exactly the one any exact heavy-hitter query would pay — the win is
+    that per-key counting state is O(sketch), not O(keys).
+    """
+    sketch = cms_build(df, key_col, depth=depth, width=width)
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    probes = keys.select(
+        "key",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({d}L as row_id, {_bucket_expr('key', d, width)} as bucket)"
+                    for d in range(depth)
+                )
+                + ")"
+            )
+        ).alias("p"),
+    ).select("key", "p.row_id", "p.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["row_id", "bucket"])
+        .groupBy("key")
+        .agg(F.min("cell_count").cast("long").alias("est_count"))
+    )
+    return est.where(F.col("est_count") >= threshold)
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    b: int = 10,
+) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count estimate of ``key_col``
+    with m = 2**b registers. Output: one row
+    (n_distinct_est bigint, n_registers bigint, n_zero_registers bigint).
+
+    Register index = first ``b`` bits of md5(key); rho = leading-zero
+    count of the next 32 hash bits + 1; register = max(rho). The whole
+    pass is ONE groupBy over at most m register ids (map-side combined),
+    then a single-row driver-free aggregate — the canonical distributed
+    distinct count when exact countDistinct's shuffle is the bottleneck.
+    Raw Flajolet estimate with the standard small-range (linear
+    counting) correction; both branches are exact integer/double
+    expressions an oracle can replay.
+    """
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be in [4, 16], got {b}")
+    m = 1 << b
+    # 12 hex chars = 48 bits: top b for the register, next 32 for rho.
+    h48 = f"cast(conv(substring(md5(concat(':', {key_col})), 1, 12), 16, 10) as bigint)"
+    reg = f"cast({h48} div 4294967296 as bigint) % {m}"
+    tail = f"{h48} % 4294967296"
+    # rho = 33 - bit_length(tail); conv(_, 10, 2) emits no leading zeros,
+    # so its length IS the bit length (exact integer arithmetic — no
+    # cross-engine log2 rounding to worry about)
+    rho = (
+        f"cast(CASE WHEN {tail} = 0 THEN 33 "
+        f"ELSE 33 - length(conv({tail}, 10, 2)) END as int)"
+    )
+    registers = (
+        df.select(F.expr(reg).alias("reg"), F.expr(rho).alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.sum(F.expr("pow(cast(2 as double), -max_rho)")).alias("inv_sum"),
+        F.count(F.lit(1)).alias("n_nonzero"),
+    )
+    return agg.select(
+        F.expr(
+            # registers never observed contribute 2^0 = 1 each
+            f"round({alpha} * {m} * {m} / (inv_sum + ({m} - n_nonzero)), 4)"
+        ).alias("raw_est"),
+        (F.lit(m) - F.col("n_nonzero")).cast("long").alias("n_zero_registers"),
+    ).select(
+        F.expr(
+            # small-range correction: linear counting when raw <= 2.5m
+            # and empty registers remain
+            f"cast(round(CASE WHEN raw_est <= {2.5 * m} AND n_zero_registers > 0 "
+            f"THEN {m} * ln(cast({m} as double) / n_zero_registers) "
+            f"ELSE raw_est END) as bigint)"
+        ).alias("n_distinct_est"),
+        F.lit(m).cast("long").alias("n_registers"),
+        F.col("n_zero_registers"),
+    )

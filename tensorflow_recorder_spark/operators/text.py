@@ -755,3 +755,71 @@ def dup_ngram_coverage(
             ).alias("dup_frac"),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query —
+    the standard lexical retrieval scorer (Robertson & Walker 1994; the
+    public Okapi formulation with the Lucene-style non-negative idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``). Output: (id, score) for
+    documents matching at least one query term, score rounded to 6
+    decimals.
+
+    Plan shape at 100 TB: term frequencies for THE QUERY TERMS ONLY —
+    the explode is filtered to |query| terms before the (doc, term)
+    groupBy, so the shuffle is bounded by matching docs x query size,
+    not the corpus vocabulary. Document frequencies and (N, avgdl) are
+    tiny aggregates the per-doc score joins via broadcast; the corpus
+    is scanned twice (once for lengths, once for matches), never
+    re-shuffled on a data-sized key.
+
+    Determinism: tf/df/dl/N are exact integers; the float pipeline is
+    fixed-order (idf * tf_norm summed over <= |query| terms after a
+    per-term round) so both engines agree to the rounded digit.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = _TOKENS.format(col=text_col)
+    terms_lit = "array(" + ", ".join(f"'{t.lower()}'" for t in query_terms) + ")"
+    lengths = df.select(
+        F.col(id_col),
+        F.expr(f"size(filter({toks}, t -> t <> ''))").alias("dl"),
+    )
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(F.expr(toks)).alias("term"))
+        .where(F.expr(f"array_contains({terms_lit}, term)"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.expr(
+                    f"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * "
+                    f"(tf * ({k1} + 1.0)) / "
+                    f"(tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
+                ),
+                9,
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )

@@ -3149,6 +3149,118 @@ FROM rebuilt
 """
 
 
+def q_e3_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval scores for a fixed query over the documents
+    corpus (Lucene-style non-negative idf)."""
+    return text.bm25_scores(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        query_terms=["hash", "join", "spark"],
+    )
+
+
+ORACLE_E3_BM25 = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+lengths AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lengths),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('hash', 'join', 'spark')
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT doc_id, round(sum(term_score), 6) AS score
+FROM (
+  SELECT tf.doc_id,
+         round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+               (tf * (1.2 + 1.0)) /
+               (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 9) AS term_score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN lengths ON tf.doc_id = lengths.doc_id
+  CROSS JOIN stats
+)
+GROUP BY doc_id
+"""
+
+
+def q_e3_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over events.user_id: users whose
+    ESTIMATED event count (min over 4 md5-derived hash rows x 512
+    buckets) reaches the threshold. Sketch state is 4*512 cells no
+    matter how many users exist — the bounded-memory hot-key detector."""
+    from .operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _events(spark, sf_dir), "user_id", threshold=50, depth=4, width=512
+    ).select(F.col("key").cast("string").alias("key"), "est_count")
+
+
+ORACLE_E3_HEAVY_HITTERS = """
+WITH rows_ AS (
+  SELECT d AS row_id,
+         ('0x' || substr(md5(d::VARCHAR || ':' || user_id::VARCHAR), 1, 8))::BIGINT % 512 AS bucket,
+         1 AS w
+  FROM events, UNNEST([0,1,2,3]) AS t(d)
+),
+sketch AS (SELECT row_id, bucket, sum(w) AS cell FROM rows_ GROUP BY 1, 2),
+keys AS (SELECT DISTINCT user_id::VARCHAR AS key FROM events),
+probes AS (
+  SELECT key, d AS row_id,
+         ('0x' || substr(md5(d::VARCHAR || ':' || key), 1, 8))::BIGINT % 512 AS bucket
+  FROM keys, UNNEST([0,1,2,3]) AS t(d)
+)
+SELECT key, CAST(min(cell) AS BIGINT) AS est_count
+FROM probes JOIN sketch USING (row_id, bucket)
+GROUP BY key HAVING min(cell) >= 50
+"""
+
+
+def q_e4_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user estimate over events
+    (m=1024 registers; md5-derived register/rho so the sketch is
+    bit-reproducible across engines — Spark's approx_count_distinct
+    is not)."""
+    from .operators.sketches import hll_distinct
+
+    return hll_distinct(_events(spark, sf_dir), "user_id", b=10)
+
+
+ORACLE_E4_HLL_USERS = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(':' || user_id::VARCHAR), 1, 12))::BIGINT AS h48
+  FROM events
+),
+parts AS (
+  SELECT (h48 // 4294967296) % 1024 AS reg, h48 % 4294967296 AS tail FROM h
+),
+regs AS (
+  SELECT reg,
+         max(CASE WHEN tail = 0 THEN 33 ELSE 33 - length(bin(tail)) END) AS max_rho
+  FROM parts GROUP BY reg
+),
+agg AS (
+  SELECT sum(power(2.0, -max_rho)) AS inv_sum, count(*) AS n_nonzero FROM regs
+)
+SELECT CAST(round(CASE WHEN raw_est <= 2560.0 AND n_zero_registers > 0
+                  THEN 1024 * ln(1024.0 / n_zero_registers)
+                  ELSE raw_est END) AS BIGINT) AS n_distinct_est,
+       CAST(1024 AS BIGINT) AS n_registers,
+       n_zero_registers
+FROM (
+  SELECT round(0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024
+               / (inv_sum + (1024 - n_nonzero)), 4) AS raw_est,
+         CAST(1024 - n_nonzero AS BIGINT) AS n_zero_registers
+  FROM agg
+)
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3270,6 +3382,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_retention": q_e4_retention,
     "e3_span_occurrences": q_e3_span_occurrences,
     "e3_span_dedup": q_e3_span_dedup,
+    "e3_bm25": q_e3_bm25,
+    "e3_heavy_hitters": q_e3_heavy_hitters,
+    "e4_hll_users": q_e4_hll_users,
 }
 
 ORACLES: dict[str, str] = {
@@ -3368,4 +3483,7 @@ ORACLES: dict[str, str] = {
     "e5_frame_sample": ORACLE_E5_FRAME_SAMPLE,
     "e3_span_occurrences": ORACLE_E3_SPAN_OCCURRENCES,
     "e3_span_dedup": ORACLE_E3_SPAN_DEDUP,
+    "e3_bm25": ORACLE_E3_BM25,
+    "e3_heavy_hitters": ORACLE_E3_HEAVY_HITTERS,
+    "e4_hll_users": ORACLE_E4_HLL_USERS,
 }

@@ -1,0 +1,95 @@
+"""Deterministic sketch operator tests (operators/sketches.py) + BM25.
+
+CMS and HLL are md5-derived so results are reproducible run-to-run and
+engine-to-engine (the registry oracles rebuild them in DuckDB); these
+unit tests pin the semantic guarantees: CMS one-sided error, HLL
+accuracy bands, BM25 ranking.
+"""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tensorflow_recorder_spark.operators.sketches import (
+    cms_build,
+    cms_heavy_hitters,
+    hll_distinct,
+)
+from tensorflow_recorder_spark.operators.text import bm25_scores
+
+
+def test_cms_estimates_are_one_sided(spark):
+    # 3 hot keys + 200 singletons; wide sketch -> estimates ~exact
+    rows = (
+        [("hot_a",)] * 40 + [("hot_b",)] * 25 + [("hot_c",)] * 10
+        + [(f"cold_{i}",) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["key"]: r["est_count"]
+           for r in cms_heavy_hitters(df, "k", threshold=10, depth=4, width=4096).collect()}
+    # one-sided: estimate >= truth, and with 4x4096 cells collisions are
+    # unlikely enough that the hot keys come back exact
+    assert got["hot_a"] == 40 and got["hot_b"] == 25 and got["hot_c"] == 10
+    assert all(v >= 10 for v in got.values())
+    # cold keys (count 1) can only appear via collisions inflating them
+    assert set(got) - {"hot_a", "hot_b", "hot_c"} == set()
+
+
+def test_cms_sketch_is_bounded(spark):
+    df = spark.range(0, 5000).select(F.col("id").cast("string").alias("k"))
+    sketch = cms_build(df, "k", depth=3, width=64)
+    assert sketch.count() <= 3 * 64
+    # total mass per hash row equals the input size
+    per_row = {r["row_id"]: r["s"] for r in
+               sketch.groupBy("row_id").agg(F.sum("cell_count").alias("s")).collect()}
+    assert per_row == {0: 5000, 1: 5000, 2: 5000}
+    with pytest.raises(ValueError, match="depth/width"):
+        cms_build(df, "k", depth=0)
+
+
+def test_hll_small_range_is_near_exact(spark):
+    df = spark.range(0, 300).select(F.col("id").cast("string").alias("k"))
+    row = hll_distinct(df, "k", b=10).collect()[0]
+    # 300 distinct over 1024 registers sits in the linear-counting
+    # branch: well under 1% typical error
+    assert abs(row["n_distinct_est"] - 300) <= 15
+    assert row["n_registers"] == 1024
+    # duplicates must not move the estimate (set semantics)
+    dup = df.union(df).union(df)
+    assert hll_distinct(dup, "k", b=10).collect()[0]["n_distinct_est"] == row["n_distinct_est"]
+    with pytest.raises(ValueError, match="b must be"):
+        hll_distinct(df, "k", b=2)
+
+
+def test_hll_estimate_within_published_error(spark):
+    n = 20000
+    df = spark.range(0, n).select(F.col("id").cast("string").alias("k"))
+    row = hll_distinct(df, "k", b=10).collect()[0]
+    # published std error 1.04/sqrt(m) ~ 3.25% at m=1024; allow 4 sigma
+    assert abs(row["n_distinct_est"] - n) / n < 4 * 1.04 / math.sqrt(1024)
+
+
+def test_bm25_ranks_matching_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),
+            (2, "spark engine"),
+            (3, "database engine"),
+            (4, "spark spark spark spark spark spark spark spark"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_scores(docs, "text", "doc_id", ["spark"]).collect()}
+    assert 3 not in got                      # no query term -> absent
+    assert got[1] > got[2]                   # higher tf wins
+    # tf saturation: doc4 has 8x the tf of doc2 but nowhere near 8x score
+    assert got[4] < 4 * got[2]
+    # hand-check doc2: N=4, df=3, dl=2, avgdl=(4+2+2+8)/4=4
+    idf = math.log(1.0 + (4 - 3 + 0.5) / (3 + 0.5))
+    tfn = (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / 4.0))
+    assert got[2] == pytest.approx(round(round(idf * tfn, 9), 6), abs=1e-6)
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(docs, "text", "doc_id", [])
