@@ -725,3 +725,223 @@ def scalar_quantize(
         F.expr("array_max(codes)").alias("q_max"),
         F.round(F.expr(mse), 6).alias("mse"),
     )
+
+
+# --------------------------------------------------------------------
+# Product quantization (E2 compressed-index path; Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search")
+# --------------------------------------------------------------------
+
+
+def _subvec_expr(vec_col: str, sub_id_col: str, sub_dim: int) -> str:
+    """slice() of one subspace; sub ids are 0-based, slice() is 1-based."""
+    return f"slice({vec_col}, {sub_id_col} * {sub_dim} + 1, {sub_dim})"
+
+
+def _sq_l2_expr(a: str, b: str) -> str:
+    """Squared L2 distance between two equal-length arrays."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"(cast(x as double) - cast(y as double)) * "
+        f"(cast(x as double) - cast(y as double))), "
+        f"cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def pq_explode(
+    df: DataFrame, m: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, sub_id, subvec) rows — each vector split into ``m`` equal
+    subspaces. A narrow projection (no shuffle); dimension must divide
+    evenly (validated lazily via the slice length)."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(F.expr(f"sequence(0, {m - 1})")).alias("sub_id"),
+    ).select(
+        id_col,
+        F.col("sub_id").cast("long").alias("sub_id"),
+        F.expr(
+            f"slice({vec_col}, sub_id * (size({vec_col}) div {m}) + 1, "
+            f"size({vec_col}) div {m})"
+        ).alias("subvec"),
+    )
+
+
+def pq_seed_codebook(
+    df: DataFrame, m: int, k: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic codebook seeds: the ``k`` lowest-id vectors'
+    subvectors, code_id = rank of the seed vector (same convention as
+    :func:`kmeans_fit`'s lowest-id seeding). Output:
+    (sub_id, code_id, subvec) — m*k rows, broadcastable.
+
+    The unpartitioned ranking window runs AFTER limit(k), so it sorts
+    exactly k rows on one task — fitted-state sizing, not a data sort
+    (Spark's single-partition warning is expected and harmless here)."""
+    seeds = df.orderBy(F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.asc(id_col))
+    ranked = seeds.select(
+        F.col(id_col), (F.row_number().over(w) - 1).cast("long").alias("code_id"),
+        F.col(vec_col),
+    )
+    return pq_explode(ranked, m, vec_col, id_col).join(
+        ranked.select(id_col, "code_id"), id_col
+    ).select("sub_id", "code_id", "subvec")
+
+
+def pq_assign(
+    sub: DataFrame, codebook: DataFrame
+) -> DataFrame:
+    """Nearest code per (vector, subspace) by squared L2 — the PQ encode
+    kernel. Codebook is broadcast; the argmin is a partial-aggregated
+    ``min_by`` over struct((rounded distance, code_id)), so the shuffle
+    carries one best-so-far pair per (vector, subspace) per partition.
+    Distances round to 6 digits before the argmin (engine-portable
+    choice, tie-break lowest code)."""
+    cb = codebook.select(
+        F.col("sub_id"), F.col("code_id").alias("__code"), F.col("subvec").alias("__cv")
+    )
+    scored = sub.join(F.broadcast(cb), "sub_id").select(
+        sub.columns[0],
+        "sub_id",
+        "__code",
+        F.round(F.expr(_sq_l2_expr("subvec", "__cv")), 6).alias("__d"),
+    )
+    id_col = sub.columns[0]
+    return scored.groupBy(id_col, "sub_id").agg(
+        F.min_by(
+            F.col("__code"), F.struct(F.col("__d"), F.col("__code"))
+        ).alias("code_id")
+    )
+
+
+def pq_update(sub: DataFrame, assign: DataFrame) -> DataFrame:
+    """One Lloyd step per subspace: new code vector = mean of assigned
+    subvectors. posexplode -> ONE partial-aggregated groupBy on
+    (sub_id, code, dim) -> rebuild; shuffled bytes are m*k*sub_dim
+    partial sums per partition (same shape as :func:`kmeans_update`)."""
+    id_col = sub.columns[0]
+    joined = sub.join(assign, [id_col, "sub_id"]).select(
+        "sub_id", "code_id", F.posexplode("subvec").alias("__dim", "__x")
+    )
+    dims = joined.groupBy("sub_id", "code_id", "__dim").agg(
+        F.avg(F.col("__x").cast("double")).alias("__mv"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        dims.groupBy("sub_id", "code_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__dim", "__mv"))).alias("__dm"),
+            F.max("__n").alias("n_members"),
+        )
+        .select(
+            "sub_id",
+            "code_id",
+            F.expr("transform(__dm, s -> s.__mv)").alias("subvec"),
+            "n_members",
+        )
+    )
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train a product-quantization codebook: independent k-means in
+    each of ``m`` subspaces, run TOGETHER — every Lloyd round is one
+    assign + one update over the exploded (vector, subspace) frame, so
+    m codebooks train for the price of one shuffle pair per round, not
+    m. Deterministic lowest-id seeding; ``localCheckpoint`` per round
+    truncates the re-planned lineage (same pitfall note as
+    :func:`kmeans_fit`). Output: (sub_id, code_id, subvec, n_members);
+    m*k rows — broadcastable fitted state, the PQ index's only model.
+    """
+    sub = pq_explode(df, m, vec_col, id_col)
+    codebook = pq_seed_codebook(df, m, k, vec_col, id_col).localCheckpoint(
+        eager=True
+    )
+    result = codebook.withColumn("n_members", F.lit(0).cast("long"))
+    for _ in range(iterations):
+        assign = pq_assign(sub, codebook)
+        result = pq_update(sub, assign).localCheckpoint(eager=True)
+        codebook = result.select("sub_id", "code_id", "subvec")
+    return result
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector to its m nearest-code ids. Output:
+    (id, sub_id, code_id) exploded rows — the storage form that joins
+    straight into :func:`pq_topk`'s ADC lookup. 8x-64x compression of
+    the corpus (a D-float vector becomes m small ints); map-side only
+    plus the bounded argmin shuffle of :func:`pq_assign`."""
+    return pq_assign(pq_explode(df, m, vec_col, id_col), codebook)
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: exact query subvectors scored
+    against quantized corpus codes. Output:
+    (query_id, neighbor_id, adc_dist, rank).
+
+    Plan shape at 100 TB: the per-query lookup table (|Q| x m x k cells
+    = squared distances query-subvec -> code) is built by a broadcast
+    join of the small codebook onto the small query set, then broadcast
+    AGAIN onto the exploded corpus codes — the corpus (already m small
+    ints per vector, the compressed form) never shuffles to score; the
+    only wide ops are the (query, vector) partial-aggregated distance
+    sum and the salted top-k rank (same two-phase shape as
+    :func:`brute_force_topk`). Distances round to 6 before ranking;
+    ties break on neighbor id.
+    """
+    q_sub = pq_explode(queries, m, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), "sub_id", F.col("subvec").alias("__qv")
+    )
+    cb = codebook.select(
+        "sub_id", F.col("code_id").alias("__code"), F.col("subvec").alias("__cv")
+    )
+    lut = q_sub.join(F.broadcast(cb), "sub_id").select(
+        "query_id",
+        "sub_id",
+        "__code",
+        F.round(F.expr(_sq_l2_expr("__qv", "__cv")), 6).alias("__pd"),
+    )
+    code_rows = codes.select(
+        F.col(codes.columns[0]).alias("neighbor_id"), "sub_id", "code_id"
+    )
+    scored = (
+        code_rows.join(
+            F.broadcast(lut),
+            (code_rows.sub_id == lut.sub_id) & (code_rows.code_id == lut.__code),
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("__pd"), 6).alias("adc_dist"))
+    )
+    return salted_topk_per_key(
+        scored,
+        key_cols=["query_id"],
+        order_by=[F.asc("adc_dist"), F.asc("neighbor_id")],
+        k=k,
+        rank_alias="rank",
+        salt_on="neighbor_id",
+    )

@@ -3261,6 +3261,110 @@ FROM (
 """
 
 
+def q_e2_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (Jégou et al. 2011): every embedding
+    compressed to 4 code ids against the deterministic seed codebook
+    (the 16 lowest-id vectors' subvectors; the trained path is
+    similarity.pq_fit). 64 floats -> 4 small ints per vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_seed_codebook(emb, m=4, k=16)
+    return similarity.pq_encode(emb, cb, m=4)
+
+
+ORACLE_E2_PQ_ENCODE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sub AS (
+  SELECT vec_id, s AS sub_id, e[s*16+1 : s*16+16] AS sv
+  FROM e, UNNEST([0,1,2,3]) AS t(s)
+),
+seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code_id, e
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+),
+cb AS (
+  SELECT s AS sub_id, code_id, e[s*16+1 : s*16+16] AS cv
+  FROM seeds, UNNEST([0,1,2,3]) AS t(s)
+),
+scored AS (
+  SELECT sub.vec_id, sub.sub_id, cb.code_id,
+         round(list_aggregate(list_transform(list_zip(sv, cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6) AS d
+  FROM sub JOIN cb USING (sub_id)
+)
+SELECT vec_id, sub_id, CAST(code_id AS BIGINT) AS code_id FROM (
+  SELECT vec_id, sub_id, code_id,
+         row_number() OVER (PARTITION BY vec_id, sub_id
+                            ORDER BY d, code_id) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+def q_e2_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5: the 10 lowest-id vectors as
+    queries, corpus scored purely through its 4-code compressed form +
+    a broadcast lookup table — the memory-bound ANN serving path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_seed_codebook(emb, m=4, k=16)
+    codes = similarity.pq_encode(emb, cb, m=4)
+    queries = emb.orderBy(F.asc("vec_id")).limit(10)
+    return similarity.pq_topk(queries, codes, cb, k=5, m=4)
+
+
+ORACLE_E2_PQ_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sub AS (
+  SELECT vec_id, s AS sub_id, e[s*16+1 : s*16+16] AS sv
+  FROM e, UNNEST([0,1,2,3]) AS t(s)
+),
+seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code_id, e
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+),
+cb AS (
+  SELECT s AS sub_id, code_id, e[s*16+1 : s*16+16] AS cv
+  FROM seeds, UNNEST([0,1,2,3]) AS t(s)
+),
+scored AS (
+  SELECT sub.vec_id, sub.sub_id, cb.code_id,
+         round(list_aggregate(list_transform(list_zip(sv, cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6) AS d
+  FROM sub JOIN cb USING (sub_id)
+),
+codes AS (
+  SELECT vec_id, sub_id, code_id FROM (
+    SELECT vec_id, sub_id, code_id,
+           row_number() OVER (PARTITION BY vec_id, sub_id
+                              ORDER BY d, code_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+queries AS (SELECT vec_id AS query_id FROM e ORDER BY vec_id LIMIT 10),
+lut AS (
+  SELECT q.query_id, s.sub_id, c.code_id,
+         round(list_aggregate(list_transform(list_zip(s.sv, c.cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6) AS pd
+  FROM queries q
+  JOIN sub s ON s.vec_id = q.query_id
+  JOIN cb c ON c.sub_id = s.sub_id
+),
+adc AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id, round(sum(l.pd), 6) AS adc_dist
+  FROM codes k
+  JOIN lut l ON l.sub_id = k.sub_id AND l.code_id = k.code_id
+  WHERE l.query_id <> k.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= 5
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3385,6 +3489,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_bm25": q_e3_bm25,
     "e3_heavy_hitters": q_e3_heavy_hitters,
     "e4_hll_users": q_e4_hll_users,
+    "e2_pq_encode": q_e2_pq_encode,
+    "e2_pq_topk": q_e2_pq_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -3486,4 +3592,6 @@ ORACLES: dict[str, str] = {
     "e3_bm25": ORACLE_E3_BM25,
     "e3_heavy_hitters": ORACLE_E3_HEAVY_HITTERS,
     "e4_hll_users": ORACLE_E4_HLL_USERS,
+    "e2_pq_encode": ORACLE_E2_PQ_ENCODE,
+    "e2_pq_topk": ORACLE_E2_PQ_TOPK,
 }

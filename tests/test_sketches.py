@@ -93,3 +93,65 @@ def test_bm25_ranks_matching_docs(spark):
     assert got[2] == pytest.approx(round(round(idf * tfn, 9), 6), abs=1e-6)
     with pytest.raises(ValueError, match="non-empty"):
         bm25_scores(docs, "text", "doc_id", [])
+
+
+# ---------------------------------------------------------------- PQ
+
+
+def _pq_corpus(spark):
+    """Two tight 4-d clusters around (0,0,10,10) and (10,10,0,0)."""
+    rows = []
+    for i in range(8):
+        eps = (i % 4) * 0.1
+        rows.append((i, [0.0 + eps, 0.0, 10.0, 10.0 - eps]))
+        rows.append((100 + i, [10.0 - eps, 10.0, 0.0, 0.0 + eps]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_encode_groups_clusters(spark):
+    from tensorflow_recorder_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+    )
+
+    df = _pq_corpus(spark)
+    cb = pq_fit(df, m=2, k=2, iterations=3).select("sub_id", "code_id", "subvec")
+    codes = pq_encode(df, cb, m=2).collect()
+    # every vector gets one code per subspace
+    assert len(codes) == 16 * 2
+    by_vec = {}
+    for r in codes:
+        by_vec.setdefault(r["vec_id"], {})[r["sub_id"]] = r["code_id"]
+    # cluster members share the full code word; clusters differ
+    low = {tuple(sorted(by_vec[i].items())) for i in range(8)}
+    high = {tuple(sorted(by_vec[100 + i].items())) for i in range(8)}
+    assert len(low) == 1 and len(high) == 1 and low != high
+
+
+def test_pq_topk_prefers_same_cluster(spark):
+    from tensorflow_recorder_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    df = _pq_corpus(spark)
+    cb = pq_fit(df, m=2, k=2, iterations=2).select("sub_id", "code_id", "subvec")
+    codes = pq_encode(df, cb, m=2)
+    queries = df.where(F.col("vec_id") == 0)
+    got = pq_topk(queries, codes, cb, k=5, m=2).collect()
+    assert len(got) == 5
+    assert all(r["neighbor_id"] < 100 for r in got)  # same cluster only
+    assert all(r["query_id"] == 0 for r in got)
+    ranks = sorted(r["rank"] for r in got)
+    assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_pq_explode_validates_m(spark):
+    from tensorflow_recorder_spark.operators.similarity import pq_explode
+
+    df = _pq_corpus(spark)
+    with pytest.raises(ValueError, match="m must be"):
+        pq_explode(df, 0)
+    sub = pq_explode(df, 2).collect()
+    assert all(len(r["subvec"]) == 2 for r in sub)
