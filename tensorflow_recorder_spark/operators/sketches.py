@@ -135,6 +135,14 @@ def hll_distinct(
     counting) correction; both branches are exact integer/double
     expressions an oracle can replay.
     """
+    registers = hll_registers(df, key_col, b)
+    return hll_estimate(registers, b)
+
+
+def hll_register_exprs(key_col: str, b: int) -> tuple[str, str]:
+    """(register-id expr, rho expr) for the deterministic HLL hash —
+    shared by the batch operator and the streaming variant
+    (streaming/windows.py), so both build the SAME sketch."""
     if not 4 <= b <= 16:
         raise ValueError(f"b must be in [4, 16], got {b}")
     m = 1 << b
@@ -149,11 +157,25 @@ def hll_distinct(
         f"cast(CASE WHEN {tail} = 0 THEN 33 "
         f"ELSE 33 - length(conv({tail}, 10, 2)) END as int)"
     )
-    registers = (
+    return reg, rho
+
+
+def hll_registers(df: DataFrame, key_col: str, b: int = 10) -> DataFrame:
+    """The HLL sketch itself: (reg, max_rho), at most 2**b rows. This is
+    the mergeable/storable form — union sketches of two datasets and
+    re-max to combine them."""
+    reg, rho = hll_register_exprs(key_col, b)
+    return (
         df.select(F.expr(reg).alias("reg"), F.expr(rho).alias("rho"))
         .groupBy("reg")
         .agg(F.max("rho").alias("max_rho"))
     )
+
+
+def hll_estimate(registers: DataFrame, b: int) -> DataFrame:
+    """Finalize a register sketch into the single-row estimate (see
+    :func:`hll_distinct` for the output contract)."""
+    m = 1 << b
     alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = registers.agg(
         F.sum(F.expr("pow(cast(2 as double), -max_rho)")).alias("inv_sum"),

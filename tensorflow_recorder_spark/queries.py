@@ -3365,6 +3365,21 @@ FROM (
 """
 
 
+def q_s6_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user HLL: the register sketch maintained as a
+    bounded streaming aggregate (state <= 2**b rows regardless of user
+    cardinality), drained availableNow, finalized batch-side. Output is
+    hash-identical to the batch e4_hll_users — batch/stream sketch
+    parity."""
+    from .operators.sketches import hll_estimate
+    from .streaming.windows import streaming_hll_registers
+
+    stream = _event_stream(spark, sf_dir)
+    regs = streaming_hll_registers(stream, "user_id", b=10)
+    drained = _drain_to_memory(regs, "stream_hll_users_sink", "complete")
+    return hll_estimate(drained, b=10)
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3491,6 +3506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_hll_users": q_e4_hll_users,
     "e2_pq_encode": q_e2_pq_encode,
     "e2_pq_topk": q_e2_pq_topk,
+    "s6_stream_hll_users": q_s6_stream_hll_users,
 }
 
 ORACLES: dict[str, str] = {
@@ -3594,4 +3610,7 @@ ORACLES: dict[str, str] = {
     "e4_hll_users": ORACLE_E4_HLL_USERS,
     "e2_pq_encode": ORACLE_E2_PQ_ENCODE,
     "e2_pq_topk": ORACLE_E2_PQ_TOPK,
+    # the streaming sketch drains to the SAME registers as the batch
+    # operator, so it shares the batch oracle verbatim
+    "s6_stream_hll_users": ORACLE_E4_HLL_USERS,
 }

@@ -60,3 +60,30 @@ def streaming_sessionize(
             "sum_value",
         )
     )
+
+
+def streaming_hll_registers(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    b: int = 10,
+) -> DataFrame:
+    """Streaming HyperLogLog: maintain the register sketch
+    (operators/sketches.py) as a streaming aggregate. The state is AT
+    MOST 2**b rows — a distinct-count whose streaming state does not
+    grow with cardinality, which is the entire reason to sketch instead
+    of ``dropDuplicates`` (whose state is one row per key until the
+    watermark expires it).
+
+    Emits the register rows (complete mode); callers finalize with
+    ``sketches.hll_estimate`` batch-side — structured streaming forbids
+    chained aggregations, and finalization is a constant-size
+    presentation step, not state.
+    """
+    from ..operators.sketches import hll_register_exprs
+
+    reg, rho = hll_register_exprs(key_col, b)
+    return (
+        stream.select(F.expr(reg).alias("reg"), F.expr(rho).alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )

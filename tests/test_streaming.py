@@ -195,3 +195,37 @@ def test_streaming_contamination_matches_batch(spark, tmp_path):
 
     with pytest.raises(ValueError):
         streaming_contamination_pairs(train, train, "text", "doc_id")
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """The streaming register sketch drained availableNow equals the
+    batch sketch — and its state is bounded at 2**b rows."""
+    from tensorflow_recorder_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate,
+    )
+    from tensorflow_recorder_spark.streaming.windows import (
+        streaming_hll_registers,
+    )
+
+    batch_df = spark.range(0, 3000).select(
+        (F.col("id") % 700).cast("string").alias("user_id")
+    )
+    src = str(tmp_path / "hll_src")
+    batch_df.write.parquet(src)
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    regs = streaming_hll_registers(stream, "user_id", b=8)
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table("hll_regs_sink")
+    assert drained.count() <= 256
+    got = hll_estimate(drained, b=8).collect()[0]
+    want = hll_distinct(batch_df, "user_id", b=8).collect()[0]
+    assert got["n_distinct_est"] == want["n_distinct_est"]
+    assert got["n_zero_registers"] == want["n_zero_registers"]
