@@ -76,8 +76,24 @@ def register_decoder(kind: str, decoder: Decoder) -> None:
 
 
 def _stub_image_decode(data: bytes) -> dict:
-    """STUB (runtime has no PIL): deterministic 8x8 RGB digest-stream.
-    Replace via register_decoder('image', ...) for real decoding."""
+    """Built-in decoder: REAL decode for PNG and baseline JPEG (the
+    repo's pure-Python codecs — same capability as operators/image.py's
+    loader); deterministic 8x8 RGB digest-stream for any other bytes
+    (runtime has no WebP/GIF codec). Replace via
+    register_decoder('image', ...) for full-format decoding."""
+    from ..functions.jpeg_codec import decode_jpeg, is_jpeg
+    from ..functions.png_codec import decode_png, is_png
+
+    if is_png(data) or is_jpeg(data):
+        pixels, width, height, mode = (
+            decode_png(data) if is_png(data) else decode_jpeg(data)
+        )
+        return {
+            "width": width,
+            "height": height,
+            "channels": len(mode),  # L=1, LA=2, RGB=3, RGBA=4
+            "pixels": pixels,
+        }
     digest = hashlib.sha256(data).digest()
     n = 8 * 8 * 3
     return {
@@ -169,18 +185,22 @@ def resize_images(
     width: int = 64,
     height: int = 64,
 ) -> DataFrame:
-    """Decode + resize to (width, height), emitting raw pixel bytes.
+    """Decode + resize to (width, height), emitting raw RGB pixel bytes
+    (width*height*3 per row).
 
-    With no real codec installed this raises NotImplementedError at
-    executor time UNLESS the stub decoder is in play (tests): the stub
-    path emits deterministic fake pixels of the requested shape so the
-    batch plumbing is exercised end to end.
+    Real 2-D nearest-neighbor resample over the decoded pixel grid
+    (numpy fancy-indexing; PNG/baseline-JPEG decode for real via the
+    built-in codecs, digest-stream pixels for other formats).
+    Grayscale expands to RGB so downstream consumers see one shape. A
+    decoder registered without a ``pixels`` payload raises
+    NotImplementedError at executor time — resize needs pixels.
     """
+    import numpy as np
+
     decoder = _decoder_for("image")
     out_struct = T.StructType(
         list(df.schema.fields) + [T.StructField("resized_pixels", T.BinaryType())]
     )
-    n_out = width * height * 3
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -196,10 +216,18 @@ def resize_images(
                         "resize requires a pixel-producing decoder; "
                         "register one via register_decoder('image', ...)"
                     )
-                # nearest-neighbor over the flat byte stream (stub-level
-                # resize; a real codec resizes in-decoder)
-                scaled = bytes(raw[int(i * len(raw) / n_out)] for i in range(n_out))
-                pixels.append(scaled)
+                sw, sh, sc = meta["width"], meta["height"], meta["channels"]
+                src = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(sh, sw, sc)
+                ys = (np.arange(height) * sh // height).clip(0, sh - 1)
+                xs = (np.arange(width) * sw // width).clip(0, sw - 1)
+                resized = src[ys][:, xs]
+                if sc == 1:
+                    resized = np.repeat(resized, 3, axis=2)
+                elif sc > 3:
+                    resized = resized[:, :, :3]  # drop alpha
+                elif sc == 2:  # LA: luma replicated, alpha dropped
+                    resized = np.repeat(resized[:, :, :1], 3, axis=2)
+                pixels.append(resized.tobytes())
             out = pdf.copy()
             out["resized_pixels"] = pixels
             yield out

@@ -127,3 +127,26 @@ def test_audio_window_sampling_geometry(spark):
 
     with pytest.raises(ValueError):
         sample_audio_windows(docs, window_samples=0)
+
+
+def test_resize_real_png_nearest_neighbor(spark):
+    """A real PNG through the built-in codec path: 2x2 quadrant image
+    resized to 4x4 must replicate each quadrant color exactly."""
+    from tensorflow_recorder_spark.functions.png_codec import encode_png
+    from tensorflow_recorder_spark.operators import multimodal
+
+    quad = bytes(
+        [255, 0, 0, 0, 255, 0,   # row 0: red, green
+         0, 0, 255, 255, 255, 0]  # row 1: blue, yellow
+    )
+    png = encode_png(quad, 2, 2)
+    df = spark.createDataFrame([(1, bytearray(png))], "id long, media_bytes binary")
+    meta = multimodal.decode_image_features(df).collect()[0]
+    assert (meta["image_width"], meta["image_height"], meta["image_channels"]) == (2, 2, 3)
+    out = multimodal.resize_images(df, width=4, height=4).collect()[0]
+    px = bytes(out["resized_pixels"])
+    assert len(px) == 4 * 4 * 3
+    # top-left 2x2 block of the 4x4 output is all red
+    assert px[0:3] == px[3:6] == b"\xff\x00\x00"
+    # bottom-right block all yellow
+    assert px[-3:] == b"\xff\xff\x00"

@@ -178,3 +178,40 @@ def test_shuffle_order_is_narrow_projection(spark):
 def test_redact_is_narrow_projection(spark):
     plan = plan_of(spark, "e3_redact")
     assert "Exchange" not in plan
+
+
+def test_heavy_hitters_sketch_broadcasts_onto_probes(spark):
+    """CMS: the sketch side of the probe join must broadcast (it is at
+    most depth*width cells) and the counting aggregate must partial-
+    aggregate map-side."""
+    plan = plan_of(spark, "e3_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan
+
+
+def test_hll_is_two_bounded_aggregates(spark):
+    """HLL: register groupBy partial-aggregates; no join, no window —
+    the whole plan is two aggregates over <= 2^b keys."""
+    plan = plan_of(spark, "e4_hll_users")
+    assert "partial_" in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_pq_topk_corpus_never_shuffles_to_score(spark):
+    """PQ ADC: codebook and query LUT broadcast onto the exploded code
+    rows; the corpus-sized side must not enter a sort-merge join, and
+    the final rank must be the salted two-phase form (no corpus-wide
+    unpartitioned window)."""
+    plan = plan_of(spark, "e2_pq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") >= 2  # phase-1 salted + phase-2 rank
+
+
+def test_bm25_filters_explode_before_aggregate(spark):
+    """BM25: the query-term filter must run BEFORE the (doc, term)
+    aggregate (bounded shuffle), and df/stats join via broadcast."""
+    plan = plan_of(spark, "e3_bm25")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "partial_" in plan
