@@ -823,3 +823,87 @@ def bm25_scores(
         scored.groupBy(id_col)
         .agg(F.round(F.sum("term_score"), 6).alias("score"))
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic text cleanup — the standard pre-tokenization
+    normalization pass of a corpus pipeline: control characters stripped,
+    curly quotes / long dashes / unicode spaces folded to ASCII,
+    whitespace collapsed to single spaces, trimmed. Output:
+    (id, clean_text, n_changed — 0/1 flag for rows the pass modified).
+
+    All regexp_replace chains over explicit codepoint classes (hex
+    escapes + literal char lists only — no \\p{...} classes, whose
+    definitions differ between regex engines), so the SQL oracle
+    reproduces it byte-for-byte. Narrow projection: zero shuffle.
+    """
+    # literal codepoints (not \\u escapes: Java regex and RE2 spell
+    # those differently; a literal UTF-8 char means the same in both)
+    quotes_single = "[‘’‚‛]"
+    quotes_double = "[“”„‟]"
+    dashes = "[‒–—―]"
+    spaces = "[  -​  　]"
+    cntrl = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+    cleaned = F.col(text_col)
+    for pat, rep in (
+        (cntrl, ""),
+        (spaces, " "),
+        (quotes_single, "'"),
+        (quotes_double, '"'),
+        (dashes, "-"),
+        ("[ \\t\\r\\n]+", " "),
+    ):
+        cleaned = F.regexp_replace(cleaned, pat, rep)
+    cleaned = F.trim(cleaned)
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("clean_text"),
+        F.when(cleaned == F.col(text_col), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("n_changed"),
+    )
+
+
+def build_postings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_df: int = 1,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Inverted index: term -> sorted posting list of (doc, tf) structs,
+    capped at ``max_postings`` entries (hot/stopword terms keep their
+    document-frequency count but truncate the stored list — the
+    impact-ordered-index compromise). Output:
+    (term, df, postings array<struct<doc,tf>>).
+
+    Plan shape at 100 TB: ONE explode + partial-aggregated (doc, term)
+    count (shuffle bounded by distinct doc-term pairs), then one groupBy
+    term whose per-group state is the capped posting list —
+    ``slice(array_sort(...))`` after collect_list bounds memory per
+    term at max_postings structs. Skewed stopword terms are exactly the
+    AQE-skew-split case; the cap keeps their reduce-side state bounded
+    too.
+    """
+    toks = _TOKENS.format(col=text_col)
+    tf = (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.expr(toks)).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.expr(
+                f"slice(array_sort(collect_list(struct(doc, tf))), 1, {int(max_postings)})"
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= min_df)
+    )

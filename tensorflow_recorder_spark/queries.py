@@ -3380,6 +3380,70 @@ def q_s6_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(drained, b=10)
 
 
+def q_e3_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization text normalization over the documents corpus
+    (control strip, unicode quote/dash/space folding, whitespace
+    collapse) — narrow projection, byte-reproducible cross-engine."""
+    return text.normalize_text(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+ORACLE_E3_NORMALIZE = """
+WITH step AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(text,
+         '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+         '[  -​  　]', ' ', 'g'),
+         '[‘’‚‛]', '''', 'g'),
+         '[“”„‟]', '"', 'g'),
+         '[‒–—―]', '-', 'g'),
+         '[ \\t\\r\\n]+', ' ', 'g')) AS clean_text,
+    text AS orig
+  FROM documents
+)
+SELECT doc_id, clean_text,
+       CAST(CASE WHEN clean_text = orig THEN 0 ELSE 1 END AS BIGINT) AS n_changed
+FROM step
+"""
+
+
+def q_e3_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the documents corpus: term -> capped sorted
+    posting list + document frequency (the retrieval companion of
+    e3_bm25). Postings rendered as a string for engine-portable
+    comparison."""
+    out = text.build_postings(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_postings=20
+    )
+    return out.select(
+        "term",
+        "df",
+        F.expr(
+            "concat_ws(';', transform(postings, p -> concat(p.doc, ':', p.tf)))"
+        ).alias("postings"),
+    )
+
+
+ORACLE_E3_POSTINGS = r"""
+WITH tf AS (
+  SELECT doc_id AS doc, term, count(*) AS tf
+  FROM (
+    SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS term
+    FROM documents
+  )
+  GROUP BY doc, term
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(
+         list_transform(
+           list_slice(list_sort(list((doc, tf))), 1, 20),
+           p -> p[1]::VARCHAR || ':' || p[2]::VARCHAR
+         ), ';') AS postings
+FROM tf GROUP BY term
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3507,6 +3571,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_pq_encode": q_e2_pq_encode,
     "e2_pq_topk": q_e2_pq_topk,
     "s6_stream_hll_users": q_s6_stream_hll_users,
+    "e3_normalize": q_e3_normalize,
+    "e3_postings": q_e3_postings,
 }
 
 ORACLES: dict[str, str] = {
@@ -3613,4 +3679,6 @@ ORACLES: dict[str, str] = {
     # the streaming sketch drains to the SAME registers as the batch
     # operator, so it shares the batch oracle verbatim
     "s6_stream_hll_users": ORACLE_E4_HLL_USERS,
+    "e3_normalize": ORACLE_E3_NORMALIZE,
+    "e3_postings": ORACLE_E3_POSTINGS,
 }

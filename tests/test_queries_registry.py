@@ -92,6 +92,19 @@ def test_driver_window_holds_all_unique_queries():
         "e2_quantize",
         "e1_keep_best",
         "e4_retention",
+        # round-4 additions past the window (span dedup, sketches,
+        # BM25/postings, PQ, stream-HLL, normalization) — all oracle-
+        # checked by scripts/check_oracle.py over the full registry
+        "e3_span_occurrences",
+        "e3_span_dedup",
+        "e3_bm25",
+        "e3_heavy_hitters",
+        "e4_hll_users",
+        "e2_pq_encode",
+        "e2_pq_topk",
+        "s6_stream_hll_users",
+        "e3_normalize",
+        "e3_postings",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

@@ -155,3 +155,42 @@ def test_pq_explode_validates_m(spark):
         pq_explode(df, 0)
     sub = pq_explode(df, 2).collect()
     assert all(len(r["subvec"]) == 2 for r in sub)
+
+
+# ------------------------------------------------- text normalization
+
+
+def test_normalize_text_folds_unicode(spark):
+    from tensorflow_recorder_spark.operators.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "“Smart” ‘quotes’ — and spaces　here"),
+            (2, "already clean"),
+            (3, "ctrl\x07chars\x1fgone"),
+            (4, "  collapse \t\n whitespace  "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["clean_text"], r["n_changed"])
+           for r in normalize_text(docs, "text", "doc_id").collect()}
+    assert got[1] == ('"Smart" \'quotes\' - and spaces here', 1)
+    assert got[2] == ("already clean", 0)
+    assert got[3] == ("ctrlcharsgone", 1)
+    assert got[4] == ("collapse whitespace", 1)
+
+
+def test_build_postings_caps_and_sorts(spark):
+    from tensorflow_recorder_spark.operators.text import build_postings
+
+    docs = spark.createDataFrame(
+        [(i, "common " + ("rare " if i == 5 else "")) for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in
+           build_postings(docs, "text", "doc_id", max_postings=3).collect()}
+    # df counts every posting even when the stored list is capped
+    assert out["common"]["df"] == 10
+    assert [p["doc"] for p in out["common"]["postings"]] == [0, 1, 2]
+    assert out["rare"]["df"] == 1
+    assert [(p["doc"], p["tf"]) for p in out["rare"]["postings"]] == [(5, 1)]
