@@ -200,25 +200,35 @@ def asof_join(
     right_cols: tuple[str, ...] = ("value",),
     suffix: str = "_asof",
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: each left row gets the latest right row with
-    ``right.ts <= left.ts`` for the same key (the trades/quotes
-    pattern). ``tolerance_seconds`` bounds the lookback (pandas
-    ``merge_asof(tolerance=...)`` semantics): a match older than the
-    tolerance yields NULLs instead.
+    """As-of join with pandas ``merge_asof`` semantics: per key, each
+    left row gets one right row by ``direction`` —
+
+    * ``'backward'`` (default): latest right with ``right.ts <= left.ts``
+      (the trades/quotes pattern).
+    * ``'forward'``: earliest right with ``right.ts >= left.ts``.
+    * ``'nearest'``: whichever of the two is closer in time (tie ->
+      backward, matching pandas).
+
+    ``tolerance_seconds`` bounds the match distance per direction
+    (out-of-tolerance candidates are excluded BEFORE the nearest
+    choice, like pandas); misses yield NULLs.
 
     Physical strategy — union + ordered window, the scalable as-of
-    formulation: tag both inputs, union them, and carry the most recent
-    right-side values forward with ``last_value(ignoreNulls)`` over
-    (key, ts, side) ordering. ONE shuffle on the join key and a linear
-    per-key scan — no per-row range probe, no nested-loop join, and
-    skewed keys are one window partition (same profile as any ordered
-    window, vs the quadratic blow-up a naive range join suffers).
-    The tolerance adds only a carried match-timestamp and one
-    post-window comparison — no plan-shape change.
-    Right-side columns surface as ``<col><suffix>``; left rows with no
-    prior right row get NULLs.
+    formulation: tag both inputs, union them, and carry right-side
+    values across with ``last(ignoreNulls)`` over the preceding frame
+    (backward) and/or ``first(ignoreNulls)`` over the following frame
+    (forward). ONE shuffle on the join key; the two directions differ
+    only in tie-ordering of ``__side``, so nearest costs a second
+    in-partition sort, never a second exchange — no per-row range
+    probe, no nested-loop join, and skewed keys are one window
+    partition (vs the quadratic blow-up a naive range join suffers).
+    Right-side columns surface as ``<col><suffix>``; unmatched left
+    rows get NULLs.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     left = normalize_event_time(left, ts_col)
     right = normalize_event_time(right, ts_col)
     lcols = left.columns
@@ -241,35 +251,79 @@ def asof_join(
         F.col(ts_col).alias("__asof_match_ts"),
     )
     unioned = tagged_left.unionByName(tagged_right)
-    # right rows (side=0) sort before left rows at equal ts => ties are
-    # inclusive (right.ts == left.ts matches), matching <=.
-    w = (
+    # Backward frame: right rows (side=0) sort BEFORE left at equal ts,
+    # so the preceding frame includes them => inclusive <=.
+    w_back = (
         Window.partitionBy(key_col)
         .orderBy(F.col(ts_col), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned.select(
-        *lcols,
-        "__side",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
-        F.last(F.col("__asof_match_ts"), ignorenulls=True).over(w).alias("__m_ts"),
+    # Forward frame: left rows sort BEFORE right at equal ts (side
+    # desc), so the following frame includes equal-ts rights => >=.
+    w_fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.desc("__side"))
+        .rowsBetween(0, Window.unboundedFollowing)
     )
-    out = carried.where(F.col("__side") == 1).drop("__side")
-    if tolerance_seconds is not None:
-        in_window = (
-            F.col(ts_col).cast("double") - F.col("__m_ts").cast("double")
-        ) <= F.lit(float(tolerance_seconds))
-        out = out.select(
-            *lcols,
-            *[
-                F.when(in_window, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
-                for c in right_cols
-            ],
+    want_back = direction in ("backward", "nearest")
+    want_fwd = direction in ("forward", "nearest")
+    proj = [*lcols, "__side"]
+    for c in right_cols:
+        if want_back:
+            proj.append(
+                F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w_back).alias(f"__b_{c}")
+            )
+        if want_fwd:
+            proj.append(
+                F.first(F.col(f"__r_{c}"), ignorenulls=True).over(w_fwd).alias(f"__f_{c}")
+            )
+    if want_back:
+        proj.append(
+            F.last(F.col("__asof_match_ts"), ignorenulls=True).over(w_back).alias("__asof_b_ts")
         )
-    return out.drop("__m_ts")
+    if want_fwd:
+        proj.append(
+            F.first(F.col("__asof_match_ts"), ignorenulls=True).over(w_fwd).alias("__asof_f_ts")
+        )
+    carried = unioned.select(*proj)
+    out = carried.where(F.col("__side") == 1).drop("__side")
+
+    tol = None if tolerance_seconds is None else float(tolerance_seconds)
+    ts_d = F.col(ts_col).cast("double")
+    back_dist = ts_d - F.col("__asof_b_ts").cast("double") if want_back else None
+    fwd_dist = F.col("__asof_f_ts").cast("double") - ts_d if want_fwd else None
+    back_ok = (
+        None
+        if not want_back
+        else (back_dist <= F.lit(tol)) if tol is not None else F.col("__asof_b_ts").isNotNull()
+    )
+    fwd_ok = (
+        None
+        if not want_fwd
+        else (fwd_dist <= F.lit(tol)) if tol is not None else F.col("__asof_f_ts").isNotNull()
+    )
+
+    if direction == "backward":
+        picks = [
+            F.when(F.coalesce(back_ok, F.lit(False)), F.col(f"__b_{c}")).alias(f"{c}{suffix}")
+            for c in right_cols
+        ]
+    elif direction == "forward":
+        picks = [
+            F.when(F.coalesce(fwd_ok, F.lit(False)), F.col(f"__f_{c}")).alias(f"{c}{suffix}")
+            for c in right_cols
+        ]
+    else:  # nearest: valid sides only; closer wins; tie -> backward
+        bok = F.coalesce(back_ok, F.lit(False))
+        fok = F.coalesce(fwd_ok, F.lit(False))
+        use_back = bok & (~fok | (back_dist <= fwd_dist))
+        picks = [
+            F.when(use_back, F.col(f"__b_{c}"))
+            .when(fok, F.col(f"__f_{c}"))
+            .alias(f"{c}{suffix}")
+            for c in right_cols
+        ]
+    return out.select(*lcols, *picks)
 
 
 def asof_latest(

@@ -2266,6 +2266,67 @@ FROM clicks c ASOF LEFT JOIN purch p
 """
 
 
+def q_e4_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction='nearest' (pandas merge_asof semantics):
+    each click matches the CLOSEST purchase in time within 1 hour,
+    backward or forward, tie -> backward. Same union+two-window plan as
+    the backward join — the second direction costs one in-partition
+    sort, not a second shuffle."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
+    )
+    joined = events.asof_join(
+        clicks,
+        purchases,
+        "user_id",
+        "ts",
+        right_cols=("purchase_value",),
+        tolerance_seconds=3600,
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("purchase_value_asof"),
+    )
+
+
+ORACLE_E4_ASOF_NEAREST = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, ts, max_by(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+cand AS (
+  SELECT c.event_id, c.user_id, c.ts, p.purchase_value,
+         abs(epoch_us(c.ts) - epoch_us(p.ts)) AS dist,
+         CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END AS fwd
+  FROM clicks c JOIN purch p
+    ON c.user_id = p.user_id
+   AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 3600000000
+),
+best AS (
+  SELECT event_id, purchase_value,
+         row_number() OVER (PARTITION BY event_id ORDER BY dist, fwd) AS rn
+  FROM cand
+)
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       b.purchase_value AS purchase_value_asof
+FROM clicks c LEFT JOIN (SELECT event_id, purchase_value FROM best WHERE rn = 1) b
+  ON c.event_id = b.event_id
+"""
+
+
 def q_e4_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props: JSON field extraction (JVM-side
     get_json_object, no UDF) + grouped rollup over the extracted key."""
@@ -3444,6 +3505,43 @@ FROM tf GROUP BY term
 """
 
 
+def q_s7_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CMS heavy hitters: the depth x width cell counts
+    maintained as a bounded streaming aggregate, drained availableNow,
+    then probed batch-side for users whose estimate reaches the
+    threshold. Cell-identical to the batch sketch, so it shares
+    e3_heavy_hitters' oracle."""
+    from .streaming.windows import streaming_cms_cells
+
+    stream = _event_stream(spark, sf_dir)
+    cells = streaming_cms_cells(stream, "user_id", depth=4, width=512)
+    sketch = _drain_to_memory(cells, "stream_cms_sink", "complete")
+    keys = _events(spark, sf_dir).select(F.col("user_id").alias("key")).distinct()
+    from .operators.sketches import _bucket_expr
+
+    probes = keys.select(
+        "key",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({d}L as row_id, {_bucket_expr('key', d, 512)} as bucket)"
+                    for d in range(4)
+                )
+                + ")"
+            )
+        ).alias("p"),
+    ).select("key", "p.row_id", "p.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["row_id", "bucket"])
+        .groupBy("key")
+        .agg(F.min("cell_count").cast("long").alias("est_count"))
+    )
+    return est.where(F.col("est_count") >= 50).select(
+        F.col("key").cast("string").alias("key"), "est_count"
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3573,6 +3671,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s6_stream_hll_users": q_s6_stream_hll_users,
     "e3_normalize": q_e3_normalize,
     "e3_postings": q_e3_postings,
+    "s7_stream_heavy_hitters": q_s7_stream_heavy_hitters,
+    "e4_asof_nearest": q_e4_asof_nearest,
 }
 
 ORACLES: dict[str, str] = {
@@ -3681,4 +3781,7 @@ ORACLES: dict[str, str] = {
     "s6_stream_hll_users": ORACLE_E4_HLL_USERS,
     "e3_normalize": ORACLE_E3_NORMALIZE,
     "e3_postings": ORACLE_E3_POSTINGS,
+    # stream sketch == batch sketch cell-for-cell -> same oracle
+    "s7_stream_heavy_hitters": ORACLE_E3_HEAVY_HITTERS,
+    "e4_asof_nearest": ORACLE_E4_ASOF_NEAREST,
 }

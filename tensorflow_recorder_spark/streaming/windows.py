@@ -87,3 +87,39 @@ def streaming_hll_registers(
         .groupBy("reg")
         .agg(F.max("rho").alias("max_rho"))
     )
+
+
+def streaming_cms_cells(
+    stream: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Streaming count-min sketch: maintain the depth x width cell
+    counts as a streaming aggregate — bounded state (the sketch), any
+    key cardinality. Same md5 hash rows as the batch
+    ``sketches.cms_build``, so a drained stream sketch equals the batch
+    sketch cell-for-cell; finalize heavy hitters batch-side by probing
+    the drained cells (chained aggregations are not allowed in a single
+    streaming query).
+    """
+    from ..operators.sketches import _bucket_expr
+
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    rows = stream.select(
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({d}L as row_id, "
+                    f"{_bucket_expr(key_col, d, width)} as bucket, 1L as w)"
+                    for d in range(depth)
+                )
+                + ")"
+            )
+        ).alias("c")
+    ).select("c.row_id", "c.bucket", "c.w")
+    return rows.groupBy("row_id", "bucket").agg(
+        F.sum("w").cast("long").alias("cell_count")
+    )

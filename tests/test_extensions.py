@@ -1405,3 +1405,49 @@ def test_cohort_retention_triangle(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_asof_join_directions(spark):
+    from tensorflow_recorder_spark.operators.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 12:00:00"),
+         (3, 2, "2024-01-01 10:00:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 5.0),   # 30 min before e1
+         (1, "2024-01-01 10:20:00", 7.0),   # 20 min after e1
+         (2, "2024-01-01 11:00:00", 9.0)],  # only AFTER user 2's event
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def run(**kw):
+        return {r["event_id"]: r["value_asof"]
+                for r in asof_join(left, right, "user_id", **kw).collect()}
+
+    assert run(direction="backward") == {1: 5.0, 2: 7.0, 3: None}
+    assert run(direction="forward") == {1: 7.0, 2: None, 3: 9.0}
+    # e1: forward (20 min) beats backward (30 min); e2 only has backward
+    assert run(direction="nearest") == {1: 7.0, 2: 7.0, 3: 9.0}
+    # tolerance excludes candidates BEFORE the nearest choice:
+    # 25 min keeps only forward for e1, nothing within 25 min of e2
+    assert run(direction="nearest", tolerance_seconds=1500) == {
+        1: 7.0, 2: None, 3: None,
+    }
+    with pytest.raises(ValueError, match="direction"):
+        run(direction="sideways")
+
+
+def test_asof_join_forward_inclusive_at_equal_ts(spark):
+    from tensorflow_recorder_spark.operators.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00")], "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 4.2)], "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for d in ("backward", "forward", "nearest"):
+        got = asof_join(left, right, "user_id", direction=d).collect()[0]
+        assert got["value_asof"] == 4.2, d

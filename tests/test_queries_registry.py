@@ -105,6 +105,8 @@ def test_driver_window_holds_all_unique_queries():
         "s6_stream_hll_users",
         "e3_normalize",
         "e3_postings",
+        "s7_stream_heavy_hitters",
+        "e4_asof_nearest",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
