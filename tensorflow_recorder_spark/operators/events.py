@@ -449,3 +449,64 @@ def cohort_retention(
             F.col("n_users").cast("long").alias("n_users"),
         )
     )
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average of ``value_col`` in
+    event-time order: s_0 = v_0, s_i = (1-alpha)*s_{i-1} + alpha*v_i;
+    one row per key with the final smoothed value — the batch analog of
+    a stateful streaming smoother (applyInPandasWithState keeps the
+    same recurrence as its per-key state).
+
+    The recurrence is inherently sequential per key, so it runs as a
+    ``collect_list`` + higher-order ``aggregate`` fold AFTER one
+    key-partitioned shuffle: per-task memory is one key's
+    (ts, id, value) triples — the same per-key bound as any ordered
+    window (sessionize's sort carries the same rows); nothing is
+    quadratic and the driver holds nothing. Both engines fold
+    left-to-right over the identically-sorted array, so the float
+    trajectory is reproducible to the rounded digit.
+
+    Output: (key, n_events, ewma double rounded 6).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    df = normalize_event_time(df, ts_col)
+    a = float(alpha)
+    ordered = (
+        df.groupBy(F.col(key_col))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col(id_col).alias("i"),
+                        F.col(value_col).cast("double").alias("v"),
+                    )
+                )
+            ).alias("__evs")
+        )
+    )
+    fold = (
+        f"aggregate(slice(__vals, 2, size(__vals) - 1), "
+        f"cast(element_at(__vals, 1) as double), "
+        f"(acc, x) -> acc * cast({1.0 - a} as double) + x * cast({a} as double))"
+    )
+    return (
+        ordered.select(
+            F.col(key_col),
+            F.expr("transform(__evs, e -> e.v)").alias("__vals"),
+        )
+        .select(
+            key_col,
+            F.expr("size(__vals)").cast("long").alias("n_events"),
+            F.round(F.expr(fold), 6).alias("ewma"),
+        )
+    )

@@ -198,3 +198,79 @@ def hll_estimate(registers: DataFrame, b: int) -> DataFrame:
         F.lit(m).cast("long").alias("n_registers"),
         F.col("n_zero_registers"),
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as its SET-BIT POSITION
+    table: (pos) rows, at most min(m_bits, k*|keys|) of them — the
+    relational form of the bitset, built with one explode + distinct
+    (partial-aggregated; the shuffle carries positions, not keys).
+    md5-derived positions (same ``_bucket_expr`` family as CMS), so the
+    filter is bit-reproducible across engines and mergeable by UNION.
+    """
+    if m_bits < 1 or k_hashes < 1:
+        raise ValueError(f"m_bits/k_hashes must be >= 1, got {m_bits}/{k_hashes}")
+    return (
+        df.select(
+            F.explode(
+                F.expr(
+                    "array("
+                    + ", ".join(
+                        _bucket_expr(key_col, 1000 + d, m_bits)
+                        for d in range(k_hashes)
+                    )
+                    + ")"
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    batch: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Probe a Bloom position table: keys whose k positions are ALL set
+    — possible members (no false negatives; false-positive rate the
+    published (1-e^{-kn/m})^k). Output: (key, maybe_member boolean).
+
+    The classic dedup-ingest pre-filter: a new batch is probed against
+    the index corpus's filter and only bloom-positive rows continue to
+    the expensive LSH/verify path. The position table is at most m_bits
+    rows (a few MB) -> broadcast; probing is a map-side join + one
+    batch-keyed aggregate, so the pre-filter never shuffles the batch
+    payload.
+    """
+    if m_bits < 1 or k_hashes < 1:
+        raise ValueError(f"m_bits/k_hashes must be >= 1, got {m_bits}/{k_hashes}")
+    # distinct (key, pos): duplicate keys in the batch and intra-key
+    # hash collisions must not skew the all-positions-set check, so the
+    # membership test compares matched positions against the key's own
+    # DISTINCT position count, not against k.
+    probes = batch.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    _bucket_expr(key_col, 1000 + d, m_bits) for d in range(k_hashes)
+                )
+                + ")"
+            )
+        ).alias("pos"),
+    ).distinct()
+    hit = F.broadcast(bloom.select("pos", F.lit(1).alias("__set")))
+    return (
+        probes.join(hit, "pos", "left")
+        .groupBy("key")
+        .agg((F.count("__set") == F.count(F.lit(1))).alias("maybe_member"))
+    )

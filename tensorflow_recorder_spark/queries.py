@@ -2327,6 +2327,25 @@ FROM clicks c LEFT JOIN (SELECT event_id, purchase_value FROM best WHERE rn = 1)
 """
 
 
+def q_e4_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values in event-time order (alpha=0.3) —
+    the batch analog of a stateful streaming smoother; sequential fold
+    per key after one key-partitioned shuffle."""
+    return events.ewma_by_key(_events(spark, sf_dir), "user_id", "ts", "value")
+
+
+ORACLE_E4_EWMA = """
+WITH ordered AS (
+  SELECT user_id,
+         list(value::DOUBLE ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+       round(list_reduce(vals, (acc, x) -> acc * 0.7 + x * 0.3), 6) AS ewma
+FROM ordered
+"""
+
+
 def q_e4_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props: JSON field extraction (JVM-side
     get_json_object, no UDF) + grouped rollup over the extracted key."""
@@ -3542,6 +3561,46 @@ def q_s7_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e1_bloom_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter exact-dup pre-filter for incremental ingest: the
+    index corpus (doc_id % 10 != 0) builds a position-table filter over
+    text; the new batch (doc_id % 10 == 0) probes it — bloom-positive
+    rows are the only ones that continue to verification. No false
+    negatives by construction."""
+    from .operators.sketches import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    index = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id"), F.col("text")
+    )
+    bloom = bloom_build(index, "text", m_bits=1 << 16, k_hashes=4)
+    probed = bloom_probe(batch, bloom, "text", m_bits=1 << 16, k_hashes=4)
+    return (
+        batch.join(probed, batch.text == probed.key)
+        .select("doc_id", "maybe_member")
+    )
+
+
+ORACLE_E1_BLOOM_CANDIDATES = """
+WITH index_ AS (SELECT text FROM documents WHERE doc_id % 10 <> 0),
+batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+bloom AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5((1000 + d)::VARCHAR || ':' || text), 1, 8))::BIGINT % 65536 AS pos
+  FROM index_, UNNEST([0,1,2,3]) AS t(d)
+),
+probes AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5((1000 + d)::VARCHAR || ':' || text), 1, 8))::BIGINT % 65536 AS pos
+  FROM batch, UNNEST([0,1,2,3]) AS t(d)
+)
+SELECT p.doc_id, count(b.pos) = count(*) AS maybe_member
+FROM probes p LEFT JOIN bloom b ON p.pos = b.pos
+GROUP BY p.doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3673,6 +3732,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_postings": q_e3_postings,
     "s7_stream_heavy_hitters": q_s7_stream_heavy_hitters,
     "e4_asof_nearest": q_e4_asof_nearest,
+    "e4_ewma": q_e4_ewma,
+    "e1_bloom_candidates": q_e1_bloom_candidates,
 }
 
 ORACLES: dict[str, str] = {
@@ -3784,4 +3845,6 @@ ORACLES: dict[str, str] = {
     # stream sketch == batch sketch cell-for-cell -> same oracle
     "s7_stream_heavy_hitters": ORACLE_E3_HEAVY_HITTERS,
     "e4_asof_nearest": ORACLE_E4_ASOF_NEAREST,
+    "e4_ewma": ORACLE_E4_EWMA,
+    "e1_bloom_candidates": ORACLE_E1_BLOOM_CANDIDATES,
 }

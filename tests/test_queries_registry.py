@@ -107,6 +107,8 @@ def test_driver_window_holds_all_unique_queries():
         "e3_postings",
         "s7_stream_heavy_hitters",
         "e4_asof_nearest",
+        "e4_ewma",
+        "e1_bloom_candidates",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

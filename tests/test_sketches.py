@@ -194,3 +194,72 @@ def test_build_postings_caps_and_sorts(spark):
     assert [p["doc"] for p in out["common"]["postings"]] == [0, 1, 2]
     assert out["rare"]["df"] == 1
     assert [(p["doc"], p["tf"]) for p in out["rare"]["postings"]] == [(5, 1)]
+
+
+# -------------------------------------------------------------- Bloom
+
+
+def test_bloom_no_false_negatives(spark):
+    from tensorflow_recorder_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    index = spark.createDataFrame(
+        [(f"member_{i}",) for i in range(500)], "k string"
+    )
+    batch = spark.createDataFrame(
+        [(f"member_{i}",) for i in range(0, 500, 50)]
+        + [(f"outsider_{i}",) for i in range(200)],
+        "k string",
+    )
+    bloom = bloom_build(index, "k", m_bits=1 << 14, k_hashes=4)
+    got = {r["key"]: r["maybe_member"]
+           for r in bloom_probe(batch, bloom, "k", m_bits=1 << 14, k_hashes=4).collect()}
+    # every true member MUST be positive (no false negatives)
+    assert all(got[f"member_{i}"] for i in range(0, 500, 50))
+    # with 500 keys in 16k bits the FP rate is tiny: most outsiders negative
+    fp = sum(got[f"outsider_{i}"] for i in range(200))
+    assert fp <= 5
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_build(index, "k", m_bits=0)
+
+
+def test_bloom_probe_handles_duplicate_batch_keys(spark):
+    from tensorflow_recorder_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    index = spark.createDataFrame([("present",)], "k string")
+    batch = spark.createDataFrame(
+        [("present",), ("present",), ("absent",)], "k string"
+    )
+    bloom = bloom_build(index, "k", m_bits=1 << 12, k_hashes=4)
+    got = {r["key"]: r["maybe_member"]
+           for r in bloom_probe(batch, bloom, "k", m_bits=1 << 12, k_hashes=4).collect()}
+    assert got["present"] is True
+
+
+# --------------------------------------------------------------- EWMA
+
+
+def test_ewma_recurrence(spark):
+    from tensorflow_recorder_spark.operators.events import ewma_by_key
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 10:00:00", 10.0),
+            (2, 1, "2024-01-01 11:00:00", 20.0),
+            (3, 1, "2024-01-01 09:00:00", 0.0),   # out-of-order input
+            (4, 2, "2024-01-01 10:00:00", 7.5),
+        ],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["user_id"]: (r["n_events"], r["ewma"])
+           for r in ewma_by_key(df, alpha=0.5).collect()}
+    # user 1 in ts order: 0, 10, 20 -> s=0; s=5; s=12.5
+    assert got[1] == (3, 12.5)
+    assert got[2] == (1, 7.5)  # single event: s_0 = v_0
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_by_key(df, alpha=0.0).collect()
