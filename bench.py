@@ -70,6 +70,11 @@ BENCH_QUERIES = [
     "e1_incremental_dedup",
     "e1_keep_best",
     "e4_asof_join_tolerance",
+    # round-4 operators with nontrivial sf0.1 cost
+    "e2_pq_topk",
+    "e3_postings",
+    "e3_span_dedup",
+    "e3_heavy_hitters",
 ]
 
 

@@ -3601,6 +3601,61 @@ GROUP BY p.doc_id
 """
 
 
+_PROFILE_COLS = ("o_orderstatus", "o_custkey", "o_orderdate", "o_orderpriority")
+
+
+def q_rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-bounded-pass column profiler over orders: counts, nulls,
+    native min/max, and stacked-HLL distinct estimates (all columns'
+    sketches built in ONE shuffle whose key space is C x 2^b registers).
+    String/int/date columns only in the registered query — their string
+    forms are canonical across engines, so the md5-hashed HLL and the
+    min/max render identically."""
+    from .operators.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"), columns=list(_PROFILE_COLS), b=10
+    )
+
+
+def _oracle_rel_profile() -> str:
+    blocks = []
+    for c in _PROFILE_COLS:
+        blocks.append(f"""
+SELECT '{c}' AS column,
+       (SELECT count(*) FROM orders) AS n_rows,
+       (SELECT count(*) FROM orders WHERE {c} IS NULL) AS n_nulls,
+       (
+         WITH h AS (
+           SELECT ('0x' || substr(md5(':' || {c}::VARCHAR), 1, 12))::BIGINT AS h48
+           FROM orders WHERE {c} IS NOT NULL
+         ),
+         parts AS (
+           SELECT (h48 // 4294967296) % 1024 AS reg, h48 % 4294967296 AS tail FROM h
+         ),
+         regs AS (
+           SELECT reg, max(CASE WHEN tail = 0 THEN 33
+                                ELSE 33 - length(bin(tail)) END) AS max_rho
+           FROM parts GROUP BY reg
+         ),
+         agg AS (
+           SELECT sum(power(2.0, -max_rho)) AS inv_sum, count(*) AS n_nonzero
+           FROM regs
+         )
+         SELECT CAST(round(CASE WHEN raw_est <= 2560.0 AND nz > 0
+                           THEN 1024 * ln(1024.0 / nz) ELSE raw_est END) AS BIGINT)
+         FROM (
+           SELECT round(0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024
+                        / (inv_sum + (1024 - n_nonzero)), 4) AS raw_est,
+                  CAST(1024 - n_nonzero AS BIGINT) AS nz
+           FROM agg
+         )
+       ) AS n_distinct_est,
+       (SELECT min({c})::VARCHAR FROM orders) AS min_value,
+       (SELECT max({c})::VARCHAR FROM orders) AS max_value""")
+    return "\nUNION ALL\n".join(blocks)
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3734,6 +3789,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_asof_nearest": q_e4_asof_nearest,
     "e4_ewma": q_e4_ewma,
     "e1_bloom_candidates": q_e1_bloom_candidates,
+    "rel_profile": q_rel_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -3847,4 +3903,5 @@ ORACLES: dict[str, str] = {
     "e4_asof_nearest": ORACLE_E4_ASOF_NEAREST,
     "e4_ewma": ORACLE_E4_EWMA,
     "e1_bloom_candidates": ORACLE_E1_BLOOM_CANDIDATES,
+    "rel_profile": _oracle_rel_profile(),
 }

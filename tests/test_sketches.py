@@ -263,3 +263,28 @@ def test_ewma_recurrence(spark):
     assert got[2] == (1, 7.5)  # single event: s_0 = v_0
     with pytest.raises(ValueError, match="alpha"):
         ewma_by_key(df, alpha=0.0).collect()
+
+
+# ------------------------------------------------------------- profile
+
+
+def test_profile_table_counts_and_estimates(spark):
+    from tensorflow_recorder_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(i, None if i % 4 == 0 else f"v{i % 7}", float(i)) for i in range(400)],
+        "id long, cat string, x double",
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert got["id"]["n_rows"] == 400 and got["id"]["n_nulls"] == 0
+    assert got["cat"]["n_nulls"] == 100
+    # 6 distinct non-null cats (v1..v6 — v0 only at i%7==0... i%4!=0)
+    true_cats = len({f"v{i % 7}" for i in range(400) if i % 4 != 0})
+    assert abs(got["cat"]["n_distinct_est"] - true_cats) <= 1
+    assert abs(got["id"]["n_distinct_est"] - 400) <= 20
+    assert got["id"]["min_value"] == "0" and got["id"]["max_value"] == "399"
+    assert got["x"]["min_value"] == "0.0"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no columns"):
+        profile_table(df, columns=[])
