@@ -1444,12 +1444,16 @@ def duplicated_span_occurrences(
     array is a single-machine data structure, so at 100 TB the
     equivalent signal is computed relationally): explode every token
     position into its ``k``-gram hash, find each gram's first
-    occurrence with ONE partial-aggregated ``min(struct(id, pos))``
-    groupBy — the shuffle carries 16-byte digests + 12-byte keeper
-    structs, never text — and re-join to mark later occurrences.
-    Boilerplate grams (the hot keys) are exactly what AQE skew-split
-    handles; the groupBy form (vs a per-gram window) keeps the hot
-    gram's combine map-side.
+    occurrence, and every later occurrence is a drop candidate.
+
+    Physical form: ONE ``row_number`` window partitioned by gram hash —
+    the gram projection (the expensive per-position md5 over token
+    slices) is computed once and shuffled once on the 16-byte digest;
+    the earlier groupBy+join-back formulation shuffled the gram rows
+    twice AND re-evaluated the hashing subtree on both sides of the
+    join (measured 3x slower at sf0.1). Boilerplate grams (the hot
+    keys) are single window partitions — the same skew profile the
+    join's build side had, and the per-row window state is one counter.
 
     Matching is case-insensitive (grams hash the LOWERCASED join of the
     whitespace tokens); positions index the whitespace token sequence of
@@ -1457,39 +1461,35 @@ def duplicated_span_occurrences(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    toks = df.select(
+    # per-position md5-over-slice is the expensive projection: make sure
+    # an under-parallel scan (one parquet file) doesn't serialize it
+    toks = _spread(df).select(
         F.col(id_col),
         F.expr(
             f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
         ).alias("__toks"),
     )
-    grams = (
-        toks.select(
-            id_col,
+    # The explode is the GENERATOR over the toks projection — the
+    # Generate node blocks CollapseProject, so the tokenization is
+    # evaluated once per row. Aliasing the gram array in an adjacent
+    # Project instead lets the optimizer inline filter(split(text))
+    # into the per-position lambda: O(tokens^2) CPU per document
+    # (measured 3-15x slower at sf0.1).
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
             F.expr(
                 f"CASE WHEN size(__toks) >= {k} THEN "
                 f"transform(sequence(0, size(__toks) - {k}), "
                 f"p -> struct(p AS pos, md5(lower(concat_ws(' ', slice(__toks, p + 1, {k})))) AS gh)) "
                 f"ELSE array() END"
-            ).alias("__gs"),
-        )
-        .select(id_col, F.explode("__gs").alias("__g"))
-        .select(id_col, F.col("__g.pos").alias("pos"), F.col("__g.gh").alias("gh"))
-    )
-    info = grams.groupBy("gh").agg(
-        F.min(F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))).alias(
-            "__keep"
-        ),
-        F.count(F.lit(1)).alias("__cnt"),
-    )
-    return (
-        grams.join(info.where(F.col("__cnt") > 1), "gh")
-        .where(
-            ~(
-                (F.col(id_col) == F.col("__keep.kid"))
-                & (F.col("pos") == F.col("__keep.kpos"))
             )
-        )
+        ).alias("__g"),
+    ).select(id_col, F.col("__g.pos").alias("pos"), F.col("__g.gh").alias("gh"))
+    w = Window.partitionBy("gh").orderBy(F.asc(id_col), F.asc("pos"))
+    return (
+        grams.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
         .select(id_col, "pos")
     )
 
@@ -1527,7 +1527,7 @@ def span_dedup(
         raise ValueError(f"k must be >= 1, got {k}")
     dup = duplicated_span_occurrences(df, text_col, id_col, k)
     dup_pos = dup.groupBy(id_col).agg(F.collect_list("pos").alias("__dp"))
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col),
         F.expr(
             f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
