@@ -90,3 +90,54 @@ def streaming_user_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_ewma(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key streaming EWMA via ``applyInPandasWithState`` — the
+    streaming twin of ``operators.events.ewma_by_key``: state is
+    (n, ewma) per key, the recurrence s_i = (1-a)*s_{i-1} + a*v_i
+    applied in (ts, id) order WITHIN each micro-batch, carried across
+    batches through the state store. Emits the running smoothed value
+    per key per batch (update mode).
+
+    Equal to the batch fold when batches arrive in event-time order
+    (e.g. an availableNow drain of a single time-ordered source file);
+    under cross-batch reordering the trajectory differs — that is the
+    inherent streaming trade, and why the batch operator is the oracle
+    of record.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    out_schema = f"{key_col} long, n_events long, ewma double"
+    state_schema = "n long, s double"
+    a = float(alpha)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, s = state.get
+        else:
+            n, s = 0, None
+        for pdf in pdfs:
+            ordered = pdf.sort_values([ts_col, id_col])
+            for v in ordered[value_col].astype(float):
+                s = v if s is None else s * (1.0 - a) + v * a
+                n += 1
+        state.update((n, s))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "ewma": [s]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -229,3 +229,31 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
     want = hll_distinct(batch_df, "user_id", b=8).collect()[0]
     assert got["n_distinct_est"] == want["n_distinct_est"]
     assert got["n_zero_registers"] == want["n_zero_registers"]
+
+
+def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
+    """Single ordered source file drained availableNow: the stateful
+    streaming EWMA equals the batch fold exactly."""
+    from tensorflow_recorder_spark.operators.events import ewma_by_key
+    from tensorflow_recorder_spark.streaming.stateful import streaming_ewma
+
+    rows = [
+        Row(event_id=i, ts=f"2024-01-01 10:{i:02d}:00", user_id=1 + i % 3,
+            value=float((i * 7) % 23))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "ewma_src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_ewma(stream, "user_id", "ts", "value", alpha=0.4)
+    q = (
+        out.writeStream.format("memory").queryName("ewma_sink")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r["user_id"]: (r["n_events"], round(r["ewma"], 6))
+           for r in spark.table("ewma_sink").collect()}
+    want = {r["user_id"]: (r["n_events"], r["ewma"])
+            for r in ewma_by_key(df, alpha=0.4).collect()}
+    assert got == want
