@@ -1,0 +1,23 @@
+#!/usr/bin/env bash
+# Round gate (r3 verdict item 2): the driver scores only the first 50
+# registry entries, so a green driver file does NOT mean the surface is
+# green — this script is the pre-commit/end-of-round check over the
+# FULL surface: every test, every declared query vs its DuckDB oracle,
+# and a bench smoke run.
+#
+#   scripts/ci.sh            # full gate (pytest + full oracle + bench)
+#   scripts/ci.sh --quick    # pytest + full oracle only
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== pytest =="
+python -m pytest tests/ -q
+
+echo "== full-registry oracle check (sf0.01) =="
+python scripts/check_oracle.py
+
+if [[ "${1:-}" != "--quick" ]]; then
+  echo "== bench (sf0.1) =="
+  python bench.py
+fi
+echo "CI GATE GREEN"

@@ -215,3 +215,16 @@ def test_bm25_filters_explode_before_aggregate(spark):
     plan = plan_of(spark, "e3_bm25")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "partial_" in plan
+
+
+def test_span_occurrences_single_window_no_join(spark):
+    """Span dedup: the gram stream must flow through ONE ranking window
+    on the digest — no groupBy+join-back (which shuffled the grams twice
+    and re-evaluated the hash projection on both sides), and the
+    tokenization must feed a Generate (explode-as-generator blocks
+    CollapseProject from inlining split() into the per-position lambda;
+    the r4 fix that took e3_span_dedup from 17.7s to 1.7s at sf0.1)."""
+    plan = plan_of(spark, "e3_span_occurrences")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Window (") == 1  # one window NODE in the tree
+    assert "Generate" in plan
