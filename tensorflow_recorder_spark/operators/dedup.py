@@ -1564,3 +1564,42 @@ def span_dedup(
             F.expr("size(__toks) - size(__kept)").cast("long").alias("n_dropped"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public arXiv paper): cluster embeddings, compare
+    pairs ONLY within a cluster, and drop every document that has a
+    more-canonical (lower-id) semantic duplicate at cosine >=
+    ``threshold``. Returns the surviving rows of ``df``.
+
+    This is the published algorithm's exact scale shape: the k-means
+    partition bounds the quadratic — within-cell pairwise cost is
+    sum(|cell|^2) instead of |corpus|^2, and k grows with the corpus so
+    cells stay bounded. Composition here: broadcast-centroid
+    :func:`~.similarity.ivf_assign` (one bounded argmax shuffle), the
+    cell-blocked equi-self-join of :func:`embedding_neardup_pairs`
+    (never a cross product), and a left-anti join on the dropped-id set
+    (the duplicates — the small side). The corpus never shuffles except
+    on its cell key.
+
+    Centroids are caller-supplied (fit with
+    :func:`~.similarity.kmeans_fit`, or any deterministic seed set), so
+    the same fitted partition is reusable across incremental runs.
+    """
+    from .similarity import ivf_assign
+
+    assign = ivf_assign(df, centroids, vec_col, id_col)
+    cells = df.join(assign, id_col)
+    pairs = embedding_neardup_pairs(
+        cells, vec_col, id_col, block_col="centroid_id", threshold=threshold
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")

@@ -3656,6 +3656,52 @@ SELECT '{c}' AS column,
     return "\nUNION ALL\n".join(blocks)
 
 
+def q_e1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: embeddings clustered to 8 seed centroids (vec_id < 8),
+    within-cell cosine pairs at >= 0.3, every vector with a lower-id
+    semantic duplicate dropped. The cluster partition bounds the
+    quadratic — the published web-scale semantic-dedup shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = dedup.semantic_dedup(emb, "embedding", "vec_id", centroids, threshold=0.3)
+    return out.select("vec_id", "label")
+
+
+ORACLE_E1_SEMANTIC_DEDUP = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e, sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+scored AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         round(list_aggregate(list_transform(list_zip(v.e, c.e),
+               p -> p[1] * p[2]), 'sum') / (v.nrm * c.nrm), 6) AS score
+  FROM norms v JOIN norms c ON c.vec_id < 8
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+cells AS (SELECT n.vec_id, n.e, n.nrm, a.centroid_id
+          FROM norms n JOIN assign a USING (vec_id)),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE list_aggregate(list_transform(list_zip(a.e, b.e),
+        p -> p[1] * p[2]), 'sum') / nullif(a.nrm * b.nrm, 0) >= 0.3
+)
+SELECT vec_id, label FROM e
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3790,6 +3836,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_ewma": q_e4_ewma,
     "e1_bloom_candidates": q_e1_bloom_candidates,
     "rel_profile": q_rel_profile,
+    "e1_semantic_dedup": q_e1_semantic_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -3904,4 +3951,5 @@ ORACLES: dict[str, str] = {
     "e4_ewma": ORACLE_E4_EWMA,
     "e1_bloom_candidates": ORACLE_E1_BLOOM_CANDIDATES,
     "rel_profile": _oracle_rel_profile(),
+    "e1_semantic_dedup": ORACLE_E1_SEMANTIC_DEDUP,
 }

@@ -1451,3 +1451,30 @@ def test_asof_join_forward_inclusive_at_equal_ts(spark):
     for d in ("backward", "forward", "nearest"):
         got = asof_join(left, right, "user_id", direction=d).collect()[0]
         assert got["value_asof"] == 4.2, d
+
+
+def test_semantic_dedup_drops_within_cluster_only(spark):
+    """SemDeDup: near-identical vectors in the SAME cluster dedup to the
+    lowest id; an equally-similar pair split across clusters survives
+    (the documented cluster-boundary approximation of the paper)."""
+    rows = [
+        # cluster A (centroid 0): three near-identical vectors
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (10, [0.99, 0.01, 0.0, 0.0]),
+        (11, [0.98, 0.02, 0.0, 0.0]),
+        # cluster B (centroid 1): one lone vector
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (20, [0.0, 0.97, 0.03, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in dedup.semantic_dedup(
+            df, "embedding", "vec_id", centroids, threshold=0.95
+        ).collect()
+    )
+    # 10/11 drop (dups of 0 within cluster A); 20 drops (dup of 1 in B)
+    assert kept == [0, 1]

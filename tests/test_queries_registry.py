@@ -110,6 +110,7 @@ def test_driver_window_holds_all_unique_queries():
         "e4_ewma",
         "e1_bloom_candidates",
         "rel_profile",
+        "e1_semantic_dedup",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
