@@ -3702,6 +3702,49 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 """
 
 
+def q_e3_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training statistics: top-20 adjacent-symbol pairs (initial
+    character symbols + end-of-word mark) weighted by word frequency —
+    the argmax stream the merge loop consumes (operators/bpe.py
+    implements the full iterative fit + greedy encode)."""
+    from .operators.bpe import pair_counts, word_counts, _with_symbols
+
+    pc = pair_counts(_with_symbols(word_counts(_t(spark, sf_dir, "documents"), "text")))
+    return (
+        pc.orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+        .limit(20)
+        .select("left", "right", "cnt")
+    )
+
+
+ORACLE_E3_BPE_PAIRS = r"""
+WITH words AS (
+  SELECT word, count(*) AS n FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              t -> t <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+),
+syms AS (
+  SELECT word, n,
+         list_append(list_filter(regexp_split_to_array(word, ''), c -> c <> ''),
+                     '</w>') AS s
+  FROM words
+),
+pairs AS (
+  SELECT s[i.i] AS "left", s[i.i + 1] AS "right", sum(n) AS cnt
+  FROM syms, UNNEST(range(1, len(s))) AS i(i)
+  GROUP BY 1, 2
+)
+SELECT "left", "right", CAST(cnt AS BIGINT) AS cnt
+FROM (
+  SELECT "left", "right", cnt,
+         row_number() OVER (ORDER BY cnt DESC, "left", "right") AS rn
+  FROM pairs
+) WHERE rn <= 20
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3837,6 +3880,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_bloom_candidates": q_e1_bloom_candidates,
     "rel_profile": q_rel_profile,
     "e1_semantic_dedup": q_e1_semantic_dedup,
+    "e3_bpe_pairs": q_e3_bpe_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -3952,4 +3996,5 @@ ORACLES: dict[str, str] = {
     "e1_bloom_candidates": ORACLE_E1_BLOOM_CANDIDATES,
     "rel_profile": _oracle_rel_profile(),
     "e1_semantic_dedup": ORACLE_E1_SEMANTIC_DEDUP,
+    "e3_bpe_pairs": ORACLE_E3_BPE_PAIRS,
 }

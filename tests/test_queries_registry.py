@@ -111,6 +111,7 @@ def test_driver_window_holds_all_unique_queries():
         "e1_bloom_candidates",
         "rel_profile",
         "e1_semantic_dedup",
+        "e3_bpe_pairs",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
