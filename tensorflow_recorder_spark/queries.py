@@ -3745,6 +3745,34 @@ FROM (
 """
 
 
+def q_s8_stream_bloom_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom ingest pre-filter: the index corpus's set-bit
+    positions maintained as a bounded streaming aggregate (state <=
+    m_bits rows), drained availableNow, then the new batch probes them
+    batch-side — position-identical to e1_bloom_candidates' batch
+    filter, so it shares that oracle."""
+    from .operators.sketches import bloom_probe
+    from .streaming.windows import streaming_bloom_positions
+
+    docs_stream = spark.readStream.schema(
+        _t(spark, sf_dir, "documents").schema
+    ).parquet(f"{sf_dir}/documents.parque[t]")
+    index_stream = docs_stream.where(F.col("doc_id") % 10 != 0)
+    positions = streaming_bloom_positions(
+        index_stream, "text", m_bits=1 << 16, k_hashes=4
+    )
+    bloom = _drain_to_memory(positions, "stream_bloom_sink", "complete")
+    batch = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    probed = bloom_probe(batch, bloom, "text", m_bits=1 << 16, k_hashes=4)
+    return batch.join(probed, batch.text == probed.key).select(
+        "doc_id", "maybe_member"
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3881,6 +3909,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_profile": q_rel_profile,
     "e1_semantic_dedup": q_e1_semantic_dedup,
     "e3_bpe_pairs": q_e3_bpe_pairs,
+    "s8_stream_bloom_candidates": q_s8_stream_bloom_candidates,
 }
 
 ORACLES: dict[str, str] = {
@@ -3997,4 +4026,6 @@ ORACLES: dict[str, str] = {
     "rel_profile": _oracle_rel_profile(),
     "e1_semantic_dedup": ORACLE_E1_SEMANTIC_DEDUP,
     "e3_bpe_pairs": ORACLE_E3_BPE_PAIRS,
+    # stream positions == batch positions -> same oracle
+    "s8_stream_bloom_candidates": ORACLE_E1_BLOOM_CANDIDATES,
 }

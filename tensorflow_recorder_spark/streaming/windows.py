@@ -123,3 +123,39 @@ def streaming_cms_cells(
     return rows.groupBy("row_id", "bucket").agg(
         F.sum("w").cast("long").alias("cell_count")
     )
+
+
+def streaming_bloom_positions(
+    stream: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Streaming Bloom filter: maintain the set-bit position table as a
+    streaming aggregate — state is at most m_bits rows however many
+    keys stream past (the continuously-updated ingest pre-filter; a new
+    batch probes the drained positions with ``sketches.bloom_probe``).
+    Same md5 positions as the batch ``bloom_build``, so stream == batch
+    position-for-position.
+    """
+    from ..operators.sketches import _bucket_expr
+
+    if m_bits < 1 or k_hashes < 1:
+        raise ValueError(f"m_bits/k_hashes must be >= 1, got {m_bits}/{k_hashes}")
+    return (
+        stream.select(
+            F.explode(
+                F.expr(
+                    "array("
+                    + ", ".join(
+                        _bucket_expr(key_col, 1000 + d, m_bits)
+                        for d in range(k_hashes)
+                    )
+                    + ")"
+                )
+            ).alias("pos")
+        )
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .select("pos")
+    )

@@ -112,6 +112,7 @@ def test_driver_window_holds_all_unique_queries():
         "rel_profile",
         "e1_semantic_dedup",
         "e3_bpe_pairs",
+        "s8_stream_bloom_candidates",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
