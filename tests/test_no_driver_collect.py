@@ -26,6 +26,12 @@ ALLOWED = {
     "operators/split.py": (1, "split histogram (<= #splits rows)"),
     "operators/scale.py": (1, "single row of fitted mean/std aggregates"),
     "sources/image_dir.py": (1, "distinct split names (<= 4)"),
+    "operators/bpe.py": (
+        1,
+        "merge-loop argmax: limit(1).collect() — exactly one (left, "
+        "right, cnt) row per iteration; the word/symbol tables stay "
+        "distributed",
+    ),
 }
 
 
