@@ -147,3 +147,36 @@ def test_extract_images_decodes_real_jpeg(spark, tmp_path):
     assert (row["image_width"], row["image_height"], row["image_channels"]) == (
         w, h, 3,
     )
+
+
+def test_jpeg_property_roundtrip_smooth_images():
+    """Property test: random smooth images (low-frequency ramps with
+    random endpoints/sizes) round-trip within JPEG quality-50 tolerance
+    for every subsampling mode; dims and mode always exact."""
+    import numpy as np
+
+    rng = np.random.RandomState(1234)
+    for _ in range(12):
+        # >= 8 px per side: sub-MCU images are one edge-padded block
+        # where a steep ramp is ALL high-frequency content and quality-50
+        # quantization legitimately smears it (PIL behaves the same)
+        w = int(rng.randint(8, 70))
+        h = int(rng.randint(8, 70))
+        c0 = rng.randint(0, 256, 3)
+        c1 = rng.randint(0, 256, 3)
+        yy, xx = np.mgrid[0:h, 0:w]
+        t = (xx + yy) / max(w + h - 2, 1)
+        img = (c0[None, None, :] * (1 - t[..., None]) + c1[None, None, :] * t[..., None]).astype(np.uint8)
+        ss = ["4:4:4", "4:2:2", "4:2:0"][int(rng.randint(3))]
+        ri = int(rng.randint(0, 3))
+        jpg = encode_jpeg(img.tobytes(), w, h, "RGB", subsample=ss, restart_interval=ri)
+        px, dw, dh, mode = decode_jpeg(jpg)
+        assert (dw, dh, mode) == (w, h, "RGB")
+        got = np.frombuffer(px, np.uint8).astype(int).reshape(h, w, 3)
+        err = np.abs(img.astype(int) - got)
+        assert err.mean() < 6, (w, h, ss, ri, err.mean())
+
+
+def test_jpeg_decode_deterministic():
+    jpg = encode_jpeg(_gradient_rgb(19, 11).tobytes(), 19, 11, "RGB")
+    assert decode_jpeg(jpg) == decode_jpeg(jpg)
