@@ -945,3 +945,76 @@ def pq_topk(
         rank_alias="rank",
         salt_on="neighbor_id",
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: the production ANN serving composition (FAISS's
+    IndexIVFPQ shape) — queries probe their ``nprobe`` nearest cells,
+    and asymmetric-distance scoring runs ONLY over the probed cells'
+    PQ codes. Output: (query_id, neighbor_id, adc_dist, rank).
+
+    ``codes`` must carry the cell assignment: (id, sub_id, code_id,
+    centroid_id) — the stored form of an IVF-PQ index (pq_encode joined
+    with ivf_assign, persisted ``partitionBy(centroid_id)`` at scale so
+    this function's cell restriction is a partition-pruned scan).
+
+    Scale shape: the probe table (|Q| x nprobe cells) and the per-query
+    LUT (|Q| x m x k distances) both broadcast; the candidate set is
+    nprobe/K of the corpus BY LAYOUT, scored through its compressed
+    codes, then ranked with the salted two-phase top-k. Nothing
+    data-sized shuffles to score — the only wide op is the candidate
+    (query, vector) distance sum.
+    """
+    probes = ivf_probes(queries, centroids, vec_col, id_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"), "centroid_id"
+    )
+    q_sub = pq_explode(queries, m, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), "sub_id", F.col("subvec").alias("__qv")
+    )
+    cb = codebook.select(
+        "sub_id", F.col("code_id").alias("__code"), F.col("subvec").alias("__cv")
+    )
+    lut = q_sub.join(F.broadcast(cb), "sub_id").select(
+        "query_id",
+        "sub_id",
+        "__code",
+        F.round(F.expr(_sq_l2_expr("__qv", "__cv")), 6).alias("__pd"),
+    )
+    code_rows = codes.select(
+        F.col(codes.columns[0]).alias("neighbor_id"),
+        "sub_id",
+        "code_id",
+        "centroid_id",
+    )
+    # cell restriction FIRST (broadcast semi-join on the probe table),
+    # then the LUT lookup — candidates are nprobe/K of the corpus
+    candidates = code_rows.join(F.broadcast(probes), "centroid_id")
+    scored = (
+        candidates.join(
+            F.broadcast(lut),
+            (candidates.sub_id == lut.sub_id)
+            & (candidates.code_id == lut.__code)
+            & (candidates.query_id == lut.query_id),
+        )
+        .where(candidates.query_id != F.col("neighbor_id"))
+        .groupBy(candidates.query_id, "neighbor_id")
+        .agg(F.round(F.sum("__pd"), 6).alias("adc_dist"))
+    )
+    return salted_topk_per_key(
+        scored,
+        key_cols=["query_id"],
+        order_by=[F.asc("adc_dist"), F.asc("neighbor_id")],
+        k=k,
+        rank_alias="rank",
+        salt_on="neighbor_id",
+    )

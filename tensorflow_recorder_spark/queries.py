@@ -3773,6 +3773,106 @@ def q_s8_stream_bloom_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e2_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 (the FAISS IndexIVFPQ composition): queries probe
+    their 2 nearest of 8 seed cells; asymmetric-distance scoring runs
+    only over the probed cells' 4-code compressed vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    cb = similarity.pq_seed_codebook(emb, m=4, k=16)
+    codes = similarity.pq_encode(emb, cb, m=4).join(
+        similarity.ivf_assign(emb, centroids), "vec_id"
+    )
+    queries = emb.orderBy(F.asc("vec_id")).limit(10)
+    return similarity.ivf_pq_topk(
+        queries, codes, cb, centroids, k=5, m=4, nprobe=2
+    )
+
+
+ORACLE_E2_IVF_PQ_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e, sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+cscored AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         round(list_aggregate(list_transform(list_zip(v.e, c.e),
+               p -> p[1] * p[2]), 'sum') / (v.nrm * c.nrm), 6) AS score
+  FROM norms v JOIN norms c ON c.vec_id < 8
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+    FROM cscored
+  ) WHERE rn = 1
+),
+queries AS (SELECT vec_id AS query_id FROM e ORDER BY vec_id LIMIT 10),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, s.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY s.score DESC, s.centroid_id) AS rn
+    FROM queries q JOIN cscored s ON s.vec_id = q.query_id
+  ) WHERE rn <= 2
+),
+sub AS (
+  SELECT vec_id, s AS sub_id, e[s*16+1 : s*16+16] AS sv
+  FROM e, UNNEST([0,1,2,3]) AS t(s)
+),
+seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code_id, e
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+),
+cb AS (
+  SELECT s AS sub_id, code_id, e[s*16+1 : s*16+16] AS cv
+  FROM seeds, UNNEST([0,1,2,3]) AS t(s)
+),
+pqscored AS (
+  SELECT sub.vec_id, sub.sub_id, cb.code_id,
+         round(list_aggregate(list_transform(list_zip(sv, cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6) AS d
+  FROM sub JOIN cb USING (sub_id)
+),
+codes AS (
+  SELECT vec_id, sub_id, code_id FROM (
+    SELECT vec_id, sub_id, code_id,
+           row_number() OVER (PARTITION BY vec_id, sub_id
+                              ORDER BY d, code_id) AS rn
+    FROM pqscored
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.query_id, s.sub_id, c.code_id,
+         round(list_aggregate(list_transform(list_zip(s.sv, c.cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6) AS pd
+  FROM queries q
+  JOIN sub s ON s.vec_id = q.query_id
+  JOIN cb c ON c.sub_id = s.sub_id
+),
+adc AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id, round(sum(l.pd), 6) AS adc_dist
+  FROM codes k
+  JOIN assign a ON a.vec_id = k.vec_id
+  JOIN probes pr ON pr.centroid_id = a.centroid_id
+  JOIN lut l ON l.sub_id = k.sub_id AND l.code_id = k.code_id
+            AND l.query_id = pr.query_id
+  WHERE l.query_id <> k.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= 5
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3910,6 +4010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_semantic_dedup": q_e1_semantic_dedup,
     "e3_bpe_pairs": q_e3_bpe_pairs,
     "s8_stream_bloom_candidates": q_s8_stream_bloom_candidates,
+    "e2_ivf_pq_topk": q_e2_ivf_pq_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -4028,4 +4129,5 @@ ORACLES: dict[str, str] = {
     "e3_bpe_pairs": ORACLE_E3_BPE_PAIRS,
     # stream positions == batch positions -> same oracle
     "s8_stream_bloom_candidates": ORACLE_E1_BLOOM_CANDIDATES,
+    "e2_ivf_pq_topk": ORACLE_E2_IVF_PQ_TOPK,
 }

@@ -113,6 +113,7 @@ def test_driver_window_holds_all_unique_queries():
         "e1_semantic_dedup",
         "e3_bpe_pairs",
         "s8_stream_bloom_candidates",
+        "e2_ivf_pq_topk",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

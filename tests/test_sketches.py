@@ -288,3 +288,28 @@ def test_profile_table_counts_and_estimates(spark):
 
     with _pytest.raises(ValueError, match="no columns"):
         profile_table(df, columns=[])
+
+
+def test_ivf_pq_topk_restricts_to_probed_cells(spark):
+    from tensorflow_recorder_spark.operators.similarity import (
+        ivf_assign,
+        ivf_pq_topk,
+        pq_encode,
+        pq_seed_codebook,
+    )
+
+    df = _pq_corpus(spark)  # two well-separated clusters
+    centroids = df.where(F.col("vec_id").isin(0, 100)).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    cb = pq_seed_codebook(df, m=2, k=4)
+    codes = pq_encode(df, cb, m=2).join(ivf_assign(df, centroids), "vec_id")
+    queries = df.where(F.col("vec_id") == 1)
+    # nprobe=1: only the query's own cluster cell is scanned
+    got = ivf_pq_topk(queries, codes, cb, centroids, k=4, m=2, nprobe=1).collect()
+    assert len(got) == 4
+    assert all(r["neighbor_id"] < 100 for r in got)  # same-cluster only
+    # nprobe=2 widens to both cells -> cross-cluster ids may appear at
+    # the tail, and the same-cell neighbors still rank first
+    got2 = ivf_pq_topk(queries, codes, cb, centroids, k=16, m=2, nprobe=2).collect()
+    assert {r["neighbor_id"] for r in got2} > {r["neighbor_id"] for r in got}
