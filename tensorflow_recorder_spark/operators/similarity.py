@@ -1018,3 +1018,41 @@ def ivf_pq_topk(
         rank_alias="rank",
         salt_on="neighbor_id",
     )
+
+
+def brute_force_topk_l2(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact squared-L2 top-k — the ground truth for evaluating the PQ
+    paths (which rank by ADC squared-L2; comparing them against cosine
+    ground truth would conflate metric mismatch with quantization
+    loss). Same plan shape as :func:`brute_force_topk`: queries
+    broadcast, corpus never shuffles to score, salted two-phase rank.
+    Output: (query_id, neighbor_id, dist, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(_sq_l2_expr("__qv", "__cv")), 6).alias("dist"),
+        )
+    )
+    return salted_topk_per_key(
+        scored,
+        key_cols=["query_id"],
+        order_by=[F.asc("dist"), F.asc("neighbor_id")],
+        k=k,
+        rank_alias="rank",
+        salt_on="neighbor_id",
+    )

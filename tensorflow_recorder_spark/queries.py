@@ -3873,6 +3873,95 @@ FROM (
 """
 
 
+def q_e2_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality evaluation: per-query recall@10 of ADC search (seed
+    codebook) against exact squared-L2 ground truth — the metric that
+    decides m/k before shipping a compressed index."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_seed_codebook(emb, m=4, k=16)
+    codes = similarity.pq_encode(emb, cb, m=4)
+    queries = emb.orderBy(F.asc("vec_id")).limit(5)
+    ann = similarity.pq_topk(queries, codes, cb, k=10, m=4)
+    exact = similarity.brute_force_topk_l2(emb, queries, k=10)
+    return similarity.ann_recall(ann, exact)
+
+
+ORACLE_E2_PQ_RECALL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+queries AS (SELECT vec_id AS query_id, e AS qe FROM e ORDER BY vec_id LIMIT 5),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(list_aggregate(list_transform(list_zip(q.qe, c.e),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6),
+             c.vec_id) AS rn
+    FROM queries q JOIN e c ON c.vec_id <> q.query_id
+  ) WHERE rn <= 10
+),
+sub AS (
+  SELECT vec_id, s AS sub_id, e[s*16+1 : s*16+16] AS sv
+  FROM e, UNNEST([0,1,2,3]) AS t(s)
+),
+seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code_id, e
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+),
+cb AS (
+  SELECT s AS sub_id, code_id, e[s*16+1 : s*16+16] AS cv
+  FROM seeds, UNNEST([0,1,2,3]) AS t(s)
+),
+pqscored AS (
+  SELECT sub.vec_id, sub.sub_id, cb.code_id,
+         round(list_aggregate(list_transform(list_zip(sv, cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6) AS d
+  FROM sub JOIN cb USING (sub_id)
+),
+codes AS (
+  SELECT vec_id, sub_id, code_id FROM (
+    SELECT vec_id, sub_id, code_id,
+           row_number() OVER (PARTITION BY vec_id, sub_id
+                              ORDER BY d, code_id) AS rn
+    FROM pqscored
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.query_id, s.sub_id, c.code_id,
+         round(list_aggregate(list_transform(list_zip(s.sv, c.cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6) AS pd
+  FROM queries q
+  JOIN sub s ON s.vec_id = q.query_id
+  JOIN cb c ON c.sub_id = s.sub_id
+),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, neighbor_id) AS rn
+    FROM (
+      SELECT l.query_id, k.vec_id AS neighbor_id,
+             round(sum(l.pd), 6) AS adc_dist
+      FROM codes k
+      JOIN lut l ON l.sub_id = k.sub_id AND l.code_id = k.code_id
+      WHERE l.query_id <> k.vec_id
+      GROUP BY 1, 2
+    )
+  ) WHERE rn <= 10
+),
+truth AS (SELECT query_id, count(*) AS n_true FROM exact GROUP BY query_id),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hits
+  FROM ann a JOIN exact x
+    ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT t.query_id, CAST(t.n_true AS BIGINT) AS n_true,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0)::DOUBLE / t.n_true, 6) AS recall
+FROM truth t LEFT JOIN hits h ON h.query_id = t.query_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4011,6 +4100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_bpe_pairs": q_e3_bpe_pairs,
     "s8_stream_bloom_candidates": q_s8_stream_bloom_candidates,
     "e2_ivf_pq_topk": q_e2_ivf_pq_topk,
+    "e2_pq_recall": q_e2_pq_recall,
 }
 
 ORACLES: dict[str, str] = {
@@ -4130,4 +4220,5 @@ ORACLES: dict[str, str] = {
     # stream positions == batch positions -> same oracle
     "s8_stream_bloom_candidates": ORACLE_E1_BLOOM_CANDIDATES,
     "e2_ivf_pq_topk": ORACLE_E2_IVF_PQ_TOPK,
+    "e2_pq_recall": ORACLE_E2_PQ_RECALL,
 }
