@@ -3962,6 +3962,58 @@ FROM truth t LEFT JOIN hits h ON h.query_id = t.query_id
 """
 
 
+def q_e6_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores: every document scored by how src0-like
+    its hashed unigram+bigram profile is (target = source 'src0' docs,
+    source distribution = whole corpus) — the classifier-free data
+    selection weight for pretraining mixtures."""
+    from .operators.selection import dsir_log_ratios, dsir_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    ratios = dsir_log_ratios(docs, target, "text", buckets=1024)
+    return dsir_scores(docs, ratios, "text", "doc_id", buckets=1024)
+
+
+ORACLE_E6_DSIR = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('f:' || g), 1, 8))::BIGINT % 1024 AS bucket
+  FROM (
+    SELECT doc_id, source, unnest(t) AS g FROM toks
+    UNION ALL
+    SELECT doc_id, source, t[i.i] || ' ' || t[i.i + 1] AS g
+    FROM toks, UNNEST(range(1, len(t))) AS i(i)
+  )
+),
+tc AS (SELECT bucket, count(*) AS tn FROM feats WHERE source = 'src0' GROUP BY bucket),
+sc AS (SELECT bucket, count(*) AS sn FROM feats GROUP BY bucket),
+tt AS (SELECT count(*) + 1024 AS t_total FROM feats WHERE source = 'src0'),
+st AS (SELECT count(*) + 1024 AS s_total FROM feats),
+ratios AS (
+  SELECT sc.bucket,
+         round(ln((coalesce(tc.tn, 0) + 1.0) / t_total)
+               - ln((sc.sn + 1.0) / s_total), 9) AS log_ratio
+  FROM sc LEFT JOIN tc USING (bucket) CROSS JOIN tt CROSS JOIN st
+),
+scored AS (
+  SELECT f.doc_id, count(*) AS n_features,
+         round(avg(coalesce(r.log_ratio, 0.0)), 6) AS dsir_score
+  FROM feats f LEFT JOIN ratios r USING (bucket)
+  GROUP BY f.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_features, 0) AS BIGINT) AS n_features,
+       coalesce(s.dsir_score, 0.0) AS dsir_score
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4101,6 +4153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s8_stream_bloom_candidates": q_s8_stream_bloom_candidates,
     "e2_ivf_pq_topk": q_e2_ivf_pq_topk,
     "e2_pq_recall": q_e2_pq_recall,
+    "e6_dsir_scores": q_e6_dsir_scores,
 }
 
 ORACLES: dict[str, str] = {
@@ -4221,4 +4274,5 @@ ORACLES: dict[str, str] = {
     "s8_stream_bloom_candidates": ORACLE_E1_BLOOM_CANDIDATES,
     "e2_ivf_pq_topk": ORACLE_E2_IVF_PQ_TOPK,
     "e2_pq_recall": ORACLE_E2_PQ_RECALL,
+    "e6_dsir_scores": ORACLE_E6_DSIR,
 }

@@ -115,6 +115,7 @@ def test_driver_window_holds_all_unique_queries():
         "s8_stream_bloom_candidates",
         "e2_ivf_pq_topk",
         "e2_pq_recall",
+        "e6_dsir_scores",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

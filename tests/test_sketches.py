@@ -313,3 +313,35 @@ def test_ivf_pq_topk_restricts_to_probed_cells(spark):
     # the tail, and the same-cell neighbors still rank first
     got2 = ivf_pq_topk(queries, codes, cb, centroids, k=16, m=2, nprobe=2).collect()
     assert {r["neighbor_id"] for r in got2} > {r["neighbor_id"] for r in got}
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def test_dsir_upweights_target_like_documents(spark):
+    from tensorflow_recorder_spark.operators.selection import (
+        dsir_log_ratios,
+        dsir_scores,
+    )
+
+    rows = (
+        [(i, "medical patient clinical trial dosage", "corpus") for i in range(10)]
+        + [(100 + i, "sports match score goal referee", "corpus") for i in range(10)]
+        + [(200 + i, "medical clinical dosage outcome", "target") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    target = docs.where(F.col("src") == "target")
+    ratios = dsir_log_ratios(docs, target, "text", buckets=512)
+    scored = {r["doc_id"]: r["dsir_score"]
+              for r in dsir_scores(docs, ratios, "text", "doc_id", buckets=512).collect()}
+    med = sum(scored[i] for i in range(10)) / 10
+    sports = sum(scored[100 + i] for i in range(10)) / 10
+    assert med > sports  # medical docs score target-like, sports don't
+    # empty docs survive with zero features and score 0
+    empty = spark.createDataFrame([(999, "", "x")], "doc_id long, text string, src string")
+    got = dsir_scores(empty, ratios, "text", "doc_id", buckets=512).collect()[0]
+    assert got["n_features"] == 0 and got["dsir_score"] == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="buckets"):
+        dsir_log_ratios(docs, target, "text", buckets=0)
