@@ -205,3 +205,53 @@ def source_token_quota(
         .where(F.col("__cum") + F.col("n_tokens") <= F.lit(per_shard))
         .drop("__b", "__cum")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement of ``k`` rows
+    (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir" — public): each row draws priority u^(1/w) from an
+    md5-derived uniform u and the k highest priorities win — the
+    one-pass distributed form of weighted reservoir sampling, and the
+    sampling half of importance resampling (pair with
+    ``selection.dsir_scores`` weights).
+
+    Determinism: u is a 32-bit md5 slice mapped into (0, 1], so the
+    same (salt, id) always draws the same priority and the DuckDB
+    oracle replays the draw exactly; priorities round to 9 digits
+    before ranking with an id tie-break. Rows with weight <= 0 or NULL
+    are excluded (zero probability). The rank is the salted two-phase
+    top-k — no corpus-wide single-partition sort.
+    Output: the sampled rows of ``df`` plus ``priority``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from .skew import salted_topk_per_key
+
+    u = (
+        f"(cast(conv(substring(md5(concat('{salt}:', {id_col})), 1, 8), 16, 10) "
+        f"as double) + 1.0) / 4294967296.0"
+    )
+    prioritized = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn(
+        "priority",
+        F.round(
+            F.expr(f"pow({u}, 1.0 / cast({weight_col} as double))"), 9
+        ),
+    )
+    ranked = salted_topk_per_key(
+        prioritized.withColumn("__g", F.lit(1)),
+        key_cols=["__g"],
+        order_by=[F.desc("priority"), F.asc(id_col)],
+        k=k,
+        rank_alias="__rk",
+        salt_on=id_col,
+    )
+    return ranked.drop("__g", "__rk")

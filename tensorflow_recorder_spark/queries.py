@@ -4014,6 +4014,35 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def q_e6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted reservoir sample (Efraimidis-Spirakis):
+    75 documents drawn without replacement with probability ~ n_chars —
+    the sampling half of importance resampling."""
+    from .operators.sampling import weighted_sample
+
+    out = weighted_sample(
+        _t(spark, sf_dir, "documents"), "n_chars", "doc_id", k=75
+    )
+    return out.select("doc_id", "priority")
+
+
+ORACLE_E6_WEIGHTED_SAMPLE = """
+WITH pri AS (
+  SELECT doc_id,
+         round(pow((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                    + 1.0) / 4294967296.0,
+                   1.0 / n_chars::DOUBLE), 9) AS priority
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, priority FROM (
+  SELECT doc_id, priority,
+         row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+  FROM pri
+) WHERE rn <= 75
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4154,6 +4183,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_ivf_pq_topk": q_e2_ivf_pq_topk,
     "e2_pq_recall": q_e2_pq_recall,
     "e6_dsir_scores": q_e6_dsir_scores,
+    "e6_weighted_sample": q_e6_weighted_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -4275,4 +4305,5 @@ ORACLES: dict[str, str] = {
     "e2_ivf_pq_topk": ORACLE_E2_IVF_PQ_TOPK,
     "e2_pq_recall": ORACLE_E2_PQ_RECALL,
     "e6_dsir_scores": ORACLE_E6_DSIR,
+    "e6_weighted_sample": ORACLE_E6_WEIGHTED_SAMPLE,
 }

@@ -345,3 +345,32 @@ def test_dsir_upweights_target_like_documents(spark):
 
     with _pytest.raises(ValueError, match="buckets"):
         dsir_log_ratios(docs, target, "text", buckets=0)
+
+
+# ------------------------------------------------ weighted sampling
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from tensorflow_recorder_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1000.0 if i < 20 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, "w", "doc_id", k=30)
+    ids = {r["doc_id"] for r in got.collect()}
+    assert len(ids) == 30
+    # all 20 heavy rows (1000x weight) should make a top-30 draw
+    heavy_in = len([i for i in ids if i < 20])
+    assert heavy_in >= 18
+    # deterministic: same salt -> identical draw; new salt -> different
+    again = {r["doc_id"] for r in weighted_sample(df, "w", "doc_id", k=30).collect()}
+    assert again == ids
+    other = {r["doc_id"] for r in
+             weighted_sample(df, "w", "doc_id", k=30, salt="ws2").collect()}
+    assert other != ids
+    # zero/NULL weights are excluded
+    z = spark.createDataFrame([(1, 0.0), (2, None), (3, 5.0)], "doc_id long, w double")
+    assert [r["doc_id"] for r in weighted_sample(z, "w", "doc_id", k=5).collect()] == [3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, "w", "doc_id", k=0)
