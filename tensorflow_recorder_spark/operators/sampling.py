@@ -255,3 +255,44 @@ def weighted_sample(
         salt_on=id_col,
     )
     return ranked.drop("__g", "__rk")
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Deterministic curriculum ordering: rows are bucketed into
+    ``n_buckets`` score percentiles (ntile over score desc, id
+    tie-break) and emitted interleaved — position p takes one row from
+    each bucket in turn, so any training-order prefix contains a
+    balanced mix of difficulties while still consuming best-first
+    within each bucket. Output: (id, bucket, curriculum_pos).
+
+    One global ntile window is a single-partition sort of ids+scores —
+    fine to percentile-rank fitted SCORES at any corpus size only when
+    pre-aggregated; for raw 100 TB corpora swap the ntile for
+    approx-quantile bucket bounds (the text quantile operator) and keep
+    the same interleave arithmetic, which is the scalable part: the
+    final order is BY COMPUTED KEY, not by a global sort.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(score_col),
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )
+    wb = Window.partitionBy("bucket").orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        bucketed.withColumn("__r", F.row_number().over(wb))
+        .select(
+            id_col,
+            F.col("bucket").cast("long").alias("bucket"),
+            ((F.col("__r") - 1) * n_buckets + F.col("bucket") - 1)
+            .cast("long")
+            .alias("curriculum_pos"),
+        )
+    )

@@ -4043,6 +4043,35 @@ SELECT doc_id, priority FROM (
 """
 
 
+def q_e6_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering of the documents corpus by length score:
+    10 percentile buckets emitted interleaved, so every training-order
+    prefix mixes difficulties while staying deterministic."""
+    from .operators.sampling import curriculum_order
+
+    return curriculum_order(
+        _t(spark, sf_dir, "documents"), "n_chars", "doc_id", n_buckets=10
+    )
+
+
+ORACLE_E6_CURRICULUM = """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS bucket
+  FROM documents
+),
+r AS (
+  SELECT doc_id, bucket,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM b
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST((rn - 1) * 10 + bucket - 1 AS BIGINT) AS curriculum_pos
+FROM r
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4184,6 +4213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_pq_recall": q_e2_pq_recall,
     "e6_dsir_scores": q_e6_dsir_scores,
     "e6_weighted_sample": q_e6_weighted_sample,
+    "e6_curriculum": q_e6_curriculum,
 }
 
 ORACLES: dict[str, str] = {
@@ -4306,4 +4336,5 @@ ORACLES: dict[str, str] = {
     "e2_pq_recall": ORACLE_E2_PQ_RECALL,
     "e6_dsir_scores": ORACLE_E6_DSIR,
     "e6_weighted_sample": ORACLE_E6_WEIGHTED_SAMPLE,
+    "e6_curriculum": ORACLE_E6_CURRICULUM,
 }

@@ -117,6 +117,7 @@ def test_driver_window_holds_all_unique_queries():
         "e2_pq_recall",
         "e6_dsir_scores",
         "e6_weighted_sample",
+        "e6_curriculum",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

@@ -374,3 +374,25 @@ def test_weighted_sample_favors_heavy_rows(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         weighted_sample(df, "w", "doc_id", k=0)
+
+
+def test_curriculum_order_interleaves_buckets(spark):
+    from tensorflow_recorder_spark.operators.sampling import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(40)], "doc_id long, score double"
+    )
+    got = sorted(
+        (r["curriculum_pos"], r["bucket"], r["doc_id"])
+        for r in curriculum_order(df, "score", "doc_id", n_buckets=4).collect()
+    )
+    # positions are a permutation of 0..39
+    assert [p for p, _, _ in got] == list(range(40))
+    # the first n_buckets positions draw one row from EACH bucket
+    assert [b for _, b, _ in got[:4]] == [1, 2, 3, 4]
+    # and the best-scored (lowest id) doc of each bucket leads it
+    assert [d for _, _, d in got[:4]] == [0, 10, 20, 30]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        curriculum_order(df, "score", "doc_id", n_buckets=0)
