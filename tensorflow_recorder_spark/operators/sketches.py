@@ -274,3 +274,69 @@ def bloom_probe(
         .groupBy("key")
         .agg((F.count("__set") == F.count(F.lit(1))).alias("maybe_member"))
     )
+
+
+def hll_rolling_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    window_days: int = 3,
+    b: int = 10,
+) -> DataFrame:
+    """Rolling N-day distinct-key estimate per day — the sketch-algebra
+    win HLL exists for: ONE pass builds per-day register sketches
+    (days x 2^b rows), and every rolling window is a MERGE of stored
+    sketches (max over registers), not a re-scan of the data. An exact
+    rolling countDistinct would re-shuffle the corpus once per window;
+    this reshuffles sketch rows only.
+
+    Output: (day string yyyy-MM-dd, n_distinct_est bigint) for each day
+    with >= 1 event, estimating distincts over [day - window_days + 1,
+    day]. Same estimator/correction as :func:`hll_distinct`.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    from .events import normalize_event_time
+
+    df = normalize_event_time(df, ts_col)
+    reg, rho = hll_register_exprs(key_col, b)
+    daily = (
+        df.select(
+            F.to_date(ts_col).alias("day"),
+            F.expr(reg).alias("reg"),
+            F.expr(rho).alias("rho"),
+        )
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    # each daily register row feeds the windows ending on day..day+N-1;
+    # restrict to windows whose END day actually has events
+    active_days = daily.select("day").distinct().withColumnRenamed("day", "wday")
+    contrib = daily.select(
+        F.explode(
+            F.expr(f"sequence(day, date_add(day, {window_days - 1}))")
+        ).alias("wday"),
+        "reg",
+        "max_rho",
+    ).join(F.broadcast(active_days), "wday")
+    merged = contrib.groupBy("wday", "reg").agg(F.max("max_rho").alias("max_rho"))
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = merged.groupBy("wday").agg(
+        F.sum(F.expr("pow(cast(2 as double), -max_rho)")).alias("inv_sum"),
+        F.count(F.lit(1)).alias("n_nonzero"),
+    )
+    return agg.select(
+        F.date_format("wday", "yyyy-MM-dd").alias("day"),
+        F.expr(
+            f"round({alpha} * {m} * {m} / (inv_sum + ({m} - n_nonzero)), 4)"
+        ).alias("raw_est"),
+        (F.lit(m) - F.col("n_nonzero")).alias("n_zero"),
+    ).select(
+        "day",
+        F.expr(
+            f"cast(round(CASE WHEN raw_est <= {2.5 * m} AND n_zero > 0 "
+            f"THEN {m} * ln(cast({m} as double) / n_zero) "
+            f"ELSE raw_est END) as bigint)"
+        ).alias("n_distinct_est"),
+    )

@@ -4072,6 +4072,57 @@ FROM r
 """
 
 
+def q_e4_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-day distinct-user estimate per day from MERGED daily
+    HLL sketches — windows combine stored registers (max), never
+    re-scan events; the sketch-algebra pattern behind every
+    DAU/WAU/MAU dashboard at scale."""
+    from .operators.sketches import hll_rolling_distinct
+
+    return hll_rolling_distinct(
+        _events(spark, sf_dir), "user_id", "ts", window_days=3, b=10
+    )
+
+
+ORACLE_E4_ROLLING_DISTINCT = """
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS day,
+         ('0x' || substr(md5(':' || user_id::VARCHAR), 1, 12))::BIGINT AS h48
+  FROM events
+),
+daily AS (
+  SELECT day, (h48 // 4294967296) % 1024 AS reg,
+         max(CASE WHEN h48 % 4294967296 = 0 THEN 33
+                  ELSE 33 - length(bin(h48 % 4294967296)) END) AS max_rho
+  FROM h GROUP BY day, reg
+),
+active AS (SELECT DISTINCT day AS wday FROM daily),
+contrib AS (
+  SELECT w.wday, d.reg, d.max_rho
+  FROM daily d
+  JOIN active w ON w.wday >= d.day AND w.wday <= d.day + INTERVAL 2 DAY
+),
+merged AS (
+  SELECT wday, reg, max(max_rho) AS max_rho FROM contrib GROUP BY wday, reg
+),
+agg AS (
+  SELECT wday, sum(power(2.0, -max_rho)) AS inv_sum, count(*) AS n_nonzero
+  FROM merged GROUP BY wday
+)
+SELECT strftime(wday, '%Y-%m-%d') AS day,
+       CAST(round(CASE WHEN raw_est <= 2560.0 AND nz > 0
+                  THEN 1024 * ln(1024.0 / nz) ELSE raw_est END) AS BIGINT)
+         AS n_distinct_est
+FROM (
+  SELECT wday,
+         round(0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024
+               / (inv_sum + (1024 - n_nonzero)), 4) AS raw_est,
+         CAST(1024 - n_nonzero AS BIGINT) AS nz
+  FROM agg
+)
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4214,6 +4265,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_dsir_scores": q_e6_dsir_scores,
     "e6_weighted_sample": q_e6_weighted_sample,
     "e6_curriculum": q_e6_curriculum,
+    "e4_rolling_distinct": q_e4_rolling_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -4337,4 +4389,5 @@ ORACLES: dict[str, str] = {
     "e6_dsir_scores": ORACLE_E6_DSIR,
     "e6_weighted_sample": ORACLE_E6_WEIGHTED_SAMPLE,
     "e6_curriculum": ORACLE_E6_CURRICULUM,
+    "e4_rolling_distinct": ORACLE_E4_ROLLING_DISTINCT,
 }

@@ -118,6 +118,7 @@ def test_driver_window_holds_all_unique_queries():
         "e6_dsir_scores",
         "e6_weighted_sample",
         "e6_curriculum",
+        "e4_rolling_distinct",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

@@ -396,3 +396,35 @@ def test_curriculum_order_interleaves_buckets(spark):
 
     with _pytest.raises(ValueError, match="n_buckets"):
         curriculum_order(df, "score", "doc_id", n_buckets=0)
+
+
+def test_hll_rolling_distinct_merges_daily_sketches(spark):
+    from tensorflow_recorder_spark.operators.sketches import (
+        hll_distinct,
+        hll_rolling_distinct,
+    )
+
+    rows = []
+    eid = 0
+    # day 1: users 0..199; day 2: users 100..299; day 4: users 0..49
+    for day, lo, hi in ((1, 0, 200), (2, 100, 300), (4, 0, 50)):
+        for u in range(lo, hi):
+            rows.append((eid, f"2024-03-0{day} 12:00:00", str(u)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["day"]: r["n_distinct_est"]
+           for r in hll_rolling_distinct(df, "user_id", window_days=2, b=10).collect()}
+    assert set(got) == {"2024-03-01", "2024-03-02", "2024-03-04"}
+    # window ending day2 covers day1+day2 = 300 distinct; day4's window
+    # covers only day4 (day3 empty) = 50; estimates near-exact at b=10
+    est_d2 = hll_distinct(
+        df.where(F.col("ts") < "2024-03-03"), "user_id", b=10
+    ).collect()[0]["n_distinct_est"]
+    assert got["2024-03-02"] == est_d2          # merge == direct sketch
+    assert abs(got["2024-03-01"] - 200) <= 10
+    assert abs(got["2024-03-04"] - 50) <= 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window_days"):
+        hll_rolling_distinct(df, "user_id", window_days=0)
