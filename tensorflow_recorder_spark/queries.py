@@ -4123,6 +4123,49 @@ FROM (
 """
 
 
+def q_s9_stream_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rolling distinct users: per-day HLL registers
+    maintained as a bounded streaming aggregate, drained availableNow,
+    merged into 3-day windows batch-side — register-identical to the
+    batch daily sketches, so it shares e4_rolling_distinct's oracle."""
+    from .streaming.windows import streaming_daily_hll_registers
+
+    stream = _event_stream(spark, sf_dir)
+    daily = streaming_daily_hll_registers(stream, "user_id", "ts", b=10)
+    drained = _drain_to_memory(daily, "stream_daily_hll_sink", "complete")
+
+    window_days = 3
+    m = 1 << 10
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    active = drained.select("day").distinct().withColumnRenamed("day", "wday")
+    contrib = drained.select(
+        F.explode(
+            F.expr(f"sequence(day, date_add(day, {window_days - 1}))")
+        ).alias("wday"),
+        "reg",
+        "max_rho",
+    ).join(F.broadcast(active), "wday")
+    merged = contrib.groupBy("wday", "reg").agg(F.max("max_rho").alias("max_rho"))
+    agg = merged.groupBy("wday").agg(
+        F.sum(F.expr("pow(cast(2 as double), -max_rho)")).alias("inv_sum"),
+        F.count(F.lit(1)).alias("n_nonzero"),
+    )
+    return agg.select(
+        F.date_format("wday", "yyyy-MM-dd").alias("day"),
+        F.expr(
+            f"round({alpha} * {m} * {m} / (inv_sum + ({m} - n_nonzero)), 4)"
+        ).alias("raw_est"),
+        (F.lit(m) - F.col("n_nonzero")).alias("n_zero"),
+    ).select(
+        "day",
+        F.expr(
+            f"cast(round(CASE WHEN raw_est <= {2.5 * m} AND n_zero > 0 "
+            f"THEN {m} * ln(cast({m} as double) / n_zero) "
+            f"ELSE raw_est END) as bigint)"
+        ).alias("n_distinct_est"),
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4266,6 +4309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_weighted_sample": q_e6_weighted_sample,
     "e6_curriculum": q_e6_curriculum,
     "e4_rolling_distinct": q_e4_rolling_distinct,
+    "s9_stream_rolling_distinct": q_s9_stream_rolling_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -4390,4 +4434,6 @@ ORACLES: dict[str, str] = {
     "e6_weighted_sample": ORACLE_E6_WEIGHTED_SAMPLE,
     "e6_curriculum": ORACLE_E6_CURRICULUM,
     "e4_rolling_distinct": ORACLE_E4_ROLLING_DISTINCT,
+    # stream daily registers == batch daily registers -> same oracle
+    "s9_stream_rolling_distinct": ORACLE_E4_ROLLING_DISTINCT,
 }

@@ -159,3 +159,28 @@ def streaming_bloom_positions(
         .agg(F.count(F.lit(1)).alias("__hits"))
         .select("pos")
     )
+
+
+def streaming_daily_hll_registers(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    b: int = 10,
+) -> DataFrame:
+    """Streaming per-day HLL registers: state is (days x 2^b) rows — the
+    continuously-maintained form of the rolling-distinct dashboard
+    (``sketches.hll_rolling_distinct`` merges the drained rows into any
+    window batch-side). Day count is bounded by retention, so state
+    stays bounded without a watermark; same md5 registers as batch."""
+    from ..operators.sketches import hll_register_exprs
+
+    reg, rho = hll_register_exprs(key_col, b)
+    return (
+        stream.select(
+            F.to_date(ts_col).alias("day"),
+            F.expr(reg).alias("reg"),
+            F.expr(rho).alias("rho"),
+        )
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )

@@ -119,6 +119,7 @@ def test_driver_window_holds_all_unique_queries():
         "e6_weighted_sample",
         "e6_curriculum",
         "e4_rolling_distinct",
+        "s9_stream_rolling_distinct",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
