@@ -451,6 +451,139 @@ def cohort_retention(
     )
 
 
+def gap_fill_daily(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Calendar resampling with gap filling (time-series densification):
+    aggregate events to per-key DAILY rows, then materialize every
+    calendar day between each key's first and last active day — silent
+    days appear explicitly with ``n_events = 0`` / ``sum_value = 0`` and
+    a last-observation-carried-forward column (``locf_value`` = the most
+    recent active day's daily sum). The dense per-key daily grid is what
+    feature stores and forecasting pipelines consume; the raw event
+    table has holes wherever a key was idle.
+
+    Plan shape at scale: one partial-aggregated groupBy to daily rows
+    (events collapse ~1e4:1 before anything wide happens), a per-key
+    min/max span agg reusing the same key partitioning, a
+    ``sequence()`` + ``explode`` that fans out only |span-days| rows per
+    key (bounded by retention, NOT by event count), and a key+day
+    equi-join of two already-key-partitioned sides. The LOCF pass is
+    one ordered window over the dense grid — rows per key = span days,
+    so the sort is retention-bounded. Nothing touches the driver.
+
+    Daily sums aggregate in DECIMAL so the result is order-independent
+    and engine-portable (float summation order would differ between
+    engines).
+
+    Output: (key, day string yyyy-MM-dd, n_events, sum_value double,
+    locf_value double).
+    """
+    df = normalize_event_time(df, ts_col)
+    daily = (
+        df.groupBy(
+            F.col(key_col), F.to_date(F.col(ts_col)).alias("__day")
+        ).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__sum"),
+        )
+    )
+    span = daily.groupBy(key_col).agg(
+        F.min("__day").alias("__d0"), F.max("__day").alias("__d1")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(
+            F.expr("sequence(__d0, __d1, interval 1 day)")
+        ).alias("__day"),
+    )
+    dense = grid.join(daily, [key_col, "__day"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return dense.select(
+        F.col(key_col),
+        F.date_format("__day", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_events"),
+        F.round(F.coalesce(F.col("__sum"), F.lit(0)).cast("double"), 6).alias(
+            "sum_value"
+        ),
+        F.round(
+            F.last("__sum", ignorenulls=True).over(w).cast("double"), 6
+        ).alias("locf_value"),
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n: int = 20,
+    z_threshold: float = 3.0,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Trailing-window anomaly detection: for each event, the z-score of
+    its value against the key's previous ``n`` events (frame
+    ``[-n, -1]`` — the current value never contaminates its own
+    baseline), flagged when ``|z| > z_threshold``. The standard online
+    monitoring primitive (rate spikes, fraud value outliers) in batch
+    form; one shuffle on the key, then ordered in-partition frames.
+
+    Engine-portable float discipline: the window only accumulates
+    EXACT decimal sums (sum v, sum v^2 — the v^2 product is computed in
+    IEEE double first, so both engines square identical bits, then the
+    exact decimal sum is order-independent); mean/variance/z are then
+    derived with a fixed double expression tree over those exact sums,
+    so two engines produce bit-identical doubles. Variance uses the
+    sample (n-1) form; windows with < 2 prior events or zero variance
+    yield NULL z.
+
+    Output: (id, key, ts string, value, n_prior, z double rounded 6,
+    is_anomaly boolean).
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    df = normalize_event_time(df, ts_col)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(-n, -1)
+    )
+    vdec = F.col(value_col).cast("decimal(18,6)")
+    v2dec = (F.col(value_col) * F.col(value_col)).cast("decimal(28,10)")
+    base = df.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(value_col),
+        F.count(F.lit(1)).over(w).alias("__np"),
+        F.sum(vdec).over(w).cast("double").alias("__s"),
+        F.sum(v2dec).over(w).cast("double").alias("__ss"),
+    )
+    nd = F.col("__np").cast("double")
+    mean = F.col("__s") / nd
+    var = (F.col("__ss") - F.col("__s") * F.col("__s") / nd) / (nd - F.lit(1.0))
+    z = (F.col(value_col) - mean) / F.sqrt(var)
+    z_ok = (F.col("__np") >= 2) & (var > 0)
+    return base.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col(value_col),
+        F.col("__np").cast("long").alias("n_prior"),
+        F.round(F.when(z_ok, z), 6).alias("z"),
+        F.when(z_ok, F.abs(z) > F.lit(float(z_threshold)))
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )
+
+
 def ewma_by_key(
     df: DataFrame,
     key_col: str = "user_id",

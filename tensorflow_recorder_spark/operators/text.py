@@ -261,6 +261,54 @@ def ngram_frequencies(
     return counts.orderBy(F.desc("n"), F.asc("gram")).limit(top_n)
 
 
+def distinct_ngram_ratio(
+    df: DataFrame, text_col: str, group_col: str, n: int = 2
+) -> DataFrame:
+    """Distinct-n diversity per group: the fraction of n-gram
+    occurrences that are unique within the group (Li et al. 2016's
+    "distinct-n" metric, the standard lexical-diversity gauge for
+    generated/scraped text — a low ratio means the source is template
+    spam or model loops and should be downweighted in the mixture).
+
+    One explode + one partial-aggregated groupBy per group computing
+    total grams and ``count(DISTINCT gram)`` — Spark plans the distinct
+    as a two-phase expand/agg keyed by (group, gram), so the shuffle is
+    bounded by per-group n-gram vocabulary, never corpus size. No
+    window, no second pass over the text.
+
+    Output: (group, n_grams, n_distinct, distinct_ratio double rounded
+    6; groups whose documents are all shorter than ``n`` tokens report
+    0 grams and NULL ratio).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')"
+    joined = " , ' ', ".join(f"element_at(__t, i + {j})" for j in range(n))
+    grams = (
+        f"CASE WHEN size(__t) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(__t) - {n - 1}), "
+        f"i -> concat({joined})) END"
+    )
+    exploded = df.select(
+        F.col(group_col), F.expr(toks).alias("__t")
+    ).select(
+        F.col(group_col),
+        F.explode_outer(F.expr(grams)).alias("gram"),
+    )
+    return exploded.groupBy(group_col).agg(
+        F.count("gram").alias("n_grams"),
+        F.countDistinct("gram").alias("n_distinct"),
+        F.round(
+            F.when(
+                F.count("gram") > 0,
+                F.countDistinct("gram").cast("double")
+                / F.count("gram").cast("double"),
+            ),
+            6,
+        ).alias("distinct_ratio"),
+    )
+
+
 def corpus_filter(
     df: DataFrame,
     text_col: str,

@@ -4167,6 +4167,189 @@ def q_s9_stream_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round-4 additions: time-series densification / anomaly detection,
+# record linkage, snapshot diff, lexical diversity
+# =====================================================================
+
+
+def q_e4_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: calendar resample per user — dense daily grid between each
+    user's first and last active day, zero-filled with an LOCF carry of
+    the last active day's sum (feature-store densification)."""
+    return events.gap_fill_daily(_events(spark, sf_dir), "user_id", "ts", "value")
+
+
+ORACLE_E4_GAP_FILL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+)
+SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n_events,
+       round(CAST(coalesce(d.s, 0) AS DOUBLE), 6) AS sum_value,
+       round(CAST(last_value(d.s IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+         AS locf_value
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+"""
+
+
+def q_e4_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: trailing-window anomaly detection — z-score of each event's
+    value against the user's previous 20 events, |z| > 3 flagged."""
+    return events.rolling_zscore(
+        _events(spark, sf_dir), "user_id", "ts", "value", n=20, z_threshold=3.0
+    )
+
+
+ORACLE_E4_ANOMALY = """
+WITH base AS (
+  SELECT event_id, user_id, ts, value,
+         count(*) OVER w AS np,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s,
+         CAST(sum(CAST(value * value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS ss
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value,
+       CAST(np AS BIGINT) AS n_prior,
+       round(CASE WHEN np >= 2 AND (ss - s * s / np) / (np - 1) > 0
+                  THEN (value - s / np) / sqrt((ss - s * s / np) / (np - 1))
+             END, 6) AS z,
+       CASE WHEN np >= 2 AND (ss - s * s / np) / (np - 1) > 0
+            THEN abs((value - s / np) / sqrt((ss - s * s / np) / (np - 1))) > 3.0
+            ELSE FALSE END AS is_anomaly
+FROM base
+"""
+
+
+def q_e1_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: blocked fuzzy record linkage — a deterministically corrupted
+    'dirty batch' of document titles (vowel substitution beyond the
+    blocking prefix) is matched back to the clean catalog by blocked
+    levenshtein best-match (block = 8-char title prefix)."""
+    docs = _t(spark, sf_dir, "documents")
+    cat = docs.select(
+        "doc_id",
+        F.expr("substring(text, 1, 40)").alias("title"),
+        F.expr("substring(text, 1, 8)").alias("blk"),
+    )
+    dirty = cat.where(F.expr("doc_id % 5 = 0")).select(
+        "doc_id",
+        F.concat(
+            F.expr("substring(title, 1, 8)"),
+            F.translate(F.expr("substring(title, 9, 32)"), "a", "@"),
+        ).alias("title"),
+        "blk",
+    )
+    return dedup.blocked_linkage(dirty, cat, "title", "doc_id", "blk", max_distance=6)
+
+
+ORACLE_E1_RECORD_LINKAGE = """
+WITH cat AS (
+  SELECT doc_id, substr(text, 1, 40) AS title, substr(text, 1, 8) AS blk
+  FROM documents
+),
+dirty AS (
+  SELECT doc_id,
+         substr(title, 1, 8) || translate(substr(title, 9, 32), 'a', '@') AS title,
+         blk
+  FROM cat WHERE doc_id % 5 = 0
+),
+cand AS (
+  SELECT d.doc_id AS did, c.doc_id AS cid,
+         levenshtein(d.title, c.title) AS dist
+  FROM dirty d JOIN cat c ON d.blk = c.blk
+  WHERE levenshtein(d.title, c.title) <= 6
+)
+SELECT doc_id_left, matched_id, distance FROM (
+  SELECT did AS doc_id_left, cid AS matched_id,
+         CAST(min(dist) OVER (PARTITION BY did) AS BIGINT) AS distance,
+         row_number() OVER (PARTITION BY did ORDER BY dist, cid) AS rn
+  FROM cand
+) WHERE rn = 1
+"""
+
+
+def q_e6_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: dataset snapshot diff — classify keys across two corpus
+    snapshots as added/removed/changed via fingerprint compare on a
+    full-outer key join. The 'new' snapshot is derived deterministically
+    from documents (%17=3 removed, %17=5 edited, %17=7 duplicated under
+    a shifted id)."""
+    from .operators.snapshot import snapshot_diff
+
+    old = _t(spark, sf_dir, "documents")
+    kept = old.where(F.expr("doc_id % 17 != 3")).withColumn(
+        "text",
+        F.when(
+            F.expr("doc_id % 17 = 5"), F.concat(F.col("text"), F.lit(" (rev2)"))
+        ).otherwise(F.col("text")),
+    )
+    added = old.where(F.expr("doc_id % 17 = 7")).withColumn(
+        "doc_id", F.expr("doc_id + 100000")
+    )
+    new = kept.unionByName(added)
+    return snapshot_diff(old, new, "doc_id", ["text", "lang", "source"])
+
+
+# Independent derivation: the oracle classifies straight from the
+# residue rules instead of mirroring the engine's fingerprint join.
+ORACLE_E6_SNAPSHOT_DIFF = """
+SELECT doc_id, 'removed' AS change FROM documents WHERE doc_id % 17 = 3
+UNION ALL
+SELECT doc_id, 'changed' AS change FROM documents WHERE doc_id % 17 = 5
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, 'added' AS change
+FROM documents WHERE doc_id % 17 = 7
+"""
+
+
+def q_e3_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: distinct-2 lexical diversity per source (Li et al. 2016) —
+    low ratios mark template spam / looped generations for mixture
+    downweighting."""
+    return text.distinct_ngram_ratio(
+        _t(spark, sf_dir, "documents"), "text", "source", n=2
+    )
+
+
+ORACLE_E3_DIVERSITY = """
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT source,
+         unnest(CASE WHEN len(t) < 2 THEN []
+                ELSE list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i + 1]) END) AS gram
+  FROM toks
+)
+SELECT s.source,
+       CAST(count(g.gram) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT g.gram) AS BIGINT) AS n_distinct,
+       round(CASE WHEN count(g.gram) > 0
+                  THEN CAST(count(DISTINCT g.gram) AS DOUBLE)
+                       / CAST(count(g.gram) AS DOUBLE) END, 6) AS distinct_ratio
+FROM (SELECT DISTINCT source FROM documents) s
+LEFT JOIN grams g ON s.source = g.source
+GROUP BY s.source
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -4310,6 +4493,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_curriculum": q_e6_curriculum,
     "e4_rolling_distinct": q_e4_rolling_distinct,
     "s9_stream_rolling_distinct": q_s9_stream_rolling_distinct,
+    "e4_gap_fill": q_e4_gap_fill,
+    "e4_anomaly": q_e4_anomaly,
+    "e1_record_linkage": q_e1_record_linkage,
+    "e6_snapshot_diff": q_e6_snapshot_diff,
+    "e3_diversity": q_e3_diversity,
 }
 
 ORACLES: dict[str, str] = {
@@ -4436,4 +4624,9 @@ ORACLES: dict[str, str] = {
     "e4_rolling_distinct": ORACLE_E4_ROLLING_DISTINCT,
     # stream daily registers == batch daily registers -> same oracle
     "s9_stream_rolling_distinct": ORACLE_E4_ROLLING_DISTINCT,
+    "e4_gap_fill": ORACLE_E4_GAP_FILL,
+    "e4_anomaly": ORACLE_E4_ANOMALY,
+    "e1_record_linkage": ORACLE_E1_RECORD_LINKAGE,
+    "e6_snapshot_diff": ORACLE_E6_SNAPSHOT_DIFF,
+    "e3_diversity": ORACLE_E3_DIVERSITY,
 }

@@ -1478,3 +1478,132 @@ def test_semantic_dedup_drops_within_cluster_only(spark):
     )
     # 10/11 drop (dups of 0 within cluster A); 20 drops (dup of 1 in B)
     assert kept == [0, 1]
+
+
+# ---------------------------------------------------------------------
+# round-4 additions: gap fill, rolling z-score, linkage, snapshot diff,
+# lexical diversity
+# ---------------------------------------------------------------------
+
+
+def test_gap_fill_daily_densifies_and_carries_forward(spark):
+    from tensorflow_recorder_spark.operators import events as ev
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 2.0),
+            (1, "2024-01-01 11:00:00", 3.0),
+            (1, "2024-01-04 09:00:00", 7.0),   # days 2-3 are gaps
+            (2, "2024-02-01 00:00:00", 1.0),   # single-day key: no gaps
+        ],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {(r["user_id"], r["day"]): r for r in ev.gap_fill_daily(df).collect()}
+    assert len(rows) == 5  # user1: 4 dense days; user2: 1
+    assert rows[(1, "2024-01-01")]["n_events"] == 2
+    assert rows[(1, "2024-01-01")]["sum_value"] == 5.0
+    gap = rows[(1, "2024-01-02")]
+    assert gap["n_events"] == 0 and gap["sum_value"] == 0.0
+    assert gap["locf_value"] == 5.0  # carried from Jan 1
+    assert rows[(1, "2024-01-04")]["locf_value"] == 7.0
+    assert rows[(2, "2024-02-01")]["n_events"] == 1
+
+
+def test_rolling_zscore_flags_outlier_and_guards_small_windows(spark):
+    from tensorflow_recorder_spark.operators import events as ev
+
+    base = [(i, 1, f"2024-01-01 00:{i:02d}:00", 10.0 + (i % 2)) for i in range(10)]
+    rows = base + [(10, 1, "2024-01-01 00:10:00", 1000.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["event_id"]: r for r in ev.rolling_zscore(df, n=5).collect()}
+    # first event: empty prior window -> NULL z, not anomalous
+    assert got[0]["n_prior"] == 0 and got[0]["z"] is None
+    assert got[0]["is_anomaly"] is False
+    # second event: one prior -> still NULL (needs n >= 2 for variance)
+    assert got[1]["z"] is None
+    assert got[10]["is_anomaly"] is True and got[10]["z"] > 3
+    assert all(not got[i]["is_anomaly"] for i in range(10))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n must be >= 2"):
+        ev.rolling_zscore(df, n=1)
+
+
+def test_blocked_linkage_matches_best_within_block(spark):
+    cat = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie", "alph"),
+            (2, "alpha bravo charlee", "alph"),
+            (3, "delta echo foxtrot", "delt"),
+        ],
+        "doc_id long, title string, blk string",
+    )
+    dirty = spark.createDataFrame(
+        [
+            (100, "alpha bravo charlje", "alph"),  # dist 1 to #1/#2? -> argmin
+            (101, "delta echo foxtrooo", "delt"),  # dist 2 to #3
+            (102, "zulu yankee xray", "zulu"),     # no block -> dropped
+        ],
+        "doc_id long, title string, blk string",
+    )
+    got = {
+        r["doc_id_left"]: (r["matched_id"], r["distance"])
+        for r in dedup.blocked_linkage(
+            dirty, cat, "title", "doc_id", "blk", max_distance=3
+        ).collect()
+    }
+    # 'charlje' is dist 1 from 'charlie' (j->i) and dist 2 from 'charlee'
+    assert got[100] == (1, 1)
+    # 'foxtrooo' vs 'foxtrot': substitute t->o + insert o = dist 2
+    assert got[101] == (3, 2)
+    assert 102 not in got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_distance"):
+        dedup.blocked_linkage(dirty, cat, "title", "doc_id", "blk", max_distance=-1)
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from tensorflow_recorder_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en"), (3, "c", "fr"), (4, None, "de")],
+        "doc_id long, text string, lang string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "en"), (2, "B", "en"), (4, None, "de"), (5, "e", "es")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: r["change"]
+           for r in snapshot_diff(old, new, "doc_id", ["text", "lang"]).collect()}
+    # 1 unchanged (absent), 4 unchanged incl. NULL text, 2 changed,
+    # 3 removed, 5 added
+    assert got == {2: "changed", 3: "removed", 5: "added"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compare_cols"):
+        snapshot_diff(old, new, "doc_id", [])
+
+
+def test_distinct_ngram_ratio_per_group(spark):
+    from tensorflow_recorder_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam", "looped"),   # 3 bigrams, 1 distinct
+            (2, "the quick brown fox", "clean"),    # 3 bigrams, 3 distinct
+            (3, "x", "tiny"),                       # < n tokens: 0 grams
+        ],
+        "id long, text string, src string",
+    )
+    got = {r["src"]: r for r in tx.distinct_ngram_ratio(df, "text", "src", 2).collect()}
+    assert got["looped"]["n_grams"] == 3 and got["looped"]["n_distinct"] == 1
+    assert abs(got["looped"]["distinct_ratio"] - 1 / 3) < 1e-6
+    assert got["clean"]["distinct_ratio"] == 1.0
+    assert got["tiny"]["n_grams"] == 0 and got["tiny"]["distinct_ratio"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n must be >= 1"):
+        tx.distinct_ngram_ratio(df, "text", "src", 0)
