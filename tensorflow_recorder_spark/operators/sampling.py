@@ -296,3 +296,23 @@ def curriculum_order(
             .alias("curriculum_pos"),
         )
     )
+
+
+def kfold_assign(
+    df: DataFrame, id_col: str, k: int = 5, salt: str = "kfold"
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: every row gets
+    a ``fold`` in [0, k) from the shared md5-bucket recipe — the same
+    engine-parity hash as :func:`hash_sample`, so folds are stable
+    across runs, machines, and engines, and any fold's train/holdout
+    split is reproducible by re-hashing (no persisted assignment table
+    needed — the assignment IS the function).
+
+    Map-only: no shuffle, no fitted state; at 100 TB this is a free
+    projection pushed into the scan stage.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.withColumn(
+        "fold", F.expr(_bucket_expr(id_col, salt, k)).cast("long")
+    )

@@ -63,3 +63,45 @@ def fit_and_apply_scale(
     """Fit on the TRAIN subset, apply to the whole frame (A3 semantics)."""
     stats = fit_scale_stats(df.where(F.col(split_key) == train_value), columns)
     return apply_scale(df, stats), stats
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+) -> DataFrame:
+    """Percentile clipping (winsorization): cap ``value_col`` at the
+    exact interpolated [lower_q, upper_q] quantiles, optionally per
+    ``group_col`` — the outlier-robust cousin of the A4 z-score scaler
+    (heavy-tailed reward/value features get clipped, not dropped).
+
+    Scale shape: the quantile fit is ONE aggregation — per group it is
+    partial-aggregated by the group key; the clip applies via a
+    broadcast join of the tiny per-group bounds table (group
+    cardinality rows), so the fact table never shuffles. Exact
+    interpolated ``percentile`` matches the SQL oracle's
+    ``quantile_cont`` bit-for-bit on the same input set.
+
+    Output: the input columns plus ``<value_col>_wins`` (double,
+    rounded 6).
+    """
+    if not 0.0 <= lower_q < upper_q <= 1.0:
+        raise ValueError(
+            f"need 0 <= lower_q < upper_q <= 1, got ({lower_q}, {upper_q})"
+        )
+    from pyspark.sql.functions import broadcast
+
+    lo = F.expr(f"percentile({value_col}, {lower_q})").alias("__lo")
+    hi = F.expr(f"percentile({value_col}, {upper_q})").alias("__hi")
+    if group_col is None:
+        bounds = df.select(lo, hi)
+        joined = df.crossJoin(broadcast(bounds))
+    else:
+        bounds = df.groupBy(group_col).agg(lo, hi)
+        joined = df.join(broadcast(bounds), group_col)
+    clipped = F.round(
+        F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")), 6
+    )
+    return joined.withColumn(f"{value_col}_wins", clipped).drop("__lo", "__hi")

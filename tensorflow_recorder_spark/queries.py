@@ -4349,6 +4349,69 @@ GROUP BY s.source
 """
 
 
+def q_e6_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: deterministic k-fold assignment (k=5) over documents via the
+    shared md5-bucket recipe — folds reproducible across engines/runs
+    with no persisted assignment table."""
+    from .operators.sampling import kfold_assign
+
+    return kfold_assign(_t(spark, sf_dir, "documents"), "doc_id", k=5).select(
+        "doc_id", "fold"
+    )
+
+
+ORACLE_E6_KFOLD = """
+SELECT doc_id,
+       ('0x' || substr(md5('kfold:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % 5 AS fold
+FROM documents
+"""
+
+
+def q_e4_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/A4: percentile clipping of event values at the exact
+    interpolated [p1, p99] per event type — fit is one tiny per-group
+    aggregate broadcast back over the fact table."""
+    from .operators.scale import winsorize
+
+    return winsorize(
+        _events(spark, sf_dir).select("event_id", "event_type", "value"),
+        "value",
+        group_col="event_type",
+        lower_q=0.01,
+        upper_q=0.99,
+    ).select("event_id", "event_type", "value", "value_wins")
+
+
+ORACLE_E4_WINSORIZE = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS lo,
+         quantile_cont(value, 0.99) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(least(greatest(e.value, b.lo), b.hi), 6) AS value_wins
+FROM events e JOIN b USING (event_type)
+"""
+
+
+def q_s10_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The e4_anomaly detector executed AS A STREAM: per-user last-20
+    deques in the state store (applyInPandasWithState), each event
+    scored against its key's prior window and emitted exactly once.
+    The stream's decimal-quantized sums replicate the batch operator's
+    float discipline, so the single-batch availableNow drain is
+    bit-identical to the batch result and shares its oracle."""
+    from .streaming.stateful import streaming_zscore
+
+    scored = streaming_zscore(
+        _event_stream(spark, sf_dir), "user_id", "ts", "value", n=20,
+        z_threshold=3.0,
+    )
+    return _drain_to_memory(scored, "stream_anomaly_sink", "update")
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4498,6 +4561,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_record_linkage": q_e1_record_linkage,
     "e6_snapshot_diff": q_e6_snapshot_diff,
     "e3_diversity": q_e3_diversity,
+    "e6_kfold": q_e6_kfold,
+    "e4_winsorize": q_e4_winsorize,
+    "s10_stream_anomaly": q_s10_stream_anomaly,
 }
 
 ORACLES: dict[str, str] = {
@@ -4629,4 +4695,9 @@ ORACLES: dict[str, str] = {
     "e1_record_linkage": ORACLE_E1_RECORD_LINKAGE,
     "e6_snapshot_diff": ORACLE_E6_SNAPSHOT_DIFF,
     "e3_diversity": ORACLE_E3_DIVERSITY,
+    "e6_kfold": ORACLE_E6_KFOLD,
+    "e4_winsorize": ORACLE_E4_WINSORIZE,
+    # stream emits each event once with the batch float discipline ->
+    # shares the batch anomaly oracle
+    "s10_stream_anomaly": ORACLE_E4_ANOMALY,
 }

@@ -141,3 +141,103 @@ def streaming_ewma(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_zscore(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n: int = 20,
+    z_threshold: float = 3.0,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming trailing-window anomaly detection — the stateful twin
+    of ``operators.events.rolling_zscore``: per key, the state store
+    holds a deque of the last ``n`` values; each arriving event is
+    scored against the deque BEFORE being pushed (frame [-n, -1], the
+    event never contaminates its own baseline), emitted once, append
+    semantics via update mode (each event appears in exactly one batch's
+    emission).
+
+    Engine-parity float discipline mirrors the batch operator exactly:
+    the prior-window sums are accumulated as EXACT decimals (value
+    quantized at 1e-6, IEEE-squared value quantized at 1e-10, both
+    HALF_UP — the same quantization Spark's ``cast(x as decimal)``
+    performs), converted once to double, then mean/variance/z use the
+    identical double expression tree — so with an in-order drain the
+    emitted rows are bit-identical to the batch result and share its
+    oracle. Cross-batch reordering shifts which events precede which
+    (the inherent streaming trade); within a batch, rows are processed
+    in (ts, id) order.
+
+    State per key is n floats — bounded regardless of stream length.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    from decimal import ROUND_HALF_UP, Decimal
+
+    out_schema = (
+        f"{id_col} long, {key_col} long, ts string, {value_col} double, "
+        "n_prior long, z double, is_anomaly boolean"
+    )
+    state_schema = "vals array<double>"
+    thr = float(z_threshold)
+    Q6 = Decimal("1e-6")
+    Q10 = Decimal("1e-10")
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        window = list(state.get[0]) if state.exists else []
+        rows = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
+        out = {c: [] for c in (id_col, "ts", value_col, "n_prior", "z", "anom")}
+        for _, r in rows.iterrows():
+            v = float(r[value_col])
+            np_ = len(window)
+            z = None
+            anom = False
+            if np_ >= 2:
+                s = float(
+                    sum(Decimal(x).quantize(Q6, ROUND_HALF_UP) for x in window)
+                )
+                ss = float(
+                    sum(
+                        Decimal(x * x).quantize(Q10, ROUND_HALF_UP)
+                        for x in window
+                    )
+                )
+                nd = float(np_)
+                var = (ss - s * s / nd) / (nd - 1.0)
+                if var > 0:
+                    z = round((v - s / nd) / var**0.5, 6)
+                    anom = abs((v - s / nd) / var**0.5) > thr
+            out[id_col].append(int(r[id_col]))
+            out["ts"].append(r[ts_col].strftime("%Y-%m-%d %H:%M:%S"))
+            out[value_col].append(v)
+            out["n_prior"].append(np_)
+            out["z"].append(z)
+            out["anom"].append(anom)
+            window.append(v)
+            if len(window) > n:
+                window.pop(0)
+        state.update((window,))
+        yield pd.DataFrame(
+            {
+                id_col: out[id_col],
+                key_col: key[0],
+                "ts": out["ts"],
+                value_col: out[value_col],
+                "n_prior": out["n_prior"],
+                "z": out["z"],
+                "is_anomaly": out["anom"],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

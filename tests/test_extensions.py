@@ -1607,3 +1607,87 @@ def test_distinct_ngram_ratio_per_group(spark):
 
     with _pytest.raises(ValueError, match="n must be >= 1"):
         tx.distinct_ngram_ratio(df, "text", "src", 0)
+
+
+def test_kfold_assign_deterministic_and_balanced(spark):
+    from tensorflow_recorder_spark.operators.sampling import kfold_assign
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = kfold_assign(df, "doc_id", k=5)
+    folds = {r["doc_id"]: r["fold"] for r in out.collect()}
+    assert set(folds.values()) <= {0, 1, 2, 3, 4}
+    # deterministic across invocations
+    again = {r["doc_id"]: r["fold"] for r in kfold_assign(df, "doc_id", k=5).collect()}
+    assert folds == again
+    # roughly balanced (binomial bound: each fold ~200 +/- 60)
+    from collections import Counter
+
+    sizes = Counter(folds.values())
+    assert all(120 < sizes[f] < 280 for f in range(5)), sizes
+    # a different salt draws a different assignment
+    salted = {r["doc_id"]: r["fold"]
+              for r in kfold_assign(df, "doc_id", k=5, salt="other").collect()}
+    assert salted != folds
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be >= 2"):
+        kfold_assign(df, "doc_id", k=1)
+
+
+def test_winsorize_clips_at_group_percentiles(spark):
+    from tensorflow_recorder_spark.operators.scale import winsorize
+
+    rows = [(i, "a", float(i)) for i in range(1, 101)] + [(200, "b", 5.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r["event_id"]: r["value_wins"]
+           for r in winsorize(df, "value", group_col="event_type",
+                              lower_q=0.10, upper_q=0.90).collect()}
+    # group a: p10 of 1..100 = 10.9, p90 = 90.1 (interpolated)
+    assert out[1] == 10.9 and out[100] == 90.1
+    assert out[50] == 50.0
+    # singleton group: both percentiles collapse to the value
+    assert out[200] == 5.0
+    # global (no group) clips against the pooled distribution
+    glob = {r["event_id"]: r["value_wins"]
+            for r in winsorize(df, "value", lower_q=0.0, upper_q=1.0).collect()}
+    assert glob[1] == 1.0 and glob[100] == 100.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lower_q"):
+        winsorize(df, "value", lower_q=0.9, upper_q=0.1)
+
+
+def test_streaming_zscore_matches_batch(spark, tmp_path):
+    """The streaming twin drained in one availableNow batch must be
+    row-identical to the batch rolling_zscore (shared oracle claim)."""
+    from tensorflow_recorder_spark.operators import events as ev
+    from tensorflow_recorder_spark.streaming.stateful import streaming_zscore
+
+    rows = [
+        (i, 1 + i % 2, f"2024-01-01 00:{i:02d}:00", float((i * 37) % 19) + 0.25)
+        for i in range(40)
+    ] + [(40, 1, "2024-01-01 00:59:00", 500.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "ev.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    batch = {r["event_id"]: r for r in ev.rolling_zscore(
+        spark.read.parquet(path), n=5).collect()}
+
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    scored = streaming_zscore(stream, n=5)
+    q = (
+        scored.writeStream.format("memory").queryName("zscore_test_sink")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r["event_id"]: r for r in spark.table("zscore_test_sink").collect()}
+
+    assert set(got) == set(batch)
+    for eid, b in batch.items():
+        s = got[eid]
+        assert (s["n_prior"], s["z"], s["is_anomaly"]) == (
+            b["n_prior"], b["z"], b["is_anomaly"]), eid
+    assert got[40]["is_anomaly"] is True

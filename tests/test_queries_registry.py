@@ -120,6 +120,17 @@ def test_driver_window_holds_all_unique_queries():
         "e6_curriculum",
         "e4_rolling_distinct",
         "s9_stream_rolling_distinct",
+        # session-4 additions past the window (densification, anomaly
+        # detection, linkage, snapshot diff, diversity, k-fold,
+        # winsorization, streaming anomaly)
+        "e4_gap_fill",
+        "e4_anomaly",
+        "e1_record_linkage",
+        "e6_snapshot_diff",
+        "e3_diversity",
+        "e6_kfold",
+        "e4_winsorize",
+        "s10_stream_anomaly",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
