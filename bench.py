@@ -75,6 +75,12 @@ BENCH_QUERIES = [
     "e3_postings",
     "e3_span_dedup",
     "e3_heavy_hitters",
+    # session-4 operators: track the new join/window-heavy shapes
+    "e4_gap_fill",
+    "e4_anomaly",
+    "e1_record_linkage",
+    "e6_snapshot_diff",
+    "e4_winsorize",
 ]
 
 
