@@ -4412,6 +4412,82 @@ def q_s10_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(scored, "stream_anomaly_sink", "update")
 
 
+def q_rel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics: 5-iteration PageRank over the
+    undirected customer<->supplier trading graph (edges = distinct
+    (custkey, suppkey) pairs through orders x lineitem; node ids
+    namespaced 2k / 2k+1). Fixed-point bigint arithmetic end-to-end,
+    so the distributed join-agg loop and the SQL recursive-CTE oracle
+    agree EXACTLY — no float tolerance."""
+    from .operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iterations=5)
+
+
+def _oracle_pagerank(iterations: int = 5) -> str:
+    """Unrolled fixed-point PageRank oracle: one CTE per iteration
+    (DuckDB's recursive-CTE semantics around aggregates in the
+    recursive term diverge after the first step, so the loop is
+    unrolled mechanically — every arithmetic op is integer, matching
+    the engine exactly)."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"r{i} AS (\n"
+            f"  SELECT nd.node,\n"
+            f"         CAST((15 * 1000000000000) // (100 * pa.n)\n"
+            f"              + (85 * agg.s) // 100 AS BIGINT) AS rank_units\n"
+            f"  FROM (\n"
+            f"    SELECT e.dst AS node, sum(p.rank_units // o.odeg) AS s\n"
+            f"    FROM {prev} p\n"
+            f"    JOIN outdeg o ON p.node = o.node\n"
+            f"    JOIN edges e ON e.src = p.node\n"
+            f"    GROUP BY e.dst\n"
+            f"  ) agg JOIN nodes nd ON agg.node = nd.node, params pa\n"
+            f")"
+        )
+        prev = f"r{i}"
+    return (
+        """
+WITH
+pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT src, dst FROM pairs UNION SELECT dst AS src, src AS dst FROM pairs
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+outdeg AS (SELECT src AS node, count(*) AS odeg FROM edges GROUP BY src),
+params AS (SELECT count(*) AS n FROM nodes),
+r0 AS (
+  SELECT node, CAST(1000000000000 // pa.n AS BIGINT) AS rank_units
+  FROM nodes, params pa
+),
+"""
+        + ",\n".join(steps)
+        + f"""
+SELECT node, rank_units,
+       CAST(rank_units AS DOUBLE) / 1000000000000.0 AS rank
+FROM {prev}
+"""
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4564,6 +4640,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_kfold": q_e6_kfold,
     "e4_winsorize": q_e4_winsorize,
     "s10_stream_anomaly": q_s10_stream_anomaly,
+    "rel_pagerank": q_rel_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -4700,4 +4777,5 @@ ORACLES: dict[str, str] = {
     # stream emits each event once with the batch float discipline ->
     # shares the batch anomaly oracle
     "s10_stream_anomaly": ORACLE_E4_ANOMALY,
+    "rel_pagerank": _oracle_pagerank(),
 }

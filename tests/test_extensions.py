@@ -1691,3 +1691,28 @@ def test_streaming_zscore_matches_batch(spark, tmp_path):
         assert (s["n_prior"], s["z"], s["is_anomaly"]) == (
             b["n_prior"], b["z"], b["is_anomaly"]), eid
     assert got[40]["is_anomaly"] is True
+
+
+def test_pagerank_fixed_point_tiny_graph(spark):
+    from tensorflow_recorder_spark.operators.graph import pagerank
+
+    # undirected path 1-2-3: hand-computed one fixed-point iteration
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    r1 = {r["node"]: r["rank_units"] for r in pagerank(e, iterations=1).collect()}
+    # r0 = 1e12 // 3 per node; base = 15e12 // 300 = 50_000_000_000
+    # node1 <- r0(2) // deg(2)=2 -> 166666666666; 85% floor + base
+    assert r1[1] == 50_000_000_000 + (85 * 166_666_666_666) // 100
+    assert r1[3] == r1[1]  # symmetry
+    assert r1[2] == 50_000_000_000 + (85 * (333_333_333_333 * 2)) // 100
+    # symmetric 2-cycle is a fixed point at 1/2 each
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    rc = {r["node"]: r["rank_units"] for r in pagerank(cyc, iterations=3).collect()}
+    assert rc == {1: 500_000_000_000, 2: 500_000_000_000}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iterations"):
+        pagerank(e, iterations=0)
+    with _pytest.raises(ValueError, match="damping_pct"):
+        pagerank(e, damping_pct=0)

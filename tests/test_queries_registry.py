@@ -131,6 +131,7 @@ def test_driver_window_holds_all_unique_queries():
         "e6_kfold",
         "e4_winsorize",
         "s10_stream_anomaly",
+        "rel_pagerank",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
