@@ -1,0 +1,96 @@
+"""Distribution-drift monitoring (extension family): Population
+Stability Index between a reference window and a current window of a
+numeric feature — THE standard production-ML drift gauge (PSI < 0.1
+stable, 0.1-0.25 moderate shift, > 0.25 action). The reference
+(TFRecorder) has no monitoring story; a 100 TB training pipeline needs
+drift gates before retraining on a new snapshot.
+
+Scale shape: the decile edges are ONE exact-percentile aggregation over
+the reference (group-cardinality rows, broadcast back); bin assignment
+is a row-local higher-order expression (no UDF); bin counts are two
+partial-aggregated groupBys bounded by groups x bins; the PSI fold runs
+over a 10-element sorted array per group. Nothing wide ever touches the
+fact tables beyond the two bounded count aggregations.
+
+Float discipline for engine parity: bin edges come from exact
+interpolated percentiles (identical doubles in any engine), proportions
+are exact-count ratios, and the cross-bin sum folds a BIN-SORTED array
+left-to-right, so summation order — the usual float trap — is pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_EPS = 1e-6
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_col: str,
+    value_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """PSI of ``value_col``'s distribution per ``group_col``, current
+    vs reference. Bins are the reference's exact quantile edges
+    (``bins`` equal-population buckets; ties may merge bins — the
+    degenerate-distribution case degrades gracefully because both
+    windows use the SAME edges). Proportions are clipped at 1e-6
+    before the log so empty bins contribute a large-but-finite term.
+
+    Output: (group, n_ref, n_cur, psi double rounded 6).
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    qs = ", ".join(str((i + 1) / bins) for i in range(bins - 1))
+    edges = ref.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, array({qs}))").alias("__edges")
+    )
+
+    def binned_counts(df: DataFrame, out: str) -> DataFrame:
+        with_bin = df.join(F.broadcast(edges), group_col).select(
+            F.col(group_col),
+            F.expr(
+                f"1 + aggregate(__edges, 0, "
+                f"(acc, e) -> acc + CASE WHEN {value_col} > e THEN 1 ELSE 0 END)"
+            ).alias("bin"),
+        )
+        return with_bin.groupBy(group_col, "bin").agg(
+            F.count(F.lit(1)).alias(out)
+        )
+
+    rc = binned_counts(ref, "n_ref_bin")
+    cc = binned_counts(cur, "n_cur_bin")
+    both = rc.join(cc, [group_col, "bin"], "full_outer").select(
+        F.col(group_col),
+        F.col("bin"),
+        F.coalesce("n_ref_bin", F.lit(0)).alias("n_ref_bin"),
+        F.coalesce("n_cur_bin", F.lit(0)).alias("n_cur_bin"),
+    )
+    totals = both.groupBy(group_col).agg(
+        F.sum("n_ref_bin").alias("__tr"), F.sum("n_cur_bin").alias("__tc")
+    )
+    terms = both.join(totals, group_col).select(
+        F.col(group_col),
+        F.col("bin"),
+        F.col("__tr"),
+        F.col("__tc"),
+        F.expr(
+            f"(greatest(cast(n_ref_bin as double) / __tr, {_EPS}d)"
+            f" - greatest(cast(n_cur_bin as double) / __tc, {_EPS}d))"
+            f" * ln(greatest(cast(n_ref_bin as double) / __tr, {_EPS}d)"
+            f" / greatest(cast(n_cur_bin as double) / __tc, {_EPS}d))"
+        ).alias("__term"),
+    )
+    return terms.groupBy(group_col).agg(
+        F.max("__tr").cast("long").alias("n_ref"),
+        F.max("__tc").cast("long").alias("n_cur"),
+        F.round(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(bin, __term))), "
+                "cast(0 as double), (acc, x) -> acc + x.__term)"
+            ),
+            6,
+        ).alias("psi"),
+    )

@@ -316,3 +316,68 @@ def kfold_assign(
     return df.withColumn(
         "fold", F.expr(_bucket_expr(id_col, salt, k)).cast("long")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str,
+    token_count: Column,
+    alpha: float = 0.5,
+    token_budget: float | None = None,
+) -> DataFrame:
+    """Temperature-based mixture weighting: per-source sampling weight
+    ``p_s = n_s^alpha / sum_j n_j^alpha`` over token counts — the
+    standard multilingual/multi-source rebalancing rule (alpha=1 keeps
+    natural proportions, alpha->0 approaches uniform; published as the
+    temperature trick in the multilingual-NMT and LLM data-mixture
+    literature). With ``token_budget`` set, also emits the resulting
+    per-source ``sample_rate = min(1, p_s * budget / n_s)`` ready to
+    feed :func:`mixture_sample`-style deterministic hash membership.
+
+    Plan: ONE partial-aggregated groupBy to per-source token totals
+    (source-cardinality rows), then the normalization is a broadcast of
+    one scalar — nothing wide ever touches the corpus. Float
+    discipline: token sums are exact longs; pow/divide are fixed double
+    expressions over identical inputs, so engines agree bit-for-bit.
+
+    Output: (source, n_tokens, weight double rounded 6[, sample_rate
+    double rounded 6]).
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    totals = (
+        df.withColumn("__tok", token_count.cast("long"))
+        .groupBy(source_col)
+        .agg(F.sum("__tok").alias("n_tokens"))
+    )
+    a = float(alpha)
+    # quantize n^alpha to DECIMAL before the denominator sum: the sum
+    # becomes exact (order-independent), so engines agree bit-for-bit
+    # however the partial aggregates combine
+    powed = totals.withColumn(
+        "__pw",
+        F.pow(F.col("n_tokens").cast("double"), F.lit(a)).cast("decimal(28,10)"),
+    )
+    denom = powed.agg(F.sum("__pw").alias("__denom"))
+    joined = powed.crossJoin(F.broadcast(denom))
+    weight = F.col("__pw").cast("double") / F.col("__denom").cast("double")
+    cols = [
+        F.col(source_col),
+        F.col("n_tokens"),
+        F.round(weight, 6).alias("weight"),
+    ]
+    if token_budget is not None:
+        if token_budget <= 0:
+            raise ValueError(f"token_budget must be positive, got {token_budget}")
+        cols.append(
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    weight
+                    * F.lit(float(token_budget))
+                    / F.col("n_tokens").cast("double"),
+                ),
+                6,
+            ).alias("sample_rate")
+        )
+    return joined.select(*cols)

@@ -4488,6 +4488,104 @@ FROM {prev}
     )
 
 
+def q_e6_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: temperature-based mixture weighting (alpha=0.5) — per-source
+    sampling weights n^alpha / sum(n^alpha) over token counts, plus the
+    sample rate for a 20k-token budget; the multilingual/multi-source
+    rebalancing rule."""
+    from .operators.packing import token_count_expr
+    from .operators.sampling import temperature_weights
+
+    return temperature_weights(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        token_count_expr("text"),
+        alpha=0.5,
+        token_budget=20000.0,
+    )
+
+
+ORACLE_E6_TEMPERATURE_MIX = """
+WITH t AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS tok
+  FROM documents
+),
+tot AS (SELECT source, sum(tok) AS n_tokens FROM t GROUP BY source),
+p AS (
+  SELECT source, n_tokens,
+         CAST(pow(CAST(n_tokens AS DOUBLE), 0.5) AS DECIMAL(28,10)) AS pw
+  FROM tot
+),
+d AS (SELECT sum(pw) AS denom FROM p)
+SELECT p.source, CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(p.pw AS DOUBLE) / CAST(d.denom AS DOUBLE), 6) AS weight,
+       round(least(1.0,
+                   CAST(p.pw AS DOUBLE) / CAST(d.denom AS DOUBLE)
+                   * 20000.0 / CAST(p.n_tokens AS DOUBLE)), 6) AS sample_rate
+FROM p, d
+"""
+
+
+def q_e4_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: Population Stability Index drift monitor — value distribution
+    of week 4 (Jan 22+) vs the week-1 reference (before Jan 8), decile
+    bins fitted on the reference, per event type."""
+    from .operators.drift import psi_drift
+
+    ev = _events(spark, sf_dir)
+    ref = ev.where(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+    cur = ev.where(F.col("ts") >= F.lit("2024-01-22").cast("timestamp"))
+    return psi_drift(ref, cur, "event_type", "value", bins=10)
+
+
+ORACLE_E4_PSI_DRIFT = """
+WITH ref AS (
+  SELECT event_type, value FROM events WHERE ts < TIMESTAMP '2024-01-08'
+),
+cur AS (
+  SELECT event_type, value FROM events WHERE ts >= TIMESTAMP '2024-01-22'
+),
+edges AS (
+  SELECT event_type,
+         quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+           AS es
+  FROM ref GROUP BY event_type
+),
+rbin AS (
+  SELECT r.event_type, 1 + len(list_filter(e.es, x -> r.value > x)) AS bin
+  FROM ref r JOIN edges e USING (event_type)
+),
+cbin AS (
+  SELECT c.event_type, 1 + len(list_filter(e.es, x -> c.value > x)) AS bin
+  FROM cur c JOIN edges e USING (event_type)
+),
+rc AS (SELECT event_type, bin, count(*) AS nr FROM rbin GROUP BY 1, 2),
+cc AS (SELECT event_type, bin, count(*) AS nc FROM cbin GROUP BY 1, 2),
+b AS (
+  SELECT coalesce(rc.event_type, cc.event_type) AS event_type,
+         coalesce(rc.bin, cc.bin) AS bin,
+         coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+  FROM rc FULL OUTER JOIN cc
+    ON rc.event_type = cc.event_type AND rc.bin = cc.bin
+),
+tot AS (SELECT event_type, sum(nr) AS tr, sum(nc) AS tc FROM b GROUP BY event_type),
+terms AS (
+  SELECT b.event_type, b.bin, t.tr, t.tc,
+         (greatest(CAST(nr AS DOUBLE) / tr, 1e-6)
+          - greatest(CAST(nc AS DOUBLE) / tc, 1e-6))
+         * ln(greatest(CAST(nr AS DOUBLE) / tr, 1e-6)
+              / greatest(CAST(nc AS DOUBLE) / tc, 1e-6)) AS term
+  FROM b JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       CAST(max(tr) AS BIGINT) AS n_ref,
+       CAST(max(tc) AS BIGINT) AS n_cur,
+       round(list_reduce(list(term ORDER BY bin), (a, x) -> a + x), 6) AS psi
+FROM terms GROUP BY event_type
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4641,6 +4739,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_winsorize": q_e4_winsorize,
     "s10_stream_anomaly": q_s10_stream_anomaly,
     "rel_pagerank": q_rel_pagerank,
+    "e6_temperature_mix": q_e6_temperature_mix,
+    "e4_psi_drift": q_e4_psi_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -4778,4 +4878,6 @@ ORACLES: dict[str, str] = {
     # shares the batch anomaly oracle
     "s10_stream_anomaly": ORACLE_E4_ANOMALY,
     "rel_pagerank": _oracle_pagerank(),
+    "e6_temperature_mix": ORACLE_E6_TEMPERATURE_MIX,
+    "e4_psi_drift": ORACLE_E4_PSI_DRIFT,
 }

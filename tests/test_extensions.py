@@ -1716,3 +1716,58 @@ def test_pagerank_fixed_point_tiny_graph(spark):
         pagerank(e, iterations=0)
     with _pytest.raises(ValueError, match="damping_pct"):
         pagerank(e, damping_pct=0)
+
+
+def test_temperature_weights_rebalances_toward_uniform(spark):
+    from tensorflow_recorder_spark.operators.sampling import temperature_weights
+
+    df = spark.createDataFrame(
+        [(i, "big", "w " * 99) for i in range(90)]
+        + [(1000 + i, "small", "w " * 99) for i in range(10)],
+        "id long, source string, text string",
+    )
+    tok = F.expr("size(split(lower(text), '\\\\s+'))")
+    w1 = {r["source"]: r["weight"]
+          for r in temperature_weights(df, "source", tok, alpha=1.0).collect()}
+    w5 = {r["source"]: r["weight"]
+          for r in temperature_weights(df, "source", tok, alpha=0.5).collect()}
+    # alpha=1 reproduces natural proportions; alpha=0.5 pulls toward uniform
+    assert abs(w1["big"] - 0.9) < 1e-6
+    assert w5["big"] < w1["big"] and w5["small"] > w1["small"]
+    assert abs(w5["big"] + w5["small"] - 1.0) < 1e-5
+    # budget rates cap at 1.0
+    rated = {r["source"]: r["sample_rate"]
+             for r in temperature_weights(
+                 df, "source", tok, alpha=0.5, token_budget=1e9).collect()}
+    assert rated == {"big": 1.0, "small": 1.0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_weights(df, "source", tok, alpha=0.0)
+
+
+def test_psi_drift_flags_shifted_distribution(spark):
+    from tensorflow_recorder_spark.operators.drift import psi_drift
+
+    ref = spark.createDataFrame(
+        [(i, "a", float(i % 100)) for i in range(1000)]
+        + [(i, "b", float(i % 100)) for i in range(1000)],
+        "event_id long, event_type string, value double",
+    )
+    same = spark.createDataFrame(
+        [(i, "a", float(i % 100)) for i in range(500)],
+        "event_id long, event_type string, value double",
+    )
+    shifted = spark.createDataFrame(
+        [(i, "b", float(i % 100) + 80.0) for i in range(500)],
+        "event_id long, event_type string, value double",
+    )
+    cur = same.union(shifted)
+    got = {r["event_type"]: r for r in psi_drift(ref, cur, "event_type", "value").collect()}
+    assert got["a"]["psi"] < 0.01          # identical distribution: stable
+    assert got["b"]["psi"] > 0.25          # shifted by 80: action zone
+    assert got["a"]["n_ref"] == 1000 and got["a"]["n_cur"] == 500
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bins"):
+        psi_drift(ref, cur, "event_type", "value", bins=1)

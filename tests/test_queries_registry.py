@@ -132,6 +132,8 @@ def test_driver_window_holds_all_unique_queries():
         "e4_winsorize",
         "s10_stream_anomaly",
         "rel_pagerank",
+        "e6_temperature_mix",
+        "e4_psi_drift",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
