@@ -94,3 +94,71 @@ def psi_drift(
             6,
         ).alias("psi"),
     )
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Embedding-space drift: L2 distance between the reference and
+    current MEAN embedding (centroid shift), overall or per group — the
+    cheap first-line monitor for representation drift before retraining
+    an ANN index or a downstream head (centroid shift ~ 0 while PSI
+    fires means the feature moved but the embedding space did not, and
+    vice versa).
+
+    Plan shape: ``posexplode`` fans each vector into (dim, component)
+    rows, then ONE partial-aggregated groupBy per side computes
+    per-dimension sums — shuffle bounded by groups x dims, never corpus
+    size; the join of the two per-dimension tables is dims-bounded.
+
+    Float discipline: component sums quantize to DECIMAL (exact,
+    order-independent), the per-dimension delta and the final fold over
+    the DIM-SORTED array use fixed double expression trees — engines
+    agree bit-for-bit.
+
+    Output: (group?, n_ref, n_cur, drift_l2 double rounded 6).
+    """
+    gcols = [group_col] if group_col else []
+
+    def dim_means(df: DataFrame, side: str) -> DataFrame:
+        exploded = df.select(
+            *gcols, F.posexplode(F.col(vec_col)).alias("dim", "__v")
+        )
+        # float -> DOUBLE first (exact in every engine), THEN the decimal
+        # quantization: a direct float->decimal cast is engine-specific
+        return exploded.groupBy(*gcols, "dim").agg(
+            F.sum(
+                F.col("__v").cast("double").cast("decimal(28,10)")
+            ).alias(f"__s_{side}"),
+            F.count(F.lit(1)).alias(f"__n_{side}"),
+        )
+    r = dim_means(ref, "r")
+    c = dim_means(cur, "c")
+    joined = r.join(c, [*gcols, "dim"])
+    delta = joined.select(
+        *gcols,
+        F.col("dim"),
+        F.col("__n_r"),
+        F.col("__n_c"),
+        (
+            F.col("__s_r").cast("double") / F.col("__n_r").cast("double")
+            - F.col("__s_c").cast("double") / F.col("__n_c").cast("double")
+        ).alias("__d"),
+    )
+    grouped = delta.groupBy(*gcols) if gcols else delta.groupBy()
+    return grouped.agg(
+        F.max("__n_r").cast("long").alias("n_ref"),
+        F.max("__n_c").cast("long").alias("n_cur"),
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(dim, __d))), "
+                    "cast(0 as double), (acc, x) -> acc + x.__d * x.__d)"
+                )
+            ),
+            6,
+        ).alias("drift_l2"),
+    )

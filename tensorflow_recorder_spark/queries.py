@@ -4586,6 +4586,54 @@ FROM terms GROUP BY event_type
 """
 
 
+def q_e2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: embedding centroid drift per label — L2 distance between the
+    mean embeddings of two deterministic halves of the corpus (vec_id
+    parity), the first-line representation-drift monitor."""
+    from .operators.drift import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = emb.where(F.expr("vec_id % 2 = 0"))
+    cur = emb.where(F.expr("vec_id % 2 = 1"))
+    return embedding_drift(ref, cur, "embedding", group_col="label")
+
+
+ORACLE_E2_DRIFT = """
+WITH exploded AS (
+  SELECT vec_id, label, u.dim AS dim, u.v AS v FROM (
+    SELECT vec_id, label,
+           unnest(list_transform(generate_series(1, len(embedding)),
+                  i -> struct_pack(dim := i - 1, v := embedding[i]))) AS u
+    FROM embeddings
+  )
+),
+r AS (
+  SELECT label, dim,
+         sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS sr,
+         count(*) AS nr
+  FROM exploded WHERE vec_id % 2 = 0 GROUP BY label, dim
+),
+c AS (
+  SELECT label, dim,
+         sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS sc,
+         count(*) AS nc
+  FROM exploded WHERE vec_id % 2 = 1 GROUP BY label, dim
+),
+d AS (
+  SELECT r.label, r.dim, r.nr, c.nc,
+         CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)
+         - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS dd
+  FROM r JOIN c ON r.label = c.label AND r.dim = c.dim
+)
+SELECT label,
+       CAST(max(nr) AS BIGINT) AS n_ref,
+       CAST(max(nc) AS BIGINT) AS n_cur,
+       round(sqrt(list_reduce(list(dd * dd ORDER BY dim), (a, x) -> a + x)), 6)
+         AS drift_l2
+FROM d GROUP BY label
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4741,6 +4789,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_pagerank": q_rel_pagerank,
     "e6_temperature_mix": q_e6_temperature_mix,
     "e4_psi_drift": q_e4_psi_drift,
+    "e2_drift": q_e2_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -4880,4 +4929,5 @@ ORACLES: dict[str, str] = {
     "rel_pagerank": _oracle_pagerank(),
     "e6_temperature_mix": ORACLE_E6_TEMPERATURE_MIX,
     "e4_psi_drift": ORACLE_E4_PSI_DRIFT,
+    "e2_drift": ORACLE_E2_DRIFT,
 }

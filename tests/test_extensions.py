@@ -1771,3 +1771,26 @@ def test_psi_drift_flags_shifted_distribution(spark):
 
     with _pytest.raises(ValueError, match="bins"):
         psi_drift(ref, cur, "event_type", "value", bins=1)
+
+
+def test_embedding_drift_zero_for_identical_and_positive_for_shift(spark):
+    from tensorflow_recorder_spark.operators.drift import embedding_drift
+
+    ref = spark.createDataFrame(
+        [(i, "a", [1.0, 2.0, 3.0]) for i in range(10)]
+        + [(i, "b", [0.0, 0.0, 1.0]) for i in range(10)],
+        "vec_id long, label string, embedding array<double>",
+    )
+    cur = spark.createDataFrame(
+        [(i, "a", [1.0, 2.0, 3.0]) for i in range(5)]
+        + [(i, "b", [0.0, 0.0, 4.0]) for i in range(5)],
+        "vec_id long, label string, embedding array<double>",
+    )
+    got = {r["label"]: r
+           for r in embedding_drift(ref, cur, "embedding", "label").collect()}
+    assert got["a"]["drift_l2"] == 0.0
+    assert got["b"]["drift_l2"] == 3.0  # centroid moved (0,0,1)->(0,0,4)
+    assert got["a"]["n_ref"] == 10 and got["a"]["n_cur"] == 5
+    # ungrouped variant returns a single global row
+    glob = embedding_drift(ref, cur, "embedding").collect()
+    assert len(glob) == 1 and glob[0]["drift_l2"] > 0

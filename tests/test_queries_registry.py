@@ -134,6 +134,7 @@ def test_driver_window_holds_all_unique_queries():
         "rel_pagerank",
         "e6_temperature_mix",
         "e4_psi_drift",
+        "e2_drift",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
