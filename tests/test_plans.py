@@ -228,3 +228,48 @@ def test_span_occurrences_single_window_no_join(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert plan.count("Window (") == 1  # one window NODE in the tree
     assert "Generate" in plan
+
+
+def test_winsorize_broadcasts_bounds_not_facts(spark):
+    """The per-group quantile bounds are group-cardinality rows; the
+    fact table must join them via broadcast, never shuffle itself."""
+    plan = plan_of(spark, "e4_winsorize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan  # the percentile fit partial-aggregates
+
+
+def test_gap_fill_densifies_after_daily_collapse(spark):
+    """Events must collapse to per-key daily rows (partial agg) BEFORE
+    the calendar-grid join; the LOCF pass is a keyed window."""
+    plan = plan_of(spark, "e4_gap_fill")
+    assert "partial_count" in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_record_linkage_is_blocked_equi_join(spark):
+    """Linkage must be an equi-join on the block key (AQE-splittable),
+    never a nested-loop cross product, and the per-left argmin a
+    partial-aggregated min_by, not a window sort."""
+    plan = plan_of(spark, "e1_record_linkage")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
+
+
+def test_snapshot_diff_joins_fingerprints_full_outer(spark):
+    """The diff join must be full-outer on the key with md5 fingerprints
+    computed BELOW the join (the join moves 32-byte hashes, not document
+    payloads)."""
+    plan = plan_of(spark, "e6_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "md5" in plan
+
+
+def test_temperature_mix_broadcasts_scalar_denominator(spark):
+    """The n^alpha normalization joins ONE broadcast scalar row onto the
+    source-cardinality totals — no shuffle of anything wide."""
+    plan = plan_of(spark, "e6_temperature_mix")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
