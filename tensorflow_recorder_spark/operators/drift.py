@@ -43,36 +43,109 @@ def psi_drift(
     """
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
+    edges = quantile_edges(ref, group_col, value_col, bins)
+    rc = bin_counts(ref, edges, [group_col], value_col, "n_ref_bin")
+    cc = bin_counts(cur, edges, [group_col], value_col, "n_cur_bin")
+    return psi_from_binned_counts(rc, cc, [group_col])
+
+
+def quantile_edges(
+    ref: DataFrame, group_col: str, value_col: str, bins: int = 10
+) -> DataFrame:
+    """Per-group exact quantile bin edges fitted on the reference — one
+    bounded aggregation, group-cardinality rows, broadcastable."""
     qs = ", ".join(str((i + 1) / bins) for i in range(bins - 1))
-    edges = ref.groupBy(group_col).agg(
+    return ref.groupBy(group_col).agg(
         F.expr(f"percentile({value_col}, array({qs}))").alias("__edges")
     )
 
-    def binned_counts(df: DataFrame, out: str) -> DataFrame:
-        with_bin = df.join(F.broadcast(edges), group_col).select(
-            F.col(group_col),
-            F.expr(
-                f"1 + aggregate(__edges, 0, "
-                f"(acc, e) -> acc + CASE WHEN {value_col} > e THEN 1 ELSE 0 END)"
-            ).alias("bin"),
-        )
-        return with_bin.groupBy(group_col, "bin").agg(
-            F.count(F.lit(1)).alias(out)
-        )
 
-    rc = binned_counts(ref, "n_ref_bin")
-    cc = binned_counts(cur, "n_cur_bin")
-    both = rc.join(cc, [group_col, "bin"], "full_outer").select(
-        F.col(group_col),
-        F.col("bin"),
-        F.coalesce("n_ref_bin", F.lit(0)).alias("n_ref_bin"),
-        F.coalesce("n_cur_bin", F.lit(0)).alias("n_cur_bin"),
+def bin_counts(
+    df: DataFrame,
+    edges: DataFrame,
+    group_cols: list,
+    value_col: str,
+    out: str,
+) -> DataFrame:
+    """Bin ``value_col`` against the broadcast reference edges and count
+    per (*group_cols, bin). The bin assignment is a row-local
+    higher-order expression; works identically on a streaming frame
+    (stream-static broadcast join + streaming aggregation)."""
+    join_keys = [c for c in edges.columns if c != "__edges"]
+    with_bin = df.join(F.broadcast(edges), join_keys).select(
+        *[F.col(c) for c in group_cols],
+        F.expr(
+            f"1 + aggregate(__edges, 0, "
+            f"(acc, e) -> acc + CASE WHEN {value_col} > e THEN 1 ELSE 0 END)"
+        ).alias("bin"),
     )
-    totals = both.groupBy(group_col).agg(
+    return with_bin.groupBy(*group_cols, "bin").agg(F.count(F.lit(1)).alias(out))
+
+
+def psi_from_binned_counts(
+    ref_bins: DataFrame,
+    cur_bins: DataFrame,
+    group_cols: list,
+) -> DataFrame:
+    """Finalize PSI from two binned-count frames — the shared tail of
+    :func:`psi_drift` and the streaming daily monitor (the stream emits
+    binned counts; this closes them against the reference). Inputs:
+    ``ref_bins`` (group..., bin, n_ref_bin), ``cur_bins`` (group...,
+    bin, n_cur_bin). The current side may carry EXTRA group columns
+    (e.g. day) absent from the reference side — pass them in
+    ``group_cols`` and list the shared ones first; the reference join
+    uses only the columns present in ``ref_bins``.
+
+    Output: (*group_cols, n_ref, n_cur, psi double rounded 6).
+    """
+    ref_keys = [c for c in group_cols if c in ref_bins.columns]
+    cur_keys = list(group_cols)
+    extra = [c for c in cur_keys if c not in ref_keys]
+    if extra:
+        # replicate the reference bins onto every current slice (e.g.
+        # each day) so a slice missing a reference bin still counts it
+        # as zero-current; slices x bins is a bounded grid. The slice
+        # frame derives FROM cur_bins, so its columns are renamed before
+        # the re-join (identical expr-ids on both sides otherwise).
+        slices = cur_bins.select(
+            *[F.col(c).alias(f"__sl_{c}") for c in extra]
+        ).distinct()
+        ref_full = slices.crossJoin(F.broadcast(ref_bins))
+        cond = None
+        for c in extra:
+            eq = ref_full[f"__sl_{c}"] == cur_bins[c]
+            cond = eq if cond is None else cond & eq
+        for k in (*ref_keys, "bin"):
+            cond = cond & (ref_full[k] == cur_bins[k])
+        both = ref_full.join(cur_bins, cond, "full_outer").select(
+            *[
+                F.coalesce(ref_full[f"__sl_{c}"], cur_bins[c]).alias(c)
+                for c in extra
+            ],
+            *[
+                F.coalesce(ref_full[k], cur_bins[k]).alias(k)
+                for k in ref_keys
+            ],
+            F.coalesce(ref_full["bin"], cur_bins["bin"]).alias("bin"),
+            F.coalesce("n_ref_bin", F.lit(0)).alias("n_ref_bin"),
+            F.coalesce("n_cur_bin", F.lit(0)).alias("n_cur_bin"),
+        )
+        # restore caller-declared group order
+        both = both.select(
+            *[F.col(c) for c in cur_keys], "bin", "n_ref_bin", "n_cur_bin"
+        )
+    else:
+        both = ref_bins.join(cur_bins, [*cur_keys, "bin"], "full_outer").select(
+            *[F.col(c) for c in cur_keys],
+            F.col("bin"),
+            F.coalesce("n_ref_bin", F.lit(0)).alias("n_ref_bin"),
+            F.coalesce("n_cur_bin", F.lit(0)).alias("n_cur_bin"),
+        )
+    totals = both.groupBy(*cur_keys).agg(
         F.sum("n_ref_bin").alias("__tr"), F.sum("n_cur_bin").alias("__tc")
     )
-    terms = both.join(totals, group_col).select(
-        F.col(group_col),
+    terms = both.join(totals, cur_keys).select(
+        *[F.col(c) for c in cur_keys],
         F.col("bin"),
         F.col("__tr"),
         F.col("__tc"),
@@ -83,7 +156,7 @@ def psi_drift(
             f" / greatest(cast(n_cur_bin as double) / __tc, {_EPS}d))"
         ).alias("__term"),
     )
-    return terms.groupBy(group_col).agg(
+    return terms.groupBy(*cur_keys).agg(
         F.max("__tr").cast("long").alias("n_ref"),
         F.max("__tc").cast("long").alias("n_cur"),
         F.round(

@@ -4634,6 +4634,91 @@ FROM d GROUP BY label
 """
 
 
+def q_s11_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSI drift monitor AS A STREAM: per-DAY drift of the event
+    value distribution vs the static week-1 reference. The stream
+    bins each event against broadcast reference edges (stream-static
+    join), aggregates (day, type, bin) counts in the state store, and
+    the drained counts finalize to daily PSI with the same fold as the
+    batch operator — the online drift gate a 100 TB ingest pipeline
+    runs continuously."""
+    from .operators.drift import (
+        bin_counts,
+        psi_from_binned_counts,
+        quantile_edges,
+    )
+
+    ev = _events(spark, sf_dir)
+    ref = ev.where(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+    edges = quantile_edges(ref, "event_type", "value", 10)
+    ref_bins = bin_counts(ref, edges, ["event_type"], "value", "n_ref_bin")
+
+    stream = _event_stream(spark, sf_dir).where(
+        F.col("ts") >= F.lit("2024-01-08").cast("timestamp")
+    )
+    cur = stream.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    cur_bins = bin_counts(cur, edges, ["day", "event_type"], "value", "n_cur_bin")
+    drained = _drain_to_memory(cur_bins, "stream_psi_sink", "complete")
+    return psi_from_binned_counts(ref_bins, drained, ["day", "event_type"])
+
+
+ORACLE_S11_STREAM_PSI = """
+WITH ref AS (
+  SELECT event_type, value FROM events WHERE ts < TIMESTAMP '2024-01-08'
+),
+cur AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type, value
+  FROM events WHERE ts >= TIMESTAMP '2024-01-08'
+),
+edges AS (
+  SELECT event_type,
+         quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+           AS es
+  FROM ref GROUP BY event_type
+),
+rc AS (
+  SELECT r.event_type, 1 + len(list_filter(e.es, x -> r.value > x)) AS bin,
+         count(*) AS nr
+  FROM ref r JOIN edges e USING (event_type) GROUP BY 1, 2
+),
+cc AS (
+  SELECT c.day, c.event_type,
+         1 + len(list_filter(e.es, x -> c.value > x)) AS bin,
+         count(*) AS nc
+  FROM cur c JOIN edges e USING (event_type) GROUP BY 1, 2, 3
+),
+ref_full AS (
+  SELECT d.day, r.event_type, r.bin, r.nr
+  FROM (SELECT DISTINCT day FROM cur) d CROSS JOIN rc r
+),
+b AS (
+  SELECT coalesce(rf.day, cc.day) AS day,
+         coalesce(rf.event_type, cc.event_type) AS event_type,
+         coalesce(rf.bin, cc.bin) AS bin,
+         coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+  FROM ref_full rf FULL OUTER JOIN cc
+    ON rf.day = cc.day AND rf.event_type = cc.event_type AND rf.bin = cc.bin
+),
+tot AS (
+  SELECT day, event_type, sum(nr) AS tr, sum(nc) AS tc
+  FROM b GROUP BY day, event_type
+),
+terms AS (
+  SELECT b.day, b.event_type, b.bin, t.tr, t.tc,
+         (greatest(CAST(nr AS DOUBLE) / tr, 1e-6)
+          - greatest(CAST(nc AS DOUBLE) / tc, 1e-6))
+         * ln(greatest(CAST(nr AS DOUBLE) / tr, 1e-6)
+              / greatest(CAST(nc AS DOUBLE) / tc, 1e-6)) AS term
+  FROM b JOIN tot t ON b.day = t.day AND b.event_type = t.event_type
+)
+SELECT day, event_type,
+       CAST(max(tr) AS BIGINT) AS n_ref,
+       CAST(max(tc) AS BIGINT) AS n_cur,
+       round(list_reduce(list(term ORDER BY bin), (a, x) -> a + x), 6) AS psi
+FROM terms GROUP BY day, event_type
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4790,6 +4875,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_temperature_mix": q_e6_temperature_mix,
     "e4_psi_drift": q_e4_psi_drift,
     "e2_drift": q_e2_drift,
+    "s11_stream_psi": q_s11_stream_psi,
 }
 
 ORACLES: dict[str, str] = {
@@ -4930,4 +5016,5 @@ ORACLES: dict[str, str] = {
     "e6_temperature_mix": ORACLE_E6_TEMPERATURE_MIX,
     "e4_psi_drift": ORACLE_E4_PSI_DRIFT,
     "e2_drift": ORACLE_E2_DRIFT,
+    "s11_stream_psi": ORACLE_S11_STREAM_PSI,
 }

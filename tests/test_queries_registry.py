@@ -135,6 +135,7 @@ def test_driver_window_holds_all_unique_queries():
         "e6_temperature_mix",
         "e4_psi_drift",
         "e2_drift",
+        "s11_stream_psi",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
