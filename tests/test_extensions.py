@@ -759,6 +759,15 @@ def test_e4_operators_accept_all_ts_flavors(spark, flavor):
     # 11:30 is outside tolerance; user 2 has no quote at all
     assert tol == {1: 5.0, 2: 5.0, 3: None, 4: None}
 
+    # session-4 operators join the same flavor matrix
+    dense = {(r["user_id"], r["day"]): r["n_events"]
+             for r in events.gap_fill_daily(df).collect()}
+    assert dense[(1, "2024-01-01")] == 3 and dense[(2, "2024-01-01")] == 1
+
+    zs = {r["event_id"]: r["n_prior"]
+          for r in events.rolling_zscore(df, n=5).collect()}
+    assert len(zs) == 4 and zs[1] == 0
+
 
 def test_char_entropy_known_values(spark):
     import math
