@@ -81,6 +81,10 @@ BENCH_QUERIES = [
     "e1_record_linkage",
     "e6_snapshot_diff",
     "e4_winsorize",
+    # session-5 operators: chunk explode and the bucketed-batching window
+    "e3_chunk",
+    "e6_length_buckets",
+    "e6_data_audit",
 ]
 
 

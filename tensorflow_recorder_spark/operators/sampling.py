@@ -298,6 +298,97 @@ def curriculum_order(
     )
 
 
+def bucket_by_length(
+    df: DataFrame,
+    id_col: str,
+    token_count: Column,
+    bucket_width: int = 64,
+    batch_tokens: int = 4096,
+    salt: str = "lenbatch",
+) -> DataFrame:
+    """Length-bucketed batch assignment: group rows into width-``bucket_
+    width`` token-length buckets, then pack each bucket into batches of
+    ``floor(batch_tokens / bucket_cap)`` rows in deterministic md5
+    order — the standard dynamic-batching step that keeps padding waste
+    bounded by the bucket width (every row in a batch pads to the same
+    cap).
+
+    Pinned semantics: bucket = floor((n_tokens - 1) / width) for
+    n_tokens >= 1 (zero-token rows go to bucket 0); bucket cap =
+    (bucket + 1) * width; rows_per_batch = max(1, batch_tokens // cap);
+    batch ordinal = (row_number within bucket by (md5 bucket, id) - 1)
+    // rows_per_batch. Everything is a pure function of (salt, id,
+    n_tokens), so the batching is retry/engine-stable.
+
+    Plan shape: one window partitioned BY BUCKET (bounded partitions —
+    a bucket is never bigger than the corpus slice of one length band;
+    at 100 TB shard the window key to (bucket, md5 % nshards) exactly
+    like ``source_token_quota``). Output: (id, n_tokens, bucket,
+    batch_in_bucket, rows_per_batch).
+    """
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    if batch_tokens < 1:
+        raise ValueError(f"batch_tokens must be >= 1, got {batch_tokens}")
+    with_tok = df.select(
+        F.col(id_col), token_count.cast("long").alias("n_tokens")
+    ).withColumn(
+        "bucket",
+        F.when(F.col("n_tokens") <= 0, F.lit(0))
+        .otherwise(F.floor((F.col("n_tokens") - 1) / F.lit(bucket_width)))
+        .cast("long"),
+    )
+    cap = (F.col("bucket") + 1) * F.lit(bucket_width)
+    rows_per_batch = F.greatest(
+        F.lit(1).cast("long"), F.floor(F.lit(batch_tokens) / cap)
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.expr(_bucket_expr(id_col, salt)), F.col(id_col)
+    )
+    return (
+        with_tok.withColumn("__r", F.row_number().over(w))
+        .select(
+            id_col,
+            "n_tokens",
+            "bucket",
+            F.floor((F.col("__r") - 1) / rows_per_batch)
+            .cast("long")
+            .alias("batch_in_bucket"),
+            rows_per_batch.cast("long").alias("rows_per_batch"),
+        )
+    )
+
+
+def class_weights(df: DataFrame, label_col: str) -> DataFrame:
+    """Inverse-frequency class weights (sklearn's "balanced" rule,
+    public): ``weight_c = n_rows / (n_classes * n_c)`` — the loss
+    reweighting table for an imbalanced label column, computed as one
+    tiny groupBy plus a broadcast scalar. NULL labels are excluded.
+
+    Output: (label, n BIGINT, weight DOUBLE rounded 6).
+    """
+    counts = (
+        df.where(F.col(label_col).isNotNull())
+        .groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = counts.agg(
+        F.sum("n").alias("__total"), F.count(F.lit(1)).alias("__k")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "label",
+            "n",
+            F.round(
+                F.col("__total").cast("double")
+                / (F.col("__k") * F.col("n")).cast("double"),
+                6,
+            ).alias("weight"),
+        )
+    )
+
+
 def kfold_assign(
     df: DataFrame, id_col: str, k: int = 5, salt: str = "kfold"
 ) -> DataFrame:

@@ -4719,6 +4719,197 @@ FROM terms GROUP BY day, event_type
 """
 
 
+def q_e3_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/E6: context-window chunking — explode documents into 32-token
+    windows with stride 24 (8-token overlap), the pre-tokenization step
+    for window-bounded training and chunk-level retrieval indexing.
+    Map-only JVM expressions; no shuffle."""
+    from .operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        chunk_size=32, stride=24,
+    )
+
+
+ORACLE_E3_CHUNK = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS s
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST((s - 1) // 24 AS BIGINT) AS chunk_id,
+       array_to_string(t[s : least(s + 31, len(t))], ' ') AS chunk_text,
+       CAST(least(s + 31, len(t)) - s + 1 AS BIGINT) AS chunk_tokens
+FROM starts
+"""
+
+
+def q_e3_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/E6: chunking report card WITHOUT materializing chunk text —
+    per-document chunk counts and boundary sizes as a pure arithmetic
+    projection, for sizing the chunk table before producing it."""
+    from .operators.chunking import chunk_stats
+
+    return chunk_stats(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        chunk_size=32, stride=24,
+    )
+
+
+ORACLE_E3_CHUNK_STATS = """
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+           AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN n <= 0 THEN 0 ELSE (n - 1) // 24 + 1 END AS BIGINT)
+         AS n_chunks,
+       CAST(CASE WHEN n <= 0 THEN 0
+                 ELSE least(32, n - ((n - 1) // 24) * 24) END AS BIGINT)
+         AS last_chunk_tokens
+FROM toks
+"""
+
+
+def q_e6_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: Deequ-style data-quality expectation suite over orders —
+    five constraints (completeness, uniqueness, bounds, value domain,
+    volume) evaluated in ONE aggregation pass + in-plan unpivot."""
+    from .operators.audit import (
+        accepted_values,
+        check_expectations,
+        min_value,
+        not_null,
+        row_count_at_least,
+        unique,
+    )
+
+    return check_expectations(
+        _t(spark, sf_dir, "orders"),
+        [
+            not_null("o_custkey"),
+            unique("o_orderkey"),
+            min_value("o_totalprice", 0.0),
+            accepted_values("o_orderstatus", ["F", "O", "P"]),
+            row_count_at_least(1),
+        ],
+    )
+
+
+ORACLE_E6_DATA_AUDIT = """
+WITH m AS (
+  SELECT
+    round(avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS m0,
+    round(CAST(count(DISTINCT o_orderkey) AS DOUBLE)
+          / count(o_orderkey), 6) AS m1,
+    round(CAST(min(o_totalprice) AS DOUBLE), 6) AS m2,
+    round(avg(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+              THEN 1.0 ELSE 0.0 END), 6) AS m3,
+    round(CAST(count(*) AS DOUBLE), 6) AS m4
+  FROM orders
+)
+SELECT 'not_null(o_custkey)' AS check_name, m0 AS value, m0 >= 1.0 AS passed FROM m
+UNION ALL SELECT 'unique(o_orderkey)', m1, m1 >= 1.0 FROM m
+UNION ALL SELECT 'min(o_totalprice)>=0.0', m2, m2 >= 0.0 FROM m
+UNION ALL SELECT 'accepted_values(o_orderstatus)', m3, m3 >= 1.0 FROM m
+UNION ALL SELECT 'row_count>=1', m4, m4 >= 1.0 FROM m
+"""
+
+
+def q_e6_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 privacy audit: k-anonymity group sizes over the
+    (nation, market segment) quasi-identifier pair of customer, k=50 —
+    groups smaller than k are re-identification risks. One
+    QI-cardinality groupBy."""
+    from .operators.privacy import k_anonymity_groups
+
+    return k_anonymity_groups(
+        _t(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        k=50,
+    )
+
+
+ORACLE_E6_K_ANONYMITY = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       count(*) < 50 AS at_risk
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+def q_e6_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: length-bucketed dynamic batching — 16-token-wide buckets,
+    256-token batches, deterministic md5 intake order. Padding waste is
+    bounded by the bucket width; batching is retry/engine-stable."""
+    from .operators.sampling import bucket_by_length
+
+    docs = _t(spark, sf_dir, "documents")
+    return bucket_by_length(
+        docs,
+        "doc_id",
+        F.expr("size(filter(split(text, '\\\\s+'), t -> t <> ''))"),
+        bucket_width=16,
+        batch_tokens=256,
+    )
+
+
+ORACLE_E6_LENGTH_BUCKETS = """
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST(CASE WHEN n_tokens <= 0 THEN 0
+              ELSE (n_tokens - 1) // 16 END AS BIGINT) AS bucket,
+         ('0x' || substr(md5('lenbatch:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT % 1000000 AS h
+  FROM tok
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST((row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1)
+            // greatest(1, 256 // ((bucket + 1) * 16)) AS BIGINT)
+         AS batch_in_bucket,
+       CAST(greatest(1, 256 // ((bucket + 1) * 16)) AS BIGINT)
+         AS rows_per_batch
+FROM b
+"""
+
+
+def q_e6_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: inverse-frequency class weights (sklearn "balanced" rule)
+    over the documents language label — the loss-reweighting table for
+    an imbalanced label, one tiny groupBy + broadcast scalar."""
+    from .operators.sampling import class_weights
+
+    return class_weights(_t(spark, sf_dir, "documents"), "lang")
+
+
+ORACLE_E6_CLASS_WEIGHTS = """
+WITH c AS (
+  SELECT lang AS label, CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+),
+t AS (SELECT sum(n) AS total, count(*) AS k FROM c)
+SELECT c.label, c.n,
+       round(CAST(t.total AS DOUBLE) / (t.k * c.n), 6) AS weight
+FROM c, t
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4876,6 +5067,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_psi_drift": q_e4_psi_drift,
     "e2_drift": q_e2_drift,
     "s11_stream_psi": q_s11_stream_psi,
+    "e3_chunk": q_e3_chunk,
+    "e3_chunk_stats": q_e3_chunk_stats,
+    "e6_data_audit": q_e6_data_audit,
+    "e6_k_anonymity": q_e6_k_anonymity,
+    "e6_length_buckets": q_e6_length_buckets,
+    "e6_class_weights": q_e6_class_weights,
 }
 
 ORACLES: dict[str, str] = {
@@ -5017,4 +5214,10 @@ ORACLES: dict[str, str] = {
     "e4_psi_drift": ORACLE_E4_PSI_DRIFT,
     "e2_drift": ORACLE_E2_DRIFT,
     "s11_stream_psi": ORACLE_S11_STREAM_PSI,
+    "e3_chunk": ORACLE_E3_CHUNK,
+    "e3_chunk_stats": ORACLE_E3_CHUNK_STATS,
+    "e6_data_audit": ORACLE_E6_DATA_AUDIT,
+    "e6_k_anonymity": ORACLE_E6_K_ANONYMITY,
+    "e6_length_buckets": ORACLE_E6_LENGTH_BUCKETS,
+    "e6_class_weights": ORACLE_E6_CLASS_WEIGHTS,
 }

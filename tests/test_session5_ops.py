@@ -1,0 +1,228 @@
+"""Session-5 operator tests: chunking, data-quality audit, k-anonymity,
+length-bucketed batching, class weights — small deterministic inputs
+with hand-checked outputs."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tensorflow_recorder_spark.operators import audit, chunking, privacy, sampling
+
+
+# ------------------------------------------------------------ chunking
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, ""), (4, "  ")],
+        "id long, txt string",
+    )
+    rows = chunking.chunk_documents(df, "txt", "id", chunk_size=4, stride=3).collect()
+    got = {(r["id"], r["chunk_id"]): (r["chunk_text"], r["chunk_tokens"]) for r in rows}
+    # doc 1: starts 1,4,7 -> [a b c d], [d e f g], [g]
+    assert got[(1, 0)] == ("a b c d", 4)
+    assert got[(1, 1)] == ("d e f g", 4)
+    assert got[(1, 2)] == ("g", 1)
+    assert got[(2, 0)] == ("x", 1)
+    # empty / whitespace-only docs produce no chunks
+    assert not any(k[0] in (3, 4) for k in got)
+    assert len(got) == 4
+
+
+def test_chunk_documents_preserves_case(spark):
+    df = spark.createDataFrame([(1, "The Quick Brown")], "id long, txt string")
+    [r] = chunking.chunk_documents(df, "txt", "id", chunk_size=8, stride=8).collect()
+    assert r["chunk_text"] == "The Quick Brown"
+
+
+def test_chunk_documents_validates_args(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, txt string")
+    with pytest.raises(ValueError):
+        chunking.chunk_documents(df, "txt", "id", chunk_size=0)
+    with pytest.raises(ValueError):
+        chunking.chunk_documents(df, "txt", "id", stride=0)
+
+
+def test_chunk_stats_matches_chunk_documents(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(["t"] * n)) for i, n in enumerate([0, 1, 3, 4, 7, 12])],
+        "id long, txt string",
+    )
+    chunks = (
+        chunking.chunk_documents(df, "txt", "id", chunk_size=4, stride=3)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.min(F.col("chunk_tokens")).alias("min_tokens"),
+        )
+        .collect()
+    )
+    stats = {
+        r["id"]: r
+        for r in chunking.chunk_stats(df, "txt", "id", chunk_size=4, stride=3).collect()
+    }
+    for r in chunks:
+        s = stats[r["id"]]
+        assert s["n_chunks"] == r["n_chunks"]
+        assert s["last_chunk_tokens"] == r["min_tokens"] or s["n_chunks"] == 1
+    assert stats[0]["n_chunks"] == 0 and stats[0]["last_chunk_tokens"] == 0
+    assert stats[5]["n_tokens"] == 12 and stats[5]["n_chunks"] == 4
+    # starts 1,4,7,10 over 12 tokens: last chunk = tokens 10..12 -> 3
+    assert stats[5]["last_chunk_tokens"] == 3
+
+
+# --------------------------------------------------------------- audit
+
+
+def test_check_expectations_single_pass_results(spark):
+    df = spark.createDataFrame(
+        [(1, "A", 5.0), (2, "B", 7.0), (3, "A", -1.0), (3, None, 2.0)],
+        "k long, status string, v double",
+    )
+    out = {
+        r["check_name"]: r
+        for r in audit.check_expectations(
+            df,
+            [
+                audit.not_null("status"),
+                audit.unique("k"),
+                audit.min_value("v", 0.0),
+                audit.accepted_values("status", ["A", "B"]),
+                audit.row_count_at_least(10),
+            ],
+        ).collect()
+    }
+    assert out["not_null(status)"]["value"] == 0.75
+    assert not out["not_null(status)"]["passed"]
+    assert out["unique(k)"]["value"] == 0.75  # 3 distinct / 4
+    assert not out["unique(k)"]["passed"]
+    assert out["min(v)>=0.0"]["value"] == -1.0
+    assert not out["min(v)>=0.0"]["passed"]
+    assert not out["accepted_values(status)"]["passed"]  # NULL counts against
+    assert out["row_count>=10"]["value"] == 4.0
+    assert not out["row_count>=10"]["passed"]
+
+
+def test_check_expectations_all_green(spark):
+    df = spark.createDataFrame([(1, "A"), (2, "B")], "k long, status string")
+    rows = audit.check_expectations(
+        df,
+        [audit.not_null("k"), audit.unique("k"), audit.row_count_at_least(2)],
+    ).collect()
+    assert all(r["passed"] for r in rows)
+
+
+def test_check_expectations_validates(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        audit.check_expectations(df, [])
+    with pytest.raises(ValueError):
+        audit.check_expectations(df, [audit.not_null("k"), audit.not_null("k")])
+
+
+def test_check_expectations_is_one_aggregate(spark):
+    """The whole suite must cost one scan: no join/union of per-check
+    subplans in the physical plan."""
+    df = spark.createDataFrame([(1, "A")], "k long, status string")
+    plan = (
+        audit.check_expectations(
+            df, [audit.not_null("k"), audit.min_value("k", 0), audit.row_count_at_least(1)]
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Union" not in plan and "Join" not in plan
+
+
+# ------------------------------------------------------------- privacy
+
+
+def test_k_anonymity_groups_flags_small_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "US", "A"), (2, "US", "A"), (3, "US", "A"), (4, "DE", "A"), (5, "DE", "B")],
+        "id long, nation string, seg string",
+    )
+    got = {
+        (r["nation"], r["seg"]): (r["n"], r["at_risk"])
+        for r in privacy.k_anonymity_groups(df, ["nation", "seg"], k=2).collect()
+    }
+    assert got[("US", "A")] == (3, False)
+    assert got[("DE", "A")] == (1, True)
+    assert got[("DE", "B")] == (1, True)
+
+
+def test_k_anonymity_summary_with_l_diversity(spark):
+    df = spark.createDataFrame(
+        [(1, "US", "x"), (2, "US", "x"), (3, "DE", "y"), (4, "DE", "z")],
+        "id long, nation string, diag string",
+    )
+    [r] = privacy.k_anonymity_summary(
+        df, ["nation"], k=3, sensitive_col="diag"
+    ).collect()
+    assert r["n_groups"] == 2 and r["n_rows"] == 4
+    assert r["rows_at_risk"] == 4  # both groups have n=2 < 3
+    assert r["min_group_size"] == 2
+    assert r["min_l_diversity"] == 1  # US group has a single diagnosis
+
+
+def test_k_anonymity_validates(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, q string")
+    with pytest.raises(ValueError):
+        privacy.k_anonymity_groups(df, [], k=2)
+    with pytest.raises(ValueError):
+        privacy.k_anonymity_groups(df, ["q"], k=0)
+
+
+# ------------------------------------------------- batching / weights
+
+
+def test_bucket_by_length_caps_batch_tokens(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([3, 5, 9, 10, 17, 0])],
+        "id long, txt string",
+    )
+    rows = sampling.bucket_by_length(
+        df,
+        "id",
+        F.expr("size(filter(split(txt, '\\\\s+'), t -> t <> ''))"),
+        bucket_width=8,
+        batch_tokens=16,
+    ).collect()
+    by_id = {r["id"]: r for r in rows}
+    # n=3,5 -> bucket 0 (cap 8, 2 rows/batch); n=9,10 -> bucket 1 (cap 16,
+    # 1 row/batch); n=17 -> bucket 2 (cap 24 > 16 -> 1 row/batch); n=0 -> bucket 0
+    assert by_id[0]["bucket"] == 0 and by_id[0]["rows_per_batch"] == 2
+    assert by_id[2]["bucket"] == 1 and by_id[2]["rows_per_batch"] == 1
+    assert by_id[4]["bucket"] == 2 and by_id[4]["rows_per_batch"] == 1
+    assert by_id[5]["bucket"] == 0
+    # every batch respects its row cap
+    from collections import Counter
+
+    sizes = Counter((r["bucket"], r["batch_in_bucket"]) for r in rows)
+    for (bucket, _), n in sizes.items():
+        cap = max(1, 16 // ((bucket + 1) * 8))
+        assert n <= cap
+
+
+def test_bucket_by_length_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i % 7 + 1))) for i in range(40)],
+        "id long, txt string",
+    )
+    tok = F.expr("size(filter(split(txt, '\\\\s+'), t -> t <> ''))")
+    a = sorted(map(tuple, sampling.bucket_by_length(df, "id", tok).collect()))
+    b = sorted(map(tuple, sampling.bucket_by_length(df, "id", tok).collect()))
+    assert a == b
+
+
+def test_class_weights_balanced_rule(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "en"), (4, "de"), (5, None)],
+        "id long, lang string",
+    )
+    got = {r["label"]: r for r in sampling.class_weights(df, "lang").collect()}
+    assert set(got) == {"en", "de"}
+    # total=4 (nulls excluded), k=2: en -> 4/(2*3), de -> 4/(2*1)
+    assert abs(got["en"]["weight"] - 4 / 6) < 1e-6
+    assert got["de"]["weight"] == 2.0
