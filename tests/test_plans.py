@@ -273,3 +273,41 @@ def test_temperature_mix_broadcasts_scalar_denominator(spark):
     plan = plan_of(spark, "e6_temperature_mix")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunk_documents_is_narrow_generate(spark):
+    """Chunking must be a map-only explode: no shuffle, no join, no
+    window — the chunk stream is produced inside the scan stage."""
+    plan = plan_of(spark, "e3_chunk")
+    assert "Generate" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_chunk_stats_has_no_generate(spark):
+    """The stats twin must size the chunk table WITHOUT exploding it —
+    a pure arithmetic projection over the scan."""
+    plan = plan_of(spark, "e3_chunk_stats")
+    assert "Generate" not in plan
+    assert "Exchange" not in plan
+
+
+def test_data_audit_is_single_aggregate_pass(spark):
+    """The whole expectation suite must evaluate in ONE aggregation over
+    one scan: no join/union of per-check subplans; the count-distinct
+    goes through Expand in the same pass."""
+    plan = plan_of(spark, "e6_data_audit")
+    assert "Union" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet  (") == 1
+    # two exchanges only: the keyed distinct rewrite + the single-row final
+    assert plan.count("Exchange (") == 2
+
+
+def test_length_buckets_window_partitioned_by_bucket(spark):
+    """Dynamic batching must window BY BUCKET (bounded partitions), with
+    exactly one shuffle feeding it — never a global unpartitioned sort."""
+    plan = plan_of(spark, "e6_length_buckets")
+    assert plan.count("Window (") == 1
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning(bucket" in plan
