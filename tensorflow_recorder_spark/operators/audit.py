@@ -79,6 +79,76 @@ def row_count_at_least(n: int) -> Expectation:
     )
 
 
+def _validate_suite(expectations: Sequence[Expectation]) -> None:
+    if not expectations:
+        raise ValueError("expectations must be non-empty")
+    names = [e.name for e in expectations]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate expectation names: {names}")
+
+
+def grouped_metrics(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    expectations: Sequence[Expectation],
+) -> DataFrame:
+    """The aggregation half of a grouped audit: per group, one metric
+    column ``m{i}`` per expectation (rounded 6). Split out so a
+    Structured Streaming job can run THIS part in the state store
+    (avg/min/count are all streaming-legal in complete mode) and hand
+    the drained frame to :func:`finalize_expectations` — batch and
+    stream share the finalize path and therefore the oracle."""
+    _validate_suite(expectations)
+    return df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        *[F.round(e.metric, 6).alias(f"m{i}") for i, e in enumerate(expectations)]
+    )
+
+
+def finalize_expectations(
+    agg_df: DataFrame,
+    group_cols: Sequence[str],
+    expectations: Sequence[Expectation],
+) -> DataFrame:
+    """Unpivot a :func:`grouped_metrics` frame to (group_cols...,
+    check_name, value DOUBLE, passed BOOLEAN) — a stack + CASE over
+    group-cardinality rows, metadata-scale."""
+    _validate_suite(expectations)
+    pairs = ", ".join(
+        f"'{e.name.replace(chr(39), chr(39)*2)}', m{i}"
+        for i, e in enumerate(expectations)
+    )
+    long = agg_df.select(
+        *[F.col(c) for c in group_cols],
+        F.expr(f"stack({len(expectations)}, {pairs}) AS (check_name, value)"),
+    )
+    pred = None
+    for e in expectations:
+        cond = F.col("check_name") == e.name
+        pred = F.when(cond, e.passed) if pred is None else pred.when(cond, e.passed)
+    return long.select(
+        *group_cols,
+        "check_name",
+        F.col("value").cast("double").alias("value"),
+        pred.alias("passed"),
+    )
+
+
+def check_expectations_grouped(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    expectations: Sequence[Expectation],
+) -> DataFrame:
+    """Grouped audit (e.g. a per-day ingest gate): the whole suite per
+    group in ONE aggregation pass — one shuffle keyed by the group
+    tuple, then the metadata-scale unpivot. ``unique`` checks are not
+    streaming-legal; avoid them in suites meant to run as a stream."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; use check_expectations")
+    return finalize_expectations(
+        grouped_metrics(df, group_cols, expectations), group_cols, expectations
+    )
+
+
 def check_expectations(
     df: DataFrame, expectations: Sequence[Expectation]
 ) -> DataFrame:
@@ -88,11 +158,7 @@ def check_expectations(
     one row per expectation, ordered as declared. The whole suite costs
     one scan + one single-row shuffle regardless of suite size.
     """
-    if not expectations:
-        raise ValueError("expectations must be non-empty")
-    names = [e.name for e in expectations]
-    if len(set(names)) != len(names):
-        raise ValueError(f"duplicate expectation names: {names}")
+    _validate_suite(expectations)
     agg_row = df.agg(
         *[F.round(e.metric, 6).alias(f"m{i}") for i, e in enumerate(expectations)]
     )

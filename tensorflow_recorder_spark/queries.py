@@ -4910,6 +4910,76 @@ FROM c, t
 """
 
 
+_DAILY_AUDIT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _daily_audit_suite():
+    from .operators.audit import (
+        accepted_values,
+        min_value,
+        not_null,
+        row_count_at_least,
+    )
+
+    return [
+        not_null("props"),
+        min_value("value", 0.0),
+        accepted_values("event_type", _DAILY_AUDIT_TYPES),
+        row_count_at_least(300),
+    ]
+
+
+def q_e4_daily_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E6: per-day ingest quality gate — the expectation suite
+    grouped by event day (completeness, value bounds, type domain,
+    daily volume), one shuffle keyed by day."""
+    from .operators.audit import check_expectations_grouped
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return check_expectations_grouped(ev, ["day"], _daily_audit_suite())
+
+
+ORACLE_E4_DAILY_AUDIT = """
+WITH m AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         round(avg(CASE WHEN props IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+           AS m0,
+         round(CAST(min(value) AS DOUBLE), 6) AS m1,
+         round(avg(CASE WHEN event_type IN
+                   ('click', 'error', 'purchase', 'signup', 'view')
+                   THEN 1.0 ELSE 0.0 END), 6) AS m2,
+         round(CAST(count(*) AS DOUBLE), 6) AS m3
+  FROM events GROUP BY 1
+)
+SELECT day, 'not_null(props)' AS check_name, m0 AS value,
+       m0 >= 1.0 AS passed FROM m
+UNION ALL SELECT day, 'min(value)>=0.0', m1, m1 >= 0.0 FROM m
+UNION ALL SELECT day, 'accepted_values(event_type)', m2, m2 >= 1.0 FROM m
+UNION ALL SELECT day, 'row_count>=300', m3, m3 >= 300.0 FROM m
+"""
+
+
+def q_s12_stream_daily_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-day quality gate AS A STREAM: the suite's aggregation
+    half (avg/min/count — all streaming-legal) runs in the state store
+    grouped by day, the drained per-day metric rows finalize through
+    the SAME unpivot/predicate path as the batch operator — so a
+    single availableNow drain is row-identical to batch and shares its
+    oracle. This is the online form: a continuously-running ingest
+    gate that flags a bad day while it is still arriving."""
+    from .operators.audit import finalize_expectations, grouped_metrics
+
+    suite = _daily_audit_suite()
+    stream = _event_stream(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    metrics = grouped_metrics(stream, ["day"], suite)
+    drained = _drain_to_memory(metrics, "stream_daily_audit_sink", "complete")
+    return finalize_expectations(drained, ["day"], suite)
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5073,6 +5143,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_k_anonymity": q_e6_k_anonymity,
     "e6_length_buckets": q_e6_length_buckets,
     "e6_class_weights": q_e6_class_weights,
+    "e4_daily_audit": q_e4_daily_audit,
+    "s12_stream_daily_audit": q_s12_stream_daily_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -5220,4 +5292,6 @@ ORACLES: dict[str, str] = {
     "e6_k_anonymity": ORACLE_E6_K_ANONYMITY,
     "e6_length_buckets": ORACLE_E6_LENGTH_BUCKETS,
     "e6_class_weights": ORACLE_E6_CLASS_WEIGHTS,
+    "e4_daily_audit": ORACLE_E4_DAILY_AUDIT,
+    "s12_stream_daily_audit": ORACLE_E4_DAILY_AUDIT,
 }

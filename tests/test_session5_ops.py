@@ -226,3 +226,36 @@ def test_class_weights_balanced_rule(spark):
     # total=4 (nulls excluded), k=2: en -> 4/(2*3), de -> 4/(2*1)
     assert abs(got["en"]["weight"] - 4 / 6) < 1e-6
     assert got["de"]["weight"] == 2.0
+
+
+def test_check_expectations_grouped_per_group_rows(spark):
+    df = spark.createDataFrame(
+        [("d1", 1.0, "A"), ("d1", 2.0, "A"), ("d2", -1.0, None)],
+        "day string, v double, status string",
+    )
+    suite = [audit.not_null("status"), audit.min_value("v", 0.0),
+             audit.row_count_at_least(2)]
+    got = {
+        (r["day"], r["check_name"]): (r["value"], r["passed"])
+        for r in audit.check_expectations_grouped(df, ["day"], suite).collect()
+    }
+    assert got[("d1", "not_null(status)")] == (1.0, True)
+    assert got[("d1", "min(v)>=0.0")] == (1.0, True)
+    assert got[("d1", "row_count>=2")] == (2.0, True)
+    assert got[("d2", "not_null(status)")] == (0.0, False)
+    assert got[("d2", "min(v)>=0.0")] == (-1.0, False)
+    assert got[("d2", "row_count>=2")] == (1.0, False)
+    with pytest.raises(ValueError):
+        audit.check_expectations_grouped(df, [], suite)
+
+
+def test_grouped_metrics_finalize_roundtrip_matches_direct(spark):
+    df = spark.createDataFrame(
+        [("d1", 5.0), ("d2", 7.0)], "day string, v double"
+    )
+    suite = [audit.min_value("v", 6.0)]
+    direct = audit.check_expectations_grouped(df, ["day"], suite).collect()
+    split = audit.finalize_expectations(
+        audit.grouped_metrics(df, ["day"], suite), ["day"], suite
+    ).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, split))
