@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "e3_chunk",
     "e6_length_buckets",
     "e6_data_audit",
+    "e4_daily_audit",
+    "e4_seasonal",
 ]
 
 

@@ -643,3 +643,92 @@ def ewma_by_key(
             F.round(F.expr(fold), 6).alias("ewma"),
         )
     )
+
+
+def seasonal_decompose_daily(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the per-group daily
+    series: ``daily_value = trend + seasonal + residual`` — the moving-
+    average decomposition every forecasting/anomaly pipeline runs
+    before modeling (trend = centered ``period``-day rolling mean,
+    seasonal = day-of-week mean of the detrended series, residual =
+    remainder).
+
+    Pinned engine-portable semantics: events collapse to per-(group,
+    day) DAILY SUMS in DECIMAL (exact, order-independent) before
+    anything wide; the trend window is ROWS -(period//2)..+(period//2)
+    over OBSERVED days (compose with :func:`gap_fill_daily` upstream if
+    the calendar has holes) and is NULL unless the frame is full; the
+    detrended value quantizes to DECIMAL(18,6) before the day-of-week
+    mean so the seasonal average is a single IEEE division over an
+    exact sum; residual subtracts the ROUNDED seasonal. Edge days
+    (first/last half-window) carry NULL trend/seasonal/residual.
+
+    Plan shape at 100 TB: one partial-aggregated groupBy (~1e4:1
+    collapse), one group-keyed window over retention-bounded daily
+    rows, one (group x period)-cardinality aggregate broadcast back.
+    The raw event table never shuffles.
+
+    Output: (group, day yyyy-MM-dd, dow 0=Sunday, daily_value, trend,
+    seasonal, residual — doubles rounded 6).
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    half = period // 2
+    df = normalize_event_time(df, ts_col)
+    daily = df.groupBy(
+        F.col(group_col), F.to_date(F.col(ts_col)).alias("__day")
+    ).agg(F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__sum"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__day")
+        .rowsBetween(-half, half)
+    )
+    trended = daily.select(
+        F.col(group_col),
+        F.col("__day"),
+        F.col("__sum"),
+        F.when(
+            F.count(F.lit(1)).over(w) == period,
+            F.sum("__sum").over(w).cast("double") / F.lit(float(period)),
+        ).alias("__trend"),
+    ).withColumn(
+        "__dow", (F.dayofweek("__day") - 1).cast("long")
+    ).withColumn(
+        "__dtr",
+        (F.col("__sum").cast("double") - F.col("__trend")).cast("decimal(18,6)"),
+    )
+    seas = trended.groupBy(group_col, "__dow").agg(
+        F.when(
+            F.count("__dtr") > 0,
+            F.round(
+                F.sum("__dtr").cast("double") / F.count("__dtr").cast("double"),
+                6,
+            ),
+        ).alias("__seasonal")
+    )
+    joined = trended.join(F.broadcast(seas), [group_col, "__dow"], "left")
+    return joined.select(
+        F.col(group_col),
+        F.date_format("__day", "yyyy-MM-dd").alias("day"),
+        F.col("__dow").alias("dow"),
+        F.round(F.col("__sum").cast("double"), 6).alias("daily_value"),
+        F.round("__trend", 6).alias("trend"),
+        F.when(F.col("__trend").isNotNull(), F.col("__seasonal")).alias(
+            "seasonal"
+        ),
+        F.when(
+            F.col("__trend").isNotNull(),
+            F.round(
+                F.col("__sum").cast("double")
+                - F.col("__trend")
+                - F.col("__seasonal"),
+                6,
+            ),
+        ).alias("residual"),
+    )

@@ -4980,6 +4980,57 @@ def q_s12_stream_daily_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_expectations(drained, ["day"], suite)
 
 
+def q_e4_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: classical additive seasonal decomposition of the per-type
+    daily value series — centered 7-day rolling-mean trend, day-of-week
+    seasonal, residual. Exact-decimal daily sums and quantized
+    detrending pin engine parity."""
+    from .operators.events import seasonal_decompose_daily
+
+    return seasonal_decompose_daily(
+        _events(spark, sf_dir), "event_type", "ts", "value", period=7
+    )
+
+
+ORACLE_E4_SEASONAL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS d,
+         sum(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events GROUP BY 1, 2
+),
+tr AS (
+  SELECT event_type, d, s,
+         CASE WHEN count(*) OVER w = 7
+              THEN CAST(sum(s) OVER w AS DOUBLE) / 7.0 END AS trend
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT *, dayofweek(d) AS dw,
+         CAST(CAST(s AS DOUBLE) - trend AS DECIMAL(18,6)) AS dtr
+  FROM tr
+),
+seas AS (
+  SELECT event_type, dw,
+         CASE WHEN count(dtr) > 0
+              THEN round(CAST(sum(dtr) AS DOUBLE) / count(dtr), 6) END
+           AS seasonal
+  FROM det GROUP BY 1, 2
+)
+SELECT det.event_type,
+       strftime(det.d, '%Y-%m-%d') AS day,
+       CAST(det.dw AS BIGINT) AS dow,
+       round(CAST(det.s AS DOUBLE), 6) AS daily_value,
+       round(det.trend, 6) AS trend,
+       CASE WHEN det.trend IS NOT NULL THEN seas.seasonal END AS seasonal,
+       CASE WHEN det.trend IS NOT NULL
+            THEN round(CAST(det.s AS DOUBLE) - det.trend - seas.seasonal, 6)
+       END AS residual
+FROM det JOIN seas USING (event_type, dw)
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5145,6 +5196,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_class_weights": q_e6_class_weights,
     "e4_daily_audit": q_e4_daily_audit,
     "s12_stream_daily_audit": q_s12_stream_daily_audit,
+    "e4_seasonal": q_e4_seasonal,
 }
 
 ORACLES: dict[str, str] = {
@@ -5294,4 +5346,5 @@ ORACLES: dict[str, str] = {
     "e6_class_weights": ORACLE_E6_CLASS_WEIGHTS,
     "e4_daily_audit": ORACLE_E4_DAILY_AUDIT,
     "s12_stream_daily_audit": ORACLE_E4_DAILY_AUDIT,
+    "e4_seasonal": ORACLE_E4_SEASONAL,
 }

@@ -259,3 +259,59 @@ def test_grouped_metrics_finalize_roundtrip_matches_direct(spark):
         audit.grouped_metrics(df, ["day"], suite), ["day"], suite
     ).collect()
     assert sorted(map(tuple, direct)) == sorted(map(tuple, split))
+
+
+# ------------------------------------------------------- decomposition
+
+
+def test_seasonal_decompose_constant_series(spark):
+    from datetime import datetime
+
+    from tensorflow_recorder_spark.operators.events import (
+        seasonal_decompose_daily,
+    )
+
+    rows = [
+        ("a", datetime(2024, 1, d, 12, 0, 0), 5.0) for d in range(1, 15)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {r["day"]: r for r in seasonal_decompose_daily(df).collect()}
+    assert len(got) == 14
+    # interior days (full 7-day window): trend == value, seasonal/resid 0
+    for d in range(4, 12):
+        r = got[f"2024-01-{d:02d}"]
+        assert r["daily_value"] == 5.0
+        assert r["trend"] == 5.0
+        assert r["seasonal"] == 0.0
+        assert r["residual"] == 0.0
+    # edge days: no full window -> all components NULL
+    for d in (1, 2, 3, 12, 13, 14):
+        r = got[f"2024-01-{d:02d}"]
+        assert r["trend"] is None and r["seasonal"] is None and r["residual"] is None
+
+
+def test_seasonal_decompose_additivity_and_dow(spark):
+    from datetime import datetime
+
+    from tensorflow_recorder_spark.operators.events import (
+        seasonal_decompose_daily,
+    )
+
+    # value = linear trend + dow bump
+    rows = []
+    for d in range(1, 22):
+        ts = datetime(2024, 1, d, 3, 0, 0)
+        bump = 10.0 if ts.isoweekday() == 7 else 0.0  # Sundays
+        rows.append(("a", ts, float(d) + bump))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = seasonal_decompose_daily(df).collect()
+    # 2024-01-07 is a Sunday -> dow 0
+    by_day = {r["day"]: r for r in out}
+    assert by_day["2024-01-07"]["dow"] == 0
+    for r in out:
+        if r["trend"] is not None:
+            assert abs(
+                r["daily_value"] - (r["trend"] + r["seasonal"] + r["residual"])
+            ) < 1e-5
+    with pytest.raises(ValueError):
+        seasonal_decompose_daily(df, period=1)
