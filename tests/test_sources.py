@@ -100,6 +100,15 @@ def test_to_dataframe_parquet(spark, tmp_path):
     assert df.count() == 2 and set(df.columns) == {"id", "v"}
 
 
+def test_to_dataframe_orc(spark, tmp_path):
+    from tensorflow_recorder_spark.sources.dispatch import to_dataframe
+
+    src = str(tmp_path / "t.orc")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.orc(src)
+    df = to_dataframe(spark, src, names=["v"])
+    assert df.columns == ["v"] and df.count() == 2
+
+
 def test_to_dataframe_rejects_unknown(spark):
     import pytest as _pytest
 
