@@ -5062,33 +5062,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t1_csv_serialize": q_t1_csv_serialize,
     "t2_typed_projection": q_t2_typed_projection,
     "rel_pricing_summary": q_rel_pricing_summary,
-    "rel_top_orders": q_rel_top_orders,
     "rel_region_revenue": q_rel_region_revenue,
     "rel_topk_per_group": q_rel_topk_per_group,
     "rel_rollup": q_rel_rollup,
-    "rel_anti_join": q_rel_anti_join,
-    "rel_big_orders": q_rel_big_orders,
     "rel_running_sum": q_rel_running_sum,
-    "rel_above_avg_orders": q_rel_above_avg_orders,
-    "rel_promo_revenue": q_rel_promo_revenue,
     "e4_asof_join": q_e4_asof_join,
     "s1_stream_hourly_rollup": q_s1_stream_hourly_rollup,
     "s2_stream_sessionize": q_s2_stream_sessionize,
     "e5_image_meta": q_e5_image_meta,
     "e5_frame_sample": q_e5_frame_sample,
     "e1_dedup_exact": q_e1_dedup_exact,
-    "e1_minhash_signatures": q_e1_minhash_signatures,
     "e1_lsh_pairs": q_e1_lsh_pairs,
     "e1_lsh_verified": q_e1_lsh_verified,
     "e1_jaccard_pairs": q_e1_jaccard_pairs,
-    "e1_simhash": q_e1_simhash,
     "e1_embedding_neardup": q_e1_embedding_neardup,
     "e1_dup_clusters": q_e1_dup_clusters,
     "e1_fuzzy_dedup": q_e1_fuzzy_dedup,
     "e1_contamination": q_e1_contamination,
     "e2_rp_lsh_topk": q_e2_rp_lsh_topk,
     "e2_topk_cosine": q_e2_topk_cosine,
-    "e2_ivf_assign": q_e2_ivf_assign,
     "e2_ivf_topk": q_e2_ivf_topk,
     "e2_kmeans_update": q_e2_kmeans_update,
     "e6_curate": q_e6_curate,
@@ -5098,16 +5090,43 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_corpus_filter": q_e3_corpus_filter,
     "e4_asof_latest": q_e4_asof_latest,
     "e4_sliding_window": q_e4_sliding_window,
-    "e4_json_props": q_e4_json_props,
     "e6_sequence_pack": q_e6_sequence_pack,
     "e6_mixture_sample": q_e6_mixture_sample,
     "s5_stream_contamination": q_s5_stream_contamination,
     "e3_lm_score": q_e3_lm_score,
+    "e1_semantic_dedup": q_e1_semantic_dedup,
+    "e2_ivf_pq_topk": q_e2_ivf_pq_topk,
+    "e6_dsir_scores": q_e6_dsir_scores,
+    "e4_gap_fill": q_e4_gap_fill,
+    "rel_pagerank": q_rel_pagerank,
+    "e4_psi_drift": q_e4_psi_drift,
+    "e3_chunk": q_e3_chunk,
+    "e6_data_audit": q_e6_data_audit,
+    "e4_seasonal": q_e4_seasonal,
     # -- positions 51+: oracle-checked locally only (driver stops at 50;
     # a6's operator is ALSO driver-certified through a5's registry row;
     # language_id/fingerprint/moving_sum/neardup_filter were driver-green
-    # in r02 before the round-3 swap) --
+    # in r02 before the round-3 swap; round-4 swap moved the flagship
+    # session-4/5 operators — semantic dedup, IVF-PQ, DSIR, gap-fill,
+    # PageRank, PSI drift, chunking, the audit gate, seasonal
+    # decomposition — into scored slots, rotating out shapes whose
+    # semantics stay covered by scored neighbors: five redundant rel
+    # demos (top_orders/anti_join/big_orders/above_avg/promo duplicate
+    # the still-scored join/window/agg shapes), the minhash/simhash
+    # signature frames upstream of still-scored lsh_verified /
+    # embedding_neardup, ivf_assign upstream of still-scored ivf_topk,
+    # and the small json_props extraction; all were driver-green in
+    # r03) --
     "p0_derive_split": q_p0_derive_split,
+    "rel_top_orders": q_rel_top_orders,
+    "rel_anti_join": q_rel_anti_join,
+    "rel_big_orders": q_rel_big_orders,
+    "rel_above_avg_orders": q_rel_above_avg_orders,
+    "rel_promo_revenue": q_rel_promo_revenue,
+    "e1_minhash_signatures": q_e1_minhash_signatures,
+    "e1_simhash": q_e1_simhash,
+    "e2_ivf_assign": q_e2_ivf_assign,
+    "e4_json_props": q_e4_json_props,
     "rel_topk_per_group_salted": q_rel_topk_per_group_salted,
     "rel_set_ops": q_rel_set_ops,
     "rel_pivot": q_rel_pivot,
@@ -5165,17 +5184,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_ewma": q_e4_ewma,
     "e1_bloom_candidates": q_e1_bloom_candidates,
     "rel_profile": q_rel_profile,
-    "e1_semantic_dedup": q_e1_semantic_dedup,
     "e3_bpe_pairs": q_e3_bpe_pairs,
     "s8_stream_bloom_candidates": q_s8_stream_bloom_candidates,
-    "e2_ivf_pq_topk": q_e2_ivf_pq_topk,
     "e2_pq_recall": q_e2_pq_recall,
-    "e6_dsir_scores": q_e6_dsir_scores,
     "e6_weighted_sample": q_e6_weighted_sample,
     "e6_curriculum": q_e6_curriculum,
     "e4_rolling_distinct": q_e4_rolling_distinct,
     "s9_stream_rolling_distinct": q_s9_stream_rolling_distinct,
-    "e4_gap_fill": q_e4_gap_fill,
     "e4_anomaly": q_e4_anomaly,
     "e1_record_linkage": q_e1_record_linkage,
     "e6_snapshot_diff": q_e6_snapshot_diff,
@@ -5183,20 +5198,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_kfold": q_e6_kfold,
     "e4_winsorize": q_e4_winsorize,
     "s10_stream_anomaly": q_s10_stream_anomaly,
-    "rel_pagerank": q_rel_pagerank,
     "e6_temperature_mix": q_e6_temperature_mix,
-    "e4_psi_drift": q_e4_psi_drift,
     "e2_drift": q_e2_drift,
     "s11_stream_psi": q_s11_stream_psi,
-    "e3_chunk": q_e3_chunk,
     "e3_chunk_stats": q_e3_chunk_stats,
-    "e6_data_audit": q_e6_data_audit,
     "e6_k_anonymity": q_e6_k_anonymity,
     "e6_length_buckets": q_e6_length_buckets,
     "e6_class_weights": q_e6_class_weights,
     "e4_daily_audit": q_e4_daily_audit,
     "s12_stream_daily_audit": q_s12_stream_daily_audit,
-    "e4_seasonal": q_e4_seasonal,
 }
 
 ORACLES: dict[str, str] = {

@@ -136,6 +136,25 @@ def test_driver_window_holds_all_unique_queries():
         "e4_psi_drift",
         "e2_drift",
         "s11_stream_psi",
+        # round-4 session-5 swap-outs: redundant rel demos and the
+        # signature/assign frames upstream of still-scored composites
+        # (all driver-green in r03)
+        "rel_top_orders",
+        "rel_anti_join",
+        "rel_big_orders",
+        "rel_above_avg_orders",
+        "rel_promo_revenue",
+        "e1_minhash_signatures",
+        "e1_simhash",
+        "e2_ivf_assign",
+        "e4_json_props",
+        # session-5 additions past the window
+        "e3_chunk_stats",
+        "e6_k_anonymity",
+        "e6_length_buckets",
+        "e6_class_weights",
+        "e4_daily_audit",
+        "s12_stream_daily_audit",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
