@@ -315,3 +315,55 @@ def test_seasonal_decompose_additivity_and_dow(spark):
             ) < 1e-5
     with pytest.raises(ValueError):
         seasonal_decompose_daily(df, period=1)
+
+
+def test_chunk_documents_randomized_against_python_reference(spark):
+    """Differential test: 120 random docs x 3 (chunk_size, stride)
+    settings vs a direct Python implementation of the pinned semantics."""
+    import random
+
+    rng = random.Random(42)
+    docs = []
+    for i in range(120):
+        n = rng.randrange(0, 40)
+        toks = [
+            "".join(rng.choice("abcXYZ09") for _ in range(rng.randrange(1, 5)))
+            for _ in range(n)
+        ]
+        # random extra whitespace, including leading/trailing
+        sep = lambda: rng.choice([" ", "  ", "\t", " \n "])
+        text = sep().join(toks)
+        if rng.random() < 0.3:
+            text = " " + text + "  "
+        docs.append((i, text, toks))
+    df = spark.createDataFrame([(i, t) for i, t, _ in docs], "id long, txt string")
+
+    for cs, st in [(4, 3), (8, 8), (5, 2)]:
+        got = {
+            (r["id"], r["chunk_id"]): (r["chunk_text"], r["chunk_tokens"])
+            for r in chunking.chunk_documents(
+                df, "txt", "id", chunk_size=cs, stride=st
+            ).collect()
+        }
+        want = {}
+        for i, _, toks in docs:
+            for ci, s in enumerate(range(0, len(toks), st)):
+                w = toks[s : s + cs]
+                want[(i, ci)] = (" ".join(w), len(w))
+        assert got == want, (cs, st)
+
+        stats = {
+            r["id"]: (r["n_tokens"], r["n_chunks"], r["last_chunk_tokens"])
+            for r in chunking.chunk_stats(
+                df, "txt", "id", chunk_size=cs, stride=st
+            ).collect()
+        }
+        for i, _, toks in docs:
+            n = len(toks)
+            starts = list(range(0, n, st))
+            want_stats = (
+                n,
+                len(starts),
+                min(cs, n - starts[-1]) if starts else 0,
+            )
+            assert stats[i] == want_stats, (i, cs, st)
