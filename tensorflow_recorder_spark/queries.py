@@ -5031,6 +5031,74 @@ FROM det JOIN seas USING (event_type, dw)
 """
 
 
+def q_e1_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: dedup impact report — histogram of duplicate-cluster sizes
+    at the 0.5/0.5 dedup policy point (how much of the corpus is
+    near-duplicated, and in how big families). Two bounded aggregates
+    over the cluster frame; the expensive part is the shared LSH
+    pipeline."""
+    pairs = dedup.lsh_verified_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        min_est_jaccard=0.5, threshold=0.5,
+    )
+    sizes = (
+        dedup.duplicate_clusters(pairs)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+    )
+
+
+def _oracle_cluster_stats() -> str:
+    return f"""
+WITH clusters AS ({_oracle_dup_clusters()}),
+sz AS (
+  SELECT cluster_id, count(*) AS cluster_size
+  FROM clusters GROUP BY cluster_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM sz GROUP BY cluster_size
+"""
+
+
+def q_rel_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational demo (TPC-H Q13 shape): distribution of customers by
+    order count INCLUDING zero-order customers — a left outer join into
+    a double aggregation, the one grouped shape the other rel demos
+    don't cover."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    ).select(F.col("c_count").cast("long").alias("c_count"), "custdist")
+
+
+ORACLE_REL_CUSTDIST = """
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5207,6 +5275,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_class_weights": q_e6_class_weights,
     "e4_daily_audit": q_e4_daily_audit,
     "s12_stream_daily_audit": q_s12_stream_daily_audit,
+    "e1_cluster_stats": q_e1_cluster_stats,
+    "rel_custdist": q_rel_custdist,
 }
 
 ORACLES: dict[str, str] = {
@@ -5357,4 +5427,6 @@ ORACLES: dict[str, str] = {
     "e4_daily_audit": ORACLE_E4_DAILY_AUDIT,
     "s12_stream_daily_audit": ORACLE_E4_DAILY_AUDIT,
     "e4_seasonal": ORACLE_E4_SEASONAL,
+    "e1_cluster_stats": _oracle_cluster_stats(),
+    "rel_custdist": ORACLE_REL_CUSTDIST,
 }

@@ -155,6 +155,8 @@ def test_driver_window_holds_all_unique_queries():
         "e6_class_weights",
         "e4_daily_audit",
         "s12_stream_daily_audit",
+        "e1_cluster_stats",
+        "rel_custdist",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
