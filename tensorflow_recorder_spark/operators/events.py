@@ -732,3 +732,59 @@ def seasonal_decompose_daily(
             ),
         ).alias("residual"),
     )
+
+
+def attribution_join(
+    from_df: DataFrame,
+    to_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    horizon_seconds: int = 3600,
+) -> DataFrame:
+    """Interval attribution join: every ``to_df`` event that lands
+    within ``[t, t + horizon]`` of a ``from_df`` event by the same user
+    — the click->conversion attribution primitive (all touches within
+    the window; feed a min_by downstream for first/last-touch).
+
+    Plan shape: an EQUI-join on the user key with the time range as a
+    residual predicate — a plain AQE-skew-splittable hash/sort-merge
+    join, never a range-probe cross product; per-key work is bounded by
+    a user's events inside the horizon. The same formulation is
+    streaming-legal: with watermarks on both sides and this range
+    condition, Spark bounds the join state to the horizon (the
+    stream-stream join in queries.s13 reuses it verbatim).
+
+    Output: (user, src_id, dst_id, src_ts, dst_ts strings, lag_us
+    BIGINT microseconds). Timestamps surface as formatted strings and
+    the lag as exact integer micros — engine-portable.
+    """
+    if horizon_seconds <= 0:
+        raise ValueError(f"horizon_seconds must be > 0, got {horizon_seconds}")
+    a = normalize_event_time(from_df, ts_col).select(
+        F.col(user_col).alias("user"),
+        F.col(id_col).alias("src_id"),
+        F.col(ts_col).alias("__src_ts"),
+    )
+    b = normalize_event_time(to_df, ts_col).select(
+        F.col(user_col).alias("user"),
+        F.col(id_col).alias("dst_id"),
+        F.col(ts_col).alias("__dst_ts"),
+    )
+    joined = a.join(
+        b,
+        (a["user"] == b["user"])
+        & (b["__dst_ts"] >= a["__src_ts"])
+        & (
+            b["__dst_ts"]
+            <= a["__src_ts"] + F.expr(f"INTERVAL {int(horizon_seconds)} SECOND")
+        ),
+    ).drop(b["user"])
+    return joined.select(
+        "user",
+        "src_id",
+        "dst_id",
+        F.date_format("__src_ts", "yyyy-MM-dd HH:mm:ss").alias("src_ts"),
+        F.date_format("__dst_ts", "yyyy-MM-dd HH:mm:ss").alias("dst_ts"),
+        (F.unix_micros("__dst_ts") - F.unix_micros("__src_ts")).alias("lag_us"),
+    )

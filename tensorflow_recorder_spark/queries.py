@@ -5099,6 +5099,59 @@ GROUP BY c_count
 """
 
 
+def q_e4_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: click->purchase attribution — every purchase within 1 hour
+    of a click by the same user. Equi-join on the user key with the
+    time range as a residual predicate (no range-probe cross
+    product)."""
+    from .operators.events import attribution_join
+
+    ev = _events(spark, sf_dir)
+    return attribution_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        horizon_seconds=3600,
+    )
+
+
+ORACLE_E4_ATTRIBUTION = """
+SELECT a.user_id AS user,
+       a.event_id AS src_id,
+       b.event_id AS dst_id,
+       strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS src_ts,
+       strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS dst_ts,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+"""
+
+
+def q_s13_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribution join AS A STREAM-STREAM JOIN — the hardest
+    Structured Streaming primitive and the one the other twelve stream
+    variants don't exercise: two watermarked event streams inner-join
+    on the user key with the 1-hour range condition, which lets Spark
+    bound the join state to the horizon (clicks expire one hour past
+    the watermark). An availableNow drain emits exactly the batch
+    pairs and shares the batch oracle."""
+    from .operators.events import attribution_join
+
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+    )
+    joined = attribution_join(clicks, purchases, horizon_seconds=3600)
+    return _drain_to_memory(joined, "stream_attribution_sink", "append")
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5277,6 +5330,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s12_stream_daily_audit": q_s12_stream_daily_audit,
     "e1_cluster_stats": q_e1_cluster_stats,
     "rel_custdist": q_rel_custdist,
+    "e4_attribution": q_e4_attribution,
+    "s13_stream_attribution": q_s13_stream_attribution,
 }
 
 ORACLES: dict[str, str] = {
@@ -5429,4 +5484,6 @@ ORACLES: dict[str, str] = {
     "e4_seasonal": ORACLE_E4_SEASONAL,
     "e1_cluster_stats": _oracle_cluster_stats(),
     "rel_custdist": ORACLE_REL_CUSTDIST,
+    "e4_attribution": ORACLE_E4_ATTRIBUTION,
+    "s13_stream_attribution": ORACLE_E4_ATTRIBUTION,
 }

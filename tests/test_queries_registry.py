@@ -157,6 +157,8 @@ def test_driver_window_holds_all_unique_queries():
         "s12_stream_daily_audit",
         "e1_cluster_stats",
         "rel_custdist",
+        "e4_attribution",
+        "s13_stream_attribution",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

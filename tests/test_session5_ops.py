@@ -367,3 +367,35 @@ def test_chunk_documents_randomized_against_python_reference(spark):
                 min(cs, n - starts[-1]) if starts else 0,
             )
             assert stats[i] == want_stats, (i, cs, st)
+
+
+def test_attribution_join_window_semantics(spark):
+    from datetime import datetime
+
+    from tensorflow_recorder_spark.operators.events import attribution_join
+
+    def ev(eid, uid, t, typ):
+        return (eid, uid, datetime(2024, 1, 1, *t), typ)
+
+    rows = [
+        ev(1, 7, (10, 0, 0), "click"),
+        ev(2, 7, (10, 30, 0), "purchase"),   # in window of click 1
+        ev(3, 7, (11, 0, 0), "purchase"),    # exactly at horizon -> included
+        ev(4, 7, (11, 0, 1), "purchase"),    # 1s past horizon -> excluded
+        ev(5, 8, (10, 15, 0), "purchase"),   # other user -> excluded
+        ev(6, 7, (9, 59, 59), "purchase"),   # before the click -> excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["src_id"], r["dst_id"]): r["lag_us"]
+        for r in attribution_join(
+            df.where("event_type = 'click'"),
+            df.where("event_type = 'purchase'"),
+            horizon_seconds=3600,
+        ).collect()
+    }
+    assert got == {(1, 2): 1800 * 1_000_000, (1, 3): 3600 * 1_000_000}
+    with pytest.raises(ValueError):
+        attribution_join(df, df, horizon_seconds=0)
