@@ -1056,3 +1056,40 @@ def brute_force_topk_l2(
         rank_alias="rank",
         salt_on="neighbor_id",
     )
+
+
+def hashed_embedding(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 16,
+    salt: str = "fh",
+) -> DataFrame:
+    """Deterministic feature-hashing text embedding (the hashing trick,
+    Weinberger et al. 2009 — public): each lowercased whitespace token
+    hashes to a bucket in [0, dim) with a +/-1 sign from an independent
+    hash bit; the document vector is the per-bucket signed count. A
+    stub with real geometry — sparse lexical overlap produces cosine
+    similarity — used to exercise the chunk->embed->index pipeline
+    where no trained encoder is available (swap in a real encoder via
+    any (id, array<float>) frame).
+
+    Map-only: the whole vector is one JVM expression per row
+    (transform over sequence x aggregate over tokens — O(tokens*dim)
+    per row, no shuffle, no Python). Output: (id, embedding
+    array<float>).
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')"
+    h = (
+        f"cast(conv(substring(md5(concat('{salt}:', t)), 1, 12), 16, 10) "
+        f"as bigint)"
+    )
+    vec = (
+        f"transform(sequence(0, {dim - 1}), d -> cast("
+        f"aggregate({toks}, 0L, (acc, t) -> acc + "
+        f"CASE WHEN pmod({h}, {dim}) = d "
+        f"THEN (1 - 2 * pmod({h} div {dim}, 2)) ELSE 0 END) as float))"
+    )
+    return df.select(F.col(id_col), F.expr(vec).alias("embedding"))
