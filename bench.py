@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "e6_data_audit",
     "e4_daily_audit",
     "e4_seasonal",
+    "e4_attribution",
 ]
 
 
