@@ -65,6 +65,32 @@ def exact_dedup(
     )
 
 
+def normalized_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-exact dedup on the CANONICALIZED text: case-fold, fold every
+    non-alphanumeric run to a single space, trim — the standard
+    pipeline stage between byte-exact hashing (misses trivial
+    reformattings) and MinHash (overkill for them). Two documents that
+    differ only in casing, punctuation, or whitespace collapse to one
+    survivor (lowest ``id_col``); the surviving rows keep their
+    ORIGINAL text.
+
+    Scale shape = ``exact_dedup(method='agg')``: the shuffle key is
+    ``sha2`` of the normalized form (64 hex chars — digests move, not
+    documents), ``min(id)`` per digest partial-aggregates map-side so a
+    boilerplate document duplicated millions of times collapses to one
+    row per map task before the shuffle, and the semi-join back is
+    AQE-skew-splittable. The normalization itself is a codegen'd
+    regexp chain (ASCII classes only, so any SQL engine reproduces it
+    byte-for-byte).
+    """
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    keyed = df.withColumn("__ndig", F.sha2(norm, 256))
+    survivors = keyed.groupBy("__ndig").agg(F.min(id_col).alias(id_col))
+    return keyed.join(survivors, ["__ndig", id_col], "left_semi").drop("__ndig")
+
+
 # ------------------------------------------------------------- shingles
 
 

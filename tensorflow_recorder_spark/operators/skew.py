@@ -56,3 +56,53 @@ def salted_topk_per_key(
         candidates.withColumn(rank_alias, F.row_number().over(w2).cast("long"))
         .where(F.col(rank_alias) <= k)
     )
+
+
+def key_skew_profile(
+    frames: list[tuple[str, DataFrame, str]],
+) -> DataFrame:
+    """Pre-join skew diagnostic: the frequency distribution of each
+    candidate shuffle key, the number every salting/AQE decision above
+    is made from. ``frames`` is [(label, df, key_col)]; output one row
+    per key: (key, n_rows, n_keys, avg_freq, p50_freq, p99_freq,
+    max_freq, skew_ratio, top_share, suggested_salt).
+
+    ``skew_ratio`` = max/avg per-key frequency (1.0 = perfectly even);
+    ``suggested_salt`` = ceil(max_freq / max(p50_freq, 1)) — the bucket
+    count that splits the hottest key into median-key-sized slices,
+    i.e. the ``salt_buckets`` argument :func:`salted_topk_per_key`
+    wants and the reason `spark.sql.adaptive.skewJoin` thresholds
+    exist.
+
+    Scale shape: per key column one partial-aggregated groupBy (the
+    count frame is bounded by key cardinality, never rows), then ONE
+    exact-percentile aggregate over that bounded frame. At 100 TB this
+    runs as a fraction of the join it diagnoses; the percentile can
+    drop to ``percentile_approx`` with no plan change. No driver
+    materialization — the result is C rows for C candidate keys.
+    """
+    outs = []
+    for label, df, key_col in frames:
+        cnts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__f"))
+        outs.append(
+            cnts.agg(
+                F.lit(label).alias("key"),
+                F.sum("__f").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.round(F.sum("__f") / F.count(F.lit(1)), 6).alias("avg_freq"),
+                F.round(F.expr("percentile(__f, 0.5)"), 6).alias("p50_freq"),
+                F.round(F.expr("percentile(__f, 0.99)"), 6).alias("p99_freq"),
+                F.max("__f").cast("long").alias("max_freq"),
+                F.round(
+                    F.max("__f") / (F.sum("__f") / F.count(F.lit(1))), 6
+                ).alias("skew_ratio"),
+                F.round(F.max("__f") / F.sum("__f"), 6).alias("top_share"),
+                F.ceil(
+                    F.max("__f") / F.greatest(F.expr("percentile(__f, 0.5)"), F.lit(1.0))
+                ).cast("long").alias("suggested_salt"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

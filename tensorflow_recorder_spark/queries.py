@@ -5152,6 +5152,143 @@ def q_s13_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(joined, "stream_attribution_sink", "append")
 
 
+def q_rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-style national market share: per order year, the fraction of
+    ASIA-customer revenue supplied by suppliers from one nation
+    (n_nationkey = 0). Six-table join where every dimension chain
+    (supplier->nation, customer->nation->region) broadcasts; the only
+    fact-side shuffle is lineitem->orders on the order key, then one
+    bounded per-year aggregate. The share is a conditional-sum ratio —
+    no second pass over the facts."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .alias("rev"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    cust_asia = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", (F.col("s_nationkey") == 0).alias("is_target"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_asia), orders.o_custkey == cust_asia.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("is_target"), F.col("rev"))).alias("_t"),
+            F.sum("rev").alias("_a"),
+        )
+        .select(
+            F.col("o_year").cast("long").alias("o_year"),
+            F.round(
+                F.coalesce(F.col("_t"), F.lit(0)).cast("double")
+                / F.col("_a").cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.col("_a").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_REL_MARKET_SHARE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CASE WHEN s_nationkey = 0
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                 END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS total_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+def q_rel_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic over the three fact-table shuffle keys
+    (customer key on orders; supplier and part keys on lineitem) — the
+    profile a planner reads before choosing salting factors or AQE
+    skew-join thresholds."""
+    from .operators.skew import key_skew_profile
+
+    return key_skew_profile(
+        [
+            ("orders.o_custkey", _t(spark, sf_dir, "orders"), "o_custkey"),
+            ("lineitem.l_suppkey", _t(spark, sf_dir, "lineitem"), "l_suppkey"),
+            ("lineitem.l_partkey", _t(spark, sf_dir, "lineitem"), "l_partkey"),
+        ]
+    )
+
+
+def _oracle_key_skew() -> str:
+    blocks = []
+    for label, table, key in (
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ):
+        blocks.append(f"""
+SELECT '{label}' AS key,
+       CAST(sum(f) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       round(CAST(sum(f) AS DOUBLE) / count(*), 6) AS avg_freq,
+       round(quantile_cont(f, 0.5), 6) AS p50_freq,
+       round(quantile_cont(f, 0.99), 6) AS p99_freq,
+       CAST(max(f) AS BIGINT) AS max_freq,
+       round(CAST(max(f) AS DOUBLE) / (CAST(sum(f) AS DOUBLE) / count(*)), 6)
+         AS skew_ratio,
+       round(CAST(max(f) AS DOUBLE) / sum(f), 6) AS top_share,
+       CAST(ceil(CAST(max(f) AS DOUBLE)
+                 / greatest(quantile_cont(f, 0.5), 1.0)) AS BIGINT)
+         AS suggested_salt
+FROM (SELECT {key}, count(*) AS f FROM {table} GROUP BY {key})
+""")
+    return " UNION ALL ".join(blocks)
+
+
+def q_e1_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: near-exact dedup on the canonicalized text (case/punct/
+    whitespace-insensitive): surviving doc ids."""
+    return dedup.normalized_dedup(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).select("doc_id")
+
+
+ORACLE_E1_NORMALIZED_DEDUP = """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (
+    PARTITION BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+    ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5332,6 +5469,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_custdist": q_rel_custdist,
     "e4_attribution": q_e4_attribution,
     "s13_stream_attribution": q_s13_stream_attribution,
+    "rel_market_share": q_rel_market_share,
+    "rel_key_skew": q_rel_key_skew,
+    "e1_normalized_dedup": q_e1_normalized_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -5486,4 +5626,7 @@ ORACLES: dict[str, str] = {
     "rel_custdist": ORACLE_REL_CUSTDIST,
     "e4_attribution": ORACLE_E4_ATTRIBUTION,
     "s13_stream_attribution": ORACLE_E4_ATTRIBUTION,
+    "rel_market_share": ORACLE_REL_MARKET_SHARE,
+    "rel_key_skew": _oracle_key_skew(),
+    "e1_normalized_dedup": ORACLE_E1_NORMALIZED_DEDUP,
 }

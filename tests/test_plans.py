@@ -311,3 +311,21 @@ def test_length_buckets_window_partitioned_by_bucket(spark):
     assert plan.count("Window (") == 1
     assert plan.count("Exchange (") == 1
     assert "hashpartitioning(bucket" in plan
+
+
+def test_market_share_broadcasts_every_dimension_chain(spark):
+    """rel_market_share's three dimension joins (customer-in-ASIA set,
+    supplier flag, and the nation/region chain folded into them) must
+    broadcast — the only allowed shuffle join is fact-to-fact
+    (lineitem x orders)."""
+    plan = plan_of(spark, "rel_market_share")
+    assert plan.count("BroadcastHashJoin") >= 3
+    # bounded final aggregate with map-side partials
+    assert "partial_" in plan
+
+
+def test_key_skew_profile_partial_aggregates(spark):
+    """The per-key count frames must partial-aggregate map-side (the
+    profile's first groupBy is the only row-scaled shuffle)."""
+    plan = plan_of(spark, "rel_key_skew")
+    assert "partial_count" in plan

@@ -1,0 +1,81 @@
+"""Session-6 operator tests: join-key skew profiling and normalized
+(case/punct/whitespace-insensitive) dedup — small deterministic inputs
+with hand-checked outputs."""
+
+from pyspark.sql import functions as F
+
+from tensorflow_recorder_spark.operators import dedup
+from tensorflow_recorder_spark.operators.skew import key_skew_profile
+
+
+# ------------------------------------------------------- skew profile
+
+
+def test_key_skew_profile_math(spark):
+    # key 1 appears 8x, keys 2..5 once each: n=12, k=5, avg=2.4,
+    # p50=1, max=8, skew=8/2.4, top_share=8/12, salt=ceil(8/1)=8
+    df = spark.createDataFrame(
+        [(1,)] * 8 + [(2,), (3,), (4,), (5,)], "k long"
+    )
+    [r] = key_skew_profile([("t.k", df, "k")]).collect()
+    assert r["key"] == "t.k"
+    assert r["n_rows"] == 12 and r["n_keys"] == 5
+    assert r["avg_freq"] == 2.4
+    assert r["p50_freq"] == 1.0
+    assert r["max_freq"] == 8
+    assert r["skew_ratio"] == round(8 / 2.4, 6)
+    assert r["top_share"] == round(8 / 12, 6)
+    assert r["suggested_salt"] == 8
+
+
+def test_key_skew_profile_even_distribution(spark):
+    df = spark.createDataFrame([(i % 4,) for i in range(12)], "k long")
+    [r] = key_skew_profile([("even", df, "k")]).collect()
+    assert r["skew_ratio"] == 1.0
+    assert r["suggested_salt"] == 1
+
+
+def test_key_skew_profile_multiple_frames(spark):
+    a = spark.createDataFrame([(1,), (1,)], "k long")
+    b = spark.createDataFrame([(9,)], "j long")
+    rows = {r["key"]: r for r in key_skew_profile(
+        [("a.k", a, "k"), ("b.j", b, "j")]
+    ).collect()}
+    assert rows["a.k"]["n_rows"] == 2 and rows["a.k"]["n_keys"] == 1
+    assert rows["b.j"]["n_rows"] == 1 and rows["b.j"]["n_keys"] == 1
+
+
+# --------------------------------------------------- normalized dedup
+
+
+def test_normalized_dedup_collapses_formatting_variants(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO-WORLD"),
+            (4, "a different doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.normalized_dedup(df, "text", "doc_id").collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 4]
+    # survivors keep their ORIGINAL text
+    assert {r["text"] for r in out} == {"Hello, World!", "a different doc"}
+
+
+def test_normalized_dedup_distinct_content_survives(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    assert dedup.normalized_dedup(df, "text", "doc_id").count() == 2
+
+
+def test_normalized_dedup_digit_boundaries_not_conflated(spark):
+    # "doc 12" vs "doc 1 2": different normalized token streams
+    df = spark.createDataFrame(
+        [(1, "doc 12"), (2, "doc 1 2")], "doc_id long, text string"
+    )
+    assert dedup.normalized_dedup(df, "text", "doc_id").count() == 2
