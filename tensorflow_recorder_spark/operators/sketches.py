@@ -340,3 +340,117 @@ def hll_rolling_distinct(
             f"ELSE raw_est END) as bigint)"
         ).alias("n_distinct_est"),
     )
+
+
+# ---------------------------------------------------------- histograms
+
+
+def value_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Fixed-bin value histogram per group — the MERGEABLE quantile
+    sketch: bin = clamp(floor((v - lo) / width), 0, bins - 1). Output:
+    (*group_cols, bin, cnt).
+
+    This is the production approx-quantile shape at 100 TB: per-group
+    state is at most ``bins`` counters, the groupBy partial-aggregates
+    map-side so the shuffle moves (groups x bins) rows regardless of
+    data size, and two histograms MERGE by adding counts — so it works
+    unchanged as a Structured Streaming aggregation (the state store
+    holds the same bounded counters; percentile/percentile_approx are
+    not available there). Out-of-range values clamp into the edge bins;
+    pick (lo, hi) from domain knowledge or a prior ``rel_profile`` run.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got ({lo}, {hi})")
+    width = (hi - lo) / bins
+    bin_expr = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(bins - 1),
+    ).cast("long")
+    return (
+        df.select(*group_cols, bin_expr.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    counts: DataFrame,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    bins: int,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Finalize :func:`value_histogram` counts to interpolated quantile
+    estimates. Output: (*group_cols, n, p<q>_est ...), one column per
+    requested quantile (0.5 -> p50_est).
+
+    For each q: target = q * n; the estimate sits in the first bin
+    whose cumulative count reaches the target, linearly interpolated
+    within the bin. All post-histogram work is over the bounded
+    (groups x bins) frame: one cumulative window, one bounded
+    min_by aggregate per (group, q). Shared verbatim by the batch
+    query and the drained streaming twin — sketch algebra makes the
+    two paths value-identical.
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = counts.withColumn("cum", F.sum("cnt").over(w))
+    tot = counts.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    # the totals side re-reads the same source as `cum` (for a drained
+    # streaming sink that is a literal self-join of one memory view, which
+    # Spark's analyzer rejects with conflicting attributes) — rename the
+    # join keys so the two sides share no attribute ids
+    qf = tot.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        "n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).withColumn("target", F.col("q") * F.col("n"))
+    sel = (
+        cum.join(
+            qf,
+            [F.col(c).eqNullSafe(F.col(f"__g_{c}")) for c in group_cols],
+        )
+        .drop(*[f"__g_{c}" for c in group_cols])
+        .where(F.col("cum") >= F.col("target"))
+        .groupBy(*group_cols, "q", "n", "target")
+        .agg(F.min_by(F.struct("bin", "cnt", "cum"), "bin").alias("s"))
+        .select(
+            *group_cols,
+            "q",
+            "n",
+            F.round(
+                F.lit(float(lo))
+                + F.lit(width)
+                * (
+                    F.col("s.bin")
+                    + (F.col("target") - (F.col("s.cum") - F.col("s.cnt")))
+                    / F.col("s.cnt")
+                ),
+                6,
+            ).alias("est"),
+        )
+    )
+    aggs = [
+        F.max(F.when(F.col("q") == float(q), F.col("est"))).alias(
+            "p{:g}_est".format(round(q * 100, 4)).replace(".", "_")
+        )
+        for q in qs
+    ]
+    return sel.groupBy(*group_cols).agg(
+        F.max("n").cast("long").alias("n"), *aggs
+    )

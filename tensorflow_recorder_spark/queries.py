@@ -5289,6 +5289,114 @@ SELECT doc_id FROM (
 """
 
 
+def q_e4_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: mergeable histogram-sketch quantiles of the event value per
+    type (50 fixed bins over [0, 500], linear interpolation within the
+    hit bin) — the approx-quantile shape whose per-group state is
+    bounded by the bin count, so it survives streaming state stores
+    and 100 TB groupBys where exact `percentile` cannot."""
+    from .operators.sketches import histogram_quantiles, value_histogram
+
+    counts = value_histogram(
+        _events(spark, sf_dir), ["event_type"], "value", 0.0, 500.0, 50
+    )
+    return histogram_quantiles(counts, ["event_type"], 0.0, 500.0, 50)
+
+
+ORACLE_E4_VALUE_QUANTILES = """
+WITH b AS (
+  SELECT event_type,
+         CAST(least(greatest(floor((value - 0.0) / 10.0), 0), 49) AS BIGINT)
+           AS bin
+  FROM events
+),
+c AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM c
+),
+tot AS (SELECT event_type, sum(cnt) AS n FROM c GROUP BY 1),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+sel AS (
+  SELECT cum.event_type, q, n,
+         arg_min(bin, bin) AS bin,
+         arg_min(cnt, bin) AS cnt,
+         arg_min(cum, bin) AS cum
+  FROM cum JOIN tot USING (event_type) CROSS JOIN qs
+  WHERE cum >= q * n
+  GROUP BY 1, 2, 3
+),
+est AS (
+  SELECT event_type, q, n,
+         round(0.0 + 10.0 * (bin + (q * n - (cum - cnt)) / cnt), 6) AS est
+  FROM sel
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN q = 0.5 THEN est END) AS p50_est,
+       max(CASE WHEN q = 0.9 THEN est END) AS p90_est,
+       max(CASE WHEN q = 0.99 THEN est END) AS p99_est
+FROM est GROUP BY 1
+"""
+
+
+def q_s14_stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The histogram-quantile sketch AS A STREAM, at daily grain: the
+    state store holds only (day, type, bin) counters — the bounded
+    sketch is exactly what makes streaming quantiles possible (exact
+    percentile is not a streaming aggregate) — and the drained counts
+    finalize through the SAME interpolation as the batch operator."""
+    from .operators.sketches import histogram_quantiles, value_histogram
+
+    stream = _event_stream(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    counts = value_histogram(
+        stream, ["day", "event_type"], "value", 0.0, 500.0, 50
+    )
+    drained = _drain_to_memory(counts, "stream_value_quantiles_sink", "complete")
+    return histogram_quantiles(drained, ["day", "event_type"], 0.0, 500.0, 50)
+
+
+ORACLE_S14_STREAM_VALUE_QUANTILES = """
+WITH b AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+         CAST(least(greatest(floor((value - 0.0) / 10.0), 0), 49) AS BIGINT)
+           AS bin
+  FROM events
+),
+c AS (SELECT day, event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+cum AS (
+  SELECT day, event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY day, event_type ORDER BY bin) AS cum
+  FROM c
+),
+tot AS (SELECT day, event_type, sum(cnt) AS n FROM c GROUP BY 1, 2),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+sel AS (
+  SELECT cum.day, cum.event_type, q, n,
+         arg_min(bin, bin) AS bin,
+         arg_min(cnt, bin) AS cnt,
+         arg_min(cum, bin) AS cum
+  FROM cum JOIN tot USING (day, event_type) CROSS JOIN qs
+  WHERE cum >= q * n
+  GROUP BY 1, 2, 3, 4
+),
+est AS (
+  SELECT day, event_type, q, n,
+         round(0.0 + 10.0 * (bin + (q * n - (cum - cnt)) / cnt), 6) AS est
+  FROM sel
+)
+SELECT day, event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN q = 0.5 THEN est END) AS p50_est,
+       max(CASE WHEN q = 0.9 THEN est END) AS p90_est,
+       max(CASE WHEN q = 0.99 THEN est END) AS p99_est
+FROM est GROUP BY 1, 2
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5472,6 +5580,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_market_share": q_rel_market_share,
     "rel_key_skew": q_rel_key_skew,
     "e1_normalized_dedup": q_e1_normalized_dedup,
+    "e4_value_quantiles": q_e4_value_quantiles,
+    "s14_stream_value_quantiles": q_s14_stream_value_quantiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -5629,4 +5739,6 @@ ORACLES: dict[str, str] = {
     "rel_market_share": ORACLE_REL_MARKET_SHARE,
     "rel_key_skew": _oracle_key_skew(),
     "e1_normalized_dedup": ORACLE_E1_NORMALIZED_DEDUP,
+    "e4_value_quantiles": ORACLE_E4_VALUE_QUANTILES,
+    "s14_stream_value_quantiles": ORACLE_S14_STREAM_VALUE_QUANTILES,
 }

@@ -428,3 +428,84 @@ def test_hll_rolling_distinct_merges_daily_sketches(spark):
 
     with _pytest.raises(ValueError, match="window_days"):
         hll_rolling_distinct(df, "user_id", window_days=0)
+
+
+# ---------------------------------------------------------- histograms
+
+
+def test_value_histogram_bins_and_clamping(spark):
+    from tensorflow_recorder_spark.operators.sketches import value_histogram
+
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 0.0), ("a", 9.99), ("a", 10.0), ("a", 99.0),
+         ("a", 100.0), ("b", 55.0)],
+        "g string, v double",
+    )
+    got = {(r["g"], r["bin"]): r["cnt"] for r in
+           value_histogram(df, ["g"], "v", 0.0, 100.0, 10).collect()}
+    # -5 clamps into bin 0; 100.0 clamps into bin 9
+    assert got[("a", 0)] == 3   # -5, 0, 9.99
+    assert got[("a", 1)] == 1   # 10.0
+    assert got[("a", 9)] == 2   # 99, 100
+    assert got[("b", 5)] == 1
+
+
+def test_histogram_quantiles_interpolation(spark):
+    from tensorflow_recorder_spark.operators.sketches import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    # 10 values spread evenly in [0, 100): bins 0..9, one per bin.
+    df = spark.createDataFrame(
+        [("a", float(i * 10 + 5)) for i in range(10)], "g string, v double"
+    )
+    counts = value_histogram(df, ["g"], "v", 0.0, 100.0, 10)
+    [r] = histogram_quantiles(counts, ["g"], 0.0, 100.0, 10).collect()
+    assert r["n"] == 10
+    # p50: target=5, first bin with cum>=5 is bin 4 (cum 5), est =
+    # 10*(4 + (5-4)/1) = 50
+    assert r["p50_est"] == 50.0
+    assert r["p90_est"] == 90.0
+    # p99: target=9.9 -> bin 9, est = 10*(9 + (9.9-9)/1) = 99
+    assert r["p99_est"] == 99.0
+
+
+def test_histogram_merge_equals_full_build(spark):
+    """Sketch algebra: the histogram of a union == the summed histograms
+    of the parts, so quantiles finalize identically — the property the
+    streaming twin relies on."""
+    from pyspark.sql import functions as F
+
+    from tensorflow_recorder_spark.operators.sketches import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    full = spark.createDataFrame(
+        [("a", float(v)) for v in (3, 17, 42, 55, 60, 78, 91, 12, 33, 67)],
+        "g string, v double",
+    )
+    h_full = value_histogram(full, ["g"], "v", 0.0, 100.0, 20)
+    part1, part2 = full.limit(4), full.subtract(full.limit(4))
+    merged = (
+        value_histogram(part1, ["g"], "v", 0.0, 100.0, 20)
+        .unionByName(value_histogram(part2, ["g"], "v", 0.0, 100.0, 20))
+        .groupBy("g", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = histogram_quantiles(h_full, ["g"], 0.0, 100.0, 20).collect()
+    b = histogram_quantiles(merged, ["g"], 0.0, 100.0, 20).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_value_histogram_validates_args(spark):
+    import pytest
+
+    from tensorflow_recorder_spark.operators.sketches import value_histogram
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError):
+        value_histogram(df, ["g"], "v", 0.0, 100.0, 0)
+    with pytest.raises(ValueError):
+        value_histogram(df, ["g"], "v", 100.0, 100.0, 10)
