@@ -127,6 +127,35 @@ def bpe_fit(
     return merges
 
 
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE application to ONE word: repeatedly merge all
+    left-to-right non-overlapping occurrences of the LOWEST-RANK
+    adjacent pair (the published application order) until no pair in
+    the rank table remains."""
+    syms = list(word) + [END_MARK]
+    while len(syms) > 1:
+        best = None
+        best_rank = None
+        for i in range(len(syms) - 1):
+            rk = ranks.get((syms[i], syms[i + 1]))
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best, best_rank = i, rk
+        if best is None:
+            break
+        pair = (syms[best], syms[best + 1])
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 def bpe_encode(
     df: DataFrame,
     text_col: str,
@@ -145,34 +174,6 @@ def bpe_encode(
 
     ranks = {(l, r): k for k, l, r in merges}
 
-    def encode_word(word: str) -> list[str]:
-        syms = list(word) + [END_MARK]
-        while len(syms) > 1:
-            best = None
-            best_rank = None
-            for i in range(len(syms) - 1):
-                rk = ranks.get((syms[i], syms[i + 1]))
-                if rk is not None and (best_rank is None or rk < best_rank):
-                    best, best_rank = i, rk
-            if best is None:
-                break
-            # merge ALL occurrences of that pair left-to-right
-            pair = (syms[best], syms[best + 1])
-            out = []
-            i = 0
-            while i < len(syms):
-                if (
-                    i + 1 < len(syms)
-                    and (syms[i], syms[i + 1]) == pair
-                ):
-                    out.append(syms[i] + syms[i + 1])
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
-        return syms
-
     out_schema = T.StructType(
         [
             df.schema[id_col],
@@ -189,7 +190,7 @@ def bpe_encode(
                 words = [w for w in (text or "").lower().split() if w]
                 pieces: list[str] = []
                 for w in words:
-                    pieces.extend(encode_word(w))
+                    pieces.extend(encode_word(w, ranks))
                 ids.append(rid)
                 n_toks.append(len(words))
                 n_subs.append(len(pieces))
@@ -204,3 +205,81 @@ def bpe_encode(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def bpe_encode_dict(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[int, str, str]],
+    preview: int = 50,
+) -> DataFrame:
+    """Dictionary-trick encode — the at-scale form of :func:`bpe_encode`:
+    each DISTINCT word is encoded exactly once (the encode loop runs
+    over the vocabulary-bounded word table, not the corpus), then the
+    per-word subword lists join back onto the (id, position, word)
+    token stream and reassemble in order. Identical output to
+    ``bpe_encode`` (unit-tested); at 100 TB the Python encode cost
+    drops from corpus tokens to distinct words — the same
+    corpus-collapses-to-vocabulary argument as :func:`bpe_fit`.
+
+    Plan shape: one explode, one distinct over words, an Arrow-batched
+    map over the word table, one equi-join on the word key (skewed
+    stopwords are AQE-splittable), one groupBy(id) whose per-doc state
+    is the bounded (position, subwords) list. Empty documents survive
+    via the final left join.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ranks = {(l, r): k for k, l, r in merges}
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')"
+    tokens = df.select(F.col(id_col), F.expr(toks).alias("__w"))
+    distinct_words = (
+        tokens.select(F.explode("__w").alias("word")).distinct()
+    )
+
+    word_schema = T.StructType(
+        [
+            T.StructField("word", T.StringType()),
+            T.StructField("subs", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "subs": [encode_word(w, ranks) for w in pdf["word"]],
+                }
+            )
+
+    encoded = distinct_words.mapInPandas(enc, schema=word_schema)
+    stream = tokens.select(
+        id_col, F.posexplode("__w").alias("pos", "word")
+    )
+    per_doc = (
+        stream.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.size("subs")).cast("long").alias("n_subwords"),
+            F.expr(
+                f"slice(flatten(transform(array_sort(collect_list("
+                f"struct(pos, subs))), s -> s.subs)), 1, {int(preview)})"
+            ).alias("subwords"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_subwords", F.lit(0)).cast("long").alias("n_subwords"),
+            F.coalesce(
+                "subwords", F.expr("cast(array() as array<string>)")
+            ).alias("subwords"),
+        )
+    )

@@ -5397,6 +5397,122 @@ FROM est GROUP BY 1, 2
 """
 
 
+def q_e3_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: BPE subword encoding of the corpus via the dictionary trick —
+    each DISTINCT word is encoded once, then joined back onto the
+    ordered token stream (`bpe.bpe_encode_dict`; the Python encode loop
+    is vocabulary-bounded, not corpus-bounded). The merge table here is
+    the deterministic single-round top-8 pair table (ranks = the
+    (cnt desc, left, right) order), so the DuckDB oracle can rebuild
+    the identical tokenizer and replay the greedy lowest-rank
+    application as a recursive CTE. The oracle's merge step is a
+    separator-wrapped string replace (chr(31) never occurs in the
+    corpus), which reproduces left-to-right non-overlapping merge
+    semantics exactly."""
+    from .operators.bpe import (
+        _with_symbols,
+        bpe_encode_dict,
+        pair_counts,
+        word_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    top = (
+        pair_counts(_with_symbols(word_counts(docs, "text")))
+        .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+        .limit(8)
+        .collect()
+    )
+    merges = [(i, r["left"], r["right"]) for i, r in enumerate(top)]
+    out = bpe_encode_dict(docs, "text", "doc_id", merges)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_subwords",
+        F.concat_ws(" ", "subwords").alias("subwords_preview"),
+    )
+
+
+ORACLE_E3_BPE_ENCODE = r"""
+WITH RECURSIVE
+wcnt AS (
+  SELECT word, count(*) AS n FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              t -> t <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+),
+csyms AS (
+  SELECT word, n,
+         list_append(list_filter(regexp_split_to_array(word, ''), c -> c <> ''),
+                     '</w>') AS s
+  FROM wcnt
+),
+cpairs AS (
+  SELECT s[i.i] AS l, s[i.i + 1] AS r, sum(n) AS cnt
+  FROM csyms, UNNEST(range(1, len(s))) AS i(i)
+  GROUP BY 1, 2
+),
+mtab AS (
+  SELECT l, r, rn - 1 AS rk FROM (
+    SELECT l, r, row_number() OVER (ORDER BY cnt DESC, l, r) AS rn
+    FROM cpairs
+  ) WHERE rn <= 8
+),
+rl AS (SELECT list(struct_pack(l := l, r := r, rk := rk) ORDER BY rk) AS ms
+       FROM mtab),
+init AS (
+  SELECT word,
+         chr(31) || array_to_string(s, chr(31) || chr(31)) || chr(31) AS s
+  FROM csyms
+),
+enc AS (
+  SELECT word, s, 0 AS it FROM init
+  UNION ALL
+  SELECT word,
+         replace(s, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                 chr(31) || b.l || b.r || chr(31)) AS s,
+         it + 1
+  FROM (
+    SELECT e.word, e.s, e.it,
+           (list_filter(rl.ms,
+             m -> contains(e.s,
+                  chr(31) || m.l || chr(31) || chr(31) || m.r || chr(31))))[1]
+             AS b
+    FROM enc e CROSS JOIN rl
+  ) WHERE b IS NOT NULL
+),
+final AS (SELECT word, arg_max(s, it) AS s FROM enc GROUP BY word),
+fsyms AS (
+  SELECT word, list_filter(string_split(s, chr(31)), x -> x <> '') AS subs
+  FROM final
+),
+docw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')
+           AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t.i AS i, w[t.i] AS word
+  FROM docw, UNNEST(range(1, len(w) + 1)) AS t(i)
+),
+agg AS (
+  SELECT p.doc_id,
+         count(*) AS n_tokens,
+         sum(len(f.subs)) AS n_subwords,
+         flatten(list(f.subs ORDER BY p.i))[1:50] AS subsall
+  FROM pos p JOIN fsyms f USING (word)
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_subwords,
+       coalesce(array_to_string(a.subsall, ' '), '') AS subwords_preview
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5582,6 +5698,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_normalized_dedup": q_e1_normalized_dedup,
     "e4_value_quantiles": q_e4_value_quantiles,
     "s14_stream_value_quantiles": q_s14_stream_value_quantiles,
+    "e3_bpe_encode": q_e3_bpe_encode,
 }
 
 ORACLES: dict[str, str] = {
@@ -5741,4 +5858,5 @@ ORACLES: dict[str, str] = {
     "e1_normalized_dedup": ORACLE_E1_NORMALIZED_DEDUP,
     "e4_value_quantiles": ORACLE_E4_VALUE_QUANTILES,
     "s14_stream_value_quantiles": ORACLE_S14_STREAM_VALUE_QUANTILES,
+    "e3_bpe_encode": ORACLE_E3_BPE_ENCODE,
 }

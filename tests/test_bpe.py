@@ -64,3 +64,42 @@ def test_pair_counts_weighted_by_word_frequency(spark):
     assert pc[("e", "s")] == 9      # newest x6 + widest x3
     assert pc[("l", "o")] == 7      # low x5 + lower x2
     assert pc[("t", END_MARK)] == 9
+
+
+def test_bpe_encode_dict_matches_rowwise_encode(spark):
+    """The dictionary-trick encode (distinct words once + join-back)
+    must be value-identical to the per-row encode on every column."""
+    from tensorflow_recorder_spark.operators.bpe import bpe_encode_dict
+
+    df = spark.createDataFrame(
+        [
+            (1, "low lower newest the the widest"),
+            (2, "newest newest LOW"),
+            (3, ""),
+            (4, "   "),
+            (5, "unseen zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe_fit(_classic(spark), "text", num_merges=8)
+    a = {r["doc_id"]: (r["n_tokens"], r["n_subwords"], tuple(r["subwords"]))
+         for r in bpe_encode(df, "text", "doc_id", merges).collect()}
+    b = {r["doc_id"]: (r["n_tokens"], r["n_subwords"], tuple(r["subwords"]))
+         for r in bpe_encode_dict(df, "text", "doc_id", merges).collect()}
+    assert a == b
+    # empty/whitespace-only docs survive with zero counts
+    assert b[3] == (0, 0, ())
+    assert b[4] == (0, 0, ())
+
+
+def test_bpe_encode_dict_preview_truncation(spark):
+    from tensorflow_recorder_spark.operators.bpe import bpe_encode_dict
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["xy"] * 10))], "doc_id long, text string"
+    )
+    [r] = bpe_encode_dict(df, "text", "doc_id", [], preview=5).collect()
+    # 10 words x 3 symbols each = 30 subwords, preview capped at 5
+    assert r["n_subwords"] == 30
+    assert len(r["subwords"]) == 5
+    assert r["subwords"] == ["x", "y", END_MARK, "x", "y"]
