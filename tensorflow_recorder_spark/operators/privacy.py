@@ -71,3 +71,52 @@ def k_anonymity_summary(
     else:
         aggs.append(F.lit(None).cast("long").alias("min_l_diversity"))
     return groups.agg(*aggs)
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """Laplace-mechanism count release (Dwork et al. 2006, "Calibrating
+    Noise to Sensitivity in Private Data Analysis" — public): per-group
+    counts plus Laplace(1/epsilon) noise (count queries have
+    sensitivity 1), released as a clamped non-negative integer. Output:
+    (*group_cols, noisy_count double, released bigint).
+
+    The noise here is DETERMINISTIC — an md5-derived uniform in
+    (-0.5, 0.5) per (seed, group key) pushed through the Laplace
+    inverse CDF — so releases are replayable and oracle-checkable
+    across engines. A production DP deployment must swap the seed for
+    a secret per-release nonce (determinism with a public seed
+    provides no privacy); the MECHANISM (noise scale, clamping,
+    sensitivity accounting) is what this operator pins down.
+
+    Scale shape: one partial-aggregated groupBy (key space = the group
+    cross-product, far below row count); the noise is per-GROUP column
+    arithmetic over that bounded frame — no second data pass, no
+    driver materialization.
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    b = 1.0 / float(epsilon)
+    counts = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    key = F.concat_ws(
+        ":", F.lit(seed), *[F.col(c).cast("string") for c in group_cols]
+    )
+    # md5-derived uniform in (-0.5, 0.5): 48-bit prefix of the digest
+    u = (
+        (F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("double") + 0.5)
+        / F.lit(281474976710656.0)
+        - 0.5
+    )
+    lap = -F.lit(b) * F.signum(u) * F.log(1.0 - 2.0 * F.abs(u))
+    noisy = F.round(F.col("__n") + lap, 6)
+    return counts.select(
+        *group_cols,
+        noisy.alias("noisy_count"),
+        F.greatest(F.round(noisy, 0), F.lit(0.0)).cast("long").alias("released"),
+    )

@@ -5513,6 +5513,39 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_e6_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: differentially-private (source, lang) histogram release of
+    the corpus — Laplace(1/eps) mechanism with md5-derived
+    deterministic noise (replayable/oracle-checkable; a production
+    release swaps the public seed for a secret nonce)."""
+    from .operators.privacy import dp_noisy_counts
+
+    return dp_noisy_counts(
+        _t(spark, sf_dir, "documents"), ["source", "lang"], epsilon=1.0
+    )
+
+
+ORACLE_E6_DP_COUNTS = """
+WITH c AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+),
+h AS (
+  SELECT source, lang, n,
+         (('0x' || substr(md5('dp:' || source || ':' || lang), 1, 12))::BIGINT
+          + 0.5) / 281474976710656.0 - 0.5 AS u
+  FROM c
+),
+noised AS (
+  SELECT source, lang,
+         round(n + (-1.0) * sign(u) * ln(1 - 2 * abs(u)), 6) AS noisy_count
+  FROM h
+)
+SELECT source, lang, noisy_count,
+       CAST(greatest(round(noisy_count, 0), 0) AS BIGINT) AS released
+FROM noised
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5699,6 +5732,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_value_quantiles": q_e4_value_quantiles,
     "s14_stream_value_quantiles": q_s14_stream_value_quantiles,
     "e3_bpe_encode": q_e3_bpe_encode,
+    "e6_dp_counts": q_e6_dp_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -5859,4 +5893,5 @@ ORACLES: dict[str, str] = {
     "e4_value_quantiles": ORACLE_E4_VALUE_QUANTILES,
     "s14_stream_value_quantiles": ORACLE_S14_STREAM_VALUE_QUANTILES,
     "e3_bpe_encode": ORACLE_E3_BPE_ENCODE,
+    "e6_dp_counts": ORACLE_E6_DP_COUNTS,
 }

@@ -79,3 +79,48 @@ def test_normalized_dedup_digit_boundaries_not_conflated(spark):
         [(1, "doc 12"), (2, "doc 1 2")], "doc_id long, text string"
     )
     assert dedup.normalized_dedup(df, "text", "doc_id").count() == 2
+
+
+# ------------------------------------------------------------ dp noise
+
+
+def test_dp_noisy_counts_deterministic_and_scaled(spark):
+    from tensorflow_recorder_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 3, "g string"
+    )
+    r1 = {r["g"]: r for r in dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+    r2 = {r["g"]: r for r in dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+    assert {k: v["noisy_count"] for k, v in r1.items()} == {
+        k: v["noisy_count"] for k, v in r2.items()
+    }
+    # Laplace scale is exactly 1/eps for the SAME md5-derived uniform:
+    # noise at eps=0.5 is exactly 2x the noise at eps=1.0
+    half = {r["g"]: r for r in dp_noisy_counts(df, ["g"], epsilon=0.5).collect()}
+    for g, n_true in (("a", 10), ("b", 3)):
+        n1 = r1[g]["noisy_count"] - n_true
+        n05 = half[g]["noisy_count"] - n_true
+        assert abs(n05 - 2 * n1) < 2e-5
+        assert n1 != 0.0  # noise actually applied
+    # release is a clamped integer
+    assert all(v["released"] >= 0 for v in r1.values())
+
+
+def test_dp_noisy_counts_seed_changes_noise(spark):
+    from tensorflow_recorder_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame([("a",)] * 7, "g string")
+    [x] = dp_noisy_counts(df, ["g"], epsilon=1.0, seed="dp").collect()
+    [y] = dp_noisy_counts(df, ["g"], epsilon=1.0, seed="other").collect()
+    assert x["noisy_count"] != y["noisy_count"]
+
+
+def test_dp_noisy_counts_validates_epsilon(spark):
+    import pytest
+
+    from tensorflow_recorder_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame([("a",)], "g string")
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, ["g"], epsilon=0.0)
