@@ -88,6 +88,12 @@ BENCH_QUERIES = [
     "e4_daily_audit",
     "e4_seasonal",
     "e4_attribution",
+    # session-6 operators: the new join/sketch/encode shapes
+    "rel_market_share",
+    "rel_key_skew",
+    "e1_normalized_dedup",
+    "e4_value_quantiles",
+    "e3_bpe_encode",
 ]
 
 

@@ -5566,7 +5566,14 @@ FROM noised
 # e4_sessionize share their ORACLES verbatim with the still-scored s1/s2
 # streaming twins, e3_bigrams duplicates e3_word_frequencies'
 # explode-count-topk shape, rel_cube duplicates rel_rollup's
-# grouping-set shape).
+# grouping-set shape). Session-6 swaps: rel_market_share (six-table
+# broadcast-chain join) replaced rel_region_revenue (same shape,
+# strictly smaller), e3_bpe_encode (dictionary-trick subword encoding
+# with a recursive-CTE oracle) replaced e1_jaccard_pairs (exact-jaccard
+# shape already scored via e1_lsh_verified/e1_fuzzy_dedup), and
+# e4_value_quantiles (mergeable histogram-quantile sketch) replaced
+# e4_asof_latest (as-of shape already scored via e4_asof_join). All
+# rotated-out queries remain in the 51+ tail under scripts/ci.sh.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -5577,7 +5584,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t1_csv_serialize": q_t1_csv_serialize,
     "t2_typed_projection": q_t2_typed_projection,
     "rel_pricing_summary": q_rel_pricing_summary,
-    "rel_region_revenue": q_rel_region_revenue,
+    "rel_market_share": q_rel_market_share,
     "rel_topk_per_group": q_rel_topk_per_group,
     "rel_rollup": q_rel_rollup,
     "rel_running_sum": q_rel_running_sum,
@@ -5589,7 +5596,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_dedup_exact": q_e1_dedup_exact,
     "e1_lsh_pairs": q_e1_lsh_pairs,
     "e1_lsh_verified": q_e1_lsh_verified,
-    "e1_jaccard_pairs": q_e1_jaccard_pairs,
+    "e3_bpe_encode": q_e3_bpe_encode,
     "e1_embedding_neardup": q_e1_embedding_neardup,
     "e1_dup_clusters": q_e1_dup_clusters,
     "e1_fuzzy_dedup": q_e1_fuzzy_dedup,
@@ -5603,7 +5610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_quality": q_e3_quality,
     "e3_word_frequencies": q_e3_word_frequencies,
     "e3_corpus_filter": q_e3_corpus_filter,
-    "e4_asof_latest": q_e4_asof_latest,
+    "e4_value_quantiles": q_e4_value_quantiles,
     "e4_sliding_window": q_e4_sliding_window,
     "e6_sequence_pack": q_e6_sequence_pack,
     "e6_mixture_sample": q_e6_mixture_sample,
@@ -5726,12 +5733,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_custdist": q_rel_custdist,
     "e4_attribution": q_e4_attribution,
     "s13_stream_attribution": q_s13_stream_attribution,
-    "rel_market_share": q_rel_market_share,
+    "rel_region_revenue": q_rel_region_revenue,
     "rel_key_skew": q_rel_key_skew,
     "e1_normalized_dedup": q_e1_normalized_dedup,
-    "e4_value_quantiles": q_e4_value_quantiles,
+    "e1_jaccard_pairs": q_e1_jaccard_pairs,
     "s14_stream_value_quantiles": q_s14_stream_value_quantiles,
-    "e3_bpe_encode": q_e3_bpe_encode,
+    "e4_asof_latest": q_e4_asof_latest,
     "e6_dp_counts": q_e6_dp_counts,
 }
 

@@ -32,6 +32,12 @@ ALLOWED = {
         "right, cnt) row per iteration; the word/symbol tables stay "
         "distributed",
     ),
+    "queries.py": (
+        1,
+        "e3_bpe_encode merge table: limit(8).collect() — tokenizer-"
+        "sized fitted state (8 rows), the same broadcastable-model "
+        "pattern as bpe_fit",
+    ),
 }
 
 

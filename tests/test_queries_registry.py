@@ -159,6 +159,19 @@ def test_driver_window_holds_all_unique_queries():
         "rel_custdist",
         "e4_attribution",
         "s13_stream_attribution",
+        # session-6 swap-outs: rel_region_revenue's shape is a strict
+        # subset of the now-scored rel_market_share; e1_jaccard_pairs'
+        # exact-jaccard shape is scored via e1_lsh_verified and
+        # e1_fuzzy_dedup; e4_asof_latest's as-of shape is scored via
+        # e4_asof_join (all driver-green in r03)
+        "rel_region_revenue",
+        "e1_jaccard_pairs",
+        "e4_asof_latest",
+        # session-6 additions past the window
+        "rel_key_skew",
+        "e1_normalized_dedup",
+        "s14_stream_value_quantiles",
+        "e6_dp_counts",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
