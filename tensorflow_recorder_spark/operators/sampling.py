@@ -472,3 +472,63 @@ def temperature_weights(
             ).alias("sample_rate")
         )
     return joined.select(*cols)
+
+
+def token_budget_plan(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    budget_tokens: int,
+) -> DataFrame:
+    """Mixture planning: given a total token budget split evenly across
+    sources, compute each source's sampling rate — the "how much of
+    each source do we take to hit N tokens at these weights" arithmetic
+    every corpus-mixture run starts from (the execution side is
+    :func:`mixture_sample` / :func:`source_token_quota`). Output per
+    source: (source, n_docs, n_tokens, weight, sample_rate,
+    expected_tokens); rates cap at 1.0 (a source cannot over-deliver
+    without upsampling, which is a curriculum decision, not a planning
+    default).
+
+    Scale shape: ONE corpus pass (token count inlined into the scan,
+    partial-aggregated groupBy whose key space is the source list),
+    then pure column arithmetic against the broadcast 1-row source
+    count. The plan output is catalog-sized; nothing returns to the
+    driver.
+    """
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    n_tok = F.expr(
+        f"size(filter(split(lower({text_col}), '\\\\s+'), t -> t <> ''))"
+    )
+    st = (
+        df.select(F.col(source_col).alias("source"), n_tok.alias("__t"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+        )
+    )
+    k = st.agg(F.count(F.lit(1)).alias("__ns"))
+    rate = F.least(
+        F.lit(1.0),
+        F.round(
+            F.lit(float(budget_tokens))
+            * (F.lit(1.0) / F.col("__ns"))
+            / F.col("n_tokens"),
+            6,
+        ),
+    )
+    return (
+        st.crossJoin(F.broadcast(k))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.lit(1.0) / F.col("__ns"), 6).alias("weight"),
+            rate.alias("sample_rate"),
+            F.round(F.col("n_tokens") * rate, 0)
+            .cast("long")
+            .alias("expected_tokens"),
+        )
+    )

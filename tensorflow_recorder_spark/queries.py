@@ -5546,6 +5546,68 @@ FROM noised
 """
 
 
+def q_rel_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-style order-priority check: orders with at least one line item
+    shipped more than 60 days after the order date, counted per
+    priority. The EXISTS becomes a LEFT-SEMI join on the order key with
+    the date comparison as a residual predicate — equi-keyed (AQE
+    skew-splittable), never a range cross product, and the semi form
+    stops probing an order at its first late line."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("late_orders")
+    )
+
+
+ORACLE_REL_ORDER_PRIORITY = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS late_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+"""
+
+
+def q_e6_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: token-budget mixture plan — per-source sampling rates to hit
+    a 10k-token target at equal source weights (the planning pass whose
+    execution side is e6_mixture_sample / e6_source_quota)."""
+    from .operators.sampling import token_budget_plan
+
+    return token_budget_plan(
+        _t(spark, sf_dir, "documents"), "text", "source", budget_tokens=10000
+    )
+
+
+ORACLE_E6_TOKEN_BUDGET = r"""
+WITH st AS (
+  SELECT source,
+         count(*) AS n_docs,
+         sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t -> t <> ''))) AS n_tokens
+  FROM documents GROUP BY source
+),
+k AS (SELECT count(*) AS ns FROM st)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(1.0 / ns, 6) AS weight,
+       least(1.0, round(10000.0 * (1.0 / ns) / n_tokens, 6)) AS sample_rate,
+       CAST(round(n_tokens * least(1.0, round(10000.0 * (1.0 / ns) / n_tokens, 6)), 0)
+            AS BIGINT) AS expected_tokens
+FROM st, k
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5740,6 +5802,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s14_stream_value_quantiles": q_s14_stream_value_quantiles,
     "e4_asof_latest": q_e4_asof_latest,
     "e6_dp_counts": q_e6_dp_counts,
+    "rel_order_priority": q_rel_order_priority,
+    "e6_token_budget": q_e6_token_budget,
 }
 
 ORACLES: dict[str, str] = {
@@ -5901,4 +5965,6 @@ ORACLES: dict[str, str] = {
     "s14_stream_value_quantiles": ORACLE_S14_STREAM_VALUE_QUANTILES,
     "e3_bpe_encode": ORACLE_E3_BPE_ENCODE,
     "e6_dp_counts": ORACLE_E6_DP_COUNTS,
+    "rel_order_priority": ORACLE_REL_ORDER_PRIORITY,
+    "e6_token_budget": ORACLE_E6_TOKEN_BUDGET,
 }

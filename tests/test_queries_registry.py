@@ -172,6 +172,8 @@ def test_driver_window_holds_all_unique_queries():
         "e1_normalized_dedup",
         "s14_stream_value_quantiles",
         "e6_dp_counts",
+        "rel_order_priority",
+        "e6_token_budget",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

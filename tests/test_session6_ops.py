@@ -124,3 +124,36 @@ def test_dp_noisy_counts_validates_epsilon(spark):
     df = spark.createDataFrame([("a",)], "g string")
     with pytest.raises(ValueError):
         dp_noisy_counts(df, ["g"], epsilon=0.0)
+
+
+# ------------------------------------------------------- token budget
+
+
+def test_token_budget_plan_rates_and_caps(spark):
+    from tensorflow_recorder_spark.operators.sampling import token_budget_plan
+
+    df = spark.createDataFrame(
+        [("a", "one two three four"), ("a", "five six"),
+         ("b", "uno dos")],
+        "src string, text string",
+    )
+    # 2 sources, budget 4 -> 2 tokens per source; a has 6, b has 2
+    rows = {r["source"]: r for r in
+            token_budget_plan(df, "text", "src", budget_tokens=4).collect()}
+    assert rows["a"]["n_docs"] == 2 and rows["a"]["n_tokens"] == 6
+    assert rows["a"]["weight"] == 0.5
+    assert rows["a"]["sample_rate"] == round(4 * 0.5 / 6, 6)
+    assert rows["a"]["expected_tokens"] == 2
+    # b exactly meets its share -> rate caps at 1.0
+    assert rows["b"]["sample_rate"] == 1.0
+    assert rows["b"]["expected_tokens"] == 2
+
+
+def test_token_budget_plan_validates_budget(spark):
+    import pytest
+
+    from tensorflow_recorder_spark.operators.sampling import token_budget_plan
+
+    df = spark.createDataFrame([("a", "x")], "src string, text string")
+    with pytest.raises(ValueError):
+        token_budget_plan(df, "text", "src", budget_tokens=0)
