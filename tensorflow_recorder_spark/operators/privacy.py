@@ -98,12 +98,31 @@ def dp_noisy_counts(
     arithmetic over that bounded frame — no second data pass, no
     driver materialization.
     """
-    if epsilon <= 0:
-        raise ValueError(f"epsilon must be > 0, got {epsilon}")
-    b = 1.0 / float(epsilon)
     counts = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("__n")
     )
+    return dp_release(counts, group_cols, "__n", epsilon=epsilon, seed=seed)
+
+
+def dp_release(
+    counts: DataFrame,
+    group_cols: Sequence[str],
+    count_col: str,
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """The finalize half of :func:`dp_noisy_counts`: apply the Laplace
+    mechanism to ALREADY-AGGREGATED per-group counts. Split out so the
+    streaming twin (``queries.q_s15_stream_dp_counts``) can drain a
+    watermark-bounded streaming count into the SAME release path — the
+    privacy accounting (noise scale, clamping) is defined once, and the
+    batch/stream pair differ only in how the counts were produced.
+
+    Output: (*group_cols, noisy_count double, released bigint).
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    b = 1.0 / float(epsilon)
     key = F.concat_ws(
         ":", F.lit(seed), *[F.col(c).cast("string") for c in group_cols]
     )
@@ -114,7 +133,7 @@ def dp_noisy_counts(
         - 0.5
     )
     lap = -F.lit(b) * F.signum(u) * F.log(1.0 - 2.0 * F.abs(u))
-    noisy = F.round(F.col("__n") + lap, 6)
+    noisy = F.round(F.col(count_col).cast("double") + lap, 6)
     return counts.select(
         *group_cols,
         noisy.alias("noisy_count"),

@@ -5546,6 +5546,56 @@ FROM noised
 """
 
 
+def q_s15_stream_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DP count release AS A STREAM: a watermarked daily tumbling
+    count per (day, event_type) — state store holds one counter per
+    bucket, bounded by watermark horizon times type cardinality — then
+    the drained counts finalize through the SAME ``dp_release``
+    (Laplace mechanism, clamped integer release) as the batch
+    ``e6_dp_counts``. The privacy accounting is defined once; batch and
+    stream differ only in how the exact counts were produced, which is
+    exactly the property a production DP telemetry release needs (the
+    mechanism is auditable independently of the ingestion mode)."""
+    from .operators.privacy import dp_release
+
+    stream = _event_stream(spark, sf_dir)
+    counts = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window(F.col("ts"), "1 day").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+        )
+    )
+    drained = _drain_to_memory(counts, "stream_dp_counts_sink", "complete")
+    return dp_release(drained, ["day", "event_type"], "n", epsilon=1.0, seed="dp")
+
+
+ORACLE_S15_STREAM_DP_COUNTS = """
+WITH c AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+h AS (
+  SELECT day, event_type, n,
+         (('0x' || substr(md5('dp:' || day || ':' || event_type), 1, 12))::BIGINT
+          + 0.5) / 281474976710656.0 - 0.5 AS u
+  FROM c
+),
+noised AS (
+  SELECT day, event_type,
+         round(n + (-1.0) * sign(u) * ln(1 - 2 * abs(u)), 6) AS noisy_count
+  FROM h
+)
+SELECT day, event_type, noisy_count,
+       CAST(greatest(round(noisy_count, 0), 0) AS BIGINT) AS released
+FROM noised
+"""
+
+
 def q_rel_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4-style order-priority check: orders with at least one line item
     shipped more than 60 days after the order date, counted per
@@ -5804,6 +5854,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_dp_counts": q_e6_dp_counts,
     "rel_order_priority": q_rel_order_priority,
     "e6_token_budget": q_e6_token_budget,
+    "s15_stream_dp_counts": q_s15_stream_dp_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -5967,4 +6018,5 @@ ORACLES: dict[str, str] = {
     "e6_dp_counts": ORACLE_E6_DP_COUNTS,
     "rel_order_priority": ORACLE_REL_ORDER_PRIORITY,
     "e6_token_budget": ORACLE_E6_TOKEN_BUDGET,
+    "s15_stream_dp_counts": ORACLE_S15_STREAM_DP_COUNTS,
 }

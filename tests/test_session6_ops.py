@@ -157,3 +157,41 @@ def test_token_budget_plan_validates_budget(spark):
     df = spark.createDataFrame([("a", "x")], "src string, text string")
     with pytest.raises(ValueError):
         token_budget_plan(df, "text", "src", budget_tokens=0)
+
+
+def test_dp_release_matches_dp_noisy_counts(spark):
+    """The split finalize stage must release identical numbers to the
+    fused operator when fed the exact counts it would have computed —
+    the invariant that makes the streaming twin (s15) share the batch
+    privacy accounting."""
+    from pyspark.sql import functions as F
+
+    from tensorflow_recorder_spark.operators.privacy import (
+        dp_noisy_counts,
+        dp_release,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x")] * 5 + [("a", "y")] * 2 + [("b", "x")] * 9,
+        "g string, h string",
+    )
+    fused = {
+        (r["g"], r["h"]): (r["noisy_count"], r["released"])
+        for r in dp_noisy_counts(df, ["g", "h"], epsilon=1.0).collect()
+    }
+    counts = df.groupBy("g", "h").agg(F.count(F.lit(1)).alias("n"))
+    split = {
+        (r["g"], r["h"]): (r["noisy_count"], r["released"])
+        for r in dp_release(counts, ["g", "h"], "n", epsilon=1.0).collect()
+    }
+    assert fused == split
+
+
+def test_dp_release_validates_epsilon(spark):
+    import pytest
+
+    from tensorflow_recorder_spark.operators.privacy import dp_release
+
+    df = spark.createDataFrame([("a", 1)], "g string, n long")
+    with pytest.raises(ValueError):
+        dp_release(df, ["g"], "n", epsilon=0.0)
