@@ -93,3 +93,55 @@ def split_histogram_df(df: DataFrame, split_key: str = "split") -> DataFrame:
         .groupBy(F.col(split_key).alias("split"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    cluster_id_col: str = "cluster_id",
+    cluster_member_col: str = "id",
+    split_key: str = "split",
+    train_pct: int = 80,
+    validation_pct: int = 10,
+    salt: str = "",
+) -> DataFrame:
+    """Split assignment that can never leak near-duplicates across
+    splits: rows are hashed into TRAIN/VALIDATION/TEST by their
+    duplicate-cluster id (``clusters`` = (member id, cluster id), e.g.
+    from ``dedup.duplicate_clusters`` over LSH-verified pairs;
+    unclustered rows fall back to their own id), so every member of a
+    duplicate family lands in the SAME split by construction. The
+    prevention counterpart of the ``cross_split_exact_overlap``
+    detector (P3): instead of measuring train->test contamination after
+    the fact, the assignment makes it structurally impossible for any
+    pair the dedup stage can see.
+
+    Same md5-bucket determinism contract as :func:`derive_split`
+    (reproducible, append-stable, salt re-deals).
+
+    Scale shape: one equi-join of the corpus against the cluster map —
+    the map is |clustered docs| rows (pairs-bearing docs only, usually
+    orders below corpus size, broadcastable in practice) — then the
+    same pure-projection hash split as ``derive_split``; no extra
+    shuffle beyond the join.
+
+    Output: input columns + ``group_key`` (the id the split was hashed
+    on) + ``split_key``.
+    """
+    cmap = clusters.select(
+        F.col(cluster_member_col).alias("__m"),
+        F.col(cluster_id_col).alias("__c"),
+    )
+    joined = df.join(cmap, df[id_col] == cmap["__m"], "left").drop("__m")
+    keyed = joined.withColumn(
+        "group_key", F.coalesce(F.col("__c"), F.col(id_col)).cast("long")
+    ).drop("__c")
+    return derive_split(
+        keyed,
+        "group_key",
+        split_key=split_key,
+        train_pct=train_pct,
+        validation_pct=validation_pct,
+        salt=salt,
+    )

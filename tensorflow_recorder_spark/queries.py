@@ -5596,6 +5596,125 @@ FROM noised
 """
 
 
+def q_e2_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E3 hybrid retrieval: BM25 lexical ranking (query 'hash join
+    spark') fused with cosine vector ranking (query = the vec_id 0
+    embedding) by reciprocal-rank fusion at depth 100, top 20 released
+    — the standard hybrid-search primitive in front of RAG pipelines.
+    RRF consumes only integer ranks, so the fusion is engine-exact even
+    though the two underlying scores live on different float scales."""
+    from .operators.retrieval import hybrid_search
+
+    return hybrid_search(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        query_terms=["hash", "join", "spark"],
+        query_vec_id=0,
+        depth=100,
+        rrf_k=60,
+        top=20,
+    )
+
+
+ORACLE_E2_HYBRID_RRF = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+lengths AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lengths),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('hash', 'join', 'spark')
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT doc_id, round(sum(term_score), 6) AS score
+  FROM (
+    SELECT tf.doc_id,
+           round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                 (tf * (1.2 + 1.0)) /
+                 (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 9) AS term_score
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN lengths ON tf.doc_id = lengths.doc_id
+    CROSS JOIN stats
+  )
+  GROUP BY doc_id
+),
+lexr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+  FROM bm QUALIFY lex_rank <= 100
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e, sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+q AS (SELECT e AS qe, nrm AS qn FROM norms WHERE vec_id = 0),
+cos AS (
+  SELECT b.vec_id AS doc_id,
+         round(list_aggregate(list_transform(list_zip(q.qe, b.e),
+               p -> p[1] * p[2]), 'sum') / (q.qn * b.nrm), 4) AS score
+  FROM norms b, q WHERE b.vec_id <> 0
+),
+vecr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS vec_rank
+  FROM cos QUALIFY vec_rank <= 100
+),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+         round(coalesce(1.0 / (60 + l.lex_rank), 0)
+               + coalesce(1.0 / (60 + v.vec_rank), 0), 9) AS rrf_score
+  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+FROM fused QUALIFY rank <= 20
+"""
+
+
+def q_p4_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: leakage-safe split assignment — TRAIN/VALIDATION/TEST hashed
+    on the near-dup CLUSTER id (LSH-verified pairs at the 0.5 dedup
+    policy point -> connected components; unclustered docs hash on
+    their own id), so a duplicate family can never straddle splits.
+    The prevention counterpart of the p3_split_leakage detector."""
+    from .operators.split import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_verified_pairs(
+        docs, "text", "doc_id", min_est_jaccard=0.5, threshold=0.5
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    out = leakage_safe_split(docs, clusters, "doc_id")
+    return out.select("doc_id", "group_key", "split")
+
+
+def _oracle_leakage_safe_split() -> str:
+    return f"""
+WITH clusters AS ({_oracle_dup_clusters()}),
+g AS (
+  SELECT d.doc_id,
+         CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS group_key
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, group_key,
+       CASE WHEN b < 80 THEN 'TRAIN'
+            WHEN b < 90 THEN 'VALIDATION'
+            ELSE 'TEST' END AS split
+FROM (
+  SELECT doc_id, group_key,
+         ('0x' || substr(md5(concat(':', group_key::VARCHAR)), 1, 8))::BIGINT % 100 AS b
+  FROM g
+)
+"""
+
+
 def q_rel_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4-style order-priority check: orders with at least one line item
     shipped more than 60 days after the order date, counted per
@@ -5855,6 +5974,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_order_priority": q_rel_order_priority,
     "e6_token_budget": q_e6_token_budget,
     "s15_stream_dp_counts": q_s15_stream_dp_counts,
+    "e2_hybrid_rrf": q_e2_hybrid_rrf,
+    "p4_leakage_safe_split": q_p4_leakage_safe_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -6019,4 +6140,6 @@ ORACLES: dict[str, str] = {
     "rel_order_priority": ORACLE_REL_ORDER_PRIORITY,
     "e6_token_budget": ORACLE_E6_TOKEN_BUDGET,
     "s15_stream_dp_counts": ORACLE_S15_STREAM_DP_COUNTS,
+    "e2_hybrid_rrf": ORACLE_E2_HYBRID_RRF,
+    "p4_leakage_safe_split": _oracle_leakage_safe_split(),
 }

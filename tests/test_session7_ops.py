@@ -1,0 +1,122 @@
+"""Session-7 operators: RRF hybrid retrieval and leakage-safe split."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_rrf_fuse_scores_and_ranks(spark):
+    from tensorflow_recorder_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank long"
+    )
+    vec = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id long, rank long"
+    )
+    got = {r["doc_id"]: r for r in rrf_fuse(lex, vec, rrf_k=60, top=10).collect()}
+    # doc 20 is in both lists: 1/62 + 1/61
+    assert got[20]["rrf_score"] == round(1 / 62 + 1 / 61, 9)
+    assert got[20]["rank"] == 1
+    assert got[20]["lex_rank"] == 2 and got[20]["vec_rank"] == 1
+    # single-list docs: reciprocal of their own rank only, NULL other rank
+    assert got[10]["rrf_score"] == round(1 / 61, 9)
+    assert got[10]["vec_rank"] is None
+    assert got[40]["lex_rank"] is None
+    # 1/61 (docs 10, 40) ties break on id
+    assert got[10]["rank"] < got[40]["rank"]
+    assert len(got) == 4
+
+
+def test_rrf_fuse_top_cut_and_validation(spark):
+    from tensorflow_recorder_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_id long, rank long"
+    )
+    vec = spark.createDataFrame([(99, 1)], "doc_id long, rank long")
+    assert rrf_fuse(lex, vec, top=2).count() == 2
+    with pytest.raises(ValueError):
+        rrf_fuse(lex, vec, rrf_k=0)
+    with pytest.raises(ValueError):
+        rrf_fuse(lex, vec, top=0)
+
+
+def test_hybrid_search_end_to_end(spark):
+    from tensorflow_recorder_spark.operators.retrieval import hybrid_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark join hash"),
+            (1, "hash hash hash"),
+            (2, "nothing relevant here"),
+            (3, "join the spark"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_search(
+        docs, emb, ["hash", "spark"], query_vec_id=0, depth=3, top=4
+    ).collect()
+    ids = [r["doc_id"] for r in out]
+    # doc 1: top-lexical AND nearest neighbor of vec 0 -> fused first
+    assert ids[0] == 1
+    # doc 2 matches no query term and is the farthest vector
+    assert 2 not in ids or out[-1]["doc_id"] == 2
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from tensorflow_recorder_spark.operators.split import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # three clusters, including one spanning many ids
+    clusters = spark.createDataFrame(
+        [(1, 1), (50, 1), (199, 1), (7, 7), (8, 7)],
+        "id long, cluster_id long",
+    )
+    out = leakage_safe_split(docs, clusters, "doc_id")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 200
+    # every cluster member shares the cluster's split
+    assert rows[1]["split"] == rows[50]["split"] == rows[199]["split"]
+    assert rows[7]["split"] == rows[8]["split"]
+    # group_key is the cluster id for members, own id otherwise
+    assert rows[50]["group_key"] == 1 and rows[2]["group_key"] == 2
+    # unclustered rows follow the derive_split hash exactly
+    from tensorflow_recorder_spark.operators.split import derive_split
+
+    base = {
+        r["doc_id"]: r["split"]
+        for r in derive_split(docs, "doc_id").collect()
+    }
+    for i in (0, 2, 3, 100):
+        assert rows[i]["split"] == base[i]
+
+
+def test_leakage_safe_split_salt_redeals(spark):
+    from tensorflow_recorder_spark.operators.split import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(300)], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame([], "id long, cluster_id long")
+    a = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, clusters, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs, clusters, "doc_id", salt="v2").collect()
+    }
+    assert a != b  # re-deal happened
+    # deterministic under repetition
+    a2 = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, clusters, "doc_id").collect()}
+    assert a == a2
