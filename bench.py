@@ -94,6 +94,12 @@ BENCH_QUERIES = [
     "e1_normalized_dedup",
     "e4_value_quantiles",
     "e3_bpe_encode",
+    # session-7 operators: hybrid retrieval, leakage-safe split (runs
+    # the full fuzzy pipeline), Q21-style reformulated double-EXISTS
+    "e2_hybrid_rrf",
+    "p4_leakage_safe_split",
+    "rel_waiting_supplier",
+    "e4_trending",
 ]
 
 

@@ -5715,6 +5715,163 @@ FROM (
 """
 
 
+def q_rel_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-style 'suppliers who kept orders waiting': per supplier, the
+    orders where THEY were the only late shipper among multiple
+    suppliers (late = shipped > 60 days after the order date; the
+    testdata has no receipt/commit dates, so lateness adapts Q4's
+    predicate).
+
+    The textbook form is a correlated EXISTS + NOT-EXISTS pair — four
+    probes of lineitem per row. The scalable reformulation here is ONE
+    aggregation keyed on the order: per order, count distinct
+    suppliers, count distinct LATE suppliers, and remember the sole
+    late supplier (min over a one-element set); an order qualifies iff
+    (n_supp > 1, n_late_supp = 1). One lineitem shuffle total, then a
+    supplier-cardinality groupBy and a broadcast name join — the
+    EXISTS semantics fall out of the counts. The DuckDB oracle runs
+    the textbook correlated form, so the equivalence is checked, not
+    assumed."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "__late",
+        F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(
+            F.when(F.col("__late"), F.col("l_suppkey"))
+        ).alias("__n_late"),
+        F.min(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__late_supp"),
+    )
+    waits = (
+        per_order.where((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
+        .groupBy("__late_supp")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+    return waits.join(
+        F.broadcast(supplier), waits["__late_supp"] == supplier["s_suppkey"]
+    ).select("s_name", "numwait")
+
+
+ORACLE_REL_WAITING_SUPPLIER = """
+SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+
+def q_rel_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-style 'important stock': parts whose revenue exceeds 1.5x
+    the mean per-part revenue (a scale-invariant threshold — a fixed
+    share-of-total fraction selects nothing as the part count grows).
+    The global (total, count) enters as a broadcast scalar (one-row
+    cross join), never re-aggregating the fact table; the per-part and
+    global sums are EXACT decimal, so the threshold comparison is
+    engine-portable at the boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    val = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(val).alias("__value"))
+    total = per_part.agg(
+        F.sum("__value").alias("__total"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("__value").cast("double")
+            > F.col("__total").cast("double")
+            / F.col("__n").cast("double")
+            * F.lit(1.5)
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("__value").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
+ORACLE_REL_IMPORTANT_PARTS = """
+WITH pp AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS v
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT sum(v) AS t, CAST(count(*) AS BIGINT) AS n FROM pp)
+SELECT l_partkey, round(CAST(v AS DOUBLE), 2) AS part_value
+FROM pp, tot
+WHERE CAST(v AS DOUBLE) > CAST(t AS DOUBLE) / CAST(n AS DOUBLE) * 1.5
+"""
+
+
+def q_e4_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: day-over-day trend detection — each event type's daily rank
+    by volume plus its rank change vs the previous observed day (the
+    'trending now' primitive behind ops dashboards and data-mixture
+    monitors). Two bounded windows over the (day x type) aggregate —
+    the raw event table collapses ~1e4:1 in one partial-aggregated
+    groupBy before anything wide happens."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    daily = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w_day = Window.partitionBy("day").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    w_type = Window.partitionBy("event_type").orderBy("day")
+    ranked = daily.withColumn(
+        "rnk", F.row_number().over(w_day).cast("long")
+    ).withColumn("prev_rnk", F.lag("rnk").over(w_type).cast("long"))
+    return ranked.select(
+        "day",
+        "event_type",
+        "n_events",
+        "rnk",
+        "prev_rnk",
+        (F.col("prev_rnk") - F.col("rnk")).cast("long").alias("rank_delta"),
+    )
+
+
+ORACLE_E4_TRENDING = """
+WITH daily AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT day, event_type, n_events,
+         CAST(row_number() OVER (PARTITION BY day
+              ORDER BY n_events DESC, event_type) AS BIGINT) AS rnk
+  FROM daily
+)
+SELECT day, event_type, n_events, rnk,
+       CAST(lag(rnk) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
+         AS prev_rnk,
+       CAST(lag(rnk) OVER (PARTITION BY event_type ORDER BY day) - rnk
+            AS BIGINT) AS rank_delta
+FROM ranked
+"""
+
+
 def q_rel_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4-style order-priority check: orders with at least one line item
     shipped more than 60 days after the order date, counted per
@@ -5817,7 +5974,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_market_share": q_rel_market_share,
     "rel_topk_per_group": q_rel_topk_per_group,
-    "rel_rollup": q_rel_rollup,
+    "rel_waiting_supplier": q_rel_waiting_supplier,
     "rel_running_sum": q_rel_running_sum,
     "e4_asof_join": q_e4_asof_join,
     "s1_stream_hourly_rollup": q_s1_stream_hourly_rollup,
@@ -5825,7 +5982,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e5_image_meta": q_e5_image_meta,
     "e5_frame_sample": q_e5_frame_sample,
     "e1_dedup_exact": q_e1_dedup_exact,
-    "e1_lsh_pairs": q_e1_lsh_pairs,
+    "e2_hybrid_rrf": q_e2_hybrid_rrf,
     "e1_lsh_verified": q_e1_lsh_verified,
     "e3_bpe_encode": q_e3_bpe_encode,
     "e1_embedding_neardup": q_e1_embedding_neardup,
@@ -5839,7 +5996,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_curate": q_e6_curate,
     "e3_token_stats": q_e3_token_stats,
     "e3_quality": q_e3_quality,
-    "e3_word_frequencies": q_e3_word_frequencies,
+    "p4_leakage_safe_split": q_p4_leakage_safe_split,
     "e3_corpus_filter": q_e3_corpus_filter,
     "e4_value_quantiles": q_e4_value_quantiles,
     "e4_sliding_window": q_e4_sliding_window,
@@ -5974,8 +6131,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_order_priority": q_rel_order_priority,
     "e6_token_budget": q_e6_token_budget,
     "s15_stream_dp_counts": q_s15_stream_dp_counts,
-    "e2_hybrid_rrf": q_e2_hybrid_rrf,
-    "p4_leakage_safe_split": q_p4_leakage_safe_split,
+    "rel_important_parts": q_rel_important_parts,
+    "e4_trending": q_e4_trending,
+    # rotated past the driver's 50-slot window (driver-green in r03;
+    # each near-duplicates a still-scored neighbor)
+    "rel_rollup": q_rel_rollup,
+    "e1_lsh_pairs": q_e1_lsh_pairs,
+    "e3_word_frequencies": q_e3_word_frequencies,
 }
 
 ORACLES: dict[str, str] = {
@@ -6142,4 +6304,7 @@ ORACLES: dict[str, str] = {
     "s15_stream_dp_counts": ORACLE_S15_STREAM_DP_COUNTS,
     "e2_hybrid_rrf": ORACLE_E2_HYBRID_RRF,
     "p4_leakage_safe_split": _oracle_leakage_safe_split(),
+    "rel_waiting_supplier": ORACLE_REL_WAITING_SUPPLIER,
+    "rel_important_parts": ORACLE_REL_IMPORTANT_PARTS,
+    "e4_trending": ORACLE_E4_TRENDING,
 }

@@ -174,6 +174,16 @@ def test_driver_window_holds_all_unique_queries():
         "e6_dp_counts",
         "rel_order_priority",
         "e6_token_budget",
+        # session-7 additions beyond the window
+        "s15_stream_dp_counts",
+        "rel_important_parts",
+        "e4_trending",
+        # session-7 swap-outs (driver-green in r03; each near-duplicates
+        # a still-scored neighbor: rollup~cube/pricing_summary,
+        # lsh_pairs~lsh_verified, word_frequencies~corpus_stats/tfidf)
+        "rel_rollup",
+        "e1_lsh_pairs",
+        "e3_word_frequencies",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
