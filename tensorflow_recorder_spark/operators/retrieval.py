@@ -117,3 +117,120 @@ def hybrid_search(
     return rrf_fuse(
         lex_ranked, vec_ranked, id_col=doc_id_col, rrf_k=rrf_k, top=top
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    rel_col: str = "score",
+    vec_col: str = "embedding",
+    lam: float = 0.7,
+    k: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998, "The Use of MMR, Diversity-Based Reranking" — public): greedy
+    selection of ``k`` documents maximizing
+    ``lam * rel(d) - (1 - lam) * max_{s in S} cos(d, s)`` — the
+    standard diversity pass between ANN retrieval and a RAG context
+    window (near-duplicate passages waste the token budget that MMR
+    reclaims).
+
+    ``candidates`` is a BOUNDED top-N frame (the output of an ANN
+    top-k) with a relevance column and the document vector; ids must
+    be integral. The greedy recurrence is inherently sequential, but
+    its input is N rel scores + an N x N similarity matrix, both
+    bounded by construction — so the pairwise cosines run as JVM SQL
+    over the tiny self-join (the SAME sequential-fold dot product as
+    ``similarity.brute_force_topk``, rounded to ``round_digits``, so
+    scores are engine-portable), and the selection loop executes
+    executor-side as ONE ``applyInPandas`` task over the assembled
+    (a, rel, b, sim) rows. Nothing touches the driver; at 100 TB the
+    cost lives in the upstream ANN, and MMR adds O(N^2) work on N ~
+    tens.
+
+    Determinism contract: the argmax compares ROUND-6 scores computed
+    from round-``round_digits`` rel/sim inputs with a fixed
+    ``lam * rel - (1 - lam) * maxsim`` double expression; ties break
+    on id — the DuckDB oracle replays the identical greedy as a
+    recursive CTE.
+
+    Output: (step BIGINT 1..k, ``id_col`` BIGINT, mmr_score DOUBLE).
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from .similarity import dot_expr, norm_expr
+
+    a = candidates.select(
+        F.col(id_col).cast("long").alias("a"),
+        F.col(rel_col).cast("double").alias("rel"),
+        F.col(vec_col).alias("__va"),
+        F.expr(norm_expr(vec_col)).alias("__na"),
+    )
+    b = candidates.select(
+        F.col(id_col).cast("long").alias("b"),
+        F.col(vec_col).alias("__vb"),
+        F.expr(norm_expr(vec_col)).alias("__nb"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "rel",
+            "b",
+            F.round(
+                F.expr(
+                    f"({dot_expr('__va', '__vb')}) / nullif(__na * __nb, cast(0 as double))"
+                ),
+                round_digits,
+            ).alias("sim"),
+        )
+    )
+    # keep singletons (no pairs) in the frame so a 1-candidate input works
+    solo = a.select(
+        "a", "rel", F.lit(None).cast("long").alias("b"),
+        F.lit(None).cast("double").alias("sim"),
+    )
+    assembled = pairs.unionByName(solo)
+
+    lam_f = float(lam)
+    k_i = int(k)
+
+    def _greedy(pdf):
+        import pandas as pd
+
+        rel = {}
+        sim = {}
+        for r in pdf.itertuples(index=False):
+            rel[int(r.a)] = float(r.rel)
+            if r.b is not None and not pd.isna(r.b):
+                sim[(int(r.a), int(r.b))] = float(r.sim)
+        remaining = sorted(rel)
+        selected, out = [], []
+        for step in range(1, min(k_i, len(remaining)) + 1):
+            best_id, best_key = None, None
+            for d in remaining:
+                maxsim = (
+                    max(sim.get((d, s), 0.0) for s in selected)
+                    if selected
+                    else 0.0
+                )
+                score = round(lam_f * rel[d] - (1.0 - lam_f) * maxsim, 6)
+                key = (-score, d)
+                if best_key is None or key < best_key:
+                    best_key, best_id = key, d
+            selected.append(best_id)
+            remaining.remove(best_id)
+            out.append((step, best_id, -best_key[0]))
+        return pd.DataFrame(out, columns=["step", "doc_id", "mmr_score"])
+
+    grouped = assembled.groupBy(F.lit(1).alias("__g")).applyInPandas(
+        lambda key, pdf: _greedy(pdf),
+        schema="step long, doc_id long, mmr_score double",
+    )
+    return grouped.select(
+        F.col("step"), F.col("doc_id").alias(id_col), "mmr_score"
+    )

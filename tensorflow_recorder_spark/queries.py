@@ -5872,6 +5872,78 @@ FROM ranked
 """
 
 
+def q_e2_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: MMR diversity re-ranking of the vec-0 cosine top-30 down to
+    10 (lambda = 0.7) — the greedy runs executor-side over the bounded
+    candidate matrix; the DuckDB oracle replays the identical greedy
+    as a recursive CTE, so the whole selection trajectory (not just
+    the final set) is oracle-checked."""
+    from .operators.retrieval import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0)
+    cands = (
+        similarity.brute_force_topk(emb, q, k=30)
+        .join(emb, F.col("neighbor_id") == F.col("vec_id"))
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            "score",
+            "embedding",
+        )
+    )
+    return mmr_rerank(cands, lam=0.7, k=10)
+
+
+ORACLE_E2_MMR_RERANK = """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e, sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+q AS (SELECT e AS qe, nrm AS qn FROM norms WHERE vec_id = 0),
+cos AS (
+  SELECT b.vec_id AS doc_id,
+         round(list_aggregate(list_transform(list_zip(q.qe, b.e),
+               p -> p[1] * p[2]), 'sum') / (q.qn * b.nrm), 4) AS rel
+  FROM norms b, q WHERE b.vec_id <> 0
+),
+cand AS (
+  SELECT doc_id, rel
+  FROM cos QUALIFY row_number() OVER (ORDER BY rel DESC, doc_id) <= 30
+),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         round(list_aggregate(list_transform(list_zip(nx.e, ny.e),
+               p -> p[1] * p[2]), 'sum') / (nx.nrm * ny.nrm), 4) AS sim
+  FROM cand x JOIN cand y ON x.doc_id <> y.doc_id
+  JOIN norms nx ON nx.vec_id = x.doc_id
+  JOIN norms ny ON ny.vec_id = y.doc_id
+),
+sel(step, ids, doc_id, mmr_score) AS (
+  SELECT CAST(1 AS BIGINT), [c.doc_id], c.doc_id,
+         round(CAST(0.7 AS DOUBLE) * c.rel, 6)
+  FROM (SELECT doc_id, rel FROM cand
+        ORDER BY round(CAST(0.7 AS DOUBLE) * rel, 6) DESC, doc_id
+        LIMIT 1) c
+  UNION ALL
+  SELECT s.step + 1, list_append(s.ids, p.doc_id), p.doc_id, p.score
+  FROM sel s, LATERAL (
+    SELECT c.doc_id,
+           round(CAST(0.7 AS DOUBLE) * c.rel
+                 - CAST(0.3 AS DOUBLE) * coalesce(
+                     (SELECT max(pr.sim) FROM pairs pr
+                      WHERE pr.a = c.doc_id AND list_contains(s.ids, pr.b)),
+                     0), 6) AS score
+    FROM cand c WHERE NOT list_contains(s.ids, c.doc_id)
+    ORDER BY score DESC, c.doc_id
+    LIMIT 1
+  ) p
+  WHERE s.step < 10
+)
+SELECT step, doc_id, mmr_score FROM sel
+"""
+
+
 def q_rel_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4-style order-priority check: orders with at least one line item
     shipped more than 60 days after the order date, counted per
@@ -6133,6 +6205,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s15_stream_dp_counts": q_s15_stream_dp_counts,
     "rel_important_parts": q_rel_important_parts,
     "e4_trending": q_e4_trending,
+    "e2_mmr_rerank": q_e2_mmr_rerank,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
     "rel_rollup": q_rel_rollup,
@@ -6307,4 +6380,5 @@ ORACLES: dict[str, str] = {
     "rel_waiting_supplier": ORACLE_REL_WAITING_SUPPLIER,
     "rel_important_parts": ORACLE_REL_IMPORTANT_PARTS,
     "e4_trending": ORACLE_E4_TRENDING,
+    "e2_mmr_rerank": ORACLE_E2_MMR_RERANK,
 }

@@ -120,3 +120,49 @@ def test_leakage_safe_split_salt_redeals(spark):
     # deterministic under repetition
     a2 = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, clusters, "doc_id").collect()}
     assert a == a2
+
+
+def test_mmr_rerank_defers_near_duplicates(spark):
+    from tensorflow_recorder_spark.operators.retrieval import mmr_rerank
+
+    # doc 1 ~ doc 2 (near-identical vectors); doc 3 orthogonal but less
+    # relevant. MMR must pick 1, then 3 (diversity), then 2.
+    cands = spark.createDataFrame(
+        [
+            (1, 0.99, [1.0, 0.0]),
+            (2, 0.98, [0.999, 0.01]),
+            (3, 0.60, [0.0, 1.0]),
+        ],
+        "doc_id long, score double, embedding array<double>",
+    )
+    out = [r["doc_id"] for r in mmr_rerank(cands, lam=0.7, k=3).orderBy("step").collect()]
+    assert out == [1, 3, 2]
+
+
+def test_mmr_rerank_bounds_and_validation(spark):
+    import pytest
+
+    from tensorflow_recorder_spark.operators.retrieval import mmr_rerank
+
+    one = spark.createDataFrame(
+        [(7, 0.5, [1.0, 0.0])],
+        "doc_id long, score double, embedding array<double>",
+    )
+    rows = mmr_rerank(one, k=5).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 7 and rows[0]["step"] == 1
+    assert rows[0]["mmr_score"] == round(0.7 * 0.5, 6)
+    with pytest.raises(ValueError):
+        mmr_rerank(one, lam=1.5)
+    with pytest.raises(ValueError):
+        mmr_rerank(one, k=0)
+
+
+def test_mmr_rerank_pure_relevance_at_lam_one(spark):
+    from tensorflow_recorder_spark.operators.retrieval import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [(i, 1.0 - i * 0.1, [float(i), 1.0]) for i in range(5)],
+        "doc_id long, score double, embedding array<double>",
+    )
+    out = [r["doc_id"] for r in mmr_rerank(cands, lam=1.0, k=5).orderBy("step").collect()]
+    assert out == [0, 1, 2, 3, 4]  # diversity term disabled -> rel order
