@@ -788,3 +788,51 @@ def attribution_join(
         F.date_format("__dst_ts", "yyyy-MM-dd HH:mm:ss").alias("dst_ts"),
         (F.unix_micros("__dst_ts") - F.unix_micros("__src_ts")).alias("lag_us"),
     )
+
+
+def daily_type_counts(
+    df: DataFrame, ts_col: str = "ts", type_col: str = "event_type"
+) -> DataFrame:
+    """Per-(day, type) event counts — the bounded aggregate both the
+    batch trend detector and its streaming twin rank over. One
+    partial-aggregated groupBy; the raw event table collapses ~1e4:1
+    before anything wide happens."""
+    df = normalize_event_time(df, ts_col)
+    return df.groupBy(
+        F.date_format(F.to_date(ts_col), "yyyy-MM-dd").alias("day"),
+        F.col(type_col).alias("event_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+
+
+def trend_ranks(
+    daily: DataFrame,
+    day_col: str = "day",
+    type_col: str = "event_type",
+    n_col: str = "n_events",
+) -> DataFrame:
+    """Finalize stage of day-over-day trend detection: each type's
+    daily volume rank plus its rank change vs the previous observed
+    day. Shared verbatim by the batch operator (e4_trending) and the
+    streaming twin (s16) — the drained streaming counters feed the
+    SAME windows, so batch/stream parity holds by construction.
+
+    Both windows run over the (day x type) aggregate — retention x
+    type-cardinality rows, bounded regardless of event volume.
+
+    Output: (day, event_type, n_events, rnk, prev_rnk, rank_delta).
+    """
+    w_day = Window.partitionBy(day_col).orderBy(
+        F.desc(n_col), F.asc(type_col)
+    )
+    w_type = Window.partitionBy(type_col).orderBy(day_col)
+    ranked = daily.withColumn(
+        "rnk", F.row_number().over(w_day).cast("long")
+    ).withColumn("prev_rnk", F.lag("rnk").over(w_type).cast("long"))
+    return ranked.select(
+        F.col(day_col).alias("day"),
+        F.col(type_col).alias("event_type"),
+        F.col(n_col).alias("n_events"),
+        "rnk",
+        "prev_rnk",
+        (F.col("prev_rnk") - F.col("rnk")).cast("long").alias("rank_delta"),
+    )

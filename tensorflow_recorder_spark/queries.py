@@ -5826,28 +5826,10 @@ def q_e4_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     'trending now' primitive behind ops dashboards and data-mixture
     monitors). Two bounded windows over the (day x type) aggregate —
     the raw event table collapses ~1e4:1 in one partial-aggregated
-    groupBy before anything wide happens."""
-    ev = _events(spark, sf_dir)
-    from pyspark.sql import Window
-
-    daily = ev.groupBy(
-        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
-        "event_type",
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-    w_day = Window.partitionBy("day").orderBy(
-        F.desc("n_events"), F.asc("event_type")
-    )
-    w_type = Window.partitionBy("event_type").orderBy("day")
-    ranked = daily.withColumn(
-        "rnk", F.row_number().over(w_day).cast("long")
-    ).withColumn("prev_rnk", F.lag("rnk").over(w_type).cast("long"))
-    return ranked.select(
-        "day",
-        "event_type",
-        "n_events",
-        "rnk",
-        "prev_rnk",
-        (F.col("prev_rnk") - F.col("rnk")).cast("long").alias("rank_delta"),
+    groupBy before anything wide happens. The rank/lag finalize is
+    shared verbatim with the streaming twin (s16)."""
+    return events.trend_ranks(
+        events.daily_type_counts(_events(spark, sf_dir))
     )
 
 
@@ -5942,6 +5924,30 @@ sel(step, ids, doc_id, mmr_score) AS (
 )
 SELECT step, doc_id, mmr_score FROM sel
 """
+
+
+def q_s16_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day trend detection AS A STREAM: a watermarked daily
+    tumbling count per (day, type) — the state store holds one counter
+    per bucket — drained and finalized through the SAME
+    ``events.trend_ranks`` windows as the batch e4_trending, so
+    batch/stream parity holds by construction (the oracle IS the batch
+    oracle)."""
+    from .operators.events import trend_ranks
+
+    stream = _event_stream(spark, sf_dir)
+    counts = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window(F.col("ts"), "1 day").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+        )
+    )
+    drained = _drain_to_memory(counts, "stream_trending_sink", "complete")
+    return trend_ranks(drained)
 
 
 def q_rel_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6206,6 +6212,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_important_parts": q_rel_important_parts,
     "e4_trending": q_e4_trending,
     "e2_mmr_rerank": q_e2_mmr_rerank,
+    "s16_stream_trending": q_s16_stream_trending,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
     "rel_rollup": q_rel_rollup,
@@ -6381,4 +6388,5 @@ ORACLES: dict[str, str] = {
     "rel_important_parts": ORACLE_REL_IMPORTANT_PARTS,
     "e4_trending": ORACLE_E4_TRENDING,
     "e2_mmr_rerank": ORACLE_E2_MMR_RERANK,
+    "s16_stream_trending": ORACLE_E4_TRENDING,
 }
