@@ -1093,3 +1093,54 @@ def hashed_embedding(
         f"THEN (1 - 2 * pmod({h} div {dim}, 2)) ELSE 0 END) as float))"
     )
     return df.select(F.col(id_col), F.expr(vec).alias("embedding"))
+
+
+def delta_topk(
+    main: DataFrame,
+    delta: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    round_digits: int = 4,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Freshness-aware ANN serving (the lambda pattern that completes
+    the index lifecycle: ``write_ivf_index`` -> ``append_ivf_index`` ->
+    ``compact_ivf_index`` -> THIS): approximate IVF search over the
+    large indexed ``main`` corpus UNIONED with EXACT brute force over
+    the small not-yet-indexed ``delta``, re-ranked to one top-``k``
+    per query. Fresh rows are searchable the moment they land, without
+    re-clustering or rewriting the index; the exactness asymmetry is
+    the right trade because |delta| is orders below |main| by
+    construction (compaction folds it in before it grows).
+
+    Contract: ``main`` and ``delta`` ids are disjoint (append-only
+    ingest guarantees it); both sides exclude the query id itself.
+
+    Scale shape: the main side inherits IVF's nprobe/K scan cost (or
+    dynamic partition pruning when probing the materialized index);
+    the delta side is a broadcast-query scan of a SMALL frame; the
+    union is 2k rows per query — metadata — and the final rank is the
+    salted two-phase form. Output: (query_id, neighbor_id, score,
+    rank, src 'main'|'delta').
+    """
+    from .skew import salted_topk_per_key
+
+    main_hits = ivf_topk(
+        main, centroids, queries, vec_col, id_col,
+        k=k, round_digits=round_digits, nprobe=nprobe,
+    ).select("query_id", "neighbor_id", "score", F.lit("main").alias("src"))
+    delta_hits = brute_force_topk(
+        delta, queries, vec_col, id_col, k=k, round_digits=round_digits
+    ).select("query_id", "neighbor_id", "score", F.lit("delta").alias("src"))
+    unioned = main_hits.unionByName(delta_hits)
+    return salted_topk_per_key(
+        unioned,
+        key_cols=["query_id"],
+        order_by=[F.desc("score"), F.asc("neighbor_id")],
+        k=k,
+        rank_alias="rank",
+        salt_on="neighbor_id",
+    ).select("query_id", "neighbor_id", "score", "rank", "src")

@@ -5950,6 +5950,92 @@ def q_s16_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_ranks(drained)
 
 
+def q_e2_delta_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: freshness-aware ANN serving — IVF (nprobe=1, centroids
+    vec_id < 8) over the 'indexed' corpus (vec_id < 450) unioned with
+    exact brute force over the fresh delta (vec_id >= 450), re-ranked
+    to one top-10 per query (queries vec_id < 5). Completes the index
+    lifecycle: fresh rows are searchable before compaction folds them
+    into the index."""
+    emb = _t(spark, sf_dir, "embeddings")
+    main = emb.where(F.col("vec_id") < 450)
+    delta = emb.where(F.col("vec_id") >= 450)
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = similarity.delta_topk(
+        main, delta, centroids, emb.where(F.col("vec_id") < 5), k=10
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+        "src",
+    )
+
+
+ORACLE_E2_DELTA_SEARCH = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e, sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+assign_scored AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         round(list_aggregate(list_transform(list_zip(v.e, c.e),
+               p -> p[1] * p[2]), 'sum') / (v.nrm * c.nrm), 6) AS score
+  FROM norms v JOIN norms c ON c.vec_id < 8
+  WHERE v.vec_id < 450
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+main_scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         round(list_aggregate(list_transform(list_zip(q.e, v.e),
+               p -> p[1] * p[2]), 'sum') / (q.nrm * v.nrm), 4) AS score
+  FROM norms q
+  JOIN assign qa ON qa.vec_id = q.vec_id
+  JOIN assign va ON va.centroid_id = qa.centroid_id
+  JOIN norms v ON v.vec_id = va.vec_id AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < 5 AND v.vec_id < 450
+),
+main_hits AS (
+  SELECT query_id, neighbor_id, score, 'main' AS src
+  FROM main_scored
+  QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, neighbor_id) <= 10
+),
+delta_scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         round(list_aggregate(list_transform(list_zip(q.e, v.e),
+               p -> p[1] * p[2]), 'sum') / (q.nrm * v.nrm), 4) AS score
+  FROM norms q JOIN norms v ON v.vec_id >= 450 AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+),
+delta_hits AS (
+  SELECT query_id, neighbor_id, score, 'delta' AS src
+  FROM delta_scored
+  QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, neighbor_id) <= 10
+),
+unioned AS (
+  SELECT * FROM main_hits UNION ALL SELECT * FROM delta_hits
+)
+SELECT query_id, neighbor_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank,
+       src
+FROM unioned
+QUALIFY rank <= 10
+"""
+
+
 def q_rel_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4-style order-priority check: orders with at least one line item
     shipped more than 60 days after the order date, counted per
@@ -6213,6 +6299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_trending": q_e4_trending,
     "e2_mmr_rerank": q_e2_mmr_rerank,
     "s16_stream_trending": q_s16_stream_trending,
+    "e2_delta_search": q_e2_delta_search,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
     "rel_rollup": q_rel_rollup,
@@ -6389,4 +6476,5 @@ ORACLES: dict[str, str] = {
     "e4_trending": ORACLE_E4_TRENDING,
     "e2_mmr_rerank": ORACLE_E2_MMR_RERANK,
     "s16_stream_trending": ORACLE_E4_TRENDING,
+    "e2_delta_search": ORACLE_E2_DELTA_SEARCH,
 }

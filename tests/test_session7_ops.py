@@ -166,3 +166,29 @@ def test_mmr_rerank_pure_relevance_at_lam_one(spark):
     )
     out = [r["doc_id"] for r in mmr_rerank(cands, lam=1.0, k=5).orderBy("step").collect()]
     assert out == [0, 1, 2, 3, 4]  # diversity term disabled -> rel order
+
+
+def test_delta_topk_fresh_rows_searchable(spark):
+    from tensorflow_recorder_spark.operators.similarity import delta_topk
+
+    # main corpus clustered around two centroids; delta holds a brand-new
+    # vector that is the true nearest neighbor of the query
+    main = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [0.1, 0.9])],
+        "vec_id long, embedding array<double>",
+    )
+    delta = spark.createDataFrame(
+        [(100, [0.99, 0.01])], "vec_id long, embedding array<double>"
+    )
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    queries = main.where("vec_id = 0")
+    rows = delta_topk(main, delta, centroids, queries, k=3).orderBy("rank").collect()
+    assert rows[0]["neighbor_id"] == 100 and rows[0]["src"] == "delta"
+    assert rows[0]["rank"] == 1
+    # IVF hits come only from the query's own cell (nprobe=1): vector 1
+    # shares centroid 0; vectors 2/3 live in the unprobed cell
+    assert {r["src"] for r in rows[1:]} == {"main"}
+    assert [r["neighbor_id"] for r in rows[1:]] == [1]
