@@ -6036,6 +6036,59 @@ QUALIFY rank <= 10
 """
 
 
+def q_e1_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 graph cohesion audit: per-document triangle count + local
+    clustering coefficient over the LSH-verified near-dup pair graph
+    (0.5 policy point). Tight duplicate families are near-cliques
+    (coefficient ~1); chain-shaped components are threshold
+    false-positive paths (coefficient ~0) — the structural signal a
+    dedup-threshold audit reads. Spark enumerates via degree-ordered
+    compact-forward (sqrt-bounded hot-node wedges); the oracle uses the
+    plain id-canonical triple join — same triangle set, checked."""
+    from .operators.graph import triangle_counts
+
+    pairs = dedup.lsh_verified_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        min_est_jaccard=0.5, threshold=0.5,
+    )
+    out = triangle_counts(pairs, "id_a", "id_b")
+    return out.select(
+        F.col("node").cast("long").alias("doc_id"),
+        "degree",
+        "n_triangles",
+        "clustering",
+    )
+
+
+def _oracle_triangle_stats() -> str:
+    return f"""
+WITH verified AS ({_oracle_lsh_verified(0.5, 0.5)}),
+und AS (
+  SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+  FROM verified WHERE id_a <> id_b
+),
+b AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS degree FROM b GROUP BY u),
+tris AS (
+  SELECT a.u AS x, a.v AS y, c.v AS z
+  FROM und a JOIN und c2 ON c2.u = a.v JOIN und c ON c.u = a.u AND c.v = c2.v
+),
+members AS (
+  SELECT x AS node FROM tris
+  UNION ALL SELECT y FROM tris
+  UNION ALL SELECT z FROM tris
+),
+pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM members GROUP BY node)
+SELECT CAST(d.node AS BIGINT) AS doc_id, d.degree,
+       coalesce(pn.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2 THEN
+         round(2.0 * coalesce(pn.n_triangles, 0)
+               / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0)), 6)
+       END AS clustering
+FROM deg d LEFT JOIN pn ON d.node = pn.node
+"""
+
+
 def q_rel_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4-style order-priority check: orders with at least one line item
     shipped more than 60 days after the order date, counted per
@@ -6300,6 +6353,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_mmr_rerank": q_e2_mmr_rerank,
     "s16_stream_trending": q_s16_stream_trending,
     "e2_delta_search": q_e2_delta_search,
+    "e1_triangle_stats": q_e1_triangle_stats,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
     "rel_rollup": q_rel_rollup,
@@ -6477,4 +6531,5 @@ ORACLES: dict[str, str] = {
     "e2_mmr_rerank": ORACLE_E2_MMR_RERANK,
     "s16_stream_trending": ORACLE_E4_TRENDING,
     "e2_delta_search": ORACLE_E2_DELTA_SEARCH,
+    "e1_triangle_stats": _oracle_triangle_stats(),
 }

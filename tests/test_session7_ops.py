@@ -192,3 +192,27 @@ def test_delta_topk_fresh_rows_searchable(spark):
     # shares centroid 0; vectors 2/3 live in the unprobed cell
     assert {r["src"] for r in rows[1:]} == {"main"}
     assert [r["neighbor_id"] for r in rows[1:]] == [1]
+
+
+def test_triangle_counts_known_graph(spark):
+    from tensorflow_recorder_spark.operators.graph import triangle_counts
+
+    # triangle {1,2,3} with pendant 4 on node 1, plus a 4-clique {5,6,7,8}
+    edges = [(1, 2), (2, 3), (1, 3), (1, 4)]
+    edges += [(a, b) for a in (5, 6, 7, 8) for b in (5, 6, 7, 8) if a < b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r for r in triangle_counts(df).collect()}
+    assert got[1]["degree"] == 3 and got[1]["n_triangles"] == 1
+    assert got[1]["clustering"] == round(2 * 1 / (3 * 2), 6)
+    assert got[2]["n_triangles"] == 1 and got[2]["clustering"] == 1.0
+    assert got[4]["degree"] == 1 and got[4]["n_triangles"] == 0
+    assert got[4]["clustering"] is None
+    for n in (5, 6, 7, 8):  # each clique node: C(3,2)=3 triangles, coeff 1
+        assert got[n]["degree"] == 3 and got[n]["n_triangles"] == 3
+        assert got[n]["clustering"] == 1.0
+    # duplicate + reversed edges do not change anything
+    noisy = spark.createDataFrame(
+        edges + [(2, 1), (3, 2), (1, 2)], "id_a long, id_b long"
+    )
+    got2 = {r["node"]: r["n_triangles"] for r in triangle_counts(noisy).collect()}
+    assert got2 == {k: v["n_triangles"] for k, v in got.items()}
