@@ -836,3 +836,88 @@ def trend_ranks(
         "prev_rnk",
         (F.col("prev_rnk") - F.col("rnk")).cast("long").alias("rank_delta"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    slack: float = 5.0,
+    threshold: float = 50.0,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Tabular CUSUM change-point detection per key (Page 1954,
+    "Continuous Inspection Schemes" — public): the classic two-sided
+    cumulative-sum control chart. In event-time order,
+
+    ``S+ = max(0, S+ + (x - mean - slack))``,
+    ``S- = max(0, S- + (mean - x - slack))``,
+
+    an alarm fires when either side exceeds ``threshold`` (both sides
+    reset after an alarm — the standard restart scheme). The baseline
+    is the key's own series mean; ``slack`` absorbs in-control noise,
+    ``threshold`` sets detection delay vs false-alarm trade.
+
+    Like :func:`ewma_by_key`, the recurrence is inherently sequential
+    per key, so it runs as ONE key-partitioned shuffle + a higher-order
+    ``aggregate`` fold over the key's ordered values — per-task state
+    is one key's doubles (the same bound as any ordered window), and
+    the fold's accumulator is a 3-slot double array [S+, S-, alarms].
+    Engine portability: the mean is a fixed double expression over an
+    exact decimal sum (rounded 6), and both engines fold the
+    identically-sorted array left-to-right with the same IEEE ops, so
+    trajectories match bit-for-bit.
+
+    Output: (key, n_events, mean DOUBLE, n_alarms BIGINT,
+    final_sp/final_sn DOUBLE rounded 6).
+    """
+    if slack < 0 or threshold <= 0:
+        raise ValueError(
+            f"slack must be >= 0 and threshold > 0, got {slack}/{threshold}"
+        )
+    df = normalize_event_time(df, ts_col)
+    ordered = df.groupBy(F.col(key_col)).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("t"),
+                    F.col(id_col).alias("i"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ).alias("__evs"),
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("__mean"),
+    )
+    k = float(slack)
+    h = float(threshold)
+    sp_raw = f"greatest(cast(0 as double), element_at(acc, 1) + (x - __mean - cast({k} as double)))"
+    sn_raw = f"greatest(cast(0 as double), element_at(acc, 2) + (__mean - x - cast({k} as double)))"
+    alarm = f"(({sp_raw}) > cast({h} as double) OR ({sn_raw}) > cast({h} as double))"
+    fold = (
+        f"aggregate(__vals, array(cast(0 as double), cast(0 as double), cast(0 as double)), "
+        f"(acc, x) -> array("
+        f"IF({alarm}, cast(0 as double), {sp_raw}), "
+        f"IF({alarm}, cast(0 as double), {sn_raw}), "
+        f"element_at(acc, 3) + IF({alarm}, cast(1 as double), cast(0 as double))))"
+    )
+    return (
+        ordered.select(
+            F.col(key_col),
+            F.col("__mean"),
+            F.expr("transform(__evs, e -> e.v)").alias("__vals"),
+        )
+        .withColumn("__st", F.expr(fold))
+        .select(
+            key_col,
+            F.expr("size(__vals)").cast("long").alias("n_events"),
+            F.col("__mean").alias("mean"),
+            F.expr("element_at(__st, 3)").cast("long").alias("n_alarms"),
+            F.round(F.expr("element_at(__st, 1)"), 6).alias("final_sp"),
+            F.round(F.expr("element_at(__st, 2)"), 6).alias("final_sn"),
+        )
+    )

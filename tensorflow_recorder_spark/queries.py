@@ -6089,6 +6089,47 @@ FROM deg d LEFT JOIN pn ON d.node = pn.node
 """
 
 
+def q_e4_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: per-user CUSUM change-point detection (Page's two-sided
+    cumulative-sum chart, slack 5 / threshold 50 around the user's own
+    mean) — the classic drift detector for event-value series; runs as
+    a key-partitioned higher-order fold, same plan shape as e4_ewma."""
+    return events.cusum_changepoints(
+        _events(spark, sf_dir), slack=5.0, threshold=50.0
+    )
+
+
+ORACLE_E4_CUSUM = """
+WITH ordered AS (
+  SELECT user_id,
+         list(value::DOUBLE ORDER BY ts, event_id) AS vals,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS m
+  FROM events GROUP BY user_id
+),
+folded AS (
+  SELECT user_id, vals, m,
+         list_reduce(
+           list_prepend([0.0, 0.0, 0.0], list_transform(vals, v -> [v, 0.0, 0.0])),
+           (acc, xe) -> CASE
+             WHEN greatest(0.0, acc[1] + (xe[1] - m - 5.0)) > 50.0
+                  OR greatest(0.0, acc[2] + (m - xe[1] - 5.0)) > 50.0
+             THEN [0.0, 0.0, acc[3] + 1.0]
+             ELSE [greatest(0.0, acc[1] + (xe[1] - m - 5.0)),
+                   greatest(0.0, acc[2] + (m - xe[1] - 5.0)),
+                   acc[3]]
+           END
+         ) AS st
+  FROM ordered
+)
+SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events, m AS mean,
+       CAST(st[3] AS BIGINT) AS n_alarms,
+       round(st[1], 6) AS final_sp,
+       round(st[2], 6) AS final_sn
+FROM folded
+"""
+
+
 def q_rel_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4-style order-priority check: orders with at least one line item
     shipped more than 60 days after the order date, counted per
@@ -6354,6 +6395,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s16_stream_trending": q_s16_stream_trending,
     "e2_delta_search": q_e2_delta_search,
     "e1_triangle_stats": q_e1_triangle_stats,
+    "e4_cusum": q_e4_cusum,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
     "rel_rollup": q_rel_rollup,
@@ -6532,4 +6574,5 @@ ORACLES: dict[str, str] = {
     "s16_stream_trending": ORACLE_E4_TRENDING,
     "e2_delta_search": ORACLE_E2_DELTA_SEARCH,
     "e1_triangle_stats": _oracle_triangle_stats(),
+    "e4_cusum": ORACLE_E4_CUSUM,
 }

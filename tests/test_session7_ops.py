@@ -216,3 +216,36 @@ def test_triangle_counts_known_graph(spark):
     )
     got2 = {r["node"]: r["n_triangles"] for r in triangle_counts(noisy).collect()}
     assert got2 == {k: v["n_triangles"] for k, v in got.items()}
+
+
+def test_cusum_detects_regime_shift(spark):
+    from tensorflow_recorder_spark.operators.events import cusum_changepoints
+
+    # user a: flat 10s then a jump to 30 -> mean ~ between, S+ builds
+    # past threshold exactly once; user b: constant -> zero alarms
+    rows = [("a", i, float(10 if i < 20 else 30)) for i in range(40)]
+    rows += [("b", i, 10.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, value double")
+    df = df.withColumn("ts", F.expr("timestamp_micros(cast(event_id * 1000000 as long))"))
+    got = {
+        r["user_id"]: r
+        for r in cusum_changepoints(df, slack=2.0, threshold=40.0).collect()
+    }
+    assert got["b"]["n_alarms"] == 0 and got["b"]["final_sp"] == 0.0
+    assert got["a"]["n_alarms"] >= 1  # the shift is caught
+    assert got["a"]["mean"] == 20.0
+    assert got["a"]["n_events"] == 40
+
+
+def test_cusum_validates_params(spark):
+    import pytest
+
+    from tensorflow_recorder_spark.operators.events import cusum_changepoints
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0)], "user_id string, event_id long, value double"
+    ).withColumn("ts", F.expr("timestamp_micros(1)"))
+    with pytest.raises(ValueError):
+        cusum_changepoints(df, slack=-1.0)
+    with pytest.raises(ValueError):
+        cusum_changepoints(df, threshold=0.0)
