@@ -846,6 +846,7 @@ def cusum_changepoints(
     slack: float = 5.0,
     threshold: float = 50.0,
     id_col: str = "event_id",
+    target: float | None = None,
 ) -> DataFrame:
     """Tabular CUSUM change-point detection per key (Page 1954,
     "Continuous Inspection Schemes" — public): the classic two-sided
@@ -856,8 +857,12 @@ def cusum_changepoints(
 
     an alarm fires when either side exceeds ``threshold`` (both sides
     reset after an alarm — the standard restart scheme). The baseline
-    is the key's own series mean; ``slack`` absorbs in-control noise,
-    ``threshold`` sets detection delay vs false-alarm trade.
+    is the key's own series mean, or a FIXED in-control ``target``
+    when given (the production-control-chart form, and the only form a
+    STREAMING detector can use — the streaming twin
+    ``streaming.stateful.streaming_cusum`` requires it); ``slack``
+    absorbs in-control noise, ``threshold`` sets detection delay vs
+    false-alarm trade.
 
     Like :func:`ewma_by_key`, the recurrence is inherently sequential
     per key, so it runs as ONE key-partitioned shuffle + a higher-order
@@ -877,6 +882,15 @@ def cusum_changepoints(
             f"slack must be >= 0 and threshold > 0, got {slack}/{threshold}"
         )
     df = normalize_event_time(df, ts_col)
+    mean_expr = (
+        F.lit(round(float(target), 6))
+        if target is not None
+        else F.round(
+            F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        )
+    )
     ordered = df.groupBy(F.col(key_col)).agg(
         F.array_sort(
             F.collect_list(
@@ -887,11 +901,7 @@ def cusum_changepoints(
                 )
             )
         ).alias("__evs"),
-        F.round(
-            F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("__mean"),
+        mean_expr.alias("__mean"),
     )
     k = float(slack)
     h = float(threshold)

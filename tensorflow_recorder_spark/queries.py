@@ -6130,6 +6130,56 @@ FROM folded
 """
 
 
+def q_s17_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM control chart AS A STREAM: per-user [S+, S-, alarms]
+    state in the state store via applyInPandasWithState, charting
+    against the FIXED in-control target 250 (a streaming detector
+    cannot know the key's global mean — exactly why the batch operator
+    grew the fixed-target form). The availableNow drain feeds the
+    single time-ordered source as one batch, so the trajectory equals
+    the batch fixed-target fold, which is the oracle of record."""
+    from .streaming.stateful import streaming_cusum
+
+    chart = streaming_cusum(
+        _event_stream(spark, sf_dir), target=250.0, slack=5.0, threshold=50.0
+    )
+    table = _drain_to_memory(chart, "stream_cusum_sink", "update")
+    return table.groupBy("user_id").agg(
+        F.max("n_events").cast("long").alias("n_events"),
+        F.max_by("n_alarms", "n_events").cast("long").alias("n_alarms"),
+        F.max_by("final_sp", "n_events").alias("final_sp"),
+        F.max_by("final_sn", "n_events").alias("final_sn"),
+    )
+
+
+ORACLE_S17_STREAM_CUSUM = """
+WITH ordered AS (
+  SELECT user_id, list(value::DOUBLE ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+),
+folded AS (
+  SELECT user_id, vals,
+         list_reduce(
+           list_prepend([0.0, 0.0, 0.0], list_transform(vals, v -> [v, 0.0, 0.0])),
+           (acc, xe) -> CASE
+             WHEN greatest(0.0, acc[1] + (xe[1] - 250.0 - 5.0)) > 50.0
+                  OR greatest(0.0, acc[2] + (250.0 - xe[1] - 5.0)) > 50.0
+             THEN [0.0, 0.0, acc[3] + 1.0]
+             ELSE [greatest(0.0, acc[1] + (xe[1] - 250.0 - 5.0)),
+                   greatest(0.0, acc[2] + (250.0 - xe[1] - 5.0)),
+                   acc[3]]
+           END
+         ) AS st
+  FROM ordered
+)
+SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+       CAST(st[3] AS BIGINT) AS n_alarms,
+       round(st[1], 6) AS final_sp,
+       round(st[2], 6) AS final_sn
+FROM folded
+"""
+
+
 def q_rel_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4-style order-priority check: orders with at least one line item
     shipped more than 60 days after the order date, counted per
@@ -6396,6 +6446,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_delta_search": q_e2_delta_search,
     "e1_triangle_stats": q_e1_triangle_stats,
     "e4_cusum": q_e4_cusum,
+    "s17_stream_cusum": q_s17_stream_cusum,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
     "rel_rollup": q_rel_rollup,
@@ -6575,4 +6626,5 @@ ORACLES: dict[str, str] = {
     "e2_delta_search": ORACLE_E2_DELTA_SEARCH,
     "e1_triangle_stats": _oracle_triangle_stats(),
     "e4_cusum": ORACLE_E4_CUSUM,
+    "s17_stream_cusum": ORACLE_S17_STREAM_CUSUM,
 }

@@ -241,3 +241,80 @@ def streaming_zscore(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_cusum(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    target: float = 250.0,
+    slack: float = 5.0,
+    threshold: float = 50.0,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key streaming CUSUM control chart via
+    ``applyInPandasWithState`` — the streaming twin of
+    ``operators.events.cusum_changepoints(target=...)``. A streaming
+    detector can only chart against a FIXED in-control ``target``
+    (the key's own global mean is unknowable online); state is 4
+    scalars per key (S+, S-, alarm count, n), values fold in (ts, id)
+    order WITHIN each micro-batch and the state carries across
+    batches. Emits the running chart per key per batch (update mode).
+
+    Equal to the batch fixed-target fold when batches arrive in
+    event-time order (e.g. an availableNow drain of one time-ordered
+    source); under cross-batch reordering the trajectory differs —
+    the inherent streaming trade, same caveat as
+    :func:`streaming_ewma`.
+
+    Output: (key, n_events, n_alarms, final_sp, final_sn).
+    """
+    if slack < 0 or threshold <= 0:
+        raise ValueError(
+            f"slack must be >= 0 and threshold > 0, got {slack}/{threshold}"
+        )
+    out_schema = (
+        f"{key_col} long, n_events long, n_alarms long, "
+        f"final_sp double, final_sn double"
+    )
+    state_schema = "sp double, sn double, na long, n long"
+    m = round(float(target), 6)
+    k = float(slack)
+    h = float(threshold)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            sp, sn, na, n = state.get
+        else:
+            sp, sn, na, n = 0.0, 0.0, 0, 0
+        for pdf in pdfs:
+            ordered = pdf.sort_values([ts_col, id_col])
+            for v in ordered[value_col].astype(float):
+                sp_raw = max(0.0, sp + (v - m - k))
+                sn_raw = max(0.0, sn + (m - v - k))
+                if sp_raw > h or sn_raw > h:
+                    sp, sn, na = 0.0, 0.0, na + 1
+                else:
+                    sp, sn = sp_raw, sn_raw
+                n += 1
+        state.update((sp, sn, na, n))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "n_alarms": [na],
+                "final_sp": [round(sp, 6)],
+                "final_sn": [round(sn, 6)],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -183,6 +183,7 @@ def test_driver_window_holds_all_unique_queries():
         "e2_delta_search",
         "e1_triangle_stats",
         "e4_cusum",
+        "s17_stream_cusum",
         # session-7 swap-outs (driver-green in r03; each near-duplicates
         # a still-scored neighbor: rollup~cube/pricing_summary,
         # lsh_pairs~lsh_verified, word_frequencies~corpus_stats/tfidf)
