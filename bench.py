@@ -100,6 +100,10 @@ BENCH_QUERIES = [
     "p4_leakage_safe_split",
     "rel_waiting_supplier",
     "e4_trending",
+    "e2_mmr_rerank",
+    "e2_delta_search",
+    "e1_triangle_stats",
+    "e4_cusum",
 ]
 
 

@@ -131,7 +131,11 @@ def triangle_counts(
     clustering DOUBLE).
     """
     # canonicalize to (least, greatest) BEFORE distinct so reversed
-    # duplicates ((a,b) and (b,a)) collapse to one undirected edge
+    # duplicates ((a,b) and (b,a)) collapse to one undirected edge.
+    # MATERIALIZE the canonical edge list (localCheckpoint): it feeds
+    # degree counting, orientation, and triangle closing — without the
+    # cut, an expensive upstream (e.g. the LSH-verified pair pipeline)
+    # re-executes once per consumer. The frame is 2 longs per edge.
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -139,12 +143,15 @@ def triangle_counts(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     both = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     # orient each undirected edge from lower to higher (deg, id)
     d1 = deg.select(F.col("u").alias("__n1"), F.col("deg").alias("__d1"))
     d2 = deg.select(F.col("u").alias("__n2"), F.col("deg").alias("__d2"))
+    # oriented feeds both wedge sides AND the closing join — checkpoint
+    # so the degree joins run once, not three times
     oriented = (
         both.join(d1, both["u"] == d1["__n1"])
         .join(d2, both["v"] == d2["__n2"])
@@ -153,6 +160,7 @@ def triangle_counts(
             | ((F.col("__d1") == F.col("__d2")) & (F.col("u") < F.col("v")))
         )
         .select("u", "v")
+        .localCheckpoint(eager=True)
     )
     # wedges centered at u: two oriented out-edges (u->v, u->w), v before
     # w in the same (deg, id) order — encoded by the oriented edge (v, w)
