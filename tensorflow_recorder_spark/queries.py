@@ -6297,7 +6297,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_dup_clusters": q_e1_dup_clusters,
     "e1_fuzzy_dedup": q_e1_fuzzy_dedup,
     "e1_contamination": q_e1_contamination,
-    "e2_rp_lsh_topk": q_e2_rp_lsh_topk,
+    "e2_mmr_rerank": q_e2_mmr_rerank,
     "e2_topk_cosine": q_e2_topk_cosine,
     "e2_ivf_topk": q_e2_ivf_topk,
     "e2_kmeans_update": q_e2_kmeans_update,
@@ -6305,7 +6305,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_token_stats": q_e3_token_stats,
     "e3_quality": q_e3_quality,
     "p4_leakage_safe_split": q_p4_leakage_safe_split,
-    "e3_corpus_filter": q_e3_corpus_filter,
+    "e4_cusum": q_e4_cusum,
     "e4_value_quantiles": q_e4_value_quantiles,
     "e4_sliding_window": q_e4_sliding_window,
     "e6_sequence_pack": q_e6_sequence_pack,
@@ -6441,11 +6441,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s15_stream_dp_counts": q_s15_stream_dp_counts,
     "rel_important_parts": q_rel_important_parts,
     "e4_trending": q_e4_trending,
-    "e2_mmr_rerank": q_e2_mmr_rerank,
+    "e2_rp_lsh_topk": q_e2_rp_lsh_topk,
     "s16_stream_trending": q_s16_stream_trending,
     "e2_delta_search": q_e2_delta_search,
     "e1_triangle_stats": q_e1_triangle_stats,
-    "e4_cusum": q_e4_cusum,
+    "e3_corpus_filter": q_e3_corpus_filter,
     "s17_stream_cusum": q_s17_stream_cusum,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)

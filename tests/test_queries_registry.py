@@ -178,12 +178,15 @@ def test_driver_window_holds_all_unique_queries():
         "s15_stream_dp_counts",
         "rel_important_parts",
         "e4_trending",
-        "e2_mmr_rerank",
         "s16_stream_trending",
         "e2_delta_search",
         "e1_triangle_stats",
-        "e4_cusum",
         "s17_stream_cusum",
+        # session-7 second-round swap-outs (driver-green in r03; each a
+        # variant of a still-scored neighbor: rp_lsh~ivf/topk_cosine ANN
+        # family, corpus_filter~quality+curate composition)
+        "e2_rp_lsh_topk",
+        "e3_corpus_filter",
         # session-7 swap-outs (driver-green in r03; each near-duplicates
         # a still-scored neighbor: rollup~cube/pricing_summary,
         # lsh_pairs~lsh_verified, word_frequencies~corpus_stats/tfidf)
