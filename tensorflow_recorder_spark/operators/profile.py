@@ -115,3 +115,87 @@ def profile_table(
         "min_value",
         "max_value",
     )
+
+
+def welch_ab_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample test between two groups
+    (Welch 1947, "The generalization of 'Student's' problem" — public):
+    the experiment-analysis staple for comparing a metric across two
+    event/treatment populations without assuming equal variances.
+
+    ``t = (m_a - m_b) / sqrt(v_a/n_a + v_b/n_b)`` with the
+    Welch–Satterthwaite degrees of freedom; ``significant`` flags
+    ``|t| > z_crit`` (the normal-approximation cut — exact
+    t-distribution p-values need special functions no SQL engine
+    shares, and at event-scale n the approximation is the standard
+    practice).
+
+    Plan shape at 100 TB: ONE partial-aggregated groupBy computing
+    exact-decimal (n, sum, sum-of-squares) per group — three numbers
+    per side cross the shuffle, never data rows — then a one-row
+    two-sided pivot and a fixed double expression tree. Exact decimal
+    moments (the v^2 product squares identical IEEE doubles before the
+    order-independent decimal sum) make every derived double
+    engine-identical, same float discipline as ``rolling_zscore``.
+
+    Output: one row (group_a, group_b, n_a, n_b, mean_a, mean_b,
+    var_a, var_b, t_stat, dof — doubles rounded 6, significant
+    BOOLEAN).
+    """
+    g = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    moments = g.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__v").cast("decimal(18,6)")).cast("double").alias("__s"),
+        F.sum((F.col("__v") * F.col("__v")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("__ss"),
+    )
+    side = lambda name, lbl: [  # noqa: E731
+        F.max(F.when(F.col("__g") == lbl, F.col(c))).alias(f"{c}_{name}")
+        for c in ("__n", "__s", "__ss")
+    ]
+    one = moments.agg(*side("a", group_a), *side("b", group_b))
+
+    def stats(sfx):
+        n = F.col(f"__n_{sfx}").cast("double")
+        m = F.col(f"__s_{sfx}") / n
+        v = (F.col(f"__ss_{sfx}") - F.col(f"__s_{sfx}") * F.col(f"__s_{sfx}") / n) / (
+            n - F.lit(1.0)
+        )
+        return n, m, v
+
+    na, ma, va = stats("a")
+    nb, mb, vb = stats("b")
+    se2 = va / na + vb / nb
+    # zero-variance sides (or n=1) yield NULL t/dof instead of a
+    # divide-by-zero under ANSI mode; `significant` is then false
+    t = F.when(se2 > 0, (ma - mb) / F.sqrt(se2))
+    dof_den = (va / na) * (va / na) / (na - F.lit(1.0)) + (vb / nb) * (
+        vb / nb
+    ) / (nb - F.lit(1.0))
+    dof = F.when(dof_den > 0, (se2 * se2) / dof_den)
+    return one.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        F.col("__n_a").alias("n_a"),
+        F.col("__n_b").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(va, 6).alias("var_a"),
+        F.round(vb, 6).alias("var_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("dof"),
+        F.coalesce(
+            F.abs(t) > F.lit(float(z_crit)), F.lit(False)
+        ).alias("significant"),
+    )

@@ -6180,6 +6180,65 @@ FROM folded
 """
 
 
+def q_e4_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/ops: Welch's unequal-variance two-sample test comparing the
+    value metric between 'click' and 'purchase' events — one
+    partial-aggregated moments pass (three exact-decimal numbers per
+    side cross the shuffle), then a fixed double expression tree for
+    t / Welch-Satterthwaite dof."""
+    from .operators.profile import welch_ab_test
+
+    return welch_ab_test(
+        _events(spark, sf_dir), "event_type", "value", "click", "purchase"
+    )
+
+
+ORACLE_E4_AB_TEST = """
+WITH m AS (
+  SELECT event_type AS g,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS ss
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type
+),
+one AS (
+  SELECT
+    max(CASE WHEN g = 'click' THEN n END) AS n_a,
+    max(CASE WHEN g = 'click' THEN s END) AS s_a,
+    max(CASE WHEN g = 'click' THEN ss END) AS ss_a,
+    max(CASE WHEN g = 'purchase' THEN n END) AS n_b,
+    max(CASE WHEN g = 'purchase' THEN s END) AS s_b,
+    max(CASE WHEN g = 'purchase' THEN ss END) AS ss_b
+  FROM m
+),
+d AS (
+  SELECT n_a, n_b,
+         s_a / n_a AS ma, s_b / n_b AS mb,
+         (ss_a - s_a * s_a / n_a) / (n_a - 1.0) AS va,
+         (ss_b - s_b * s_b / n_b) / (n_b - 1.0) AS vb
+  FROM one
+),
+t AS (
+  SELECT n_a, n_b, ma, mb, va, vb,
+         CASE WHEN va / n_a + vb / n_b > 0
+              THEN (ma - mb) / sqrt(va / n_a + vb / n_b) END AS tt,
+         CASE WHEN (va / n_a) * (va / n_a) / (n_a - 1.0)
+                   + (vb / n_b) * (vb / n_b) / (n_b - 1.0) > 0
+              THEN ((va / n_a + vb / n_b) * (va / n_a + vb / n_b)) /
+                   ((va / n_a) * (va / n_a) / (n_a - 1.0)
+                    + (vb / n_b) * (vb / n_b) / (n_b - 1.0)) END AS dof
+  FROM d
+)
+SELECT 'click' AS group_a, 'purchase' AS group_b, n_a, n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round(va, 6) AS var_a, round(vb, 6) AS var_b,
+       round(tt, 6) AS t_stat, round(dof, 6) AS dof,
+       coalesce(abs(tt) > 1.96, false) AS significant
+FROM t
+"""
+
+
 def q_rel_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4-style order-priority check: orders with at least one line item
     shipped more than 60 days after the order date, counted per
@@ -6447,6 +6506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_triangle_stats": q_e1_triangle_stats,
     "e3_corpus_filter": q_e3_corpus_filter,
     "s17_stream_cusum": q_s17_stream_cusum,
+    "e4_ab_test": q_e4_ab_test,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
     "rel_rollup": q_rel_rollup,
@@ -6627,4 +6687,5 @@ ORACLES: dict[str, str] = {
     "e1_triangle_stats": _oracle_triangle_stats(),
     "e4_cusum": ORACLE_E4_CUSUM,
     "s17_stream_cusum": ORACLE_S17_STREAM_CUSUM,
+    "e4_ab_test": ORACLE_E4_AB_TEST,
 }

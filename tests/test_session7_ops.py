@@ -249,3 +249,29 @@ def test_cusum_validates_params(spark):
         cusum_changepoints(df, slack=-1.0)
     with pytest.raises(ValueError):
         cusum_changepoints(df, threshold=0.0)
+
+
+def test_welch_ab_test_known_values(spark):
+    from tensorflow_recorder_spark.operators.profile import welch_ab_test
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0, 4.0)] + [
+        ("b", v) for v in (10.0, 12.0, 14.0)
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    [r] = welch_ab_test(df, "grp", "value", "a", "b").collect()
+    assert r["n_a"] == 4 and r["n_b"] == 3
+    assert r["mean_a"] == 2.5 and r["mean_b"] == 12.0
+    # sample variances: a -> 5/3, b -> 4
+    assert abs(r["var_a"] - 5 / 3) < 1e-6 and r["var_b"] == 4.0
+    import math
+
+    se2 = (5 / 3) / 4 + 4 / 3
+    t_exp = (2.5 - 12.0) / math.sqrt(se2)
+    assert abs(r["t_stat"] - round(t_exp, 6)) < 1e-9
+    assert r["significant"] is True  # |t| >> 1.96
+    # identical distributions -> not significant
+    same = spark.createDataFrame(
+        [("a", 5.0)] * 10 + [("b", 5.0)] * 10, "grp string, value double"
+    )
+    [s] = welch_ab_test(same, "grp", "value", "a", "b").collect()
+    assert s["t_stat"] is None or s["significant"] is False
