@@ -149,17 +149,45 @@ def welch_ab_test(
     var_a, var_b, t_stat, dof — doubles rounded 6, significant
     BOOLEAN).
     """
-    g = df.where(F.col(group_col).isin([group_a, group_b])).select(
+    moments = ab_moments(df, group_col, value_col, (group_a, group_b))
+    return ab_finalize(moments, group_a, group_b, z_crit=z_crit)
+
+
+def ab_moments(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    groups: tuple[str, str],
+) -> DataFrame:
+    """The aggregation half of :func:`welch_ab_test`: per-group exact
+    (n, sum, sum-of-squares). Split out so the streaming twin
+    (``queries.q_s18_stream_ab_test``) can run it as a complete-mode
+    streaming aggregate — the state store holds three numbers per
+    group — and drain into the SAME :func:`ab_finalize` expression
+    tree. Output: (__g, __n, __s, __ss)."""
+    g = df.where(F.col(group_col).isin(list(groups))).select(
         F.col(group_col).alias("__g"),
         F.col(value_col).cast("double").alias("__v"),
     )
-    moments = g.groupBy("__g").agg(
+    return g.groupBy("__g").agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.sum(F.col("__v").cast("decimal(18,6)")).cast("double").alias("__s"),
         F.sum((F.col("__v") * F.col("__v")).cast("decimal(28,10)"))
         .cast("double")
         .alias("__ss"),
     )
+
+
+def ab_finalize(
+    moments: DataFrame,
+    group_a: str,
+    group_b: str,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """The one-row finalize half of :func:`welch_ab_test` over
+    already-aggregated (__g, __n, __s, __ss) moments — one statistics
+    definition, two ingestion modes (batch groupBy / streaming
+    complete-mode drain)."""
     side = lambda name, lbl: [  # noqa: E731
         F.max(F.when(F.col("__g") == lbl, F.col(c))).alias(f"{c}_{name}")
         for c in ("__n", "__s", "__ss")

@@ -6239,6 +6239,22 @@ FROM t
 """
 
 
+def q_s18_stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Welch A/B test AS A STREAM: the per-group exact moments
+    (n, sum, sum-of-squares) run as a complete-mode streaming
+    aggregate — state is three numbers per arm, the canonical
+    'experiment dashboard' shape — and the drained moments finalize
+    through the SAME ``ab_finalize`` expression tree as the batch
+    e4_ab_test. Decimal sums are order-independent, so the streamed
+    result is hash-identical to batch regardless of micro-batching."""
+    from .operators.profile import ab_finalize, ab_moments
+
+    stream = _event_stream(spark, sf_dir)
+    moments = ab_moments(stream, "event_type", "value", ("click", "purchase"))
+    drained = _drain_to_memory(moments, "stream_ab_test_sink", "complete")
+    return ab_finalize(drained, "click", "purchase")
+
+
 def q_rel_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4-style order-priority check: orders with at least one line item
     shipped more than 60 days after the order date, counted per
@@ -6507,6 +6523,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_corpus_filter": q_e3_corpus_filter,
     "s17_stream_cusum": q_s17_stream_cusum,
     "e4_ab_test": q_e4_ab_test,
+    "s18_stream_ab_test": q_s18_stream_ab_test,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
     "rel_rollup": q_rel_rollup,
@@ -6688,4 +6705,5 @@ ORACLES: dict[str, str] = {
     "e4_cusum": ORACLE_E4_CUSUM,
     "s17_stream_cusum": ORACLE_S17_STREAM_CUSUM,
     "e4_ab_test": ORACLE_E4_AB_TEST,
+    "s18_stream_ab_test": ORACLE_E4_AB_TEST,
 }
