@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "e2_delta_search",
     "e1_triangle_stats",
     "e4_cusum",
+    "e6_curate_v2",
 ]
 
 

@@ -112,3 +112,81 @@ def curate_report(
             quota_tokens, quota_shards, token_count, shuffle_salt,
         )
     }
+
+
+def curate_corpus_v2(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    quality_col: str,
+    min_quality: float = 0.5,
+    min_est_jaccard: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    contamination_min_shared: int = 13,
+    contamination_max_df: int = 100,
+    contamination_mod: int = 4,
+    train_pct: int = 80,
+    validation_pct: int = 10,
+    salt: str = "",
+) -> DataFrame:
+    """The round-4 capstone curation chain — every stage a round-4
+    operator, composed into the full prepare-a-training-corpus recipe:
+
+    1. **Quality floor** (round-6 portable score).
+    2. **Exact dedup** (min-id per digest, agg form).
+    3. **Fuzzy keep-best dedup**: LSH-verified pair graph -> connected
+       components -> each cluster keeps its highest-``quality_col``
+       member (ties: lowest id).
+    4. **Decontamination**: drop survivors sharing >=
+       ``contamination_min_shared`` sketched shingles with any
+       ``eval_df`` document (benchmark leakage removal).
+    5. **Leakage-safe split**: TRAIN/VALIDATION/TEST hashed on the
+       SAME near-dup cluster id as stage 3, so surviving members of a
+       duplicate family can never straddle splits.
+
+    Stage order keeps the standard discipline: narrow filters first,
+    the expensive pair graph built once over the already-shrunk corpus
+    and REUSED by both the keep-best choice and the split assignment,
+    every anti-join keyed on a small id set. Output: input columns +
+    ``group_key`` + ``split``.
+    """
+    from ..operators.dedup import (
+        contamination_pairs,
+        duplicate_clusters,
+        lsh_verified_pairs,
+    )
+    from ..operators.split import leakage_safe_split
+    from pyspark.sql import Window
+
+    score = quality_exprs(text_col)["score"]
+    s1 = docs.where(F.round(F.expr(score), 6) >= F.lit(float(min_quality)))
+    s2 = exact_dedup(s1, text_col, id_col, method="agg")
+    pairs = lsh_verified_pairs(
+        s2, text_col, id_col,
+        min_est_jaccard=min_est_jaccard, threshold=jaccard_threshold,
+    )
+    clusters = duplicate_clusters(pairs)
+    ranked = clusters.join(
+        s2.select(F.col(id_col).alias("id"), F.col(quality_col).alias("__q")),
+        "id",
+    ).withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(F.desc("__q"), F.asc("id"))
+        ),
+    )
+    dupes = ranked.where(F.col("__rk") > 1).select(F.col("id").alias(id_col))
+    s3 = s2.join(dupes, id_col, "left_anti")
+    cont = contamination_pairs(
+        s3, eval_df, text_col, id_col,
+        min_shared=contamination_min_shared,
+        max_shingle_df=contamination_max_df,
+        shingle_mod=contamination_mod,
+    )
+    cont_ids = cont.select(F.col("train_id").alias(id_col)).distinct()
+    s4 = s3.join(cont_ids, id_col, "left_anti")
+    return leakage_safe_split(
+        s4, clusters, id_col,
+        train_pct=train_pct, validation_pct=validation_pct, salt=salt,
+    )

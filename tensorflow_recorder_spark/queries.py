@@ -764,7 +764,7 @@ def q_e1_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-def _oracle_minhash_sig() -> str:
+def _oracle_minhash_sig(src: str = "documents") -> str:
     sh = (
         "list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)), "
         "i -> substr(lower(text), i, 5)))"
@@ -774,7 +774,7 @@ def _oracle_minhash_sig() -> str:
         f"s -> ('0x' || substr(md5(concat('{k // 4}:', s)), {8 * (k % 4) + 1}, 8))::BIGINT)) AS mh_{k}"
         for k in range(8)
     )
-    return f"SELECT doc_id, {cols} FROM documents"
+    return f"SELECT doc_id, {cols} FROM {src}"
 
 
 def q_e1_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -784,11 +784,11 @@ def q_e1_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs, "doc_id")
 
 
-def _oracle_lsh_pairs(min_est: float = 0.25) -> str:
+def _oracle_lsh_pairs(min_est: float = 0.25, src: str = "documents") -> str:
     # One hash-joinable equi-join per band UNIONed (DuckDB would nested-
     # loop an OR-of-bands join condition), then UNION dedups pairs that
     # match in several bands — same set as the banded self-join.
-    sig = _oracle_minhash_sig()
+    sig = _oracle_minhash_sig(src)
     bands = ", ".join(
         f"md5(concat_ws(',', mh_{2 * b}, mh_{2 * b + 1})) AS band_{b}" for b in range(4)
     )
@@ -937,9 +937,9 @@ def q_e1_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_dup_clusters() -> str:
+def _oracle_dup_clusters(src: str = "documents") -> str:
     return f"""
-WITH RECURSIVE verified AS ({_oracle_lsh_verified(0.5, 0.5)}),
+WITH RECURSIVE verified AS ({_oracle_lsh_verified(0.5, 0.5, src)}),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM verified
   UNION
@@ -986,16 +986,16 @@ def q_e1_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
-def _oracle_keep_best() -> str:
+def _oracle_keep_best(src: str = "documents") -> str:
     return f"""
-WITH clusters AS ({_oracle_dup_clusters()}),
+WITH clusters AS ({_oracle_dup_clusters(src)}),
 ranked AS (
   SELECT c.doc_id, c.cluster_id,
          row_number() OVER (PARTITION BY c.cluster_id
                             ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
-  FROM clusters c JOIN documents d USING (doc_id)
+  FROM clusters c JOIN {src} d USING (doc_id)
 )
-SELECT doc_id FROM documents
+SELECT doc_id FROM {src}
 WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)
 """
 
@@ -1063,14 +1063,14 @@ FROM per_eval p JOIN sizes s ON p.eval_id = s.eval_id
 """
 
 
-def _oracle_lsh_verified(min_est: float = 0.25, threshold: float = 0.3) -> str:
+def _oracle_lsh_verified(min_est: float = 0.25, threshold: float = 0.3, src: str = "documents") -> str:
     return f"""
-WITH pairs AS ({_oracle_lsh_pairs(min_est)}),
+WITH pairs AS ({_oracle_lsh_pairs(min_est, src)}),
 sh AS (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)),
            i -> ('0x' || substr(md5(substr(lower(text), i, 5)), 1, 8))::BIGINT)) AS s
-  FROM documents
+  FROM {src}
 )
 SELECT p.id_a, p.id_b, p.est_jaccard,
        round(len(list_intersect(a.s, b.s))::DOUBLE
@@ -6239,6 +6239,82 @@ FROM t
 """
 
 
+def q_e6_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 capstone curation chain (plans/curate.py
+    curate_corpus_v2): quality floor -> exact dedup -> fuzzy KEEP-BEST
+    dedup (LSH pair graph -> components -> keep longest) ->
+    decontamination vs the eval slice (sketched-shingle join) ->
+    leakage-safe split hashed on the SAME cluster ids. Train corpus =
+    doc_id % 10 != 0; benchmark = % 10 == 0. One pair graph, built
+    once, reused by both dedup policy and split assignment."""
+    from .plans.curate import curate_corpus_v2
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curate_corpus_v2(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        "text",
+        "doc_id",
+        "n_chars",
+        min_quality=0.5,
+    )
+    return out.select("doc_id", "group_key", "split")
+
+
+def _oracle_curate_v2() -> str:
+    score = _Q_SCORE.format(punct=_Q_PUNCT, stopr=_Q_STOPR, mwl=_Q_MWL)
+    sh = (
+        "list_filter(list_distinct(list_transform("
+        "generate_series(1, greatest(length(text)-4, 1)), "
+        "i -> ('0x' || substr(md5(substr(lower(text), i, 5)), 1, 8))::BIGINT)), "
+        "g -> g % 4 = 0)"
+    )
+    return f"""
+WITH s1 AS (
+  SELECT * FROM documents
+  WHERE doc_id % 10 <> 0 AND round({score}, 6) >= 0.5
+),
+s2 AS (
+  SELECT s1.* FROM s1
+  JOIN (SELECT text, min(doc_id) AS doc_id FROM s1 GROUP BY text) k
+    ON s1.text = k.text AND s1.doc_id = k.doc_id
+),
+s3ids AS ({_oracle_keep_best(src='s2')}),
+s3 AS (SELECT s2.* FROM s2 JOIN s3ids USING (doc_id)),
+tr0 AS (SELECT doc_id AS train_id, unnest({sh}) AS g FROM s3),
+hot AS (SELECT g FROM tr0 GROUP BY g HAVING count(*) > 100),
+tr AS (SELECT train_id, g FROM tr0 WHERE g NOT IN (SELECT g FROM hot)),
+ev AS (
+  SELECT doc_id AS eval_id, unnest({sh}) AS g
+  FROM documents WHERE doc_id % 10 = 0
+),
+cont AS (
+  SELECT DISTINCT train_id FROM (
+    SELECT train_id, eval_id FROM tr JOIN ev USING (g)
+    GROUP BY 1, 2 HAVING count(*) >= 13
+  )
+),
+s4 AS (
+  SELECT * FROM s3 WHERE doc_id NOT IN (SELECT train_id FROM cont)
+),
+clusters AS ({_oracle_dup_clusters(src='s2')}),
+g AS (
+  SELECT s4.doc_id,
+         CAST(coalesce(c.cluster_id, s4.doc_id) AS BIGINT) AS group_key
+  FROM s4 LEFT JOIN clusters c ON s4.doc_id = c.doc_id
+)
+SELECT doc_id, group_key,
+       CASE WHEN b < 80 THEN 'TRAIN'
+            WHEN b < 90 THEN 'VALIDATION'
+            ELSE 'TEST' END AS split
+FROM (
+  SELECT doc_id, group_key,
+         ('0x' || substr(md5(concat(':', group_key::VARCHAR)), 1, 8))::BIGINT % 100 AS b
+  FROM g
+)
+"""
+
+
 def q_s18_stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Welch A/B test AS A STREAM: the per-group exact moments
     (n, sum, sum-of-squares) run as a complete-mode streaming
@@ -6524,6 +6600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s17_stream_cusum": q_s17_stream_cusum,
     "e4_ab_test": q_e4_ab_test,
     "s18_stream_ab_test": q_s18_stream_ab_test,
+    "e6_curate_v2": q_e6_curate_v2,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
     "rel_rollup": q_rel_rollup,
@@ -6706,4 +6783,5 @@ ORACLES: dict[str, str] = {
     "s17_stream_cusum": ORACLE_S17_STREAM_CUSUM,
     "e4_ab_test": ORACLE_E4_AB_TEST,
     "s18_stream_ab_test": ORACLE_E4_AB_TEST,
+    "e6_curate_v2": _oracle_curate_v2(),
 }

@@ -275,3 +275,30 @@ def test_welch_ab_test_known_values(spark):
     )
     [s] = welch_ab_test(same, "grp", "value", "a", "b").collect()
     assert s["t_stat"] is None or s["significant"] is False
+
+
+def test_curate_v2_chain_invariants(spark):
+    """End-to-end invariants of the capstone chain on the real sf0.001
+    corpus: survivors are a subset of the train slice, contain no
+    exact duplicates, and duplicate-family members share a split."""
+    from tensorflow_recorder_spark.plans.curate import curate_corpus_v2
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    out = curate_corpus_v2(
+        train, ev, "text", "doc_id", "n_chars", min_quality=0.5
+    ).cache()
+    rows = out.select("doc_id", "group_key", "split").collect()
+    assert len(rows) > 0
+    ids = {r["doc_id"] for r in rows}
+    assert all(i % 10 != 0 for i in ids)  # eval slice never leaks in
+    # no exact duplicate texts survive (out carries the input columns)
+    assert out.select("text").distinct().count() == len(ids)
+    # same group_key -> same split, and split values are valid
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["group_key"], set()).add(r["split"])
+        assert r["split"] in ("TRAIN", "VALIDATION", "TEST")
+    assert all(len(s) == 1 for s in by_group.values())
+    out.unpersist()
