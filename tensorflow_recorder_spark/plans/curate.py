@@ -159,9 +159,23 @@ def curate_corpus_v2(
     from ..operators.split import leakage_safe_split
     from pyspark.sql import Window
 
+    from ..operators.dedup import _spread
+
     score = quality_exprs(text_col)["score"]
-    s1 = docs.where(F.round(F.expr(score), 6) >= F.lit(float(min_quality)))
-    s2 = exact_dedup(s1, text_col, id_col, method="agg")
+    # a small parquet scan is often ONE partition — spread before the
+    # regex-heavy quality projection so it runs at session parallelism
+    # (no-op at scale where the scan is already parallel)
+    s1 = _spread(docs).where(
+        F.round(F.expr(score), 6) >= F.lit(float(min_quality))
+    )
+    # s2 feeds the pair graph, the keep-best rank join, the survivor
+    # anti-join, and (transitively) contamination + split — materialize
+    # it once (localCheckpoint, the same no-handle-leak choice as
+    # lsh_verified_pairs' internals) instead of re-running the
+    # scan+filter+dedup chain per consumer
+    s2 = exact_dedup(s1, text_col, id_col, method="agg").localCheckpoint(
+        eager=True
+    )
     pairs = lsh_verified_pairs(
         s2, text_col, id_col,
         min_est_jaccard=min_est_jaccard, threshold=jaccard_threshold,

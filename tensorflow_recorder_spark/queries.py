@@ -6239,6 +6239,67 @@ FROM t
 """
 
 
+def q_rel_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-style 'global sales opportunity' (adapted to nations — the
+    testdata has no phone column): customers in a target nation set
+    whose balance exceeds the average POSITIVE balance of that set and
+    who have placed no URGENT order, counted per nation. Three classic
+    shapes in one plan: a broadcast scalar subquery (the average), a
+    LEFT-ANTI join against orders (the NOT EXISTS), and a group
+    rollup; the anti-join is equi-keyed on custkey — AQE-splittable,
+    and at scale the orders side collapses to distinct custkeys before
+    probing. The decimal-exact average keeps the threshold boundary
+    engine-portable."""
+    nations = [1, 3, 5, 7]
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(nations)
+    )
+    avg_row = cust.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__avg")
+    )
+    elig = cust.crossJoin(F.broadcast(avg_row)).where(
+        F.col("c_acctbal") > F.col("__avg")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    idle = elig.join(
+        orders, elig["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return idle.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_custs"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("total_acctbal"),
+    )
+
+
+ORACLE_REL_IDLE_CUSTOMERS = """
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS a
+  FROM customer
+  WHERE c_nationkey IN (1, 3, 5, 7) AND c_acctbal > 0
+)
+SELECT c_nationkey AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS total_acctbal
+FROM customer, avg_bal
+WHERE c_nationkey IN (1, 3, 5, 7)
+  AND c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
 def q_e6_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-4 capstone curation chain (plans/curate.py
     curate_corpus_v2): quality floor -> exact dedup -> fuzzy KEEP-BEST
@@ -6601,6 +6662,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_ab_test": q_e4_ab_test,
     "s18_stream_ab_test": q_s18_stream_ab_test,
     "e6_curate_v2": q_e6_curate_v2,
+    "rel_idle_customers": q_rel_idle_customers,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
     "rel_rollup": q_rel_rollup,
@@ -6784,4 +6846,5 @@ ORACLES: dict[str, str] = {
     "e4_ab_test": ORACLE_E4_AB_TEST,
     "s18_stream_ab_test": ORACLE_E4_AB_TEST,
     "e6_curate_v2": _oracle_curate_v2(),
+    "rel_idle_customers": ORACLE_REL_IDLE_CUSTOMERS,
 }

@@ -190,6 +190,7 @@ def test_driver_window_holds_all_unique_queries():
         "e4_ab_test",
         "s18_stream_ab_test",
         "e6_curate_v2",
+        "rel_idle_customers",
         # session-7 swap-outs (driver-green in r03; each near-duplicates
         # a still-scored neighbor: rollup~cube/pricing_summary,
         # lsh_pairs~lsh_verified, word_frequencies~corpus_stats/tfidf)
