@@ -1841,6 +1841,33 @@ SELECT doc_id, CASE WHEN {mx} = 0 THEN 'und' {case} END AS lang_pred FROM hits
 """
 
 
+def q_e3_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 metadata-QA audit: confusion matrix of the DECLARED lang
+    column vs the n-gram language-ID prediction — per (declared,
+    predicted) cell count plus an agreement flag. The standard check
+    that a corpus's self-reported metadata can be trusted before
+    using it for mixture weights; one projection + one low-cardinality
+    groupBy (|langs|^2 cells), nothing corpus-wide shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = text.language_id(docs, "text", "doc_id")
+    j = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return (
+        j.groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("agree", F.col("lang") == F.col("lang_pred"))
+    )
+
+
+def _oracle_lang_agreement() -> str:
+    return f"""
+WITH pred AS ({_oracle_language_id()})
+SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+       d.lang = p.lang_pred AS agree
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2, 4
+"""
+
+
 def q_e3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -6505,7 +6532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_hybrid_rrf": q_e2_hybrid_rrf,
     "e1_lsh_verified": q_e1_lsh_verified,
     "e3_bpe_encode": q_e3_bpe_encode,
-    "e1_embedding_neardup": q_e1_embedding_neardup,
+    "e6_curate_v2": q_e6_curate_v2,
     "e1_dup_clusters": q_e1_dup_clusters,
     "e1_fuzzy_dedup": q_e1_fuzzy_dedup,
     "e1_contamination": q_e1_contamination,
@@ -6661,8 +6688,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s17_stream_cusum": q_s17_stream_cusum,
     "e4_ab_test": q_e4_ab_test,
     "s18_stream_ab_test": q_s18_stream_ab_test,
-    "e6_curate_v2": q_e6_curate_v2,
+    "e1_embedding_neardup": q_e1_embedding_neardup,
     "rel_idle_customers": q_rel_idle_customers,
+    "e3_lang_agreement": q_e3_lang_agreement,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
     "rel_rollup": q_rel_rollup,
@@ -6847,4 +6875,5 @@ ORACLES: dict[str, str] = {
     "s18_stream_ab_test": ORACLE_E4_AB_TEST,
     "e6_curate_v2": _oracle_curate_v2(),
     "rel_idle_customers": ORACLE_REL_IDLE_CUSTOMERS,
+    "e3_lang_agreement": _oracle_lang_agreement(),
 }

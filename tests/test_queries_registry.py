@@ -189,8 +189,11 @@ def test_driver_window_holds_all_unique_queries():
         "e3_corpus_filter",
         "e4_ab_test",
         "s18_stream_ab_test",
-        "e6_curate_v2",
         "rel_idle_customers",
+        "e3_lang_agreement",
+        # capstone swap-out: embedding_neardup near-duplicates the scored
+        # e1_semantic_dedup / e2_topk_cosine pair (driver-green r03)
+        "e1_embedding_neardup",
         # session-7 swap-outs (driver-green in r03; each near-duplicates
         # a still-scored neighbor: rollup~cube/pricing_summary,
         # lsh_pairs~lsh_verified, word_frequencies~corpus_stats/tfidf)
