@@ -33,6 +33,7 @@ def rrf_fuse(
     rank_col: str = "rank",
     rrf_k: int = 60,
     top: int = 20,
+    query_col: str | None = None,
 ) -> DataFrame:
     """Fuse two rankings by reciprocal rank: ``score(d) =
     sum_lists 1/(rrf_k + rank_list(d))``, absent-from-list contributing
@@ -40,36 +41,47 @@ def rrf_fuse(
     default); ``top`` bounds the fused output.
 
     Inputs are (id, rank) frames — rank 1 = best, ranks unique per
-    list. Output: (``id_col``, lex_rank, vec_rank BIGINT nullable,
-    rrf_score DOUBLE rounded 9, rank BIGINT).
+    list. With ``query_col`` (the batch-serving shape), both inputs
+    carry a query id, fusion joins on (query, doc), and the final rank
+    is per query — ranks need only be unique within a query's list.
+    Output: ([query_col], ``id_col``, lex_rank, vec_rank BIGINT
+    nullable, rrf_score DOUBLE rounded 9, rank BIGINT).
 
-    The fused frame is |lex| + |vec| rows at most — top-N metadata, so
-    the single-partition final window is bounded by construction, not
-    by data size.
+    The fused frame is |lex| + |vec| rows at most — top-N metadata per
+    query — so every final window partition is bounded by
+    construction, not by data size.
     """
     if rrf_k < 1:
         raise ValueError(f"rrf_k must be >= 1, got {rrf_k}")
     if top < 1:
         raise ValueError(f"top must be >= 1, got {top}")
+    keys = ([query_col] if query_col else []) + ["__id"]
     l = lex.select(
-        F.col(id_col).alias("__id"), F.col(rank_col).cast("long").alias("lex_rank")
+        *([F.col(query_col)] if query_col else []),
+        F.col(id_col).alias("__id"),
+        F.col(rank_col).cast("long").alias("lex_rank"),
     )
     v = vec.select(
-        F.col(id_col).alias("__id"), F.col(rank_col).cast("long").alias("vec_rank")
+        *([F.col(query_col)] if query_col else []),
+        F.col(id_col).alias("__id"),
+        F.col(rank_col).cast("long").alias("vec_rank"),
     )
-    j = l.join(v, "__id", "full_outer")
+    j = l.join(v, keys, "full_outer")
     fused = F.round(
         F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
         + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)),
         9,
     )
     out = j.select(
+        *([F.col(query_col)] if query_col else []),
         F.col("__id").alias(id_col),
         "lex_rank",
         "vec_rank",
         fused.alias("rrf_score"),
     )
-    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    w = (
+        Window.partitionBy(query_col) if query_col else Window.partitionBy()
+    ).orderBy(F.desc("rrf_score"), F.asc(id_col))
     return out.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= top
     )

@@ -302,3 +302,28 @@ def test_curate_v2_chain_invariants(spark):
         assert r["split"] in ("TRAIN", "VALIDATION", "TEST")
     assert all(len(s) == 1 for s in by_group.values())
     out.unpersist()
+
+
+def test_rrf_fuse_grouped_per_query(spark):
+    from tensorflow_recorder_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (2, 30, 1)],
+        "qid long, doc_id long, rank long",
+    )
+    vec = spark.createDataFrame(
+        [(1, 20, 1), (2, 40, 1), (2, 30, 2)],
+        "qid long, doc_id long, rank long",
+    )
+    got = {
+        (r["qid"], r["doc_id"]): r
+        for r in rrf_fuse(lex, vec, query_col="qid", top=5).collect()
+    }
+    # per-query fusion: doc 20 fuses only within qid 1
+    assert got[(1, 20)]["rrf_score"] == round(1 / 62 + 1 / 61, 9)
+    assert got[(1, 20)]["rank"] == 1
+    assert got[(2, 30)]["rrf_score"] == round(1 / 61 + 1 / 62, 9)
+    assert got[(2, 30)]["rank"] == 1
+    assert got[(2, 40)]["rank"] == 2
+    # ranks restart per query
+    assert {k[0] for k in got} == {1, 2} and len(got) == 4
