@@ -1841,6 +1841,64 @@ SELECT doc_id, CASE WHEN {mx} = 0 THEN 'und' {case} END AS lang_pred FROM hits
 """
 
 
+def q_e4_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: one-step-ahead seasonal-naive forecast per event type —
+    the last day's trend level plus the next day-of-week's seasonal
+    component from the classical decomposition (the standard baseline
+    every forecasting pipeline compares against). Pure composition
+    over the seasonal output frame: two metadata-scale aggregates and
+    a broadcast join; the event table is only touched by the
+    decomposition itself."""
+    from .operators.events import seasonal_decompose_daily
+
+    s = seasonal_decompose_daily(
+        _events(spark, sf_dir), "event_type", "ts", "value", period=7
+    )
+    wt = s.where(F.col("trend").isNotNull())
+    last = wt.groupBy("event_type").agg(F.max("day").alias("day"))
+    base = wt.join(last, ["event_type", "day"]).select(
+        "event_type", "day", "dow", "trend"
+    )
+    seas = (
+        s.where(F.col("seasonal").isNotNull())
+        .groupBy(F.col("event_type").alias("__t"), F.col("dow").alias("__d"))
+        .agg(F.max("seasonal").alias("__s"))
+    )
+    j = base.join(
+        F.broadcast(seas),
+        (base["event_type"] == seas["__t"])
+        & (seas["__d"] == (base["dow"] + 1) % 7),
+        "left",
+    )
+    return j.select(
+        "event_type",
+        F.date_format(F.date_add(F.to_date("day"), 1), "yyyy-MM-dd").alias(
+            "forecast_day"
+        ),
+        F.round(
+            F.col("trend") + F.coalesce(F.col("__s"), F.lit(0.0)), 6
+        ).alias("forecast"),
+    )
+
+
+def _oracle_forecast() -> str:
+    return f"""
+WITH sd AS ({ORACLE_E4_SEASONAL}),
+wt AS (SELECT * FROM sd WHERE trend IS NOT NULL),
+last AS (SELECT event_type, max(day) AS day FROM wt GROUP BY 1),
+base AS (SELECT wt.* FROM wt JOIN last USING (event_type, day)),
+seas AS (
+  SELECT event_type, dow, max(seasonal) AS s2
+  FROM sd WHERE seasonal IS NOT NULL GROUP BY 1, 2
+)
+SELECT base.event_type,
+       strftime(CAST(base.day AS DATE) + 1, '%Y-%m-%d') AS forecast_day,
+       round(base.trend + coalesce(seas.s2, 0), 6) AS forecast
+FROM base LEFT JOIN seas
+  ON seas.event_type = base.event_type AND seas.dow = (base.dow + 1) % 7
+"""
+
+
 def q_e3_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 metadata-QA audit: confusion matrix of the DECLARED lang
     column vs the n-gram language-ID prediction — per (declared,
@@ -6691,6 +6749,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_embedding_neardup": q_e1_embedding_neardup,
     "rel_idle_customers": q_rel_idle_customers,
     "e3_lang_agreement": q_e3_lang_agreement,
+    "e4_forecast": q_e4_forecast,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
     "rel_rollup": q_rel_rollup,
@@ -6876,4 +6935,5 @@ ORACLES: dict[str, str] = {
     "e6_curate_v2": _oracle_curate_v2(),
     "rel_idle_customers": ORACLE_REL_IDLE_CUSTOMERS,
     "e3_lang_agreement": _oracle_lang_agreement(),
+    "e4_forecast": _oracle_forecast(),
 }
