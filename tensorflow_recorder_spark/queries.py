@@ -1841,6 +1841,64 @@ SELECT doc_id, CASE WHEN {mx} = 0 THEN 'und' {case} END AS lang_pred FROM hits
 """
 
 
+def q_e1_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 audit: per-source dedup savings — documents and whitespace
+    tokens that fuzzy dedup (min-id policy over the 0.5 cluster graph)
+    would remove, next to the source's totals. The 'why run dedup'
+    report a curation pipeline publishes before committing to the
+    expensive pass corpus-wide; the cluster graph is the same bounded
+    pair pipeline as e1_dup_clusters, and the savings rollup is one
+    |sources|-cardinality aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_verified_pairs(
+        docs, "text", "doc_id", min_est_jaccard=0.5, threshold=0.5
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    dropped = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("__drop")
+    )
+    toks = F.size(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    ).cast("long")
+    marked = docs.join(dropped, "doc_id", "left").select(
+        "source",
+        toks.alias("__tok"),
+        F.coalesce(F.col("__drop"), F.lit(0)).alias("__d"),
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__tok").cast("long").alias("n_tokens"),
+        F.sum("__d").cast("long").alias("dropped_docs"),
+        F.sum(F.col("__tok") * F.col("__d")).cast("long").alias("dropped_tokens"),
+        F.round(
+            F.sum(F.col("__tok") * F.col("__d")).cast("double")
+            / F.sum("__tok").cast("double"),
+            6,
+        ).alias("token_savings_frac"),
+    )
+
+
+def _oracle_dedup_savings() -> str:
+    return f"""
+WITH clusters AS ({_oracle_dup_clusters()}),
+dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+t AS (
+  SELECT source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS tok,
+         CASE WHEN doc_id IN (SELECT doc_id FROM dropped) THEN 1 ELSE 0 END AS d
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       CAST(sum(d) AS BIGINT) AS dropped_docs,
+       CAST(sum(tok * d) AS BIGINT) AS dropped_tokens,
+       round(sum(tok * d)::DOUBLE / sum(tok), 6) AS token_savings_frac
+FROM t GROUP BY source
+"""
+
+
 def q_e4_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4: one-step-ahead seasonal-naive forecast per event type —
     the last day's trend level plus the next day-of-week's seasonal
@@ -6750,6 +6808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_idle_customers": q_rel_idle_customers,
     "e3_lang_agreement": q_e3_lang_agreement,
     "e4_forecast": q_e4_forecast,
+    "e1_dedup_savings": q_e1_dedup_savings,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
     "rel_rollup": q_rel_rollup,
@@ -6936,4 +6995,5 @@ ORACLES: dict[str, str] = {
     "rel_idle_customers": ORACLE_REL_IDLE_CUSTOMERS,
     "e3_lang_agreement": _oracle_lang_agreement(),
     "e4_forecast": _oracle_forecast(),
+    "e1_dedup_savings": _oracle_dedup_savings(),
 }
