@@ -1841,6 +1841,96 @@ SELECT doc_id, CASE WHEN {mx} = 0 THEN 'und' {case} END AS lang_pred FROM hits
 """
 
 
+def q_e6_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: the one-row dataset-card metrics block every corpus release
+    publishes — document/token/char totals, distinct sources and
+    languages, the source-distribution entropy (mixture skew at a
+    glance), exact-duplicate rate, and mean quality score. ONE
+    partial-aggregated pass over the corpus plus two
+    metadata-cardinality aggregates (source histogram for the entropy,
+    digest groupBy for the dup rate); entropy and means are fixed
+    double expressions over exact integer/decimal sums."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    ).cast("long")
+    base = docs.select(
+        toks.alias("__tok"),
+        F.col("n_chars"),
+        F.col("source"),
+        F.col("lang"),
+        F.sha2(F.col("text"), 256).alias("__h"),
+        F.expr(text.quality_exprs("text")["score"]).alias("__q"),
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__tok").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("__h").cast("long").alias("n_unique_texts"),
+        F.round(
+            F.sum(F.col("__q").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_quality"),
+    )
+    src = base.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    tot = src.agg(F.sum("__n").cast("double").alias("__t"))
+    p = F.col("__n").cast("double") / F.col("__t")
+    ent = src.crossJoin(F.broadcast(tot)).agg(
+        F.round(-F.sum(p * F.log2(p)), 6).alias("source_entropy_bits")
+    )
+    return totals.crossJoin(F.broadcast(ent)).select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_sources",
+        "n_langs",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_unique_texts").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("exact_dup_rate"),
+        "mean_quality",
+        "source_entropy_bits",
+    )
+
+
+def _oracle_dataset_card() -> str:
+    score = _Q_SCORE.format(punct=_Q_PUNCT, stopr=_Q_STOPR, mwl=_Q_MWL)
+    return f"""
+WITH base AS (
+  SELECT CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS tok,
+         n_chars, source, lang, sha256(text) AS h,
+         {score} AS q
+  FROM documents
+),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS n_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+         round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS mean_quality
+  FROM base
+),
+src AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1),
+ent AS (
+  SELECT round(-sum((n::DOUBLE / t) * log2(n::DOUBLE / t)), 6)
+           AS source_entropy_bits
+  FROM src, (SELECT sum(n)::DOUBLE AS t FROM src)
+)
+SELECT n_docs, n_tokens, n_chars, n_sources, n_langs,
+       round(1.0 - n_unique::DOUBLE / n_docs, 6) AS exact_dup_rate,
+       mean_quality, source_entropy_bits
+FROM totals, ent
+"""
+
+
 def q_e1_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 audit: per-source dedup savings — documents and whitespace
     tokens that fuzzy dedup (min-id policy over the 0.5 cluster graph)
@@ -6809,6 +6899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_lang_agreement": q_e3_lang_agreement,
     "e4_forecast": q_e4_forecast,
     "e1_dedup_savings": q_e1_dedup_savings,
+    "e6_dataset_card": q_e6_dataset_card,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
     "rel_rollup": q_rel_rollup,
@@ -6996,4 +7087,5 @@ ORACLES: dict[str, str] = {
     "e3_lang_agreement": _oracle_lang_agreement(),
     "e4_forecast": _oracle_forecast(),
     "e1_dedup_savings": _oracle_dedup_savings(),
+    "e6_dataset_card": _oracle_dataset_card(),
 }
