@@ -1841,6 +1841,70 @@ SELECT doc_id, CASE WHEN {mx} = 0 THEN 'und' {case} END AS lang_pred FROM hits
 """
 
 
+def q_e2_retrieve_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 end-to-end serving pipeline: hybrid RRF retrieval (BM25 x
+    cosine, depth 100, top 20) feeding MMR diversity re-ranking down
+    to 8 — retrieve-then-diversify, the exact shape in front of a RAG
+    context window. MMR's relevance input is the fused RRF score
+    (integer-rank arithmetic, engine-exact), so the whole two-stage
+    trajectory is oracle-checkable."""
+    from .operators.retrieval import hybrid_search, mmr_rerank
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    hy = hybrid_search(
+        docs, emb,
+        query_terms=["hash", "join", "spark"],
+        query_vec_id=0, depth=100, rrf_k=60, top=20,
+    )
+    cands = hy.join(emb, hy["doc_id"] == emb["vec_id"]).select(
+        "doc_id", F.col("rrf_score").alias("score"), "embedding"
+    )
+    return mmr_rerank(cands, lam=0.7, k=8)
+
+
+def _oracle_retrieve_diverse() -> str:
+    return f"""
+WITH RECURSIVE hy AS ({ORACLE_E2_HYBRID_RRF}),
+cand AS (SELECT doc_id, rrf_score AS rel FROM hy),
+e2 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n2 AS (
+  SELECT vec_id, e, sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e2
+),
+mpairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         round(list_aggregate(list_transform(list_zip(nx.e, ny.e),
+               p -> p[1] * p[2]), 'sum') / (nx.nrm * ny.nrm), 4) AS sim
+  FROM cand x JOIN cand y ON x.doc_id <> y.doc_id
+  JOIN n2 nx ON nx.vec_id = x.doc_id
+  JOIN n2 ny ON ny.vec_id = y.doc_id
+),
+sel(step, ids, doc_id, mmr_score) AS (
+  SELECT CAST(1 AS BIGINT), [c.doc_id], c.doc_id,
+         round(CAST(0.7 AS DOUBLE) * c.rel, 6)
+  FROM (SELECT doc_id, rel FROM cand
+        ORDER BY round(CAST(0.7 AS DOUBLE) * rel, 6) DESC, doc_id
+        LIMIT 1) c
+  UNION ALL
+  SELECT s.step + 1, list_append(s.ids, p.doc_id), p.doc_id, p.score
+  FROM sel s, LATERAL (
+    SELECT c.doc_id,
+           round(CAST(0.7 AS DOUBLE) * c.rel
+                 - CAST(0.3 AS DOUBLE) * coalesce(
+                     (SELECT max(pr.sim) FROM mpairs pr
+                      WHERE pr.a = c.doc_id AND list_contains(s.ids, pr.b)),
+                     0), 6) AS score
+    FROM cand c WHERE NOT list_contains(s.ids, c.doc_id)
+    ORDER BY score DESC, c.doc_id
+    LIMIT 1
+  ) p
+  WHERE s.step < 8
+)
+SELECT step, doc_id, mmr_score FROM sel
+"""
+
+
 def q_e6_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6: the one-row dataset-card metrics block every corpus release
     publishes — document/token/char totals, distinct sources and
@@ -6900,6 +6964,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_forecast": q_e4_forecast,
     "e1_dedup_savings": q_e1_dedup_savings,
     "e6_dataset_card": q_e6_dataset_card,
+    "e2_retrieve_diverse": q_e2_retrieve_diverse,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
     "rel_rollup": q_rel_rollup,
@@ -7088,4 +7153,5 @@ ORACLES: dict[str, str] = {
     "e4_forecast": _oracle_forecast(),
     "e1_dedup_savings": _oracle_dedup_savings(),
     "e6_dataset_card": _oracle_dataset_card(),
+    "e2_retrieve_diverse": _oracle_retrieve_diverse(),
 }
