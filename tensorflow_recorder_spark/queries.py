@@ -1841,6 +1841,73 @@ SELECT doc_id, CASE WHEN {mx} = 0 THEN 'und' {case} END AS lang_pred FROM hits
 """
 
 
+def q_e4_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/ops: Welch test of the value metric between weekday and
+    weekend events — the same exact-moments machinery as e4_ab_test
+    applied to a DERIVED calendar grouping (any row expression can be
+    an experiment arm; no categorical column required)."""
+    from .operators.profile import welch_ab_test
+
+    ev = _events(spark, sf_dir).withColumn(
+        "grp",
+        F.when(F.dayofweek("ts").isin([1, 7]), F.lit("weekend")).otherwise(
+            F.lit("weekday")
+        ),
+    )
+    return welch_ab_test(ev, "grp", "value", "weekday", "weekend")
+
+
+ORACLE_E4_WEEKEND_EFFECT = """
+WITH ev AS (
+  SELECT value,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend'
+              ELSE 'weekday' END AS g
+  FROM events
+),
+m AS (
+  SELECT g,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS ss
+  FROM ev GROUP BY g
+),
+one AS (
+  SELECT
+    max(CASE WHEN g = 'weekday' THEN n END) AS n_a,
+    max(CASE WHEN g = 'weekday' THEN s END) AS s_a,
+    max(CASE WHEN g = 'weekday' THEN ss END) AS ss_a,
+    max(CASE WHEN g = 'weekend' THEN n END) AS n_b,
+    max(CASE WHEN g = 'weekend' THEN s END) AS s_b,
+    max(CASE WHEN g = 'weekend' THEN ss END) AS ss_b
+  FROM m
+),
+d AS (
+  SELECT n_a, n_b,
+         s_a / n_a AS ma, s_b / n_b AS mb,
+         (ss_a - s_a * s_a / n_a) / (n_a - 1.0) AS va,
+         (ss_b - s_b * s_b / n_b) / (n_b - 1.0) AS vb
+  FROM one
+),
+t AS (
+  SELECT n_a, n_b, ma, mb, va, vb,
+         CASE WHEN va / n_a + vb / n_b > 0
+              THEN (ma - mb) / sqrt(va / n_a + vb / n_b) END AS tt,
+         CASE WHEN (va / n_a) * (va / n_a) / (n_a - 1.0)
+                   + (vb / n_b) * (vb / n_b) / (n_b - 1.0) > 0
+              THEN ((va / n_a + vb / n_b) * (va / n_a + vb / n_b)) /
+                   ((va / n_a) * (va / n_a) / (n_a - 1.0)
+                    + (vb / n_b) * (vb / n_b) / (n_b - 1.0)) END AS dof
+  FROM d
+)
+SELECT 'weekday' AS group_a, 'weekend' AS group_b, n_a, n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round(va, 6) AS var_a, round(vb, 6) AS var_b,
+       round(tt, 6) AS t_stat, round(dof, 6) AS dof,
+       coalesce(abs(tt) > 1.96, false) AS significant
+FROM t
+"""
+
+
 def q_e2_retrieve_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 end-to-end serving pipeline: hybrid RRF retrieval (BM25 x
     cosine, depth 100, top 20) feeding MMR diversity re-ranking down
@@ -6965,6 +7032,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_dedup_savings": q_e1_dedup_savings,
     "e6_dataset_card": q_e6_dataset_card,
     "e2_retrieve_diverse": q_e2_retrieve_diverse,
+    "e4_weekend_effect": q_e4_weekend_effect,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
     "rel_rollup": q_rel_rollup,
@@ -7154,4 +7222,5 @@ ORACLES: dict[str, str] = {
     "e1_dedup_savings": _oracle_dedup_savings(),
     "e6_dataset_card": _oracle_dataset_card(),
     "e2_retrieve_diverse": _oracle_retrieve_diverse(),
+    "e4_weekend_effect": ORACLE_E4_WEEKEND_EFFECT,
 }

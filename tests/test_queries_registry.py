@@ -195,6 +195,7 @@ def test_driver_window_holds_all_unique_queries():
         "e1_dedup_savings",
         "e6_dataset_card",
         "e2_retrieve_diverse",
+        "e4_weekend_effect",
         # capstone swap-out: embedding_neardup near-duplicates the scored
         # e1_semantic_dedup / e2_topk_cosine pair (driver-green r03)
         "e1_embedding_neardup",
