@@ -257,6 +257,71 @@ def weighted_sample(
     return ranked.drop("__g", "__rk")
 
 
+def distributed_global_rank(
+    df: DataFrame,
+    sort_cols: list,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact 1-based global rank under a total order — with NO
+    single-partition stage anywhere in the plan.
+
+    Two-phase rank, the pure-DataFrame twin of
+    ``vocabulary.fit_vocabulary_large``'s zipWithIndex trick:
+
+    1. ``repartitionByRange`` on the sort keys spreads the frame over
+       ``num_partitions`` ORDERED ranges (Spark's distributed sort —
+       every row in range p sorts before every row in range p+1);
+    2. each range windows locally (``row_number`` partitioned by the
+       physical partition id — partition-bounded state);
+    3. per-range row COUNTS — never rows — cross the driver and come
+       back as a broadcast pid→offset map added to the local rank.
+
+    The range frame is pinned with an eager ``localCheckpoint`` so the
+    count pass and the rank pass see identical partition assignment.
+    Returns ``(frame + __rank column, total row count)``. Caller must
+    drop the ``__pid``/``__rank`` helper columns.
+    """
+    npart = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(npart, *sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = sorted(
+        (r["__pid"], r["__n"])
+        for r in parted.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    total = 0
+    for pid, n in sizes:
+        offsets[pid] = total
+        total += n
+    if not offsets:
+        return parted.withColumn("__rank", F.lit(1).cast("long")), 0
+    off = F.coalesce(
+        F.try_element_at(
+            F.create_map(
+                *[
+                    F.lit(v)
+                    for kv in offsets.items()
+                    for v in (kv[0], kv[1])
+                ]
+            ),
+            F.col("__pid"),
+        ),
+        F.lit(0),
+    ).cast("long")
+    w = Window.partitionBy("__pid").orderBy(*sort_cols)
+    return (
+        parted.withColumn(
+            "__rank", (F.row_number().over(w).cast("long") + off)
+        ),
+        total,
+    )
+
+
 def curriculum_order(
     df: DataFrame,
     score_col: str,
@@ -264,34 +329,56 @@ def curriculum_order(
     n_buckets: int = 10,
 ) -> DataFrame:
     """Deterministic curriculum ordering: rows are bucketed into
-    ``n_buckets`` score percentiles (ntile over score desc, id
-    tie-break) and emitted interleaved — position p takes one row from
-    each bucket in turn, so any training-order prefix contains a
-    balanced mix of difficulties while still consuming best-first
+    ``n_buckets`` score percentiles (exact ntile semantics over score
+    desc, id tie-break) and emitted interleaved — position p takes one
+    row from each bucket in turn, so any training-order prefix contains
+    a balanced mix of difficulties while still consuming best-first
     within each bucket. Output: (id, bucket, curriculum_pos).
 
-    One global ntile window is a single-partition sort of ids+scores —
-    fine to percentile-rank fitted SCORES at any corpus size only when
-    pre-aggregated; for raw 100 TB corpora swap the ntile for
-    approx-quantile bucket bounds (the text quantile operator) and keep
-    the same interleave arithmetic, which is the scalable part: the
-    final order is BY COMPUTED KEY, not by a global sort.
+    Scale shape (r4 verdict fix): the bucket is NOT computed with a
+    global ``ntile`` window (that is a single-partition sort of the raw
+    corpus). Instead :func:`distributed_global_rank` produces the exact
+    global rank via a range-partitioned distributed sort plus broadcast
+    count offsets, and the ntile bucket is derived from the rank by
+    CLOSED-FORM ARITHMETIC — ntile(n) over N rows puts the first
+    ``N mod n`` buckets at ``N div n + 1`` rows and the rest at
+    ``N div n`` — so results are bit-identical to the windowed ntile
+    (the DuckDB oracle keeps its textbook ntile formulation) while every
+    stage stays partition-bounded.
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
-    bucketed = df.select(
-        F.col(id_col),
-        F.col(score_col),
-        F.ntile(n_buckets).over(w).alias("bucket"),
+    src = df.select(F.col(id_col), F.col(score_col))
+    ranked, n_rows = distributed_global_rank(
+        src, [F.desc(score_col), F.asc(id_col)]
     )
-    wb = Window.partitionBy("bucket").orderBy(F.desc(score_col), F.asc(id_col))
+    q, r = divmod(n_rows, n_buckets)
+    big = q + 1  # size of the first r buckets
+    thr = r * big  # ranks 1..thr fall in the big buckets
+    k0 = F.col("__rank") - 1  # 0-based global rank
+    with_k = ranked.withColumn("__k0", k0)
+    if q == 0:
+        # fewer rows than buckets: ntile gives one row per bucket.
+        bucket = F.col("__rank")
+        within = F.lit(1).cast("long")
+    else:
+        in_big = F.col("__k0") < F.lit(thr)
+        bucket = F.when(
+            in_big, F.expr(f"__k0 div {big}") + F.lit(1)
+        ).otherwise(
+            F.lit(r + 1) + F.expr(f"(__k0 - {thr}) div {q}")
+        )
+        start = F.when(in_big, (bucket - 1) * F.lit(big)).otherwise(
+            F.lit(thr) + (bucket - F.lit(r + 1)) * F.lit(q)
+        )
+        within = F.col("__rank") - start
     return (
-        bucketed.withColumn("__r", F.row_number().over(wb))
+        with_k.withColumn("bucket", bucket.cast("long"))
+        .withColumn("__within", within.cast("long"))
         .select(
             id_col,
-            F.col("bucket").cast("long").alias("bucket"),
-            ((F.col("__r") - 1) * n_buckets + F.col("bucket") - 1)
+            "bucket",
+            ((F.col("__within") - 1) * n_buckets + F.col("bucket") - 1)
             .cast("long")
             .alias("curriculum_pos"),
         )

@@ -32,6 +32,12 @@ ALLOWED = {
         "right, cnt) row per iteration; the word/symbol tables stay "
         "distributed",
     ),
+    "operators/sampling.py": (
+        1,
+        "distributed_global_rank offsets: per-range row COUNTS (<= "
+        "num_partitions rows) — partition sizes cross the driver, "
+        "never data rows (same contract as fit_vocabulary_large)",
+    ),
     "queries.py": (
         1,
         "e3_bpe_encode merge table: limit(8).collect() — tokenizer-"
