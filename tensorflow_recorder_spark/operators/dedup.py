@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.partitioning import spread_to_parallelism
+
 # ---------------------------------------------------------------- exact
 
 
@@ -236,15 +238,12 @@ def _minhash_signatures_arrow(
             res.insert(0, id_col, ids)
             yield res
 
-    src = df.select(id_col, text_col)
     # The hashing is pure map-side Python: its parallelism is exactly the
     # input partition count. A small/single-file source would serialize
     # the whole corpus through one worker, so fan out to the session's
     # parallelism; at real scale the source already has >= that many
-    # partitions and no shuffle is added.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < parallelism:
-        src = src.repartition(parallelism)
+    # files and no shuffle is added (metadata-only probe).
+    src = spread_to_parallelism(df.select(id_col, text_col))
     return src.mapInPandas(mh_batches, schema=out_schema)
 
 
@@ -1056,19 +1055,12 @@ def fuzzy_dedup_keep_best(
 def _spread(df: DataFrame) -> DataFrame:
     """Raise an under-parallel batch frame to the session's default
     parallelism before an expensive per-row projection. A small parquet
-    scan is often ONE partition (sf0.1 documents is a single file), so
-    the per-position shingle hashing that follows would run serially;
-    spreading a few thousand rows costs one trivial shuffle. No-op when
-    the input is already parallel (at 100 TB the scan has thousands of
-    partitions — never add a corpus-wide shuffle there) and for
-    streaming frames (no rdd)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        if df.rdd.getNumPartitions() >= par:
-            return df
-    except Exception:
-        return df
-    return df.repartition(par)
+    scan is often ONE file (sf0.1 documents), so the per-position
+    shingle hashing that follows would run serially; spreading a few
+    thousand rows costs one trivial shuffle. Decided from scan metadata
+    only — no-op for many-file scans (at 100 TB never add a corpus-wide
+    shuffle) and for streaming frames (functions/partitioning.py)."""
+    return spread_to_parallelism(df)
 
 
 def _banded(

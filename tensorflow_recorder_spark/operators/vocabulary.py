@@ -21,10 +21,10 @@ with identical output:
 * :func:`fit_vocabulary` — a single-partition window over the
   *aggregated* vocabulary, deliberate and bounded for label
   vocabularies (the reference's semantics: a handful of classes).
-* :func:`fit_vocabulary_large` — token-scale path: range-partition the
-  aggregated counts on the rank order, sort within partitions, assign
-  contiguous global indices via ``zipWithIndex`` (per-partition offsets
-  from one count job). No single task ever holds the whole vocabulary.
+* :func:`fit_vocabulary_large` — token-scale path: the shared
+  ``distributed_global_rank`` two-phase rank (range-partition on the
+  rank order, window within ranges, broadcast count offsets). No single
+  task ever holds the whole vocabulary.
 
 The apply is a broadcast hash join (vocab is fitted state), so no
 shuffle touches the fact table.
@@ -32,7 +32,7 @@ shuffle touches the fact table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..constants import OOV_INDEX, TRAIN
 
@@ -91,26 +91,27 @@ def fit_vocabulary_large(
     """Token-scale A2 fit: identical output to :func:`fit_vocabulary`,
     no single-partition sort anywhere in the plan.
 
-    Two-phase global rank: ``repartitionByRange`` on (freq desc, value
-    asc) spreads the aggregated vocabulary over ``num_partitions``
-    ordered ranges, each partition sorts locally, and ``zipWithIndex``
-    assigns contiguous global indices (it runs one lightweight count job
-    for the per-partition offsets — partition SIZES cross the driver,
-    never values). Use when the vocabulary itself is too large for one
-    task (billions of distinct tokens); for label vocabularies the
-    windowed variant is one shuffle cheaper.
+    Two-phase global rank (``sampling.distributed_global_rank``):
+    ``repartitionByRange`` on (freq desc, value asc) spreads the
+    aggregated vocabulary over ``num_partitions`` ordered ranges, each
+    range windows locally, and broadcast per-range row-count offsets
+    lift the local ranks to contiguous global indices (partition SIZES
+    cross the driver, never values). Use when the vocabulary itself is
+    too large for one task (billions of distinct tokens); for label
+    vocabularies the windowed variant is one shuffle cheaper.
     """
+    from .sampling import distributed_global_rank
+
     counts = _value_counts(train_df, column, value_alias)
-    n = num_partitions or train_df.sparkSession.sparkContext.defaultParallelism
-    ordered = counts.repartitionByRange(
-        n, F.desc("_freq"), F.asc(value_alias)
-    ).sortWithinPartitions(F.desc("_freq"), F.asc(value_alias))
-    value_field = ordered.schema[value_alias]
-    out_schema = T.StructType(
-        [value_field, T.StructField(index_alias, T.LongType(), False)]
+    ranked, _total = distributed_global_rank(
+        counts,
+        [F.desc("_freq"), F.asc(value_alias)],
+        num_partitions=num_partitions,
     )
-    indexed = ordered.rdd.zipWithIndex().map(lambda t: (t[0][0], t[1]))
-    vocab = train_df.sparkSession.createDataFrame(indexed, out_schema)
+    vocab = ranked.select(
+        value_alias,
+        (F.col("__rank") - F.lit(1)).cast("long").alias(index_alias),
+    )
     if top_k is not None:
         vocab = vocab.where(F.col(index_alias) < top_k)
     return vocab

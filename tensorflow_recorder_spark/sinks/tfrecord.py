@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from ..constants import GZIP_SUFFIX, TFRECORD_SUFFIX, ZLIB_SUFFIX
 from ..functions import fs
 from ..functions.example_proto import build_batch_encoder
+from ..functions.partitioning import spread_to_parallelism
 from ..functions.tfrecord_io import frame_records, open_maybe_gzip, open_output
 
 # Spark simpleString -> Example feature kind
@@ -113,9 +114,7 @@ def encode_examples(
     # convert — fan out first (measured 3x on 600k rows at local[32]).
     # At num_shards=0 this also sets "runner-chosen" shard count, exactly
     # the reference's semantics (converter.py:290-291).
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    df = spread_to_parallelism(df)
     return df.mapInPandas(encode_batches, schema=out_schema)
 
 

@@ -58,6 +58,21 @@ def test_every_collect_site_is_allowlisted():
         assert n <= ALLOWED[rel][0], (rel, n, ALLOWED[rel])
 
 
+def test_no_rdd_partition_probes_in_package():
+    """`.rdd` on a DataFrame converts the plan to an RDD — an extra plan
+    evaluation at every call site (r4 verdict item 2). The only allowed
+    site is the TFRecord writer's documented mapPartitionsWithIndex
+    path; parallelism probes must use scan metadata
+    (functions/partitioning.py)."""
+    offenders = []
+    for p in PKG.rglob("*.py"):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            code = line.split("#")[0]
+            if ".rdd" in code and "sinks/tfrecord.py" not in str(p):
+                offenders.append(f"{p.relative_to(PKG)}:{i}")
+    assert offenders == [], offenders
+
+
 def test_no_unbounded_topandas_in_package():
     """toPandas() materializes the frame on the driver — only allowed
     immediately after an explicit .limit(n) (the inspect() dumper)."""

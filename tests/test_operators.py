@@ -66,21 +66,21 @@ def test_fit_vocabulary_large_matches_windowed_fit(spark):
     assert small == large and len(small) > 20
 
 
-def test_fit_vocabulary_large_plan_has_no_window(spark):
-    import contextlib
-    import io
-
+def test_fit_vocabulary_large_plan_has_no_unpartitioned_window(spark):
+    """The token-scale fit must never sort the vocabulary through one
+    task: its only window is partitioned by the physical range id
+    (distributed_global_rank), so an UNPARTITIONED window spec in the
+    plan is a regression."""
     from tensorflow_recorder_spark.operators.vocabulary import fit_vocabulary_large
     from pyspark.sql import functions as F
+
+    from test_plan_windows import _unpartitioned_windows
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     toks = docs.select(
         F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
     ).where(F.col("tok") != "")
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        fit_vocabulary_large(toks, "tok").explain("formatted")
-    assert "windowspecdefinition" not in buf.getvalue()
+    assert _unpartitioned_windows(fit_vocabulary_large(toks, "tok")) == []
 
 
 def test_apply_vocabulary_oov_minus_one(spark):
