@@ -123,9 +123,20 @@ def dp_release(
     if epsilon <= 0:
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
     b = 1.0 / float(epsilon)
-    key = F.concat_ws(
-        ":", F.lit(seed), *[F.col(c).cast("string") for c in group_cols]
-    )
+    # Collision-proof noise key (r4 advice): each group value becomes a
+    # fixed-width md5 token BEFORE concatenation — a ':' inside a value
+    # cannot shift field boundaries, and NULL encodes as its own token
+    # ('n' vs 'v'+value) instead of being skipped, so distinct groups
+    # can never share noise and NULL-valued groups still get a release.
+    toks = [
+        F.md5(
+            F.coalesce(
+                F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("n")
+            )
+        )
+        for c in group_cols
+    ]
+    key = F.concat_ws("", F.lit(seed), *toks)
     # md5-derived uniform in (-0.5, 0.5): 48-bit prefix of the digest
     u = (
         (F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("double") + 0.5)

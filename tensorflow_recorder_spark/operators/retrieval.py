@@ -218,7 +218,15 @@ def mmr_rerank(
         sim = {}
         for r in pdf.itertuples(index=False):
             rel[int(r.a)] = float(r.rel)
-            if r.b is not None and not pd.isna(r.b):
+            # NULL sim (zero-norm embedding) arrives as NaN: skip it so
+            # the pair contributes 0.0 like any absent pair — a NaN in
+            # max() would poison the score and silently degrade the
+            # argmax to first-by-id (r4 advice).
+            if (
+                r.b is not None
+                and not pd.isna(r.b)
+                and not pd.isna(r.sim)
+            ):
                 sim[(int(r.a), int(r.b))] = float(r.sim)
         remaining = sorted(rel)
         selected, out = [], []

@@ -81,6 +81,8 @@ def key_skew_profile(
     drop to ``percentile_approx`` with no plan change. No driver
     materialization — the result is C rows for C candidate keys.
     """
+    if not frames:
+        raise ValueError("frames must be non-empty")
     outs = []
     for label, df, key_col in frames:
         cnts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__f"))

@@ -5563,10 +5563,11 @@ def q_rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("o_year").cast("long").alias("o_year"),
+            # NULL (not 0) when no target-nation revenue exists for the
+            # year — matches the oracle's conditional-sum semantics on
+            # the zero-revenue edge (r4 advice).
             F.round(
-                F.coalesce(F.col("_t"), F.lit(0)).cast("double")
-                / F.col("_a").cast("double"),
-                6,
+                F.col("_t").cast("double") / F.col("_a").cast("double"), 6
             ).alias("mkt_share"),
             F.col("_a").cast("double").alias("total_revenue"),
         )
@@ -5895,7 +5896,9 @@ WITH c AS (
 ),
 h AS (
   SELECT source, lang, n,
-         (('0x' || substr(md5('dp:' || source || ':' || lang), 1, 12))::BIGINT
+         (('0x' || substr(md5('dp'
+             || md5(coalesce('v' || source, 'n'))
+             || md5(coalesce('v' || lang, 'n'))), 1, 12))::BIGINT
           + 0.5) / 281474976710656.0 - 0.5 AS u
   FROM c
 ),
@@ -5945,7 +5948,9 @@ WITH c AS (
 ),
 h AS (
   SELECT day, event_type, n,
-         (('0x' || substr(md5('dp:' || day || ':' || event_type), 1, 12))::BIGINT
+         (('0x' || substr(md5('dp'
+             || md5(coalesce('v' || day, 'n'))
+             || md5(coalesce('v' || event_type, 'n'))), 1, 12))::BIGINT
           + 0.5) / 281474976710656.0 - 0.5 AS u
   FROM c
 ),
