@@ -105,6 +105,16 @@ BENCH_QUERIES = [
     "e1_triangle_stats",
     "e4_cusum",
     "e6_curate_v2",
+    # round-5: newest flagships (r4 verdict item 7) + the rebuilt
+    # curriculum (now a distributed rank — track its real cost)
+    "e4_ab_test",
+    "e4_forecast",
+    "e2_retrieve_diverse",
+    "e6_dataset_card",
+    "e1_dedup_savings",
+    "e3_lang_agreement",
+    "e4_weekend_effect",
+    "e6_curriculum",
 ]
 
 
@@ -256,6 +266,24 @@ def main() -> int:
     )
 
     total = round(sum(timings.values()), 3)
+    # Full record (warm + cold runs) goes to disk; stdout gets ONE
+    # compact line — the driver's log capture truncated the combined
+    # dict in r4 (BENCH_r04.json "parsed": null), so the parseable line
+    # must stay small (r4 verdict item 3).
+    full = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_cold_run": cold,
+        "sf": sf,
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
     print(
         json.dumps(
             {
@@ -263,7 +291,6 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_cold_run": cold,
                 "sf": sf,
             }
         )
