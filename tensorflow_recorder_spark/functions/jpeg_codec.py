@@ -5,15 +5,19 @@ format (/root/reference/tfrecorder/beam_image.py:62-73); this runtime
 has no PIL, so PNG decodes via ``png_codec.py`` and JPEG decodes here.
 Only what a training-data pipeline actually meets is implemented:
 
-* decode: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr,
-  4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, restart markers (DRI/RSTn).
-  Progressive (SOF2), arithmetic coding, and 12-bit raise ValueError —
-  the caller's failure path (split -> DISCARD) handles them, exactly
-  like a truly corrupt file.
-* encode: baseline 4:4:4 (or single-component for mode "L") with the
-  ITU T.81 Annex K quantization + Huffman tables — the fixture-builder
-  twin of ``png_codec.encode_png`` (tests need real JPEGs and PIL is
-  not available to make them).
+* decode: baseline sequential DCT (SOF0/SOF1) AND progressive DCT
+  (SOF2, round 5 — spectral selection + successive approximation per
+  T.81 Annex G, coefficients accumulated across scans), 8-bit,
+  grayscale or YCbCr, 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling,
+  restart markers (DRI/RSTn). Lossless/hierarchical, arithmetic
+  coding, and 12-bit raise ValueError — the caller's failure path
+  (split -> DISCARD) handles them, exactly like a truly corrupt file.
+* encode: baseline (Annex K tables) and progressive
+  (``encode_jpeg_progressive``) — the fixture-builder twins of
+  ``png_codec.encode_png`` (tests need real JPEGs and PIL is not
+  available to make them). Both quantize identically, so the two
+  encodings of the same pixels decode byte-identically — the
+  progressive decoder's correctness oracle.
 
 Everything here follows the public ITU T.81 spec; the hot loops are
 numpy-vectorized per 8x8 block (the IDCT/DCT is one einsum over the
@@ -39,8 +43,9 @@ DNL = 0xDC
 DRI = 0xDD
 SOF0 = 0xC0  # baseline
 SOF1 = 0xC1  # extended sequential (same entropy coding; accepted)
+SOF2 = 0xC2  # progressive DCT (multi-scan; round-5 addition)
 DHT = 0xC4
-_SOF_UNSUPPORTED = {0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+_SOF_UNSUPPORTED = {0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 
 
 def is_jpeg(data: bytes) -> bool:
@@ -183,10 +188,14 @@ def _extend(v: int, n: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> tuple[bytes, int, int, str]:
-    """Decode a baseline JPEG -> (pixels, width, height, mode) with
-    mode 'L' (1 component) or 'RGB' (3, YCbCr->RGB per JFIF), the same
-    contract as ``png_codec.decode_png``. Raises ValueError for
-    non-baseline streams (progressive etc.) and corrupt data."""
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG ->
+    (pixels, width, height, mode) with mode 'L' (1 component) or 'RGB'
+    (3, YCbCr->RGB per JFIF), the same contract as
+    ``png_codec.decode_png``. Progressive streams accumulate DCT
+    coefficients across every SOS scan (spectral selection + successive
+    approximation per T.81 Annex G) and dequantize/IDCT once at EOI.
+    Raises ValueError for lossless/arithmetic/12-bit flavors and
+    corrupt data."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
@@ -194,6 +203,8 @@ def decode_jpeg(data: bytes) -> tuple[bytes, int, int, str]:
     ac_tables: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None  # (width, height, [(cid, h, v, tq)])
+    progressive = False
+    coeff_store: dict[int, np.ndarray] = {}  # cid -> (nblocks, 64) int32
     pos = 2
     n = len(data)
     while pos + 4 <= n:
@@ -210,7 +221,7 @@ def decode_jpeg(data: bytes) -> tuple[bytes, int, int, str]:
         if marker in _SOF_UNSUPPORTED:
             raise ValueError(
                 f"unsupported JPEG (SOF{marker - 0xC0}): only baseline "
-                "sequential DCT is implemented"
+                "and progressive DCT are implemented"
             )
         if marker == DQT:
             p = 0
@@ -236,10 +247,11 @@ def decode_jpeg(data: bytes) -> tuple[bytes, int, int, str]:
                 table = _HuffTable(counts, values)
                 (ac_tables if tc else dc_tables)[th] = table
                 p += 17 + nv
-        elif marker in (SOF0, SOF1):
+        elif marker in (SOF0, SOF1, SOF2):
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
+            progressive = marker == SOF2
             height, width = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
@@ -257,18 +269,254 @@ def decode_jpeg(data: bytes) -> tuple[bytes, int, int, str]:
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 0xF))
-            return _decode_scan(
+            if not progressive:
+                return _decode_scan(
+                    data,
+                    pos + seglen,
+                    frame,
+                    scan,
+                    qtables,
+                    dc_tables,
+                    ac_tables,
+                    restart_interval,
+                )
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            pos = _decode_progressive_scan(
                 data,
                 pos + seglen,
                 frame,
                 scan,
-                qtables,
+                (ss, se, a >> 4, a & 0xF),
+                coeff_store,
                 dc_tables,
                 ac_tables,
                 restart_interval,
             )
+            continue
         pos += seglen
+    if progressive:
+        if not coeff_store:
+            raise ValueError("corrupt JPEG: progressive frame with no scans")
+        width, height, comps = frame
+        hmax = max(h for _, h, _, _ in comps)
+        vmax = max(v for _, _, v, _ in comps)
+        mcux = -(-width // (8 * hmax))
+        mcuy = -(-height // (8 * vmax))
+        planes = []
+        for cid, h, v, tq in comps:
+            blocks = coeff_store.get(cid)
+            if blocks is None:
+                blocks = np.zeros((mcux * h * mcuy * v, 64), dtype=np.int32)
+            planes.append((h, v, qtables[tq], blocks))
+        return _assemble(planes, width, height, hmax, vmax, mcux, mcuy)
     raise ValueError("corrupt JPEG: no SOS marker")
+
+
+def _decode_progressive_scan(
+    data,
+    pos,
+    frame,
+    scan,
+    spec,
+    store,
+    dc_tables,
+    ac_tables,
+    restart_interval,
+):
+    """One progressive SOS: accumulate this scan's spectral band /
+    approximation bits into the per-component coefficient store
+    (T.81 Annex G). Returns the absolute offset of the next marker."""
+    width, height, comps = frame
+    ss, se, ah, al = spec
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    for cid, h, v, _tq in comps:
+        if cid not in store:
+            store[cid] = np.zeros((mcux * h * mcuy * v, 64), dtype=np.int32)
+
+    reader = _BitReader(data, pos)
+    rst = 0
+    if ss == 0:
+        if se != 0:
+            raise ValueError("corrupt JPEG: DC scan with Se != 0")
+        preds = [0] * len(scan)
+        if len(scan) == 1:
+            # non-interleaved DC scan over the component's own block grid
+            cs, td, _ta = scan[0]
+            h, v, _tq = by_id[cs]
+            blocks = store[cs]
+            stride = mcux * h
+            wb, hb = _component_block_grid(width, height, h, v, hmax, vmax)
+            dct = dc_tables.get(td) if ah == 0 else None
+            unit = 0
+            for row in range(hb):
+                for col in range(wb):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        reader.sync_restart(rst)
+                        rst = (rst + 1) & 7
+                        preds = [0]
+                    coeffs = blocks[row * stride + col]
+                    _dc_unit(reader, dct, coeffs, preds, 0, ah, al)
+                    unit += 1
+        else:
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        reader.sync_restart(rst)
+                        rst = (rst + 1) & 7
+                        preds = [0] * len(scan)
+                    for ci, (cs, td, _ta) in enumerate(scan):
+                        h, v, _tq = by_id[cs]
+                        blocks = store[cs]
+                        dct = dc_tables.get(td) if ah == 0 else None
+                        for bv in range(v):
+                            for bh in range(h):
+                                coeffs = blocks[
+                                    ((my * v + bv) * mcux * h) + mx * h + bh
+                                ]
+                                _dc_unit(reader, dct, coeffs, preds, ci, ah, al)
+                    unit += 1
+    else:
+        if len(scan) != 1:
+            raise ValueError("corrupt JPEG: interleaved AC scan")
+        cs, _td, ta = scan[0]
+        h, v, _tq = by_id[cs]
+        blocks = store[cs]
+        stride = mcux * h
+        wb, hb = _component_block_grid(width, height, h, v, hmax, vmax)
+        act = ac_tables[ta]
+        eobrun = 0
+        unit = 0
+        for row in range(hb):
+            for col in range(wb):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.sync_restart(rst)
+                    rst = (rst + 1) & 7
+                    eobrun = 0
+                coeffs = blocks[row * stride + col]
+                if ah == 0:
+                    eobrun = _first_ac(reader, act, coeffs, ss, se, al, eobrun)
+                else:
+                    eobrun = _refine_ac(reader, act, coeffs, ss, se, al, eobrun)
+                unit += 1
+
+    # advance to the next marker (skip any trailing restart markers)
+    p = reader.pos
+    n = len(data)
+    while p + 1 < n:
+        if (
+            data[p] == 0xFF
+            and data[p + 1] != 0x00
+            and not (0xD0 <= data[p + 1] <= 0xD7)
+        ):
+            break
+        p += 1
+    return p
+
+
+def _component_block_grid(width, height, h, v, hmax, vmax):
+    """(cols, rows) of a component's OWN block grid — the traversal for
+    non-interleaved progressive scans (T.81 A.2.2): ceil over the
+    component's downsampled dimensions, NOT the MCU-padded grid."""
+    comp_w = -(-(width * h) // hmax)
+    comp_h = -(-(height * v) // vmax)
+    return -(-comp_w // 8), -(-comp_h // 8)
+
+
+def _dc_unit(reader, dct, coeffs, preds, ci, ah, al):
+    """DC coefficient of one block: first scan decodes a shifted DIFF
+    chain; refinement scans append one magnitude bit."""
+    if ah == 0:
+        t = reader.decode(dct)
+        diff = _extend(reader.receive(t), t)
+        preds[ci] += diff
+        coeffs[0] = preds[ci] << al
+    else:
+        if reader.read_bit():
+            coeffs[0] |= 1 << al
+
+
+def _first_ac(reader, act, coeffs, ss, se, al, eobrun):
+    """AC band, first (Ah=0) scan: baseline run/size coding restricted
+    to [Ss, Se], values shifted << Al, plus the EOBn run count."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode(act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC band overflow")
+        coeffs[_ZIGZAG[k]] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _refine_ac(reader, act, coeffs, ss, se, al, eobrun):
+    """AC band refinement (Ah>0) scan, T.81 G.1.2.3: one correction bit
+    per already-nonzero coefficient read IN PASSING; runs count only
+    zero-history positions; newly-nonzero coefficients arrive as
+    ±(1<<Al)."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode(act)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r < 15:
+                    # NOTE: unlike the first-scan EOBn (which is -1
+                    # because the current block is done), the refinement
+                    # EOB run INCLUDES the current block — its remaining
+                    # nonzero coefficients still receive correction bits
+                    # in the tail below, which then decrements the run.
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # ZRL: pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("corrupt JPEG: bad AC refinement size")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                idx = _ZIGZAG[k]
+                if coeffs[idx] != 0:
+                    c = coeffs[idx]
+                    if reader.read_bit() and (c & p1) == 0:
+                        coeffs[idx] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        if val:
+                            coeffs[idx] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            idx = _ZIGZAG[k]
+            c = coeffs[idx]
+            if c != 0 and reader.read_bit() and (c & p1) == 0:
+                coeffs[idx] = c + (p1 if c > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _decode_scan(
@@ -334,9 +582,23 @@ def _decode_scan(
                             k += 1
             mcu_index += 1
 
-    # Dequantize + IDCT every block of every plane in one einsum each.
+    return _assemble(
+        [(h, v, qt, blocks) for h, v, qt, _dct, _act, blocks in planes],
+        width,
+        height,
+        hmax,
+        vmax,
+        mcux,
+        mcuy,
+    )
+
+
+def _assemble(planes, width, height, hmax, vmax, mcux, mcuy):
+    """Dequantize + IDCT every block of every plane (one einsum each),
+    reassemble/upsample/crop, and color-convert — shared by the
+    baseline single-scan path and the progressive finalize."""
     out_planes = []
-    for h, v, qt, _dct, _act, blocks in planes:
+    for h, v, qt, blocks in planes:
         spatial = blocks.reshape(-1, 8, 8) * qt[None, :, :]
         pix = np.einsum("ij,njk,kl->nil", _C.T, spatial.astype(np.float64), _C)
         pix = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
@@ -694,3 +956,299 @@ def _downsample(plane: np.ndarray, sh: int, sv: int) -> np.ndarray:
     ph, pw = -(-h // sv) * sv, -(-w // sh) * sh
     padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
     return padded.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+
+
+# --------------------------------------------------------------------
+# Progressive encode (fixture builder for the SOF2 decode path)
+# --------------------------------------------------------------------
+
+# Near-uniform AC table covering ALL 256 symbols: progressive AC scans
+# emit EOBn symbols ((n << 4) | 0) that the Annex K tables do not
+# contain. 128 codes of length 8 + 128 of length 9 are canonical,
+# prefix-free (Kraft sum 0.75), fit the one-byte DHT count fields, and
+# never assign an all-ones code — a legal, if uncompressed, table that
+# keeps the fixture writer tiny.
+_AC_UNIFORM = ([0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0], bytes(range(256)))
+
+
+class _ProgressiveACState:
+    """Per-scan AC encoder state: the EOB run counter and the buffered
+    correction bits that must follow the next emitted symbol (T.81
+    G.1.2.2/G.1.2.3 encoder side)."""
+
+    __slots__ = ("writer", "ac_map", "eob_run", "pending")
+
+    def __init__(self, writer: _BitWriter, ac_map):
+        self.writer = writer
+        self.ac_map = ac_map
+        self.eob_run = 0
+        self.pending: list[int] = []
+
+    def emit_symbol(self, sym: int) -> None:
+        code, length = self.ac_map[sym]
+        self.writer.put(code, length)
+
+    def flush_pending(self) -> None:
+        for bit in self.pending:
+            self.writer.put(bit, 1)
+        self.pending = []
+
+    def flush_eobrun(self) -> None:
+        if self.eob_run == 0:
+            return
+        nbits = self.eob_run.bit_length() - 1
+        self.emit_symbol(nbits << 4)
+        if nbits:
+            self.writer.put(self.eob_run - (1 << nbits), nbits)
+        self.eob_run = 0
+        self.flush_pending()
+
+
+def _encode_ac_first_block(state, zz, ss, se, al):
+    """AC band of one block, first scan (Ah=0): run/size over the
+    point-transformed magnitudes, EOB folded into the scan's EOB run."""
+    w = state.writer
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        temp = (abs(v)) >> al
+        if temp == 0:
+            r += 1
+            continue
+        state.flush_eobrun()
+        while r > 15:
+            state.emit_symbol(0xF0)
+            r -= 16
+        nbits = temp.bit_length()
+        state.emit_symbol((r << 4) | nbits)
+        # magnitude bits: value if positive, one's-complement if negative
+        w.put(temp if v > 0 else (temp ^ ((1 << nbits) - 1)), nbits)
+        r = 0
+    if r > 0:
+        state.eob_run += 1
+        if state.eob_run == 0x7FFF:
+            state.flush_eobrun()
+
+
+def _encode_ac_refine_block(state, zz, ss, se, al):
+    """AC band of one block, refinement scan (Ah=Al+1): correction bits
+    for history-nonzero coefficients, newly-nonzero placements, EOB run
+    with buffered bits — the encoder mirror of ``_refine_ac``.
+
+    Two bit buffers, exactly the T.81/libjpeg BE-vs-BR split:
+    ``state.pending`` holds correction bits of blocks ALREADY committed
+    to the EOB run (the decoder replays them while draining the run);
+    the local ``br`` holds THIS block's bits, which must follow this
+    block's own next symbol — or join ``pending`` only if the whole
+    block folds into the EOB run."""
+    w = state.writer
+    absvals = [0] * (se + 1)
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        t = abs(int(zz[k])) >> al
+        absvals[k] = t
+        if t == 1:
+            eob = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        temp = absvals[k]
+        if temp == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            state.flush_eobrun()
+            state.emit_symbol(0xF0)
+            r -= 16
+            for bit in br:
+                w.put(bit, 1)
+            br = []
+        if temp > 1:
+            # history-nonzero: buffer its correction bit
+            br.append(temp & 1)
+            continue
+        # newly nonzero at this precision: place ±(1 << Al)
+        state.flush_eobrun()
+        state.emit_symbol((r << 4) | 1)
+        w.put(1 if int(zz[k]) > 0 else 0, 1)
+        for bit in br:
+            w.put(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state.eob_run += 1
+        state.pending.extend(br)
+        if state.eob_run == 0x7FFF:
+            state.flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    pixels: bytes,
+    width: int,
+    height: int,
+    mode: str = "RGB",
+    subsample: str = "4:4:4",
+    ac_bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Minimal progressive (SOF2) JPEG writer — the fixture-building
+    twin of :func:`decode_jpeg`'s progressive path. Scan script covers
+    every decoder branch: interleaved DC first (Al=1), per-component
+    spectral-selection AC first scans (Al=1, with EOB runs), a DC
+    refinement scan, and per-component AC refinement scans (Al=0, with
+    buffered correction bits). Coefficients are quantized identically
+    to :func:`encode_jpeg`, so the progressive and baseline encodings
+    of the same pixels decode to byte-identical output."""
+    if mode not in ("L", "RGB"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    factors = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+    if subsample not in factors:
+        raise ValueError(f"unsupported subsampling {subsample!r}")
+    sh, sv = factors[subsample] if mode == "RGB" else (1, 1)
+    nchan = 1 if mode == "L" else 3
+    arr = np.frombuffer(pixels, dtype=np.uint8)
+    if len(arr) != width * height * nchan:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    if mode == "RGB":
+        rgb = arr.reshape(height, width, 3).astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if (sh, sv) != (1, 1):
+            cb = _downsample(cb, sh, sv)
+            cr = _downsample(cr, sh, sv)
+        planes = [np.clip(np.round(p), 0, 255) for p in (y, cb, cr)]
+        comps = [(sh, sv, 0), (1, 1, 1), (1, 1, 1)]
+    else:
+        planes = [arr.reshape(height, width).astype(np.float64)]
+        comps = [(1, 1, 0)]
+
+    hmax = max(h for h, _, _ in comps)
+    vmax = max(v for _, v, _ in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+
+    zigzags = []
+    for (h, v, tq), plane in zip(comps, planes):
+        ph, pw = mcuy * v * 8, mcux * h * 8
+        padded = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+        zigzags.append(
+            _quantize_plane(
+                padded, (_Q_LUMA if tq == 0 else _Q_CHROMA).reshape(8, 8)
+            )
+        )
+
+    out = bytearray()
+    out += b"\xff" + bytes([SOI])
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HH", 1, 1
+    ) + b"\x00\x00"
+    for tq in sorted({tq for _, _, tq in comps}):
+        q = _Q_LUMA if tq == 0 else _Q_CHROMA
+        zz = q.reshape(64)[_ZIGZAG]
+        out += b"\xff" + bytes([DQT]) + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(x) for x in zz
+        )
+    ncomp = nchan
+    out += (
+        b"\xff"
+        + bytes([SOF2])
+        + struct.pack(">H", 8 + 3 * ncomp)
+        + bytes([8])
+        + struct.pack(">HH", height, width)
+        + bytes([ncomp])
+    )
+    for c, (h, v, tq) in enumerate(comps):
+        out += bytes([c + 1, (h << 4) | v, tq])
+    tables = [(0x00, _DC_LUMA), (0x10, _AC_UNIFORM)]
+    if mode == "RGB":
+        tables += [(0x01, _DC_CHROMA)]
+    for tclass, (counts, values) in tables:
+        out += (
+            b"\xff"
+            + bytes([DHT])
+            + struct.pack(">H", 19 + len(values))
+            + bytes([tclass])
+            + bytes(counts)
+            + values
+        )
+
+    dc_maps = [
+        _build_encode_map(*(_DC_LUMA if c == 0 else _DC_CHROMA))
+        for c in range(ncomp)
+    ]
+    ac_map = _build_encode_map(*_AC_UNIFORM)
+
+    def sos_header(comp_specs, ss, se, ah, al):
+        hdr = bytearray()
+        hdr += b"\xff" + bytes([SOS]) + struct.pack(">H", 6 + 2 * len(comp_specs))
+        hdr += bytes([len(comp_specs)])
+        for c, td, ta in comp_specs:
+            hdr += bytes([c + 1, (td << 4) | ta])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return bytes(hdr)
+
+    def dc_scan(ah, al):
+        specs = [(c, (0 if c == 0 else 1), 0) for c in range(ncomp)]
+        body = bytearray(sos_header(specs, 0, 0, ah, al))
+        w = _BitWriter()
+        preds = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c, (h, v, _tq) in enumerate(comps):
+                    bw = mcux * h
+                    for bv in range(v):
+                        for bh in range(h):
+                            bi = (my * v + bv) * bw + mx * h + bh
+                            dc = int(zigzags[c][bi][0]) >> al  # arithmetic
+                            if ah == 0:
+                                diff = dc - preds[c]
+                                preds[c] = dc
+                                nbits = abs(diff).bit_length()
+                                code, length = dc_maps[c][nbits]
+                                w.put(code, length)
+                                if nbits:
+                                    w.put(
+                                        diff
+                                        if diff > 0
+                                        else diff + (1 << nbits) - 1,
+                                        nbits,
+                                    )
+                            else:
+                                w.put(dc & 1, 1)
+        body += w.flush()
+        return bytes(body)
+
+    def ac_scan(c, ss, se, ah, al):
+        h, v, _tq = comps[c]
+        body = bytearray(sos_header([(c, 0, 0)], ss, se, ah, al))
+        w = _BitWriter()
+        state = _ProgressiveACState(w, ac_map)
+        wb, hb = _component_block_grid(width, height, h, v, hmax, vmax)
+        stride = mcux * h
+        for row in range(hb):
+            for col in range(wb):
+                zz = zigzags[c][row * stride + col]
+                if ah == 0:
+                    _encode_ac_first_block(state, zz, ss, se, al)
+                else:
+                    _encode_ac_refine_block(state, zz, ss, se, al)
+        state.flush_eobrun()
+        body += w.flush()
+        return bytes(body)
+
+    out += dc_scan(0, 1)  # DC first, Al=1
+    for c in range(ncomp):  # AC first scans per spectral band, Al=1
+        for ss, se in ac_bands:
+            out += ac_scan(c, ss, se, 0, 1)
+    out += dc_scan(1, 0)  # DC refinement
+    for c in range(ncomp):  # AC refinement scans, Al=0
+        for ss, se in ac_bands:
+            out += ac_scan(c, ss, se, 1, 0)
+    out += b"\xff" + bytes([EOI])
+    return bytes(out)

@@ -61,14 +61,14 @@ except ImportError:
 
     def _stdlib_loader(path: str) -> tuple[bytes, int, int, str]:
         """No-PIL loader: REAL decode for PNG (pure-stdlib zlib inflate
-        + per-row unfilter, ``functions/png_codec.py``) and baseline
-        JPEG (``functions/jpeg_codec.py``); deterministic synthetic
-        pixels for any other format (this runtime has no WebP/GIF
-        codec). Real filesystem semantics either way: the file must
-        exist and be readable (missing file -> the DISCARD route), and
-        a corrupt PNG/JPEG — including non-baseline JPEG flavors the
-        decoder rejects (progressive, 12-bit) — raises -> DISCARD,
-        matching the reference's failure handling
+        + per-row unfilter, ``functions/png_codec.py``) and JPEG —
+        baseline AND progressive (``functions/jpeg_codec.py``);
+        deterministic synthetic pixels for any other format (this
+        runtime has no WebP codec). Real filesystem semantics either
+        way: the file must exist and be readable (missing file -> the
+        DISCARD route), and a corrupt PNG/JPEG — including flavors the
+        decoder rejects (lossless, arithmetic, 12-bit) — raises ->
+        DISCARD, matching the reference's failure handling
         (beam_image.py:112-116)."""
         with open(path, "rb") as fh:
             content = fh.read()

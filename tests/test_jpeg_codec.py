@@ -15,6 +15,7 @@ import pytest
 from tensorflow_recorder_spark.functions.jpeg_codec import (
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
     is_jpeg,
 )
 
@@ -101,15 +102,107 @@ def test_marker_structure():
     assert markers[-1] == 0xDA
 
 
-def test_progressive_rejected():
-    """SOF2 (progressive) must raise — the loader routes it to DISCARD
-    rather than decoding garbage."""
+def test_sof2_chimera_still_rejected():
+    """A baseline stream with its SOF0 marker flipped to SOF2 is a
+    malformed progressive file (its one scan claims the full band in a
+    multi-component DC scan) — must raise, not decode garbage."""
     w, h = 9, 7
     jpg = bytearray(encode_jpeg(_gradient_rgb(w, h).tobytes(), w, h, "RGB"))
     idx = bytes(jpg).find(b"\xff\xc0")
     jpg[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="SOF2"):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(jpg))
+
+
+def test_lossless_sof3_rejected():
+    w, h = 9, 7
+    jpg = bytearray(encode_jpeg(_gradient_rgb(w, h).tobytes(), w, h, "RGB"))
+    idx = bytes(jpg).find(b"\xff\xc0")
+    jpg[idx + 1] = 0xC3
+    with pytest.raises(ValueError, match="SOF3"):
+        decode_jpeg(bytes(jpg))
+
+
+@pytest.mark.parametrize("subsample", ["4:4:4", "4:2:2", "4:2:0"])
+@pytest.mark.parametrize("size", [(16, 16), (21, 13), (5, 3)])
+def test_progressive_decodes_identical_to_baseline(subsample, size):
+    """Progressive and baseline encodes quantize identically, so their
+    decodes must be BYTE-identical — pins the whole SOF2 path (DC
+    first/refine, AC spectral bands with EOB runs, AC refinement with
+    buffered correction bits) against the already-trusted baseline."""
+    w, h = size
+    px = _gradient_rgb(w, h).tobytes()
+    base = decode_jpeg(encode_jpeg(px, w, h, "RGB", subsample=subsample))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(px, w, h, "RGB", subsample=subsample)
+    )
+    assert base == prog
+
+
+@pytest.mark.parametrize(
+    "bands", [((1, 63),), ((1, 5), (6, 63)), ((1, 2), (3, 9), (10, 63))]
+)
+def test_progressive_band_scripts(bands):
+    """Any spectral-selection split of the AC band must reconstruct the
+    same coefficients; flat and noisy extremes exercise maximal EOB
+    runs and refinement-heavy scans respectively."""
+    rng = np.random.RandomState(3)
+    for img in (
+        np.full((32, 24, 3), 77, np.uint8),
+        rng.randint(0, 256, (17, 26, 3)).astype(np.uint8),
+    ):
+        h, w = img.shape[:2]
+        px = img.tobytes()
+        base = decode_jpeg(encode_jpeg(px, w, h, "RGB", subsample="4:2:0"))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                px, w, h, "RGB", subsample="4:2:0", ac_bands=bands
+            )
+        )
+        assert base == prog
+
+
+def test_progressive_grayscale():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (13, 19)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img.tobytes(), 19, 13, "L"))
+    prog = decode_jpeg(encode_jpeg_progressive(img.tobytes(), 19, 13, "L"))
+    assert base == prog
+    assert prog[3] == "L" and prog[1] == 19 and prog[2] == 13
+
+
+def test_progressive_marker_structure():
+    """SOF2 frame with the multi-scan script: one DC-first scan, per-
+    component banded AC scans, a DC refinement, and AC refinements."""
+    jpg = encode_jpeg_progressive(_gradient_rgb(16, 16).tobytes(), 16, 16, "RGB")
+    markers = []
+    pos = 2
+    while pos + 4 <= len(jpg):
+        if jpg[pos] != 0xFF:
+            pos += 1
+            continue
+        m = jpg[pos + 1]
+        if m in (0xC2, 0xDA, 0xC4, 0xDB):
+            markers.append(m)
+        if m == 0xDA:
+            (seglen,) = struct.unpack(">H", jpg[pos + 2 : pos + 4])
+            # skip the entropy segment: scan to the next real marker
+            pos += 2 + seglen
+            while pos + 1 < len(jpg) and not (
+                jpg[pos] == 0xFF
+                and jpg[pos + 1] not in (0x00,)
+                and not (0xD0 <= jpg[pos + 1] <= 0xD7)
+            ):
+                pos += 1
+            continue
+        if 0xC0 <= m <= 0xFE and m not in (0xD8,) and not (0xD0 <= m <= 0xD7):
+            (seglen,) = struct.unpack(">H", jpg[pos + 2 : pos + 4])
+            pos += 2 + seglen
+        else:
+            pos += 2
+    assert markers.count(0xC2) == 1
+    # DC first + 3 comps x 2 bands + DC refine + 3 x 2 refine = 14 scans
+    assert markers.count(0xDA) == 14
 
 
 def test_corrupt_jpegs_raise():
