@@ -56,26 +56,33 @@ try:  # pragma: no cover - PIL not present in this runtime
 except ImportError:
     HAVE_PIL = False
 
+    from ..functions.bmp_codec import decode_bmp, is_bmp
+    from ..functions.gif_codec import decode_gif, is_gif
     from ..functions.jpeg_codec import decode_jpeg, is_jpeg
     from ..functions.png_codec import decode_png, is_png
 
     def _stdlib_loader(path: str) -> tuple[bytes, int, int, str]:
         """No-PIL loader: REAL decode for PNG (pure-stdlib zlib inflate
-        + per-row unfilter, ``functions/png_codec.py``) and JPEG —
-        baseline AND progressive (``functions/jpeg_codec.py``);
-        deterministic synthetic pixels for any other format (this
-        runtime has no WebP codec). Real filesystem semantics either
-        way: the file must exist and be readable (missing file -> the
-        DISCARD route), and a corrupt PNG/JPEG — including flavors the
-        decoder rejects (lossless, arithmetic, 12-bit) — raises ->
-        DISCARD, matching the reference's failure handling
-        (beam_image.py:112-116)."""
+        + per-row unfilter, ``functions/png_codec.py``), JPEG — baseline
+        AND progressive (``functions/jpeg_codec.py``), GIF (first
+        frame, ``functions/gif_codec.py``), and BMP
+        (``functions/bmp_codec.py``); deterministic synthetic pixels
+        for any other format (this runtime has no WebP codec). Real
+        filesystem semantics either way: the file must exist and be
+        readable (missing file -> the DISCARD route), and a corrupt
+        file — including flavors a decoder rejects (lossless/12-bit
+        JPEG, RLE BMP) — raises -> DISCARD, matching the reference's
+        failure handling (beam_image.py:112-116)."""
         with open(path, "rb") as fh:
             content = fh.read()
         if is_png(content):
             return decode_png(content)
         if is_jpeg(content):
             return decode_jpeg(content)
+        if is_gif(content):
+            return decode_gif(content)
+        if is_bmp(content):
+            return decode_bmp(content)
         width = height = 4
         mode = "RGB"
         n = width * height * 3
