@@ -115,6 +115,10 @@ BENCH_QUERIES = [
     "e3_lang_agreement",
     "e4_weekend_effect",
     "e6_curriculum",
+    "e2_range_search",
+    "e4_interarrival",
+    "e3_readability",
+    "e5_codec_roundtrip",
 ]
 
 

@@ -790,6 +790,46 @@ def attribution_join(
     )
 
 
+def interarrival_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user inter-arrival gap profile: mean/median/p95/max gap in
+    seconds plus the coefficient of variation (burstiness — CV >> 1 is
+    the classic bot/scraper signature, CV ~ 1 Poisson-like). The lag
+    window is keyed per user (partition-bounded) and the result is one
+    bounded row per user; the event table collapses before anything
+    wide happens.
+
+    Output: (user, n_events, mean_gap_s, p50_gap_s, p95_gap_s,
+    max_gap_s, burstiness) — gap stats NULL for single-event users.
+    """
+    df = normalize_event_time(df, ts_col)
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    gapped = df.select(
+        F.col(user_col).alias("user"),
+        (
+            (
+                F.unix_micros(F.col(ts_col))
+                - F.unix_micros(F.lag(ts_col).over(w))
+            )
+            / 1e6
+        ).alias("gap_s"),
+    )
+    return gapped.groupBy("user").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 4).alias("p50_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.95)"), 4).alias("p95_gap_s"),
+        F.round(F.max("gap_s"), 4).alias("max_gap_s"),
+        F.round(
+            F.stddev_samp("gap_s") / F.expr("nullif(avg(gap_s), 0.0)"), 4
+        ).alias("burstiness"),
+    )
+
+
 def daily_type_counts(
     df: DataFrame, ts_col: str = "ts", type_col: str = "event_type"
 ) -> DataFrame:

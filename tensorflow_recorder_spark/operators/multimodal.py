@@ -179,6 +179,80 @@ def decode_image_features(
     return df.mapInPandas(run, schema=out_struct)
 
 
+def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distributed integration probe of the REAL pure-Python codecs
+    (round 5): each row synthesizes a tiny deterministic image — format
+    and dimensions derived from the id — encodes it with the repo's own
+    PNG/GIF/BMP/JPEG writers, and decodes it back through the same
+    magic-byte dispatch the T3 no-PIL loader uses, all inside one
+    Arrow-batched ``mapInPandas`` pass (the per-executor path a 100 TB
+    media backfill would take; no driver round-trip, no UDF-per-row).
+
+    ``ok`` requires dimension fidelity for every format and byte-exact
+    pixels for the lossless three (PNG/GIF/BMP). Output: (id, fmt,
+    width, height, channels, ok) — fully arithmetic-predictable, hence
+    oracle-checkable.
+    """
+    from ..functions.bmp_codec import decode_bmp, encode_bmp, is_bmp
+    from ..functions.gif_codec import decode_gif, encode_gif, is_gif
+    from ..functions.jpeg_codec import decode_jpeg, encode_jpeg, is_jpeg
+    from ..functions.png_codec import decode_png, encode_png, is_png
+
+    out_struct = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+    fmts = ("png", "gif", "bmp", "jpeg")
+
+    def probe(i: int):
+        fmt = fmts[i % 4]
+        w, h = 4 + i % 5, 3 + i % 4
+        c = (i * 17) % 256
+        color = (c, (c * 3) % 256, (c * 7) % 256)
+        px = bytes(color) * (w * h)
+        if fmt == "png":
+            data = encode_png(px, w, h)
+        elif fmt == "bmp":
+            data = encode_bmp(px, w, h)
+        elif fmt == "gif":
+            data = encode_gif(bytes(w * h), [color, (0, 0, 0)], w, h)
+        else:
+            data = encode_jpeg(px, w, h)
+        if is_png(data):
+            dec = decode_png(data)
+        elif is_jpeg(data):
+            dec = decode_jpeg(data)
+        elif is_gif(data):
+            dec = decode_gif(data)
+        elif is_bmp(data):
+            dec = decode_bmp(data)
+        else:
+            raise ValueError("dispatch failed")
+        pixels, dw, dh, mode = dec
+        ok = (dw, dh) == (w, h)
+        if fmt != "jpeg":  # lossless formats must round-trip exactly
+            ok = ok and pixels == px
+        channels = 1 if "L" in mode else 3
+        return fmt, dw, dh, channels, ok
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [probe(int(i)) for i in pdf[id_col]]
+            out = pd.DataFrame(
+                rows, columns=["fmt", "width", "height", "channels", "ok"]
+            )
+            out.insert(0, id_col, pdf[id_col].astype("int64").values)
+            yield out
+
+    return df.select(id_col).mapInPandas(run, schema=out_struct)
+
+
 def resize_images(
     df: DataFrame,
     binary_col: str = "media_bytes",

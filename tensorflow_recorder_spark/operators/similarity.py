@@ -116,6 +116,52 @@ def brute_force_topk(
     )
 
 
+def range_neighbors(
+    df: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Radius search: every (query, neighbor) pair with cosine >=
+    ``threshold`` — the dedup-style companion to top-k (top-k bounds
+    the RESULT size, range search bounds the SIMILARITY; near-dup
+    mining and recall audits want the latter).
+
+    Plan shape: queries broadcast, corpus never shuffles, and — unlike
+    top-k — NO rank window at all: the threshold is a plain filter on
+    the scored join, so the whole operator is a single narrow pass over
+    the corpus at any scale. Scores round before comparison so the
+    boundary is engine-exact. Output: (query_id, neighbor_id, score).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.expr(norm_expr(vec_col)).alias("__qn"),
+    )
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.expr(norm_expr(vec_col)).alias("__cn"),
+    )
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(
+                    f"({dot_expr('__qv', '__cv')}) / nullif(__qn * __cn, cast(0 as double))"
+                ),
+                round_digits,
+            ).alias("score"),
+        )
+        .where(F.col("score") >= F.lit(float(threshold)))
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

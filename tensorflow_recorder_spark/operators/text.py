@@ -103,6 +103,37 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def readability_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade (public formulas,
+    Flesch 1948 / Kincaid 1975) from regex-countable proxies: words =
+    alphanumeric runs, sentences = terminal-punctuation runs (min 1),
+    syllables = vowel-group runs ([aeiouy]+, the standard cheap
+    estimator). Another single-scan, zero-shuffle quality column; the
+    counts use ``regexp_extract_all`` lengths so the DuckDB oracle is
+    the byte-same expression.
+
+    Output: (id, n_words, n_sentences, n_syllables, flesch DOUBLE,
+    fk_grade DOUBLE) — NULL scores for wordless documents.
+    """
+    words = f"size(regexp_extract_all({text_col}, '[A-Za-z0-9]+', 0))"
+    sents = f"greatest(size(regexp_extract_all({text_col}, '[.!?]+', 0)), 1)"
+    sylls = f"size(regexp_extract_all(lower({text_col}), '[aeiouy]+', 0))"
+    wps = f"(cast({words} as double) / {sents})"
+    spw = f"(cast({sylls} as double) / nullif({words}, 0))"
+    return df.select(
+        F.col(id_col),
+        F.expr(words).cast("long").alias("n_words"),
+        F.expr(sents).cast("long").alias("n_sentences"),
+        F.expr(sylls).cast("long").alias("n_syllables"),
+        F.round(
+            F.expr(f"206.835 - 1.015 * {wps} - 84.6 * {spw}"), 4
+        ).alias("flesch"),
+        F.round(
+            F.expr(f"0.39 * {wps} + 11.8 * {spw} - 15.59"), 4
+        ).alias("fk_grade"),
+    )
+
+
 def repetition_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Within-document repetition metrics (E3) — the Gopher/C4-style
     quality rules that catch boilerplate-looped and degenerate docs

@@ -6823,6 +6823,226 @@ FROM st, k
 """
 
 
+def q_e2_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 radius search: every neighbor with cosine >= 0.2 of the five
+    query vectors — the threshold-bounded companion to top-k (near-dup
+    mining wants ALL matches above a floor, not a fixed k). No rank
+    window anywhere: one broadcast join + filter, a single narrow pass
+    over the corpus at any scale."""
+    from .operators.similarity import range_neighbors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return range_neighbors(
+        emb, emb.where(F.col("vec_id") < 5), threshold=0.2
+    )
+
+
+ORACLE_E2_RANGE_SEARCH = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e, sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+)
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       round(list_aggregate(list_transform(list_zip(a.e, b.e),
+             p -> p[1] * p[2]), 'sum') / (a.nrm * b.nrm), 4) AS score
+FROM norms a JOIN norms b ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+WHERE round(list_aggregate(list_transform(list_zip(a.e, b.e),
+            p -> p[1] * p[2]), 'sum') / (a.nrm * b.nrm), 4) >= 0.2
+"""
+
+
+def q_e3_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 readability: Flesch reading ease + Flesch-Kincaid grade per
+    document from regex-countable proxies (words, sentence marks, vowel
+    groups) — single-scan quality columns, zero shuffle."""
+    from .operators.text import readability_scores
+
+    return readability_scores(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+ORACLE_E3_READABILITY = """
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / nullif(n_words, 0)), 4)
+         AS flesch,
+       round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / nullif(n_words, 0))
+             - 15.59, 4) AS fk_grade
+FROM c
+"""
+
+
+def q_e4_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 inter-arrival profile: per-user gap statistics (mean, p50,
+    p95, max, coefficient of variation) — the burstiness fingerprint
+    that separates bots/scrapers from organic users. Lag window keyed
+    per user; events collapse to one row per user before anything
+    wide."""
+    from .operators.events import interarrival_stats
+
+    return interarrival_stats(_t(spark, sf_dir, "events"))
+
+
+ORACLE_E4_INTERARRIVAL = """
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS gap_s
+  FROM events
+)
+SELECT user_id AS user,
+       count(*) AS n_events,
+       round(avg(gap_s), 4) AS mean_gap_s,
+       round(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+       round(quantile_cont(gap_s, 0.95), 4) AS p95_gap_s,
+       round(max(gap_s), 4) AS max_gap_s,
+       round(stddev_samp(gap_s) / nullif(avg(gap_s), 0.0), 4) AS burstiness
+FROM g GROUP BY user_id
+"""
+
+
+def q_e5_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 codec integration probe: per document, synthesize a tiny
+    deterministic image (format/dims from doc_id), encode with the
+    repo's pure-Python PNG/GIF/BMP/JPEG writers, decode through the T3
+    loader's magic-byte dispatch — one Arrow-batched mapInPandas pass.
+    ok=true requires dimension fidelity everywhere and byte-exact
+    pixels for the lossless formats, so a codec regression flips rows
+    visibly."""
+    from .operators.multimodal import codec_roundtrip_probe
+
+    return codec_roundtrip_probe(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+ORACLE_E5_CODEC_ROUNDTRIP = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                       WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS fmt,
+       CAST(4 + doc_id % 5 AS BIGINT) AS width,
+       CAST(3 + doc_id % 4 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       TRUE AS ok
+FROM documents
+"""
+
+
+def q_rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-style small-quantity revenue: for one brand's parts, the
+    total revenue of lineitems whose quantity is below 20% of that
+    part's average quantity. The textbook CORRELATED scalar subquery is
+    decorrelated into one pre-aggregated join: per-part floors are
+    computed ONCE over the brand-filtered lineitems (a partial-agg
+    groupBy bounded by the brand's part count) and broadcast back —
+    the fact table is scanned once and never probed per row. The
+    DuckDB oracle keeps the correlated textbook form, so the
+    hash-match doubles as a decorrelation-equivalence proof (the Q21
+    pattern the r4 review called out)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_parts = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    scoped = li.join(
+        F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey
+    )
+    floors = scoped.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+            * F.lit(0.2)
+        ).alias("qty_floor")
+    ).withColumnRenamed("l_partkey", "f_partkey")
+    return (
+        scoped.join(
+            F.broadcast(floors), scoped.l_partkey == floors.f_partkey
+        )
+        .where(F.col("l_quantity") < F.col("qty_floor"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / 7.0,
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+ORACLE_REL_SMALL_QTY_REVENUE = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / 7.0, 4) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (
+    SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+           / count(*) * 0.2
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+def q_rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-style top supplier: the supplier(s) with maximal revenue
+    over one shipdate quarter — revenue per supplier is a partial-agg
+    groupBy on exact DECIMAL sums (engine-exact, so the max-equality
+    join has no float-tie hazard), and the maximum arrives as a
+    broadcast single-row aggregate joined back. No global window, no
+    second fact scan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.__mx)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_REL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7038,6 +7258,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_dataset_card": q_e6_dataset_card,
     "e2_retrieve_diverse": q_e2_retrieve_diverse,
     "e4_weekend_effect": q_e4_weekend_effect,
+    # round-5 additions
+    "e2_range_search": q_e2_range_search,
+    "e3_readability": q_e3_readability,
+    "e4_interarrival": q_e4_interarrival,
+    "e5_codec_roundtrip": q_e5_codec_roundtrip,
+    "rel_small_qty_revenue": q_rel_small_qty_revenue,
+    "rel_top_supplier": q_rel_top_supplier,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
     "rel_rollup": q_rel_rollup,
@@ -7228,4 +7455,10 @@ ORACLES: dict[str, str] = {
     "e6_dataset_card": _oracle_dataset_card(),
     "e2_retrieve_diverse": _oracle_retrieve_diverse(),
     "e4_weekend_effect": ORACLE_E4_WEEKEND_EFFECT,
+    "e2_range_search": ORACLE_E2_RANGE_SEARCH,
+    "e3_readability": ORACLE_E3_READABILITY,
+    "e4_interarrival": ORACLE_E4_INTERARRIVAL,
+    "e5_codec_roundtrip": ORACLE_E5_CODEC_ROUNDTRIP,
+    "rel_small_qty_revenue": ORACLE_REL_SMALL_QTY_REVENUE,
+    "rel_top_supplier": ORACLE_REL_TOP_SUPPLIER,
 }

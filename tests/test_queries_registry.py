@@ -205,6 +205,14 @@ def test_driver_window_holds_all_unique_queries():
         "rel_rollup",
         "e1_lsh_pairs",
         "e3_word_frequencies",
+        # round-5 additions beyond the window (oracle-checked by
+        # scripts/check_oracle.py over the full registry)
+        "e2_range_search",
+        "e3_readability",
+        "e4_interarrival",
+        "e5_codec_roundtrip",
+        "rel_small_qty_revenue",
+        "rel_top_supplier",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

@@ -1,0 +1,97 @@
+"""Unit tests for the round-5 operators: range search, readability,
+inter-arrival profile, and the distributed codec round-trip probe."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_range_neighbors_threshold_and_no_window(spark):
+    from tensorflow_recorder_spark.operators.similarity import range_neighbors
+    from test_plan_windows import _unpartitioned_windows
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.1]),   # cos ~ 0.995 with 0
+            (2, [0.0, 1.0]),   # cos 0 with 0
+            (3, [-1.0, 0.0]),  # cos -1 with 0
+            (4, [1.0, 1.0]),   # cos ~ 0.7071 with 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = range_neighbors(emb, emb.where(F.col("vec_id") == 0), 0.5)
+    assert _unpartitioned_windows(out) == []
+    got = {(r["query_id"], r["neighbor_id"]): r["score"] for r in out.collect()}
+    assert set(got) == {(0, 1), (0, 4)}
+    assert got[(0, 4)] == pytest.approx(round(1 / math.sqrt(2), 4))
+    # boundary is inclusive on the ROUNDED score
+    out2 = range_neighbors(emb, emb.where(F.col("vec_id") == 0), 0.7071)
+    assert (0, 4) in {
+        (r["query_id"], r["neighbor_id"]) for r in out2.collect()
+    }
+
+
+def test_readability_scores_known_text(spark):
+    from tensorflow_recorder_spark.operators.text import readability_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, ""),  # wordless -> NULL scores
+            (3, "no terminal punctuation here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in readability_scores(df, "text", "doc_id").collect()}
+    r1 = rows[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (6, 2, 6)
+    wps, spw = 6 / 2, 6 / 6
+    assert r1["flesch"] == pytest.approx(round(206.835 - 1.015 * wps - 84.6 * spw, 4))
+    assert r1["fk_grade"] == pytest.approx(round(0.39 * wps + 11.8 * spw - 15.59, 4))
+    assert rows[2]["flesch"] is None and rows[2]["fk_grade"] is None
+    assert rows[3]["n_sentences"] == 1  # floor at one sentence
+
+
+def test_interarrival_stats_gaps_and_burstiness(spark):
+    from tensorflow_recorder_spark.operators.events import interarrival_stats
+
+    rows = [
+        # user 1: gaps 10, 20, 30 s
+        (1, 1, "2024-01-01 00:00:00"),
+        (2, 1, "2024-01-01 00:00:10"),
+        (3, 1, "2024-01-01 00:00:30"),
+        (4, 1, "2024-01-01 00:01:00"),
+        # user 2: single event -> NULL gap stats
+        (5, 2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["user"]: r for r in interarrival_stats(df).collect()}
+    u1 = got[1]
+    assert u1["n_events"] == 4
+    assert u1["mean_gap_s"] == pytest.approx(20.0)
+    assert u1["p50_gap_s"] == pytest.approx(20.0)
+    assert u1["max_gap_s"] == pytest.approx(30.0)
+    assert u1["burstiness"] == pytest.approx(round(10.0 / 20.0, 4))
+    u2 = got[2]
+    assert u2["n_events"] == 1 and u2["mean_gap_s"] is None
+
+
+def test_codec_roundtrip_probe_all_formats_ok(spark):
+    from tensorflow_recorder_spark.operators.multimodal import (
+        codec_roundtrip_probe,
+    )
+
+    df = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    rows = codec_roundtrip_probe(df, "doc_id").collect()
+    assert len(rows) == 40
+    assert all(r["ok"] for r in rows)
+    fmts = {r["doc_id"] % 4: r["fmt"] for r in rows}
+    assert fmts == {0: "png", 1: "gif", 2: "bmp", 3: "jpeg"}
+    for r in rows:
+        assert r["width"] == 4 + r["doc_id"] % 5
+        assert r["height"] == 3 + r["doc_id"] % 4
+        assert r["channels"] == 3
