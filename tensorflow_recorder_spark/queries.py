@@ -6937,6 +6937,54 @@ FROM documents
 """
 
 
+def q_s19_stream_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inter-arrival burstiness profile AS A STREAM: per-user
+    (last-ts, count, gap moments) state via applyInPandasWithState —
+    5 scalars per key, so the bot-detection fingerprint streams with
+    bounded state. Percentiles are deliberately absent (they need the
+    full gap distribution — unholdable online); the moment-based CV is
+    the streamable core, shared with the batch ``e4_interarrival``.
+    Final rows recovered at max n_events per key after the
+    availableNow drain."""
+    from .streaming.stateful import streaming_interarrival
+
+    stats = streaming_interarrival(_event_stream(spark, sf_dir))
+    table = _drain_to_memory(stats, "stream_interarrival_sink", "update")
+    return table.groupBy("user_id").agg(
+        F.max("n_events").cast("long").alias("n_events"),
+        F.max_by("mean_gap_s", "n_events").alias("mean_gap_s"),
+        F.max_by("max_gap_s", "n_events").alias("max_gap_s"),
+        F.max_by("burstiness", "n_events").alias("burstiness"),
+    )
+
+
+ORACLE_S19_STREAM_INTERARRIVAL = """
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS gap_s
+  FROM events
+),
+m AS (
+  SELECT user_id,
+         count(*) AS n_events,
+         count(gap_s) AS gaps,
+         sum(gap_s) AS gsum,
+         sum(gap_s * gap_s) AS gsumsq,
+         max(gap_s) AS gmax
+  FROM g GROUP BY user_id
+)
+SELECT user_id, n_events,
+       round(gsum / nullif(gaps, 0), 4) AS mean_gap_s,
+       round(gmax, 4) AS max_gap_s,
+       CASE WHEN gaps >= 2 AND gsum <> 0 THEN
+         round(sqrt(greatest((gsumsq - gaps * pow(gsum / gaps, 2))
+                             / (gaps - 1), 0)) / (gsum / gaps), 4)
+       END AS burstiness
+FROM m
+"""
+
+
 def q_rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17-style small-quantity revenue: for one brand's parts, the
     total revenue of lineitems whose quantity is below 20% of that
@@ -7265,6 +7313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e5_codec_roundtrip": q_e5_codec_roundtrip,
     "rel_small_qty_revenue": q_rel_small_qty_revenue,
     "rel_top_supplier": q_rel_top_supplier,
+    "s19_stream_interarrival": q_s19_stream_interarrival,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
     "rel_rollup": q_rel_rollup,
@@ -7461,4 +7510,5 @@ ORACLES: dict[str, str] = {
     "e5_codec_roundtrip": ORACLE_E5_CODEC_ROUNDTRIP,
     "rel_small_qty_revenue": ORACLE_REL_SMALL_QTY_REVENUE,
     "rel_top_supplier": ORACLE_REL_TOP_SUPPLIER,
+    "s19_stream_interarrival": ORACLE_S19_STREAM_INTERARRIVAL,
 }

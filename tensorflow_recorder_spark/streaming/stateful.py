@@ -318,3 +318,89 @@ def streaming_cusum(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_interarrival(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key streaming inter-arrival profile via
+    ``applyInPandasWithState`` — the streaming twin of
+    ``operators.events.interarrival_stats``. State is 5 scalars per key
+    (last event-time micros, gap count, gap sum, gap sum-of-squares,
+    max gap), so the burstiness fingerprint streams with bounded state;
+    the percentile columns of the batch operator are deliberately
+    dropped — exact quantiles need the full gap distribution, which is
+    precisely what a streaming detector cannot hold (the moment-based
+    CV is the streamable core).
+
+    Events fold in (ts, id) order WITHIN each micro-batch and the last
+    timestamp carries across batches; equal to the batch fold when
+    batches arrive in event-time order (an availableNow drain of one
+    time-ordered source), the same caveat as :func:`streaming_cusum`.
+
+    Output per batch (update mode): (key, n_events, mean_gap_s,
+    max_gap_s, burstiness) — gap stats NULL until a key has 2 events.
+    """
+    out_schema = (
+        f"{key_col} long, n_events long, mean_gap_s double, "
+        f"max_gap_s double, burstiness double"
+    )
+    state_schema = (
+        "last_us long, n long, gap_sum double, gap_sumsq double, "
+        "gap_max double"
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_us, n, gsum, gsumsq, gmax = state.get
+        else:
+            last_us, n, gsum, gsumsq, gmax = None, 0, 0.0, 0.0, 0.0
+        for pdf in pdfs:
+            ordered = pdf.sort_values([ts_col, id_col])
+            for ts in ordered[ts_col]:
+                us = int(ts.value // 1000)  # pandas Timestamp ns -> us
+                if last_us is not None:
+                    gap = (us - last_us) / 1e6
+                    gsum += gap
+                    gsumsq += gap * gap
+                    gmax = max(gmax, gap)
+                last_us = us
+                n += 1
+        state.update((last_us, n, gsum, gsumsq, gmax))
+        gaps = n - 1
+        if gaps >= 1:
+            mean = gsum / gaps
+            if gaps >= 2:
+                var = max(0.0, (gsumsq - gaps * mean * mean) / (gaps - 1))
+                burst = (var**0.5) / mean if mean != 0 else None
+            else:
+                burst = None
+            mean_out = round(mean, 4)
+            max_out = round(gmax, 4)
+            burst_out = round(burst, 4) if burst is not None else None
+        else:
+            mean_out = max_out = burst_out = None
+        # nullable Float64 so a None (single-event user) arrives in
+        # Spark as NULL, not NaN — the oracle emits NULL there
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "mean_gap_s": pd.array([mean_out], dtype="Float64"),
+                "max_gap_s": pd.array([max_out], dtype="Float64"),
+                "burstiness": pd.array([burst_out], dtype="Float64"),
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -213,6 +213,7 @@ def test_driver_window_holds_all_unique_queries():
         "e5_codec_roundtrip",
         "rel_small_qty_revenue",
         "rel_top_supplier",
+        "s19_stream_interarrival",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
