@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "e4_interarrival",
     "e3_readability",
     "e5_codec_roundtrip",
+    "e4_markov_transitions",
+    "e1_lsh_recall_audit",
 ]
 
 

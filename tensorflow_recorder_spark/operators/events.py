@@ -830,6 +830,44 @@ def interarrival_stats(
     )
 
 
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next type | current type), the session-modeling /
+    funnel-discovery staple. Adjacent pairs come from one lag window
+    keyed per user (partition-bounded); counts and row totals are
+    partial-agg groupBys bounded by type-cardinality², and the
+    normalizing join broadcasts the per-from-type totals — the event
+    table collapses ~1e4:1 before anything wide.
+
+    Output: (from_type, to_type, n BIGINT, p DOUBLE rounded 6).
+    """
+    df = normalize_event_time(df, ts_col)
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = df.select(
+        F.lag(type_col).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("__tot"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("__tot"), 6).alias("p"),
+        )
+    )
+
+
 def daily_type_counts(
     df: DataFrame, ts_col: str = "ts", type_col: str = "event_type"
 ) -> DataFrame:

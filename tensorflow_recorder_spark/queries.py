@@ -6985,6 +6985,104 @@ FROM m
 """
 
 
+def q_e4_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 first-order Markov transition matrix over per-user event
+    sequences — P(next type | current type), the session-modeling
+    staple. One per-user lag window, then type-cardinality-bounded
+    aggregates with a broadcast normalizing join."""
+    from .operators.events import transition_matrix
+
+    return transition_matrix(_t(spark, sf_dir, "events"))
+
+
+ORACLE_E4_MARKOV = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM c
+"""
+
+
+def q_e1_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 tuning audit: recall/precision of the MinHash-LSH candidate
+    generator against exact 5-gram-Jaccard ground truth (threshold
+    0.2, within source blocks) — the number a dedup-threshold review
+    reads before trusting banded LSH at scale. Candidates restrict to
+    the same block domain as the truth set so both counts cover the
+    SAME pair universe; all three counts are single-row aggregates
+    cross-joined into one audit row."""
+    from .operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = dd.blocked_jaccard_pairs(
+        docs, "text", "doc_id", block_col="source", threshold=0.2
+    ).select("id_a", "id_b")
+    sigs = dd.minhash_signatures(docs, "text", "doc_id")
+    cand = dd.lsh_candidate_pairs(sigs, "doc_id", min_est_jaccard=0.25).select(
+        "id_a", "id_b"
+    )
+    sa = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("__sa"))
+    sb = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("__sb"))
+    cand_block = (
+        cand.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .where(F.col("__sa") == F.col("__sb"))
+        .select("id_a", "id_b")
+    )
+    hit = truth.join(cand_block, ["id_a", "id_b"])
+    t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    c = cand_block.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    h = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        t.crossJoin(c)
+        .crossJoin(h)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.round(F.col("n_hit") / F.expr("nullif(n_true, 0)"), 6).alias(
+                "recall"
+            ),
+            F.round(
+                F.col("n_hit") / F.expr("nullif(n_candidates, 0)"), 6
+            ).alias("precision"),
+        )
+    )
+
+
+def _oracle_lsh_recall_audit() -> str:
+    return f"""
+WITH truth AS (SELECT id_a, id_b FROM ({ORACLE_E1_JACCARD})),
+cand AS ({_oracle_lsh_pairs(min_est=0.25)}),
+cand_block AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN documents a ON a.doc_id = c.id_a
+  JOIN documents b ON b.doc_id = c.id_b
+  WHERE a.source = b.source
+),
+hit AS (SELECT id_a, id_b FROM truth INTERSECT SELECT id_a, id_b FROM cand_block)
+SELECT (SELECT count(*) FROM truth) AS n_true,
+       (SELECT count(*) FROM cand_block) AS n_candidates,
+       (SELECT count(*) FROM hit) AS n_hit,
+       round((SELECT count(*) FROM hit)::DOUBLE
+             / nullif((SELECT count(*) FROM truth), 0), 6) AS recall,
+       round((SELECT count(*) FROM hit)::DOUBLE
+             / nullif((SELECT count(*) FROM cand_block), 0), 6) AS precision
+"""
+
+
 def q_rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17-style small-quantity revenue: for one brand's parts, the
     total revenue of lineitems whose quantity is below 20% of that
@@ -7314,6 +7412,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_small_qty_revenue": q_rel_small_qty_revenue,
     "rel_top_supplier": q_rel_top_supplier,
     "s19_stream_interarrival": q_s19_stream_interarrival,
+    "e4_markov_transitions": q_e4_markov_transitions,
+    "e1_lsh_recall_audit": q_e1_lsh_recall_audit,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
     "rel_rollup": q_rel_rollup,
@@ -7511,4 +7611,6 @@ ORACLES: dict[str, str] = {
     "rel_small_qty_revenue": ORACLE_REL_SMALL_QTY_REVENUE,
     "rel_top_supplier": ORACLE_REL_TOP_SUPPLIER,
     "s19_stream_interarrival": ORACLE_S19_STREAM_INTERARRIVAL,
+    "e4_markov_transitions": ORACLE_E4_MARKOV,
+    "e1_lsh_recall_audit": _oracle_lsh_recall_audit(),
 }

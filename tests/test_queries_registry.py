@@ -214,6 +214,8 @@ def test_driver_window_holds_all_unique_queries():
         "rel_small_qty_revenue",
         "rel_top_supplier",
         "s19_stream_interarrival",
+        "e4_markov_transitions",
+        "e1_lsh_recall_audit",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

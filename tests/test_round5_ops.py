@@ -95,3 +95,48 @@ def test_codec_roundtrip_probe_all_formats_ok(spark):
         assert r["width"] == 4 + r["doc_id"] % 5
         assert r["height"] == 3 + r["doc_id"] % 4
         assert r["channels"] == 3
+
+
+def test_transition_matrix_probabilities(spark):
+    from tensorflow_recorder_spark.operators.events import transition_matrix
+
+    rows = [
+        (1, 1, "a", "2024-01-01 00:00:00"),
+        (2, 1, "b", "2024-01-01 00:00:10"),
+        (3, 1, "a", "2024-01-01 00:00:20"),
+        (4, 1, "b", "2024-01-01 00:00:30"),
+        (5, 2, "a", "2024-01-01 00:00:00"),
+        (6, 2, "c", "2024-01-01 00:00:10"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in transition_matrix(df).collect()
+    }
+    # user 1: a->b, b->a, a->b; user 2: a->c
+    assert got[("a", "b")] == (2, pytest.approx(2 / 3, abs=1e-6))
+    assert got[("a", "c")] == (1, pytest.approx(1 / 3, abs=1e-6))
+    assert got[("b", "a")] == (1, pytest.approx(1.0))
+    # rows sum to 1 per from_type
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (f, _t), (_n, p) in got.items():
+        sums[f] += p
+    assert all(abs(s - 1.0) < 1e-5 for s in sums.values())
+
+
+def test_lsh_recall_audit_counts_consistent(spark):
+    """On a corpus with exact duplicates the audit must find them all
+    (duplicates collide in every band), and the three counts must obey
+    hits <= min(truth, candidates)."""
+    from tensorflow_recorder_spark.queries import QUERIES
+
+    row = QUERIES["e1_lsh_recall_audit"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0 <= row["n_hit"] <= min(row["n_true"], row["n_candidates"])
+    if row["n_true"]:
+        assert row["recall"] == pytest.approx(
+            round(row["n_hit"] / row["n_true"], 6)
+        )
