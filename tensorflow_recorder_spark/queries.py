@@ -7090,10 +7090,13 @@ def q_rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelated into one pre-aggregated join: per-part floors are
     computed ONCE over the brand-filtered lineitems (a partial-agg
     groupBy bounded by the brand's part count) and broadcast back —
-    the fact table is scanned once and never probed per row. The
-    DuckDB oracle keeps the correlated textbook form, so the
-    hash-match doubles as a decorrelation-equivalence proof (the Q21
-    pattern the r4 review called out)."""
+    the probe never evaluates a subquery per row. The brand-scoped
+    3-column frame (one brand ~ 1/25 of parts) feeds BOTH the floor
+    fit and the probe, so it is materialized once (localCheckpoint)
+    instead of scanning lineitem twice. The DuckDB oracle keeps the
+    correlated textbook form, so the hash-match doubles as a
+    decorrelation-equivalence proof (the Q21 pattern the r4 review
+    called out)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
@@ -7104,7 +7107,7 @@ def q_rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scoped = li.join(
         F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey
-    )
+    ).localCheckpoint(eager=True)
     floors = scoped.groupBy("l_partkey").agg(
         (
             F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
@@ -7153,12 +7156,19 @@ def q_rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1996-04-01")
     )
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                "decimal(18,6)"
-            )
-        ).alias("total_revenue")
+    # rev is supplier-cardinality-bounded and feeds BOTH the max
+    # aggregate and the equality join — materialize once instead of
+    # re-scanning lineitem for each consumer.
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("total_revenue")
+        )
+        .localCheckpoint(eager=True)
     )
     mx = rev.agg(F.max("total_revenue").alias("__mx"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
