@@ -7233,7 +7233,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a2_vocabulary_fit": q_a2_vocabulary_fit,
     "a3_vocabulary_apply": q_a3_vocabulary_apply,
     "a4_zscore": q_a4_zscore,
-    "a5_vocabulary_topk": q_a5_vocabulary_topk,
+    # round-5 swap: the rebuilt curriculum (distributed global rank —
+    # the r4 verdict's one weak component, now fixed) takes a driver
+    # slot; a5's top-k shape is a variant of the scored a2/a3 pair
+    # (same rationale as a6's rotation) and moves past the window.
+    "e6_curriculum": q_e6_curriculum,
     "t1_csv_serialize": q_t1_csv_serialize,
     "t2_typed_projection": q_t2_typed_projection,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -7363,7 +7367,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s8_stream_bloom_candidates": q_s8_stream_bloom_candidates,
     "e2_pq_recall": q_e2_pq_recall,
     "e6_weighted_sample": q_e6_weighted_sample,
-    "e6_curriculum": q_e6_curriculum,
+    "a5_vocabulary_topk": q_a5_vocabulary_topk,
     "e4_rolling_distinct": q_e4_rolling_distinct,
     "s9_stream_rolling_distinct": q_s9_stream_rolling_distinct,
     "e4_anomaly": q_e4_anomaly,

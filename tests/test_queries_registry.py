@@ -117,7 +117,9 @@ def test_driver_window_holds_all_unique_queries():
         "e2_pq_recall",
         "e6_dsir_scores",
         "e6_weighted_sample",
-        "e6_curriculum",
+        # a5 rotated out in round 5 (top-k variant of scored a2/a3;
+        # its slot went to the rebuilt e6_curriculum)
+        "a5_vocabulary_topk",
         "e4_rolling_distinct",
         "s9_stream_rolling_distinct",
         # session-4 additions past the window (densification, anomaly
