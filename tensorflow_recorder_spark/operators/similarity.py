@@ -162,6 +162,55 @@ def range_neighbors(
     )
 
 
+def range_neighbors_ivf(
+    df: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Cell-pruned radius search — the 100 TB path for
+    :func:`range_neighbors`: each query scores only its own IVF cell
+    (1/K of the corpus by layout; against a materialized
+    ``write_ivf_index`` the probe reads only those partitions), then
+    the cosine threshold filters. Approximate like every IVF probe —
+    a neighbor in a foreign cell is missed; raise coverage the same
+    way as top-k (nprobe via :func:`ivf_probes`). Still no rank
+    window anywhere. Output: (query_id, neighbor_id, score).
+    """
+    assign = ivf_assign(df, centroids, vec_col, id_col)
+    corpus = df.join(assign, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.expr(norm_expr(vec_col)).alias("__cn"),
+        F.col("centroid_id").alias("__ccell"),
+    )
+    q_assign = ivf_assign(queries, centroids, vec_col, id_col)
+    q = queries.join(q_assign, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.expr(norm_expr(vec_col)).alias("__qn"),
+        F.col("centroid_id").alias("__qcell"),
+    )
+    return (
+        corpus.join(F.broadcast(q), F.col("__ccell") == F.col("__qcell"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(
+                    f"({dot_expr('__qv', '__cv')}) / nullif(__qn * __cn, cast(0 as double))"
+                ),
+                round_digits,
+            ).alias("score"),
+        )
+        .where(F.col("score") >= F.lit(float(threshold)))
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

@@ -6985,6 +6985,55 @@ FROM m
 """
 
 
+def q_e2_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-pruned radius search: same threshold contract as
+    ``e2_range_search`` but each query scores only its own IVF cell
+    (centroids = vec_id < 8) — 1/K of the corpus by layout, the
+    serving shape a 100 TB radius query takes against the
+    partitionBy(centroid_id) index."""
+    from .operators.similarity import range_neighbors_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return range_neighbors_ivf(
+        emb, centroids, emb.where(F.col("vec_id") < 5), threshold=0.2
+    )
+
+
+ORACLE_E2_RANGE_SEARCH_IVF = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e, sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+assign_scored AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         round(list_aggregate(list_transform(list_zip(v.e, c.e),
+               p -> p[1] * p[2]), 'sum') / (v.nrm * c.nrm), 6) AS score
+  FROM norms v JOIN norms c ON c.vec_id < 8
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+)
+SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       round(list_aggregate(list_transform(list_zip(q.e, v.e),
+             p -> p[1] * p[2]), 'sum') / (q.nrm * v.nrm), 4) AS score
+FROM norms q
+JOIN assign qa ON qa.vec_id = q.vec_id
+JOIN assign va ON va.centroid_id = qa.centroid_id
+JOIN norms v ON v.vec_id = va.vec_id AND v.vec_id <> q.vec_id
+WHERE q.vec_id < 5
+  AND round(list_aggregate(list_transform(list_zip(q.e, v.e),
+        p -> p[1] * p[2]), 'sum') / (q.nrm * v.nrm), 4) >= 0.2
+"""
+
+
 def q_e4_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 first-order Markov transition matrix over per-user event
     sequences — P(next type | current type), the session-modeling
@@ -7428,6 +7477,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s19_stream_interarrival": q_s19_stream_interarrival,
     "e4_markov_transitions": q_e4_markov_transitions,
     "e1_lsh_recall_audit": q_e1_lsh_recall_audit,
+    "e2_range_search_ivf": q_e2_range_search_ivf,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
     "rel_rollup": q_rel_rollup,
@@ -7627,4 +7677,5 @@ ORACLES: dict[str, str] = {
     "s19_stream_interarrival": ORACLE_S19_STREAM_INTERARRIVAL,
     "e4_markov_transitions": ORACLE_E4_MARKOV,
     "e1_lsh_recall_audit": _oracle_lsh_recall_audit(),
+    "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
 }

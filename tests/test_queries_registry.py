@@ -218,6 +218,7 @@ def test_driver_window_holds_all_unique_queries():
         "s19_stream_interarrival",
         "e4_markov_transitions",
         "e1_lsh_recall_audit",
+        "e2_range_search_ivf",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
