@@ -239,3 +239,22 @@ def test_stdlib_loader_decodes_gif_and_bmp(tmp_path):
     px, w, h, mode = image_op.DEFAULT_LOADER(str(gif_path))
     assert (w, h, mode) == (8, 5, "RGB")
     assert px == np.array(pal, np.uint8)[idx].tobytes()
+
+
+def test_gif_local_color_table_overrides_global():
+    """A frame with its own local color table must decode through the
+    LCT, not the global one."""
+    wrong = [(1, 2, 3), (4, 5, 6)]
+    right = [(200, 10, 30), (40, 250, 60)]
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    gif = bytearray(encode_gif(idx.tobytes(), wrong, 2, 2))
+    pos = bytes(gif).find(b"\x2c")
+    # set the local-color-table flag (size bits 0 -> 2 entries) on the
+    # image descriptor and splice the LCT right after it
+    assert gif[pos + 9] == 0x00
+    gif[pos + 9] = 0x80  # LCT flag, size 0 -> 2 entries
+    lct = b"".join(bytes(c) for c in right)
+    gif2 = bytes(gif[: pos + 10]) + lct + bytes(gif[pos + 10 :])
+    px, w, h, mode = decode_gif(gif2)
+    assert (w, h, mode) == (2, 2, "RGB")
+    assert px == np.array(right, np.uint8)[idx].tobytes()
