@@ -154,11 +154,15 @@ def _decode_gif_inner(data: bytes) -> tuple[bytes, int, int, str]:
             frame = out_rows
         if int(frame.max(initial=0)) >= len(lct):
             raise ValueError("corrupt GIF: palette index out of range")
-        canvas = np.full((sh, sw), bg_index if gct is not None else 0, np.uint8)
-        canvas[top : top + fh, left : left + fw] = frame
-        if int(canvas.max(initial=0)) >= len(lct):
-            raise ValueError("corrupt GIF: background index out of range")
-        rgb = lct[canvas]
+        # Background color is an index into the GLOBAL table (GIF89a
+        # §18 — the field is meaningless without a GCT or when it
+        # exceeds it: black then); the frame region maps through its
+        # own local-or-global table. Compositing in RGB keeps the two
+        # palettes from cross-contaminating.
+        rgb = np.zeros((sh, sw, 3), np.uint8)
+        if gct is not None and bg_index < len(gct):
+            rgb[:, :] = gct[bg_index]
+        rgb[top : top + fh, left : left + fw] = lct[frame]
         return np.ascontiguousarray(rgb).tobytes(), sw, sh, "RGB"
     raise ValueError("corrupt GIF: no image frame")
 

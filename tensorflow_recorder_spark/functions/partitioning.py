@@ -10,11 +10,21 @@ every hot entry point (r4 verdict item 2). This helper decides from
 
 - scan already has >= parallelism files → unchanged. At 100 TB the scan
   has thousands of files, so no corpus-wide shuffle is ever added;
-- fewer files (including in-memory frames, where ``inputFiles()`` is
-  empty) → one unconditional bounded ``repartition``. The shuffled
-  volume is bounded by what fits in fewer-than-#cores files — trivial
-  next to the per-row Python stage it feeds;
-- frames with no file lineage that also cannot answer ``inputFiles()``
+- fewer files than cores (but at least one) → one bounded
+  ``repartition``. The shuffled volume is bounded by what fits in
+  fewer-than-#cores files — trivial next to the per-row Python stage it
+  feeds;
+- no file lineage AND the plan is a driver-local relation
+  (``df.isLocal()`` — e.g. ``createDataFrame`` from pandas, a handful
+  of partitions at most) → ``repartition``, same bounded-volume
+  argument;
+- any other derived frame (post-shuffle/join/agg output, empty
+  ``inputFiles()`` but not local) → UNCHANGED. Its partition count
+  came from a shuffle (``spark.sql.shuffle.partitions`` or AQE), which
+  is already >= cores in any sane config; repartitioning here would
+  both add a full extra shuffle of the corpus and potentially
+  DOWNGRADE an already-parallel frame to ``defaultParallelism``;
+- frames that cannot answer ``inputFiles()``/``isLocal()``
   (streaming sources) → unchanged.
 """
 
@@ -28,7 +38,10 @@ def spread_to_parallelism(
 ) -> DataFrame:
     par = parallelism or df.sparkSession.sparkContext.defaultParallelism
     try:
-        if len(df.inputFiles()) >= par:
+        files = df.inputFiles()
+        if len(files) >= par:
+            return df
+        if not files and not df.isLocal():
             return df
     except Exception:
         return df

@@ -853,8 +853,14 @@ def transition_matrix(
         F.lag(type_col).over(w).alias("from_type"),
         F.col(type_col).alias("to_type"),
     ).where(F.col("from_type").isNotNull())
-    counts = pairs.groupBy("from_type", "to_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    # counts feeds both the totals aggregate and the normalizing join;
+    # without a cut Spark evaluates the full-corpus lag window twice
+    # (r5 review finding). The checkpointed frame is type-cardinality²
+    # rows — trivially small.
+    counts = (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
     )
     totals = counts.groupBy("from_type").agg(F.sum("n").alias("__tot"))
     return (

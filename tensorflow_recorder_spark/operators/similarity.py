@@ -116,6 +116,30 @@ def brute_force_topk(
     )
 
 
+def _threshold_scored_pairs(
+    joined: DataFrame, threshold: float, round_digits: int
+) -> DataFrame:
+    """Shared finalize for radius search: cosine-score the
+    (query, neighbor) join — columns ``__qv/__cv/__qn/__cn`` — round,
+    and apply the threshold filter. One definition so the exact and
+    IVF variants (``e2_range_search`` / ``e2_range_search_ivf``) stay
+    the same contract by construction."""
+    return (
+        joined.where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(
+                    f"({dot_expr('__qv', '__cv')}) / nullif(__qn * __cn, cast(0 as double))"
+                ),
+                round_digits,
+            ).alias("score"),
+        )
+        .where(F.col("score") >= F.lit(float(threshold)))
+    )
+
+
 def range_neighbors(
     df: DataFrame,
     queries: DataFrame,
@@ -145,20 +169,8 @@ def range_neighbors(
         F.col(vec_col).alias("__cv"),
         F.expr(norm_expr(vec_col)).alias("__cn"),
     )
-    return (
-        corpus.crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.expr(
-                    f"({dot_expr('__qv', '__cv')}) / nullif(__qn * __cn, cast(0 as double))"
-                ),
-                round_digits,
-            ).alias("score"),
-        )
-        .where(F.col("score") >= F.lit(float(threshold)))
+    return _threshold_scored_pairs(
+        corpus.crossJoin(F.broadcast(q)), threshold, round_digits
     )
 
 
@@ -194,20 +206,10 @@ def range_neighbors_ivf(
         F.expr(norm_expr(vec_col)).alias("__qn"),
         F.col("centroid_id").alias("__qcell"),
     )
-    return (
-        corpus.join(F.broadcast(q), F.col("__ccell") == F.col("__qcell"))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.expr(
-                    f"({dot_expr('__qv', '__cv')}) / nullif(__qn * __cn, cast(0 as double))"
-                ),
-                round_digits,
-            ).alias("score"),
-        )
-        .where(F.col("score") >= F.lit(float(threshold)))
+    return _threshold_scored_pairs(
+        corpus.join(F.broadcast(q), F.col("__ccell") == F.col("__qcell")),
+        threshold,
+        round_digits,
     )
 
 

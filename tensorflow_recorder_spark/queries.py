@@ -7074,9 +7074,18 @@ def q_e1_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup as dd
 
     docs = _t(spark, sf_dir, "documents")
-    truth = dd.blocked_jaccard_pairs(
-        docs, "text", "doc_id", block_col="source", threshold=0.2
-    ).select("id_a", "id_b")
+    # truth (shingle hashing + blocked matmul) and cand_block (minhash
+    # mapInPandas + LSH self-join) each feed BOTH a count aggregate and
+    # the hit join — materialize each once so the expensive subtrees
+    # are not evaluated twice (r5 review finding; same shape as the
+    # Q17/Q15 localCheckpoint fix).
+    truth = (
+        dd.blocked_jaccard_pairs(
+            docs, "text", "doc_id", block_col="source", threshold=0.2
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     sigs = dd.minhash_signatures(docs, "text", "doc_id")
     cand = dd.lsh_candidate_pairs(sigs, "doc_id", min_est_jaccard=0.25).select(
         "id_a", "id_b"
@@ -7088,6 +7097,7 @@ def q_e1_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sb), "id_b")
         .where(F.col("__sa") == F.col("__sb"))
         .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
     hit = truth.join(cand_block, ["id_a", "id_b"])
     t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))

@@ -241,6 +241,33 @@ def test_stdlib_loader_decodes_gif_and_bmp(tmp_path):
     assert px == np.array(pal, np.uint8)[idx].tobytes()
 
 
+def test_gif_background_from_global_table_with_local_frame_palette():
+    """Background pixels take bg_index from the GLOBAL color table even
+    when the frame carries its own smaller local table — a spec-valid
+    bg_index >= len(LCT) must neither raise nor be colored from the
+    LCT (r5 review finding: the index-canvas compositing rejected this
+    file as corrupt)."""
+    gpal = [(9, 9, 9), (1, 1, 1), (2, 2, 2), (111, 222, 33)]
+    lpal = [(200, 10, 30), (40, 250, 60)]
+    idx = np.ones((2, 3), np.uint8)
+    gif = bytearray(encode_gif(idx.tobytes(), gpal, 3, 2))
+    gif[11] = 3  # bg_index: valid in the 4-entry GCT, out of LCT range
+    struct.pack_into("<HH", gif, 6, 5, 4)  # widen screen to 5x4
+    pos = bytes(gif).find(b"\x2c")
+    struct.pack_into("<HHHH", gif, pos + 1, 1, 1, 3, 2)  # frame at (1,1)
+    assert gif[pos + 9] == 0x00
+    gif[pos + 9] = 0x80  # LCT flag, size bits 0 -> 2 entries
+    lct = b"".join(bytes(c) for c in lpal)
+    gif2 = bytes(gif[: pos + 10]) + lct + bytes(gif[pos + 10 :])
+    px, dw, dh, mode = decode_gif(gif2)
+    assert (dw, dh, mode) == (5, 4, "RGB")
+    got = np.frombuffer(px, np.uint8).reshape(4, 5, 3)
+    want = np.zeros((4, 5, 3), np.uint8)
+    want[:, :] = gpal[3]
+    want[1:3, 1:4] = lpal[1]
+    assert (got == want).all()
+
+
 def test_gif_local_color_table_overrides_global():
     """A frame with its own local color table must decode through the
     LCT, not the global one."""

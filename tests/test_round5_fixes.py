@@ -73,6 +73,49 @@ def test_key_skew_profile_rejects_empty_frames():
         key_skew_profile([])
 
 
+def test_spread_leaves_derived_frames_alone(spark):
+    """A post-shuffle frame (no file lineage, not a local relation)
+    must pass through UNCHANGED — the r5 review found the file-count
+    probe repartitioned a 50-partition derived frame DOWN to
+    defaultParallelism, adding a shuffle and shrinking parallelism."""
+    from tensorflow_recorder_spark.functions.partitioning import (
+        spread_to_parallelism,
+    )
+
+    df = spark.range(0, 1000).repartition(50, "id")
+    out = spread_to_parallelism(df)
+    assert out is df  # identity: no extra shuffle node added
+
+
+def test_spread_leaves_parallelized_local_data_alone(spark):
+    """Spark 4 createDataFrame parallelizes driver data straight to
+    defaultParallelism slices (verified: 4/4 on local[4]) — already
+    spread, so it must pass through without an extra shuffle."""
+    from tensorflow_recorder_spark.functions.partitioning import (
+        spread_to_parallelism,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    assert not df.isLocal() and df.inputFiles() == []
+    out = spread_to_parallelism(df)
+    assert out is df
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_spread_repartitions_small_scans(spark, tmp_path):
+    """A single-file scan is below parallelism -> bounded repartition."""
+    from tensorflow_recorder_spark.functions.partitioning import (
+        spread_to_parallelism,
+    )
+
+    p = str(tmp_path / "one")
+    spark.range(0, 100).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert len(df.inputFiles()) == 1
+    out = spread_to_parallelism(df, parallelism=8)
+    assert out.rdd.getNumPartitions() == 8
+
+
 def test_market_share_null_when_no_target_revenue(spark):
     """A year with zero target-nation revenue must release NULL
     mkt_share (the oracle's conditional-sum semantics), not 0.0."""
