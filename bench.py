@@ -33,6 +33,10 @@ BENCH_QUERIES = [
     "rel_big_orders",
     "rel_running_sum",
     "rel_cube",
+    "rel_discount_revenue",
+    "rel_nation_volume",
+    "rel_returned_revenue",
+    "rel_disjunctive_revenue",
     # dedup
     "e1_dedup_exact",
     "e1_minhash_signatures",
@@ -116,6 +120,7 @@ BENCH_QUERIES = [
     "e4_weekend_effect",
     "e6_curriculum",
     "e2_range_search",
+    "e2_ivf_balance",
     "e4_interarrival",
     "e3_readability",
     "e5_codec_roundtrip",

@@ -350,6 +350,58 @@ def kmeans_update(
     )
 
 
+def ivf_balance(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF cell-balance audit: rows per cell INCLUDING empty cells,
+    plus each cell's load factor vs the uniform ideal (n * K / total)
+    — the index-health number an operator reads before re-fitting
+    centroids or splitting hot cells. A 10x cell at 100 TB means one
+    ``partitionBy(centroid_id)`` partition holds 10x the probe work;
+    an empty cell means a wasted centroid (over-fitted codebook).
+
+    Plan shape: one :func:`ivf_assign` pass (broadcast centroids,
+    map-side-combined argmax), a groupBy bounded at K rows, a
+    broadcast left join from the K-row centroid list (empty cells
+    surface as 0), and a broadcast 1-row totals join — no stage ever
+    exceeds K rows after the assignment collapses.
+
+    Output: (centroid_id, n_vectors BIGINT, load_factor DOUBLE).
+    """
+    assign = ivf_assign(df, centroids, vec_col, id_col, centroid_id_col)
+    counts = assign.groupBy(centroid_id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    # K rows; feeds both the totals aggregate and the final select, so
+    # cut once instead of re-running the corpus assignment.
+    full = (
+        centroids.select(centroid_id_col)
+        .join(counts, centroid_id_col, "left")
+        .select(
+            centroid_id_col,
+            F.coalesce(F.col("n_vectors"), F.lit(0))
+            .cast("long")
+            .alias("n_vectors"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = full.agg(
+        F.sum("n_vectors").alias("__tot"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    return full.crossJoin(F.broadcast(totals)).select(
+        centroid_id_col,
+        "n_vectors",
+        F.round(
+            F.col("n_vectors") * F.col("__k") / F.col("__tot"), 4
+        ).alias("load_factor"),
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,

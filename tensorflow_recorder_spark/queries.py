@@ -7286,6 +7286,297 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
 # e4_value_quantiles (mergeable histogram-quantile sketch) replaced
 # e4_asof_latest (as-of shape already scored via e4_asof_join). All
 # rotated-out queries remain in the 51+ tail under scripts/ci.sh.
+def q_rel_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-style forecast-revenue-change: one shipyear of lineitems in a
+    discount band below a quantity ceiling, summed as price*discount.
+    Deliberately join-free — the whole query is a scan whose
+    date/discount/quantity predicates ALL push into the parquet reader
+    (PushedFilters), a 4-column pruned read, and one partial aggregate.
+    The plan IS the pushdown showcase."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_REL_DISCOUNT_REVENUE = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_rel_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-style volume shipping: yearly revenue flowing between two
+    nations in BOTH directions (supplier nation -> customer nation).
+    The supplier side collapses to a broadcast 2-nation map before
+    touching facts; the customer side is nation-filtered but joined by
+    shuffle (at 100 TB 2/25 of all customers does NOT broadcast);
+    lineitem<->orders is the single fact-to-fact shuffle, and the
+    direction filter runs on the two-value dimension columns
+    post-join."""
+    nation = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(rev).alias("_r"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.col("_r").cast("double").alias("revenue"),
+        )
+    )
+
+
+ORACLE_REL_NATION_VOLUME = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_rel_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-style returned-item report: top-20 customers by revenue lost
+    to returns in one quarter. The quarter filter shrinks orders before
+    the fact shuffle and the returnflag filter pushes into the lineitem
+    scan; revenue aggregates AT CUSTOMER GRAIN FIRST (one fact
+    shuffle), THEN joins the customer dimension — the dimension join
+    sees |customers| rows, not |lineitems|. The final top-20 compiles
+    to TakeOrderedAndProject (per-partition 20-row heaps merged on the
+    driver), never a global sort."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-10-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("_r"))
+    )
+    return (
+        agg.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("_r").cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_REL_RETURNED_REVENUE = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_rel_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-style OR-of-ANDs: revenue from three (brand, size-range,
+    quantity-range) bundles. The part side pre-filters to the UNION of
+    its brand/size clauses and broadcasts; the lineitem scan keeps a
+    coarse quantity envelope (1..30 covers every bundle) so rows prune
+    BEFORE the join; the exact per-bundle (brand AND quantity)
+    disjunction — the part Catalyst cannot split across sides — runs
+    as a residual filter on the joined columns. The classic test that
+    a disjunctive predicate still yields per-side pushdown."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (
+                (F.col("p_brand") == "Brand#1")
+                & F.col("p_size").between(1, 5)
+            )
+            | (
+                (F.col("p_brand") == "Brand#2")
+                & F.col("p_size").between(1, 10)
+            )
+            | (
+                (F.col("p_brand") == "Brand#3")
+                & F.col("p_size").between(1, 15)
+            )
+        )
+        .select("p_partkey", "p_brand")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").between(1, 30)
+    )
+    bundle = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(bundle)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_REL_DISJUNCTIVE_REVENUE = """
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_e2_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 index-health audit: rows per IVF cell (INCLUDING empty
+    cells) and each cell's load factor vs the uniform ideal — the
+    number an index operator reads before re-fitting centroids or
+    splitting hot cells. Completes the lifecycle surface:
+    fit -> assign -> probe -> append/compact/swap -> BALANCE."""
+    from .operators.similarity import ivf_balance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return ivf_balance(emb, centroids)
+
+
+ORACLE_E2_IVF_BALANCE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e,
+         sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+assign_scored AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         round(list_aggregate(list_transform(list_zip(v.e, c.e),
+               p -> p[1] * p[2]), 'sum') / (v.nrm * c.nrm), 6) AS score
+  FROM norms v JOIN norms c ON c.vec_id < 8
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, centroid_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+counts AS (
+  SELECT c.vec_id AS centroid_id,
+         count(a.vec_id) AS n_vectors
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) c
+  LEFT JOIN assign a ON a.centroid_id = c.vec_id
+  GROUP BY 1
+)
+SELECT centroid_id, n_vectors,
+       round(n_vectors * (SELECT count(*) FROM counts)
+             / (SELECT sum(n_vectors) FROM counts), 4) AS load_factor
+FROM counts
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -7493,6 +7784,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_rollup": q_rel_rollup,
     "e1_lsh_pairs": q_e1_lsh_pairs,
     "e3_word_frequencies": q_e3_word_frequencies,
+    # round-5 session-2 additions
+    "rel_discount_revenue": q_rel_discount_revenue,
+    "rel_nation_volume": q_rel_nation_volume,
+    "rel_returned_revenue": q_rel_returned_revenue,
+    "rel_disjunctive_revenue": q_rel_disjunctive_revenue,
+    "e2_ivf_balance": q_e2_ivf_balance,
 }
 
 ORACLES: dict[str, str] = {
@@ -7688,4 +7985,9 @@ ORACLES: dict[str, str] = {
     "e4_markov_transitions": ORACLE_E4_MARKOV,
     "e1_lsh_recall_audit": _oracle_lsh_recall_audit(),
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
+    "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
+    "rel_nation_volume": ORACLE_REL_NATION_VOLUME,
+    "rel_returned_revenue": ORACLE_REL_RETURNED_REVENUE,
+    "rel_disjunctive_revenue": ORACLE_REL_DISJUNCTIVE_REVENUE,
+    "e2_ivf_balance": ORACLE_E2_IVF_BALANCE,
 }

@@ -219,6 +219,15 @@ def test_driver_window_holds_all_unique_queries():
         "e4_markov_transitions",
         "e1_lsh_recall_audit",
         "e2_range_search_ivf",
+        # round-5 session-2 additions (oracle-checked by
+        # scripts/check_oracle.py): the four TPC-H shapes each vary a
+        # still-scored relational neighbor; ivf_balance audits the
+        # scored e2_ivf_topk index family
+        "rel_discount_revenue",
+        "rel_nation_volume",
+        "rel_returned_revenue",
+        "rel_disjunctive_revenue",
+        "e2_ivf_balance",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

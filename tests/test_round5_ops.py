@@ -140,3 +140,31 @@ def test_lsh_recall_audit_counts_consistent(spark):
         assert row["recall"] == pytest.approx(
             round(row["n_hit"] / row["n_true"], 6)
         )
+
+
+def test_ivf_balance_reports_empty_and_hot_cells(spark):
+    """Empty cells must surface with n_vectors=0 / load 0, and the
+    load factors must sum to K (n * K / total)."""
+    from tensorflow_recorder_spark.operators.similarity import ivf_balance
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.8, 0.05]),
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    # centroid 10 = x-axis, 11 = y-axis, 12 = the opposite of everything
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [-1.0, -1.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    rows = {r["centroid_id"]: r for r in ivf_balance(emb, cents).collect()}
+    assert set(rows) == {10, 11, 12}
+    assert rows[10]["n_vectors"] == 3 and rows[11]["n_vectors"] == 1
+    assert rows[12]["n_vectors"] == 0 and rows[12]["load_factor"] == 0.0
+    assert rows[10]["load_factor"] == pytest.approx(3 * 3 / 4, abs=1e-4)
+    total_load = sum(r["load_factor"] for r in rows.values())
+    assert total_load == pytest.approx(3.0, abs=1e-3)
