@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "e5_codec_roundtrip",
     "e4_markov_transitions",
     "e1_lsh_recall_audit",
+    "e6_deletion_impact",
 ]
 
 

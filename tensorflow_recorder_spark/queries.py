@@ -7577,6 +7577,86 @@ FROM counts
 """
 
 
+def q_e6_deletion_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 privacy lifecycle: right-to-be-forgotten blast-radius audit.
+    Tombstones (doc_id % 97 == 0) propagate to every derived asset —
+    the corpus (anti-join survivors), the packed training sequences
+    (any bin holding a deleted doc must re-pack, and the cost is the
+    WHOLE bin's tokens), and the IVF index (cells holding deleted
+    vectors need a partition rewrite; ids align doc_id == vec_id).
+    Tombstones broadcast into semi/anti probes, so no asset ever
+    shuffles. Oracle composes the packing recursive CTE with the IVF
+    assignment CTE."""
+    from .operators.packing import pack_sequences
+    from .operators.similarity import ivf_assign
+    from .plans.deletion import deletion_impact
+
+    docs = _t(spark, sf_dir, "documents")
+    # the packed frame feeds two probes (affected bins, re-pack sum);
+    # pin the greedy packing pass once
+    packed = pack_sequences(
+        docs, "doc_id", "text", capacity=256, nshards=8
+    ).localCheckpoint(eager=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = ivf_assign(emb, centroids)
+    tomb = docs.where(F.col("doc_id") % 97 == 0).select("doc_id")
+    return deletion_impact(docs, packed, assign, tomb)
+
+
+ORACLE_E6_DELETION_IMPACT = (
+    _PACK_REC
+    + """,
+tomb AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e,
+         sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+assign_scored AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         round(list_aggregate(list_transform(list_zip(v.e, c.e),
+               p -> p[1] * p[2]), 'sum') / (v.nrm * c.nrm), 6) AS score
+  FROM norms v JOIN norms c ON c.vec_id < 8
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, centroid_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+affected AS (
+  SELECT DISTINCT r.shard, r.bin_id
+  FROM rec r JOIN tomb t ON t.doc_id = r.doc_id
+),
+repack AS (
+  SELECT coalesce(sum(r.n_tokens), 0) AS toks
+  FROM rec r JOIN affected a
+    ON a.shard = r.shard AND a.bin_id = r.bin_id
+),
+hit AS (
+  SELECT a.vec_id, a.centroid_id
+  FROM assign a JOIN tomb t ON t.doc_id = a.vec_id
+)
+SELECT (SELECT count(*) FROM tomb) AS n_tombstones,
+       (SELECT count(*) FROM documents d JOIN tomb t ON t.doc_id = d.doc_id)
+         AS n_docs_removed,
+       (SELECT count(*) FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM tomb))
+         AS n_docs_surviving,
+       (SELECT count(*) FROM affected) AS n_seqs_affected,
+       (SELECT CAST(toks AS BIGINT) FROM repack) AS n_tokens_to_repack,
+       (SELECT count(DISTINCT centroid_id) FROM hit) AS n_cells_affected,
+       (SELECT count(*) FROM hit) AS n_vecs_removed
+"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -7790,6 +7870,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_returned_revenue": q_rel_returned_revenue,
     "rel_disjunctive_revenue": q_rel_disjunctive_revenue,
     "e2_ivf_balance": q_e2_ivf_balance,
+    "e6_deletion_impact": q_e6_deletion_impact,
 }
 
 ORACLES: dict[str, str] = {
@@ -7990,4 +8071,5 @@ ORACLES: dict[str, str] = {
     "rel_returned_revenue": ORACLE_REL_RETURNED_REVENUE,
     "rel_disjunctive_revenue": ORACLE_REL_DISJUNCTIVE_REVENUE,
     "e2_ivf_balance": ORACLE_E2_IVF_BALANCE,
+    "e6_deletion_impact": ORACLE_E6_DELETION_IMPACT,
 }

@@ -228,6 +228,9 @@ def test_driver_window_holds_all_unique_queries():
         "rel_returned_revenue",
         "rel_disjunctive_revenue",
         "e2_ivf_balance",
+        # deletion blast-radius audit composes the scored pack/ivf
+        # families
+        "e6_deletion_impact",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

@@ -168,3 +168,44 @@ def test_ivf_balance_reports_empty_and_hot_cells(spark):
     assert rows[10]["load_factor"] == pytest.approx(3 * 3 / 4, abs=1e-4)
     total_load = sum(r["load_factor"] for r in rows.values())
     assert total_load == pytest.approx(3.0, abs=1e-3)
+
+
+def test_deletion_impact_counts_full_bins_and_cells(spark):
+    """The re-pack cost must count the WHOLE affected bin's tokens
+    (neighbors share the context window), and empty tombstone overlap
+    must yield zeros, not NULLs."""
+    from tensorflow_recorder_spark.plans.deletion import (
+        apply_deletions,
+        deletion_impact,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    # two bins: docs 0-2 in (0,0), docs 3-5 in (0,1); 10 tokens each
+    packed = spark.createDataFrame(
+        [(i, 0, 0 if i < 3 else 1, 10) for i in range(6)],
+        "doc_id long, shard int, bin_id long, n_tokens long",
+    )
+    assign = spark.createDataFrame(
+        [(i, i % 2) for i in range(6)], "vec_id long, centroid_id long"
+    )
+    tomb = spark.createDataFrame([(1,)], "doc_id long")
+    row = deletion_impact(corpus, packed, assign, tomb).collect()[0]
+    assert row["n_tombstones"] == 1
+    assert row["n_docs_removed"] == 1 and row["n_docs_surviving"] == 5
+    # bin (0,0) is affected; re-pack cost = all 3 docs' tokens
+    assert row["n_seqs_affected"] == 1
+    assert row["n_tokens_to_repack"] == 30
+    assert row["n_cells_affected"] == 1 and row["n_vecs_removed"] == 1
+
+    survivors = apply_deletions(corpus, tomb)
+    assert survivors.count() == 5
+    assert {r["doc_id"] for r in survivors.collect()} == {0, 2, 3, 4, 5}
+
+    # no overlap -> all-zero audit, never NULL
+    ghost = spark.createDataFrame([(99,)], "doc_id long")
+    row0 = deletion_impact(corpus, packed, assign, ghost).collect()[0]
+    assert row0["n_docs_removed"] == 0
+    assert row0["n_tokens_to_repack"] == 0
+    assert row0["n_cells_affected"] == 0
