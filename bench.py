@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "e4_markov_transitions",
     "e1_lsh_recall_audit",
     "e6_deletion_impact",
+    "rel_zorder_locality",
 ]
 
 

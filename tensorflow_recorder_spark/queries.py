@@ -7657,6 +7657,71 @@ SELECT (SELECT count(*) FROM tomb) AS n_tombstones,
 )
 
 
+def q_rel_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: orders clustered by (custkey, order-day)
+    Morton code, rolled up per contiguous 256-code block. Each block's
+    envelope (min/max custkey, min/max day) is tight in BOTH
+    dimensions simultaneously — the property that lets parquet footer
+    stats prune scans for either predicate after a
+    ``zorder_layout`` write. The quantize + interleave expressions are
+    built by the SAME helpers for Spark and the DuckDB oracle
+    (portable floor/mod arithmetic), so the hash-match proves the
+    layout code engine-exact."""
+    from .operators.layout import zorder_code
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).alias("o_day"),
+    )
+    coded = zorder_code(
+        orders, [("o_custkey", 64.0), ("o_day", 16.0)], bits=8
+    )
+    return (
+        coded.groupBy(
+            F.expr("cast(floor(zcode / 256) as bigint)").alias("zblock")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("o_custkey").cast("long").alias("custkey_lo"),
+            F.max("o_custkey").cast("long").alias("custkey_hi"),
+            F.min("o_day").cast("long").alias("day_lo"),
+            F.max("o_day").cast("long").alias("day_hi"),
+        )
+    )
+
+
+def _oracle_zorder_locality() -> str:
+    from .operators.layout import morton_code_expr, quantize_expr
+
+    qx = quantize_expr("o_custkey", 64.0, 8)
+    qy = quantize_expr("o_day", 16.0, 8)
+    code = morton_code_expr(["__z0", "__z1"], 8)
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS o_day
+  FROM orders
+),
+grid AS (
+  SELECT o_orderkey, o_custkey, o_day,
+         {qx} AS __z0, {qy} AS __z1
+  FROM base
+),
+coded AS (SELECT *, {code} AS zcode FROM grid)
+SELECT cast(floor(zcode / 256) as bigint) AS zblock,
+       count(*) AS n_orders,
+       cast(min(o_custkey) as bigint) AS custkey_lo,
+       cast(max(o_custkey) as bigint) AS custkey_hi,
+       cast(min(o_day) as bigint) AS day_lo,
+       cast(max(o_day) as bigint) AS day_hi
+FROM coded GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -7871,6 +7936,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_disjunctive_revenue": q_rel_disjunctive_revenue,
     "e2_ivf_balance": q_e2_ivf_balance,
     "e6_deletion_impact": q_e6_deletion_impact,
+    "rel_zorder_locality": q_rel_zorder_locality,
 }
 
 ORACLES: dict[str, str] = {
@@ -8072,4 +8138,5 @@ ORACLES: dict[str, str] = {
     "rel_disjunctive_revenue": ORACLE_REL_DISJUNCTIVE_REVENUE,
     "e2_ivf_balance": ORACLE_E2_IVF_BALANCE,
     "e6_deletion_impact": ORACLE_E6_DELETION_IMPACT,
+    "rel_zorder_locality": _oracle_zorder_locality(),
 }

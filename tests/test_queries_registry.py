@@ -231,6 +231,7 @@ def test_driver_window_holds_all_unique_queries():
         # deletion blast-radius audit composes the scored pack/ivf
         # families
         "e6_deletion_impact",
+        "rel_zorder_locality",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

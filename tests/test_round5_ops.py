@@ -209,3 +209,69 @@ def test_deletion_impact_counts_full_bins_and_cells(spark):
     assert row0["n_docs_removed"] == 0
     assert row0["n_tokens_to_repack"] == 0
     assert row0["n_cells_affected"] == 0
+
+
+def _py_morton(vals, bits):
+    code = 0
+    d = len(vals)
+    for j in range(bits):
+        for k, v in enumerate(vals):
+            code |= ((v >> j) & 1) << (j * d + k)
+    return code
+
+
+def test_morton_code_matches_bit_interleave(spark):
+    """The floor/mod arithmetic must equal true bit interleaving for
+    2-D and 3-D codes, including the clamp edges."""
+    from tensorflow_recorder_spark.operators.layout import zorder_code
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255), (17, 200), (128, 64)]
+    )]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = {r["id"]: r["zcode"] for r in
+           zorder_code(df, [("x", 1.0), ("y", 1.0)], bits=8).collect()}
+    for i, x, y in rows:
+        assert out[i] == _py_morton([x, y], 8), (x, y)
+
+    df3 = spark.createDataFrame([(0, 5, 6, 7)], "id long, a long, b long, c long")
+    [r] = zorder_code(
+        df3, [("a", 1.0), ("b", 1.0), ("c", 1.0)], bits=4
+    ).collect()
+    assert r["zcode"] == _py_morton([5, 6, 7], 4)
+
+    # clamp: values beyond the grid saturate at 2^bits - 1
+    big = spark.createDataFrame([(0, 99999, -5)], "id long, x long, y long")
+    [r] = zorder_code(big, [("x", 1.0), ("y", 1.0)], bits=8).collect()
+    assert r["zcode"] == _py_morton([255, 0], 8)
+
+
+def test_zorder_layout_is_range_partitioned(spark):
+    """The layout must compile to RangePartitioning on the code (a
+    distributed sort), never a single-partition stage."""
+    from tensorflow_recorder_spark.operators.layout import zorder_layout
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("x"), (F.col("id") * 7 % 997).alias("y")
+    )
+    out = zorder_layout(df, [("x", 4.0), ("y", 4.0)], num_partitions=8, bits=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(zcode" in plan.lower()
+    # and each partition holds one contiguous zcode range
+    rows = out.select(
+        F.spark_partition_id().alias("pid"), "zcode"
+    ).groupBy("pid").agg(
+        F.min("zcode").alias("lo"), F.max("zcode").alias("hi")
+    ).collect()
+    spans = sorted((r["lo"], r["hi"]) for r in rows)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
+
+
+def test_morton_code_validates_arguments(spark):
+    from tensorflow_recorder_spark.operators.layout import morton_code_expr
+
+    with pytest.raises(ValueError, match="2 dimensions"):
+        morton_code_expr(["x"], 8)
+    with pytest.raises(ValueError, match="exceeds 62"):
+        morton_code_expr(["x", "y"], 32)
