@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "e1_lsh_recall_audit",
     "e6_deletion_impact",
     "rel_zorder_locality",
+    "e3_token_fertility",
 ]
 
 

@@ -7722,6 +7722,64 @@ FROM coded GROUP BY 1
 """
 
 
+def q_e3_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-quality audit: subword FERTILITY (BPE subwords per
+    whitespace word) per predicted language — the multilingual metric
+    that flags a tokenizer under-serving a language (fertility >> 1
+    means that language pays more sequence budget per word). Composes
+    the dictionary-trick BPE encode (vocabulary-bounded Python, corpus
+    never enters the loop) with the JVM-side n-gram language id; the
+    rollup is language-cardinality bounded. Oracle nests the BPE
+    recursive CTE and the langid CASE inside one aggregation."""
+    from .operators import text
+    from .operators.bpe import (
+        _with_symbols,
+        bpe_encode_dict,
+        pair_counts,
+        word_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    top = (
+        pair_counts(_with_symbols(word_counts(docs, "text")))
+        .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+        .limit(8)
+        .collect()
+    )
+    merges = [(i, r["left"], r["right"]) for i, r in enumerate(top)]
+    enc = bpe_encode_dict(docs, "text", "doc_id", merges)
+    lang = text.language_id(docs, "text", "doc_id")
+    return (
+        enc.join(lang, "doc_id")
+        .groupBy(F.col("lang_pred").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_words"),
+            F.sum("n_subwords").cast("long").alias("total_subwords"),
+            F.round(
+                F.sum("n_subwords").cast("double")
+                / F.expr("nullif(cast(sum(n_tokens) as double), 0.0)"),
+                6,
+            ).alias("fertility"),
+        )
+    )
+
+
+def _oracle_token_fertility() -> str:
+    return f"""
+WITH enc AS ({ORACLE_E3_BPE_ENCODE}),
+lang AS ({_oracle_language_id()})
+SELECT l.lang_pred AS lang,
+       count(*) AS n_docs,
+       CAST(sum(e.n_tokens) AS BIGINT) AS total_words,
+       CAST(sum(e.n_subwords) AS BIGINT) AS total_subwords,
+       round(sum(e.n_subwords)::DOUBLE
+             / nullif(CAST(sum(e.n_tokens) AS DOUBLE), 0.0), 6) AS fertility
+FROM enc e JOIN lang l USING (doc_id)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -7937,6 +7995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_ivf_balance": q_e2_ivf_balance,
     "e6_deletion_impact": q_e6_deletion_impact,
     "rel_zorder_locality": q_rel_zorder_locality,
+    "e3_token_fertility": q_e3_token_fertility,
 }
 
 ORACLES: dict[str, str] = {
@@ -8139,4 +8198,5 @@ ORACLES: dict[str, str] = {
     "e2_ivf_balance": ORACLE_E2_IVF_BALANCE,
     "e6_deletion_impact": ORACLE_E6_DELETION_IMPACT,
     "rel_zorder_locality": _oracle_zorder_locality(),
+    "e3_token_fertility": _oracle_token_fertility(),
 }

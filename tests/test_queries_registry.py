@@ -232,6 +232,7 @@ def test_driver_window_holds_all_unique_queries():
         # families
         "e6_deletion_impact",
         "rel_zorder_locality",
+        "e3_token_fertility",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
