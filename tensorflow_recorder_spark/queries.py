@@ -7780,6 +7780,39 @@ GROUP BY 1
 """
 
 
+def q_s20_stream_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deletion blast radius AS A STREAM: tombstone ids (event_id
+    mod 500, deduplicated statefully so retried requests never double
+    count) arrive via readStream and stream-static-join the pinned
+    packed-sequence map; per-bin deleted-doc counters drain with
+    availableNow and hash-match the batch per-bin counts — the live
+    view an erasure-SLA scheduler batches re-pack jobs from."""
+    from .operators.packing import pack_sequences
+    from .streaming.deletion import streaming_deletion_impact
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs, "doc_id", "text", capacity=256, nshards=8
+    ).localCheckpoint(eager=True)
+    ev = _event_stream(spark, sf_dir)
+    tomb = ev.select(
+        (F.col("event_id") % 500).cast("long").alias("doc_id")
+    )
+    out = streaming_deletion_impact(tomb, packed)
+    return _drain_to_memory(out, "stream_deletion_sink", "complete")
+
+
+ORACLE_S20_STREAM_DELETION = (
+    _PACK_REC
+    + """,
+tomb AS (SELECT DISTINCT event_id % 500 AS doc_id FROM events)
+SELECT r.shard, r.bin_id, count(*) AS n_docs_deleted
+FROM rec r JOIN tomb t ON t.doc_id = r.doc_id
+GROUP BY 1, 2
+"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -7996,6 +8029,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_deletion_impact": q_e6_deletion_impact,
     "rel_zorder_locality": q_rel_zorder_locality,
     "e3_token_fertility": q_e3_token_fertility,
+    "s20_stream_deletion": q_s20_stream_deletion,
 }
 
 ORACLES: dict[str, str] = {
@@ -8199,4 +8233,5 @@ ORACLES: dict[str, str] = {
     "e6_deletion_impact": ORACLE_E6_DELETION_IMPACT,
     "rel_zorder_locality": _oracle_zorder_locality(),
     "e3_token_fertility": _oracle_token_fertility(),
+    "s20_stream_deletion": ORACLE_S20_STREAM_DELETION,
 }

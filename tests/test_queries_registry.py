@@ -233,6 +233,7 @@ def test_driver_window_holds_all_unique_queries():
         "e6_deletion_impact",
         "rel_zorder_locality",
         "e3_token_fertility",
+        "s20_stream_deletion",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
