@@ -60,14 +60,16 @@ except ImportError:
     from ..functions.gif_codec import decode_gif, is_gif
     from ..functions.jpeg_codec import decode_jpeg, is_jpeg
     from ..functions.png_codec import decode_png, is_png
+    from ..functions.vp8l_codec import decode_webp, is_webp
 
     def _stdlib_loader(path: str) -> tuple[bytes, int, int, str]:
         """No-PIL loader: REAL decode for PNG (pure-stdlib zlib inflate
         + per-row unfilter, ``functions/png_codec.py``), JPEG — baseline
         AND progressive (``functions/jpeg_codec.py``), GIF (first
-        frame, ``functions/gif_codec.py``), and BMP
-        (``functions/bmp_codec.py``); deterministic synthetic pixels
-        for any other format (this runtime has no WebP codec). Real
+        frame, ``functions/gif_codec.py``), BMP
+        (``functions/bmp_codec.py``), and LOSSLESS WebP (VP8L,
+        ``functions/vp8l_codec.py``); deterministic synthetic pixels
+        for the remaining capability gap (lossy-VP8 WebP). Real
         filesystem semantics either way: the file must exist and be
         readable (missing file -> the DISCARD route), and a corrupt
         file — including flavors a decoder rejects (lossless/12-bit
@@ -83,6 +85,11 @@ except ImportError:
             return decode_gif(content)
         if is_bmp(content):
             return decode_bmp(content)
+        if is_webp(content):
+            try:
+                return decode_webp(content)
+            except NotImplementedError:
+                pass  # lossy VP8: fall through to the synthetic pixels
         width = height = 4
         mode = "RGB"
         n = width * height * 3

@@ -189,7 +189,7 @@ def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     media backfill would take; no driver round-trip, no UDF-per-row).
 
     ``ok`` requires dimension fidelity for every format and byte-exact
-    pixels for the lossless three (PNG/GIF/BMP). Output: (id, fmt,
+    pixels for the lossless four (PNG/GIF/BMP/WebP-VP8L). Output: (id, fmt,
     width, height, channels, ok) — fully arithmetic-predictable, hence
     oracle-checkable.
     """
@@ -197,6 +197,7 @@ def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from ..functions.gif_codec import decode_gif, encode_gif, is_gif
     from ..functions.jpeg_codec import decode_jpeg, encode_jpeg, is_jpeg
     from ..functions.png_codec import decode_png, encode_png, is_png
+    from ..functions.vp8l_codec import decode_webp, encode_vp8l, is_webp
 
     out_struct = T.StructType(
         [
@@ -208,10 +209,10 @@ def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("ok", T.BooleanType()),
         ]
     )
-    fmts = ("png", "gif", "bmp", "jpeg")
+    fmts = ("png", "gif", "bmp", "jpeg", "webp")
 
     def probe(i: int):
-        fmt = fmts[i % 4]
+        fmt = fmts[i % 5]
         w, h = 4 + i % 5, 3 + i % 4
         c = (i * 17) % 256
         color = (c, (c * 3) % 256, (c * 7) % 256)
@@ -222,6 +223,8 @@ def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             data = encode_bmp(px, w, h)
         elif fmt == "gif":
             data = encode_gif(bytes(w * h), [color, (0, 0, 0)], w, h)
+        elif fmt == "webp":
+            data = encode_vp8l(px, w, h, subtract_green=True, lz77=True)
         else:
             data = encode_jpeg(px, w, h)
         if is_png(data):
@@ -232,6 +235,8 @@ def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             dec = decode_gif(data)
         elif is_bmp(data):
             dec = decode_bmp(data)
+        elif is_webp(data):
+            dec = decode_webp(data)
         else:
             raise ValueError("dispatch failed")
         pixels, dw, dh, mode = dec

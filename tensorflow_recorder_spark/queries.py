@@ -6915,8 +6915,8 @@ FROM g GROUP BY user_id
 def q_e5_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 codec integration probe: per document, synthesize a tiny
     deterministic image (format/dims from doc_id), encode with the
-    repo's pure-Python PNG/GIF/BMP/JPEG writers, decode through the T3
-    loader's magic-byte dispatch — one Arrow-batched mapInPandas pass.
+    repo's pure-Python PNG/GIF/BMP/JPEG/WebP-VP8L writers, decode
+    through the T3 loader's magic-byte dispatch — one Arrow-batched mapInPandas pass.
     ok=true requires dimension fidelity everywhere and byte-exact
     pixels for the lossless formats, so a codec regression flips rows
     visibly."""
@@ -6927,8 +6927,9 @@ def q_e5_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_E5_CODEC_ROUNDTRIP = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-                       WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS fmt,
+       CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                       WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg'
+                       ELSE 'webp' END AS fmt,
        CAST(4 + doc_id % 5 AS BIGINT) AS width,
        CAST(3 + doc_id % 4 AS BIGINT) AS height,
        CAST(3 AS BIGINT) AS channels,

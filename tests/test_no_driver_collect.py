@@ -38,11 +38,17 @@ ALLOWED = {
         "num_partitions rows) — partition sizes cross the driver, "
         "never data rows (same contract as fit_vocabulary_large)",
     ),
-    "queries.py": (
+    "sinks/webdataset.py": (
         1,
-        "e3_bpe_encode merge table: limit(8).collect() — tokenizer-"
-        "sized fitted state (8 rows), the same broadcastable-model "
-        "pattern as bpe_fit",
+        "shard-write rename manifest: one (path, count) row per "
+        "partition crosses the driver, never sample data (same "
+        "contract as sinks/tfrecord.py write_all_splits)",
+    ),
+    "queries.py": (
+        2,
+        "e3_bpe_encode + e3_token_fertility merge tables: "
+        "limit(8).collect() — tokenizer-sized fitted state (8 rows "
+        "each), the same broadcastable-model pattern as bpe_fit",
     ),
 }
 
