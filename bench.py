@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "e6_deletion_impact",
     "rel_zorder_locality",
     "e3_token_fertility",
+    "e2_ivf_rebalance",
 ]
 
 

@@ -402,6 +402,137 @@ def ivf_balance(
     )
 
 
+def ivf_rebalance(
+    df: DataFrame,
+    centroids: DataFrame,
+    max_load: float = 2.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Split hot IVF cells — the maintenance ACTION paired with
+    :func:`ivf_balance`'s audit: any cell whose load factor
+    (n * K / total) exceeds ``max_load`` is replaced by two children,
+    deterministically seeded at its extreme members (min / max vector
+    id), each child centroid = the mean of the members nearer its seed
+    (one bounded Lloyd step scoped to hot cells only — cold cells
+    never reshuffle). Child 0 keeps the parent's id; child 1 gets
+    ``parent + max_centroid_id + 1`` (collision-free, append-stable).
+    A child that attracts no members (all-identical cell) drops out,
+    matching :func:`kmeans_fit`'s empty-cluster-drop semantics.
+
+    Plan shape: one assignment pass pinned once (at scale, read the
+    persisted ``partitionBy(centroid_id)`` index instead); per-cell
+    counts and the hot list are K-row bounded broadcasts; only hot
+    cells' members join the (<= K rows, 2 vectors each) seed table;
+    the mean update is :func:`kmeans_update`'s posexplode partial-agg.
+
+    Output: (centroid_id, parent_id, n_members, ``vec_col``).
+    """
+    assign = ivf_assign(df, centroids, vec_col, id_col, centroid_id_col)
+    # pinned once: counts and hot-member probes both consume it
+    assign = assign.localCheckpoint(eager=True)
+    counts = assign.groupBy(centroid_id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    cells = (
+        centroids.select(centroid_id_col)
+        .join(counts, centroid_id_col, "left")
+        .select(
+            centroid_id_col,
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("__n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(
+        F.sum("__n").alias("__tot"),
+        F.count(F.lit(1)).alias("__k"),
+        F.max(centroid_id_col).cast("long").alias("__maxid"),
+    )
+    cellsx = cells.crossJoin(F.broadcast(tot))
+    hot = (
+        cellsx.where(
+            F.col("__n") * F.col("__k") / F.col("__tot") > F.lit(max_load)
+        )
+        .select(centroid_id_col, "__maxid")
+        .localCheckpoint(eager=True)
+    )
+    cold = (
+        cellsx.join(hot.select(centroid_id_col), centroid_id_col, "left_anti")
+        .join(centroids, centroid_id_col)
+        .select(
+            F.col(centroid_id_col).cast("long"),
+            F.col(centroid_id_col).cast("long").alias("parent_id"),
+            F.col("__n").alias("n_members"),
+            vec_col,
+        )
+    )
+    members = (
+        df.select(id_col, vec_col)
+        .join(assign, id_col)
+        .join(
+            F.broadcast(hot.select(centroid_id_col)),
+            centroid_id_col,
+            "left_semi",
+        )
+    )
+    seeds = members.groupBy(centroid_id_col).agg(
+        F.min(id_col).alias("__s0id"), F.max(id_col).alias("__s1id")
+    )
+    vecs = df.select(F.col(id_col).alias("__sid"), F.col(vec_col).alias("__sv"))
+    seedtab = (
+        seeds.join(vecs, F.col("__s0id") == F.col("__sid"))
+        .withColumnRenamed("__sv", "__v0")
+        .drop("__sid")
+        .join(vecs, F.col("__s1id") == F.col("__sid"))
+        .withColumnRenamed("__sv", "__v1")
+        .drop("__sid")
+        .withColumn("__n0", F.expr(norm_expr("__v0")))
+        .withColumn("__n1", F.expr(norm_expr("__v1")))
+        .localCheckpoint(eager=True)
+    )
+    vn = norm_expr(vec_col)
+    s0 = F.round(
+        F.expr(
+            f"({dot_expr(vec_col, '__v0')}) / nullif(({vn}) * __n0, cast(0 as double))"
+        ),
+        round_digits,
+    )
+    s1 = F.round(
+        F.expr(
+            f"({dot_expr(vec_col, '__v1')}) / nullif(({vn}) * __n1, cast(0 as double))"
+        ),
+        round_digits,
+    )
+    # ties (incl. NULL-vs-NULL) stay with child 0
+    child_assign = members.join(F.broadcast(seedtab), centroid_id_col).select(
+        F.col(id_col),
+        (
+            F.col(centroid_id_col).cast("long") * 2
+            + F.when(s1 > s0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("__ck"),
+    )
+    children = kmeans_update(
+        df, child_assign, vec_col, id_col, centroid_id_col="__ck"
+    )
+    hot_children = children.join(
+        F.broadcast(
+            hot.select(F.col(centroid_id_col).alias("__pid"), "__maxid")
+        ),
+        F.expr("__ck div 2") == F.col("__pid"),
+    ).select(
+        F.when(F.col("__ck") % 2 == 0, F.col("__pid"))
+        .otherwise(F.col("__pid") + F.col("__maxid") + 1)
+        .cast("long")
+        .alias(centroid_id_col),
+        F.col("__pid").cast("long").alias("parent_id"),
+        "n_members",
+        vec_col,
+    )
+    return cold.unionByName(hot_children)
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,

@@ -7814,6 +7814,116 @@ GROUP BY 1, 2
 )
 
 
+def q_e2_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 index maintenance ACTION paired with the e2_ivf_balance
+    audit: cells whose load factor exceeds 1.05 split into two children
+    seeded at their extreme member ids (one Lloyd step scoped to hot
+    cells only; cold cells pass through untouched). Output posexplodes
+    centroids to scalar rows, kmeans_fit-style."""
+    from .operators.similarity import ivf_rebalance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = ivf_rebalance(emb, centroids, max_load=1.05)
+    return out.select(
+        "centroid_id",
+        "parent_id",
+        "n_members",
+        F.posexplode("embedding").alias("dim", "value"),
+    ).select(
+        "centroid_id",
+        "parent_id",
+        "n_members",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+ORACLE_E2_IVF_REBALANCE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e,
+         sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+assign_scored AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         round(list_aggregate(list_transform(list_zip(v.e, c.e),
+               p -> p[1] * p[2]), 'sum') / (v.nrm * c.nrm), 6) AS score
+  FROM norms v JOIN norms c ON c.vec_id < 8
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, centroid_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+cells AS (
+  SELECT c.vec_id AS cid, count(a.vec_id) AS n
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) c
+  LEFT JOIN assign a ON a.centroid_id = c.vec_id
+  GROUP BY 1
+),
+tot AS (SELECT sum(n) AS tot, count(*) AS k, max(cid) AS maxid FROM cells),
+hot AS (SELECT cid FROM cells, tot WHERE n * k / tot > 1.05),
+cold AS (
+  SELECT c.cid AS centroid_id, c.cid AS parent_id,
+         c.n AS n_members, e.e AS emb
+  FROM cells c JOIN e ON e.vec_id = c.cid
+  WHERE c.cid NOT IN (SELECT cid FROM hot)
+),
+members AS (
+  SELECT a.vec_id, a.centroid_id AS cid, nv.e, nv.nrm
+  FROM assign a
+  JOIN norms nv ON nv.vec_id = a.vec_id
+  JOIN hot h ON h.cid = a.centroid_id
+),
+seeds AS (SELECT cid, min(vec_id) AS s0, max(vec_id) AS s1 FROM members GROUP BY 1),
+seedv AS (
+  SELECT s.cid, n0.e AS v0, n0.nrm AS nrm0, n1.e AS v1, n1.nrm AS nrm1
+  FROM seeds s
+  JOIN norms n0 ON n0.vec_id = s.s0
+  JOIN norms n1 ON n1.vec_id = s.s1
+),
+childed AS (
+  SELECT m.cid, m.vec_id, m.e,
+         CASE WHEN round(list_aggregate(list_transform(list_zip(m.e, sv.v1),
+                    p -> p[1] * p[2]), 'sum') / nullif(m.nrm * sv.nrm1, 0), 6)
+                > round(list_aggregate(list_transform(list_zip(m.e, sv.v0),
+                    p -> p[1] * p[2]), 'sum') / nullif(m.nrm * sv.nrm0, 0), 6)
+              THEN 1 ELSE 0 END AS child
+  FROM members m JOIN seedv sv ON sv.cid = m.cid
+),
+dims AS (
+  SELECT cid, child, unnest(range(len(e))) AS dim, unnest(e) AS val
+  FROM childed
+),
+childc AS (
+  SELECT cid, child, dim, avg(val) AS meanv, count(*) AS nm
+  FROM dims GROUP BY 1, 2, 3
+)
+SELECT CASE WHEN child = 0 THEN cid
+            ELSE cid + (SELECT maxid FROM tot) + 1 END AS centroid_id,
+       cid AS parent_id,
+       nm AS n_members,
+       CAST(dim AS BIGINT) AS dim,
+       round(meanv, 6) AS value
+FROM childc
+UNION ALL
+SELECT centroid_id, parent_id, n_members,
+       CAST(u.dim AS BIGINT) AS dim, round(u.val, 6) AS value
+FROM (
+  SELECT centroid_id, parent_id, n_members,
+         unnest(range(len(emb))) AS dim, unnest(emb) AS val
+  FROM cold
+) u
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -8031,6 +8141,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_zorder_locality": q_rel_zorder_locality,
     "e3_token_fertility": q_e3_token_fertility,
     "s20_stream_deletion": q_s20_stream_deletion,
+    "e2_ivf_rebalance": q_e2_ivf_rebalance,
 }
 
 ORACLES: dict[str, str] = {
@@ -8235,4 +8346,5 @@ ORACLES: dict[str, str] = {
     "rel_zorder_locality": _oracle_zorder_locality(),
     "e3_token_fertility": _oracle_token_fertility(),
     "s20_stream_deletion": ORACLE_S20_STREAM_DELETION,
+    "e2_ivf_rebalance": ORACLE_E2_IVF_REBALANCE,
 }

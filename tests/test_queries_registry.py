@@ -234,6 +234,7 @@ def test_driver_window_holds_all_unique_queries():
         "rel_zorder_locality",
         "e3_token_fertility",
         "s20_stream_deletion",
+        "e2_ivf_rebalance",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

@@ -275,3 +275,52 @@ def test_morton_code_validates_arguments(spark):
         morton_code_expr(["x"], 8)
     with pytest.raises(ValueError, match="exceeds 62"):
         morton_code_expr(["x", "y"], 32)
+
+
+def test_ivf_rebalance_splits_hot_cell(spark):
+    """A 2x-overloaded cell splits into two children seeded at its
+    extreme member ids; cold cells pass through; child 1 gets a
+    collision-free new id."""
+    from tensorflow_recorder_spark.operators.similarity import ivf_rebalance
+
+    # cell 11 (y-axis) attracts 5 of 8 vectors (the (0.6,0.8) group
+    # scores higher on (0,1) than (1,0)) -> hot; cell 10 holds 3 -> cold
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.99, 0.05]), (2, [0.98, 0.1]),
+        (3, [0.6, 0.8]), (4, [0.62, 0.78]), (5, [0.64, 0.76]),
+        (6, [0.0, 1.0]), (7, [0.05, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    out = {r["centroid_id"]: r for r in ivf_rebalance(emb, cents, max_load=1.2).collect()}
+    # cell 10 cold: unchanged vector, 3 members
+    assert out[10]["parent_id"] == 10 and out[10]["n_members"] == 3
+    assert out[10]["embedding"] == [1.0, 0.0]
+    # cell 11 hot (load 5*2/8=1.25): child0 keeps id 11,
+    # child1 = 11 + 11 + 1 = 23
+    assert out[11]["parent_id"] == 11 and out[23]["parent_id"] == 11
+    # seeds: min id 3 -> (0.6,0.8) group; max id 7 -> y-axis pair
+    assert out[11]["n_members"] == 3 and out[23]["n_members"] == 2
+    assert out[11]["embedding"][0] == pytest.approx((0.6 + 0.62 + 0.64) / 3)
+    assert out[23]["embedding"][0] == pytest.approx((0.0 + 0.05) / 2)
+
+
+def test_ivf_rebalance_identical_members_drop_empty_child(spark):
+    from tensorflow_recorder_spark.operators.similarity import ivf_rebalance
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(4)] + [(9, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    out = {r["centroid_id"]: r for r in ivf_rebalance(emb, cents, max_load=1.3).collect()}
+    # all 4 hot members tie to child 0; child 1 never materializes
+    assert set(out) == {0, 1}
+    assert out[0]["n_members"] == 4
+    assert out[0]["embedding"] == [1.0, 0.0]
