@@ -489,13 +489,25 @@ def _find_vp8l_chunk(data: bytes) -> bytes:
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
-        body = data[pos + 8 : pos + 8 + size]
+        # a malformed container (non-ASCII tag, chunk past EOF) is
+        # CORRUPT; a clean walk that simply never yields a top-level
+        # VP8L (lossy VP8, animated VP8X/ANMF with nested frames) is a
+        # CAPABILITY gap -> NotImplementedError so the caller can fall
+        # back instead of discarding a valid file
+        if not all(0x20 <= b <= 0x7E for b in tag):
+            raise ValueError("corrupt WebP: bad chunk tag")
+        if pos + 8 + size > len(data):
+            raise ValueError("corrupt WebP: chunk past end of file")
         if tag == b"VP8L":
-            return body
+            return data[pos + 8 : pos + 8 + size]
         if tag == b"VP8 ":
             raise NotImplementedError("lossy WebP (VP8) has no pure-Python decoder")
         pos += 8 + size + (size & 1)
-    raise ValueError("corrupt WebP: no VP8L chunk")
+    if pos == 12:  # no room for even one chunk header
+        raise ValueError("corrupt WebP: no chunks")
+    raise NotImplementedError(
+        "WebP container without a top-level VP8L chunk (animated/extended)"
+    )
 
 
 def decode_vp8l_stream(body: bytes) -> tuple[list[int], int, int, bool]:
@@ -762,6 +774,8 @@ def encode_vp8l(
     coding, dist_code = distance + 120); ``cache_bits`` > 0 enables the
     color cache and emits cache hits when possible."""
     nch = 4 if mode == "RGBA" else 3
+    if not (0 < width <= 1 << 14 and 0 < height <= 1 << 14):
+        raise ValueError("VP8L dimensions must be in 1..16384")
     if len(pixels) != width * height * nch:
         raise ValueError("pixel buffer does not match dimensions")
     argb: list[int] = []

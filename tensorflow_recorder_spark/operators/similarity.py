@@ -350,6 +350,31 @@ def kmeans_update(
     )
 
 
+def _cell_sizes(
+    assign: DataFrame,
+    centroids: DataFrame,
+    centroid_id_col: str,
+    n_col: str,
+) -> DataFrame:
+    """Per-cell member counts INCLUDING empty cells, checkpointed (K
+    rows, consumed by both the totals aggregate and downstream
+    selects). Shared by :func:`ivf_balance` and :func:`ivf_rebalance`
+    so the audit and the action count cells identically by
+    construction."""
+    counts = assign.groupBy(centroid_id_col).agg(
+        F.count(F.lit(1)).cast("long").alias(n_col)
+    )
+    return (
+        centroids.select(centroid_id_col)
+        .join(counts, centroid_id_col, "left")
+        .select(
+            centroid_id_col,
+            F.coalesce(F.col(n_col), F.lit(0)).cast("long").alias(n_col),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def ivf_balance(
     df: DataFrame,
     centroids: DataFrame,
@@ -373,22 +398,7 @@ def ivf_balance(
     Output: (centroid_id, n_vectors BIGINT, load_factor DOUBLE).
     """
     assign = ivf_assign(df, centroids, vec_col, id_col, centroid_id_col)
-    counts = assign.groupBy(centroid_id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_vectors")
-    )
-    # K rows; feeds both the totals aggregate and the final select, so
-    # cut once instead of re-running the corpus assignment.
-    full = (
-        centroids.select(centroid_id_col)
-        .join(counts, centroid_id_col, "left")
-        .select(
-            centroid_id_col,
-            F.coalesce(F.col("n_vectors"), F.lit(0))
-            .cast("long")
-            .alias("n_vectors"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    full = _cell_sizes(assign, centroids, centroid_id_col, "n_vectors")
     totals = full.agg(
         F.sum("n_vectors").alias("__tot"),
         F.count(F.lit(1)).alias("__k"),
@@ -433,18 +443,7 @@ def ivf_rebalance(
     assign = ivf_assign(df, centroids, vec_col, id_col, centroid_id_col)
     # pinned once: counts and hot-member probes both consume it
     assign = assign.localCheckpoint(eager=True)
-    counts = assign.groupBy(centroid_id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("__n")
-    )
-    cells = (
-        centroids.select(centroid_id_col)
-        .join(counts, centroid_id_col, "left")
-        .select(
-            centroid_id_col,
-            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("__n"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    cells = _cell_sizes(assign, centroids, centroid_id_col, "__n")
     tot = cells.agg(
         F.sum("__n").alias("__tot"),
         F.count(F.lit(1)).alias("__k"),

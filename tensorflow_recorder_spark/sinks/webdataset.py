@@ -39,6 +39,21 @@ from ..functions import fs
 from ..functions.partitioning import spread_to_parallelism
 
 
+def _json_meta(v):
+    """Canonical JSON for non-native metadata values: datetimes/dates
+    as ISO strings, Decimals as exact strings, numpy scalars as their
+    Python number — never a silent repr()."""
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if hasattr(v, "item"):  # numpy scalar
+        return v.item()
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return str(v)
+
+
 def _tar_add(tar: tarfile.TarFile, name: str, payload: bytes) -> None:
     info = tarfile.TarInfo(name=name)
     info.size = len(payload)
@@ -98,15 +113,21 @@ def write_webdataset(
                 path = fs.join(out_dir, f".shard-pid{pid:05d}.tar.inprogress")
                 raw = fs.open_output(path)
                 tar = tarfile.open(fileobj=raw, mode="w")
-            for row in pdf.itertuples(index=False):
-                d = row._asdict()
+            cols = list(pdf.columns)
+            # positional tuples: itertuples' named form renames any
+            # column that is not a Python identifier ('doc-id' -> '_0')
+            for row in pdf.itertuples(index=False, name=None):
+                d = dict(zip(cols, row))
                 key = str(d[key_col])
                 meta = {c: d[c] for c in meta_cols if c != "__pid"}
                 _tar_add(
                     tar,
                     f"{key}.json",
                     json.dumps(
-                        meta, sort_keys=True, separators=(",", ":"), default=str
+                        meta,
+                        sort_keys=True,
+                        separators=(",", ":"),
+                        default=_json_meta,
                     ).encode(),
                 )
                 for c in binary_cols:
@@ -170,10 +191,16 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
         return spark.createDataFrame([], out_schema)
     pdf = spark.createDataFrame([(p,) for p in paths], "shard string")
 
+    # flush per bounded batch so a task never holds a whole shard's
+    # payload bytes (conventional WebDataset shards are GB-sized)
+    flush_bytes = 64 << 20
+    flush_members = 4096
+
     def read_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             for shard in b["shard"]:
                 keys, members, payloads = [], [], []
+                pending = 0
                 raw = fs.open_input(shard)
                 try:
                     with tarfile.open(fileobj=raw) as tar:
@@ -182,14 +209,30 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                                 continue
                             key, _, member = info.name.rpartition(".")
                             fh = tar.extractfile(info)
-                            payloads.append(fh.read() if fh else b"")
+                            payload = fh.read() if fh else b""
+                            payloads.append(payload)
                             keys.append(key)
                             members.append(member)
+                            pending += len(payload)
+                            if (
+                                pending >= flush_bytes
+                                or len(keys) >= flush_members
+                            ):
+                                yield pd.DataFrame(
+                                    {
+                                        "key": keys,
+                                        "member": members,
+                                        "payload": payloads,
+                                    }
+                                )
+                                keys, members, payloads = [], [], []
+                                pending = 0
                 finally:
                     raw.close()
-                yield pd.DataFrame(
-                    {"key": keys, "member": members, "payload": payloads}
-                )
+                if keys:
+                    yield pd.DataFrame(
+                        {"key": keys, "member": members, "payload": payloads}
+                    )
 
     return pdf.mapInPandas(read_shards, schema=out_schema)
 

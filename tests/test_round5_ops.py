@@ -89,8 +89,8 @@ def test_codec_roundtrip_probe_all_formats_ok(spark):
     rows = codec_roundtrip_probe(df, "doc_id").collect()
     assert len(rows) == 40
     assert all(r["ok"] for r in rows)
-    fmts = {r["doc_id"] % 4: r["fmt"] for r in rows}
-    assert fmts == {0: "png", 1: "gif", 2: "bmp", 3: "jpeg"}
+    fmts = {r["doc_id"] % 5: r["fmt"] for r in rows}
+    assert fmts == {0: "png", 1: "gif", 2: "bmp", 3: "jpeg", 4: "webp"}
     for r in rows:
         assert r["width"] == 4 + r["doc_id"] % 5
         assert r["height"] == 3 + r["doc_id"] % 4

@@ -294,3 +294,35 @@ def test_stdlib_loader_decodes_lossless_webp(tmp_path):
     bad.write_bytes(p.read_bytes()[:24])
     with pytest.raises(ValueError):
         image_op.DEFAULT_LOADER(str(bad))
+
+
+def test_animated_container_falls_back_not_discarded(tmp_path):
+    """A well-formed VP8X/ANMF container with no top-level VP8L is a
+    CAPABILITY gap (NotImplementedError -> synthetic fallback), not
+    corruption — r5 review finding: valid animated WebP was DISCARDed."""
+    from tensorflow_recorder_spark.operators import image as image_op
+
+    anmf_body = b"\x00" * 16
+    chunks = (
+        b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+        + b"ANMF" + struct.pack("<I", len(anmf_body)) + anmf_body
+    )
+    riff = b"WEBP" + chunks
+    data = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(NotImplementedError):
+        decode_webp(data)
+    if not image_op.HAVE_PIL:
+        p = tmp_path / "anim.webp"
+        p.write_bytes(data)
+        out, w, h, mode = image_op.DEFAULT_LOADER(str(p))
+        assert (w, h, mode) == (4, 4, "RGB")  # synthetic fallback
+
+    # malformed container (chunk past EOF) stays corrupt -> ValueError
+    bad = b"RIFF" + struct.pack("<I", 20) + b"WEBP" + b"VP8X" + struct.pack("<I", 999) + b"\x00"
+    with pytest.raises(ValueError):
+        decode_webp(bad)
+
+
+def test_encoder_rejects_oversized_dimensions():
+    with pytest.raises(ValueError, match="16384"):
+        encode_vp8l(b"\x00" * (20000 * 3), 20000, 1)
