@@ -30,7 +30,7 @@ def test_driver_window_holds_all_unique_queries():
         "s2_stream_sessionize",
         "e5_image_meta",
         "e5_frame_sample",
-        "e2_kmeans_update",
+        "e2_ivf_rebalance",  # supersedes kmeans_update (same machinery)
         "e6_curate",
     }
     assert required <= set(top50)
@@ -234,7 +234,11 @@ def test_driver_window_holds_all_unique_queries():
         "rel_zorder_locality",
         "e3_token_fertility",
         "s20_stream_deletion",
-        "e2_ivf_rebalance",
+        # rotated out for the session-2 flagships (driver-green r04):
+        # kmeans_update's machinery is scored inside e2_ivf_rebalance;
+        # data_audit near-duplicates daily_audit/dataset_card
+        "e2_kmeans_update",
+        "e6_data_audit",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
