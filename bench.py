@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "rel_zorder_locality",
     "e3_token_fertility",
     "e2_ivf_rebalance",
+    "e4_trend_slope",
 ]
 
 

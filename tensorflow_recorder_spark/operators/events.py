@@ -888,6 +888,51 @@ def daily_type_counts(
     ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
 
 
+def trend_slope(
+    daily: DataFrame,
+    day_col: str = "day",
+    type_col: str = "event_type",
+    n_col: str = "n_events",
+) -> DataFrame:
+    """Per-type LINEAR trend: closed-form OLS slope/intercept of daily
+    volume over the day index — the "is this stream growing and how
+    fast" number next to :func:`trend_ranks`' ordinal view. Runs over
+    the (day x type) aggregate (retention x type-cardinality rows,
+    bounded regardless of event volume); the regression moments are
+    one partial-agg groupBy of EXACT integer sums (day index x counts
+    fit comfortably in BIGINT), so the only floating point is the
+    final division — engine-exact after rounding.
+
+    Output: (event_type, n_days, slope DOUBLE, intercept DOUBLE),
+    slope in events/day; single-day types release NULL slope
+    (denominator 0).
+    """
+    x = F.datediff(F.to_date(day_col), F.lit("1970-01-01").cast("date")).cast(
+        "long"
+    )
+    y = F.col(n_col).cast("long")
+    m = daily.groupBy(F.col(type_col).alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    denom = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = (
+        (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+        / F.expr("nullif(cast(__n * __sxx - __sx * __sx as double), 0.0)")
+    )
+    return m.select(
+        "event_type",
+        F.col("__n").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("__sy") - slope * F.col("__sx")) / F.col("__n"), 6
+        ).alias("intercept"),
+    )
+
+
 def trend_ranks(
     daily: DataFrame,
     day_col: str = "day",

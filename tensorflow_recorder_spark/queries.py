@@ -7924,6 +7924,45 @@ FROM (
 """
 
 
+def q_e4_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 trend magnitude: closed-form OLS slope/intercept of each
+    event type's daily volume over the day index — the "growing, and
+    how fast" number next to e4_trending's ordinal ranks. Regression
+    moments are exact integer sums over the bounded (day x type)
+    aggregate; the only floating point is the final division."""
+    from .operators.events import daily_type_counts, trend_slope
+
+    daily = daily_type_counts(_t(spark, sf_dir, "events"))
+    return trend_slope(daily)
+
+
+ORACLE_E4_TREND_SLOPE = """
+WITH daily AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         count(*) AS n_days,
+         sum(datediff('day', DATE '1970-01-01', day::DATE)) AS sx,
+         sum(n) AS sy,
+         sum(datediff('day', DATE '1970-01-01', day::DATE) * n) AS sxy,
+         sum(datediff('day', DATE '1970-01-01', day::DATE)
+             * datediff('day', DATE '1970-01-01', day::DATE)) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days,
+       round((n_days * sxy - sx * sy)
+             / nullif(CAST(n_days * sxx - sx * sx AS DOUBLE), 0.0), 6)
+         AS slope,
+       round((sy - (n_days * sxy - sx * sy)
+                   / nullif(CAST(n_days * sxx - sx * sx AS DOUBLE), 0.0)
+                   * sx) / n_days, 6) AS intercept
+FROM m
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -8146,6 +8185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dataset-card family)
     "e2_kmeans_update": q_e2_kmeans_update,
     "e6_data_audit": q_e6_data_audit,
+    "e4_trend_slope": q_e4_trend_slope,
 }
 
 ORACLES: dict[str, str] = {
@@ -8351,4 +8391,5 @@ ORACLES: dict[str, str] = {
     "e3_token_fertility": _oracle_token_fertility(),
     "s20_stream_deletion": ORACLE_S20_STREAM_DELETION,
     "e2_ivf_rebalance": ORACLE_E2_IVF_REBALANCE,
+    "e4_trend_slope": ORACLE_E4_TREND_SLOPE,
 }

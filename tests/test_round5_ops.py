@@ -324,3 +324,29 @@ def test_ivf_rebalance_identical_members_drop_empty_child(spark):
     assert set(out) == {0, 1}
     assert out[0]["n_members"] == 4
     assert out[0]["embedding"] == [1.0, 0.0]
+
+
+def test_trend_slope_recovers_known_line(spark):
+    """Counts on an exact line y = 3x + 7 -> slope 3, intercept 7
+    (relative to the 1970 epoch day index); a single-day type releases
+    NULL slope."""
+    from tensorflow_recorder_spark.operators.events import trend_slope
+
+    base = 19000  # days since 1970-01-01
+    import datetime
+
+    def day(i):
+        return (
+            datetime.date(1970, 1, 1) + datetime.timedelta(days=base + i)
+        ).strftime("%Y-%m-%d")
+
+    rows = [(day(i), "grow", 3 * (base + i) + 7) for i in range(10)]
+    rows += [(day(0), "flat", 42)]
+    daily = spark.createDataFrame(
+        rows, "day string, event_type string, n_events long"
+    )
+    out = {r["event_type"]: r for r in trend_slope(daily).collect()}
+    assert out["grow"]["n_days"] == 10
+    assert out["grow"]["slope"] == pytest.approx(3.0, abs=1e-6)
+    assert out["grow"]["intercept"] == pytest.approx(7.0, abs=1e-4)
+    assert out["flat"]["slope"] is None
