@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "e3_token_fertility",
     "e2_ivf_rebalance",
     "e4_trend_slope",
+    "e4_holt",
 ]
 
 

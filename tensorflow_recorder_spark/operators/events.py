@@ -933,6 +933,77 @@ def trend_slope(
     )
 
 
+def holt_smoothing(
+    daily: DataFrame,
+    day_col: str = "day",
+    type_col: str = "event_type",
+    n_col: str = "n_events",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Holt double-exponential smoothing per event type (Holt 1957,
+    public): level + trend state folded over the daily series, the
+    one-step forecaster that tracks a CHANGING trend where
+    :func:`trend_slope`'s single OLS line and the seasonal-naive
+    forecast cannot.
+
+    ``level' = a*x + (1-a)*(level + trend)``;
+    ``trend' = b*(level' - level) + (1-b)*trend``;
+    init: first observation sets ``level = x, trend = 0``.
+
+    Like :func:`cusum_changepoints`, the recurrence is inherently
+    sequential per key, so it runs as ONE key-partitioned shuffle over
+    the bounded (day x type) aggregate + a higher-order ``aggregate``
+    fold (accumulator = [level, trend, n] doubles). Both engines fold
+    the identically-sorted array left-to-right with the same IEEE ops,
+    so trajectories match bit-for-bit.
+
+    Output: (event_type, n_days, level, trend, forecast_next), doubles
+    rounded 6 with ``forecast_next = level + trend``.
+    """
+    if not (0 < alpha <= 1 and 0 < beta <= 1):
+        raise ValueError(f"alpha/beta must be in (0, 1], got {alpha}/{beta}")
+    ordered = daily.groupBy(F.col(type_col).alias("event_type")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(day_col).alias("d"),
+                    F.col(n_col).cast("double").alias("v"),
+                )
+            )
+        ).alias("__evs")
+    )
+    a = f"cast({float(alpha)} as double)"
+    b = f"cast({float(beta)} as double)"
+    ca = f"cast({1.0 - float(alpha)} as double)"
+    cb = f"cast({1.0 - float(beta)} as double)"
+    lvl = f"({a} * x + {ca} * (element_at(acc, 1) + element_at(acc, 2)))"
+    fold = (
+        f"aggregate(__vals, array(cast(0 as double), cast(0 as double), cast(0 as double)), "
+        f"(acc, x) -> IF(element_at(acc, 3) = cast(0 as double), "
+        f"array(x, cast(0 as double), cast(1 as double)), "
+        f"array({lvl}, "
+        f"{b} * ({lvl} - element_at(acc, 1)) + {cb} * element_at(acc, 2), "
+        f"element_at(acc, 3) + cast(1 as double))))"
+    )
+    return (
+        ordered.select(
+            "event_type",
+            F.expr("transform(__evs, e -> e.v)").alias("__vals"),
+        )
+        .withColumn("__st", F.expr(fold))
+        .select(
+            "event_type",
+            F.expr("size(__vals)").cast("long").alias("n_days"),
+            F.round(F.expr("element_at(__st, 1)"), 6).alias("level"),
+            F.round(F.expr("element_at(__st, 2)"), 6).alias("trend"),
+            F.round(
+                F.expr("element_at(__st, 1) + element_at(__st, 2)"), 6
+            ).alias("forecast_next"),
+        )
+    )
+
+
 def trend_ranks(
     daily: DataFrame,
     day_col: str = "day",

@@ -7963,6 +7963,50 @@ FROM m
 """
 
 
+def q_e4_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 adaptive forecasting: Holt double-exponential smoothing
+    (level + trend state, a=0.5 / b=0.3) folded over each type's daily
+    volumes — tracks a CHANGING trend where the OLS line and the
+    seasonal-naive forecast cannot. Same key-partitioned higher-order
+    fold shape as e4_cusum; oracle replays the fold with list_reduce."""
+    from .operators.events import daily_type_counts, holt_smoothing
+
+    daily = daily_type_counts(_t(spark, sf_dir, "events"))
+    return holt_smoothing(daily)
+
+
+ORACLE_E4_HOLT = """
+WITH daily AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+ordered AS (
+  SELECT event_type, list(n::DOUBLE ORDER BY day) AS vals
+  FROM daily GROUP BY 1
+),
+folded AS (
+  SELECT event_type, vals,
+         list_reduce(
+           list_prepend([0.0, 0.0, 0.0],
+                        list_transform(vals, v -> [v, 0.0, 0.0])),
+           (acc, xe) -> CASE WHEN acc[3] = 0.0
+             THEN [xe[1], 0.0, 1.0]
+             ELSE [0.5 * xe[1] + 0.5 * (acc[1] + acc[2]),
+                   0.3 * ((0.5 * xe[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                     + 0.7 * acc[2],
+                   acc[3] + 1.0] END
+         ) AS st
+  FROM ordered
+)
+SELECT event_type, CAST(len(vals) AS BIGINT) AS n_days,
+       round(st[1], 6) AS level,
+       round(st[2], 6) AS trend,
+       round(st[1] + st[2], 6) AS forecast_next
+FROM folded
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -8186,6 +8230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_kmeans_update": q_e2_kmeans_update,
     "e6_data_audit": q_e6_data_audit,
     "e4_trend_slope": q_e4_trend_slope,
+    "e4_holt": q_e4_holt,
 }
 
 ORACLES: dict[str, str] = {
@@ -8392,4 +8437,5 @@ ORACLES: dict[str, str] = {
     "s20_stream_deletion": ORACLE_S20_STREAM_DELETION,
     "e2_ivf_rebalance": ORACLE_E2_IVF_REBALANCE,
     "e4_trend_slope": ORACLE_E4_TREND_SLOPE,
+    "e4_holt": ORACLE_E4_HOLT,
 }

@@ -239,8 +239,10 @@ def test_driver_window_holds_all_unique_queries():
         # data_audit near-duplicates daily_audit/dataset_card
         "e2_kmeans_update",
         "e6_data_audit",
-        # slope near-duplicates the scored e4_trending family's input
+        # slope/holt near-duplicate the scored e4_trending family's
+        # input aggregate
         "e4_trend_slope",
+        "e4_holt",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

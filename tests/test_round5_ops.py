@@ -350,3 +350,30 @@ def test_trend_slope_recovers_known_line(spark):
     assert out["grow"]["slope"] == pytest.approx(3.0, abs=1e-6)
     assert out["grow"]["intercept"] == pytest.approx(7.0, abs=1e-4)
     assert out["flat"]["slope"] is None
+
+
+def test_holt_smoothing_known_trajectory(spark):
+    """Hand-folded Holt trajectory (a=0.5, b=0.3) over [10, 14, 18]:
+    init (10, 0); step x=14 -> l=12, b=0.6; step x=18 -> l=15.3,
+    b=1.41; forecast 16.71. Constant series -> zero trend."""
+    from tensorflow_recorder_spark.operators.events import holt_smoothing
+
+    rows = [
+        ("2024-01-01", "g", 10), ("2024-01-02", "g", 14),
+        ("2024-01-03", "g", 18),
+        ("2024-01-01", "c", 5), ("2024-01-02", "c", 5),
+    ]
+    daily = spark.createDataFrame(
+        rows, "day string, event_type string, n_events long"
+    )
+    out = {r["event_type"]: r for r in holt_smoothing(daily).collect()}
+    g = out["g"]
+    assert g["n_days"] == 3
+    assert g["level"] == pytest.approx(15.3, abs=1e-6)
+    assert g["trend"] == pytest.approx(1.41, abs=1e-6)
+    assert g["forecast_next"] == pytest.approx(16.71, abs=1e-6)
+    assert out["c"]["trend"] == pytest.approx(0.0)
+    assert out["c"]["forecast_next"] == pytest.approx(5.0)
+
+    with pytest.raises(ValueError, match="alpha/beta"):
+        holt_smoothing(daily, alpha=0.0)
