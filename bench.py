@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "e2_ivf_rebalance",
     "e4_trend_slope",
     "e4_holt",
+    "e6_bpe_pack",
 ]
 
 

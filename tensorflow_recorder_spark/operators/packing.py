@@ -65,19 +65,52 @@ def pack_sequences(
     if nshards <= 0:
         raise ValueError(f"nshards must be positive, got {nshards}")
 
+    counts = df.select(
+        F.col(id_col),
+        # NULL text -> 0 tokens (a NaN would crash int() in the pandas
+        # stage; every sibling curation operator tolerates dirty rows)
+        F.coalesce(token_count_expr(text_col).cast("long"), F.lit(0)).alias(
+            "n_tokens"
+        ),
+    )
+    return pack_sequences_counted(
+        counts, id_col, "n_tokens", capacity, nshards, salt
+    )
+
+
+def pack_sequences_counted(
+    counts: DataFrame,
+    id_col: str,
+    count_col: str,
+    capacity: int,
+    nshards: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """The packing core over a PRECOMPUTED (id, token-count) frame —
+    what :func:`pack_sequences` delegates to after counting whitespace
+    tokens. Passing real tokenizer counts (e.g. BPE subwords from
+    ``bpe.bpe_encode_dict``) packs by the budget the model actually
+    pays, which is the production form: whitespace counts under-fill
+    bins exactly where fertility > 1. Same determinism and
+    shard-then-pack plan shape; only ``(id, shard, n_tokens)`` ever
+    enters the Python stage."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    if nshards <= 0:
+        raise ValueError(f"nshards must be positive, got {nshards}")
+
     # the md5-slice bucket shared with operators.sampling — one recipe,
     # one engine-parity contract
     from .sampling import _bucket_expr
 
+    df = counts
     id_field = df.schema[id_col]
     narrow = df.select(
         F.col(id_col),
         F.expr(_bucket_expr(id_col, salt, denom=nshards))
         .cast("int")
         .alias("shard"),
-        # NULL text -> 0 tokens (a NaN would crash int() in the pandas
-        # stage; every sibling curation operator tolerates dirty rows)
-        F.coalesce(token_count_expr(text_col).cast("long"), F.lit(0)).alias(
+        F.coalesce(F.col(count_col).cast("long"), F.lit(0)).alias(
             "n_tokens"
         ),
     )

@@ -8007,6 +8007,67 @@ FROM folded
 """
 
 
+def q_e6_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 tokenizer-aware packing: the greedy bin packer driven by
+    REAL BPE subword counts instead of whitespace words — the budget
+    the model actually pays (whitespace counts under-fill bins exactly
+    where fertility > 1). Composes the dictionary-trick encode with
+    ``pack_sequences_counted``; the oracle chains the BPE recursive
+    CTE into the greedy-packing recursive CTE."""
+    from .operators.bpe import (
+        _with_symbols,
+        bpe_encode_dict,
+        pair_counts,
+        word_counts,
+    )
+    from .operators.packing import pack_sequences_counted
+
+    docs = _t(spark, sf_dir, "documents")
+    top = (
+        pair_counts(_with_symbols(word_counts(docs, "text")))
+        .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+        .limit(8)
+        .collect()
+    )
+    merges = [(i, r["left"], r["right"]) for i, r in enumerate(top)]
+    enc = bpe_encode_dict(docs, "text", "doc_id", merges).select(
+        "doc_id", F.col("n_subwords").alias("n_tokens")
+    )
+    return pack_sequences_counted(
+        enc, "doc_id", "n_tokens", capacity=256, nshards=8
+    )
+
+
+def _oracle_bpe_pack() -> str:
+    return f"""
+WITH RECURSIVE enc AS ({ORACLE_E3_BPE_ENCODE}),
+pre AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 8 AS INTEGER) AS shard,
+         n_subwords AS n_tokens
+  FROM enc
+), base AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM pre
+), rec AS (
+  SELECT doc_id, shard, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS bin_offset,
+         n_tokens AS fill
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.doc_id, b.shard, b.n_tokens, b.rn,
+         CASE WHEN r.fill > 0 AND r.fill + b.n_tokens > 256
+              THEN r.bin_id + 1 ELSE r.bin_id END,
+         CASE WHEN r.fill > 0 AND r.fill + b.n_tokens > 256
+              THEN 0 ELSE r.fill END,
+         CASE WHEN r.fill > 0 AND r.fill + b.n_tokens > 256
+              THEN b.n_tokens ELSE r.fill + b.n_tokens END
+  FROM rec r JOIN base b ON b.shard = r.shard AND b.rn = r.rn + 1
+)
+SELECT doc_id, shard, bin_id, bin_offset, n_tokens FROM rec
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -8231,6 +8292,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_data_audit": q_e6_data_audit,
     "e4_trend_slope": q_e4_trend_slope,
     "e4_holt": q_e4_holt,
+    "e6_bpe_pack": q_e6_bpe_pack,
 }
 
 ORACLES: dict[str, str] = {
@@ -8438,4 +8500,5 @@ ORACLES: dict[str, str] = {
     "e2_ivf_rebalance": ORACLE_E2_IVF_REBALANCE,
     "e4_trend_slope": ORACLE_E4_TREND_SLOPE,
     "e4_holt": ORACLE_E4_HOLT,
+    "e6_bpe_pack": _oracle_bpe_pack(),
 }

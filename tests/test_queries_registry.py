@@ -243,6 +243,8 @@ def test_driver_window_holds_all_unique_queries():
         # input aggregate
         "e4_trend_slope",
         "e4_holt",
+        # bpe_pack composes the scored e6_sequence_pack + e3_bpe_encode
+        "e6_bpe_pack",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

@@ -377,3 +377,26 @@ def test_holt_smoothing_known_trajectory(spark):
 
     with pytest.raises(ValueError, match="alpha/beta"):
         holt_smoothing(daily, alpha=0.0)
+
+
+def test_pack_sequences_counted_uses_supplied_counts(spark):
+    """Packing by a supplied count column must follow THOSE counts —
+    the tokenizer-aware form diverges from whitespace packing exactly
+    when fertility != 1."""
+    from tensorflow_recorder_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_counted,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 4) for i in range(8)], "doc_id long, text string"
+    )
+    # whitespace: 4 tokens/doc; supplied: 100 tokens/doc
+    counts = docs.select("doc_id", F.lit(100).cast("long").alias("n_tokens"))
+    ws = pack_sequences(docs, "doc_id", "text", capacity=256, nshards=1)
+    bpe = pack_sequences_counted(
+        counts, "doc_id", "n_tokens", capacity=256, nshards=1
+    )
+    assert ws.agg(F.max("bin_id")).collect()[0][0] == 0  # 32 tokens: 1 bin
+    assert bpe.agg(F.max("bin_id")).collect()[0][0] == 3  # 800 tokens: 4 bins
+    assert {r["n_tokens"] for r in bpe.collect()} == {100}
