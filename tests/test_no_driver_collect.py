@@ -45,10 +45,11 @@ ALLOWED = {
         "contract as sinks/tfrecord.py write_all_splits)",
     ),
     "queries.py": (
-        2,
-        "e3_bpe_encode + e3_token_fertility merge tables: "
-        "limit(8).collect() — tokenizer-sized fitted state (8 rows "
-        "each), the same broadcastable-model pattern as bpe_fit",
+        3,
+        "e3_bpe_encode / e3_token_fertility / e6_bpe_pack merge "
+        "tables: limit(8).collect() — tokenizer-sized fitted state "
+        "(8 rows each), the same broadcastable-model pattern as "
+        "bpe_fit",
     ),
 }
 
