@@ -80,3 +80,34 @@ def test_morton_expr_matches_bit_interleave(spark, vals, bits):
 
     [r] = row.select(F.expr(morton_code_expr(cols, bits)).alias("z")).collect()
     assert r["z"] == want
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=50),
+    pos=st.integers(min_value=12, max_value=200),
+    newbyte=st.integers(min_value=0, max_value=255),
+    truncate=st.booleans(),
+)
+def test_vp8l_decoder_total_on_corrupt_input(seed, pos, newbyte, truncate):
+    """Byte-flipped / truncated streams must raise the two DECLARED
+    exception types (ValueError -> DISCARD, NotImplementedError ->
+    synthetic fallback) — never IndexError/KeyError/etc., which would
+    crash the whole Arrow batch instead of routing one row."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (5, 6, 3)).astype("uint8").tobytes()
+    data = bytearray(
+        encode_vp8l(px, 6, 5, subtract_green=bool(seed % 2), lz77=True)
+    )
+    if truncate:
+        data = data[: max(13, pos % len(data))]
+    elif pos < len(data):
+        data[pos] = newbyte
+    try:
+        out, w, h, mode = decode_webp(bytes(data))
+        # a mutation the decoder survives must still be well-formed
+        assert w >= 1 and h >= 1 and len(out) in (w * h * 3, w * h * 4)
+    except (ValueError, NotImplementedError):
+        pass
