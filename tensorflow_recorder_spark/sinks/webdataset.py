@@ -257,3 +257,34 @@ def webdataset_samples(triples: DataFrame) -> DataFrame:
             ).alias("binary_members"),
         )
     )
+
+
+def write_webdataset_splits(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    split_col: str = "split",
+    splits: tuple[str, ...] = ("TRAIN", "VALIDATION", "TEST"),
+    num_shards: int = 0,
+) -> dict[str, dict[str, int]]:
+    """Per-split WebDataset layout — the tar-shard twin of the TFRecord
+    sink's split contract: each split writes its own ``<split_lower>/``
+    shard directory, unknown split values are dropped (the DISCARD
+    route), and an empty-but-present split still gets one valid empty
+    shard (V8 parity). One filtered write job per split over a cached
+    frame (splits are few; the per-split filter pushes into the scan
+    on re-read). Returns {split: {shard_path: n_samples}}."""
+    results: dict[str, dict[str, int]] = {}
+    work = df.where(F.col(split_col).isin(*splits)).cache()
+    try:
+        for split_value in splits:
+            sub = work.where(F.col(split_col) == split_value).drop(split_col)
+            results[split_value] = write_webdataset(
+                sub,
+                fs.join(out_dir, split_value.lower()),
+                key_col,
+                num_shards=num_shards,
+            )
+    finally:
+        work.unpersist()
+    return results

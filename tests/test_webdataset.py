@@ -97,3 +97,37 @@ def test_webdataset_rejects_missing_key(spark, sample_df, tmp_path):
 
     with pytest.raises(ValueError, match="key column"):
         write_webdataset(sample_df, str(tmp_path / "x"), "nope")
+
+
+def test_webdataset_split_layout(spark, tmp_path):
+    """Per-split directories, unknown split dropped, empty split still
+    produces one valid shard (same contract as the TFRecord sink)."""
+    from tensorflow_recorder_spark.sinks.webdataset import (
+        read_webdataset,
+        write_webdataset_splits,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "TRAIN", "a"), (1, "TRAIN", "b"),
+            (2, "VALIDATION", "c"), (3, "FOO", "dropped"),
+        ],
+        "doc_id long, split string, text string",
+    )
+    out = str(tmp_path / "wds")
+    res = write_webdataset_splits(df, out, "doc_id")
+    assert sum(res["TRAIN"].values()) == 2
+    assert sum(res["VALIDATION"].values()) == 1
+    assert sum(res["TEST"].values()) == 0  # empty-but-present
+    assert all("/test/" in p for p in res["TEST"])
+    train = read_webdataset(spark, f"{out}/train")
+    keys = {r["key"] for r in train.collect()}
+    assert keys == {"0", "1"}
+    # the split column itself is not serialized; FOO row nowhere
+    import json as _json
+
+    metas = [
+        _json.loads(bytes(r["payload"]))
+        for r in train.where(F.col("member") == "json").collect()
+    ]
+    assert all("split" not in m for m in metas)
