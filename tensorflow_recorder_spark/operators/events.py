@@ -920,9 +920,8 @@ def trend_slope(
     )
     denom = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
     slope = (
-        (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
-        / F.expr("nullif(cast(__n * __sxx - __sx * __sx as double), 0.0)")
-    )
+        F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    ) / F.nullif(denom.cast("double"), F.lit(0.0))
     return m.select(
         "event_type",
         F.col("__n").alias("n_days"),

@@ -6845,10 +6845,10 @@ norms AS (
 )
 SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        round(list_aggregate(list_transform(list_zip(a.e, b.e),
-             p -> p[1] * p[2]), 'sum') / (a.nrm * b.nrm), 4) AS score
+             p -> p[1] * p[2]), 'sum') / nullif(a.nrm * b.nrm, 0), 4) AS score
 FROM norms a JOIN norms b ON a.vec_id < 5 AND a.vec_id <> b.vec_id
 WHERE round(list_aggregate(list_transform(list_zip(a.e, b.e),
-            p -> p[1] * p[2]), 'sum') / (a.nrm * b.nrm), 4) >= 0.2
+            p -> p[1] * p[2]), 'sum') / nullif(a.nrm * b.nrm, 0), 4) >= 0.2
 """
 
 
@@ -7012,7 +7012,7 @@ norms AS (
 assign_scored AS (
   SELECT v.vec_id, c.vec_id AS centroid_id,
          round(list_aggregate(list_transform(list_zip(v.e, c.e),
-               p -> p[1] * p[2]), 'sum') / (v.nrm * c.nrm), 6) AS score
+               p -> p[1] * p[2]), 'sum') / nullif(v.nrm * c.nrm, 0), 6) AS score
   FROM norms v JOIN norms c ON c.vec_id < 8
 ),
 assign AS (
@@ -7024,14 +7024,14 @@ assign AS (
 )
 SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
        round(list_aggregate(list_transform(list_zip(q.e, v.e),
-             p -> p[1] * p[2]), 'sum') / (q.nrm * v.nrm), 4) AS score
+             p -> p[1] * p[2]), 'sum') / nullif(q.nrm * v.nrm, 0), 4) AS score
 FROM norms q
 JOIN assign qa ON qa.vec_id = q.vec_id
 JOIN assign va ON va.centroid_id = qa.centroid_id
 JOIN norms v ON v.vec_id = va.vec_id AND v.vec_id <> q.vec_id
 WHERE q.vec_id < 5
   AND round(list_aggregate(list_transform(list_zip(q.e, v.e),
-        p -> p[1] * p[2]), 'sum') / (q.nrm * v.nrm), 4) >= 0.2
+        p -> p[1] * p[2]), 'sum') / nullif(q.nrm * v.nrm, 0), 4) >= 0.2
 """
 
 

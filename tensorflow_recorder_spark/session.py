@@ -23,6 +23,16 @@ def get_spark(app_name: str = "tensorflow_recorder_spark", master: str | None = 
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesce floor, defense-in-depth: with parallelismFirst
+        # (default) AQE never coalesces below defaultParallelism
+        # (measured on Spark 4.1), but a cluster config that sets
+        # parallelismFirst=false falls back to advisory-size targeting
+        # where the stock 1 MiB minPartitionSize can shrink a small
+        # shuffle to a handful of partitions — serializing downstream
+        # per-row Python stages. 64k keeps small shuffles parallel in
+        # that config; at 100 TB partition sizes >> 64k so the floor
+        # never binds and AQE behaves exactly as stock.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -90,6 +90,19 @@ def write_webdataset(
     binary_cols = [
         f.name for f in df.schema.fields if f.dataType.simpleString() == "binary"
     ]
+    # Member names are '{key}.{col}' and readers split on the LAST dot
+    # (WebDataset basename convention), so a dot inside a binary column
+    # name would corrupt the key/member split on round-trip, and a key
+    # value ending '.json' (or '.{col}') would collide with the
+    # metadata member. Reject the ambiguity at write time (r5 advice).
+    for c in binary_cols:
+        if "." in c:
+            raise ValueError(
+                f"binary column name {c!r} contains '.', which is "
+                "ambiguous in WebDataset member names ('{key}.{column}' "
+                "splits on the last dot); rename the column"
+            )
+    reserved = tuple("." + m for m in ["json", *binary_cols])
     meta_cols = [c for c in df.columns if c not in binary_cols]
     part = df.withColumn("__pid", F.spark_partition_id())
 
@@ -119,6 +132,12 @@ def write_webdataset(
             for row in pdf.itertuples(index=False, name=None):
                 d = dict(zip(cols, row))
                 key = str(d[key_col])
+                if key.endswith(reserved):
+                    raise ValueError(
+                        f"sample key {key!r} ends with a reserved member "
+                        f"suffix {reserved}; it would collide with "
+                        "another sample's member on read"
+                    )
                 meta = {c: d[c] for c in meta_cols if c != "__pid"}
                 _tar_add(
                     tar,

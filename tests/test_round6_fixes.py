@@ -1,0 +1,170 @@
+"""Round-6 fixes: the AQE partition floor for per-row Python stages
+(r5 verdict item 2), WebDataset member-name validation (r5 advice),
+and the vectorized MMR NaN guard (r5 verdict item 4)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestSpreadPartitionFloor:
+    """The r5 `weak` regression: a localCheckpoint'd dedup output at
+    bench scale sits at ~12 partitions, and the metadata-only spread
+    rule left the downstream per-row shingle/minhash Python stages
+    under-parallelized. LogicalRDD-leaf frames now get an exact (free)
+    probe and a repartition floor."""
+
+    def test_checkpointed_frame_below_par_is_respread(self, spark):
+        from tensorflow_recorder_spark.functions.partitioning import (
+            spread_to_parallelism,
+        )
+
+        df = (
+            spark.range(1000)
+            .repartition(2)
+            .localCheckpoint(eager=True)
+        )
+        assert df.inputFiles() == [] and not df.isLocal()
+        out = spread_to_parallelism(df, parallelism=8)
+        n = (
+            out.select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        assert n == 8
+
+    def test_checkpointed_projection_below_par_is_respread(self, spark):
+        # the real call shape: checkpoint + narrow projection feeding
+        # the shingle/minhash mapInPandas stage
+        from tensorflow_recorder_spark.functions.partitioning import (
+            spread_to_parallelism,
+        )
+
+        ck = (
+            spark.range(1000)
+            .withColumn("t", F.expr("repeat('x', 10)"))
+            .repartition(2)
+            .localCheckpoint(eager=True)
+        )
+        out = spread_to_parallelism(ck.select("id", "t"), parallelism=8)
+        n = (
+            out.select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        assert n == 8
+
+    def test_checkpointed_frame_at_par_passes_through(self, spark):
+        from tensorflow_recorder_spark.functions.partitioning import (
+            spread_to_parallelism,
+        )
+
+        df = (
+            spark.range(1000)
+            .repartition(8)
+            .localCheckpoint(eager=True)
+        )
+        out = spread_to_parallelism(df, parallelism=8)
+        assert out is df  # no extra shuffle node
+
+    def test_post_shuffle_frame_still_untouched(self, spark):
+        # derived non-RDD frames keep the metadata-only rule: never add
+        # a corpus-wide shuffle on a post-shuffle/join/agg output
+        from tensorflow_recorder_spark.functions.partitioning import (
+            spread_to_parallelism,
+        )
+
+        df = spark.range(1000).groupBy((F.col("id") % 10).alias("k")).count()
+        out = spread_to_parallelism(df, parallelism=8)
+        assert out is df
+
+    def test_session_factory_pins_the_aqe_floor(self):
+        # defense-in-depth for parallelismFirst=false cluster configs;
+        # asserted on source (a second live session can't be created,
+        # and getOrCreate would alias the test session).
+        import inspect
+
+        from tensorflow_recorder_spark import session as sess_mod
+
+        src = inspect.getsource(sess_mod.get_spark)
+        assert "coalescePartitions.minPartitionSize" in src
+        assert '"64k"' in src
+
+
+class TestWebdatasetNameValidation:
+    def test_dotted_binary_column_rejected(self, spark, tmp_path):
+        from tensorflow_recorder_spark.sinks.webdataset import write_webdataset
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x00"))], "k long, `img.bin` binary"
+        )
+        with pytest.raises(ValueError, match="ambiguous"):
+            write_webdataset(df, str(tmp_path / "wd"), key_col="k")
+
+    def test_key_colliding_with_json_member_rejected(self, spark, tmp_path):
+        from tensorflow_recorder_spark.sinks.webdataset import write_webdataset
+
+        df = spark.createDataFrame([("a.json",), ("b",)], "k string")
+        with pytest.raises(Exception, match="reserved member suffix"):
+            write_webdataset(df, str(tmp_path / "wd"), key_col="k")
+
+    def test_key_colliding_with_binary_member_rejected(self, spark, tmp_path):
+        from tensorflow_recorder_spark.sinks.webdataset import write_webdataset
+
+        df = spark.createDataFrame(
+            [("x.img", bytearray(b"\x01")), ("y", bytearray(b"\x02"))],
+            "k string, img binary",
+        )
+        with pytest.raises(Exception, match="reserved member suffix"):
+            write_webdataset(df, str(tmp_path / "wd"), key_col="k")
+
+    def test_plain_keys_still_write(self, spark, tmp_path):
+        from tensorflow_recorder_spark.sinks.webdataset import (
+            read_webdataset,
+            write_webdataset,
+        )
+
+        df = spark.createDataFrame(
+            [("a", bytearray(b"\x01")), ("b", bytearray(b"\x02"))],
+            "k string, img binary",
+        )
+        out = str(tmp_path / "wd")
+        shards = write_webdataset(df, out, key_col="k")
+        assert sum(shards.values()) == 2
+        back = read_webdataset(spark, out)
+        assert back.where("member = 'img'").count() == 2
+
+
+class TestMmrNanGuardVectorized:
+    """The r4 NaN guard must survive vectorization: zero-norm pair sims
+    (NaN after the nullif division) contribute 0.0 to the max, never
+    poisoning the greedy argmax."""
+
+    def test_zero_norm_candidate_does_not_poison(self, spark):
+        from tensorflow_recorder_spark.operators.retrieval import mmr_rerank
+
+        rows = [
+            (1, 0.9, [1.0, 0.0]),
+            (2, 0.8, [0.0, 0.0]),  # zero norm -> NaN sim vs everyone
+            (3, 0.7, [1.0, 0.0]),  # duplicate of 1 -> sim 1.0
+        ]
+        cand = spark.createDataFrame(
+            rows, "doc_id long, score double, embedding array<double>"
+        )
+        out = mmr_rerank(cand, lam=0.5, k=3).orderBy("step").collect()
+        picked = [r.doc_id for r in out]
+        # greedy: 1 first (rel max); then 2 (0.4 - 0) beats 3
+        # (0.35 - 0.5*1.0); a NaN-poisoned max would reorder this.
+        assert picked == [1, 2, 3]
+        assert all(r.mmr_score == r.mmr_score for r in out)  # no NaN
+
+    def test_no_per_row_isna_in_loop(self):
+        # the vectorized guard must not reintroduce scalar pd.isna
+        # calls inside the greedy loop (the r5 1.67x warm regression)
+        import inspect
+
+        from tensorflow_recorder_spark.operators import retrieval
+
+        src = inspect.getsource(retrieval.mmr_rerank)
+        assert "pd.isna(r.sim)" not in src
+        assert ".notna()" in src
