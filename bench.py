@@ -133,6 +133,9 @@ BENCH_QUERIES = [
     "e4_trend_slope",
     "e4_holt",
     "e6_bpe_pack",
+    # round-6: sampled-truth recall audit (tracks the scale path of
+    # e1_lsh_recall_audit)
+    "e1_lsh_recall_sampled",
 ]
 
 

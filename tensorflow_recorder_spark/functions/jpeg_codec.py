@@ -195,9 +195,21 @@ def decode_jpeg(data: bytes) -> tuple[bytes, int, int, str]:
     coefficients across every SOS scan (spectral selection + successive
     approximation per T.81 Annex G) and dequantize/IDCT once at EOI.
     Raises ValueError for lossless/arithmetic/12-bit flavors and
-    corrupt data."""
+    corrupt data — ONLY ValueError: any stray low-level exception from
+    a byte-flipped stream (short DHT counts, truncated SOF, bad table
+    ids) is converted here, same totality contract as
+    ``gif_codec.decode_gif``, so an executor batch DISCARDs the row
+    instead of crashing the stage (pinned by
+    tests/test_codec_property.py)."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (missing SOI)")
+    try:
+        return _decode_jpeg_inner(data)
+    except (struct.error, IndexError, KeyError, ZeroDivisionError) as exc:
+        raise ValueError(f"corrupt JPEG: {exc!r}") from exc
+
+
+def _decode_jpeg_inner(data: bytes) -> tuple[bytes, int, int, str]:
     qtables: dict[int, np.ndarray] = {}
     dc_tables: dict[int, _HuffTable] = {}
     ac_tables: dict[int, _HuffTable] = {}

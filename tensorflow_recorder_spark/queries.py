@@ -7143,6 +7143,114 @@ SELECT (SELECT count(*) FROM truth) AS n_true,
 """
 
 
+def q_e1_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 tuning audit, corpus-scale variant: LSH recall/precision
+    measured on a DETERMINISTIC md5-bucket document sample instead of
+    the full corpus (r5 verdict item 5 — the exact audit's full
+    blocked-Jaccard truth set is infeasible at 100 TB, and its
+    id->source broadcast stops broadcasting at corpus scale). Sampling
+    DOCUMENTS (not pairs) keeps the estimator unbiased over the
+    sampled pair universe: truth, candidates, and hits all restrict to
+    sample x sample, so recall/precision are the standard
+    sample-restricted estimates. The sample is ``hash_sample``'s
+    md5-bucket membership (operators/sampling.py) — reproducible
+    across engines and retries, never ``rand()``. At 100 TB the
+    fraction drops to ~1e-3: the truth-side shingle matmul is then
+    1/1e6 of the corpus-wide pair work and every docs-derived join
+    side (the id->source maps below) is sample-sized, i.e.
+    broadcastable again."""
+    from .operators import dedup as dd
+    from .operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    # 50% at test SF so the sampled pair universe stays non-trivial;
+    # the fraction is the ONLY knob that changes at corpus scale.
+    sample = hash_sample(docs, "doc_id", 0.5, salt="recall").localCheckpoint(
+        eager=True
+    )
+    truth = (
+        dd.blocked_jaccard_pairs(
+            sample, "text", "doc_id", block_col="source", threshold=0.2
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    sigs = dd.minhash_signatures(sample, "text", "doc_id")
+    cand = dd.lsh_candidate_pairs(sigs, "doc_id", min_est_jaccard=0.25).select(
+        "id_a", "id_b"
+    )
+    sa = sample.select(F.col("doc_id").alias("id_a"), F.col("source").alias("__sa"))
+    sb = sample.select(F.col("doc_id").alias("id_b"), F.col("source").alias("__sb"))
+    cand_block = (
+        cand.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .where(F.col("__sa") == F.col("__sb"))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    hit = truth.join(cand_block, ["id_a", "id_b"])
+    t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    c = cand_block.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    h = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        t.crossJoin(c)
+        .crossJoin(h)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.round(F.col("n_hit") / F.expr("nullif(n_true, 0)"), 6).alias(
+                "recall"
+            ),
+            F.round(
+                F.col("n_hit") / F.expr("nullif(n_candidates, 0)"), 6
+            ).alias("precision"),
+        )
+    )
+
+
+def _oracle_lsh_recall_sampled() -> str:
+    # the same md5-bucket membership as hash_sample(fraction=0.5,
+    # salt='recall') — the predicate pair already engine-parity-pinned
+    # by ORACLE_P2_STRATIFIED_SAMPLE
+    pred = (
+        "('0x' || substr(md5('recall:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT % 1000000 < 500000"
+    )
+    sampled_src = f"(SELECT * FROM documents WHERE {pred}) sdocs"
+    truth = f"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)),
+           i -> substr(lower(text), i, 5))) AS s
+  FROM documents WHERE {pred}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+"""
+    return f"""
+WITH truth AS ({truth}),
+cand AS ({_oracle_lsh_pairs(min_est=0.25, src=sampled_src)}),
+cand_block AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN documents a ON a.doc_id = c.id_a
+  JOIN documents b ON b.doc_id = c.id_b
+  WHERE a.source = b.source
+),
+hit AS (SELECT id_a, id_b FROM truth INTERSECT SELECT id_a, id_b FROM cand_block)
+SELECT (SELECT count(*) FROM truth) AS n_true,
+       (SELECT count(*) FROM cand_block) AS n_candidates,
+       (SELECT count(*) FROM hit) AS n_hit,
+       round((SELECT count(*) FROM hit)::DOUBLE
+             / nullif((SELECT count(*) FROM truth), 0), 6) AS recall,
+       round((SELECT count(*) FROM hit)::DOUBLE
+             / nullif((SELECT count(*) FROM cand_block), 0), 6) AS precision
+"""
+
+
 def q_rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17-style small-quantity revenue: for one brand's parts, the
     total revenue of lineitems whose quantity is below 20% of that
@@ -8100,27 +8208,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_fuzzy_dedup": q_e1_fuzzy_dedup,
     "e1_contamination": q_e1_contamination,
     "e2_mmr_rerank": q_e2_mmr_rerank,
-    "e2_topk_cosine": q_e2_topk_cosine,
+    "e2_range_search": q_e2_range_search,
     "e2_ivf_topk": q_e2_ivf_topk,
     "e2_ivf_rebalance": q_e2_ivf_rebalance,
+    "e2_ivf_balance": q_e2_ivf_balance,
     "e6_curate": q_e6_curate,
     "e3_token_stats": q_e3_token_stats,
     "e3_quality": q_e3_quality,
     "p4_leakage_safe_split": q_p4_leakage_safe_split,
     "e4_cusum": q_e4_cusum,
     "e4_value_quantiles": q_e4_value_quantiles,
-    "e4_sliding_window": q_e4_sliding_window,
-    "e6_sequence_pack": q_e6_sequence_pack,
+    "e4_trend_slope": q_e4_trend_slope,
+    "e6_bpe_pack": q_e6_bpe_pack,
     "e6_mixture_sample": q_e6_mixture_sample,
     "s5_stream_contamination": q_s5_stream_contamination,
-    "e3_lm_score": q_e3_lm_score,
-    "e1_semantic_dedup": q_e1_semantic_dedup,
-    "e2_ivf_pq_topk": q_e2_ivf_pq_topk,
-    "e6_dsir_scores": q_e6_dsir_scores,
-    "e4_gap_fill": q_e4_gap_fill,
+    "e3_token_fertility": q_e3_token_fertility,
+    "e1_lsh_recall_audit": q_e1_lsh_recall_audit,
+    "e5_codec_roundtrip": q_e5_codec_roundtrip,
+    "e4_holt": q_e4_holt,
+    "rel_discount_revenue": q_rel_discount_revenue,
     "rel_pagerank": q_rel_pagerank,
-    "e4_psi_drift": q_e4_psi_drift,
-    "e3_chunk": q_e3_chunk,
+    "rel_returned_revenue": q_rel_returned_revenue,
+    "rel_zorder_locality": q_rel_zorder_locality,
     "e6_deletion_impact": q_e6_deletion_impact,
     "e4_seasonal": q_e4_seasonal,
     # -- positions 51+: oracle-checked locally only (driver stops at 50;
@@ -8260,15 +8369,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_retrieve_diverse": q_e2_retrieve_diverse,
     "e4_weekend_effect": q_e4_weekend_effect,
     # round-5 additions
-    "e2_range_search": q_e2_range_search,
     "e3_readability": q_e3_readability,
     "e4_interarrival": q_e4_interarrival,
-    "e5_codec_roundtrip": q_e5_codec_roundtrip,
     "rel_small_qty_revenue": q_rel_small_qty_revenue,
     "rel_top_supplier": q_rel_top_supplier,
     "s19_stream_interarrival": q_s19_stream_interarrival,
     "e4_markov_transitions": q_e4_markov_transitions,
-    "e1_lsh_recall_audit": q_e1_lsh_recall_audit,
     "e2_range_search_ivf": q_e2_range_search_ivf,
     # rotated past the driver's 50-slot window (driver-green in r03;
     # each near-duplicates a still-scored neighbor)
@@ -8276,13 +8382,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_lsh_pairs": q_e1_lsh_pairs,
     "e3_word_frequencies": q_e3_word_frequencies,
     # round-5 session-2 additions
-    "rel_discount_revenue": q_rel_discount_revenue,
     "rel_nation_volume": q_rel_nation_volume,
-    "rel_returned_revenue": q_rel_returned_revenue,
     "rel_disjunctive_revenue": q_rel_disjunctive_revenue,
-    "e2_ivf_balance": q_e2_ivf_balance,
-    "rel_zorder_locality": q_rel_zorder_locality,
-    "e3_token_fertility": q_e3_token_fertility,
     "s20_stream_deletion": q_s20_stream_deletion,
     # rotated past the window for the round-5 session-2 flagships
     # (driver-green r04; kmeans_update's machinery is scored inside
@@ -8290,9 +8391,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dataset-card family)
     "e2_kmeans_update": q_e2_kmeans_update,
     "e6_data_audit": q_e6_data_audit,
-    "e4_trend_slope": q_e4_trend_slope,
-    "e4_holt": q_e4_holt,
-    "e6_bpe_pack": q_e6_bpe_pack,
+    # round-6 swap-outs for the round-5 flagships (all driver-green in
+    # r05, CORRECTNESS_r05.json; each machinery stays scored through a
+    # neighbor: topk_cosine inside mmr_rerank/hybrid_rrf and the exact
+    # range_search twin; ivf_pq_topk via ivf_topk + ivf_balance;
+    # sliding_window via cusum/seasonal-family aggregates; sequence_pack
+    # inside the scored bpe_pack composition; lm_score's bigram frame
+    # via bigram_pmi; semantic_dedup via fuzzy_dedup + the E2 cosine
+    # family; dsir via mixture_sample's weighted machinery; gap_fill /
+    # psi_drift / chunk via their streaming/stats twins)
+    "e2_topk_cosine": q_e2_topk_cosine,
+    "e2_ivf_pq_topk": q_e2_ivf_pq_topk,
+    "e4_sliding_window": q_e4_sliding_window,
+    "e6_sequence_pack": q_e6_sequence_pack,
+    "e3_lm_score": q_e3_lm_score,
+    "e1_semantic_dedup": q_e1_semantic_dedup,
+    "e6_dsir_scores": q_e6_dsir_scores,
+    "e4_gap_fill": q_e4_gap_fill,
+    "e4_psi_drift": q_e4_psi_drift,
+    "e3_chunk": q_e3_chunk,
+    # round-6 addition: the sampled-truth recall audit (r5 verdict
+    # item 5), past the window like every audit variant
+    "e1_lsh_recall_sampled": q_e1_lsh_recall_sampled,
 }
 
 ORACLES: dict[str, str] = {
@@ -8487,6 +8607,7 @@ ORACLES: dict[str, str] = {
     "s19_stream_interarrival": ORACLE_S19_STREAM_INTERARRIVAL,
     "e4_markov_transitions": ORACLE_E4_MARKOV,
     "e1_lsh_recall_audit": _oracle_lsh_recall_audit(),
+    "e1_lsh_recall_sampled": _oracle_lsh_recall_sampled(),
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,
