@@ -136,6 +136,13 @@ BENCH_QUERIES = [
     # round-6: sampled-truth recall audit (tracks the scale path of
     # e1_lsh_recall_audit)
     "e1_lsh_recall_sampled",
+    # round-6 session-2: the new join/vote/containment shapes
+    "e2_knn_classify",
+    "e2_label_purity",
+    "e1_containment_pairs",
+    "e3_ngram_novelty",
+    "rel_local_supplier_volume",
+    "rel_large_volume",
 ]
 
 

@@ -1680,3 +1680,71 @@ def blocked_linkage(
             F.min("__dist").cast("long").alias("distance"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_len: int = 5,
+    threshold: float = 0.8,
+    max_shingle_df: int = 20,
+    shingle_mod: int | None = None,
+) -> DataFrame:
+    """Directed asymmetric containment pairs: ``|A∩B| / |A| >=
+    threshold`` over hashed distinct ``shingle_len``-gram sets —
+    excerpt/quote detection (Broder 1997's containment measure,
+    public). A short doc fully embedded in a long one has containment
+    ~1 while its Jaccard is near zero (the union is dominated by
+    |B|), so symmetric dedup misses exactly the excerpt/expansion
+    family this operator exists for.
+
+    Physical strategy is the contamination join, not all-pairs: both
+    sides explode to (shingle_hash, id), boilerplate shingles
+    appearing in more than ``max_shingle_df`` docs are cut with a
+    partial-agg groupBy + anti-join BEFORE the pair join (they are
+    not containment evidence, and at 100 TB they are exactly the hot
+    keys whose train_df x eval_df pair blow-up would dominate), and
+    only docs sharing a surviving shingle ever meet — an ordinary
+    AQE-skew-splittable equi-join on an 8-byte int. Denominator
+    ``|A|`` counts the POST-CUT shingle set (both engines, both sides
+    of the ratio — documented contract). ``shingle_mod`` enables the
+    same deterministic 1/mod shingle sketch as
+    :func:`contamination_pairs` for corpus scale.
+
+    Output: (id_a, id_b, n_shared BIGINT, containment DOUBLE) — the
+    DIRECTED edge "id_a is contained in id_b"; both directions can
+    appear.
+    """
+    sh = exploded_shingles(
+        df, text_col, id_col, "__id", shingle_len, shingle_mod
+    ).localCheckpoint(eager=True)  # feeds the df-cut agg AND both join sides
+    hot = (
+        sh.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") > max_shingle_df)
+        .select("__g")
+    )
+    kept = sh.join(hot, "__g", "left_anti").localCheckpoint(eager=True)
+    sizes = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("__sz")
+    )
+    a = kept.select(F.col("__id").alias("id_a"), "__g")
+    b = kept.select(F.col("__id").alias("id_b"), "__g")
+    inter = (
+        a.join(b, "__g")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("__id", "id_a"), "id_a"
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared") / F.col("__sz"), 6),
+        )
+        .where(F.col("containment") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "n_shared", "containment")
+    )

@@ -1423,3 +1423,101 @@ def delta_topk(
         rank_alias="rank",
         salt_on="neighbor_id",
     ).select("query_id", "neighbor_id", "score", "rank", "src")
+
+
+def knn_label_vote(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """k-NN majority-vote classification over the embedding corpus —
+    the label-propagation workhorse of weak supervision (classify
+    unlabeled docs from their nearest labeled neighbors; Cover & Hart
+    1967, public). Built ON the salted exact top-k
+    (:func:`brute_force_topk`), so the corpus never shuffles to score
+    and the per-query candidate set is bounded at ``k`` by
+    construction; the vote itself is a (query, label) aggregate over
+    |Q| x k rows and the argmax window runs over at most
+    |label-alphabet| rows per query — both bounded regardless of
+    corpus size. Ties break on the smaller label so the prediction is
+    engine-portable.
+
+    Output: (query_id, predicted_label, votes BIGINT).
+    """
+    from pyspark.sql import Window
+
+    top = brute_force_topk(
+        df, queries, vec_col, id_col, k=k, round_digits=round_digits
+    )
+    labels = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    )
+    votes = (
+        top.join(labels, "neighbor_id")
+        .groupBy("query_id", "__nl")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("__nl"))
+    return (
+        votes.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            "query_id", F.col("__nl").alias("predicted_label"), "votes"
+        )
+    )
+
+
+def neighbor_label_purity(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-space label purity audit: per label, the share of the
+    sampled queries' k nearest neighbors that carry the query's own
+    label — the standard representation-quality probe (a high-purity
+    embedding space separates classes; a low-purity label flags noisy
+    labels or a collapsed subspace) read before trusting
+    embedding-based dedup/retrieval at scale.
+
+    ``queries`` is a bounded (deterministic) sample by contract —
+    purity is an ESTIMATE, so the full corpus never becomes the query
+    side. Purity is computed from integer match counts
+    (``sum(match) / count(neighbors)`` per label, one division at the
+    end) — engine-exact after rounding, no FP-order hazard from
+    averaging per-query doubles.
+
+    Output: (label, n_queries BIGINT, n_neighbors BIGINT,
+    purity DOUBLE).
+    """
+    top = brute_force_topk(
+        df, queries, vec_col, id_col, k=k, round_digits=round_digits
+    )
+    ql = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("__ql")
+    )
+    nl = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    )
+    joined = top.join(F.broadcast(ql), "query_id").join(nl, "neighbor_id")
+    return (
+        joined.groupBy(F.col("__ql").alias("label"))
+        .agg(
+            F.countDistinct("query_id").cast("long").alias("n_queries"),
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            F.round(
+                F.sum(
+                    F.when(F.col("__nl") == F.col("__ql"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("purity"),
+        )
+    )

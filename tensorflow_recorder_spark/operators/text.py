@@ -986,3 +986,54 @@ def build_postings(
         )
         .where(F.col("df") >= min_df)
     )
+
+
+def ngram_novelty(
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    shingle_len: int = 5,
+) -> "DataFrame":
+    """Per-document n-gram novelty: the share of a document's distinct
+    hashed ``shingle_len``-grams whose FIRST occurrence (minimum id
+    over all documents containing the gram) is this document — the
+    corpus-order originality signal used to down-weight recombined /
+    templated text in pretraining curation (a doc assembled from
+    already-seen fragments scores ~0 even when no single near-dup
+    pair exists, which is exactly what pair-based dedup misses).
+
+    Physical shape: one shingle explode (the shared
+    ``dedup.exploded_shingles`` projection), a partial-agg ``min(id)``
+    per gram, one equi-join back on the gram hash (reusing the gram
+    shuffle key), and a per-doc aggregate — every stage is a bounded
+    partial-agg shuffle on either the 8-byte gram hash or the doc id;
+    nothing is quadratic and no window appears. Counts are exact
+    integers; the ratio divides once at the end.
+
+    Output: (``id_col``, n_grams BIGINT, n_novel BIGINT,
+    novelty DOUBLE).
+    """
+    from .dedup import exploded_shingles
+
+    sh = exploded_shingles(
+        df, text_col, id_col, "__id", shingle_len
+    ).localCheckpoint(eager=True)  # feeds the owner agg AND the probe join
+    owner = sh.groupBy("__g").agg(F.min("__id").alias("__owner"))
+    return (
+        sh.join(owner, "__g")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("__id") == F.col("__owner"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )

@@ -8176,6 +8176,319 @@ SELECT doc_id, shard, bin_id, bin_offset, n_tokens FROM rec
 """
 
 
+
+
+def q_e2_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 weak supervision: k-NN majority-vote label prediction for a
+    deterministic query sample (vec_id % 20 == 7) from the 10 nearest
+    labeled neighbors — built on the salted exact top-k, so the corpus
+    never shuffles to score; the vote aggregate and argmax window are
+    bounded at |labels| rows per query."""
+    from .operators.similarity import knn_label_vote
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_label_vote(
+        emb, emb.where(F.col("vec_id") % 20 == 7), k=10
+    ).select(
+        "query_id",
+        F.col("predicted_label").cast("long").alias("predicted_label"),
+        "votes",
+    )
+
+
+ORACLE_E2_KNN_CLASSIFY = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, label, e,
+         sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS nl,
+         round(list_aggregate(list_transform(list_zip(a.e, b.e),
+               p -> p[1] * p[2]), 'sum') / (a.nrm * b.nrm), 4) AS score
+  FROM norms a JOIN norms b ON a.vec_id % 20 = 7 AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, nl,
+         row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+),
+votes AS (
+  SELECT query_id, nl, count(*) AS votes
+  FROM ranked WHERE rank <= 10 GROUP BY 1, 2
+)
+SELECT query_id, CAST(nl AS BIGINT) AS predicted_label, votes
+FROM (
+  SELECT query_id, nl, votes,
+         row_number() OVER (PARTITION BY query_id
+              ORDER BY votes DESC, nl) AS vr
+  FROM votes
+) WHERE vr = 1
+"""
+
+
+def q_e2_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 representation audit: per-label purity of the 10-NN
+    neighborhoods of a deterministic query sample (vec_id % 20 == 3) —
+    integer match counts with one final division, engine-exact."""
+    from .operators.similarity import neighbor_label_purity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return neighbor_label_purity(
+        emb, emb.where(F.col("vec_id") % 20 == 3), k=10
+    ).select(F.col("label").cast("long").alias("label"), "n_queries", "n_neighbors", "purity")
+
+
+ORACLE_E2_LABEL_PURITY = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, label, e,
+         sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+scored AS (
+  SELECT a.vec_id AS query_id, a.label AS ql, b.label AS nl, b.vec_id AS neighbor_id,
+         round(list_aggregate(list_transform(list_zip(a.e, b.e),
+               p -> p[1] * p[2]), 'sum') / (a.nrm * b.nrm), 4) AS score
+  FROM norms a JOIN norms b ON a.vec_id % 20 = 3 AND a.vec_id <> b.vec_id
+),
+topk AS (
+  SELECT query_id, ql, nl FROM (
+    SELECT query_id, ql, nl,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+)
+SELECT CAST(ql AS BIGINT) AS label,
+       count(DISTINCT query_id) AS n_queries,
+       count(*) AS n_neighbors,
+       round(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS purity
+FROM topk GROUP BY ql
+"""
+
+
+def q_e1_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 excerpt detection: directed shingle containment
+    |A∩B| / |A| >= 0.5 over hashed 5-gram sets, boilerplate shingles
+    (document frequency > 20) cut before the pair join — the
+    asymmetric measure that catches a short doc embedded in a long one
+    where Jaccard stays near zero."""
+    from .operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold=0.5, max_shingle_df=20,
+    )
+
+
+ORACLE_E1_CONTAINMENT = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(text)-4, 1)),
+           i -> ('0x' || substr(md5(substr(lower(text), i, 5)), 1, 8))::BIGINT))) AS g
+  FROM documents
+),
+hot AS (SELECT g FROM sh GROUP BY g HAVING count(*) > 20),
+kept AS (SELECT sh.doc_id, sh.g FROM sh ANTI JOIN hot USING (g)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared,
+       round(n_shared::DOUBLE / s.sz, 6) AS containment
+FROM inter JOIN sizes s ON s.doc_id = inter.id_a
+WHERE round(n_shared::DOUBLE / s.sz, 6) >= 0.5
+"""
+
+
+def q_e3_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 originality signal: share of each doc's distinct hashed
+    5-grams first introduced by it (owner = min doc_id over docs
+    containing the gram) — down-weights recombined/templated text that
+    pair-based dedup misses."""
+    from .operators.text import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+ORACLE_E3_NGRAM_NOVELTY = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(text)-4, 1)),
+           i -> ('0x' || substr(md5(substr(lower(text), i, 5)), 1, 8))::BIGINT))) AS g
+  FROM documents
+),
+own AS (SELECT g, min(doc_id) AS owner FROM sh GROUP BY g)
+SELECT sh.doc_id,
+       count(*) AS n_grams,
+       sum(CASE WHEN sh.doc_id = own.owner THEN 1 ELSE 0 END) AS n_novel,
+       round(sum(CASE WHEN sh.doc_id = own.owner THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS novelty
+FROM sh JOIN own USING (g)
+GROUP BY sh.doc_id
+"""
+
+
+def q_rel_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style local supplier volume: 1996 revenue by supplier nation
+    within region ASIA, counting only lineitems where the ordering
+    customer and the supplier share the nation. Dimension maps (region
+    -> nation set, supplier -> nationkey) collapse and BROADCAST before
+    touching facts; the customer side joins by shuffle (at 100 TB 1/5
+    of customers does not broadcast); lineitem <-> orders is the one
+    fact-to-fact shuffle; the same-nation filter runs post-join on two
+    int columns. Revenue sums in DECIMAL, divides never."""
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1996)
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice").cast("decimal(18,6)")
+                        * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+                    ).cast("decimal(28,12)")
+                ).cast("double"),
+                4,
+            ).alias("revenue")
+        )
+    )
+
+
+ORACLE_REL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+             AS DECIMAL(28,12))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND year(o_orderdate) = 1996
+GROUP BY n_name
+"""
+
+
+def q_rel_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-style large-volume customers: orders whose total lineitem
+    quantity exceeds 250, with customer attribution. The HAVING
+    pre-aggregate runs ON THE FACT TABLE FIRST (partial-agg groupBy on
+    orderkey — map-side combine collapses lineitems before the
+    shuffle), and only the ~surviving order set joins orders and
+    customer; at 100 TB the qualifying-order side is a small fraction
+    and drives semi-join-shaped probes instead of a second full fact
+    scan. Quantity sums in DECIMAL so the > 250 boundary cannot
+    float-flip."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("__q")
+        )
+        .where(F.col("__q") > F.lit(250))
+        .select(
+            "l_orderkey", F.col("__q").cast("double").alias("total_qty")
+        )
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+            F.round(F.col("total_qty"), 4).alias("total_qty"),
+        )
+    )
+
+
+ORACLE_REL_LARGE_VOLUME = """
+SELECT c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 4) AS o_totalprice,
+       round(CAST(q AS DOUBLE), 4) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS q
+  FROM lineitem GROUP BY l_orderkey HAVING q > 250
+)
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+
+
+def q_s21_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Markov transition matrix AS A STREAM: per-user (last type,
+    cumulative pair counts) state via applyInPandasWithState — state
+    bounded by the event-type alphabet squared per key, never by
+    stream length. Final per-key counts recovered at max n after the
+    availableNow drain; the global rollup (sum per pair, normalize per
+    from_type with a broadcast totals join) is the SAME finalize the
+    batch ``e4_markov_transitions`` runs, and the oracle is shared."""
+    from .streaming.stateful import streaming_transitions
+
+    counts = streaming_transitions(_event_stream(spark, sf_dir))
+    table = _drain_to_memory(counts, "stream_transitions_sink", "update")
+    per_key = table.groupBy("user_id", "from_type", "to_type").agg(
+        F.max("n").alias("n")
+    )
+    pair_counts = (
+        per_key.groupBy("from_type", "to_type")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    totals = pair_counts.groupBy("from_type").agg(F.sum("n").alias("__tot"))
+    return pair_counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("__tot"), 6).alias("p"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -8413,6 +8726,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-6 addition: the sampled-truth recall audit (r5 verdict
     # item 5), past the window like every audit variant
     "e1_lsh_recall_sampled": q_e1_lsh_recall_sampled,
+    # round-6 session-2 additions (oracle-checked by
+    # scripts/check_oracle.py): kNN label vote + purity audit over the
+    # embeddings label column, directed containment, n-gram novelty,
+    # and two new TPC-H shapes (Q5/Q18 style)
+    "e2_knn_classify": q_e2_knn_classify,
+    "e2_label_purity": q_e2_label_purity,
+    "e1_containment_pairs": q_e1_containment,
+    "e3_ngram_novelty": q_e3_ngram_novelty,
+    "rel_local_supplier_volume": q_rel_local_supplier_volume,
+    "rel_large_volume": q_rel_large_volume,
+    "s21_stream_transitions": q_s21_stream_transitions,
 }
 
 ORACLES: dict[str, str] = {
@@ -8608,6 +8932,13 @@ ORACLES: dict[str, str] = {
     "e4_markov_transitions": ORACLE_E4_MARKOV,
     "e1_lsh_recall_audit": _oracle_lsh_recall_audit(),
     "e1_lsh_recall_sampled": _oracle_lsh_recall_sampled(),
+    "e2_knn_classify": ORACLE_E2_KNN_CLASSIFY,
+    "e2_label_purity": ORACLE_E2_LABEL_PURITY,
+    "e1_containment_pairs": ORACLE_E1_CONTAINMENT,
+    "e3_ngram_novelty": ORACLE_E3_NGRAM_NOVELTY,
+    "rel_local_supplier_volume": ORACLE_REL_LOCAL_SUPPLIER_VOLUME,
+    "rel_large_volume": ORACLE_REL_LARGE_VOLUME,
+    "s21_stream_transitions": ORACLE_E4_MARKOV,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -404,3 +404,85 @@ def streaming_interarrival(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_transitions(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key streaming Markov transition counts via
+    ``applyInPandasWithState`` — the streaming twin of
+    ``operators.events.transition_matrix``'s per-user lag stage. State
+    per key is (last event type, JSON dict of cumulative
+    (from -> to -> count)) — bounded by the event-type alphabet squared
+    (single-digit cardinality in any real event taxonomy), NOT by
+    stream length; the JSON encoding keeps the state schema
+    fixed-width while the alphabet stays open.
+
+    Events fold in (ts, id) order WITHIN each micro-batch and the last
+    type carries across batches — equal to the batch lag when batches
+    arrive in event-time order (an availableNow drain of one
+    time-ordered source), the same caveat as ``streaming_cusum``.
+
+    Emits each key's full CUMULATIVE count table every batch (update
+    mode): (key, from_type, to_type, n). The global matrix is a
+    downstream batch rollup over the final emission per key (sum n,
+    normalize per from_type) — the same finalize the batch operator
+    runs.
+    """
+    import json
+
+    out_schema = (
+        f"{key_col} long, from_type string, to_type string, n long"
+    )
+    state_schema = "last_type string, counts_json string"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_type, counts_json = state.get
+            counts = {
+                tuple(k.split("\x00", 1)): v
+                for k, v in json.loads(counts_json).items()
+            }
+        else:
+            last_type, counts = None, {}
+        for pdf in pdfs:
+            ordered = pdf.sort_values([ts_col, id_col])
+            for t in ordered[type_col]:
+                t = str(t)
+                if last_type is not None:
+                    pair = (last_type, t)
+                    counts[pair] = counts.get(pair, 0) + 1
+                last_type = t
+        state.update(
+            (
+                last_type,
+                json.dumps(
+                    {"\x00".join(k): v for k, v in counts.items()},
+                    sort_keys=True,
+                ),
+            )
+        )
+        if counts:
+            rows = sorted(counts.items())
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(rows),
+                    "from_type": [k[0] for k, _ in rows],
+                    "to_type": [k[1] for k, _ in rows],
+                    "n": [v for _, v in rows],
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -245,6 +245,14 @@ def test_driver_window_holds_all_unique_queries():
         "e4_seasonal",
         # round-6 addition past the window (sampled-truth recall audit)
         "e1_lsh_recall_sampled",
+        # round-6 session-2 additions past the window
+        "e2_knn_classify",
+        "e2_label_purity",
+        "e1_containment_pairs",
+        "e3_ngram_novelty",
+        "rel_local_supplier_volume",
+        "rel_large_volume",
+        "s21_stream_transitions",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

@@ -1,0 +1,130 @@
+"""Round-6 session-2 operators: kNN label vote / purity, directed
+containment, n-gram novelty — edge-case semantics the sf fixtures
+don't pin."""
+
+from pyspark.sql import functions as F
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+class TestKnnLabelVote:
+    def test_majority_and_tiebreak(self, spark):
+        from tensorflow_recorder_spark.operators.similarity import (
+            knn_label_vote,
+        )
+
+        # query 0 at origin-ish; neighbors: two label-1, two label-2 ->
+        # 2-2 tie must break to the SMALLER label
+        rows = [
+            (0, [1.0, 0.0], 9),
+            (1, [0.9, 0.1], 1),
+            (2, [0.9, -0.1], 1),
+            (3, [0.8, 0.1], 2),
+            (4, [0.8, -0.1], 2),
+        ]
+        df = _emb(spark, rows)
+        out = knn_label_vote(
+            df, df.where("vec_id = 0"), k=4
+        ).collect()
+        assert len(out) == 1
+        assert out[0].predicted_label == 1 and out[0].votes == 2
+
+    def test_k_larger_than_corpus(self, spark):
+        from tensorflow_recorder_spark.operators.similarity import (
+            knn_label_vote,
+        )
+
+        rows = [(0, [1.0, 0.0], 5), (1, [0.9, 0.1], 7)]
+        df = _emb(spark, rows)
+        [r] = knn_label_vote(df, df.where("vec_id = 0"), k=10).collect()
+        assert r.predicted_label == 7 and r.votes == 1
+
+
+class TestNeighborLabelPurity:
+    def test_integer_exact_purity(self, spark):
+        from tensorflow_recorder_spark.operators.similarity import (
+            neighbor_label_purity,
+        )
+
+        rows = [
+            (0, [1.0, 0.0], 1),
+            (1, [0.95, 0.1], 1),
+            (2, [0.9, -0.1], 1),
+            (3, [0.85, 0.05], 2),
+        ]
+        df = _emb(spark, rows)
+        [r] = neighbor_label_purity(
+            df, df.where("vec_id = 0"), k=3
+        ).collect()
+        # neighbors of 0: {1, 2, 3} -> two of three share label 1
+        assert r.label == 1
+        assert r.n_queries == 1 and r.n_neighbors == 3
+        assert r.purity == round(2 / 3, 6)
+
+
+class TestContainmentPairs:
+    def test_excerpt_detected_where_jaccard_low(self, spark):
+        from tensorflow_recorder_spark.operators.dedup import (
+            containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        short = "the quick brown fox jumps"
+        long = short + " over the lazy dog " + "x" * 200
+        df = spark.createDataFrame(
+            [(1, short), (2, long)], "doc_id long, text string"
+        )
+        out = containment_pairs(
+            df, "text", "doc_id", threshold=0.9, max_shingle_df=10
+        ).collect()
+        directed = {(r.id_a, r.id_b): r.containment for r in out}
+        assert directed.get((1, 2)) == 1.0  # short fully inside long
+        assert (2, 1) not in directed  # long is NOT contained in short
+
+    def test_boilerplate_cut(self, spark):
+        from tensorflow_recorder_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        # every doc shares one boilerplate sentence; with df-cut at 2
+        # the shared grams vanish and no pair survives
+        docs = [
+            (i, f"unique text number {i} aaaa" + " COMMON FOOTER HERE")
+            for i in range(5)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = containment_pairs(
+            df, "text", "doc_id", threshold=0.5, max_shingle_df=2
+        ).collect()
+        assert out == []
+
+
+class TestNgramNovelty:
+    def test_first_doc_fully_novel_exact_dup_zero(self, spark):
+        from tensorflow_recorder_spark.operators.text import ngram_novelty
+
+        t = "completely original content here"
+        df = spark.createDataFrame(
+            [(1, t), (2, t), (3, "different material entirely")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in ngram_novelty(df, "text", "doc_id").collect()}
+        assert out[1].novelty == 1.0  # min-id owner of all its grams
+        assert out[2].novelty == 0.0  # exact dup of an earlier doc
+        assert out[3].novelty == 1.0
+        assert out[1].n_grams == out[2].n_grams
+
+    def test_counts_are_distinct_grams(self, spark):
+        from tensorflow_recorder_spark.operators.text import ngram_novelty
+
+        # repeated substring: distinct gram set, not positional count
+        df = spark.createDataFrame(
+            [(1, "ababababab")], "doc_id long, text string"
+        )
+        [r] = ngram_novelty(df, "text", "doc_id").collect()
+        assert r.n_grams == 2  # 'ababa' and 'babab'
+        assert r.novelty == 1.0

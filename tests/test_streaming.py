@@ -257,3 +257,47 @@ def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
     want = {r["user_id"]: (r["n_events"], r["ewma"])
             for r in ewma_by_key(df, alpha=0.4).collect()}
     assert got == want
+
+
+def test_streaming_transitions_state_spans_batches(spark, tmp_path):
+    """s21 twin: the last event type must CARRY ACROSS micro-batches so
+    the cross-batch transition (batch1's last -> batch2's first) is
+    counted; cumulative counts recover the batch lag exactly."""
+    from tensorflow_recorder_spark.streaming.stateful import (
+        streaming_transitions,
+    )
+
+    src = str(tmp_path / "tr_src")
+    mk = lambda rows: spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch1 = mk([
+        Row(event_id=1, ts="2024-01-01 10:00:00", user_id=1,
+            event_type="a", value=0.0),
+        Row(event_id=2, ts="2024-01-01 10:01:00", user_id=1,
+            event_type="b", value=0.0),
+    ])
+    batch2 = mk([
+        Row(event_id=3, ts="2024-01-01 10:02:00", user_id=1,
+            event_type="a", value=0.0),
+        Row(event_id=4, ts="2024-01-01 10:03:00", user_id=1,
+            event_type="b", value=0.0),
+    ])
+    batch1.write.parquet(src)
+    batch2.write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_to_memory(
+        spark, streaming_transitions(stream), "tr_out", mode="update"
+    )
+    final = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in out.groupBy("from_type", "to_type")
+        .agg(F.max("n").alias("n"))
+        .collect()
+    }
+    # a->b twice (within each batch), b->a once (ACROSS the batch cut)
+    assert final == {("a", "b"): 2, ("b", "a"): 1}
