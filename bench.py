@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "e3_ngram_novelty",
     "rel_local_supplier_volume",
     "rel_large_volume",
+    "e5_phash_dedup",
 ]
 
 

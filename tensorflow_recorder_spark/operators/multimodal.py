@@ -400,3 +400,67 @@ def sample_audio_windows(
             yield out
 
     return df.mapInPandas(run, schema=out_struct)
+
+
+def phash_dedup_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """E5 perceptual-hash image dedup, end-to-end through the REAL
+    codecs: each row synthesizes a deterministic 8x8 grayscale image
+    (a bit-pattern gradient derived from ``id // 16``, plus a small
+    uniform brightness jitter from ``id % 3`` that a difference hash
+    must ignore), encodes it with the repo's pure-Python PNG writer,
+    decodes it back, and computes the 56-bit dHash (Krawetz's
+    difference hash, public: bit = right pixel brighter than left,
+    7 comparisons x 8 rows) FROM THE DECODED PIXELS — all inside one
+    Arrow-batched ``mapInPandas`` pass. Because the construction makes
+    the hash arithmetically predictable (bit y*7+x set iff
+    ``((id//16 + y) >> x) & 1``), the DuckDB oracle checks the whole
+    chain: a single flipped bit anywhere in encode->decode->hash
+    breaks the hash-match, so the dedup query doubles as a codec
+    fidelity proof. Grouping is a plain JVM groupBy on the 8-byte
+    hash — at 100 TB this is exactly the exact-dedup shuffle shape,
+    with the Python cost amortized per Arrow batch.
+
+    Output: (``id_col``, phash BIGINT, group_size BIGINT).
+    """
+    from ..functions.png_codec import decode_png, encode_png
+
+    out_struct = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def hash_one(i: int) -> int:
+        base, jitter = i // 16, i % 3
+        px = bytearray()
+        for y in range(8):
+            p = 120 + jitter
+            px.append(p)
+            for x in range(7):
+                p += 14 if ((base + y) >> x) & 1 else -14
+                px.append(p)
+        data = encode_png(bytes(px), 8, 8, "L")
+        dec, w, h, mode = decode_png(data)
+        if (w, h, mode) != (8, 8, "L"):
+            raise ValueError(f"codec round-trip corrupted geometry: {(w, h, mode)}")
+        ph = 0
+        for y in range(8):
+            row = dec[y * 8 : (y + 1) * 8]
+            for x in range(7):
+                if row[x + 1] > row[x]:
+                    ph |= 1 << (y * 7 + x)
+        return ph
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(v) for v in pdf[id_col]]
+            yield pd.DataFrame(
+                {id_col: ids, "phash": [hash_one(i) for i in ids]}
+            )
+
+    hashes = df.select(id_col).mapInPandas(run, schema=out_struct)
+    groups = hashes.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return hashes.join(groups, "phash").select(id_col, "phash", "group_size")

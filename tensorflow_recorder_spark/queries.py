@@ -8489,6 +8489,33 @@ def q_s21_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_e5_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 perceptual image dedup through the real PNG codec: per-doc
+    synthesized 8x8 grayscale image -> encode -> decode -> 56-bit
+    dHash from the DECODED pixels -> exact-dedup groupBy on the hash.
+    The construction makes the hash arithmetically predictable, so the
+    DuckDB oracle checks the entire encode/decode/hash chain bit for
+    bit."""
+    from .operators.multimodal import phash_dedup_probe
+
+    return phash_dedup_probe(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+ORACLE_E5_PHASH_DEDUP = """
+WITH h AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(generate_series(0, 55),
+           i -> CASE WHEN ((doc_id // 16 + i // 7) >> (i % 7)) & 1 = 1
+                THEN (1::BIGINT << i) ELSE 0 END), 'sum') AS phash
+  FROM documents
+),
+g AS (SELECT phash, count(*) AS group_size FROM h GROUP BY phash)
+SELECT doc_id, h.phash, group_size FROM h JOIN g USING (phash)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -8737,6 +8764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_local_supplier_volume": q_rel_local_supplier_volume,
     "rel_large_volume": q_rel_large_volume,
     "s21_stream_transitions": q_s21_stream_transitions,
+    "e5_phash_dedup": q_e5_phash_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -8939,6 +8967,7 @@ ORACLES: dict[str, str] = {
     "rel_local_supplier_volume": ORACLE_REL_LOCAL_SUPPLIER_VOLUME,
     "rel_large_volume": ORACLE_REL_LARGE_VOLUME,
     "s21_stream_transitions": ORACLE_E4_MARKOV,
+    "e5_phash_dedup": ORACLE_E5_PHASH_DEDUP,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -253,6 +253,7 @@ def test_driver_window_holds_all_unique_queries():
         "rel_local_supplier_volume",
         "rel_large_volume",
         "s21_stream_transitions",
+        "e5_phash_dedup",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

@@ -128,3 +128,41 @@ class TestNgramNovelty:
         [r] = ngram_novelty(df, "text", "doc_id").collect()
         assert r.n_grams == 2  # 'ababa' and 'babab'
         assert r.novelty == 1.0
+
+
+class TestPhashDedupProbe:
+    def test_jitter_invariance_and_groups(self, spark):
+        from tensorflow_recorder_spark.operators.multimodal import (
+            phash_dedup_probe,
+        )
+
+        # ids 0..15 share base 0 (different jitter id % 3) -> ONE hash
+        # group of 16; ids 16..31 share base 1 -> another
+        df = spark.createDataFrame(
+            [(i,) for i in range(32)], "doc_id long"
+        )
+        out = phash_dedup_probe(df, "doc_id").collect()
+        by_id = {r.doc_id: r for r in out}
+        assert len({by_id[i].phash for i in range(16)}) == 1
+        assert by_id[0].phash != by_id[16].phash
+        assert all(by_id[i].group_size == 16 for i in range(32))
+
+    def test_hash_matches_arithmetic_prediction(self, spark):
+        from tensorflow_recorder_spark.operators.multimodal import (
+            phash_dedup_probe,
+        )
+
+        ids = [0, 17, 160, 4097]
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        got = {
+            r.doc_id: r.phash
+            for r in phash_dedup_probe(df, "doc_id").collect()
+        }
+        for i in ids:
+            base = i // 16
+            want = 0
+            for y in range(8):
+                for x in range(7):
+                    if ((base + y) >> x) & 1:
+                        want |= 1 << (y * 7 + x)
+            assert got[i] == want, i
