@@ -46,22 +46,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+_WIDE_NODES = (
+    "Aggregate",
+    "Join",
+    "Window",
+    "Sort",
+    "Deduplicate",
+    "Distinct",
+    "Repartition",
+    "Limit",
+    "Except",
+    "Intersect",
+)
+
+
 def _rdd_leaf_partitions(df: DataFrame) -> int | None:
-    """Exact partition count, ONLY for frames whose analyzed-plan
-    leaves are all ``LogicalRDD`` (localCheckpoint / createDataFrame
-    outputs). For those the backing RDDs are already materialized, so
-    ``df.rdd`` is cheap narrow wiring — no upstream re-evaluation, no
-    job. Any other plan shape returns None (a ``.rdd`` probe there
-    would force a second full physical planning, the r4-banned
-    pattern)."""
+    """Exact partition count, ONLY for NARROW plans (project/filter)
+    over ``LogicalRDD`` leaves — localCheckpoint / createDataFrame
+    outputs, optionally projected. For those the backing RDDs are
+    already materialized, so ``df.rdd`` is cheap narrow wiring — no
+    upstream re-evaluation, no job, and the count is exact. Any other
+    plan shape returns None: a wide plan (groupBy/join/window) ABOVE a
+    checkpointed leaf also has all-LogicalRDD leaves, but probing it
+    would force a second full physical planning of the un-executed
+    subtree (the r4-banned pattern) and return the static pre-AQE
+    shuffle count — wrong on both cost and accuracy (r6 review
+    finding)."""
     try:
-        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        qe = df._jdf.queryExecution()
+        leaves = qe.analyzed().collectLeaves()
         n = leaves.size()
         if n == 0:
             return None
         for i in range(n):
             if leaves.apply(i).nodeName() != "LogicalRDD":
                 return None
+        tree = qe.analyzed().treeString()
+        if any(w in tree for w in _WIDE_NODES):
+            return None
         return df.rdd.getNumPartitions()
     except Exception:
         return None

@@ -459,7 +459,14 @@ def phash_dedup_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {id_col: ids, "phash": [hash_one(i) for i in ids]}
             )
 
-    hashes = df.select(id_col).mapInPandas(run, schema=out_struct)
+    # hashes feeds BOTH the group-size aggregate and the join probe —
+    # materialize once so the per-row codec chain does not run twice
+    # (r6 review finding; the pinned shared-frame rule)
+    hashes = (
+        df.select(id_col)
+        .mapInPandas(run, schema=out_struct)
+        .localCheckpoint(eager=True)
+    )
     groups = hashes.groupBy("phash").agg(
         F.count(F.lit(1)).cast("long").alias("group_size")
     )

@@ -843,20 +843,35 @@ def q_e1_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-ORACLE_E1_JACCARD = """
+def _oracle_jaccard_pairs(pred: str | None = None, with_score: bool = True) -> str:
+    """ONE recipe for the exact blocked 5-gram-Jaccard truth set —
+    shared by e1_jaccard_pairs, the full LSH recall audit, and the
+    sampled audit (``pred`` restricts the document universe;
+    ``with_score`` drops the score column for pure pair sets), so the
+    ground-truth definition cannot drift between audits (r6 review
+    finding)."""
+    where = f" WHERE {pred}" if pred else ""
+    score_col = (
+        ",\n       round(len(list_intersect(a.s, b.s))::DOUBLE\n"
+        "             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard"
+        if with_score
+        else ""
+    )
+    return f"""
 WITH sh AS (
   SELECT doc_id, source,
          list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)),
            i -> substr(lower(text), i, 5))) AS s
-  FROM documents
+  FROM documents{where}
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.s, b.s))::DOUBLE
-             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+SELECT a.doc_id AS id_a, b.doc_id AS id_b{score_col}
 FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE len(list_intersect(a.s, b.s))::DOUBLE
       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
 """
+
+
+ORACLE_E1_JACCARD = _oracle_jaccard_pairs()
 
 
 def q_e1_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7218,18 +7233,7 @@ def _oracle_lsh_recall_sampled() -> str:
         "::BIGINT % 1000000 < 500000"
     )
     sampled_src = f"(SELECT * FROM documents WHERE {pred}) sdocs"
-    truth = f"""
-WITH sh AS (
-  SELECT doc_id, source,
-         list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)),
-           i -> substr(lower(text), i, 5))) AS s
-  FROM documents WHERE {pred}
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b
-FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.s, b.s))::DOUBLE
-      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
-"""
+    truth = _oracle_jaccard_pairs(pred=pred, with_score=False)
     return f"""
 WITH truth AS ({truth}),
 cand AS ({_oracle_lsh_pairs(min_est=0.25, src=sampled_src)}),
@@ -8206,7 +8210,7 @@ norms AS (
 scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS nl,
          round(list_aggregate(list_transform(list_zip(a.e, b.e),
-               p -> p[1] * p[2]), 'sum') / (a.nrm * b.nrm), 4) AS score
+               p -> p[1] * p[2]), 'sum') / nullif(a.nrm * b.nrm, 0), 4) AS score
   FROM norms a JOIN norms b ON a.vec_id % 20 = 7 AND a.vec_id <> b.vec_id
 ),
 ranked AS (
@@ -8251,7 +8255,7 @@ norms AS (
 scored AS (
   SELECT a.vec_id AS query_id, a.label AS ql, b.label AS nl, b.vec_id AS neighbor_id,
          round(list_aggregate(list_transform(list_zip(a.e, b.e),
-               p -> p[1] * p[2]), 'sum') / (a.nrm * b.nrm), 4) AS score
+               p -> p[1] * p[2]), 'sum') / nullif(a.nrm * b.nrm, 0), 4) AS score
   FROM norms a JOIN norms b ON a.vec_id % 20 = 3 AND a.vec_id <> b.vec_id
 ),
 topk AS (

@@ -102,6 +102,11 @@ def write_webdataset(
                 "ambiguous in WebDataset member names ('{key}.{column}' "
                 "splits on the last dot); rename the column"
             )
+        if c == "json":
+            raise ValueError(
+                "binary column name 'json' collides with the sample's "
+                "'{key}.json' metadata member; rename the column"
+            )
     reserved = tuple("." + m for m in ["json", *binary_cols])
     meta_cols = [c for c in df.columns if c not in binary_cols]
     part = df.withColumn("__pid", F.spark_partition_id())

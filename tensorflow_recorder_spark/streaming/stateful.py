@@ -126,11 +126,14 @@ def streaming_ewma(
             n, s = state.get
         else:
             n, s = 0, None
-        for pdf in pdfs:
-            ordered = pdf.sort_values([ts_col, id_col])
-            for v in ordered[value_col].astype(float):
-                s = v if s is None else s * (1.0 - a) + v * a
-                n += 1
+        # ONE global sort of the key's whole micro-batch: a key whose
+        # batch spans several Arrow chunks delivers them in arbitrary
+        # order, so per-chunk sorting folds out of (ts, id) order
+        # (r6 review finding; same pattern as streaming_anomaly).
+        ordered = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
+        for v in ordered[value_col].astype(float):
+            s = v if s is None else s * (1.0 - a) + v * a
+            n += 1
         state.update((n, s))
         yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "ewma": [s]})
 
@@ -290,16 +293,19 @@ def streaming_cusum(
             sp, sn, na, n = state.get
         else:
             sp, sn, na, n = 0.0, 0.0, 0, 0
-        for pdf in pdfs:
-            ordered = pdf.sort_values([ts_col, id_col])
-            for v in ordered[value_col].astype(float):
-                sp_raw = max(0.0, sp + (v - m - k))
-                sn_raw = max(0.0, sn + (m - v - k))
-                if sp_raw > h or sn_raw > h:
-                    sp, sn, na = 0.0, 0.0, na + 1
-                else:
-                    sp, sn = sp_raw, sn_raw
-                n += 1
+        # ONE global sort of the key's whole micro-batch: a key whose
+        # batch spans several Arrow chunks delivers them in arbitrary
+        # order, so per-chunk sorting folds out of (ts, id) order
+        # (r6 review finding; same pattern as streaming_anomaly).
+        ordered = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
+        for v in ordered[value_col].astype(float):
+            sp_raw = max(0.0, sp + (v - m - k))
+            sn_raw = max(0.0, sn + (m - v - k))
+            if sp_raw > h or sn_raw > h:
+                sp, sn, na = 0.0, 0.0, na + 1
+            else:
+                sp, sn = sp_raw, sn_raw
+            n += 1
         state.update((sp, sn, na, n))
         yield pd.DataFrame(
             {
@@ -360,17 +366,16 @@ def streaming_interarrival(
             last_us, n, gsum, gsumsq, gmax = state.get
         else:
             last_us, n, gsum, gsumsq, gmax = None, 0, 0.0, 0.0, 0.0
-        for pdf in pdfs:
-            ordered = pdf.sort_values([ts_col, id_col])
-            for ts in ordered[ts_col]:
-                us = int(ts.value // 1000)  # pandas Timestamp ns -> us
-                if last_us is not None:
-                    gap = (us - last_us) / 1e6
-                    gsum += gap
-                    gsumsq += gap * gap
-                    gmax = max(gmax, gap)
-                last_us = us
-                n += 1
+        ordered = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
+        for ts in ordered[ts_col]:
+            us = int(ts.value // 1000)  # pandas Timestamp ns -> us
+            if last_us is not None:
+                gap = (us - last_us) / 1e6
+                gsum += gap
+                gsumsq += gap * gap
+                gmax = max(gmax, gap)
+            last_us = us
+            n += 1
         state.update((last_us, n, gsum, gsumsq, gmax))
         gaps = n - 1
         if gaps >= 1:
@@ -451,14 +456,13 @@ def streaming_transitions(
             }
         else:
             last_type, counts = None, {}
-        for pdf in pdfs:
-            ordered = pdf.sort_values([ts_col, id_col])
-            for t in ordered[type_col]:
-                t = str(t)
-                if last_type is not None:
-                    pair = (last_type, t)
-                    counts[pair] = counts.get(pair, 0) + 1
-                last_type = t
+        ordered = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
+        for t in ordered[type_col]:
+            t = str(t)
+            if last_type is not None:
+                pair = (last_type, t)
+                counts[pair] = counts.get(pair, 0) + 1
+            last_type = t
         state.update(
             (
                 last_type,

@@ -73,13 +73,22 @@ def test_no_rdd_partition_probes_in_package():
     already materialized by localCheckpoint/createDataFrame, so the
     conversion is free narrow wiring — r5 verdict item 2); parallelism
     probes on any other plan shape must use scan metadata."""
+    # the ONE sanctioned probe line in partitioning.py (LogicalRDD-leaf
+    # frames only — the RDD is already materialized there); anything
+    # else in that file still trips the guard
+    sanctioned = "return df.rdd.getNumPartitions()"
     offenders = []
     for p in PKG.rglob("*.py"):
-        if str(p).endswith(("sinks/tfrecord.py", "functions/partitioning.py")):
+        if str(p).endswith("sinks/tfrecord.py"):
             continue
         for i, line in enumerate(p.read_text().splitlines(), 1):
             code = line.split("#")[0]
             if ".rdd" in code:
+                if (
+                    str(p).endswith("functions/partitioning.py")
+                    and code.strip() == sanctioned
+                ):
+                    continue
                 offenders.append(f"{p.relative_to(PKG)}:{i}")
     assert offenders == [], offenders
 

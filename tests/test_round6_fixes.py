@@ -67,6 +67,20 @@ class TestSpreadPartitionFloor:
         out = spread_to_parallelism(df, parallelism=8)
         assert out is df  # no extra shuffle node
 
+    def test_wide_plan_over_checkpoint_not_probed(self, spark):
+        # a groupBy ABOVE a checkpoint also has all-LogicalRDD leaves,
+        # but probing it would re-plan the un-executed aggregate and
+        # read the static pre-AQE count (r6 review finding) — must
+        # pass through unchanged like any post-shuffle frame
+        from tensorflow_recorder_spark.functions.partitioning import (
+            spread_to_parallelism,
+        )
+
+        ck = spark.range(1000).repartition(2).localCheckpoint(eager=True)
+        df = ck.groupBy((F.col("id") % 10).alias("k")).count()
+        out = spread_to_parallelism(df, parallelism=8)
+        assert out is df
+
     def test_post_shuffle_frame_still_untouched(self, spark):
         # derived non-RDD frames keep the metadata-only rule: never add
         # a corpus-wide shuffle on a post-shuffle/join/agg output
@@ -116,6 +130,18 @@ class TestWebdatasetNameValidation:
             "k string, img binary",
         )
         with pytest.raises(Exception, match="reserved member suffix"):
+            write_webdataset(df, str(tmp_path / "wd"), key_col="k")
+
+    def test_binary_column_named_json_rejected(self, spark, tmp_path):
+        # '{key}.json' is the metadata member; a binary column literally
+        # named 'json' would emit a second member with the same name
+        # (r6 review finding)
+        from tensorflow_recorder_spark.sinks.webdataset import write_webdataset
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x00"))], "k long, json binary"
+        )
+        with pytest.raises(ValueError, match="metadata member"):
             write_webdataset(df, str(tmp_path / "wd"), key_col="k")
 
     def test_plain_keys_still_write(self, spark, tmp_path):

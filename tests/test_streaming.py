@@ -283,8 +283,10 @@ def test_streaming_transitions_state_spans_batches(spark, tmp_path):
         Row(event_id=4, ts="2024-01-01 10:03:00", user_id=1,
             event_type="b", value=0.0),
     ])
-    batch1.write.parquet(src)
-    batch2.write.mode("append").parquet(src)
+    # one file per logical batch: a multi-part write + maxFilesPerTrigger=1
+    # would split rows into arbitrary-order single-row batches
+    batch1.coalesce(1).write.parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
     stream = (
         spark.readStream.schema(batch1.schema)
         .option("maxFilesPerTrigger", 1)
@@ -301,3 +303,43 @@ def test_streaming_transitions_state_spans_batches(spark, tmp_path):
     }
     # a->b twice (within each batch), b->a once (ACROSS the batch cut)
     assert final == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_streaming_fold_order_across_arrow_chunks(spark, tmp_path):
+    """Order-sensitive stateful folds must globally sort the key's
+    micro-batch, not each Arrow chunk (r6 review finding): with
+    maxRecordsPerBatch=2 a 6-event batch arrives as 3 chunks in
+    arbitrary order, and a per-chunk sort would fold transitions out
+    of (ts, id) order."""
+    from tensorflow_recorder_spark.streaming.stateful import (
+        streaming_transitions,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        src = str(tmp_path / "chunk_src")
+        # written in REVERSE event-time order so chunk order != ts order
+        rows = [
+            Row(event_id=i, ts=f"2024-01-01 10:0{i}:00", user_id=1,
+                event_type=("a" if i % 2 == 0 else "b"), value=0.0)
+            for i in range(5, -1, -1)
+        ]
+        df = spark.createDataFrame(rows).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        df.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        out = _run_to_memory(
+            spark, streaming_transitions(stream), "chunk_out", mode="update"
+        )
+        final = {
+            (r["from_type"], r["to_type"]): r["n"]
+            for r in out.groupBy("from_type", "to_type")
+            .agg(F.max("n").alias("n"))
+            .collect()
+        }
+        # true ts order: a b a b a b -> ab x3, ba x2
+        assert final == {("a", "b"): 3, ("b", "a"): 2}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
