@@ -144,6 +144,10 @@ BENCH_QUERIES = [
     "rel_local_supplier_volume",
     "rel_large_volume",
     "e5_phash_dedup",
+    "e2_nprobe_recall_curve",
+    "e6_quality_quota",
+    "rel_supplier_variety",
+    "e4_type_affinity",
 ]
 
 

@@ -619,3 +619,55 @@ def token_budget_plan(
             .alias("expected_tokens"),
         )
     )
+
+
+def quality_token_quota(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    token_count: Column,
+    score_col: str,
+    quota_tokens: int,
+    nshards: int = 1,
+    salt: str = "qquota",
+) -> DataFrame:
+    """Per-source token budget filled BEST-FIRST by a quality score —
+    the curation refinement of :func:`source_token_quota`: instead of
+    an unbiased hash-order sample, each source spends its budget on
+    its highest-quality documents (score desc, id tiebreak), the
+    standard quality-weighted mixture recipe.
+
+    Same shard mechanics and prefix semantics as
+    :func:`source_token_quota`: with ``nshards > 1`` the quota splits
+    evenly across md5 hash shards and each shard takes ITS
+    quality-ordered prefix — the window sort stays shard-bounded (a
+    single source can be 40% of a 100 TB corpus; its shards are
+    quota-sized), at the cost of selecting the per-shard rather than
+    per-source global top (the kept set differs from the exact greedy
+    by at most the quality boundary of each shard — documented
+    trade). Scores round to 6 digits before ordering so the prefix is
+    engine-portable.
+
+    Returns the surviving rows with ``n_tokens`` attached.
+    """
+    if quota_tokens <= 0:
+        raise ValueError(f"quota_tokens must be positive, got {quota_tokens}")
+    if nshards <= 0:
+        raise ValueError(f"nshards must be positive, got {nshards}")
+    per_shard = quota_tokens // nshards
+    with_tok = (
+        df.withColumn("n_tokens", token_count.cast("long"))
+        .withColumn("__b", F.expr(_bucket_expr(id_col, salt)))
+        .withColumn("__q", F.round(F.col(score_col).cast("double"), 6))
+    )
+    w = (
+        Window.partitionBy(F.col(source_col), F.col("__b") % F.lit(nshards))
+        .orderBy(F.desc("__q"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        with_tok.withColumn("__cum", cum_before)
+        .where(F.col("__cum") + F.col("n_tokens") <= F.lit(per_shard))
+        .drop("__b", "__cum", "__q")
+    )

@@ -8366,7 +8366,12 @@ def q_rel_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = (
         _t(spark, sf_dir, "orders")
-        .where(F.year("o_orderdate") == 1996)
+        # range form, not year(): the predicate reaches the parquet
+        # scan as PushedFilters (year() is not pushdown-translatable)
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
         .select("o_orderkey", "o_custkey")
     )
     li = _t(spark, sf_dir, "lineitem").select(
@@ -8517,6 +8522,271 @@ WITH h AS (
 ),
 g AS (SELECT phash, count(*) AS group_size FROM h GROUP BY phash)
 SELECT doc_id, h.phash, group_size FROM h JOIN g USING (phash)
+"""
+
+
+
+
+def q_e2_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 index-tuning curve: micro-averaged recall@10 of IVF search at
+    nprobe in (1, 2, 4) against ONE shared brute-force truth — the
+    whole knob-sweep a deployment review reads before fixing nprobe,
+    as one frame. The truth set is checkpointed once and reused by all
+    three evaluations (queries x k rows — trivially small); each IVF
+    run is the ordinary cell-pruned probe at nprobe/K of brute cost.
+    Recall is integer-summed (sum hits / sum truth) — no FP-order
+    hazard from averaging per-query doubles."""
+    from functools import reduce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = (
+        similarity.brute_force_topk(emb, queries, k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    frames = []
+    for np_ in (1, 2, 4):
+        ivf = similarity.ivf_topk(emb, centroids, queries, k=10, nprobe=np_)
+        frames.append(
+            similarity.ann_recall(ivf, exact)
+            .agg(
+                F.sum("n_true").cast("long").alias("n_true"),
+                F.sum("n_hits").cast("long").alias("n_hits"),
+            )
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "n_true",
+                "n_hits",
+                F.round(
+                    F.col("n_hits") / F.expr("nullif(n_true, 0)"), 6
+                ).alias("recall"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def _oracle_nprobe_recall_curve() -> str:
+    ivf_ctes = []
+    selects = []
+    for np_ in (1, 2, 4):
+        ivf_ctes.append(f"""qa{np_} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+    FROM assign_scored
+  ) WHERE rn <= {np_}
+),
+ivf{np_} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_aggregate(list_transform(list_zip(q.e, v.e),
+                   p -> p[1] * p[2]), 'sum') / nullif(q.nrm * v.nrm, 0), 4) DESC,
+             v.vec_id) AS rank
+    FROM norms q
+    JOIN qa{np_} qa ON qa.vec_id = q.vec_id
+    JOIN assign va ON va.centroid_id = qa.centroid_id
+    JOIN norms v ON v.vec_id = va.vec_id AND v.vec_id <> q.vec_id
+    WHERE q.vec_id < 5
+  ) WHERE rank <= 10
+)""")
+        selects.append(f"""SELECT {np_}::BIGINT AS nprobe,
+       (SELECT count(*) FROM bf) AS n_true,
+       (SELECT count(*) FROM ivf{np_} i JOIN bf USING (query_id, neighbor_id)) AS n_hits,
+       round((SELECT count(*) FROM ivf{np_} i JOIN bf USING (query_id, neighbor_id))::DOUBLE
+             / nullif((SELECT count(*) FROM bf), 0), 6) AS recall""")
+    ctes = ",\n".join(ivf_ctes)
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e, sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round(list_aggregate(list_transform(list_zip(a.e, b.e),
+                   p -> p[1] * p[2]), 'sum') / nullif(a.nrm * b.nrm, 0), 4) DESC,
+             b.vec_id) AS rank
+    FROM norms a JOIN norms b ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+  ) WHERE rank <= 10
+),
+assign_scored AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         round(list_aggregate(list_transform(list_zip(v.e, c.e),
+               p -> p[1] * p[2]), 'sum') / nullif(v.nrm * c.nrm, 0), 6) AS score
+  FROM norms v JOIN norms c ON c.vec_id < 8
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+{ctes}
+{body}
+"""
+
+
+
+
+def q_e6_quality_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 quality-weighted token budget: each source spends its 800
+    tokens on its HIGHEST-quality documents (score desc, id tiebreak)
+    across 2 hash shards — the curation refinement of
+    ``e6_source_quota``'s unbiased hash-order fill; score rounds to 6
+    before ordering so the prefix is engine-portable."""
+    from .operators.packing import token_count_expr
+    from .operators.sampling import quality_token_quota
+    from .operators.text import quality_exprs
+
+    docs = _t(spark, sf_dir, "documents")
+    score = quality_exprs("text")["score"]
+    out = quality_token_quota(
+        docs.withColumn("__score", F.expr(score)),
+        "source",
+        "doc_id",
+        token_count_expr("text"),
+        "__score",
+        quota_tokens=800,
+        nshards=2,
+    )
+    return out.select("doc_id", "source", "n_tokens")
+
+
+def _oracle_quality_quota() -> str:
+    score = _Q_SCORE.format(punct=_Q_PUNCT, stopr=_Q_STOPR, mwl=_Q_MWL)
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5('qquota:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000 AS b,
+         round({score}, 6) AS q
+  FROM documents
+), c AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (
+           PARTITION BY source, b % 2 ORDER BY q DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens FROM c WHERE cum + n_tokens <= 400
+"""
+
+
+
+
+def q_rel_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-style supplier variety: distinct suppliers serving each
+    (p_type, p_size) among small parts, excluding one brand. The fact
+    table collapses to DISTINCT (partkey, suppkey) pairs FIRST
+    (partial-agg dedupe with map-side combine — at 100 TB this is the
+    1000:1 collapse), and only then joins the filtered part dimension;
+    the count-distinct runs over the collapsed pair set."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_size") <= 15) & (F.col("p_brand") != "Brand#1"))
+        .select("p_partkey", "p_type", "p_size")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+ORACLE_REL_SUPPLIER_VARIETY = """
+SELECT p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 15 AND p_brand <> 'Brand#1'
+GROUP BY p_type, p_size
+"""
+
+
+def q_e4_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 co-occurrence lift between event types within (user, day)
+    groups — P(a,b together) / (P(a) P(b)), the session-affinity
+    signal behind next-event features and funnel discovery. The event
+    table collapses to DISTINCT (user, day, type) rows first, every
+    aggregate after that is bounded by the type alphabet (squared for
+    pairs), and the marginal/total joins broadcast single-digit-row
+    frames; lift divides exact integer counts once."""
+    ev = _events(spark, sf_dir)
+    ud = (
+        ev.select(
+            "user_id", F.to_date("ts").alias("day"), "event_type"
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds total, marginals, AND pairs
+    )
+    tot = (
+        ud.select("user_id", "day")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    )
+    marg = ud.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__m")
+    )
+    a = ud.select(
+        "user_id", "day", F.col("event_type").alias("type_a")
+    )
+    b = ud.select(
+        "user_id", "day", F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    ma = marg.select(F.col("event_type").alias("type_a"), F.col("__m").alias("__ma"))
+    mb = marg.select(F.col("event_type").alias("type_b"), F.col("__m").alias("__mb"))
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * F.col("__N") / (F.col("__ma") * F.col("__mb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+ORACLE_E4_TYPE_AFFINITY = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+),
+tot AS (SELECT count(*) AS n FROM (SELECT DISTINCT user_id, day FROM ud)),
+marg AS (SELECT event_type, count(*) AS m FROM ud GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+  FROM ud a JOIN ud b
+    ON a.user_id = b.user_id AND a.day = b.day
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_ab,
+       round(n_ab::DOUBLE * (SELECT n FROM tot) / (ma.m * mb.m), 6) AS lift
+FROM pairs
+JOIN marg ma ON ma.event_type = type_a
+JOIN marg mb ON mb.event_type = type_b
 """
 
 
@@ -8769,6 +9039,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_large_volume": q_rel_large_volume,
     "s21_stream_transitions": q_s21_stream_transitions,
     "e5_phash_dedup": q_e5_phash_dedup,
+    "e2_nprobe_recall_curve": q_e2_nprobe_recall_curve,
+    "e6_quality_quota": q_e6_quality_quota,
+    "rel_supplier_variety": q_rel_supplier_variety,
+    "e4_type_affinity": q_e4_type_affinity,
 }
 
 ORACLES: dict[str, str] = {
@@ -8972,6 +9246,10 @@ ORACLES: dict[str, str] = {
     "rel_large_volume": ORACLE_REL_LARGE_VOLUME,
     "s21_stream_transitions": ORACLE_E4_MARKOV,
     "e5_phash_dedup": ORACLE_E5_PHASH_DEDUP,
+    "e2_nprobe_recall_curve": _oracle_nprobe_recall_curve(),
+    "e6_quality_quota": _oracle_quality_quota(),
+    "rel_supplier_variety": ORACLE_REL_SUPPLIER_VARIETY,
+    "e4_type_affinity": ORACLE_E4_TYPE_AFFINITY,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

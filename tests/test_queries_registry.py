@@ -254,6 +254,10 @@ def test_driver_window_holds_all_unique_queries():
         "rel_large_volume",
         "s21_stream_transitions",
         "e5_phash_dedup",
+        "e2_nprobe_recall_curve",
+        "e6_quality_quota",
+        "rel_supplier_variety",
+        "e4_type_affinity",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

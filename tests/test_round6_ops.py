@@ -166,3 +166,41 @@ class TestPhashDedupProbe:
                     if ((base + y) >> x) & 1:
                         want |= 1 << (y * 7 + x)
             assert got[i] == want, i
+
+
+class TestQualityTokenQuota:
+    def test_best_first_prefix(self, spark):
+        from tensorflow_recorder_spark.operators.sampling import (
+            quality_token_quota,
+        )
+
+        # budget 10: doc 3 (q=.9, 6 tok) then doc 1 (q=.8, 4 tok) fit;
+        # doc 2 (q=.7) would overflow despite being cheap
+        df = spark.createDataFrame(
+            [(1, "s", 4, 0.8), (2, "s", 3, 0.7), (3, "s", 6, 0.9)],
+            "doc_id long, source string, toks long, q double",
+        )
+        kept = {
+            r.doc_id
+            for r in quality_token_quota(
+                df, "source", "doc_id", F.col("toks"), "q", quota_tokens=10
+            ).collect()
+        }
+        assert kept == {3, 1}
+
+    def test_tie_breaks_on_id(self, spark):
+        from tensorflow_recorder_spark.operators.sampling import (
+            quality_token_quota,
+        )
+
+        df = spark.createDataFrame(
+            [(2, "s", 5, 0.5), (1, "s", 5, 0.5), (3, "s", 5, 0.5)],
+            "doc_id long, source string, toks long, q double",
+        )
+        kept = {
+            r.doc_id
+            for r in quality_token_quota(
+                df, "source", "doc_id", F.col("toks"), "q", quota_tokens=10
+            ).collect()
+        }
+        assert kept == {1, 2}
