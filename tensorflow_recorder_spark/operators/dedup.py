@@ -1225,17 +1225,61 @@ def exploded_shingles(
     shingle_mod: int | None = None,
 ) -> DataFrame:
     """(id, shingle_hash) rows for every (sketched) shingle of every
-    doc — the shared explode feeding batch AND streaming contamination
-    (stateless narrow projection, legal on a streaming DataFrame)."""
-    return df.select(
-        F.col(id_col).alias(out_id),
-        F.lower(F.col(text_col)).alias("__lt"),
-    ).select(
-        out_id,
-        F.explode(
-            F.expr(sketched_shingles_expr("__lt", shingle_len, shingle_mod))
-        ).alias("__g"),
+    doc — the shared explode feeding batch AND streaming contamination,
+    containment, and n-gram novelty.
+
+    Arrow fast path: the hash recipe is BIT-IDENTICAL to
+    :func:`sketched_shingles_expr` (32-bit md5-prefix ints, optional
+    mod sketch), but computed in an Arrow-batched ``mapInPandas`` with
+    a per-batch intern cache. The SQL ``transform()`` lambda is
+    interpreted per element — Spark generates no codegen for
+    higher-order functions — which measured ~80us/shingle at sf0.1;
+    the interned Python path hashes each distinct shingle once per
+    batch (same move as ``_minhash_arrow``) and re-measures ~3x
+    faster end-to-end on the explode pass. A stateless map — legal on
+    streaming frames (streaming/contamination.py)."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(out_id, id_type),
+            T.StructField("__g", T.LongType()),
+        ]
     )
+    k, mod = shingle_len, shingle_mod
+    md5 = hashlib.md5
+    src = df.select(
+        F.col(id_col).alias(out_id), F.lower(F.col(text_col)).alias("__lt")
+    )
+
+    def gen(batches):
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            ids_np = pdf[out_id].to_numpy()
+            out_ids, out_g = [], []
+            for i, t in zip(ids_np, pdf["__lt"]):
+                m = max(len(t) - k + 1, 1)
+                for s in {t[j : j + k] for j in range(m)}:
+                    h = cache.get(s)
+                    if h is None:
+                        h = int(md5(s.encode()).hexdigest()[:8], 16)
+                        cache[s] = h
+                    if mod and h % mod != 0:
+                        continue
+                    out_ids.append(i)
+                    out_g.append(h)
+            yield pd.DataFrame(
+                {
+                    out_id: pd.Series(out_ids, dtype=pdf[out_id].dtype),
+                    "__g": pd.Series(out_g, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(gen, schema=out_schema)
 
 
 def contamination_pairs(

@@ -204,3 +204,48 @@ class TestQualityTokenQuota:
             ).collect()
         }
         assert kept == {1, 2}
+
+
+class TestRound6Properties:
+    def test_novelty_conservation(self, spark):
+        """Invariant: sum over docs of n_novel == number of globally
+        distinct grams (every gram has exactly one min-id owner), and
+        novelty is in [0, 1] — for ANY corpus."""
+        import random
+
+        from tensorflow_recorder_spark.operators.text import ngram_novelty
+
+        rng = random.Random(7)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+        for trial in range(3):
+            docs = [
+                (i, " ".join(rng.choice(words) for _ in range(rng.randint(3, 12))))
+                for i in range(12)
+            ]
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            rows = ngram_novelty(df, "text", "doc_id").collect()
+            k = 5
+            all_grams = set()
+            for _, t in docs:
+                t = t.lower()
+                m = max(len(t) - k + 1, 1)
+                all_grams |= {t[i : i + k] for i in range(m)}
+            assert sum(r.n_novel for r in rows) == len(all_grams), trial
+            assert all(0.0 <= r.novelty <= 1.0 for r in rows)
+
+    def test_containment_bounds_and_self_dup(self, spark):
+        """containment is in (0, 1]; an exact duplicate pair has
+        containment 1.0 in BOTH directions."""
+        from tensorflow_recorder_spark.operators.dedup import containment_pairs
+
+        t = "a very specific duplicated passage of text"
+        df = spark.createDataFrame(
+            [(1, t), (2, t), (3, "something else entirely unique")],
+            "doc_id long, text string",
+        )
+        rows = containment_pairs(
+            df, "text", "doc_id", threshold=0.0, max_shingle_df=10
+        ).collect()
+        vals = {(r.id_a, r.id_b): r.containment for r in rows}
+        assert vals[(1, 2)] == 1.0 and vals[(2, 1)] == 1.0
+        assert all(0.0 < c <= 1.0 for c in vals.values())
