@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "e6_quality_quota",
     "rel_supplier_variety",
     "e4_type_affinity",
+    "e2_dim_truncation_curve",
+    "e4_rate_spikes",
 ]
 
 

@@ -8790,6 +8790,135 @@ JOIN marg mb ON mb.event_type = type_b
 """
 
 
+
+
+def q_e2_dim_truncation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 embedding-compression audit: recall@10 of cosine search over
+    PREFIX-truncated embeddings (first 8 / 16 / 32 dims) against the
+    full-dimension truth — the Matryoshka-style curve (Kusupati et al.
+    2022, public) that decides how many dims a serving index keeps.
+    One shared checkpointed truth; each truncated search is the same
+    salted brute top-k over a narrower slice projection; recall is
+    integer-summed."""
+    from functools import reduce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = (
+        similarity.brute_force_topk(emb, queries, k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    frames = []
+    for d in (8, 16, 32):
+        sliced = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        qs = sliced.where(F.col("vec_id") < 5)
+        ann = similarity.brute_force_topk(sliced, qs, k=10)
+        frames.append(
+            similarity.ann_recall(ann, exact)
+            .agg(
+                F.sum("n_true").cast("long").alias("n_true"),
+                F.sum("n_hits").cast("long").alias("n_hits"),
+            )
+            .select(
+                F.lit(d).cast("long").alias("dims"),
+                "n_true",
+                "n_hits",
+                F.round(
+                    F.col("n_hits") / F.expr("nullif(n_true, 0)"), 6
+                ).alias("recall"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def _oracle_dim_truncation_curve() -> str:
+    selects = []
+    ctes = []
+    for d in (8, 16, 32):
+        ctes.append(f"""t{d} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round(list_aggregate(list_transform(
+                   list_zip(a.e[1:{d}], b.e[1:{d}]),
+                   p -> p[1] * p[2]), 'sum')
+               / nullif(sqrt(list_aggregate(list_transform(a.e[1:{d}], x -> x * x), 'sum'))
+                      * sqrt(list_aggregate(list_transform(b.e[1:{d}], x -> x * x), 'sum')), 0), 4) DESC,
+             b.vec_id) AS rank
+    FROM e a JOIN e b ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+  ) WHERE rank <= 10
+)""")
+        selects.append(f"""SELECT {d}::BIGINT AS dims,
+       (SELECT count(*) FROM bf) AS n_true,
+       (SELECT count(*) FROM t{d} JOIN bf USING (query_id, neighbor_id)) AS n_hits,
+       round((SELECT count(*) FROM t{d} JOIN bf USING (query_id, neighbor_id))::DOUBLE
+             / nullif((SELECT count(*) FROM bf), 0), 6) AS recall""")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round(list_aggregate(list_transform(list_zip(a.e, b.e),
+                   p -> p[1] * p[2]), 'sum')
+               / nullif(sqrt(list_aggregate(list_transform(a.e, x -> x * x), 'sum'))
+                      * sqrt(list_aggregate(list_transform(b.e, x -> x * x), 'sum')), 0), 4) DESC,
+             b.vec_id) AS rank
+    FROM e a JOIN e b ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+  ) WHERE rank <= 10
+),
+{", ".join(ctes)}
+{" UNION ALL ".join(selects)}
+"""
+
+
+def q_e4_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 rate-spike audit: each user's PEAK events-per-hour and the
+    hour it happened — the rate-limit / scraper-detection readout.
+    Two partial-agg levels: (user, hour) counts with map-side
+    combine, then a per-user argmax row_number on the bounded
+    per-hour frame; users peaking >= 2 events/hour are flagged
+    (the fixture's organic rate is ~1/hour). Ties break to the
+    earliest hour — an explicit engine-portable tiebreak."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    per_hour = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("hour"))
+    return (
+        per_hour.withColumn("__rk", F.row_number().over(w))
+        .where((F.col("__rk") == 1) & (F.col("n") >= 2))
+        .select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("peak_hour"),
+            F.col("n").alias("peak_per_hour"),
+        )
+    )
+
+
+ORACLE_E4_RATE_SPIKES = """
+WITH pm AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+rk AS (
+  SELECT user_id, hour, n,
+         row_number() OVER (PARTITION BY user_id
+              ORDER BY n DESC, hour) AS r
+  FROM pm
+)
+SELECT user_id,
+       strftime(hour, '%Y-%m-%d %H:%M:%S') AS peak_hour,
+       n AS peak_per_hour
+FROM rk WHERE r = 1 AND n >= 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -9043,6 +9172,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_quality_quota": q_e6_quality_quota,
     "rel_supplier_variety": q_rel_supplier_variety,
     "e4_type_affinity": q_e4_type_affinity,
+    "e2_dim_truncation_curve": q_e2_dim_truncation_curve,
+    "e4_rate_spikes": q_e4_rate_spikes,
 }
 
 ORACLES: dict[str, str] = {
@@ -9250,6 +9381,8 @@ ORACLES: dict[str, str] = {
     "e6_quality_quota": _oracle_quality_quota(),
     "rel_supplier_variety": ORACLE_REL_SUPPLIER_VARIETY,
     "e4_type_affinity": ORACLE_E4_TYPE_AFFINITY,
+    "e2_dim_truncation_curve": _oracle_dim_truncation_curve(),
+    "e4_rate_spikes": ORACLE_E4_RATE_SPIKES,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -258,6 +258,8 @@ def test_driver_window_holds_all_unique_queries():
         "e6_quality_quota",
         "rel_supplier_variety",
         "e4_type_affinity",
+        "e2_dim_truncation_curve",
+        "e4_rate_spikes",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
