@@ -150,6 +150,10 @@ BENCH_QUERIES = [
     "e4_type_affinity",
     "e2_dim_truncation_curve",
     "e4_rate_spikes",
+    "e6_epoch_allocation",
+    "e3_code_detect",
+    "e5_aspect_buckets",
+    "e5_shot_boundary",
 ]
 
 

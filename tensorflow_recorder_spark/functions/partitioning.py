@@ -20,9 +20,9 @@ every hot entry point (r4 verdict item 2). This helper decides from
   argument;
 - derived frame whose analyzed-plan leaves are ALL ``LogicalRDD``
   (``localCheckpoint`` / ``createDataFrame`` outputs) → EXACT probe.
-  The backing RDD already exists, so ``df.rdd`` here is narrow plan
+  The backing RDD already exists, so the RDD handle here is narrow plan
   wiring over materialized partitions — none of the
-  second-plan-evaluation cost that banned ``.rdd`` probes on
+  second-plan-evaluation cost that banned RDD-conversion probes on
   arbitrary frames in r4 (measured ~50 ms driver-side, no job). This
   closes the r5 ``weak`` regression: a checkpointed dedup output at
   bench scale sits at ~12 partitions (AQE-finalized), and the r5
@@ -64,7 +64,7 @@ def _rdd_leaf_partitions(df: DataFrame) -> int | None:
     """Exact partition count, ONLY for NARROW plans (project/filter)
     over ``LogicalRDD`` leaves — localCheckpoint / createDataFrame
     outputs, optionally projected. For those the backing RDDs are
-    already materialized, so ``df.rdd`` is cheap narrow wiring — no
+    already materialized, so the RDD handle is cheap narrow wiring — no
     upstream re-evaluation, no job, and the count is exact. Any other
     plan shape returns None: a wide plan (groupBy/join/window) ABOVE a
     checkpointed leaf also has all-LogicalRDD leaves, but probing it

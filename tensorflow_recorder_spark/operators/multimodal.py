@@ -258,6 +258,150 @@ def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(run, schema=out_struct)
 
 
+def image_dims_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Vision-corpus layout audit: aspect-ratio x resolution-tier
+    histogram of the image collection — the report every multimodal
+    curation run reads before choosing crop/filter rules (tiny and
+    extreme-aspect images get dropped; see LAION's published filtering,
+    public). Dims come from REAL decodes: each row synthesizes a
+    deterministic image (PNG/BMP alternating, dims derived from the
+    id), encodes it with the repo's pure-Python writers and decodes it
+    back through magic-byte dispatch inside one Arrow-batched
+    ``mapInPandas`` pass — the executor-side path a real corpus takes,
+    with the id-derived dims making the output oracle-predictable.
+
+    Buckets are integer-exact (no float ratio compare): wide iff
+    2*w >= 3*h, tall iff 3*w <= 2*h, else square; tiers tiny < 600 px,
+    small < 1800, ok otherwise. Scale shape: decode scan -> one
+    partial-agg groupBy over a 9-key space.
+    """
+    from ..functions.bmp_codec import decode_bmp, encode_bmp, is_bmp
+    from ..functions.png_codec import decode_png, encode_png
+
+    out_struct = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+        ]
+    )
+
+    def probe(i: int):
+        w, h = 8 + (i * 13) % 57, 8 + (i * 7) % 41
+        c = (i * 29) % 256
+        px = bytes((c, (c * 5) % 256, (c * 11) % 256)) * (w * h)
+        data = encode_bmp(px, w, h) if i % 2 else encode_png(px, w, h)
+        if is_bmp(data):
+            _, dw, dh, _ = decode_bmp(data)
+        else:
+            _, dw, dh, _ = decode_png(data)
+        return dw, dh
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [probe(int(i)) for i in pdf[id_col]]
+            out = pd.DataFrame(rows, columns=["width", "height"])
+            out.insert(0, id_col, pdf[id_col].astype("int64").values)
+            yield out
+
+    dims = df.select(id_col).mapInPandas(run, schema=out_struct)
+    bucket = (
+        F.when(2 * F.col("width") >= 3 * F.col("height"), "wide")
+        .when(3 * F.col("width") <= 2 * F.col("height"), "tall")
+        .otherwise("square")
+    )
+    px = F.col("width") * F.col("height")
+    tier = (
+        F.when(px < 600, "tiny").when(px < 1800, "small").otherwise("ok")
+    )
+    counted = (
+        dims.select(bucket.alias("aspect_bucket"), tier.alias("res_tier"))
+        .groupBy("aspect_bucket", "res_tier")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = counted.agg(F.sum("n").alias("__total"))
+    return counted.crossJoin(F.broadcast(total)).select(
+        "aspect_bucket",
+        "res_tier",
+        "n",
+        F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+    )
+
+
+def shot_boundaries(
+    df: DataFrame, id_col: str = "doc_id", threshold: float = 10.0
+) -> DataFrame:
+    """Video shot-boundary detection plan (the pre-captioning scene
+    split every video-training pipeline runs; luminance-delta cut
+    detection is the classic public baseline). Each id is a synthetic
+    video of ``8 + id % 5`` frames in 4-frame scenes; every frame is
+    REALLY encoded (BMP) and decoded back per-frame inside one
+    Arrow-batched ``mapInPandas`` pass that reduces each frame to its
+    mean luminance — the executor-side decode->feature shape of a real
+    corpus, with id-derived pixels keeping the output
+    oracle-predictable. Frame explosion happens JVM-side
+    (``sequence`` + ``explode``) so the Python stage only ever maps
+    (id, frame_idx) -> luminance.
+
+    A cut is declared where |lum - prev_lum| >= threshold, evaluated
+    with one per-video lag window (bounded partitions: <= 12 frames).
+    Output: (id, frame_idx, prev_lum, lum, delta) for cut frames only.
+    """
+    from ..functions.bmp_codec import decode_bmp, encode_bmp
+
+    frames = df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), (7 + F.col(id_col) % 5).cast("int"))
+        ).alias("frame_idx"),
+    )
+    out_struct = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("lum", T.DoubleType()),
+        ]
+    )
+
+    def luminance(i: int, f: int) -> float:
+        v = (i * 31 + (f // 4) * 97) % 256
+        data = encode_bmp(bytes((v, v, v)) * 16, 4, 4)
+        pixels, _, _, _ = decode_bmp(data)
+        return sum(pixels) / len(pixels)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lums = [
+                luminance(int(i), int(f))
+                for i, f in zip(pdf[id_col], pdf["frame_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64").values,
+                    "frame_idx": pdf["frame_idx"].astype("int64").values,
+                    "lum": lums,
+                }
+            )
+
+    from pyspark.sql import Window
+
+    scored = frames.mapInPandas(run, schema=out_struct)
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    prev = F.lag("lum").over(w)
+    return (
+        scored.withColumn("prev_lum", prev)
+        .withColumn("delta", F.abs(F.col("lum") - F.col("prev_lum")))
+        .where(F.col("delta") >= F.lit(threshold))
+        .select(
+            id_col,
+            "frame_idx",
+            F.round("prev_lum", 4).alias("prev_lum"),
+            F.round("lum", 4).alias("lum"),
+            F.round("delta", 4).alias("delta"),
+        )
+    )
+
+
 def resize_images(
     df: DataFrame,
     binary_col: str = "media_bytes",

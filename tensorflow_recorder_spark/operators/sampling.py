@@ -621,6 +621,62 @@ def token_budget_plan(
     )
 
 
+def epoch_allocation(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    budget_tokens: int,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Data-constrained epoch planning (Muennighoff et al. 2022,
+    "Scaling Data-Constrained Language Models", public): when the
+    training budget exceeds a source's unique tokens, the source is
+    REPEATED — but repetition stops paying off after ~4 epochs, so the
+    plan caps epochs and reports the shortfall the mixture must
+    reallocate. Per source (equal weights): target = budget / n_sources,
+    epochs_needed = target / unique_tokens, epochs = min(needed,
+    max_epochs), effective_tokens = unique_tokens * epochs, shortfall =
+    target - effective for capped sources.
+
+    Scale shape: identical to :func:`token_budget_plan` — ONE corpus
+    pass (token count inlined into the scan, partial-aggregated groupBy
+    over the source list), then column arithmetic against the broadcast
+    1-row source count. Catalog-sized output.
+    """
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    n_tok = F.expr(
+        f"size(filter(split(lower({text_col}), '\\\\s+'), t -> t <> ''))"
+    )
+    st = (
+        df.select(F.col(source_col).alias("source"), n_tok.alias("__t"))
+        .groupBy("source")
+        .agg(F.sum("__t").cast("long").alias("unique_tokens"))
+    )
+    k = st.agg(F.count(F.lit(1)).alias("__ns"))
+    target = F.round(F.lit(float(budget_tokens)) / F.col("__ns"), 6)
+    needed = F.round(target / F.col("unique_tokens"), 6)
+    epochs = F.least(needed, F.lit(float(max_epochs)))
+    effective = F.round(F.col("unique_tokens") * epochs, 0).cast("long")
+    return (
+        st.crossJoin(F.broadcast(k))
+        .select(
+            "source",
+            "unique_tokens",
+            target.alias("target_tokens"),
+            needed.alias("epochs_needed"),
+            F.round(epochs, 6).alias("epochs"),
+            (needed > F.lit(float(max_epochs))).alias("capped"),
+            effective.alias("effective_tokens"),
+            F.greatest(
+                F.round(target - effective, 0).cast("long"), F.lit(0).cast("long")
+            ).alias("shortfall"),
+        )
+    )
+
+
 def quality_token_quota(
     df: DataFrame,
     source_col: str,

@@ -134,6 +134,65 @@ def readability_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+CODE_KEYWORDS = (
+    "select|join|filter|group|order|sort|merge|hash|scan|query"
+    "|def|class|import|return"
+)
+
+
+def code_prose_signals(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    score_threshold: float = 0.18,
+) -> DataFrame:
+    """Code-vs-prose detection signals (the StarCoder/The-Stack-style
+    corpus-routing heuristic, public): documents that are code or query
+    text get routed to a different tokenizer/mixture than prose, and
+    the router is a cheap regex scorer, not a model. Three families of
+    evidence, all single-scan regex counts:
+
+    * ``kw_density`` — code/query keyword hits per word (keyword list
+      covers both programming and SQL-ish tokens, matched on the
+      lowercased text);
+    * ``symbol_ratio`` — code punctuation (braces, brackets,
+      semicolons, operators) per character;
+    * ``indent_frac`` — fraction of lines starting with a 4-space
+      indent block.
+
+    ``code_score = 0.6*kw_density + 3*symbol_ratio + 0.4*indent_frac``
+    (weights chosen so any one strong family crosses the threshold);
+    ``is_code = score >= threshold``. Zero-shuffle projection — the
+    100 TB shape is one codegen pass over the scan, like every other
+    E3 quality column. Oracle parity: every count is a
+    ``regexp_extract_all`` length with a RE2-safe pattern.
+    """
+    words = f"size(filter(split(lower({text_col}), '\\\\s+'), t -> t <> ''))"
+    kws = (
+        f"size(regexp_extract_all(lower({text_col}),"
+        f" '\\\\b({CODE_KEYWORDS})\\\\b', 0))"
+    )
+    syms = f"size(regexp_extract_all({text_col}, '[{{}}()\\\\[\\\\];=<>|&#]', 0))"
+    lines = f"size(split({text_col}, '\\\\n'))"
+    indented = (
+        f"size(filter(split({text_col}, '\\\\n'), l -> l rlike '^    '))"
+    )
+    kd = f"(cast({kws} as double) / nullif({words}, 0))"
+    sr = f"(cast({syms} as double) / nullif(length({text_col}), 0))"
+    ifr = f"(cast({indented} as double) / {lines})"
+    score = f"round(0.6 * {kd} + 3 * {sr} + 0.4 * {ifr}, 6)"
+    return df.select(
+        F.col(id_col),
+        F.expr(words).cast("long").alias("n_words"),
+        F.expr(kws).cast("long").alias("kw_hits"),
+        F.round(F.expr(kd), 6).alias("kw_density"),
+        F.round(F.expr(sr), 6).alias("symbol_ratio"),
+        F.round(F.expr(ifr), 6).alias("indent_frac"),
+        F.expr(score).alias("code_score"),
+        (F.expr(score) >= F.lit(score_threshold)).alias("is_code"),
+    )
+
+
 def repetition_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Within-document repetition metrics (E3) — the Gopher/C4-style
     quality rules that catch boilerplate-looped and degenerate docs

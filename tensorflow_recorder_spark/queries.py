@@ -8919,6 +8919,165 @@ FROM rk WHERE r = 1 AND n >= 2
 """
 
 
+def q_e6_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 data-constrained epoch planner (Muennighoff et al. 2022,
+    public): per-source repeat epochs under a 120k-token budget with a
+    4-epoch cap — which sources run out of unique tokens and how much
+    budget the mixture must reallocate. One corpus pass + catalog-sized
+    arithmetic (operators/sampling.py epoch_allocation)."""
+    from .operators.sampling import epoch_allocation
+
+    return epoch_allocation(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "source",
+        budget_tokens=120_000,
+        max_epochs=4.0,
+    )
+
+
+ORACLE_E6_EPOCH_ALLOCATION = r"""
+WITH st AS (
+  SELECT source,
+         sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t -> t <> ''))) AS unique_tokens
+  FROM documents GROUP BY source
+),
+k AS (SELECT count(*) AS ns FROM st),
+p AS (
+  SELECT source, unique_tokens,
+         round(120000.0 / ns, 6) AS target_tokens,
+         round(round(120000.0 / ns, 6) / unique_tokens, 6) AS epochs_needed
+  FROM st, k
+),
+e AS (
+  SELECT *, least(epochs_needed, 4.0) AS epochs,
+         CAST(round(unique_tokens * least(epochs_needed, 4.0), 0) AS BIGINT)
+           AS effective_tokens
+  FROM p
+)
+SELECT source,
+       CAST(unique_tokens AS BIGINT) AS unique_tokens,
+       target_tokens,
+       epochs_needed,
+       round(epochs, 6) AS epochs,
+       epochs_needed > 4.0 AS capped,
+       effective_tokens,
+       greatest(CAST(round(target_tokens - effective_tokens, 0) AS BIGINT),
+                0) AS shortfall
+FROM e
+"""
+
+
+def q_e3_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 corpus routing: code-vs-prose detection signals per document
+    (keyword density, symbol ratio, indent fraction -> composite score
+    + flag), the regex router that decides which tokenizer/mixture a
+    document feeds. Zero-shuffle single scan
+    (operators/text.py code_prose_signals)."""
+    from .operators.text import code_prose_signals
+
+    return code_prose_signals(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+ORACLE_E3_CODE_DETECT = r"""
+WITH c AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         t -> t <> '')) AS n_words,
+         len(regexp_extract_all(lower(text),
+             '\b(select|join|filter|group|order|sort|merge|hash|scan|query|def|class|import|return)\b'))
+           AS kw_hits,
+         len(regexp_extract_all(text, '[{}()\[\];=<>|&#]')) AS n_syms,
+         len(text) AS n_chars,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(list_filter(string_split(text, chr(10)),
+                         l -> regexp_matches(l, '^    '))) AS n_ind
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(kw_hits AS BIGINT) AS kw_hits,
+       round(CAST(kw_hits AS DOUBLE) / nullif(n_words, 0), 6) AS kw_density,
+       round(CAST(n_syms AS DOUBLE) / nullif(n_chars, 0), 6) AS symbol_ratio,
+       round(CAST(n_ind AS DOUBLE) / n_lines, 6) AS indent_frac,
+       round(0.6 * (CAST(kw_hits AS DOUBLE) / nullif(n_words, 0))
+             + 3 * (CAST(n_syms AS DOUBLE) / nullif(n_chars, 0))
+             + 0.4 * (CAST(n_ind AS DOUBLE) / n_lines), 6) AS code_score,
+       round(0.6 * (CAST(kw_hits AS DOUBLE) / nullif(n_words, 0))
+             + 3 * (CAST(n_syms AS DOUBLE) / nullif(n_chars, 0))
+             + 0.4 * (CAST(n_ind AS DOUBLE) / n_lines), 6) >= 0.18 AS is_code
+FROM c
+"""
+
+
+def q_e5_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 vision-corpus layout audit: aspect-ratio x resolution-tier
+    histogram from REAL image decodes (PNG/BMP alternating, id-derived
+    dims) — one Arrow-batched decode pass feeding a 9-key groupBy
+    (operators/multimodal.py image_dims_audit)."""
+    from .operators.multimodal import image_dims_audit
+
+    return image_dims_audit(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+ORACLE_E5_ASPECT_BUCKETS = """
+WITH d AS (
+  SELECT doc_id, 8 + (doc_id * 13) % 57 AS w, 8 + (doc_id * 7) % 41 AS h
+  FROM documents
+),
+b AS (
+  SELECT CASE WHEN 2 * w >= 3 * h THEN 'wide'
+              WHEN 3 * w <= 2 * h THEN 'tall'
+              ELSE 'square' END AS aspect_bucket,
+         CASE WHEN w * h < 600 THEN 'tiny'
+              WHEN w * h < 1800 THEN 'small'
+              ELSE 'ok' END AS res_tier
+  FROM d
+),
+c AS (SELECT aspect_bucket, res_tier, count(*) AS n FROM b GROUP BY 1, 2),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT aspect_bucket, res_tier, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / total, 6) AS share
+FROM c, t
+"""
+
+
+def q_e5_shot_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 video shot-boundary detection: luminance-delta cut detector
+    over per-frame REAL encode/decode (4-frame scenes, id-derived
+    pixels), frames exploded JVM-side, cuts from one bounded per-video
+    lag window (operators/multimodal.py shot_boundaries)."""
+    from .operators.multimodal import shot_boundaries
+
+    return shot_boundaries(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+ORACLE_E5_SHOT_BOUNDARY = """
+WITH f AS (
+  SELECT doc_id, unnest(range(0, 8 + doc_id % 5)) AS frame_idx
+  FROM documents
+),
+l AS (
+  SELECT doc_id, frame_idx,
+         CAST((doc_id * 31 + (frame_idx // 4) * 97) % 256 AS DOUBLE) AS lum
+  FROM f
+),
+d AS (
+  SELECT doc_id, frame_idx,
+         lag(lum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_lum,
+         lum
+  FROM l
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       round(prev_lum, 4) AS prev_lum,
+       round(lum, 4) AS lum,
+       round(abs(lum - prev_lum), 4) AS delta
+FROM d WHERE abs(lum - prev_lum) >= 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -9174,6 +9333,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_type_affinity": q_e4_type_affinity,
     "e2_dim_truncation_curve": q_e2_dim_truncation_curve,
     "e4_rate_spikes": q_e4_rate_spikes,
+    "e6_epoch_allocation": q_e6_epoch_allocation,
+    "e3_code_detect": q_e3_code_detect,
+    "e5_aspect_buckets": q_e5_aspect_buckets,
+    "e5_shot_boundary": q_e5_shot_boundary,
 }
 
 ORACLES: dict[str, str] = {
@@ -9383,6 +9546,10 @@ ORACLES: dict[str, str] = {
     "e4_type_affinity": ORACLE_E4_TYPE_AFFINITY,
     "e2_dim_truncation_curve": _oracle_dim_truncation_curve(),
     "e4_rate_spikes": ORACLE_E4_RATE_SPIKES,
+    "e6_epoch_allocation": ORACLE_E6_EPOCH_ALLOCATION,
+    "e3_code_detect": ORACLE_E3_CODE_DETECT,
+    "e5_aspect_buckets": ORACLE_E5_ASPECT_BUCKETS,
+    "e5_shot_boundary": ORACLE_E5_SHOT_BOUNDARY,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

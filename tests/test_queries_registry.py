@@ -260,6 +260,10 @@ def test_driver_window_holds_all_unique_queries():
         "e4_type_affinity",
         "e2_dim_truncation_curve",
         "e4_rate_spikes",
+        "e6_epoch_allocation",
+        "e3_code_detect",
+        "e5_aspect_buckets",
+        "e5_shot_boundary",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
