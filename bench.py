@@ -154,6 +154,9 @@ BENCH_QUERIES = [
     "e3_code_detect",
     "e5_aspect_buckets",
     "e5_shot_boundary",
+    "e2_sq_recall",
+    "e4_streaks",
+    "e6_stratified_shards",
 ]
 
 

@@ -1130,3 +1130,51 @@ def cusum_changepoints(
             F.round(F.expr("element_at(__st, 2)"), 6).alias("final_sn"),
         )
     )
+
+
+def activity_streaks(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Longest consecutive-day activity streak per key — the classic
+    gaps-and-islands rewrite (day_number - dense per-key rank is
+    constant within a run of consecutive days), the engagement metric
+    every retention dashboard carries next to the cohort triangle.
+
+    Plan shape: raw events collapse FIRST to distinct (key, day) — one
+    partial-agg distinct whose key space is users x active days — and
+    every window after that runs on the collapsed frame, partitioned
+    per key with partitions bounded by the calendar span (days per
+    user), never by event volume. Output: (key, streak_days,
+    streak_start, streak_end) for each key's LONGEST streak, earliest
+    start winning ties — an explicit engine-portable tiebreak.
+    """
+    days = (
+        df.select(F.col(key_col), F.to_date(ts_col).alias("__day"))
+        .distinct()
+    )
+    w = Window.partitionBy(key_col).orderBy("__day")
+    grouped = days.withColumn(
+        "__grp",
+        F.datediff(F.col("__day"), F.lit("1970-01-01"))
+        - F.row_number().over(w),
+    )
+    streaks = grouped.groupBy(key_col, "__grp").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_days"),
+        F.min("__day").alias("streak_start"),
+        F.max("__day").alias("streak_end"),
+    )
+    pick = Window.partitionBy(key_col).orderBy(
+        F.desc("streak_days"), F.asc("streak_start")
+    )
+    return (
+        streaks.withColumn("__rk", F.row_number().over(pick))
+        .where(F.col("__rk") == 1)
+        .select(
+            key_col,
+            "streak_days",
+            F.date_format("streak_start", "yyyy-MM-dd").alias("streak_start"),
+            F.date_format("streak_end", "yyyy-MM-dd").alias("streak_end"),
+        )
+    )

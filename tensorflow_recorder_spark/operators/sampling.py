@@ -677,6 +677,49 @@ def epoch_allocation(
     )
 
 
+def stratified_shards(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    nshards: int = 8,
+    salt: str = "shard",
+) -> DataFrame:
+    """Source-stratified shard assignment + balance audit: docs are
+    round-robined into ``nshards`` shards WITHIN each source (visit
+    order = the deterministic md5 bucket, so the layout is
+    retry/engine-stable), which guarantees every shard sees each
+    source's count within 1 of even — the training-shard layout rule
+    that stops a data-parallel epoch from feeding one worker a
+    single-domain shard. Output per shard: (shard, n_docs, n_sources,
+    max_source_docs) — the balance numbers a layout review reads.
+
+    Scale shape: one per-source rank window (same bounded-sort caveat
+    and shard-salting escape as :func:`source_token_quota`), then two
+    partial aggregates whose key spaces are nshards x sources and
+    nshards. Nothing driver-side.
+    """
+    if nshards <= 0:
+        raise ValueError(f"nshards must be positive, got {nshards}")
+    w = Window.partitionBy(source_col).orderBy(
+        F.expr(_bucket_expr(id_col, salt)), F.col(id_col)
+    )
+    assigned = df.select(
+        F.col(source_col).alias("source"),
+        ((F.row_number().over(w) - 1) % nshards).cast("long").alias("shard"),
+    )
+    per_pair = assigned.groupBy("shard", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    return (
+        per_pair.groupBy("shard")
+        .agg(
+            F.sum("__n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.max("__n").cast("long").alias("max_source_docs"),
+        )
+    )
+
+
 def quality_token_quota(
     df: DataFrame,
     source_col: str,

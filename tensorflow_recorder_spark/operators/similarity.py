@@ -939,6 +939,44 @@ def scalar_quantize_fit(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def scalar_dequantize(
+    df: DataFrame,
+    fitted: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantize-then-reconstruct an embedding column through the int8
+    path (codes from :func:`scalar_quantize`'s exact formula,
+    dequantized back to doubles) — the corpus a quantized index
+    actually serves. Searching THIS against full-precision queries
+    (asymmetric, the FAISS SQ8 serving setup) measures what int8
+    storage costs in recall, not just in MSE.
+
+    Same plan shape as :func:`scalar_quantize`: fitted ranges ride as
+    one broadcast single-row frame, codes materialized in their own
+    projection before the reconstruction lambda (no CSE across
+    higher-order functions). Output: (id_col, vec_col) with the
+    reconstructed double array under the ORIGINAL column name, so the
+    frame drops into any search operator unchanged.
+    """
+    q = (
+        "transform(sequence(1, size({v})), i -> "
+        "CASE WHEN element_at(mxs, i) = element_at(mns, i) THEN 0 "
+        "ELSE cast(floor((cast(element_at({v}, i) as double) - element_at(mns, i)) "
+        "/ (element_at(mxs, i) - element_at(mns, i)) * 254.0d + 0.5d) as int) - 127 "
+        "END)"
+    ).format(v=vec_col)
+    coded = df.crossJoin(F.broadcast(fitted)).select(
+        F.col(id_col), F.col("mns"), F.col("mxs"), F.expr(q).alias("codes")
+    )
+    recon = (
+        "transform(sequence(1, size(codes)), i -> "
+        "element_at(mns, i) + (cast(element_at(codes, i) as double) + 127.0d) "
+        "/ 254.0d * (element_at(mxs, i) - element_at(mns, i)))"
+    )
+    return coded.select(F.col(id_col), F.expr(recon).alias(vec_col))
+
+
 def scalar_quantize(
     df: DataFrame,
     vec_col: str = "embedding",

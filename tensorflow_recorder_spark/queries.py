@@ -8919,6 +8919,35 @@ FROM rk WHERE r = 1 AND n >= 2
 """
 
 
+def q_s22_stream_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-user peak-rate audit AS A STREAM: 5 scalars of state per
+    key via applyInPandasWithState track (open hour, its count, record
+    count, record hour, total events); strict-maximum updates reproduce
+    the batch argmax's earliest-hour tiebreak online. Final rows
+    recovered at max n_events per key after the availableNow drain,
+    same >= 2 events/hour flag as the batch ``e4_rate_spikes``."""
+    from .streaming.stateful import streaming_rate_spikes
+
+    peaks = streaming_rate_spikes(_event_stream(spark, sf_dir))
+    table = _drain_to_memory(peaks, "stream_rate_spikes_sink", "update")
+    return (
+        table.groupBy("user_id")
+        .agg(
+            F.max_by("peak_per_hour", "n_events").alias("peak_per_hour"),
+            F.max_by("peak_hour_us", "n_events").alias("peak_hour_us"),
+        )
+        .where(F.col("peak_per_hour") >= 2)
+        .select(
+            "user_id",
+            F.date_format(
+                F.timestamp_micros(F.col("peak_hour_us")),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("peak_hour"),
+            F.col("peak_per_hour").cast("long").alias("peak_per_hour"),
+        )
+    )
+
+
 def q_e6_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6 data-constrained epoch planner (Muennighoff et al. 2022,
     public): per-source repeat epochs under a 120k-token budget with a
@@ -9075,6 +9104,157 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        round(lum, 4) AS lum,
        round(abs(lum - prev_lum), 4) AS delta
 FROM d WHERE abs(lum - prev_lum) >= 10
+"""
+
+
+def q_e2_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 quantization-quality audit: micro-averaged recall@10 of
+    asymmetric search (full-precision queries against the
+    int8-quantized-then-reconstructed corpus — the FAISS SQ8 serving
+    setup) vs exact full-precision ground truth. The number that
+    decides whether the 4x footprint cut ships. One fitted-range
+    broadcast, two salted brute searches, integer-summed recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    fitted = similarity.scalar_quantize_fit(emb)
+    recon = similarity.scalar_dequantize(emb, fitted)
+    ann = similarity.brute_force_topk(recon, queries, k=10)
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    return (
+        similarity.ann_recall(ann, exact)
+        .agg(
+            F.sum("n_true").cast("long").alias("n_true"),
+            F.sum("n_hits").cast("long").alias("n_hits"),
+        )
+        .select(
+            "n_true",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.expr("nullif(n_true, 0)"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+ORACLE_E2_SQ_RECALL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+stats AS (
+  SELECT i, min(x) AS mn, max(x) AS mx FROM (
+    SELECT unnest(e) AS x, generate_subscripts(e, 1) AS i FROM e
+  ) GROUP BY i
+),
+fitted AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM stats),
+recon AS (
+  SELECT vec_id, list_transform(generate_series(1, len(e)), i ->
+    mns[i] + (CAST(CASE WHEN mxs[i] = mns[i] THEN 0
+      ELSE CAST(floor((e[i] - mns[i]) / (mxs[i] - mns[i]) * 254.0 + 0.5) AS INT) - 127
+      END AS DOUBLE) + 127.0) / 254.0 * (mxs[i] - mns[i])) AS r
+  FROM e CROSS JOIN fitted
+),
+qn AS (
+  SELECT vec_id, e, sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+cn AS (
+  SELECT vec_id, r, sqrt(list_aggregate(list_transform(r, x -> x * x), 'sum')) AS nrm
+  FROM recon
+),
+sq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_aggregate(list_transform(list_zip(q.e, c.r),
+                   p -> p[1] * p[2]), 'sum') / nullif(q.nrm * c.nrm, 0), 4) DESC,
+               c.vec_id) AS rank
+    FROM qn q JOIN cn c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+  ) WHERE rank <= 10
+),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round(list_aggregate(list_transform(list_zip(a.e, b.e),
+                   p -> p[1] * p[2]), 'sum') / nullif(a.nrm * b.nrm, 0), 4) DESC,
+               b.vec_id) AS rank
+    FROM qn a JOIN qn b ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+  ) WHERE rank <= 10
+)
+SELECT (SELECT count(*) FROM bf)::BIGINT AS n_true,
+       (SELECT count(*) FROM sq JOIN bf USING (query_id, neighbor_id))::BIGINT AS n_hits,
+       round((SELECT count(*) FROM sq JOIN bf USING (query_id, neighbor_id))::DOUBLE
+             / nullif((SELECT count(*) FROM bf), 0), 6) AS recall
+"""
+
+
+def q_e4_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 engagement: each user's longest consecutive-day activity
+    streak (gaps-and-islands rewrite, earliest-start tiebreak) —
+    events collapse to distinct (user, day) before any window
+    (operators/events.py activity_streaks)."""
+    from .operators.events import activity_streaks
+
+    return activity_streaks(_t(spark, sf_dir, "events"))
+
+
+ORACLE_E4_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+grp AS (
+  SELECT user_id, day,
+         CAST(day - DATE '1970-01-01' AS BIGINT)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS g
+  FROM days
+),
+streaks AS (
+  SELECT user_id, count(*) AS streak_days,
+         min(day) AS streak_start, max(day) AS streak_end
+  FROM grp GROUP BY user_id, g
+),
+pick AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY streak_days DESC, streak_start) AS rk
+  FROM streaks
+)
+SELECT user_id, CAST(streak_days AS BIGINT) AS streak_days,
+       strftime(streak_start, '%Y-%m-%d') AS streak_start,
+       strftime(streak_end, '%Y-%m-%d') AS streak_end
+FROM pick WHERE rk = 1
+"""
+
+
+def q_e6_stratified_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 training-shard layout audit: source-stratified round-robin
+    assignment into 8 shards (md5-bucket visit order) and the
+    per-shard balance rollup (operators/sampling.py
+    stratified_shards)."""
+    from .operators.sampling import stratified_shards
+
+    return stratified_shards(
+        _t(spark, sf_dir, "documents"), "source", "doc_id", nshards=8
+    )
+
+
+ORACLE_E6_STRATIFIED_SHARDS = """
+WITH b AS (
+  SELECT source,
+         ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000 AS bkt,
+         doc_id
+  FROM documents
+),
+a AS (
+  SELECT source,
+         CAST((row_number() OVER (PARTITION BY source ORDER BY bkt, doc_id) - 1)
+              % 8 AS BIGINT) AS shard
+  FROM b
+),
+p AS (SELECT shard, source, count(*) AS n FROM a GROUP BY 1, 2)
+SELECT shard,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(max(n) AS BIGINT) AS max_source_docs
+FROM p GROUP BY shard
 """
 
 
@@ -9326,6 +9506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_local_supplier_volume": q_rel_local_supplier_volume,
     "rel_large_volume": q_rel_large_volume,
     "s21_stream_transitions": q_s21_stream_transitions,
+    "s22_stream_rate_spikes": q_s22_stream_rate_spikes,
     "e5_phash_dedup": q_e5_phash_dedup,
     "e2_nprobe_recall_curve": q_e2_nprobe_recall_curve,
     "e6_quality_quota": q_e6_quality_quota,
@@ -9337,6 +9518,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_code_detect": q_e3_code_detect,
     "e5_aspect_buckets": q_e5_aspect_buckets,
     "e5_shot_boundary": q_e5_shot_boundary,
+    "e2_sq_recall": q_e2_sq_recall,
+    "e4_streaks": q_e4_streaks,
+    "e6_stratified_shards": q_e6_stratified_shards,
 }
 
 ORACLES: dict[str, str] = {
@@ -9539,6 +9723,7 @@ ORACLES: dict[str, str] = {
     "rel_local_supplier_volume": ORACLE_REL_LOCAL_SUPPLIER_VOLUME,
     "rel_large_volume": ORACLE_REL_LARGE_VOLUME,
     "s21_stream_transitions": ORACLE_E4_MARKOV,
+    "s22_stream_rate_spikes": ORACLE_E4_RATE_SPIKES,
     "e5_phash_dedup": ORACLE_E5_PHASH_DEDUP,
     "e2_nprobe_recall_curve": _oracle_nprobe_recall_curve(),
     "e6_quality_quota": _oracle_quality_quota(),
@@ -9550,6 +9735,9 @@ ORACLES: dict[str, str] = {
     "e3_code_detect": ORACLE_E3_CODE_DETECT,
     "e5_aspect_buckets": ORACLE_E5_ASPECT_BUCKETS,
     "e5_shot_boundary": ORACLE_E5_SHOT_BOUNDARY,
+    "e2_sq_recall": ORACLE_E2_SQ_RECALL,
+    "e4_streaks": ORACLE_E4_STREAKS,
+    "e6_stratified_shards": ORACLE_E6_STRATIFIED_SHARDS,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -411,6 +411,75 @@ def streaming_interarrival(
     )
 
 
+def streaming_rate_spikes(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key streaming peak-rate tracker via
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    ``e4_rate_spikes`` argmax: each key keeps (current hour, count in
+    that hour, best count so far, hour it happened) — 4 scalars, so
+    the rate-limit / scraper fingerprint streams with bounded state.
+    The peak updates only on a STRICT new maximum, which reproduces
+    the batch query's earliest-hour tiebreak (a later hour that only
+    equals the record never displaces it).
+
+    Events fold in (ts, id) order WITHIN each micro-batch and the open
+    hour carries across batches; equal to the batch argmax when
+    batches arrive in event-time order (an availableNow drain of one
+    time-ordered source), the same caveat as :func:`streaming_cusum`.
+
+    Output per batch (update mode): (key, n_events, peak_per_hour,
+    peak_hour_us) — peak_hour as epoch micros; callers format it.
+    """
+    out_schema = (
+        f"{key_col} long, n_events long, peak_per_hour long, "
+        "peak_hour_us long"
+    )
+    state_schema = (
+        "cur_hour_us long, cur_n long, peak_n long, peak_hour_us long, "
+        "n_total long"
+    )
+    hour_us = 3_600_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur_hour, cur_n, peak_n, peak_hour, n_total = state.get
+        else:
+            cur_hour, cur_n, peak_n, peak_hour, n_total = None, 0, 0, None, 0
+        ordered = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
+        for ts in ordered[ts_col]:
+            us = int(ts.value // 1000)  # pandas Timestamp ns -> us
+            h = (us // hour_us) * hour_us
+            if h != cur_hour:
+                cur_hour, cur_n = h, 0
+            cur_n += 1
+            n_total += 1
+            if cur_n > peak_n:
+                peak_n, peak_hour = cur_n, cur_hour
+        state.update((cur_hour, cur_n, peak_n, peak_hour, n_total))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n_total],
+                "peak_per_hour": [peak_n],
+                "peak_hour_us": [peak_hour],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_transitions(
     stream: DataFrame,
     key_col: str = "user_id",

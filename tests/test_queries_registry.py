@@ -264,6 +264,10 @@ def test_driver_window_holds_all_unique_queries():
         "e3_code_detect",
         "e5_aspect_buckets",
         "e5_shot_boundary",
+        "s22_stream_rate_spikes",
+        "e2_sq_recall",
+        "e4_streaks",
+        "e6_stratified_shards",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
