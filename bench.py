@@ -157,6 +157,10 @@ BENCH_QUERIES = [
     "e2_sq_recall",
     "e4_streaks",
     "e6_stratified_shards",
+    "e5_letterbox",
+    "rel_profit_by_nation",
+    "rel_late_lines",
+    "e6_anneal_schedule",
 ]
 
 

@@ -328,6 +328,121 @@ def image_dims_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def decoded_dims(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, width, height) from REAL image decodes — the shared first
+    stage of the vision-layout audits. Each row synthesizes a
+    deterministic image (PNG/BMP alternating, dims derived from the
+    id — the same formula family as :func:`image_dims_audit`), encodes
+    it with the repo's pure-Python writers and decodes it back through
+    magic-byte dispatch inside one Arrow-batched ``mapInPandas`` pass.
+    Scale shape: a narrow projection in, three narrow columns out —
+    the bytes never leave the Python stage, so no shuffle ever moves
+    pixels.
+    """
+    from ..functions.bmp_codec import decode_bmp, encode_bmp, is_bmp
+    from ..functions.png_codec import decode_png, encode_png
+
+    out_struct = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+        ]
+    )
+
+    def probe(i: int):
+        w, h = 8 + (i * 13) % 57, 8 + (i * 7) % 41
+        c = (i * 29) % 256
+        px = bytes((c, (c * 5) % 256, (c * 11) % 256)) * (w * h)
+        data = encode_bmp(px, w, h) if i % 2 else encode_png(px, w, h)
+        if is_bmp(data):
+            _, dw, dh, _ = decode_bmp(data)
+        else:
+            _, dw, dh, _ = decode_png(data)
+        return dw, dh
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [probe(int(i)) for i in pdf[id_col]]
+            out = pd.DataFrame(rows, columns=["width", "height"])
+            out.insert(0, id_col, pdf[id_col].astype("int64").values)
+            yield out
+
+    return df.select(id_col).mapInPandas(run, schema=out_struct)
+
+
+def orientation_fix_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """EXIF-orientation normalization audit: per orientation tag (1-8,
+    here id-derived as ``1 + id % 8``), how many images need a
+    transpose (tags 5-8 swap width/height) and the mean OUTPUT dims
+    after the fix — the pre-flight report a vision ingest runs before
+    baking pixels, because un-fixed orientations silently rotate a
+    quarter of phone photos (the EXIF tag semantics are public, JEITA
+    CP-3451). Dims come from the real-decode pass
+    (:func:`decoded_dims`); the orientation arithmetic is JVM-side.
+
+    Scale shape: decode scan -> one partial-agg groupBy over an
+    8-key space. Output: (orientation, n, transposed, avg_out_w,
+    avg_out_h).
+    """
+    dims = decoded_dims(df, id_col)
+    o = (F.lit(1) + F.col(id_col) % 8).cast("int")
+    swapped = o >= 5
+    return (
+        dims.select(
+            o.alias("orientation"),
+            swapped.alias("transposed"),
+            F.when(swapped, F.col("height")).otherwise(F.col("width")).alias("__ow"),
+            F.when(swapped, F.col("width")).otherwise(F.col("height")).alias("__oh"),
+        )
+        .groupBy("orientation", "transposed")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("__ow"), 6).alias("avg_out_w"),
+            F.round(F.avg("__oh"), 6).alias("avg_out_h"),
+        )
+    )
+
+
+def letterbox_audit(
+    df: DataFrame, id_col: str = "doc_id", target: int = 64
+) -> DataFrame:
+    """Letterbox-resize padding audit: scaling each image to fit a
+    ``target`` x ``target`` canvas (scale = target / max(w, h),
+    aspect preserved, floor to integer pixels), how much of the canvas
+    is padding per aspect bucket — the waste metric that decides
+    between letterbox and aspect-bucket batching for vision training
+    (padding is compute spent on grey pixels). Dims come from the
+    real-decode pass (:func:`decoded_dims`); the resize arithmetic is
+    JVM-side and integer-exact (floor of an exact small-int ratio).
+
+    Output per aspect bucket (same integer-exact buckets as
+    :func:`image_dims_audit`): (aspect_bucket, n, avg_pad_frac,
+    max_pad_px). Scale shape: decode scan -> 3-key partial agg.
+    """
+    dims = decoded_dims(df, id_col)
+    mx = F.greatest("width", "height")
+    sw = F.floor(F.col("width") * target / mx)
+    sh = F.floor(F.col("height") * target / mx)
+    pad = F.lit(target * target) - sw * sh
+    bucket = (
+        F.when(2 * F.col("width") >= 3 * F.col("height"), "wide")
+        .when(3 * F.col("width") <= 2 * F.col("height"), "tall")
+        .otherwise("square")
+    )
+    return (
+        dims.select(bucket.alias("aspect_bucket"), pad.alias("__pad"))
+        .groupBy("aspect_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg(F.col("__pad") / (target * target)), 6).alias(
+                "avg_pad_frac"
+            ),
+            F.max("__pad").cast("long").alias("max_pad_px"),
+        )
+    )
+
+
 def shot_boundaries(
     df: DataFrame, id_col: str = "doc_id", threshold: float = 10.0
 ) -> DataFrame:

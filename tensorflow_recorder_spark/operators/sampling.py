@@ -720,6 +720,83 @@ def stratified_shards(
     )
 
 
+def anneal_schedule(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    budget_tokens: int = 100_000,
+    anneal_frac: float = 0.2,
+    quality_floor: float = 0.5,
+) -> DataFrame:
+    """Two-phase data-schedule planner (the mid-training anneal:
+    warmup-stable-decay runs with a final phase upweighting
+    high-quality data — MiniCPM / Llama-3 style, public): phase 1
+    spends ``(1 - anneal_frac)`` of the token budget proportionally to
+    each source's RAW token mass; phase 2 (the anneal) spends the rest
+    proportionally to each source's HIGH-QUALITY token mass (docs whose
+    heuristic quality score >= ``quality_floor``), so quality-dense
+    sources get upweighted exactly when the learning rate decays.
+
+    Output per source: raw/high-quality token totals, both phase
+    allocations, and ``p2_epochs`` — how many passes over its
+    high-quality slice the anneal implies (the repeat factor a
+    mixture-weight reviewer sanity-checks against Muennighoff-style
+    repeat limits, cf. :func:`epoch_allocation`).
+
+    Integer-exact by construction: token counts are integers, both
+    allocations are floor(budget * share) of int64 ratios, and the
+    only doubles are final ratios of those integers (round 6). Scale
+    shape: ONE corpus scan (token count + quality score in the same
+    projection) -> |sources|-row aggregate -> catalog-sized arithmetic
+    with the two totals broadcast as a single row. Nothing driver-side.
+    """
+    from .text import quality_exprs
+
+    if not 0 < anneal_frac < 1:
+        raise ValueError(f"anneal_frac must be in (0,1), got {anneal_frac}")
+    toks = f"size(filter(split(lower({text_col}), '\\\\s+'), t -> t <> ''))"
+    q = quality_exprs(text_col)["score"]
+    per_source = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.expr(toks).cast("long").alias("__t"),
+            F.round(F.expr(q), 6).alias("__q"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("__t").cast("long").alias("tokens"),
+            F.sum(
+                F.when(F.col("__q") >= quality_floor, F.col("__t")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("hq_tokens"),
+        )
+    )
+    totals = per_source.agg(
+        F.sum("tokens").alias("__tot"), F.sum("hq_tokens").alias("__hq_tot")
+    )
+    p1_budget = float(budget_tokens) * (1.0 - anneal_frac)
+    p2_budget = float(budget_tokens) * anneal_frac
+    p1 = F.floor(F.lit(p1_budget) * F.col("tokens") / F.col("__tot"))
+    p2 = F.floor(
+        F.lit(p2_budget)
+        * F.col("hq_tokens")
+        / F.expr("nullif(__hq_tot, 0)")
+    )
+    return per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "tokens",
+        "hq_tokens",
+        p1.cast("long").alias("p1_tokens"),
+        F.coalesce(p2, F.lit(0)).cast("long").alias("p2_tokens"),
+        F.round(
+            F.coalesce(p2, F.lit(0)) / F.expr("nullif(hq_tokens, 0)"), 6
+        ).alias("p2_epochs"),
+    )
+
+
 def quality_token_quota(
     df: DataFrame,
     source_col: str,

@@ -9258,6 +9258,241 @@ FROM p GROUP BY shard
 """
 
 
+def q_e5_orientation_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 EXIF-orientation normalization audit: per orientation tag
+    (id-derived 1-8), count + whether the fix transposes + mean output
+    dims after the fix — dims from REAL PNG/BMP decodes in one
+    Arrow-batched pass (operators/multimodal.py orientation_fix_audit),
+    orientation arithmetic JVM-side over an 8-key partial agg."""
+    from .operators.multimodal import orientation_fix_audit
+
+    return orientation_fix_audit(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+ORACLE_E5_ORIENTATION_FIX = """
+WITH d AS (
+  SELECT doc_id, 8 + (doc_id * 13) % 57 AS w, 8 + (doc_id * 7) % 41 AS h,
+         CAST(1 + doc_id % 8 AS INTEGER) AS orientation
+  FROM documents
+),
+f AS (
+  SELECT orientation, orientation >= 5 AS transposed,
+         CASE WHEN orientation >= 5 THEN h ELSE w END AS ow,
+         CASE WHEN orientation >= 5 THEN w ELSE h END AS oh
+  FROM d
+)
+SELECT orientation, transposed, count(*)::BIGINT AS n,
+       round(avg(ow), 6) AS avg_out_w, round(avg(oh), 6) AS avg_out_h
+FROM f GROUP BY orientation, transposed
+"""
+
+
+def q_e5_letterbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 letterbox-resize padding audit: per aspect bucket, the
+    canvas fraction wasted on padding when fitting each image to a
+    64x64 letterbox (scale by 64/max(w,h), floor to integer pixels) —
+    dims from REAL decodes (operators/multimodal.py letterbox_audit),
+    integer-exact resize arithmetic JVM-side, 3-key partial agg."""
+    from .operators.multimodal import letterbox_audit
+
+    return letterbox_audit(_t(spark, sf_dir, "documents"), "doc_id", target=64)
+
+
+ORACLE_E5_LETTERBOX = """
+WITH d AS (
+  SELECT doc_id, 8 + (doc_id * 13) % 57 AS w, 8 + (doc_id * 7) % 41 AS h
+  FROM documents
+),
+p AS (
+  SELECT CASE WHEN 2 * w >= 3 * h THEN 'wide'
+              WHEN 3 * w <= 2 * h THEN 'tall'
+              ELSE 'square' END AS aspect_bucket,
+         4096 - CAST(floor(w * 64.0 / greatest(w, h)) AS BIGINT)
+              * CAST(floor(h * 64.0 / greatest(w, h)) AS BIGINT) AS pad
+  FROM d
+)
+SELECT aspect_bucket, count(*)::BIGINT AS n,
+       round(avg(pad / 4096.0), 6) AS avg_pad_frac,
+       max(pad)::BIGINT AS max_pad_px
+FROM p GROUP BY aspect_bucket
+"""
+
+
+def q_rel_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-style product-type profit: per (supplier nation, order year),
+    profit on 'red' parts = revenue minus a retail-derived supply cost
+    (this schema has no partsupp, so cost = 0.2 * p_retailprice *
+    quantity — the join SHAPE is the point). Plan: the name-filtered
+    part list, supplier->nation map ride as broadcasts into the
+    lineitem scan (filter prunes facts before any shuffle);
+    lineitem<->orders is the one fact-to-fact shuffle; the 25 x years
+    agg is a partial-agg groupBy. TPC-H Q9's five-way star re-expressed
+    Spark-first."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.2)
+    ).cast("decimal(18,6)")
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(F.sum(profit).alias("_p"))
+        .select(
+            "nation", "o_year", F.col("_p").cast("double").alias("profit")
+        )
+    )
+
+
+ORACLE_REL_PROFIT_BY_NATION = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * l.l_quantity * 0.2
+                     AS DECIMAL(18,6))) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY nation, o_year
+"""
+
+
+def q_rel_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-style late-shipment audit: lines shipped more than 60 days
+    after their order date vs on-time, split into high-priority
+    (1-URGENT / 2-HIGH) and low-priority counts — the carrier-SLA
+    readout (this schema has no shipmode/receiptdate; the
+    conditional-count shape is the point). Plan: one fact-to-fact
+    shuffle join on orderkey, lateness + priority classified
+    post-join, 2-key partial agg."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.when(late, "late").otherwise("ontime").alias("lateness"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_REL_LATE_LINES = """
+SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            THEN 'late' ELSE 'ontime' END AS lateness,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY lateness
+"""
+
+
+def q_e6_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 two-phase anneal planner (MiniCPM / Llama-3 style mid-training
+    schedule, public): phase 1 spends 80% of a 100k-token budget
+    proportional to raw token mass, the anneal phase spends 20%
+    proportional to HIGH-QUALITY token mass (quality >= 0.5), with the
+    implied repeat epochs per source. One corpus scan ->
+    |sources|-row arithmetic (operators/sampling.py anneal_schedule)."""
+    from .operators.sampling import anneal_schedule
+
+    return anneal_schedule(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "source",
+        budget_tokens=100_000,
+        anneal_frac=0.2,
+        quality_floor=0.5,
+    )
+
+
+def _oracle_anneal_schedule() -> str:
+    score = _Q_SCORE.format(punct=_Q_PUNCT, stopr=_Q_STOPR, mwl=_Q_MWL)
+    return rf"""
+WITH t AS (
+  SELECT source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tok,
+         round({score}, 6) AS q
+  FROM documents
+),
+s AS (
+  SELECT source, sum(n_tok) AS tokens,
+         sum(CASE WHEN q >= 0.5 THEN n_tok ELSE 0 END) AS hq_tokens
+  FROM t GROUP BY source
+),
+tot AS (SELECT sum(tokens) AS tt, sum(hq_tokens) AS hh FROM s)
+SELECT source,
+       CAST(tokens AS BIGINT) AS tokens,
+       CAST(hq_tokens AS BIGINT) AS hq_tokens,
+       CAST(floor(80000.0 * tokens / tt) AS BIGINT) AS p1_tokens,
+       CAST(coalesce(floor(20000.0 * hq_tokens / nullif(hh, 0)), 0) AS BIGINT)
+         AS p2_tokens,
+       round(coalesce(floor(20000.0 * hq_tokens / nullif(hh, 0)), 0)
+             / nullif(hq_tokens, 0), 6) AS p2_epochs
+FROM s, tot
+"""
+
+
+def q_s23_stream_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The activity-streak audit AS A STREAM: 7 scalars of state per
+    user via applyInPandasWithState (last day, open run length/start,
+    best run length/start/end, distinct-day count), days folding as
+    epoch-day ints with strict-maximum updates reproducing the batch
+    gaps-and-islands earliest-start tiebreak. Final rows recovered at
+    max n_days per key after the availableNow drain; epoch days
+    formatted back to dates JVM-side."""
+    from .streaming.stateful import streaming_streaks
+
+    runs = streaming_streaks(_event_stream(spark, sf_dir))
+    table = _drain_to_memory(runs, "stream_streaks_sink", "update")
+    day = lambda c: F.date_format(  # noqa: E731
+        F.timestamp_seconds(F.col(c) * 86400), "yyyy-MM-dd"
+    )
+    return (
+        table.groupBy("user_id")
+        .agg(
+            F.max_by("streak_days", "n_days").alias("streak_days"),
+            F.max_by("streak_start_day", "n_days").alias("streak_start_day"),
+            F.max_by("streak_end_day", "n_days").alias("streak_end_day"),
+        )
+        .select(
+            "user_id",
+            F.col("streak_days").cast("long").alias("streak_days"),
+            day("streak_start_day").alias("streak_start"),
+            day("streak_end_day").alias("streak_end"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -9521,6 +9756,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_sq_recall": q_e2_sq_recall,
     "e4_streaks": q_e4_streaks,
     "e6_stratified_shards": q_e6_stratified_shards,
+    "e5_orientation_fix": q_e5_orientation_fix,
+    "e5_letterbox": q_e5_letterbox,
+    "rel_profit_by_nation": q_rel_profit_by_nation,
+    "rel_late_lines": q_rel_late_lines,
+    "e6_anneal_schedule": q_e6_anneal_schedule,
+    "s23_stream_streaks": q_s23_stream_streaks,
 }
 
 ORACLES: dict[str, str] = {
@@ -9738,6 +9979,12 @@ ORACLES: dict[str, str] = {
     "e2_sq_recall": ORACLE_E2_SQ_RECALL,
     "e4_streaks": ORACLE_E4_STREAKS,
     "e6_stratified_shards": ORACLE_E6_STRATIFIED_SHARDS,
+    "e5_orientation_fix": ORACLE_E5_ORIENTATION_FIX,
+    "e5_letterbox": ORACLE_E5_LETTERBOX,
+    "rel_profit_by_nation": ORACLE_REL_PROFIT_BY_NATION,
+    "rel_late_lines": ORACLE_REL_LATE_LINES,
+    "e6_anneal_schedule": _oracle_anneal_schedule(),
+    "s23_stream_streaks": ORACLE_E4_STREAKS,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -480,6 +480,88 @@ def streaming_rate_spikes(
     )
 
 
+def streaming_streaks(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key streaming longest-consecutive-day streak via
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    gaps-and-islands ``activity_streaks``: each key keeps (last day
+    seen, current run length + start, best run length + start + end,
+    total distinct days) — 7 scalars, all days as epoch-day ints, so
+    the engagement streak streams with bounded state. The best run
+    updates only on a STRICT new maximum, which reproduces the batch
+    query's earliest-start tiebreak (a later equal-length run never
+    displaces the record).
+
+    Days fold in ascending order WITHIN each micro-batch (events
+    collapse to the batch's distinct day set first) and the open run
+    carries across batches; equal to the batch operator when batches
+    arrive in event-time order (an availableNow drain of one
+    time-ordered source), the same caveat as :func:`streaming_cusum`.
+
+    Output per batch (update mode): (key, n_days, streak_days,
+    streak_start_day, streak_end_day) — days as epoch-day ints;
+    callers format them.
+    """
+    out_schema = (
+        f"{key_col} long, n_days long, streak_days long, "
+        "streak_start_day long, streak_end_day long"
+    )
+    state_schema = (
+        "last_day long, cur_len long, cur_start long, best_len long, "
+        "best_start long, best_end long, n_days long"
+    )
+    day_us = 86_400_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_day, cur_len, cur_start, best_len, best_start, best_end, n_days = (
+                state.get
+            )
+        else:
+            last_day, cur_len, cur_start = None, 0, None
+            best_len, best_start, best_end, n_days = 0, None, None, 0
+        batch = pd.concat(list(pdfs))
+        days = sorted(
+            {int(ts.value // 1000 // day_us) for ts in batch[ts_col]}
+        )
+        for d in days:
+            if last_day is not None and d == last_day:
+                continue
+            if last_day is not None and d == last_day + 1:
+                cur_len += 1
+            else:
+                cur_len, cur_start = 1, d
+            last_day = d
+            n_days += 1
+            if cur_len > best_len:
+                best_len, best_start, best_end = cur_len, cur_start, d
+        state.update(
+            (last_day, cur_len, cur_start, best_len, best_start, best_end, n_days)
+        )
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_days": [n_days],
+                "streak_days": [best_len],
+                "streak_start_day": [best_start],
+                "streak_end_day": [best_end],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_transitions(
     stream: DataFrame,
     key_col: str = "user_id",

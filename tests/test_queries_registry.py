@@ -268,6 +268,12 @@ def test_driver_window_holds_all_unique_queries():
         "e2_sq_recall",
         "e4_streaks",
         "e6_stratified_shards",
+        "e5_orientation_fix",
+        "e5_letterbox",
+        "rel_profit_by_nation",
+        "rel_late_lines",
+        "e6_anneal_schedule",
+        "s23_stream_streaks",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
