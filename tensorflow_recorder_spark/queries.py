@@ -9499,33 +9499,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a2_vocabulary_fit": q_a2_vocabulary_fit,
     "a3_vocabulary_apply": q_a3_vocabulary_apply,
     "a4_zscore": q_a4_zscore,
-    # round-5 swap: the rebuilt curriculum (distributed global rank —
-    # the r4 verdict's one weak component, now fixed) takes a driver
-    # slot; a5's top-k shape is a variant of the scored a2/a3 pair
-    # (same rationale as a6's rotation) and moves past the window.
-    "e6_curriculum": q_e6_curriculum,
+    "s22_stream_rate_spikes": q_s22_stream_rate_spikes,
     "t1_csv_serialize": q_t1_csv_serialize,
     "t2_typed_projection": q_t2_typed_projection,
     "rel_pricing_summary": q_rel_pricing_summary,
-    "rel_market_share": q_rel_market_share,
-    "rel_topk_per_group": q_rel_topk_per_group,
+    "e2_sq_recall": q_e2_sq_recall,
+    "e2_nprobe_recall_curve": q_e2_nprobe_recall_curve,
     "rel_waiting_supplier": q_rel_waiting_supplier,
-    "rel_running_sum": q_rel_running_sum,
+    "e4_streaks": q_e4_streaks,
     "e4_asof_join": q_e4_asof_join,
     "s1_stream_hourly_rollup": q_s1_stream_hourly_rollup,
     "s2_stream_sessionize": q_s2_stream_sessionize,
     "e5_image_meta": q_e5_image_meta,
     "e5_frame_sample": q_e5_frame_sample,
     "e1_dedup_exact": q_e1_dedup_exact,
-    "e2_hybrid_rrf": q_e2_hybrid_rrf,
-    "e1_lsh_verified": q_e1_lsh_verified,
-    "e3_bpe_encode": q_e3_bpe_encode,
+    "e1_containment_pairs": q_e1_containment,
+    "e4_rate_spikes": q_e4_rate_spikes,
+    "e5_shot_boundary": q_e5_shot_boundary,
     "e6_curate_v2": q_e6_curate_v2,
     "e1_dup_clusters": q_e1_dup_clusters,
     "e1_fuzzy_dedup": q_e1_fuzzy_dedup,
     "e1_contamination": q_e1_contamination,
     "e2_mmr_rerank": q_e2_mmr_rerank,
-    "e2_range_search": q_e2_range_search,
+    "e3_code_detect": q_e3_code_detect,
     "e2_ivf_topk": q_e2_ivf_topk,
     "e2_ivf_rebalance": q_e2_ivf_rebalance,
     "e2_ivf_balance": q_e2_ivf_balance,
@@ -9534,11 +9530,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_quality": q_e3_quality,
     "p4_leakage_safe_split": q_p4_leakage_safe_split,
     "e4_cusum": q_e4_cusum,
-    "e4_value_quantiles": q_e4_value_quantiles,
+    "e6_epoch_allocation": q_e6_epoch_allocation,
     "e4_trend_slope": q_e4_trend_slope,
     "e6_bpe_pack": q_e6_bpe_pack,
-    "e6_mixture_sample": q_e6_mixture_sample,
-    "s5_stream_contamination": q_s5_stream_contamination,
+    "rel_profit_by_nation": q_rel_profit_by_nation,
+    "e6_anneal_schedule": q_e6_anneal_schedule,
     "e3_token_fertility": q_e3_token_fertility,
     "e1_lsh_recall_audit": q_e1_lsh_recall_audit,
     "e5_codec_roundtrip": q_e5_codec_roundtrip,
@@ -9736,31 +9732,35 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # and two new TPC-H shapes (Q5/Q18 style)
     "e2_knn_classify": q_e2_knn_classify,
     "e2_label_purity": q_e2_label_purity,
-    "e1_containment_pairs": q_e1_containment,
+    "e2_hybrid_rrf": q_e2_hybrid_rrf,
     "e3_ngram_novelty": q_e3_ngram_novelty,
     "rel_local_supplier_volume": q_rel_local_supplier_volume,
     "rel_large_volume": q_rel_large_volume,
     "s21_stream_transitions": q_s21_stream_transitions,
-    "s22_stream_rate_spikes": q_s22_stream_rate_spikes,
+    # round-5 swap: the rebuilt curriculum (distributed global rank —
+    # the r4 verdict's one weak component, now fixed) takes a driver
+    # slot; a5's top-k shape is a variant of the scored a2/a3 pair
+    # (same rationale as a6's rotation) and moves past the window.
+    "e6_curriculum": q_e6_curriculum,
     "e5_phash_dedup": q_e5_phash_dedup,
-    "e2_nprobe_recall_curve": q_e2_nprobe_recall_curve,
+    "rel_topk_per_group": q_rel_topk_per_group,
     "e6_quality_quota": q_e6_quality_quota,
     "rel_supplier_variety": q_rel_supplier_variety,
     "e4_type_affinity": q_e4_type_affinity,
     "e2_dim_truncation_curve": q_e2_dim_truncation_curve,
-    "e4_rate_spikes": q_e4_rate_spikes,
-    "e6_epoch_allocation": q_e6_epoch_allocation,
-    "e3_code_detect": q_e3_code_detect,
+    "e1_lsh_verified": q_e1_lsh_verified,
+    "e4_value_quantiles": q_e4_value_quantiles,
+    "e2_range_search": q_e2_range_search,
     "e5_aspect_buckets": q_e5_aspect_buckets,
-    "e5_shot_boundary": q_e5_shot_boundary,
-    "e2_sq_recall": q_e2_sq_recall,
-    "e4_streaks": q_e4_streaks,
+    "e3_bpe_encode": q_e3_bpe_encode,
+    "rel_market_share": q_rel_market_share,
+    "rel_running_sum": q_rel_running_sum,
     "e6_stratified_shards": q_e6_stratified_shards,
     "e5_orientation_fix": q_e5_orientation_fix,
     "e5_letterbox": q_e5_letterbox,
-    "rel_profit_by_nation": q_rel_profit_by_nation,
+    "e6_mixture_sample": q_e6_mixture_sample,
     "rel_late_lines": q_rel_late_lines,
-    "e6_anneal_schedule": q_e6_anneal_schedule,
+    "s5_stream_contamination": q_s5_stream_contamination,
     "s23_stream_streaks": q_s23_stream_streaks,
 }
 

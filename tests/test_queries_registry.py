@@ -274,6 +274,25 @@ def test_driver_window_holds_all_unique_queries():
         "rel_late_lines",
         "e6_anneal_schedule",
         "s23_stream_streaks",
+        # round-6 rotation swap-outs: every one has >=1 green driver
+        # CORRECTNESS row from r1-r5 and a still-scored family
+        # neighbor (rel_* shapes, e1_dup_clusters for lsh_verified,
+        # e2_mmr_rerank for hybrid_rrf, e2_sq_recall/nprobe for
+        # range_search, e6_bpe_pack for bpe_encode, e4_streaks/
+        # rate_spikes for value_quantiles, e6_epoch_allocation/anneal
+        # for mixture_sample+curriculum, e1_contamination for its s5
+        # stream twin); all remain in the full-registry ci gate
+        "rel_market_share",
+        "rel_topk_per_group",
+        "rel_running_sum",
+        "e1_lsh_verified",
+        "e2_hybrid_rrf",
+        "e2_range_search",
+        "e3_bpe_encode",
+        "e4_value_quantiles",
+        "e6_mixture_sample",
+        "e6_curriculum",
+        "s5_stream_contamination",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
