@@ -6107,11 +6107,14 @@ def q_rel_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate).
 
     The textbook form is a correlated EXISTS + NOT-EXISTS pair — four
-    probes of lineitem per row. The scalable reformulation here is ONE
-    aggregation keyed on the order: per order, count distinct
-    suppliers, count distinct LATE suppliers, and remember the sole
-    late supplier (min over a one-element set); an order qualifies iff
-    (n_supp > 1, n_late_supp = 1). One lineitem shuffle total, then a
+    probes of lineitem per row. The scalable reformulation here is a
+    TWO-LEVEL aggregation keyed on the order: lines collapse first to
+    (order, supplier, ever-late) — a partial agg with map-side combine
+    that also avoids the Expand operator a multi-countDistinct agg
+    would compile to (3x the shuffled rows) — then per order plain
+    counts give supplier cardinality, late-supplier cardinality, and
+    the sole late supplier; an order qualifies iff (n_supp > 1,
+    n_late_supp = 1). One lineitem shuffle total, then a
     supplier-cardinality groupBy and a broadcast name join — the
     EXISTS semantics fall out of the counts. The DuckDB oracle runs
     the textbook correlated form, so the equivalence is checked, not
@@ -6125,11 +6128,12 @@ def q_rel_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__late",
         F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"),
     )
-    per_order = j.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("__n_supp"),
-        F.countDistinct(
-            F.when(F.col("__late"), F.col("l_suppkey"))
-        ).alias("__n_late"),
+    per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("__late").alias("__late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum(F.col("__late").cast("int")).alias("__n_late"),
         F.min(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__late_supp"),
     )
     waits = (
@@ -9493,6 +9497,128 @@ def q_s23_stream_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e1_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 LSH band-tuning curve (the dedup analog of
+    ``e2_nprobe_recall_curve``): candidate recall/precision of MinHash
+    banding at bands in (2, 4, 8) over 8 signature slots — rows-per-band
+    4/2/1, the knob every LSH dedup deployment sweeps before fixing its
+    collision probability curve (Broder's s-curve, public). ONE
+    signature pass and ONE sampled exact-Jaccard truth set
+    (md5-bucket document sample, the corpus-scale estimator of
+    ``e1_lsh_recall_sampled``) are shared across all three settings
+    via localCheckpoint; each setting re-bands the SAME signature
+    frame, so the sweep costs three band equi-joins, never three
+    corpus scans."""
+    from functools import reduce
+
+    from .operators import dedup as dd
+    from .operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    sample = hash_sample(docs, "doc_id", 0.5, salt="bands").localCheckpoint(
+        eager=True
+    )
+    truth = (
+        dd.blocked_jaccard_pairs(
+            sample, "text", "doc_id", block_col="source", threshold=0.2
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    sigs = dd.minhash_signatures(sample, "text", "doc_id").localCheckpoint(
+        eager=True
+    )
+    sa = sample.select(F.col("doc_id").alias("id_a"), F.col("source").alias("__sa"))
+    sb = sample.select(F.col("doc_id").alias("id_b"), F.col("source").alias("__sb"))
+    t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    curves = []
+    for bands in (2, 4, 8):
+        cand = (
+            dd.lsh_candidate_pairs(
+                sigs, "doc_id", bands=bands, min_est_jaccard=0.0
+            )
+            .select("id_a", "id_b")
+            .join(F.broadcast(sa), "id_a")
+            .join(F.broadcast(sb), "id_b")
+            .where(F.col("__sa") == F.col("__sb"))
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+        c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        h = truth.join(cand, ["id_a", "id_b"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit")
+        )
+        curves.append(
+            t.crossJoin(c)
+            .crossJoin(h)
+            .select(
+                F.lit(bands).cast("int").alias("bands"),
+                "n_true",
+                "n_candidates",
+                "n_hit",
+                F.round(F.col("n_hit") / F.expr("nullif(n_true, 0)"), 6).alias(
+                    "recall"
+                ),
+                F.round(
+                    F.col("n_hit") / F.expr("nullif(n_candidates, 0)"), 6
+                ).alias("precision"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), curves)
+
+
+def _oracle_lsh_pairs_banded(bands: int, src: str = "documents") -> str:
+    """Banded LSH candidate pairs at an arbitrary band count over the 8
+    md5-minhash slots (generalizes ``_oracle_lsh_pairs``; UNION dedups
+    multi-band matches)."""
+    rows = 8 // bands
+    sig = _oracle_minhash_sig(src)
+    band_cols = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + f")) AS band_{b}"
+        for b in range(bands)
+    )
+    per_band = "\nUNION\n".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+        f"FROM banded a JOIN banded b ON a.band_{b} = b.band_{b} AND a.doc_id < b.doc_id"
+        for b in range(bands)
+    )
+    return f"WITH sigs AS ({sig}), banded AS (SELECT *, {band_cols} FROM sigs)\n{per_band}"
+
+
+def _oracle_band_sweep() -> str:
+    pred = (
+        "('0x' || substr(md5('bands:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT % 1000000 < 500000"
+    )
+    sampled_src = f"(SELECT * FROM documents WHERE {pred}) sdocs"
+    truth = _oracle_jaccard_pairs(pred=pred, with_score=False)
+    arms = []
+    for bands in (2, 4, 8):
+        cand = _oracle_lsh_pairs_banded(bands, src=sampled_src)
+        arms.append(f"""
+SELECT {bands} AS bands,
+       (SELECT count(*) FROM truth)::BIGINT AS n_true,
+       (SELECT count(*) FROM cb{bands})::BIGINT AS n_candidates,
+       (SELECT count(*) FROM (SELECT * FROM truth INTERSECT SELECT * FROM cb{bands}))::BIGINT AS n_hit,
+       round((SELECT count(*) FROM (SELECT * FROM truth INTERSECT SELECT * FROM cb{bands}))::DOUBLE
+             / nullif((SELECT count(*) FROM truth), 0), 6) AS recall,
+       round((SELECT count(*) FROM (SELECT * FROM truth INTERSECT SELECT * FROM cb{bands}))::DOUBLE
+             / nullif((SELECT count(*) FROM cb{bands}), 0), 6) AS precision
+""")
+        arms[-1] = arms[-1].strip()
+    ctes = ",\n".join(
+        f"c{b} AS ({_oracle_lsh_pairs_banded(b, src=sampled_src)}),\n"
+        f"cb{b} AS (SELECT c.id_a, c.id_b FROM c{b} c "
+        f"JOIN documents a ON a.doc_id = c.id_a "
+        f"JOIN documents b ON b.doc_id = c.id_b WHERE a.source = b.source)"
+        for b in (2, 4, 8)
+    )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH truth AS ({truth}),\n{ctes}\n{body}"
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -9762,6 +9888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_late_lines": q_rel_late_lines,
     "s5_stream_contamination": q_s5_stream_contamination,
     "s23_stream_streaks": q_s23_stream_streaks,
+    "e1_band_sweep": q_e1_band_sweep,
 }
 
 ORACLES: dict[str, str] = {
@@ -9985,6 +10112,7 @@ ORACLES: dict[str, str] = {
     "rel_late_lines": ORACLE_REL_LATE_LINES,
     "e6_anneal_schedule": _oracle_anneal_schedule(),
     "s23_stream_streaks": ORACLE_E4_STREAKS,
+    "e1_band_sweep": _oracle_band_sweep(),
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

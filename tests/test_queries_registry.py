@@ -293,6 +293,7 @@ def test_driver_window_holds_all_unique_queries():
         "e6_mixture_sample",
         "e6_curriculum",
         "s5_stream_contamination",
+        "e1_band_sweep",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
