@@ -702,6 +702,76 @@ def bigram_lm_score(
     )
 
 
+def vocab_growth(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    fractions: tuple[float, ...] = (0.25, 0.5, 1.0),
+    salt: str = "heaps",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (the dataset-card companion
+    to :func:`zipf_fit`): distinct-word vocabulary size at nested
+    corpus fractions, measured against deterministic HASH-PREFIX
+    subsets (a doc is in fraction ``f`` iff its md5 bucket <
+    ``f * 1e6`` — the same retry-stable predicate family as
+    ``hash_sample``), so the curve needs NO global document ordering:
+    a rank-based prefix would put the whole corpus through one sort at
+    100 TB, while bucket membership is a row-local predicate and the
+    nesting (f1 < f2 => subset) comes free from ``<`` on the same
+    bucket value.
+
+    Plan shape: ONE explode of the token stream -> per-word MIN bucket
+    (vocabulary-bounded partial agg — the corpus collapses to its
+    vocabulary before any curve logic) -> |fractions| conditional
+    counts in a single-row aggregate, joined with the per-fraction doc
+    counts (another single partial agg). Output: (fraction, n_docs,
+    vocab) sorted curve.
+    """
+    toks = _TOKENS.format(col=text_col)
+    bucket = F.expr(
+        f"cast(conv(substring(md5(concat('{salt}:', cast({id_col} as string))), 1, 8),"
+        " 16, 10) as bigint) % 1000000"
+    )
+    words = df.select(
+        bucket.alias("__b"),
+        F.explode(F.expr(f"filter({toks}, t -> t <> '')")).alias("__w"),
+    )
+    first_seen = words.groupBy("__w").agg(F.min("__b").alias("__fb"))
+    vocab_row = first_seen.agg(
+        *[
+            F.sum(
+                F.when(F.col("__fb") < int(f * 1_000_000), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"__v{i}")
+            for i, f in enumerate(fractions)
+        ]
+    )
+    docs_row = df.select(bucket.alias("__b")).agg(
+        *[
+            F.sum(
+                F.when(F.col("__b") < int(f * 1_000_000), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"__d{i}")
+            for i, f in enumerate(fractions)
+        ]
+    )
+    curve = vocab_row.crossJoin(docs_row)
+    points = [
+        curve.select(
+            F.lit(f).cast("double").alias("fraction"),
+            F.col(f"__d{i}").alias("n_docs"),
+            F.col(f"__v{i}").alias("vocab"),
+        )
+        for i, f in enumerate(fractions)
+    ]
+    out = points[0]
+    for p in points[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def zipf_fit(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
     """Zipf's-law fit over the corpus word distribution: least-squares
     slope/intercept/r2 of ln(freq) on ln(rank) for the ``top_n`` most

@@ -9619,6 +9619,78 @@ SELECT {bands} AS bands,
     return f"WITH truth AS ({truth}),\n{ctes}\n{body}"
 
 
+def q_e3_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 Heaps'-law vocabulary-growth curve: distinct-word vocabulary
+    at nested hash-prefix corpus fractions (md5 bucket < f*1e6 — no
+    global doc ordering, so no corpus-wide sort at any scale); one
+    token explode collapses to per-word MIN bucket, then the whole
+    curve is |fractions| conditional counts
+    (operators/text.py vocab_growth)."""
+    from .operators.text import vocab_growth
+
+    return vocab_growth(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        fractions=(0.25, 0.5, 1.0),
+    )
+
+
+ORACLE_E3_HEAPS = r"""
+WITH b AS (
+  SELECT ('0x' || substr(md5('heaps:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000 AS bkt,
+         text
+  FROM documents
+),
+w AS (
+  SELECT min(bkt) AS fb FROM (
+    SELECT bkt, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   t -> t <> '')) AS word
+    FROM b
+  ) GROUP BY word
+),
+f AS (SELECT unnest([0.25, 0.5, 1.0]::DOUBLE[]) AS fraction)
+SELECT f.fraction,
+       (SELECT count(*) FROM b WHERE bkt < f.fraction * 1000000)::BIGINT AS n_docs,
+       (SELECT count(*) FROM w WHERE fb < f.fraction * 1000000)::BIGINT AS vocab
+FROM f
+"""
+
+
+def q_s24_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-step conversion funnel AS A STREAM: per-user state via
+    applyInPandasWithState holds (counters, first-conversion pair, the
+    OPEN click list) — bounded by clicks-per-hour, because a purchase
+    converts every open click in its window and retires the rest, so
+    the open list empties at every purchase. Final rows recovered at
+    max n_total per key after the availableNow drain; purchase-only
+    users (n_a = 0) are dropped to match the batch operator's
+    click-row grouping."""
+    from .streaming.stateful import streaming_funnel
+
+    runs = streaming_funnel(_event_stream(spark, sf_dir))
+    table = _drain_to_memory(runs, "stream_funnel_sink", "update")
+    fmt = lambda c: F.date_format(  # noqa: E731
+        F.timestamp_micros(F.col(c)), "yyyy-MM-dd HH:mm:ss"
+    )
+    return (
+        table.groupBy("user_id")
+        .agg(
+            F.max_by("n_a", "n_total").alias("n_a"),
+            F.max_by("n_converted", "n_total").alias("n_converted"),
+            F.max_by("first_conv_a_us", "n_total").alias("first_conv_a_us"),
+            F.max_by("first_conv_b_us", "n_total").alias("first_conv_b_us"),
+        )
+        .where(F.col("n_a") > 0)
+        .select(
+            "user_id",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_converted").cast("long").alias("n_converted"),
+            fmt("first_conv_a_us").alias("first_conv_a_ts"),
+            fmt("first_conv_b_us").alias("first_conv_b_ts"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -9889,6 +9961,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s5_stream_contamination": q_s5_stream_contamination,
     "s23_stream_streaks": q_s23_stream_streaks,
     "e1_band_sweep": q_e1_band_sweep,
+    "e3_heaps": q_e3_heaps,
+    "s24_stream_funnel": q_s24_stream_funnel,
 }
 
 ORACLES: dict[str, str] = {
@@ -10113,6 +10187,10 @@ ORACLES: dict[str, str] = {
     "e6_anneal_schedule": _oracle_anneal_schedule(),
     "s23_stream_streaks": ORACLE_E4_STREAKS,
     "e1_band_sweep": _oracle_band_sweep(),
+    "e3_heaps": ORACLE_E3_HEAPS,
+    # stream funnel == batch funnel row-for-row after the in-order
+    # drain -> same oracle
+    "s24_stream_funnel": ORACLE_E4_FUNNEL,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -562,6 +562,86 @@ def streaming_streaks(
     )
 
 
+def streaming_funnel(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    step_a: str = "click",
+    step_b: str = "purchase",
+    max_gap_seconds: int = 3600,
+) -> DataFrame:
+    """Per-key streaming two-step funnel via ``applyInPandasWithState``
+    — the streaming twin of the batch window-pass ``funnel``: each key
+    keeps (A count, conversion count, first-conversion A/B timestamps,
+    open A events). The open-A list is BOUNDED by the key's A-rate x
+    the gap window, not by stream length: folding events in (ts, id)
+    order, a ``step_b`` at time p converts every open A with
+    ``a_ts >= p - gap`` (that B is exactly the A's next-B) and proves
+    every older open A can never convert (its next-B is this p, already
+    past its window) — so the open list EMPTIES at every B; an A also
+    retires as soon as any later event passes ``a_ts + gap``.
+
+    Equal to the batch operator under the same in-order-drain caveat
+    as :func:`streaming_cusum`. Output per batch (update mode):
+    (key, n_a, n_converted, first_conv_a_us, first_conv_b_us) with
+    timestamps as epoch micros; callers format them.
+    """
+    out_schema = (
+        f"{key_col} long, n_total long, n_a long, n_converted long, "
+        "first_conv_a_us long, first_conv_b_us long"
+    )
+    state_schema = (
+        "n_total long, n_a long, n_conv long, first_a_us long, "
+        "first_b_us long, open_a array<long>"
+    )
+    gap_us = int(max_gap_seconds) * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n_total, n_a, n_conv, first_a, first_b, open_a = state.get
+            open_a = list(open_a) if open_a is not None else []
+        else:
+            n_total, n_a, n_conv, first_a, first_b, open_a = 0, 0, 0, None, None, []
+        ordered = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
+        for ts, etype in zip(ordered[ts_col], ordered[type_col]):
+            n_total += 1
+            us = int(ts.value // 1000)
+            # retire open As whose window this event's time has passed
+            open_a = [a for a in open_a if us <= a + gap_us]
+            if etype == step_a:
+                n_a += 1
+                open_a.append(us)
+            elif etype == step_b and open_a:
+                # every surviving open A converts with THIS B
+                n_conv += len(open_a)
+                if first_a is None:
+                    first_a, first_b = min(open_a), us
+                open_a = []
+        state.update((n_total, n_a, n_conv, first_a, first_b, open_a))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_total": [n_total],
+                "n_a": [n_a],
+                "n_converted": [n_conv],
+                "first_conv_a_us": [first_a],
+                "first_conv_b_us": [first_b],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_transitions(
     stream: DataFrame,
     key_col: str = "user_id",

@@ -294,6 +294,8 @@ def test_driver_window_holds_all_unique_queries():
         "e6_curriculum",
         "s5_stream_contamination",
         "e1_band_sweep",
+        "e3_heaps",
+        "s24_stream_funnel",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
