@@ -443,6 +443,78 @@ def letterbox_audit(
     )
 
 
+def audio_quality_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    clip_abs: int = 950,
+    clip_rate_flag: float = 0.1,
+    dc_abs_flag: float = 100.0,
+) -> DataFrame:
+    """Audio-quality gate: per source, how many clips fail the two
+    classic waveform checks — clipping rate (fraction of samples at
+    the rails) and DC offset (non-zero mean — a miswired ingest) —
+    before any expensive ASR/captioning spends compute on broken
+    audio. Each id synthesizes a deterministic PCM clip
+    (``64 + id % 64`` samples, ``((id*37 + j*13) % 2001) - 1000``) and
+    the per-sample pass runs inside one Arrow-batched ``mapInPandas``
+    stage — the executor-side decode->stats shape of a real corpus,
+    with id-derived samples keeping the output oracle-predictable.
+
+    The Python stage emits INTEGER sufficient statistics (sample
+    count, clipped count, sample sum); rates/offsets and flags are
+    derived JVM-side from exact integer ratios, so the engine and the
+    SQL oracle agree bit-for-bit. Output per source: (source, n_docs,
+    n_flagged, flag_share). Scale shape: narrow stats pass ->
+    |sources|-key partial agg; samples never leave the Python stage.
+    """
+    import numpy as np
+
+    out_struct = T.StructType(
+        [
+            T.StructField(source_col, T.StringType()),
+            T.StructField("__n", T.LongType()),
+            T.StructField("__clip", T.LongType()),
+            T.StructField("__sum", T.LongType()),
+        ]
+    )
+
+    def stats(i: int):
+        n = 64 + i % 64
+        j = np.arange(n, dtype=np.int64)
+        s = (i * 37 + j * 13) % 2001 - 1000
+        return n, int((np.abs(s) >= clip_abs).sum()), int(s.sum())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [stats(int(i)) for i in pdf[id_col]]
+            out = pd.DataFrame(rows, columns=["__n", "__clip", "__sum"])
+            # the source rides THROUGH the Python stage (narrow), so no
+            # join/shuffle is needed to re-attach it
+            out.insert(0, source_col, pdf[source_col].values)
+            yield out
+
+    per_doc = df.select(id_col, source_col).mapInPandas(run, schema=out_struct)
+    flagged = (
+        (F.col("__clip") / F.col("__n") >= clip_rate_flag)
+        | (F.abs(F.col("__sum") / F.col("__n")) >= dc_abs_flag)
+    ).cast("int")
+    return (
+        per_doc.select(F.col(source_col).alias("source"), flagged.alias("__f"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__f").cast("long").alias("n_flagged"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            F.round(F.col("n_flagged") / F.col("n_docs"), 6).alias("flag_share"),
+        )
+    )
+
+
 def shot_boundaries(
     df: DataFrame, id_col: str = "doc_id", threshold: float = 10.0
 ) -> DataFrame:

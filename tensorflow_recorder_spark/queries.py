@@ -9691,6 +9691,43 @@ def q_s24_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e5_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 audio-quality gate: per source, the share of clips failing
+    the clipping-rate / DC-offset waveform checks — per-sample stats
+    (id-derived PCM) reduced to INTEGER sufficient statistics inside
+    one Arrow-batched pass, flags derived JVM-side from exact integer
+    ratios (operators/multimodal.py audio_quality_audit)."""
+    from .operators.multimodal import audio_quality_audit
+
+    return audio_quality_audit(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_E5_AUDIO_CLIPPING = """
+WITH s AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(0, 63 + doc_id % 64),
+                j -> (doc_id * 37 + j * 13) % 2001 - 1000)) AS v
+  FROM documents
+),
+d AS (
+  SELECT doc_id, any_value(source) AS source,
+         count(*) AS n, sum(CASE WHEN abs(v) >= 950 THEN 1 ELSE 0 END) AS clip,
+         sum(v) AS sm
+  FROM s GROUP BY doc_id
+),
+f AS (
+  SELECT source,
+         CASE WHEN clip::DOUBLE / n >= 0.1
+                OR abs(sm::DOUBLE / n) >= 100.0 THEN 1 ELSE 0 END AS flagged
+  FROM d
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(flagged)::BIGINT AS n_flagged,
+       round(sum(flagged)::DOUBLE / count(*), 6) AS flag_share
+FROM f GROUP BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -9963,6 +10000,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_band_sweep": q_e1_band_sweep,
     "e3_heaps": q_e3_heaps,
     "s24_stream_funnel": q_s24_stream_funnel,
+    "e5_audio_clipping": q_e5_audio_clipping,
 }
 
 ORACLES: dict[str, str] = {
@@ -10191,6 +10229,7 @@ ORACLES: dict[str, str] = {
     # stream funnel == batch funnel row-for-row after the in-order
     # drain -> same oracle
     "s24_stream_funnel": ORACLE_E4_FUNNEL,
+    "e5_audio_clipping": ORACLE_E5_AUDIO_CLIPPING,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

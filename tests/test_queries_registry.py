@@ -296,6 +296,7 @@ def test_driver_window_holds_all_unique_queries():
         "e1_band_sweep",
         "e3_heaps",
         "s24_stream_funnel",
+        "e5_audio_clipping",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
