@@ -9728,6 +9728,63 @@ FROM f GROUP BY source
 """
 
 
+def q_e3_filter_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 composed-filter attribution (the 'which rule fires' Venn
+    every curation pipeline reviews before tuning thresholds): each doc
+    is classified by the three independent keep-rules — length in
+    [150, 450], stopword ratio >= 0.02, lang = 'en' — and the corpus
+    rolls up per rule-combination with the kept flag (all three pass).
+    ONE scan, all three signals in the same projection, an 8-key
+    partial agg; at 100 TB this is the cheapest possible shape (no
+    rule is evaluated in its own pass)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = "split(lower(text), '\\\\s+')"
+    stop = (
+        "array('the', 'and', 'of', 'to', 'is', 'in', 'that', 'it')"
+    )
+    stopr = (
+        f"cast(size(filter({toks}, t -> array_contains({stop}, t))) as double)"
+        f" / greatest(size({toks}), 1)"
+    )
+    len_ok = (F.length("text") >= 150) & (F.length("text") <= 450)
+    stop_ok = F.expr(stopr) >= 0.02
+    lang_ok = F.col("lang") == "en"
+    return (
+        docs.select(
+            len_ok.alias("len_ok"),
+            stop_ok.alias("stop_ok"),
+            lang_ok.alias("lang_ok"),
+        )
+        .groupBy("len_ok", "stop_ok", "lang_ok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            "len_ok",
+            "stop_ok",
+            "lang_ok",
+            "n_docs",
+            (F.col("len_ok") & F.col("stop_ok") & F.col("lang_ok")).alias(
+                "kept"
+            ),
+        )
+    )
+
+
+ORACLE_E3_FILTER_VENN = r"""
+WITH t AS (
+  SELECT length(text) BETWEEN 150 AND 450 AS len_ok,
+         len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+             t -> list_contains(['the','and','of','to','is','in','that','it'], t)))::DOUBLE
+           / greatest(len(regexp_split_to_array(lower(text), '\s+')), 1) >= 0.02
+           AS stop_ok,
+         lang = 'en' AS lang_ok
+  FROM documents
+)
+SELECT len_ok, stop_ok, lang_ok, count(*)::BIGINT AS n_docs,
+       len_ok AND stop_ok AND lang_ok AS kept
+FROM t GROUP BY len_ok, stop_ok, lang_ok
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -10001,6 +10058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_heaps": q_e3_heaps,
     "s24_stream_funnel": q_s24_stream_funnel,
     "e5_audio_clipping": q_e5_audio_clipping,
+    "e3_filter_venn": q_e3_filter_venn,
 }
 
 ORACLES: dict[str, str] = {
@@ -10230,6 +10288,7 @@ ORACLES: dict[str, str] = {
     # drain -> same oracle
     "s24_stream_funnel": ORACLE_E4_FUNNEL,
     "e5_audio_clipping": ORACLE_E5_AUDIO_CLIPPING,
+    "e3_filter_venn": ORACLE_E3_FILTER_VENN,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

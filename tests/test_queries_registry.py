@@ -297,6 +297,7 @@ def test_driver_window_holds_all_unique_queries():
         "e3_heaps",
         "s24_stream_funnel",
         "e5_audio_clipping",
+        "e3_filter_venn",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
