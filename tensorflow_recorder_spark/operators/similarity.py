@@ -939,6 +939,66 @@ def scalar_quantize_fit(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def filtered_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    filter_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Metadata-filtered exact top-k ('filtered vector search', the
+    serving pattern every vector store exposes: only neighbors whose
+    ``filter_col`` equals the query's count). The equality predicate
+    is applied IN the broadcast-join stage — candidates prune before
+    any dot product is computed, so a selective filter cuts the
+    scoring work proportionally (the pre-filtering strategy; at high
+    selectivity a post-filtering top-k would starve below k). Same
+    salted two-phase ranking as :func:`brute_force_topk`.
+
+    Output: (query_id, neighbor_id, score, rank) — rank within the
+    filtered candidate set.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(filter_col).alias("__qf"),
+        F.col(vec_col).alias("__qv"),
+        F.expr(norm_expr(vec_col)).alias("__qn"),
+    )
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(filter_col).alias("__cf"),
+        F.col(vec_col).alias("__cv"),
+        F.expr(norm_expr(vec_col)).alias("__cn"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(q),
+            (F.col("__qf") == F.col("__cf"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(
+                    f"({dot_expr('__qv', '__cv')}) / nullif(__qn * __cn, cast(0 as double))"
+                ),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    return salted_topk_per_key(
+        scored,
+        key_cols=["query_id"],
+        order_by=[F.desc("score"), F.asc("neighbor_id")],
+        k=k,
+        rank_alias="rank",
+        salt_on="neighbor_id",
+    )
+
+
 def scalar_dequantize(
     df: DataFrame,
     fitted: DataFrame,

@@ -9785,6 +9785,44 @@ FROM t GROUP BY len_ok, stop_ok, lang_ok
 """
 
 
+def q_e2_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 metadata-filtered vector search: top-10 SAME-LABEL cosine
+    neighbors for a deterministic query sample (vec_id % 20 == 11) —
+    the pre-filtering strategy (the label predicate prunes candidates
+    in the broadcast-join stage, BEFORE any dot product), ranked by
+    the same salted two-phase top-k as the unfiltered baseline
+    (operators/similarity.py filtered_topk)."""
+    from .operators.similarity import filtered_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return filtered_topk(
+        emb, emb.where(F.col("vec_id") % 20 == 11), "label", k=10
+    ).select("query_id", "neighbor_id", "score", "rank")
+
+
+ORACLE_E2_FILTERED_TOPK = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, e,
+         sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_aggregate(list_transform(list_zip(a.e, b.e),
+               p -> p[1] * p[2]), 'sum') / nullif(a.nrm * b.nrm, 0), 4) AS score,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY round(list_aggregate(list_transform(list_zip(a.e, b.e),
+                 p -> p[1] * p[2]), 'sum') / nullif(a.nrm * b.nrm, 0), 4) DESC,
+             b.vec_id) AS rank
+  FROM n a JOIN n b
+    ON a.vec_id % 20 = 11 AND a.label = b.label AND a.vec_id <> b.vec_id
+) WHERE rank <= 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -10059,6 +10097,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s24_stream_funnel": q_s24_stream_funnel,
     "e5_audio_clipping": q_e5_audio_clipping,
     "e3_filter_venn": q_e3_filter_venn,
+    "e2_filtered_topk": q_e2_filtered_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -10289,6 +10328,7 @@ ORACLES: dict[str, str] = {
     "s24_stream_funnel": ORACLE_E4_FUNNEL,
     "e5_audio_clipping": ORACLE_E5_AUDIO_CLIPPING,
     "e3_filter_venn": ORACLE_E3_FILTER_VENN,
+    "e2_filtered_topk": ORACLE_E2_FILTERED_TOPK,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

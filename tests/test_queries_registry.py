@@ -298,6 +298,7 @@ def test_driver_window_holds_all_unique_queries():
         "s24_stream_funnel",
         "e5_audio_clipping",
         "e3_filter_venn",
+        "e2_filtered_topk",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
