@@ -1132,6 +1132,71 @@ def cusum_changepoints(
     )
 
 
+def funnel3(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    step_a: str,
+    step_b: str,
+    step_c: str,
+    gap_ab_seconds: int,
+    gap_bc_seconds: int,
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Three-step conversion funnel (A -> B within ``gap_ab`` -> C
+    within ``gap_bc`` of the B): per user, how many A events started a
+    full chain. Generalizes :func:`funnel`'s window rewrite to chained
+    steps WITHOUT any self-join: pass 1 computes each event's next-C
+    timestamp (reversed running min); pass 2 computes each event's
+    next CONVERTING-B timestamp (reversed running min over B rows
+    whose own next-C already landed in their window) — two window
+    passes over the SAME (user, ts, id) sort order, so Spark executes
+    them in one shuffle + one sort (the second Window reuses the
+    first's partitioning/ordering). An A-row full-converts iff that
+    next-converting-B lands within ``gap_ab``. The naive form is an
+    A x B x C double range-join — per-user cubic on busy users; this
+    is linear per row after one sort.
+
+    Output per user: (n_a, n_full, first_full_a_ts).
+    """
+    df = normalize_event_time(df, ts_col)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    staged = df.withColumn(
+        "__next_c",
+        F.min(F.when(F.col(type_col) == F.lit(step_c), F.col(ts_col))).over(w),
+    )
+    b_converts = F.coalesce(
+        F.col("__next_c")
+        <= F.col(ts_col) + F.expr(f"INTERVAL {int(gap_bc_seconds)} SECONDS"),
+        F.lit(False),
+    )
+    marked = staged.withColumn(
+        "__b_conv_ts",
+        F.min(
+            F.when(
+                (F.col(type_col) == F.lit(step_b)) & b_converts, F.col(ts_col)
+            )
+        ).over(w),
+    ).where(F.col(type_col) == F.lit(step_a))
+    full = F.coalesce(
+        F.col("__b_conv_ts")
+        <= F.col(ts_col) + F.expr(f"INTERVAL {int(gap_ab_seconds)} SECONDS"),
+        F.lit(False),
+    )
+    return marked.groupBy(F.col(user_col)).agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.sum(full.cast("long")).alias("n_full"),
+        F.date_format(
+            F.min(F.when(full, F.col(ts_col))), "yyyy-MM-dd HH:mm:ss"
+        ).alias("first_full_a_ts"),
+    )
+
+
 def activity_streaks(
     df: DataFrame,
     key_col: str = "user_id",

@@ -9823,6 +9823,52 @@ SELECT query_id, neighbor_id, score, rank FROM (
 """
 
 
+def q_e4_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 three-step funnel (view -> click within 1h -> purchase within
+    1h of the click): two chained reversed-running-min window passes
+    over ONE (user, ts, id) sort — the naive A x B x C double
+    range-join is per-user cubic; this is linear per row after one
+    shuffle (operators/events.py funnel3)."""
+    from .operators.events import funnel3
+
+    return funnel3(
+        _events(spark, sf_dir), "user_id", "ts",
+        step_a="view", step_b="click", step_c="purchase",
+        gap_ab_seconds=3600, gap_bc_seconds=3600,
+    )
+
+
+ORACLE_E4_FUNNEL3 = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c
+  FROM events
+),
+m AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'click'
+                   AND coalesce(next_c <= ts + INTERVAL 3600 SECONDS, false)
+                  THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS b_conv_ts
+  FROM e
+),
+a AS (
+  SELECT user_id, ts,
+         coalesce(b_conv_ts <= ts + INTERVAL 3600 SECONDS, false) AS full_conv
+  FROM m WHERE event_type = 'view'
+)
+SELECT user_id,
+       count(*) AS n_a,
+       CAST(sum(CASE WHEN full_conv THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+       strftime(min(CASE WHEN full_conv THEN ts END), '%Y-%m-%d %H:%M:%S')
+         AS first_full_a_ts
+FROM a GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -10098,6 +10144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e5_audio_clipping": q_e5_audio_clipping,
     "e3_filter_venn": q_e3_filter_venn,
     "e2_filtered_topk": q_e2_filtered_topk,
+    "e4_funnel3": q_e4_funnel3,
 }
 
 ORACLES: dict[str, str] = {
@@ -10329,6 +10376,7 @@ ORACLES: dict[str, str] = {
     "e5_audio_clipping": ORACLE_E5_AUDIO_CLIPPING,
     "e3_filter_venn": ORACLE_E3_FILTER_VENN,
     "e2_filtered_topk": ORACLE_E2_FILTERED_TOPK,
+    "e4_funnel3": ORACLE_E4_FUNNEL3,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

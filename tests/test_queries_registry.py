@@ -299,6 +299,7 @@ def test_driver_window_holds_all_unique_queries():
         "e5_audio_clipping",
         "e3_filter_venn",
         "e2_filtered_topk",
+        "e4_funnel3",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

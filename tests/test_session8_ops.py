@@ -140,6 +140,22 @@ def test_vocab_growth_monotone(spark):
     assert rows[2]["vocab"] == 52  # alpha, beta, w0..w49
 
 
+def test_funnel3_single_shuffle_single_sort(spark):
+    """The chained 3-step funnel must keep both window passes on ONE
+    Exchange + ONE Sort (same window spec -> Catalyst reuses the
+    partitioning/ordering)."""
+    from tensorflow_recorder_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["e4_funnel3"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert plan.count("+- Sort") + plan.count(":- Sort") == 1
+
+
 def test_waiting_supplier_no_expand(spark):
     """The Q21 rewrite must not compile to an Expand operator (the
     multi-countDistinct plan tripled shuffled rows)."""
