@@ -9869,6 +9869,74 @@ FROM a GROUP BY user_id
 """
 
 
+def q_e6_pack_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 context-length tuning curve: packing efficiency (bins, fill
+    ratio) at capacity 128 / 256 / 512 — the knob sweep a training run
+    reads before fixing its context window (short contexts waste bins
+    on fragmentation, long ones on tail padding). Token counts are
+    computed ONCE and localCheckpointed; each capacity re-packs the
+    same |corpus|-row (id, count) frame (operators/packing.py
+    pack_sequences_counted), so the sweep never re-reads text."""
+    from functools import reduce
+
+    from .operators.packing import (
+        pack_sequences_counted,
+        pack_stats,
+        token_count_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.select(
+        F.col("doc_id"),
+        F.coalesce(token_count_expr("text").cast("long"), F.lit(0)).alias(
+            "n_tokens"
+        ),
+    ).localCheckpoint(eager=True)
+    arms = []
+    for cap in (128, 256, 512):
+        packed = pack_sequences_counted(
+            counts, "doc_id", "n_tokens", capacity=cap, nshards=8
+        )
+        arms.append(
+            pack_stats(packed, capacity=cap)
+            .agg(
+                F.sum("n_bins").cast("long").alias("n_bins"),
+                F.sum("total_tokens").cast("long").alias("total_tokens"),
+            )
+            .select(
+                F.lit(cap).cast("int").alias("capacity"),
+                "n_bins",
+                "total_tokens",
+                F.round(
+                    F.col("total_tokens")
+                    / (F.col("n_bins") * F.lit(float(cap))),
+                    6,
+                ).alias("fill_ratio"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), arms)
+
+
+def _pack_rec(capacity: int) -> str:
+    """The greedy-packing recursive CTE at an arbitrary capacity
+    (generalizes ``_PACK_REC``; one recipe so the curve and the
+    fixed-capacity oracles cannot drift)."""
+    return _PACK_REC.replace("> 256", f"> {int(capacity)}")
+
+
+def _oracle_pack_curve() -> str:
+    arms = []
+    for cap in (128, 256, 512):
+        arms.append(
+            f"SELECT {cap} AS capacity, n_bins, total_tokens,\n"
+            f"       round(total_tokens::DOUBLE / (n_bins * {cap}.0), 6) AS fill_ratio\n"
+            f"FROM (SELECT sum(b)::BIGINT AS n_bins, sum(t)::BIGINT AS total_tokens\n"
+            f"      FROM (SELECT max(bin_id) + 1 AS b, sum(n_tokens) AS t\n"
+            f"            FROM ({_pack_rec(cap)} SELECT * FROM rec) GROUP BY shard))"
+        )
+    return "\nUNION ALL\n".join(arms)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -10145,6 +10213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_filter_venn": q_e3_filter_venn,
     "e2_filtered_topk": q_e2_filtered_topk,
     "e4_funnel3": q_e4_funnel3,
+    "e6_pack_curve": q_e6_pack_curve,
 }
 
 ORACLES: dict[str, str] = {
@@ -10377,6 +10446,7 @@ ORACLES: dict[str, str] = {
     "e3_filter_venn": ORACLE_E3_FILTER_VENN,
     "e2_filtered_topk": ORACLE_E2_FILTERED_TOPK,
     "e4_funnel3": ORACLE_E4_FUNNEL3,
+    "e6_pack_curve": _oracle_pack_curve(),
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -300,6 +300,7 @@ def test_driver_window_holds_all_unique_queries():
         "e3_filter_venn",
         "e2_filtered_topk",
         "e4_funnel3",
+        "e6_pack_curve",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
