@@ -360,10 +360,14 @@ def distinct_ngram_ratio(
     generated/scraped text — a low ratio means the source is template
     spam or model loops and should be downweighted in the mixture).
 
-    One explode + one partial-aggregated groupBy per group computing
-    total grams and ``count(DISTINCT gram)`` — Spark plans the distinct
-    as a two-phase expand/agg keyed by (group, gram), so the shuffle is
-    bounded by per-group n-gram vocabulary, never corpus size. No
+    One explode + a TWO-LEVEL aggregation: the gram stream collapses
+    first to (group, gram, count) — a partial agg with map-side
+    combine whose shuffle is bounded by per-group n-gram vocabulary —
+    then plain per-group sums/counts. The one-level form
+    (``count`` + ``countDistinct`` in a single agg) compiles to an
+    Expand that doubles every exploded gram row into the shuffle on a
+    high-cardinality group key where map-side dedup cannot collapse;
+    the two-level form shuffles each distinct (group, gram) once. No
     window, no second pass over the text.
 
     Output: (group, n_grams, n_distinct, distinct_ratio double rounded
@@ -385,14 +389,21 @@ def distinct_ngram_ratio(
         F.col(group_col),
         F.explode_outer(F.expr(grams)).alias("gram"),
     )
-    return exploded.groupBy(group_col).agg(
-        F.count("gram").alias("n_grams"),
-        F.countDistinct("gram").alias("n_distinct"),
+    per_gram = exploded.groupBy(group_col, "gram").agg(
+        F.count("gram").alias("__c")
+    )
+    return per_gram.groupBy(group_col).agg(
+        F.sum("__c").alias("n_grams"),
+        F.sum(F.when(F.col("gram").isNotNull(), 1).otherwise(0)).alias(
+            "n_distinct"
+        ),
         F.round(
             F.when(
-                F.count("gram") > 0,
-                F.countDistinct("gram").cast("double")
-                / F.count("gram").cast("double"),
+                F.sum("__c") > 0,
+                F.sum(F.when(F.col("gram").isNotNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("__c").cast("double"),
             ),
             6,
         ).alias("distinct_ratio"),
