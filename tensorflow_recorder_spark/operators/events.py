@@ -1197,6 +1197,54 @@ def funnel3(
     )
 
 
+def dau_stickiness(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact DAU / WAU stickiness per day (the DAU/MAU-style engagement
+    ratio every product dashboard tracks) WITHOUT a sliding
+    count-distinct window: events collapse to distinct (user, day),
+    then each user-day EXPLODES into the ``window_days`` later days it
+    contributes to, and a second distinct + count gives the exact
+    trailing-window active-user count. A window-function rolling
+    distinct would re-sort per day and cannot partial-aggregate; the
+    contribution-explode is ``window_days`` x |user-days| rows, all
+    partial-aggregated with map-side combine — the exact-count
+    companion to the mergeable-HLL plan in
+    :func:`~.sketches.hll_rolling_distinct`.
+
+    Output: (day, dau, wau, stickiness) for days with activity.
+    """
+    days = (
+        df.select(F.col(user_col), F.to_date(ts_col).alias("__day"))
+        .distinct()
+    )
+    dau = days.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    wau = (
+        days.select(
+            user_col,
+            F.explode(
+                F.expr(
+                    f"sequence(__day, date_add(__day, {int(window_days) - 1}))"
+                )
+            ).alias("__day"),
+        )
+        .distinct()
+        .groupBy("__day")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    return dau.join(wau, "__day").select(
+        F.date_format("__day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+    )
+
+
 def activity_streaks(
     df: DataFrame,
     key_col: str = "user_id",

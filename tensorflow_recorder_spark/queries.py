@@ -9937,6 +9937,35 @@ def _oracle_pack_curve() -> str:
     return "\nUNION ALL\n".join(arms)
 
 
+def q_e4_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 exact DAU/WAU stickiness per day: distinct (user, day) ->
+    contribution-explode into the 7 trailing days -> second distinct +
+    count — every stage partial-aggregates, no sliding count-distinct
+    window anywhere (operators/events.py dau_stickiness; the exact
+    companion to the mergeable-HLL e4_rolling_distinct)."""
+    from .operators.events import dau_stickiness
+
+    return dau_stickiness(_events(spark, sf_dir), window_days=7)
+
+
+ORACLE_E4_DAU_STICKINESS = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+dau AS (SELECT day, count(*) AS dau FROM d GROUP BY day),
+c AS (
+  SELECT DISTINCT user_id, CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                      INTERVAL 1 DAY)) AS DATE) AS day
+  FROM d
+),
+wau AS (SELECT day, count(*) AS wau FROM c GROUP BY day)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+       dau::BIGINT AS dau, wau::BIGINT AS wau,
+       round(dau::DOUBLE / wau, 6) AS stickiness
+FROM dau JOIN wau USING (day)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -10214,6 +10243,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_filtered_topk": q_e2_filtered_topk,
     "e4_funnel3": q_e4_funnel3,
     "e6_pack_curve": q_e6_pack_curve,
+    "e4_dau_stickiness": q_e4_dau_stickiness,
 }
 
 ORACLES: dict[str, str] = {
@@ -10447,6 +10477,7 @@ ORACLES: dict[str, str] = {
     "e2_filtered_topk": ORACLE_E2_FILTERED_TOPK,
     "e4_funnel3": ORACLE_E4_FUNNEL3,
     "e6_pack_curve": _oracle_pack_curve(),
+    "e4_dau_stickiness": ORACLE_E4_DAU_STICKINESS,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

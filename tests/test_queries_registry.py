@@ -301,6 +301,7 @@ def test_driver_window_holds_all_unique_queries():
         "e2_filtered_topk",
         "e4_funnel3",
         "e6_pack_curve",
+        "e4_dau_stickiness",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
