@@ -161,6 +161,10 @@ BENCH_QUERIES = [
     "rel_profit_by_nation",
     "rel_late_lines",
     "e6_anneal_schedule",
+    "e4_funnel3",
+    "e2_filtered_topk",
+    "e4_dau_stickiness",
+    "e3_filter_venn",
 ]
 
 
