@@ -178,6 +178,64 @@ def ab_moments(
     )
 
 
+def ab_power(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    z_alpha: float = 1.96,
+    z_beta: float = 0.8416,
+) -> DataFrame:
+    """Minimum detectable effect for the two-sample comparison at the
+    OBSERVED sample sizes and variances (the pre-readout every
+    experiment review runs before trusting a null result: a
+    non-significant test with an MDE larger than any plausible effect
+    is just underpowered, not negative). Normal-approximation form
+    (public, e.g. Kohavi et al., "Trustworthy Online Controlled
+    Experiments"): ``mde_abs = (z_alpha + z_beta) *
+    sqrt(v_a/n_a + v_b/n_b)``; ``mde_rel`` divides by the control
+    mean. Defaults: two-sided alpha = 0.05, power = 80%.
+
+    Same plan and float discipline as :func:`welch_ab_test` (shares
+    :func:`ab_moments`): three exact-decimal numbers per side cross
+    the shuffle, then one fixed double expression tree.
+
+    Output: one row (group_a, group_b, n_a, n_b, mean_a, var_a,
+    var_b, mde_abs, mde_rel — doubles rounded 6).
+    """
+    moments = ab_moments(df, group_col, value_col, (group_a, group_b))
+    side = lambda name, lbl: [  # noqa: E731
+        F.max(F.when(F.col("__g") == lbl, F.col(c))).alias(f"{c}_{name}")
+        for c in ("__n", "__s", "__ss")
+    ]
+    one = moments.agg(*side("a", group_a), *side("b", group_b))
+    na = F.col("__n_a").cast("double")
+    nb = F.col("__n_b").cast("double")
+    ma = F.col("__s_a") / na
+    va = (F.col("__ss_a") - F.col("__s_a") * F.col("__s_a") / na) / (
+        na - F.lit(1.0)
+    )
+    vb = (F.col("__ss_b") - F.col("__s_b") * F.col("__s_b") / nb) / (
+        nb - F.lit(1.0)
+    )
+    se = F.sqrt(va / na + vb / nb)
+    mde = F.lit(float(z_alpha) + float(z_beta)) * se
+    return one.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        F.col("__n_a").cast("long").alias("n_a"),
+        F.col("__n_b").cast("long").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(va, 6).alias("var_a"),
+        F.round(vb, 6).alias("var_b"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(
+            F.when(ma != 0, mde / ma), 6
+        ).alias("mde_rel"),
+    )
+
+
 def ab_finalize(
     moments: DataFrame,
     group_a: str,

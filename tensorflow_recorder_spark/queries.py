@@ -9966,6 +9966,56 @@ FROM dau JOIN wau USING (day)
 """
 
 
+def q_e4_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 experiment power readout: minimum detectable effect at the
+    observed click/purchase sample sizes and variances (two-sided
+    alpha 0.05, 80% power) — the number that separates 'no effect'
+    from 'underpowered'. Shares the Welch test's exact-decimal moment
+    pass; one fixed double tree (operators/profile.py ab_power)."""
+    from .operators.profile import ab_power
+
+    return ab_power(
+        _events(spark, sf_dir), "event_type", "value", "click", "purchase"
+    )
+
+
+ORACLE_E4_AB_POWER = """
+WITH m AS (
+  SELECT event_type AS g,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS ss
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type
+),
+one AS (
+  SELECT
+    max(CASE WHEN g = 'click' THEN n END) AS n_a,
+    max(CASE WHEN g = 'click' THEN s END) AS s_a,
+    max(CASE WHEN g = 'click' THEN ss END) AS ss_a,
+    max(CASE WHEN g = 'purchase' THEN n END) AS n_b,
+    max(CASE WHEN g = 'purchase' THEN s END) AS s_b,
+    max(CASE WHEN g = 'purchase' THEN ss END) AS ss_b
+  FROM m
+),
+d AS (
+  SELECT n_a, n_b,
+         s_a / n_a AS ma,
+         (ss_a - s_a * s_a / n_a) / (n_a - 1.0) AS va,
+         (ss_b - s_b * s_b / n_b) / (n_b - 1.0) AS vb,
+         2.8016 * sqrt((ss_a - s_a * s_a / n_a) / (n_a - 1.0) / n_a
+                     + (ss_b - s_b * s_b / n_b) / (n_b - 1.0) / n_b) AS mde
+  FROM one
+)
+SELECT 'click' AS group_a, 'purchase' AS group_b,
+       n_a, n_b,
+       round(ma, 6) AS mean_a, round(va, 6) AS var_a,
+       round(vb, 6) AS var_b, round(mde, 6) AS mde_abs,
+       round(CASE WHEN ma <> 0 THEN mde / ma END, 6) AS mde_rel
+FROM d
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -10244,6 +10294,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_funnel3": q_e4_funnel3,
     "e6_pack_curve": q_e6_pack_curve,
     "e4_dau_stickiness": q_e4_dau_stickiness,
+    "e4_ab_power": q_e4_ab_power,
 }
 
 ORACLES: dict[str, str] = {
@@ -10478,6 +10529,7 @@ ORACLES: dict[str, str] = {
     "e4_funnel3": ORACLE_E4_FUNNEL3,
     "e6_pack_curve": _oracle_pack_curve(),
     "e4_dau_stickiness": ORACLE_E4_DAU_STICKINESS,
+    "e4_ab_power": ORACLE_E4_AB_POWER,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

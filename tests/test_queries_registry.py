@@ -302,6 +302,7 @@ def test_driver_window_holds_all_unique_queries():
         "e4_funnel3",
         "e6_pack_curve",
         "e4_dau_stickiness",
+        "e4_ab_power",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
