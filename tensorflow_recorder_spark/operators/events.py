@@ -1197,6 +1197,71 @@ def funnel3(
     )
 
 
+def time_to_convert(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    end_type: str = "purchase",
+) -> DataFrame:
+    """Time-to-event readout (the survival-curve summary behind every
+    activation dashboard): per user, the delay from the FIRST
+    ``start_type`` event to the first ``end_type`` AFTER it; rolled up
+    to cohort conversion rate and exact interpolated delay quantiles.
+
+    Plan shape: the 'first end AFTER the start' cannot fold into one
+    aggregate (the start must be known first), so the scalable form is
+    min-start (user-keyed partial agg) joined back to the end-type
+    events on the SAME user key — the join reuses the aggregate's hash
+    partitioning, so the pipeline costs one logical shuffle — then a
+    second partial agg takes the min qualifying end. The final rollup
+    is one row: users, converted, rate, median/p90 delay hours.
+    """
+    starts = (
+        df.where(F.col(type_col) == start_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__s"))
+    )
+    ends = df.where(F.col(type_col) == end_type).select(
+        user_col, F.col(ts_col).alias("__e")
+    )
+    first_end = (
+        ends.join(starts, user_col)
+        .where(F.col("__e") > F.col("__s"))
+        .groupBy(user_col)
+        .agg(F.min("__e").alias("__e"), F.min("__s").alias("__s"))
+    )
+    # cast-to-double keeps sub-second precision (unix_timestamp would
+    # truncate to whole seconds and drift from any epoch()-based oracle)
+    delays = first_end.select(
+        (
+            (F.col("__e").cast("double") - F.col("__s").cast("double"))
+            / F.lit(3600.0)
+        ).alias("__h")
+    )
+    n_started = starts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_started")
+    )
+    return (
+        delays.agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.round(F.expr("percentile(__h, 0.5)"), 6).alias("median_hours"),
+            F.round(F.expr("percentile(__h, 0.9)"), 6).alias("p90_hours"),
+        )
+        .crossJoin(F.broadcast(n_started))
+        .select(
+            "n_started",
+            "n_converted",
+            F.round(F.col("n_converted") / F.col("n_started"), 6).alias(
+                "conversion_rate"
+            ),
+            "median_hours",
+            "p90_hours",
+        )
+    )
+
+
 def dau_stickiness(
     df: DataFrame,
     user_col: str = "user_id",

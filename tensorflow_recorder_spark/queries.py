@@ -10016,6 +10016,38 @@ FROM d
 """
 
 
+def q_e4_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 time-to-event readout: cohort conversion rate + exact
+    interpolated median/p90 hours from first signup to the first
+    purchase after it — min-start partial agg joined back on the SAME
+    user key (one logical shuffle), one-row rollup
+    (operators/events.py time_to_convert)."""
+    from .operators.events import time_to_convert
+
+    return time_to_convert(_events(spark, sf_dir))
+
+
+ORACLE_E4_TIME_TO_CONVERT = """
+WITH s AS (
+  SELECT user_id, min(ts) AS st FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+fe AS (
+  SELECT e.user_id, min(e.ts) AS et, min(s.st) AS st
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.st
+  GROUP BY e.user_id
+),
+d AS (SELECT epoch(et) - epoch(st) AS sec FROM fe)
+SELECT (SELECT count(*) FROM s)::BIGINT AS n_started,
+       count(*)::BIGINT AS n_converted,
+       round(count(*)::DOUBLE / (SELECT count(*) FROM s), 6) AS conversion_rate,
+       round(quantile_cont(sec / 3600.0, 0.5), 6) AS median_hours,
+       round(quantile_cont(sec / 3600.0, 0.9), 6) AS p90_hours
+FROM d
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -10295,6 +10327,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_pack_curve": q_e6_pack_curve,
     "e4_dau_stickiness": q_e4_dau_stickiness,
     "e4_ab_power": q_e4_ab_power,
+    "e4_time_to_convert": q_e4_time_to_convert,
 }
 
 ORACLES: dict[str, str] = {
@@ -10530,6 +10563,7 @@ ORACLES: dict[str, str] = {
     "e6_pack_curve": _oracle_pack_curve(),
     "e4_dau_stickiness": ORACLE_E4_DAU_STICKINESS,
     "e4_ab_power": ORACLE_E4_AB_POWER,
+    "e4_time_to_convert": ORACLE_E4_TIME_TO_CONVERT,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

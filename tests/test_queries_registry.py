@@ -303,6 +303,7 @@ def test_driver_window_holds_all_unique_queries():
         "e6_pack_curve",
         "e4_dau_stickiness",
         "e4_ab_power",
+        "e4_time_to_convert",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
