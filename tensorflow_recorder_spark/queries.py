@@ -10048,6 +10048,85 @@ FROM d
 """
 
 
+def q_e1_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 inter-source shingle-overlap matrix: Jaccard similarity of
+    each source PAIR's distinct 5-gram shingle sets — the cross-source
+    redundancy readout a mixture designer checks before treating
+    sources as independent (mirror sites and templated re-posts make
+    'diverse' mixtures secretly redundant). Plan: the corpus collapses
+    FIRST to distinct (shingle-hash, source) — the shingle explode
+    partial-aggregates away duplicate grams per source, the big
+    collapse at 100 TB — then per-source set sizes are a
+    |sources|-row aggregate (broadcast back) and the shingle
+    self-join's per-key fan-out is bounded by a shingle's source
+    multiplicity (<= |sources|), never corpus size. Top-10 most
+    overlapping pairs (bounded global sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.dedup import hashed_shingle_expr
+
+    m = (
+        docs.select(
+            F.explode(F.expr(hashed_shingle_expr("text", 5))).alias("__h"),
+            "source",
+        )
+        .distinct()
+    )
+    sizes = m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("__sz")
+    )
+    a = m.select(F.col("__h"), F.col("source").alias("source_a"))
+    b = m.select(F.col("__h"), F.col("source").alias("source_b"))
+    inter = (
+        a.join(b, "__h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("__sz").alias("__za"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("__sz").alias("__zb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("__za") + F.col("__zb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("source_a"), F.asc("source_b"))
+        .limit(10)
+    )
+
+
+ORACLE_E1_SOURCE_OVERLAP = """
+WITH sh AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(text)-4, 1)),
+           i -> ('0x' || substr(md5(substr(lower(text), i, 5)), 1, 8))::BIGINT
+         ))) AS h
+  FROM documents
+),
+sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared::BIGINT AS n_shared,
+       round(n_shared::DOUBLE / (za.sz + zb.sz - n_shared), 6) AS jaccard
+FROM inter
+JOIN sizes za ON za.source = inter.source_a
+JOIN sizes zb ON zb.source = inter.source_b
+ORDER BY jaccard DESC, source_a, source_b
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -10328,6 +10407,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_dau_stickiness": q_e4_dau_stickiness,
     "e4_ab_power": q_e4_ab_power,
     "e4_time_to_convert": q_e4_time_to_convert,
+    "e1_source_overlap": q_e1_source_overlap,
 }
 
 ORACLES: dict[str, str] = {
@@ -10564,6 +10644,7 @@ ORACLES: dict[str, str] = {
     "e4_dau_stickiness": ORACLE_E4_DAU_STICKINESS,
     "e4_ab_power": ORACLE_E4_AB_POWER,
     "e4_time_to_convert": ORACLE_E4_TIME_TO_CONVERT,
+    "e1_source_overlap": ORACLE_E1_SOURCE_OVERLAP,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,
