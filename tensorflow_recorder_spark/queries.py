@@ -10127,6 +10127,67 @@ LIMIT 10
 """
 
 
+def q_e2_ood_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 embedding-outlier audit: the 10 vectors FARTHEST from every
+    centroid (ood = 1 - best cosine over the 8 IVF centroids) — the
+    out-of-distribution screen a curation run applies before trusting
+    embeddings for semantic dedup/search (far-from-all-centroids rows
+    are garbage inputs or domain shift). Plan: 8 centroids broadcast
+    into the corpus scan, per-vector best score is a partial-agg max
+    (map-side combined), top-10 is a bounded global TakeOrdered —
+    nothing unbounded at any scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("__cid"), F.col("embedding").alias("__cv")
+    )
+    from .operators.similarity import dot_expr, norm_expr
+
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("__v"),
+        F.expr(norm_expr("embedding")).alias("__vn"),
+    )
+    c = centroids.withColumn("__cn", F.expr(norm_expr("__cv")))
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        F.round(
+            F.expr(f"({dot_expr('__v', '__cv')}) / nullif(__vn * __cn, cast(0 as double))"),
+            6,
+        ).alias("__s"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.max("__s").alias("best_cosine"))
+        .select(
+            "vec_id",
+            "best_cosine",
+            F.round(F.lit(1.0) - F.col("best_cosine"), 6).alias("ood_score"),
+        )
+        .orderBy(F.desc("ood_score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+ORACLE_E2_OOD_OUTLIERS = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e, sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+scored AS (
+  SELECT v.vec_id,
+         round(list_aggregate(list_transform(list_zip(v.e, c.e),
+               p -> p[1] * p[2]), 'sum') / nullif(v.nrm * c.nrm, 0), 6) AS s
+  FROM norms v JOIN norms c ON c.vec_id < 8
+),
+best AS (SELECT vec_id, max(s) AS best_cosine FROM scored GROUP BY vec_id)
+SELECT vec_id, best_cosine, round(1.0 - best_cosine, 6) AS ood_score
+FROM best
+ORDER BY ood_score DESC, vec_id
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -10408,6 +10469,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_ab_power": q_e4_ab_power,
     "e4_time_to_convert": q_e4_time_to_convert,
     "e1_source_overlap": q_e1_source_overlap,
+    "e2_ood_outliers": q_e2_ood_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -10645,6 +10707,7 @@ ORACLES: dict[str, str] = {
     "e4_ab_power": ORACLE_E4_AB_POWER,
     "e4_time_to_convert": ORACLE_E4_TIME_TO_CONVERT,
     "e1_source_overlap": ORACLE_E1_SOURCE_OVERLAP,
+    "e2_ood_outliers": ORACLE_E2_OOD_OUTLIERS,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

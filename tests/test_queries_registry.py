@@ -305,6 +305,7 @@ def test_driver_window_holds_all_unique_queries():
         "e4_ab_power",
         "e4_time_to_convert",
         "e1_source_overlap",
+        "e2_ood_outliers",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
