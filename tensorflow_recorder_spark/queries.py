@@ -10188,6 +10188,69 @@ LIMIT 10
 """
 
 
+def q_e1_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 dedup-funnel report: survivor counts of the three dedup
+    policies measured independently on the raw corpus — exact
+    (40-char boilerplate key), normalized (case/punct/whitespace
+    canonical form), fuzzy (LSH-verified Jaccard >= 0.5 clusters,
+    canonical kept) — the one-page comparison a curation review reads
+    before picking its dedup tier. Each stage is the EXISTING operator
+    unchanged (one policy definition per stage, shared with its
+    standalone query), reduced to a count; four single-row aggregates
+    union into the funnel."""
+    from functools import reduce
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select("doc_id")
+    exact = dedup.exact_dedup(
+        docs.withColumn("__key", F.expr("substring(text, 1, 40)")),
+        "__key",
+        "doc_id",
+    ).select("doc_id")
+    norm = dedup.normalized_dedup(docs, "text", "doc_id").select("doc_id")
+    fuzzy = dedup.fuzzy_dedup(
+        docs, "text", "doc_id", min_est_jaccard=0.5, threshold=0.5
+    ).select("doc_id")
+    total = raw.agg(F.count(F.lit(1)).cast("long").alias("__total"))
+    stages = [
+        ("0_raw", raw),
+        ("1_exact", exact),
+        ("2_normalized", norm),
+        ("3_fuzzy", fuzzy),
+    ]
+    arms = [
+        frame.agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.lit(name).alias("stage"),
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("__total"), 6).alias("pct_kept"),
+        )
+        for name, frame in stages
+    ]
+    return reduce(lambda a, b: a.unionByName(b), arms)
+
+
+def _oracle_dedup_funnel() -> str:
+    return f"""
+SELECT '0_raw' AS stage, count(*)::BIGINT AS n_kept,
+       round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 6) AS pct_kept
+FROM documents
+UNION ALL
+SELECT '1_exact', count(*)::BIGINT,
+       round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 6)
+FROM ({ORACLE_E1_EXACT})
+UNION ALL
+SELECT '2_normalized', count(*)::BIGINT,
+       round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 6)
+FROM ({ORACLE_E1_NORMALIZED_DEDUP})
+UNION ALL
+SELECT '3_fuzzy', count(*)::BIGINT,
+       round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 6)
+FROM ({_oracle_fuzzy_dedup()})
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -10470,6 +10533,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_time_to_convert": q_e4_time_to_convert,
     "e1_source_overlap": q_e1_source_overlap,
     "e2_ood_outliers": q_e2_ood_outliers,
+    "e1_dedup_funnel": q_e1_dedup_funnel,
 }
 
 ORACLES: dict[str, str] = {
@@ -10708,6 +10772,7 @@ ORACLES: dict[str, str] = {
     "e4_time_to_convert": ORACLE_E4_TIME_TO_CONVERT,
     "e1_source_overlap": ORACLE_E1_SOURCE_OVERLAP,
     "e2_ood_outliers": ORACLE_E2_OOD_OUTLIERS,
+    "e1_dedup_funnel": _oracle_dedup_funnel(),
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,
