@@ -10251,6 +10251,53 @@ FROM ({_oracle_fuzzy_dedup()})
 """
 
 
+def q_s25_stream_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The activation readout AS A STREAM: 3 scalars of state per user
+    via applyInPandasWithState (first signup, first qualifying
+    purchase, event count); the final one-row rollup (conversion rate
+    + exact delay quantiles) runs over the drained per-user rows
+    through the SAME arithmetic as the batch operator — epoch-micros
+    cast back to the identical double seconds the batch divides."""
+    from .streaming.stateful import streaming_time_to_convert
+
+    rows = streaming_time_to_convert(_event_stream(spark, sf_dir))
+    table = _drain_to_memory(rows, "stream_ttc_sink", "update")
+    final = table.groupBy("user_id").agg(
+        F.max_by("start_us", "n_events").alias("start_us"),
+        F.max_by("end_us", "n_events").alias("end_us"),
+    )
+    started = final.where(F.col("start_us").isNotNull())
+    delays = started.where(F.col("end_us").isNotNull()).select(
+        (
+            (
+                F.timestamp_micros(F.col("end_us")).cast("double")
+                - F.timestamp_micros(F.col("start_us")).cast("double")
+            )
+            / F.lit(3600.0)
+        ).alias("__h")
+    )
+    n_started = started.agg(
+        F.count(F.lit(1)).cast("long").alias("n_started")
+    )
+    return (
+        delays.agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.round(F.expr("percentile(__h, 0.5)"), 6).alias("median_hours"),
+            F.round(F.expr("percentile(__h, 0.9)"), 6).alias("p90_hours"),
+        )
+        .crossJoin(F.broadcast(n_started))
+        .select(
+            "n_started",
+            "n_converted",
+            F.round(F.col("n_converted") / F.col("n_started"), 6).alias(
+                "conversion_rate"
+            ),
+            "median_hours",
+            "p90_hours",
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -10534,6 +10581,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_source_overlap": q_e1_source_overlap,
     "e2_ood_outliers": q_e2_ood_outliers,
     "e1_dedup_funnel": q_e1_dedup_funnel,
+    "s25_stream_time_to_convert": q_s25_stream_time_to_convert,
 }
 
 ORACLES: dict[str, str] = {
@@ -10773,6 +10821,8 @@ ORACLES: dict[str, str] = {
     "e1_source_overlap": ORACLE_E1_SOURCE_OVERLAP,
     "e2_ood_outliers": ORACLE_E2_OOD_OUTLIERS,
     "e1_dedup_funnel": _oracle_dedup_funnel(),
+    # stream twin drains through the batch rollup arithmetic -> same oracle
+    "s25_stream_time_to_convert": ORACLE_E4_TIME_TO_CONVERT,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

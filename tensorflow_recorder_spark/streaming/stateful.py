@@ -642,6 +642,72 @@ def streaming_funnel(
     )
 
 
+def streaming_time_to_convert(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    end_type: str = "purchase",
+) -> DataFrame:
+    """Per-key streaming time-to-event tracker via
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    ``time_to_convert``: each key keeps (first start ts, first
+    qualifying end ts, total events) — 3 scalars, so activation delay
+    streams with constant state per user. Folding in (ts, id) order,
+    the first ``start_type`` seen is the min-start and the first
+    ``end_type`` strictly after it is the min qualifying end — exactly
+    the batch operator's two aggregates, under the same in-order-drain
+    caveat as :func:`streaming_cusum`.
+
+    Output per batch (update mode): (key, n_events, start_us, end_us)
+    with timestamps as epoch micros (NULL until observed).
+    """
+    out_schema = (
+        f"{key_col} long, n_events long, start_us long, end_us long"
+    )
+    state_schema = "start_us long, end_us long, n_events long"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            start_us, end_us, n_events = state.get
+        else:
+            start_us, end_us, n_events = None, None, 0
+        ordered = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
+        for ts, etype in zip(ordered[ts_col], ordered[type_col]):
+            n_events += 1
+            us = int(ts.value // 1000)
+            if etype == start_type and start_us is None:
+                start_us = us
+            elif (
+                etype == end_type
+                and start_us is not None
+                and end_us is None
+                and us > start_us
+            ):
+                end_us = us
+        state.update((start_us, end_us, n_events))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n_events],
+                "start_us": [start_us],
+                "end_us": [end_us],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_transitions(
     stream: DataFrame,
     key_col: str = "user_id",
