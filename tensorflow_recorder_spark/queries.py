@@ -10298,6 +10298,82 @@ def q_s25_stream_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e4_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 daily metric correlation: Pearson r between click volume and
+    purchase volume across days — the first sanity number a metrics
+    review reads before treating one KPI as a proxy for another. The
+    corpus collapses to one (day, n_click, n_purchase) row per day
+    (partial-agg conditional counts), and the correlation runs over
+    that day-bounded frame with INTEGER sufficient statistics (sums
+    and cross-products of counts are exact bigints; the only doubles
+    are the final Pearson expression), so the engine and oracle agree
+    bit-for-bit."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.to_date("ts").alias("__d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = (
+        F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    den = F.sqrt(
+        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        * (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return s.select(
+        "n_days",
+        "sx",
+        "sy",
+        F.round(F.when(den != 0, num / den), 6).alias("pearson_r"),
+    )
+
+
+ORACLE_E4_METRIC_CORRELATION = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY d
+),
+s AS (
+  SELECT count(*)::BIGINT AS n_days,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+         sum(x * y)::BIGINT AS sxy
+  FROM daily
+)
+SELECT n_days, sx, sy,
+       round(CASE WHEN sqrt((n_days * sxx - sx * sx)::DOUBLE
+                          * (n_days * syy - sy * sy)::DOUBLE) <> 0
+                  THEN (n_days * sxy - sx * sy)::DOUBLE
+                       / sqrt((n_days * sxx - sx * sx)::DOUBLE
+                            * (n_days * syy - sy * sy)::DOUBLE) END, 6)
+         AS pearson_r
+FROM s
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -10582,6 +10658,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_ood_outliers": q_e2_ood_outliers,
     "e1_dedup_funnel": q_e1_dedup_funnel,
     "s25_stream_time_to_convert": q_s25_stream_time_to_convert,
+    "e4_metric_correlation": q_e4_metric_correlation,
 }
 
 ORACLES: dict[str, str] = {
@@ -10823,6 +10900,7 @@ ORACLES: dict[str, str] = {
     "e1_dedup_funnel": _oracle_dedup_funnel(),
     # stream twin drains through the batch rollup arithmetic -> same oracle
     "s25_stream_time_to_convert": ORACLE_E4_TIME_TO_CONVERT,
+    "e4_metric_correlation": ORACLE_E4_METRIC_CORRELATION,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,
