@@ -10374,6 +10374,83 @@ FROM s
 """
 
 
+def q_e3_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 out-of-vocabulary garbage audit: per source, the fraction of
+    token OCCURRENCES outside the corpus top-100 vocabulary and how
+    many docs are majority-OOV — the OCR-mojibake / encoding-garbage
+    screen that runs before any tokenizer training (garbage inflates
+    the subword vocabulary with junk merges). Plan: the head
+    vocabulary is a vocabulary-bounded partial agg + bounded global
+    top-100 (TakeOrdered) broadcast back into ONE token explode; all
+    shares are ratios of per-source INTEGER totals (never means of
+    per-doc doubles, which would be accumulation-order dependent)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+    words = docs.select(
+        "doc_id", "source", F.explode(F.expr(toks)).alias("__w")
+    )
+    vocab = (
+        words.groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), F.asc("__w"))
+        .limit(100)
+        .select("__w", F.lit(1).alias("__in"))
+    )
+    marked = words.join(F.broadcast(vocab), "__w", "left")
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("__t"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("__o"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+            F.sum("__o").cast("long").alias("n_oov"),
+            F.sum(F.when(2 * F.col("__o") > F.col("__t"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_majority_oov"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+            "n_majority_oov",
+        )
+    )
+
+
+ORACLE_E3_OOV_RATE = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            t -> t <> '')) AS word
+  FROM documents
+),
+v AS (
+  SELECT word FROM (
+    SELECT word, count(*) AS n FROM w GROUP BY word
+    ORDER BY n DESC, word ASC LIMIT 100
+  )
+),
+d AS (
+  SELECT doc_id, source, count(*) AS t,
+         sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS o
+  FROM w LEFT JOIN v ON w.word = v.word
+  GROUP BY doc_id, source
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(t)::BIGINT AS n_tokens, sum(o)::BIGINT AS n_oov,
+       round(sum(o)::DOUBLE / sum(t), 6) AS oov_rate,
+       sum(CASE WHEN 2 * o > t THEN 1 ELSE 0 END)::BIGINT AS n_majority_oov
+FROM d GROUP BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -10659,6 +10736,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_dedup_funnel": q_e1_dedup_funnel,
     "s25_stream_time_to_convert": q_s25_stream_time_to_convert,
     "e4_metric_correlation": q_e4_metric_correlation,
+    "e3_oov_rate": q_e3_oov_rate,
 }
 
 ORACLES: dict[str, str] = {
@@ -10901,6 +10979,7 @@ ORACLES: dict[str, str] = {
     # stream twin drains through the batch rollup arithmetic -> same oracle
     "s25_stream_time_to_convert": ORACLE_E4_TIME_TO_CONVERT,
     "e4_metric_correlation": ORACLE_E4_METRIC_CORRELATION,
+    "e3_oov_rate": ORACLE_E3_OOV_RATE,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,
