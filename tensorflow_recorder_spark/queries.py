@@ -10308,8 +10308,15 @@ def q_e4_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     and cross-products of counts are exact bigints; the only doubles
     are the final Pearson expression), so the engine and oracle agree
     bit-for-bit."""
-    ev = _events(spark, sf_dir)
-    daily = (
+    daily = _daily_xy(_events(spark, sf_dir))
+    return _pearson_finalize(daily)
+
+
+def _daily_xy(ev: DataFrame) -> DataFrame:
+    """Per-day conditional click/purchase counts — the aggregation half
+    of the KPI correlation, shared verbatim by the batch query and the
+    s26 complete-mode streaming twin (state = two longs per day)."""
+    return (
         ev.where(F.col("event_type").isin("click", "purchase"))
         .groupBy(F.to_date("ts").alias("__d"))
         .agg(
@@ -10321,6 +10328,12 @@ def q_e4_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y"),
         )
     )
+
+
+def _pearson_finalize(daily: DataFrame) -> DataFrame:
+    """The one-row Pearson finalize over (day, x, y) rows — integer
+    sufficient statistics, one fixed double tree; a single arithmetic
+    definition so batch and stream cannot drift."""
     s = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.sum("x").cast("long").alias("sx"),
@@ -10346,6 +10359,20 @@ def q_e4_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sy",
         F.round(F.when(den != 0, num / den), 6).alias("pearson_r"),
     )
+
+
+def q_s26_stream_metric_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The KPI correlation AS A STREAM: the per-day conditional counts
+    run as a complete-mode streaming aggregate (state = two longs per
+    day, the dashboard shape) and the drained day rows finalize through
+    the SAME Pearson expression tree as the batch e4_metric_correlation
+    — integer sufficient statistics make the streamed result
+    hash-identical regardless of micro-batching."""
+    daily = _daily_xy(_event_stream(spark, sf_dir))
+    drained = _drain_to_memory(daily, "stream_corr_sink", "complete")
+    return _pearson_finalize(drained)
 
 
 ORACLE_E4_METRIC_CORRELATION = """
@@ -10737,6 +10764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s25_stream_time_to_convert": q_s25_stream_time_to_convert,
     "e4_metric_correlation": q_e4_metric_correlation,
     "e3_oov_rate": q_e3_oov_rate,
+    "s26_stream_metric_correlation": q_s26_stream_metric_correlation,
 }
 
 ORACLES: dict[str, str] = {
@@ -10980,6 +11008,8 @@ ORACLES: dict[str, str] = {
     "s25_stream_time_to_convert": ORACLE_E4_TIME_TO_CONVERT,
     "e4_metric_correlation": ORACLE_E4_METRIC_CORRELATION,
     "e3_oov_rate": ORACLE_E3_OOV_RATE,
+    # complete-mode stream shares the batch Pearson finalize -> same oracle
+    "s26_stream_metric_correlation": ORACLE_E4_METRIC_CORRELATION,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

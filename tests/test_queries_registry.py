@@ -310,6 +310,7 @@ def test_driver_window_holds_all_unique_queries():
         "s25_stream_time_to_convert",
         "e4_metric_correlation",
         "e3_oov_rate",
+        "s26_stream_metric_correlation",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
