@@ -165,6 +165,10 @@ BENCH_QUERIES = [
     "e2_filtered_topk",
     "e4_dau_stickiness",
     "e3_filter_venn",
+    "e2_ood_outliers",
+    "e3_oov_rate",
+    "e4_metric_correlation",
+    "e1_source_overlap",
 ]
 
 
