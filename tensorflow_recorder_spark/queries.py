@@ -10478,6 +10478,55 @@ FROM d GROUP BY source
 """
 
 
+def q_e4_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 p-chart error monitor (Shewhart attribute control chart,
+    public SPC standard): each day's error share against 3-sigma
+    binomial control limits around the overall rate — the SRE readout
+    that separates noise from a real regression. Plan: the corpus
+    collapses to one (day, n, n_err) row per day (partial-agg
+    conditional counts); the overall rate is a one-row broadcast; all
+    inputs to the limit expression are exact integer ratios, so the
+    flag is engine-exact."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("__d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_err"),
+    )
+    overall = daily.agg(
+        (F.sum("n_err") / F.sum("n")).alias("__pbar")
+    )
+    lim = F.lit(3.0) * F.sqrt(
+        F.col("__pbar") * (F.lit(1.0) - F.col("__pbar")) / F.col("n")
+    )
+    rate = F.col("n_err") / F.col("n")
+    return daily.crossJoin(F.broadcast(overall)).select(
+        F.date_format("__d", "yyyy-MM-dd").alias("day"),
+        "n",
+        "n_err",
+        F.round(rate, 6).alias("err_rate"),
+        F.round(F.col("__pbar") + lim, 6).alias("ucl"),
+        (rate > F.col("__pbar") + lim).alias("out_of_control"),
+    )
+
+
+ORACLE_E4_ERROR_PCHART = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*)::BIGINT AS n,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_err
+  FROM events GROUP BY d
+),
+o AS (SELECT sum(n_err)::DOUBLE / sum(n) AS pbar FROM daily)
+SELECT strftime(d, '%Y-%m-%d') AS day, n, n_err,
+       round(n_err::DOUBLE / n, 6) AS err_rate,
+       round(pbar + 3.0 * sqrt(pbar * (1.0 - pbar) / n), 6) AS ucl,
+       n_err::DOUBLE / n > pbar + 3.0 * sqrt(pbar * (1.0 - pbar) / n)
+         AS out_of_control
+FROM daily, o
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -10765,6 +10814,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_metric_correlation": q_e4_metric_correlation,
     "e3_oov_rate": q_e3_oov_rate,
     "s26_stream_metric_correlation": q_s26_stream_metric_correlation,
+    "e4_error_pchart": q_e4_error_pchart,
 }
 
 ORACLES: dict[str, str] = {
@@ -11010,6 +11060,7 @@ ORACLES: dict[str, str] = {
     "e3_oov_rate": ORACLE_E3_OOV_RATE,
     # complete-mode stream shares the batch Pearson finalize -> same oracle
     "s26_stream_metric_correlation": ORACLE_E4_METRIC_CORRELATION,
+    "e4_error_pchart": ORACLE_E4_ERROR_PCHART,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,
