@@ -10527,6 +10527,56 @@ FROM daily, o
 """
 
 
+def q_rel_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration readout: the top-50 customers' share of
+    total order revenue — the whale-dependence number every account
+    review opens with. Plan: orders collapse to per-customer decimal
+    totals (partial agg), the top-50 is a bounded global TakeOrdered
+    (never a full sort), and both totals are order-independent decimal
+    sums cast to double only at the final ratio."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("__r")
+    )
+    top = (
+        per_cust.orderBy(F.desc("__r"), F.asc("o_custkey"))
+        .limit(50)
+        .agg(F.sum("__r").alias("__top_r"))
+    )
+    tot = per_cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("__r").alias("__tot_r"),
+    )
+    return tot.crossJoin(F.broadcast(top)).select(
+        "n_customers",
+        F.col("__tot_r").cast("double").alias("total_revenue"),
+        F.col("__top_r").cast("double").alias("top50_revenue"),
+        F.round(
+            F.col("__top_r").cast("double") / F.col("__tot_r").cast("double"),
+            6,
+        ).alias("top50_share"),
+    )
+
+
+ORACLE_REL_REVENUE_CONCENTRATION = """
+WITH pc AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS r
+  FROM orders GROUP BY o_custkey
+),
+top AS (
+  SELECT sum(r) AS top_r FROM (
+    SELECT r FROM pc ORDER BY r DESC, o_custkey ASC LIMIT 50
+  )
+),
+tot AS (SELECT count(*)::BIGINT AS n_customers, sum(r) AS tot_r FROM pc)
+SELECT n_customers,
+       CAST(tot_r AS DOUBLE) AS total_revenue,
+       CAST(top_r AS DOUBLE) AS top50_revenue,
+       round(CAST(top_r AS DOUBLE) / CAST(tot_r AS DOUBLE), 6) AS top50_share
+FROM tot, top
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -10815,6 +10865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_oov_rate": q_e3_oov_rate,
     "s26_stream_metric_correlation": q_s26_stream_metric_correlation,
     "e4_error_pchart": q_e4_error_pchart,
+    "rel_revenue_concentration": q_rel_revenue_concentration,
 }
 
 ORACLES: dict[str, str] = {
@@ -11061,6 +11112,7 @@ ORACLES: dict[str, str] = {
     # complete-mode stream shares the batch Pearson finalize -> same oracle
     "s26_stream_metric_correlation": ORACLE_E4_METRIC_CORRELATION,
     "e4_error_pchart": ORACLE_E4_ERROR_PCHART,
+    "rel_revenue_concentration": ORACLE_REL_REVENUE_CONCENTRATION,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

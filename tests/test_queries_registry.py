@@ -312,6 +312,7 @@ def test_driver_window_holds_all_unique_queries():
         "e3_oov_rate",
         "s26_stream_metric_correlation",
         "e4_error_pchart",
+        "rel_revenue_concentration",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
