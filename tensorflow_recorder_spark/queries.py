@@ -10487,13 +10487,24 @@ def q_e4_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional counts); the overall rate is a one-row broadcast; all
     inputs to the limit expression are exact integer ratios, so the
     flag is engine-exact."""
-    ev = _events(spark, sf_dir)
-    daily = ev.groupBy(F.to_date("ts").alias("__d")).agg(
+    return _pchart_finalize(_daily_err(_events(spark, sf_dir)))
+
+
+def _daily_err(ev: DataFrame) -> DataFrame:
+    """Per-day (n, n_err) counts — the aggregation half of the p-chart,
+    shared verbatim by the batch query and the s27 complete-mode
+    streaming twin (state = two longs per day)."""
+    return ev.groupBy(F.to_date("ts").alias("__d")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
         .cast("long")
         .alias("n_err"),
     )
+
+
+def _pchart_finalize(daily: DataFrame) -> DataFrame:
+    """The control-limit finalize over (day, n, n_err) rows — one
+    arithmetic definition so batch and stream cannot drift."""
     overall = daily.agg(
         (F.sum("n_err") / F.sum("n")).alias("__pbar")
     )
@@ -10509,6 +10520,18 @@ def q_e4_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("__pbar") + lim, 6).alias("ucl"),
         (rate > F.col("__pbar") + lim).alias("out_of_control"),
     )
+
+
+def q_s27_stream_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The p-chart error monitor AS A STREAM: per-day (n, n_err) counts
+    run as a complete-mode streaming aggregate (two longs of state per
+    day) and the drained day rows finalize through the SAME
+    control-limit expression tree as the batch e4_error_pchart —
+    integer counts make the streamed chart hash-identical regardless
+    of micro-batching."""
+    daily = _daily_err(_event_stream(spark, sf_dir))
+    drained = _drain_to_memory(daily, "stream_pchart_sink", "complete")
+    return _pchart_finalize(drained)
 
 
 ORACLE_E4_ERROR_PCHART = """
@@ -10866,6 +10889,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s26_stream_metric_correlation": q_s26_stream_metric_correlation,
     "e4_error_pchart": q_e4_error_pchart,
     "rel_revenue_concentration": q_rel_revenue_concentration,
+    "s27_stream_error_pchart": q_s27_stream_error_pchart,
 }
 
 ORACLES: dict[str, str] = {
@@ -11113,6 +11137,8 @@ ORACLES: dict[str, str] = {
     "s26_stream_metric_correlation": ORACLE_E4_METRIC_CORRELATION,
     "e4_error_pchart": ORACLE_E4_ERROR_PCHART,
     "rel_revenue_concentration": ORACLE_REL_REVENUE_CONCENTRATION,
+    # complete-mode stream shares the batch control-limit finalize
+    "s27_stream_error_pchart": ORACLE_E4_ERROR_PCHART,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

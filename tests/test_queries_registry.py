@@ -313,6 +313,7 @@ def test_driver_window_holds_all_unique_queries():
         "s26_stream_metric_correlation",
         "e4_error_pchart",
         "rel_revenue_concentration",
+        "s27_stream_error_pchart",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
