@@ -10600,6 +10600,66 @@ FROM tot, top
 """
 
 
+def q_e2_match_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 match-confidence audit (Lowe's ratio test, public): for each
+    query in a deterministic sample (vec_id % 20 == 13), the
+    best/second-best cosine and their ratio — matches whose runner-up
+    is nearly as close (ratio > 0.95) are ambiguous and should not
+    drive an auto-merge in semantic dedup. Reuses the salted exact
+    top-k at k=2; the pivot is a 2-rows-per-query conditional max."""
+    from .operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    top2 = brute_force_topk(
+        emb, emb.where(F.col("vec_id") % 20 == 13), k=2
+    )
+    pivoted = top2.groupBy("query_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("score"))).alias("best"),
+        F.max(F.when(F.col("rank") == 2, F.col("score"))).alias("second"),
+    )
+    ratio = F.round(
+        F.when(F.col("best") != 0, F.col("second") / F.col("best")), 6
+    )
+    return pivoted.select(
+        "query_id",
+        "best",
+        "second",
+        ratio.alias("ratio"),
+        (F.coalesce(ratio, F.lit(0.0)) > 0.95).alias("ambiguous"),
+    )
+
+
+ORACLE_E2_MATCH_CONFIDENCE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+r AS (
+  SELECT a.vec_id AS query_id,
+         round(list_aggregate(list_transform(list_zip(a.e, b.e),
+               p -> p[1] * p[2]), 'sum') / nullif(a.nrm * b.nrm, 0), 4) AS score,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY round(list_aggregate(list_transform(list_zip(a.e, b.e),
+                 p -> p[1] * p[2]), 'sum') / nullif(a.nrm * b.nrm, 0), 4) DESC,
+             b.vec_id) AS rank
+  FROM n a JOIN n b ON a.vec_id % 20 = 13 AND a.vec_id <> b.vec_id
+),
+p AS (
+  SELECT query_id,
+         max(CASE WHEN rank = 1 THEN score END) AS best,
+         max(CASE WHEN rank = 2 THEN score END) AS second
+  FROM r WHERE rank <= 2 GROUP BY query_id
+)
+SELECT query_id, best, second,
+       round(CASE WHEN best <> 0 THEN second / best END, 6) AS ratio,
+       coalesce(round(CASE WHEN best <> 0 THEN second / best END, 6), 0.0) > 0.95
+         AS ambiguous
+FROM p
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -10890,6 +10950,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_error_pchart": q_e4_error_pchart,
     "rel_revenue_concentration": q_rel_revenue_concentration,
     "s27_stream_error_pchart": q_s27_stream_error_pchart,
+    "e2_match_confidence": q_e2_match_confidence,
 }
 
 ORACLES: dict[str, str] = {
@@ -11139,6 +11200,7 @@ ORACLES: dict[str, str] = {
     "rel_revenue_concentration": ORACLE_REL_REVENUE_CONCENTRATION,
     # complete-mode stream shares the batch control-limit finalize
     "s27_stream_error_pchart": ORACLE_E4_ERROR_PCHART,
+    "e2_match_confidence": ORACLE_E2_MATCH_CONFIDENCE,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -314,6 +314,7 @@ def test_driver_window_holds_all_unique_queries():
         "e4_error_pchart",
         "rel_revenue_concentration",
         "s27_stream_error_pchart",
+        "e2_match_confidence",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
