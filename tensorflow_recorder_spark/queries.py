@@ -10660,6 +10660,66 @@ FROM p
 """
 
 
+def q_rel_cheapest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-style min-cost selection: for each part type, the CHEAPEST
+    part (min retail price, min partkey tiebreak) and how many distinct
+    suppliers actually ship it. The textbook correlated
+    'price = (SELECT min(price) ...)' subquery is decorrelated into a
+    per-type min aggregate joined back by equality — the per-type
+    floors are a |types|-row broadcast, so the probe never evaluates a
+    subquery per row; the supplier count runs over the fact table
+    pre-collapsed to DISTINCT (partkey, suppkey) pairs restricted by a
+    broadcast semi-join on the winners."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_type", "p_retailprice"
+    )
+    floors = part.groupBy("p_type").agg(
+        F.min("p_retailprice").alias("__min_price")
+    )
+    winners = (
+        part.join(F.broadcast(floors), "p_type")
+        .where(F.col("p_retailprice") == F.col("__min_price"))
+        .groupBy("p_type", "p_retailprice")
+        .agg(F.min("p_partkey").alias("p_partkey"))
+    )
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p_partkey"), "l_suppkey")
+        .join(F.broadcast(winners.select("p_partkey")), "p_partkey")
+        .distinct()
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_suppliers"))
+    )
+    return winners.join(pairs, "p_partkey", "left").select(
+        "p_type",
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("min_price"),
+        F.coalesce("n_suppliers", F.lit(0)).cast("long").alias("n_suppliers"),
+    )
+
+
+ORACLE_REL_CHEAPEST_PART = """
+WITH floors AS (
+  SELECT p_type, min(p_retailprice) AS min_price FROM part GROUP BY p_type
+),
+winners AS (
+  SELECT p.p_type, f.min_price, min(p.p_partkey) AS p_partkey
+  FROM part p JOIN floors f
+    ON p.p_type = f.p_type AND p.p_retailprice = f.min_price
+  GROUP BY p.p_type, f.min_price
+),
+pairs AS (
+  SELECT w.p_partkey, count(DISTINCT l.l_suppkey) AS n_suppliers
+  FROM winners w JOIN lineitem l ON l.l_partkey = w.p_partkey
+  GROUP BY w.p_partkey
+)
+SELECT w.p_type, w.p_partkey,
+       CAST(w.min_price AS DOUBLE) AS min_price,
+       coalesce(p.n_suppliers, 0)::BIGINT AS n_suppliers
+FROM winners w LEFT JOIN pairs p ON p.p_partkey = w.p_partkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -10951,6 +11011,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_revenue_concentration": q_rel_revenue_concentration,
     "s27_stream_error_pchart": q_s27_stream_error_pchart,
     "e2_match_confidence": q_e2_match_confidence,
+    "rel_cheapest_part": q_rel_cheapest_part,
 }
 
 ORACLES: dict[str, str] = {
@@ -11201,6 +11262,7 @@ ORACLES: dict[str, str] = {
     # complete-mode stream shares the batch control-limit finalize
     "s27_stream_error_pchart": ORACLE_E4_ERROR_PCHART,
     "e2_match_confidence": ORACLE_E2_MATCH_CONFIDENCE,
+    "rel_cheapest_part": ORACLE_REL_CHEAPEST_PART,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

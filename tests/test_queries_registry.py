@@ -315,6 +315,7 @@ def test_driver_window_holds_all_unique_queries():
         "rel_revenue_concentration",
         "s27_stream_error_pchart",
         "e2_match_confidence",
+        "rel_cheapest_part",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
