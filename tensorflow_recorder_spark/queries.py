@@ -10720,6 +10720,57 @@ FROM winners w LEFT JOIN pairs p ON p.p_partkey = w.p_partkey
 """
 
 
+def q_e4_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 growth accounting: per day, active users split into NEW
+    (first-ever activity that day) and RETURNING — the
+    acquisition-vs-retention decomposition under every growth chart.
+    Plan: events collapse to distinct (user, day); each user's first
+    day is a user-keyed partial min; the daily rollup joins on the
+    SAME user key (shuffle partitioning reused) and aggregates to a
+    day-bounded frame. No window anywhere."""
+    ev = _events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("__day")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("__day").alias("__first"))
+    return (
+        days.join(first, "user_id")
+        .groupBy("__day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(F.when(F.col("__day") == F.col("__first"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+        .select(
+            F.date_format("__day", "yyyy-MM-dd").alias("day"),
+            "n_active",
+            "n_new",
+            (F.col("n_active") - F.col("n_new")).cast("long").alias(
+                "n_returning"
+            ),
+            F.round(F.col("n_new") / F.col("n_active"), 6).alias("new_share"),
+        )
+    )
+
+
+ORACLE_E4_NEW_VS_RETURNING = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       count(*)::BIGINT AS n_active,
+       sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)::BIGINT AS n_new,
+       (count(*) - sum(CASE WHEN day = first_day THEN 1 ELSE 0 END))::BIGINT
+         AS n_returning,
+       round(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS new_share
+FROM d JOIN f USING (user_id)
+GROUP BY day
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -11012,6 +11063,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s27_stream_error_pchart": q_s27_stream_error_pchart,
     "e2_match_confidence": q_e2_match_confidence,
     "rel_cheapest_part": q_rel_cheapest_part,
+    "e4_new_vs_returning": q_e4_new_vs_returning,
 }
 
 ORACLES: dict[str, str] = {
@@ -11263,6 +11315,7 @@ ORACLES: dict[str, str] = {
     "s27_stream_error_pchart": ORACLE_E4_ERROR_PCHART,
     "e2_match_confidence": ORACLE_E2_MATCH_CONFIDENCE,
     "rel_cheapest_part": ORACLE_REL_CHEAPEST_PART,
+    "e4_new_vs_returning": ORACLE_E4_NEW_VS_RETURNING,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

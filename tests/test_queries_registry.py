@@ -316,6 +316,7 @@ def test_driver_window_holds_all_unique_queries():
         "s27_stream_error_pchart",
         "e2_match_confidence",
         "rel_cheapest_part",
+        "e4_new_vs_returning",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
