@@ -10771,6 +10771,60 @@ GROUP BY day
 """
 
 
+def q_e6_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 dataset fingerprint: an ORDER-INDEPENDENT corpus digest —
+    per-row md5-slice integers summed (exact bigint, commutative) per
+    source and overall — the reproducibility stamp a dataset card
+    carries so two pipelines can assert they trained on byte-identical
+    data without comparing rows. Plan: one scan, per-row hash in the
+    same projection, |sources|+1 partial-agg sums; commutativity makes
+    the digest independent of partitioning, task order, and engine."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':', text)), 1, 15),"
+        " 16, 10) as bigint)"
+    )
+    per_source = (
+        docs.select("source", h.cast("decimal(38,0)").alias("__h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            # decimal(38,0) sum: 10^12 rows x 2^60 per-row hashes stays
+            # ~10^30 << 10^38 — overflow-free at any plausible corpus
+            F.sum("__h").cast("decimal(38,0)").alias("__fp"),
+        )
+    )
+    total = per_source.agg(
+        F.lit("__ALL__").alias("source"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("__fp").cast("decimal(38,0)").alias("__fp"),
+    )
+    return per_source.unionByName(total).select(
+        "source", "n_rows", F.col("__fp").cast("string").alias("fingerprint")
+    )
+
+
+ORACLE_E6_DATASET_FINGERPRINT = """
+WITH h AS (
+  SELECT source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT
+           AS hv
+  FROM documents
+),
+per AS (
+  SELECT source, count(*)::BIGINT AS n_rows,
+         sum(hv::DECIMAL(38,0)) AS fp
+  FROM h GROUP BY source
+)
+SELECT source, n_rows, CAST(CAST(fp AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+FROM per
+UNION ALL
+SELECT '__ALL__', sum(n_rows)::BIGINT,
+       CAST(CAST(sum(fp) AS DECIMAL(38,0)) AS VARCHAR)
+FROM per
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -11064,6 +11118,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_match_confidence": q_e2_match_confidence,
     "rel_cheapest_part": q_rel_cheapest_part,
     "e4_new_vs_returning": q_e4_new_vs_returning,
+    "e6_dataset_fingerprint": q_e6_dataset_fingerprint,
 }
 
 ORACLES: dict[str, str] = {
@@ -11316,6 +11371,7 @@ ORACLES: dict[str, str] = {
     "e2_match_confidence": ORACLE_E2_MATCH_CONFIDENCE,
     "rel_cheapest_part": ORACLE_REL_CHEAPEST_PART,
     "e4_new_vs_returning": ORACLE_E4_NEW_VS_RETURNING,
+    "e6_dataset_fingerprint": ORACLE_E6_DATASET_FINGERPRINT,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

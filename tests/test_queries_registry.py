@@ -317,6 +317,7 @@ def test_driver_window_holds_all_unique_queries():
         "e2_match_confidence",
         "rel_cheapest_part",
         "e4_new_vs_returning",
+        "e6_dataset_fingerprint",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
