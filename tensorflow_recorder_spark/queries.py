@@ -10825,6 +10825,57 @@ FROM per
 """
 
 
+def q_e3_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 term burstiness (Church & Gale's cf/df statistic, public):
+    for the top-50 collection-frequency terms, how concentrated each
+    term's occurrences are (cf/df = mean occurrences per containing
+    doc — content words burst, function words spread). Plan: ONE token
+    explode feeds both stats via a TWO-LEVEL agg — (term, doc) partial
+    counts first (the same Expand-free shape as the distinct-n
+    rewrite), then per-term sums — and the top-50 is a bounded global
+    TakeOrdered."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+    words = docs.select(
+        "doc_id", F.explode(F.expr(toks)).alias("__w")
+    )
+    per_doc = words.groupBy("__w", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    return (
+        per_doc.groupBy("__w")
+        .agg(
+            F.sum("__c").cast("long").alias("cf"),
+            F.count(F.lit(1)).cast("long").alias("df"),
+        )
+        .select(
+            F.col("__w").alias("term"),
+            "cf",
+            "df",
+            F.round(F.col("cf") / F.col("df"), 6).alias("burstiness"),
+        )
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(50)
+    )
+
+
+ORACLE_E3_TERM_BURSTINESS = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+pd AS (SELECT term, doc_id, count(*) AS c FROM w GROUP BY term, doc_id),
+t AS (
+  SELECT term, sum(c)::BIGINT AS cf, count(*)::BIGINT AS df FROM pd
+  GROUP BY term
+)
+SELECT term, cf, df, round(cf::DOUBLE / df, 6) AS burstiness
+FROM t ORDER BY cf DESC, term ASC LIMIT 50
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -11119,6 +11170,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_cheapest_part": q_rel_cheapest_part,
     "e4_new_vs_returning": q_e4_new_vs_returning,
     "e6_dataset_fingerprint": q_e6_dataset_fingerprint,
+    "e3_term_burstiness": q_e3_term_burstiness,
 }
 
 ORACLES: dict[str, str] = {
@@ -11372,6 +11424,7 @@ ORACLES: dict[str, str] = {
     "rel_cheapest_part": ORACLE_REL_CHEAPEST_PART,
     "e4_new_vs_returning": ORACLE_E4_NEW_VS_RETURNING,
     "e6_dataset_fingerprint": ORACLE_E6_DATASET_FINGERPRINT,
+    "e3_term_burstiness": ORACLE_E3_TERM_BURSTINESS,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

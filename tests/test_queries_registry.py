@@ -318,6 +318,7 @@ def test_driver_window_holds_all_unique_queries():
         "rel_cheapest_part",
         "e4_new_vs_returning",
         "e6_dataset_fingerprint",
+        "e3_term_burstiness",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
