@@ -10876,6 +10876,41 @@ FROM t ORDER BY cf DESC, term ASC LIMIT 50
 """
 
 
+def q_e4_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 session-depth distribution: one row summarizing the session
+    population (count, exact interpolated median/p90 events-per-session
+    and duration) — the engagement-depth readout next to the raw
+    session list. Reuses the gap-based sessionizer unchanged; the
+    rollup runs over the session frame (bounded by session count, far
+    below event volume)."""
+    sess = events.sessionize(_events(spark, sf_dir), gap_minutes=30)
+    return sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.round(F.expr("percentile(n_events, 0.5)"), 6).alias(
+            "median_events"
+        ),
+        F.round(F.expr("percentile(n_events, 0.9)"), 6).alias("p90_events"),
+        F.round(F.expr("percentile(duration_s, 0.5)"), 6).alias(
+            "median_duration_s"
+        ),
+        F.round(F.expr("percentile(duration_s, 0.9)"), 6).alias(
+            "p90_duration_s"
+        ),
+    )
+
+
+def _oracle_session_depth() -> str:
+    return f"""
+WITH s AS ({ORACLE_E4_SESSIONIZE})
+SELECT count(*)::BIGINT AS n_sessions,
+       round(quantile_cont(n_events, 0.5), 6) AS median_events,
+       round(quantile_cont(n_events, 0.9), 6) AS p90_events,
+       round(quantile_cont(duration_s, 0.5), 6) AS median_duration_s,
+       round(quantile_cont(duration_s, 0.9), 6) AS p90_duration_s
+FROM s
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -11171,6 +11206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_new_vs_returning": q_e4_new_vs_returning,
     "e6_dataset_fingerprint": q_e6_dataset_fingerprint,
     "e3_term_burstiness": q_e3_term_burstiness,
+    "e4_session_depth": q_e4_session_depth,
 }
 
 ORACLES: dict[str, str] = {
@@ -11425,6 +11461,7 @@ ORACLES: dict[str, str] = {
     "e4_new_vs_returning": ORACLE_E4_NEW_VS_RETURNING,
     "e6_dataset_fingerprint": ORACLE_E6_DATASET_FINGERPRINT,
     "e3_term_burstiness": ORACLE_E3_TERM_BURSTINESS,
+    "e4_session_depth": _oracle_session_depth(),
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

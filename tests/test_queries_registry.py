@@ -319,6 +319,7 @@ def test_driver_window_holds_all_unique_queries():
         "e4_new_vs_returning",
         "e6_dataset_fingerprint",
         "e3_term_burstiness",
+        "e4_session_depth",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
