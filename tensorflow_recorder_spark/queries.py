@@ -10911,6 +10911,60 @@ FROM s
 """
 
 
+def q_e2_cell_label_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 index-quality readout: per-IVF-cell label entropy (bits) —
+    near-zero means the coarse quantizer already separates classes
+    (good for filtered search), log2(|labels|) means cells are
+    label-blind. Reuses the nearest-centroid assignment unchanged;
+    entropy derives from exact (cell, label) integer counts in a
+    K x |labels|-bounded aggregate, doubles only in the final
+    -sum(p log2 p) tree."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = similarity.ivf_assign(emb, centroids)
+    cl = assign.join(emb.select("vec_id", "label"), "vec_id")
+    counts = cl.groupBy("centroid_id", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    tot = counts.groupBy("centroid_id").agg(
+        F.sum("__n").cast("long").alias("__t")
+    )
+    p = F.col("__n") / F.col("__t")
+    return (
+        counts.join(tot, "centroid_id")
+        .groupBy("centroid_id")
+        .agg(
+            F.max("__t").cast("long").alias("n_vectors"),
+            F.count(F.lit(1)).cast("long").alias("n_labels"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("label_entropy_bits"),
+        )
+    )
+
+
+def _oracle_cell_label_entropy() -> str:
+    return f"""
+WITH assign AS ({ORACLE_E2_IVF_ASSIGN}),
+cl AS (
+  SELECT a.centroid_id, e.label
+  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+),
+c AS (
+  SELECT centroid_id, label, count(*)::BIGINT AS n
+  FROM cl GROUP BY centroid_id, label
+),
+t AS (SELECT centroid_id, sum(n)::BIGINT AS tt FROM c GROUP BY centroid_id)
+SELECT c.centroid_id,
+       max(t.tt)::BIGINT AS n_vectors,
+       count(*)::BIGINT AS n_labels,
+       round(-sum((n::DOUBLE / tt) * log2(n::DOUBLE / tt)), 6)
+         AS label_entropy_bits
+FROM c JOIN t USING (centroid_id)
+GROUP BY c.centroid_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -11207,6 +11261,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_dataset_fingerprint": q_e6_dataset_fingerprint,
     "e3_term_burstiness": q_e3_term_burstiness,
     "e4_session_depth": q_e4_session_depth,
+    "e2_cell_label_entropy": q_e2_cell_label_entropy,
 }
 
 ORACLES: dict[str, str] = {
@@ -11462,6 +11517,7 @@ ORACLES: dict[str, str] = {
     "e6_dataset_fingerprint": ORACLE_E6_DATASET_FINGERPRINT,
     "e3_term_burstiness": ORACLE_E3_TERM_BURSTINESS,
     "e4_session_depth": _oracle_session_depth(),
+    "e2_cell_label_entropy": _oracle_cell_label_entropy(),
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,
