@@ -10965,6 +10965,83 @@ GROUP BY c.centroid_id
 """
 
 
+def q_p5_split_balance_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P/V split-balance audit: PSI of the document-length distribution
+    between a derived md5 TRAIN split and its TEST complement — the
+    check that a hash split didn't accidentally skew a feature (a PSI
+    above ~0.1 on any input feature means the split leaks structure).
+    Fixed-width bins (n_chars // 100, engine-exact integers) so every
+    share is a ratio of integer counts; doubles only in the final
+    ln-based PSI terms. Plan: one scan -> (split, bin) partial agg ->
+    bin-bounded join of the two share vectors."""
+    docs = _t(spark, sf_dir, "documents")
+    split = F.when(
+        F.expr(
+            "cast(conv(substring(md5(concat('p5:', cast(doc_id as string))), 1, 8),"
+            " 16, 10) as bigint) % 10 < 8"
+        ),
+        "TRAIN",
+    ).otherwise("TEST")
+    binned = docs.select(
+        split.alias("__s"), (F.col("n_chars") / 100).cast("long").alias("bin")
+    )
+    counts = binned.groupBy("__s", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    tot = counts.groupBy("__s").agg(F.sum("__n").cast("long").alias("__t"))
+    shares = counts.join(tot, "__s").select(
+        "__s", "bin", (F.col("__n") / F.col("__t")).alias("__p")
+    )
+    tr = shares.where(F.col("__s") == "TRAIN").select(
+        "bin", F.col("__p").alias("train_share")
+    )
+    te = shares.where(F.col("__s") == "TEST").select(
+        "bin", F.col("__p").alias("test_share")
+    )
+    # full outer + epsilon floor: a bin present in one split only still
+    # contributes a finite PSI term (the standard 1e-6 floor)
+    eps = F.lit(1e-6)
+    j = tr.join(te, "bin", "full").select(
+        "bin",
+        F.coalesce("train_share", F.lit(0.0)).alias("train_share"),
+        F.coalesce("test_share", F.lit(0.0)).alias("test_share"),
+    )
+    a = F.greatest(F.col("train_share"), eps)
+    b = F.greatest(F.col("test_share"), eps)
+    return j.select(
+        "bin",
+        F.round("train_share", 6).alias("train_share"),
+        F.round("test_share", 6).alias("test_share"),
+        F.round((a - b) * F.log(a / b), 6).alias("psi_term"),
+    )
+
+
+ORACLE_P5_SPLIT_BALANCE_PSI = """
+WITH s AS (
+  SELECT CASE WHEN ('0x' || substr(md5('p5:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 10 < 8 THEN 'TRAIN' ELSE 'TEST' END AS sp,
+         CAST(n_chars // 100 AS BIGINT) AS bin
+  FROM documents
+),
+c AS (SELECT sp, bin, count(*)::BIGINT AS n FROM s GROUP BY sp, bin),
+t AS (SELECT sp, sum(n)::BIGINT AS tt FROM c GROUP BY sp),
+sh AS (SELECT c.sp, c.bin, c.n::DOUBLE / t.tt AS p FROM c JOIN t USING (sp)),
+j AS (
+  SELECT coalesce(a.bin, b.bin) AS bin,
+         coalesce(a.p, 0.0) AS train_share,
+         coalesce(b.p, 0.0) AS test_share
+  FROM (SELECT bin, p FROM sh WHERE sp = 'TRAIN') a
+  FULL JOIN (SELECT bin, p FROM sh WHERE sp = 'TEST') b USING (bin)
+)
+SELECT bin, round(train_share, 6) AS train_share,
+       round(test_share, 6) AS test_share,
+       round((greatest(train_share, 1e-6) - greatest(test_share, 1e-6))
+             * ln(greatest(train_share, 1e-6) / greatest(test_share, 1e-6)), 6)
+         AS psi_term
+FROM j
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -11262,6 +11339,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_term_burstiness": q_e3_term_burstiness,
     "e4_session_depth": q_e4_session_depth,
     "e2_cell_label_entropy": q_e2_cell_label_entropy,
+    "p5_split_balance_psi": q_p5_split_balance_psi,
 }
 
 ORACLES: dict[str, str] = {
@@ -11518,6 +11596,7 @@ ORACLES: dict[str, str] = {
     "e3_term_burstiness": ORACLE_E3_TERM_BURSTINESS,
     "e4_session_depth": _oracle_session_depth(),
     "e2_cell_label_entropy": _oracle_cell_label_entropy(),
+    "p5_split_balance_psi": ORACLE_P5_SPLIT_BALANCE_PSI,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,
