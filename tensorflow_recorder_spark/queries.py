@@ -11042,6 +11042,66 @@ FROM j
 """
 
 
+def q_e1_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 estimator calibration: for LSH-verified pairs, how far the
+    8-slot MinHash estimate sits from exact Jaccard, grouped by
+    estimate level (est*8 is an exact integer 0..8) — the calibration
+    table that justifies (or indicts) the banding thresholds. Reuses
+    lsh_verified_pairs unchanged (it already carries BOTH numbers);
+    means are exact-decimal sums over integer ratios, divided once."""
+    pairs = dedup.lsh_verified_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).select(
+        (F.col("est_jaccard") * 8).cast("long").alias("est_slots"),
+        F.round("jaccard", 6).alias("__j"),
+    )
+    return (
+        pairs.groupBy("est_slots")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("__j").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_exact"),
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.col("est_slots") / F.lit(8.0) - F.col("__j")
+                    ).cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_abs_err"),
+        )
+        .select(
+            "est_slots",
+            F.round(F.col("est_slots") / 8.0, 6).alias("est_jaccard"),
+            "n_pairs",
+            "mean_exact",
+            "mean_abs_err",
+        )
+    )
+
+
+def _oracle_minhash_calibration() -> str:
+    verified = _oracle_lsh_verified()
+    return f"""
+WITH v AS ({verified}),
+b AS (
+  SELECT CAST(est_jaccard * 8 AS BIGINT) AS est_slots, jaccard FROM v
+)
+SELECT est_slots,
+       round(est_slots / 8.0, 6) AS est_jaccard,
+       count(*)::BIGINT AS n_pairs,
+       round(CAST(sum(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS mean_exact,
+       round(CAST(sum(CAST(abs(est_slots / 8.0 - jaccard) AS DECIMAL(18,6)))
+                  AS DOUBLE) / count(*), 6) AS mean_abs_err
+FROM b GROUP BY est_slots
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -11340,6 +11400,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_session_depth": q_e4_session_depth,
     "e2_cell_label_entropy": q_e2_cell_label_entropy,
     "p5_split_balance_psi": q_p5_split_balance_psi,
+    "e1_minhash_calibration": q_e1_minhash_calibration,
 }
 
 ORACLES: dict[str, str] = {
@@ -11597,6 +11658,7 @@ ORACLES: dict[str, str] = {
     "e4_session_depth": _oracle_session_depth(),
     "e2_cell_label_entropy": _oracle_cell_label_entropy(),
     "p5_split_balance_psi": ORACLE_P5_SPLIT_BALANCE_PSI,
+    "e1_minhash_calibration": _oracle_minhash_calibration(),
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,
