@@ -11102,6 +11102,71 @@ FROM b GROUP BY est_slots
 """
 
 
+def q_e4_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 boxplot audit: per event type, exact interpolated quartiles
+    of the value metric and how many events fall outside the 1.5*IQR
+    Tukey fences — the outlier census a metrics-quality review reads
+    before trusting means. Plan: quartiles are one |types|-row
+    aggregate broadcast back into a second conditional-count pass —
+    two scans, zero windows, fence comparisons against exact shared
+    doubles."""
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("__q1"),
+        F.expr("percentile(value, 0.75)").alias("__q3"),
+    )
+    lo = F.col("__q1") - 1.5 * (F.col("__q3") - F.col("__q1"))
+    hi = F.col("__q3") + 1.5 * (F.col("__q3") - F.col("__q1"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.max("__q1"), 6).alias("q1"),
+            F.round(F.max("__q3"), 6).alias("q3"),
+            F.sum(
+                F.when((F.col("value") < lo) | (F.col("value") > hi), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "q1",
+            "q3",
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n"), 6).alias(
+                "outlier_rate"
+            ),
+        )
+    )
+
+
+ORACLE_E4_IQR_OUTLIERS = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+),
+j AS (
+  SELECT e.event_type, e.value, q.q1, q.q3,
+         q.q1 - 1.5 * (q.q3 - q.q1) AS lo,
+         q.q3 + 1.5 * (q.q3 - q.q1) AS hi
+  FROM events e JOIN q USING (event_type)
+)
+SELECT event_type, count(*)::BIGINT AS n,
+       round(max(q1), 6) AS q1, round(max(q3), 6) AS q3,
+       sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)::BIGINT
+         AS n_outliers,
+       round(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS outlier_rate
+FROM j GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -11401,6 +11466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_cell_label_entropy": q_e2_cell_label_entropy,
     "p5_split_balance_psi": q_p5_split_balance_psi,
     "e1_minhash_calibration": q_e1_minhash_calibration,
+    "e4_iqr_outliers": q_e4_iqr_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -11659,6 +11725,7 @@ ORACLES: dict[str, str] = {
     "e2_cell_label_entropy": _oracle_cell_label_entropy(),
     "p5_split_balance_psi": ORACLE_P5_SPLIT_BALANCE_PSI,
     "e1_minhash_calibration": _oracle_minhash_calibration(),
+    "e4_iqr_outliers": ORACLE_E4_IQR_OUTLIERS,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -323,6 +323,7 @@ def test_driver_window_holds_all_unique_queries():
         "e2_cell_label_entropy",
         "p5_split_balance_psi",
         "e1_minhash_calibration",
+        "e4_iqr_outliers",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
