@@ -11167,6 +11167,46 @@ FROM j GROUP BY event_type
 """
 
 
+def q_e2_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 embedding-norm audit: per label, exact interpolated norm
+    quantiles and the count of (near-)zero-norm vectors — the
+    degenerate-vector screen that runs before any cosine machinery
+    (zero norms break cosine; wildly varying norms say the encoder
+    was never L2-normalized). One narrow projection computes the norm
+    in-scan; the rollup is a |labels|-bounded aggregate."""
+    from .operators.similarity import norm_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "label", F.round(F.expr(norm_expr("embedding")), 6).alias("__n")
+    )
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.expr("percentile(__n, 0.5)"), 6).alias("median_norm"),
+        F.round(F.expr("percentile(__n, 0.01)"), 6).alias("p01_norm"),
+        F.round(F.expr("percentile(__n, 0.99)"), 6).alias("p99_norm"),
+        F.sum(F.when(F.col("__n") < 1e-6, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+    )
+
+
+ORACLE_E2_NORM_AUDIT = """
+WITH n AS (
+  SELECT label,
+         round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+               x -> x * x), 'sum')), 6) AS nn
+  FROM embeddings
+)
+SELECT label, count(*)::BIGINT AS n_vectors,
+       round(quantile_cont(nn, 0.5), 6) AS median_norm,
+       round(quantile_cont(nn, 0.01), 6) AS p01_norm,
+       round(quantile_cont(nn, 0.99), 6) AS p99_norm,
+       sum(CASE WHEN nn < 1e-6 THEN 1 ELSE 0 END)::BIGINT AS n_zero
+FROM n GROUP BY label
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -11467,6 +11507,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p5_split_balance_psi": q_p5_split_balance_psi,
     "e1_minhash_calibration": q_e1_minhash_calibration,
     "e4_iqr_outliers": q_e4_iqr_outliers,
+    "e2_norm_audit": q_e2_norm_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -11726,6 +11767,7 @@ ORACLES: dict[str, str] = {
     "p5_split_balance_psi": ORACLE_P5_SPLIT_BALANCE_PSI,
     "e1_minhash_calibration": _oracle_minhash_calibration(),
     "e4_iqr_outliers": ORACLE_E4_IQR_OUTLIERS,
+    "e2_norm_audit": ORACLE_E2_NORM_AUDIT,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -324,6 +324,7 @@ def test_driver_window_holds_all_unique_queries():
         "p5_split_balance_psi",
         "e1_minhash_calibration",
         "e4_iqr_outliers",
+        "e2_norm_audit",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
