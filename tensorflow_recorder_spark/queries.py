@@ -11207,6 +11207,93 @@ FROM n GROUP BY label
 """
 
 
+def q_e6_quota_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 quota-spill attribution: per source, token demand vs what the
+    quality quota actually granted — the 'who lost how much' table a
+    curation review reads when sources complain about their budget.
+    The granted side reuses the quality-quota operator UNCHANGED; the
+    demand side is one corpus token-count agg; both collapse to
+    |sources|-row frames before the left join, so the report costs two
+    scans and a dimension-sized join."""
+    from .operators.packing import token_count_expr
+    from .operators.sampling import quality_token_quota
+    from .operators.text import quality_exprs
+
+    docs = _t(spark, sf_dir, "documents")
+    score = quality_exprs("text")["score"]
+    granted = (
+        quality_token_quota(
+            docs.withColumn("__score", F.expr(score)),
+            "source",
+            "doc_id",
+            token_count_expr("text"),
+            "__score",
+            quota_tokens=800,
+            nshards=2,
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("n_tokens").cast("long").alias("granted_tokens"),
+        )
+    )
+    demand = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count_expr("text").cast("long"))
+        .cast("long")
+        .alias("demand_tokens"),
+    )
+    return (
+        demand.join(granted, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "demand_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("granted_tokens", F.lit(0))
+            .cast("long")
+            .alias("granted_tokens"),
+            (
+                F.col("demand_tokens")
+                - F.coalesce("granted_tokens", F.lit(0))
+            )
+            .cast("long")
+            .alias("spilled_tokens"),
+            F.round(
+                F.coalesce("granted_tokens", F.lit(0))
+                / F.col("demand_tokens"),
+                6,
+            ).alias("fill_rate"),
+        )
+    )
+
+
+def _oracle_quota_spill() -> str:
+    quota = _oracle_quality_quota()
+    return rf"""
+WITH kept AS ({quota}),
+granted AS (
+  SELECT source, count(*)::BIGINT AS n_kept,
+         sum(n_tokens)::BIGINT AS granted_tokens
+  FROM kept GROUP BY source
+),
+demand AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT))::BIGINT
+           AS demand_tokens
+  FROM documents GROUP BY source
+)
+SELECT d.source, d.n_docs, d.demand_tokens,
+       coalesce(g.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(g.granted_tokens, 0)::BIGINT AS granted_tokens,
+       (d.demand_tokens - coalesce(g.granted_tokens, 0))::BIGINT
+         AS spilled_tokens,
+       round(coalesce(g.granted_tokens, 0)::DOUBLE / d.demand_tokens, 6)
+         AS fill_rate
+FROM demand d LEFT JOIN granted g ON g.source = d.source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -11508,6 +11595,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_minhash_calibration": q_e1_minhash_calibration,
     "e4_iqr_outliers": q_e4_iqr_outliers,
     "e2_norm_audit": q_e2_norm_audit,
+    "e6_quota_spill": q_e6_quota_spill,
 }
 
 ORACLES: dict[str, str] = {
@@ -11768,6 +11856,7 @@ ORACLES: dict[str, str] = {
     "e1_minhash_calibration": _oracle_minhash_calibration(),
     "e4_iqr_outliers": ORACLE_E4_IQR_OUTLIERS,
     "e2_norm_audit": ORACLE_E2_NORM_AUDIT,
+    "e6_quota_spill": _oracle_quota_spill(),
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,
