@@ -515,6 +515,66 @@ def audio_quality_audit(
     )
 
 
+def decode_failure_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode-failure routing census: every row synthesizes an image
+    (PNG/BMP alternating, id-derived) but ids divisible by 7 get their
+    payload TRUNCATED to 10 bytes — a corrupt blob — and the audit
+    counts, per container format, how many decodes succeed vs route to
+    DISCARD, exercising the exact executor-side try/decode/route path
+    the convert pipeline uses (reference parity: bad images are
+    DISCARD rows, never stage failures —
+    /root/reference/tfrecorder/beam_image.py:62-73's except path).
+    Arrow-batched, declared-exception-only (the codec property tests
+    pin that contract). Output: (format, n_ok, n_failed, fail_rate).
+    """
+    from ..functions.bmp_codec import decode_bmp, encode_bmp
+    from ..functions.png_codec import decode_png, encode_png
+
+    out_struct = T.StructType(
+        [
+            T.StructField("format", T.StringType()),
+            T.StructField("__ok", T.IntegerType()),
+        ]
+    )
+
+    def probe(i: int):
+        w, h = 4 + i % 5, 4 + i % 3
+        px = bytes((i % 256,) * 3) * (w * h)
+        if i % 2:
+            fmt, data, dec = "bmp", encode_bmp(px, w, h), decode_bmp
+        else:
+            fmt, data, dec = "png", encode_png(px, w, h), decode_png
+        if i % 7 == 0:
+            data = data[:10]
+        try:
+            dec(data)
+            return fmt, 1
+        except (ValueError, EOFError, IndexError):
+            return fmt, 0
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [probe(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame(rows, columns=["format", "__ok"])
+
+    probed = df.select(id_col).mapInPandas(run, schema=out_struct)
+    return (
+        probed.groupBy("format")
+        .agg(
+            F.sum("__ok").cast("long").alias("n_ok"),
+            F.sum(F.lit(1) - F.col("__ok")).cast("long").alias("n_failed"),
+        )
+        .select(
+            "format",
+            "n_ok",
+            "n_failed",
+            F.round(
+                F.col("n_failed") / (F.col("n_ok") + F.col("n_failed")), 6
+            ).alias("fail_rate"),
+        )
+    )
+
+
 def shot_boundaries(
     df: DataFrame, id_col: str = "doc_id", threshold: float = 10.0
 ) -> DataFrame:

@@ -11294,6 +11294,30 @@ FROM demand d LEFT JOIN granted g ON g.source = d.source
 """
 
 
+def q_e5_decode_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 decode-failure routing census: per container format, how many
+    REAL decodes succeed vs route to DISCARD when ids divisible by 7
+    carry truncated payloads — the executor-side try/decode/route path
+    of the convert pipeline, exercised as an oracle-checkable query
+    (operators/multimodal.py decode_failure_audit)."""
+    from .operators.multimodal import decode_failure_audit
+
+    return decode_failure_audit(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+ORACLE_E5_DECODE_FAILURES = """
+WITH d AS (
+  SELECT CASE WHEN doc_id % 2 = 1 THEN 'bmp' ELSE 'png' END AS format,
+         CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS ok
+  FROM documents
+)
+SELECT format, sum(ok)::BIGINT AS n_ok,
+       sum(1 - ok)::BIGINT AS n_failed,
+       round(sum(1 - ok)::DOUBLE / count(*), 6) AS fail_rate
+FROM d GROUP BY format
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -11596,6 +11620,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_iqr_outliers": q_e4_iqr_outliers,
     "e2_norm_audit": q_e2_norm_audit,
     "e6_quota_spill": q_e6_quota_spill,
+    "e5_decode_failures": q_e5_decode_failures,
 }
 
 ORACLES: dict[str, str] = {
@@ -11857,6 +11882,7 @@ ORACLES: dict[str, str] = {
     "e4_iqr_outliers": ORACLE_E4_IQR_OUTLIERS,
     "e2_norm_audit": ORACLE_E2_NORM_AUDIT,
     "e6_quota_spill": _oracle_quota_spill(),
+    "e5_decode_failures": ORACLE_E5_DECODE_FAILURES,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -326,6 +326,7 @@ def test_driver_window_holds_all_unique_queries():
         "e4_iqr_outliers",
         "e2_norm_audit",
         "e6_quota_spill",
+        "e5_decode_failures",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
