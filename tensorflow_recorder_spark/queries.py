@@ -11318,6 +11318,58 @@ FROM d GROUP BY format
 """
 
 
+def q_e3_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 lexical richness: per source, the hapax-legomena share (the
+    fraction of the source's vocabulary occurring exactly once — the
+    Heaps/Zipf companion that separates generative text from template
+    spam, whose vocabularies saturate). ONE token explode collapses to
+    (source, word) counts (vocabulary-bounded partial agg), then a
+    |sources|-row rollup of exact integer counts."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+    counts = (
+        docs.select("source", F.explode(F.expr(toks)).alias("__w"))
+        .groupBy("source", "__w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+            F.sum("__c").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "vocab",
+            "n_hapax",
+            "n_tokens",
+            F.round(F.col("n_hapax") / F.col("vocab"), 6).alias(
+                "hapax_share"
+            ),
+        )
+    )
+
+
+ORACLE_E3_HAPAX_RATE = r"""
+WITH w AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            t -> t <> '')) AS word
+  FROM documents
+),
+c AS (SELECT source, word, count(*) AS n FROM w GROUP BY source, word)
+SELECT source, count(*)::BIGINT AS vocab,
+       sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+       sum(n)::BIGINT AS n_tokens,
+       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS hapax_share
+FROM c GROUP BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -11621,6 +11673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_norm_audit": q_e2_norm_audit,
     "e6_quota_spill": q_e6_quota_spill,
     "e5_decode_failures": q_e5_decode_failures,
+    "e3_hapax_rate": q_e3_hapax_rate,
 }
 
 ORACLES: dict[str, str] = {
@@ -11883,6 +11936,7 @@ ORACLES: dict[str, str] = {
     "e2_norm_audit": ORACLE_E2_NORM_AUDIT,
     "e6_quota_spill": _oracle_quota_spill(),
     "e5_decode_failures": ORACLE_E5_DECODE_FAILURES,
+    "e3_hapax_rate": ORACLE_E3_HAPAX_RATE,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

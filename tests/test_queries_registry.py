@@ -327,6 +327,7 @@ def test_driver_window_holds_all_unique_queries():
         "e2_norm_audit",
         "e6_quota_spill",
         "e5_decode_failures",
+        "e3_hapax_rate",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
