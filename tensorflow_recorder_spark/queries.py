@@ -11370,6 +11370,68 @@ FROM c GROUP BY source
 """
 
 
+def q_rel_specialized_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-flavored supplier specialization screen: suppliers whose
+    'red'-part quantity exceeds 15% of their total shipped quantity
+    (this schema has no partsupp/availqty; the shape kept is Q20's
+    semi-filtered per-supplier threshold). The red-part key set is a
+    broadcast dimension filter resolved IN the fact scan via a
+    broadcast LEFT join (one conditional-sum agg, no second fact
+    pass, no Expand), then a |suppliers|-bounded name join."""
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", F.lit(1).alias("__is_red"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity"
+    )
+    per_supp = (
+        li.join(
+            F.broadcast(part), li.l_partkey == part.p_partkey, "left"
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("__q"),
+            F.sum(
+                F.when(F.col("__is_red") == 1, F.col("l_quantity"))
+                .otherwise(0)
+                .cast("decimal(18,6)")
+            ).alias("__qr"),
+        )
+        .where(F.col("__qr") * 20 > F.col("__q") * 3)
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return per_supp.join(
+        F.broadcast(supplier), per_supp.l_suppkey == supplier.s_suppkey
+    ).select(
+        "s_name",
+        F.col("__q").cast("double").alias("total_qty"),
+        F.col("__qr").cast("double").alias("red_qty"),
+        F.round(
+            F.col("__qr").cast("double") / F.col("__q").cast("double"), 6
+        ).alias("red_share"),
+    )
+
+
+ORACLE_REL_SPECIALIZED_SUPPLIERS = """
+WITH per AS (
+  SELECT l.l_suppkey,
+         sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS q,
+         sum(CAST(CASE WHEN p.p_partkey IS NOT NULL THEN l.l_quantity
+                       ELSE 0 END AS DECIMAL(18,6))) AS qr
+  FROM lineitem l
+  LEFT JOIN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%') p
+    ON l.l_partkey = p.p_partkey
+  GROUP BY l.l_suppkey
+)
+SELECT s.s_name,
+       CAST(per.q AS DOUBLE) AS total_qty,
+       CAST(per.qr AS DOUBLE) AS red_qty,
+       round(CAST(per.qr AS DOUBLE) / CAST(per.q AS DOUBLE), 6) AS red_share
+FROM per JOIN supplier s ON s.s_suppkey = per.l_suppkey
+WHERE per.qr * 20 > per.q * 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -11674,6 +11736,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_quota_spill": q_e6_quota_spill,
     "e5_decode_failures": q_e5_decode_failures,
     "e3_hapax_rate": q_e3_hapax_rate,
+    "rel_specialized_suppliers": q_rel_specialized_suppliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -11937,6 +12000,7 @@ ORACLES: dict[str, str] = {
     "e6_quota_spill": _oracle_quota_spill(),
     "e5_decode_failures": ORACLE_E5_DECODE_FAILURES,
     "e3_hapax_rate": ORACLE_E3_HAPAX_RATE,
+    "rel_specialized_suppliers": ORACLE_REL_SPECIALIZED_SUPPLIERS,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,
