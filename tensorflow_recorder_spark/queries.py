@@ -11432,6 +11432,44 @@ WHERE per.qr * 20 > per.q * 3
 """
 
 
+def q_e2_dup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 vector-store hygiene: the exact-duplicate embedding census —
+    identical stored vectors inflate every top-k with ties and waste
+    index space, so ingestion dedups them first. Grouping is on the
+    RAW float array (bit-exact equality, no hashing ambiguity);
+    the corpus collapses to per-vector-value counts (a partial agg
+    whose key space is the distinct-vector count), then one summary
+    row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    groups = emb.groupBy("embedding").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    return groups.agg(
+        F.sum("__n").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("__n") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_groups"),
+        F.sum(F.when(F.col("__n") > 1, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_vectors"),
+        F.max("__n").cast("long").alias("max_group"),
+    )
+
+
+ORACLE_E2_DUP_VECTORS = """
+WITH g AS (
+  SELECT embedding, count(*)::BIGINT AS n FROM embeddings GROUP BY embedding
+)
+SELECT sum(n)::BIGINT AS n_vectors,
+       count(*)::BIGINT AS n_distinct,
+       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+       sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS n_dup_vectors,
+       max(n)::BIGINT AS max_group
+FROM g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -11737,6 +11775,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e5_decode_failures": q_e5_decode_failures,
     "e3_hapax_rate": q_e3_hapax_rate,
     "rel_specialized_suppliers": q_rel_specialized_suppliers,
+    "e2_dup_vectors": q_e2_dup_vectors,
 }
 
 ORACLES: dict[str, str] = {
@@ -12001,6 +12040,7 @@ ORACLES: dict[str, str] = {
     "e5_decode_failures": ORACLE_E5_DECODE_FAILURES,
     "e3_hapax_rate": ORACLE_E3_HAPAX_RATE,
     "rel_specialized_suppliers": ORACLE_REL_SPECIALIZED_SUPPLIERS,
+    "e2_dup_vectors": ORACLE_E2_DUP_VECTORS,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -329,6 +329,7 @@ def test_driver_window_holds_all_unique_queries():
         "e5_decode_failures",
         "e3_hapax_rate",
         "rel_specialized_suppliers",
+        "e2_dup_vectors",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
