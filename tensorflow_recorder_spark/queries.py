@@ -11470,6 +11470,64 @@ FROM g
 """
 
 
+def q_e1_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 boilerplate-prefix census: per source, how many 20-char
+    document prefixes are shared by >= 3 docs and how much of the
+    source they cover — the header/template detector that runs before
+    span dedup (shared prefixes are the cheapest boilerplate signal;
+    the reference's exact-dup key is the same idea,
+    /root/reference/tfrecorder/beam_pipeline.py routes on full-row
+    identity). Plan: one scan -> (source, prefix) partial counts
+    (key space bounded by distinct prefixes) -> |sources|-row rollup
+    of integer counts."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "source", F.expr("substring(text, 1, 20)").alias("__p")
+        )
+        .groupBy("source", "__p")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("__n").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("__n") >= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_boiler_prefixes"),
+            F.sum(F.when(F.col("__n") >= 3, F.col("__n")).otherwise(0))
+            .cast("long")
+            .alias("n_boiler_docs"),
+            F.max("__n").cast("long").alias("max_prefix_group"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_boiler_prefixes",
+            "n_boiler_docs",
+            F.round(F.col("n_boiler_docs") / F.col("n_docs"), 6).alias(
+                "boiler_share"
+            ),
+            "max_prefix_group",
+        )
+    )
+
+
+ORACLE_E1_PREFIX_BOILERPLATE = """
+WITH c AS (
+  SELECT source, substr(text, 1, 20) AS p, count(*)::BIGINT AS n
+  FROM documents GROUP BY source, p
+)
+SELECT source, sum(n)::BIGINT AS n_docs,
+       sum(CASE WHEN n >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_boiler_prefixes,
+       sum(CASE WHEN n >= 3 THEN n ELSE 0 END)::BIGINT AS n_boiler_docs,
+       round(sum(CASE WHEN n >= 3 THEN n ELSE 0 END)::DOUBLE / sum(n), 6)
+         AS boiler_share,
+       max(n)::BIGINT AS max_prefix_group
+FROM c GROUP BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -11776,6 +11834,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_hapax_rate": q_e3_hapax_rate,
     "rel_specialized_suppliers": q_rel_specialized_suppliers,
     "e2_dup_vectors": q_e2_dup_vectors,
+    "e1_prefix_boilerplate": q_e1_prefix_boilerplate,
 }
 
 ORACLES: dict[str, str] = {
@@ -12041,6 +12100,7 @@ ORACLES: dict[str, str] = {
     "e3_hapax_rate": ORACLE_E3_HAPAX_RATE,
     "rel_specialized_suppliers": ORACLE_REL_SPECIALIZED_SUPPLIERS,
     "e2_dup_vectors": ORACLE_E2_DUP_VECTORS,
+    "e1_prefix_boilerplate": ORACLE_E1_PREFIX_BOILERPLATE,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -330,6 +330,7 @@ def test_driver_window_holds_all_unique_queries():
         "e3_hapax_rate",
         "rel_specialized_suppliers",
         "e2_dup_vectors",
+        "e1_prefix_boilerplate",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
