@@ -1356,3 +1356,73 @@ def activity_streaks(
             F.date_format("streak_end", "yyyy-MM-dd").alias("streak_end"),
         )
     )
+
+
+def activity_gini(
+    df: DataFrame,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Gini coefficient of per-key activity, per group — the standard
+    inequality readout ("do 1% of users generate 90% of events?") that
+    sits next to every DAU chart. The reference has no event analytics
+    at all (SURVEY.md §2.8); this is extension surface.
+
+    Exact WITHOUT a global sort: the textbook estimator needs values in
+    rank order (a single-partition sort at corpus scale), but Gini has
+    a pairwise identity
+
+        G = sum_ij |x_i - x_j| / (2 * n * sum(x))
+
+    that is order-free. Per-key counts collapse to a COUNT-OF-COUNTS
+    histogram (distinct activity levels c with multiplicity m — key
+    space bounded by the max per-key event count, thousands at most,
+    never corpus-sized), and the pairwise sum becomes the histogram
+    self-join  sum_kl m_k * m_l * |c_k - c_l|  — exact integer
+    arithmetic in decimal(38,0), no window, no driver collect. The
+    only doubles are the final division, written 2.0 * n * total
+    left-to-right so DuckDB evaluates bit-identically.
+
+    Output: one row per group — (group, n_keys, n_events, gini),
+    gini rounded to 6.
+    """
+    per_key = df.groupBy(group_col, key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    hist = per_key.groupBy(group_col, "__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__m")
+    )
+    other = hist.select(
+        F.col(group_col).alias("__g2"),
+        F.col("__c").alias("__c2"),
+        F.col("__m").alias("__m2"),
+    )
+    num = (
+        hist.join(other, hist[group_col] == other["__g2"])
+        .groupBy(group_col)
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(__m AS DECIMAL(38,0)) * __m2 * abs(__c - __c2)"
+                )
+            ).alias("__num")
+        )
+    )
+    totals = hist.groupBy(group_col).agg(
+        F.sum("__m").cast("long").alias("n_keys"),
+        F.sum(F.col("__m") * F.col("__c")).cast("long").alias("n_events"),
+    )
+    return totals.join(num, group_col).select(
+        group_col,
+        "n_keys",
+        "n_events",
+        F.round(
+            F.col("__num").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_keys").cast("double")
+                * F.col("n_events").cast("double")
+            ),
+            6,
+        ).alias("gini"),
+    )

@@ -11528,6 +11528,49 @@ FROM c GROUP BY source
 """
 
 
+def q_e4_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 inequality audit: per event type, the exact Gini coefficient
+    of per-user event counts — "do 1% of users generate 90% of the
+    traffic?", the skew readout that decides whether per-user quotas
+    or salting are needed before any user-keyed join. Plan: events
+    collapse to per-(type, user) counts, then to a count-of-counts
+    histogram (key space = distinct activity levels, never corpus
+    rows); the Gini pairwise identity turns rank-order cumsums into a
+    histogram self-join with exact decimal(38,0) integer sums — no
+    global sort, no window, no collect."""
+    from .operators.events import activity_gini
+
+    return activity_gini(
+        _events(spark, sf_dir), key_col="user_id", group_col="event_type"
+    )
+
+
+ORACLE_E4_ACTIVITY_GINI = """
+WITH pu AS (
+  SELECT event_type, user_id, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+h AS (
+  SELECT event_type, c, count(*)::BIGINT AS m FROM pu GROUP BY 1, 2
+),
+p AS (
+  SELECT a.event_type,
+         sum(CAST(a.m AS HUGEINT) * b.m * abs(a.c - b.c)) AS num
+  FROM h a JOIN h b USING (event_type) GROUP BY 1
+),
+t AS (
+  SELECT event_type, sum(m)::BIGINT AS n_keys,
+         sum(m * c)::BIGINT AS n_events
+  FROM h GROUP BY 1
+)
+SELECT t.event_type, t.n_keys, t.n_events,
+       round(CAST(p.num AS DOUBLE)
+             / (2.0 * CAST(t.n_keys AS DOUBLE)
+                    * CAST(t.n_events AS DOUBLE)), 6) AS gini
+FROM t JOIN p USING (event_type)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -11835,6 +11878,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_specialized_suppliers": q_rel_specialized_suppliers,
     "e2_dup_vectors": q_e2_dup_vectors,
     "e1_prefix_boilerplate": q_e1_prefix_boilerplate,
+    "e4_activity_gini": q_e4_activity_gini,
 }
 
 ORACLES: dict[str, str] = {
@@ -12101,6 +12145,7 @@ ORACLES: dict[str, str] = {
     "rel_specialized_suppliers": ORACLE_REL_SPECIALIZED_SUPPLIERS,
     "e2_dup_vectors": ORACLE_E2_DUP_VECTORS,
     "e1_prefix_boilerplate": ORACLE_E1_PREFIX_BOILERPLATE,
+    "e4_activity_gini": ORACLE_E4_ACTIVITY_GINI,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

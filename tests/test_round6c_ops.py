@@ -1,0 +1,48 @@
+"""Round-6 session-3 operators: activity Gini, temporal split,
+embedding dimension audit, changepoint, source divergence — exact
+semantics pinned on hand-computed fixtures."""
+
+from pyspark.sql import functions as F
+
+
+class TestActivityGini:
+    def test_hand_computed_gini(self, spark):
+        from tensorflow_recorder_spark.operators.events import activity_gini
+
+        # one group, per-user counts x = [1, 1, 4]:
+        #   sum_ij |x_i - x_j| = 2*(|1-4| + |1-4|) = 12
+        #   G = 12 / (2 * 3 * 6) = 1/3
+        rows = []
+        for u, n in ((1, 1), (2, 1), (3, 4)):
+            rows += [(u, "click")] * n
+        df = spark.createDataFrame(rows, "user_id long, event_type string")
+        [r] = activity_gini(df).collect()
+        assert r.n_keys == 3 and r.n_events == 6
+        assert r.gini == round(1 / 3, 6)
+
+    def test_perfect_equality_is_zero(self, spark):
+        from tensorflow_recorder_spark.operators.events import activity_gini
+
+        rows = [(u, "view") for u in range(5) for _ in range(3)]
+        df = spark.createDataFrame(rows, "user_id long, event_type string")
+        [r] = activity_gini(df).collect()
+        assert r.gini == 0.0
+
+    def test_groups_are_independent(self, spark):
+        from tensorflow_recorder_spark.operators.events import activity_gini
+
+        rows = [(1, "a"), (2, "a"), (2, "a"), (1, "b")]
+        df = spark.createDataFrame(rows, "user_id long, event_type string")
+        out = {r.event_type: r for r in activity_gini(df).collect()}
+        # group a: x = [1, 2] -> sum|.| = 2 -> G = 2/(2*2*3) = 1/6
+        assert out["a"].gini == round(1 / 6, 6)
+        # group b: single user -> G = 0
+        assert out["b"].gini == 0.0
+        assert out["b"].n_keys == 1 and out["b"].n_events == 1
+
+    def test_no_unpartitioned_window(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        from tests.test_plan_windows import _unpartitioned_windows
+
+        df = QUERIES["e4_activity_gini"](spark, "/root/testdata/sf0.001")
+        assert _unpartitioned_windows(df) == []
