@@ -11571,6 +11571,103 @@ FROM t JOIN p USING (event_type)
 """
 
 
+def q_p6_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 temporal split: route events into TRAIN/VALIDATION/TEST by
+    TIME (first 70% of the observed range trains, next 20% validates,
+    last 10% tests) — the split discipline for any forecasting or
+    next-event model, where a random split leaks the future. Cutoffs
+    are integer epoch-microsecond arithmetic (diff-first so the *7
+    never overflows a long; `div` truncation == DuckDB `//` on
+    positives). The audit row per split reports volume, user counts,
+    the day range, and the COLD-START exposure: how many of the
+    split's users were already seen in TRAIN (an eval row for an
+    unseen user tests cold-start, not the model). Plan: one min/max
+    agg broadcast as two scalars; routing is a stateless projection;
+    user rollups reuse one (split, user) distinct + a user-keyed join
+    against TRAIN's user set — no window, no collect."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", F.unix_micros("ts").alias("__us")
+    )
+    bounds = ev.agg(
+        F.min("__us").alias("__lo"), F.max("__us").alias("__hi")
+    )
+    routed = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "split",
+        F.expr(
+            "CASE WHEN __us < __lo + ((__hi - __lo) * 7) div 10 THEN 'TRAIN' "
+            "WHEN __us < __lo + ((__hi - __lo) * 9) div 10 THEN 'VALIDATION' "
+            "ELSE 'TEST' END"
+        ),
+    )
+    volume = routed.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("min_day"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd").alias("max_day"),
+    )
+    users = routed.select("split", "user_id").distinct()
+    train_users = (
+        users.where(F.col("split") == "TRAIN")
+        .select(F.col("user_id").alias("__tu"))
+    )
+    seen = (
+        users.join(train_users, users.user_id == train_users.__tu, "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.when(F.col("__tu").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_seen_in_train"),
+        )
+    )
+    return volume.join(seen, "split").select(
+        "split",
+        "n_events",
+        "n_users",
+        "n_seen_in_train",
+        F.round(F.col("n_seen_in_train") / F.col("n_users"), 6).alias(
+            "seen_share"
+        ),
+        "min_day",
+        "max_day",
+    )
+
+
+ORACLE_P6_TEMPORAL_SPLIT = """
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+),
+r AS (
+  SELECT e.user_id, e.ts,
+         CASE WHEN epoch_us(e.ts) < b.lo + ((b.hi - b.lo) * 7) // 10
+                THEN 'TRAIN'
+              WHEN epoch_us(e.ts) < b.lo + ((b.hi - b.lo) * 9) // 10
+                THEN 'VALIDATION'
+              ELSE 'TEST' END AS split
+  FROM events e CROSS JOIN b
+),
+v AS (
+  SELECT split, count(*)::BIGINT AS n_events,
+         strftime(min(ts), '%Y-%m-%d') AS min_day,
+         strftime(max(ts), '%Y-%m-%d') AS max_day
+  FROM r GROUP BY split
+),
+u AS (SELECT DISTINCT split, user_id FROM r),
+tu AS (SELECT user_id FROM u WHERE split = 'TRAIN'),
+s AS (
+  SELECT u.split, count(*)::BIGINT AS n_users,
+         sum(CASE WHEN tu.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_seen_in_train
+  FROM u LEFT JOIN tu ON u.user_id = tu.user_id
+  GROUP BY u.split
+)
+SELECT v.split, v.n_events, s.n_users, s.n_seen_in_train,
+       round(CAST(s.n_seen_in_train AS DOUBLE) / s.n_users, 6)
+         AS seen_share,
+       v.min_day, v.max_day
+FROM v JOIN s USING (split)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -11879,6 +11976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_dup_vectors": q_e2_dup_vectors,
     "e1_prefix_boilerplate": q_e1_prefix_boilerplate,
     "e4_activity_gini": q_e4_activity_gini,
+    "p6_temporal_split": q_p6_temporal_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -12146,6 +12244,7 @@ ORACLES: dict[str, str] = {
     "e2_dup_vectors": ORACLE_E2_DUP_VECTORS,
     "e1_prefix_boilerplate": ORACLE_E1_PREFIX_BOILERPLATE,
     "e4_activity_gini": ORACLE_E4_ACTIVITY_GINI,
+    "p6_temporal_split": ORACLE_P6_TEMPORAL_SPLIT,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

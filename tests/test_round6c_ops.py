@@ -46,3 +46,37 @@ class TestActivityGini:
 
         df = QUERIES["e4_activity_gini"](spark, "/root/testdata/sf0.001")
         assert _unpartitioned_windows(df) == []
+
+
+class TestTemporalSplit:
+    def test_routing_boundaries_and_cold_start(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        # 10 events at t = 0..9s from epoch day: cutoffs at lo+0.7*span
+        # = 6.3s (TRAIN: t<=6) and lo+0.9*span = 8.1s (VALIDATION: 7,8;
+        # TEST: 9). user 1 spans TRAIN+TEST (seen), user 99 only TEST.
+        rows = [
+            (i, f"2024-01-01 00:00:0{i}", 1 if i != 9 else 99, "click", 1.0, "{}")
+            for i in range(10)
+        ]
+        d = tempfile.mkdtemp(prefix="tsplit-")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r.split: r
+            for r in QUERIES["p6_temporal_split"](spark, d).collect()
+        }
+        assert out["TRAIN"].n_events == 7
+        assert out["VALIDATION"].n_events == 2
+        assert out["TEST"].n_events == 1
+        # TEST's single event is user 99, never seen in TRAIN
+        assert out["TEST"].n_users == 1
+        assert out["TEST"].n_seen_in_train == 0
+        assert out["VALIDATION"].n_seen_in_train == 1
+        assert out["TRAIN"].seen_share == 1.0
