@@ -11668,6 +11668,70 @@ FROM v JOIN s USING (split)
 """
 
 
+def q_e2_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 embedding-dimension audit: per coordinate, the distribution
+    summary (exact decimal mean, interpolated p05/p50/p95, zero-share)
+    that catches DEAD or collapsed dimensions — a dimension whose p05
+    and p95 coincide carries no information, wastes index space, and
+    silently degrades every cosine; encoders produce them when a head
+    is undertrained or an activation saturates. Plan: one posexplode
+    projection (rows = n_vectors x dims, a narrow map-side explode),
+    then a d-row aggregate — the only shuffle is keyed by dimension
+    index, bounded by the embedding width. Coordinates are rounded to
+    6dp in-scan so every downstream stat is engine-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    coords = emb.select(
+        F.posexplode("embedding").alias("__p", "__x")
+    ).select(
+        (F.col("__p") + 1).cast("long").alias("dim"),
+        F.round(F.col("__x").cast("double"), 6).alias("__v"),
+    )
+    return coords.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("__v").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_v"),
+        F.round(F.expr("percentile(__v, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(__v, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(__v, 0.95)"), 6).alias("p95"),
+        F.sum(F.when(F.abs(F.col("__v")) < 1e-6, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+        F.round(
+            F.sum(
+                F.when(F.abs(F.col("__v")) < 1e-6, 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("zero_share"),
+    )
+
+
+ORACLE_E2_DIM_VARIANCE = """
+WITH raw AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS x
+  FROM embeddings
+),
+c AS (
+  SELECT CAST(dim AS BIGINT) AS dim, round(CAST(x AS DOUBLE), 6) AS v
+  FROM raw
+)
+SELECT dim, count(*)::BIGINT AS n,
+       round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS mean_v,
+       round(quantile_cont(v, 0.05), 6) AS p05,
+       round(quantile_cont(v, 0.5), 6) AS p50,
+       round(quantile_cont(v, 0.95), 6) AS p95,
+       sum(CASE WHEN abs(v) < 1e-6 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+       round(sum(CASE WHEN abs(v) < 1e-6 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS zero_share
+FROM c GROUP BY dim
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -11977,6 +12041,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_prefix_boilerplate": q_e1_prefix_boilerplate,
     "e4_activity_gini": q_e4_activity_gini,
     "p6_temporal_split": q_p6_temporal_split,
+    "e2_dim_variance": q_e2_dim_variance,
 }
 
 ORACLES: dict[str, str] = {
@@ -12245,6 +12310,7 @@ ORACLES: dict[str, str] = {
     "e1_prefix_boilerplate": ORACLE_E1_PREFIX_BOILERPLATE,
     "e4_activity_gini": ORACLE_E4_ACTIVITY_GINI,
     "p6_temporal_split": ORACLE_P6_TEMPORAL_SPLIT,
+    "e2_dim_variance": ORACLE_E2_DIM_VARIANCE,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -80,3 +80,31 @@ class TestTemporalSplit:
         assert out["TEST"].n_seen_in_train == 0
         assert out["VALIDATION"].n_seen_in_train == 1
         assert out["TRAIN"].seen_share == 1.0
+
+
+class TestDimVariance:
+    def test_dead_dimension_detected(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        # dim 1 varies, dim 2 is constant zero (dead), dim 3 constant 0.5
+        rows = [
+            (1, [1.0, 0.0, 0.5], 0),
+            (2, [2.0, 0.0, 0.5], 0),
+            (3, [3.0, 0.0, 0.5], 1),
+        ]
+        d = tempfile.mkdtemp(prefix="dimvar-")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(
+            os.path.join(d, "embeddings.parquet")
+        )
+        out = {
+            r.dim: r for r in QUERIES["e2_dim_variance"](spark, d).collect()
+        }
+        assert out[1].mean_v == 2.0 and out[1].p50 == 2.0
+        assert out[1].p05 == round(0.1 * 1.0 + 0.9 * 1.0, 6) or out[1].p05 >= 1.0
+        assert out[2].n_zero == 3 and out[2].zero_share == 1.0
+        assert out[2].p05 == out[2].p95 == 0.0
+        assert out[3].n_zero == 0
+        assert out[3].p05 == out[3].p95 == 0.5  # collapsed but nonzero
