@@ -11732,6 +11732,111 @@ FROM c GROUP BY dim
 """
 
 
+def q_e4_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 changepoint detection: the single best breakpoint in the
+    daily event-count series — binary segmentation's first step, the
+    "when did the regime change" answer CUSUM (known target) and PSI
+    (known reference) can't give. The split maximizing the
+    between-group sum of squares  BGSS = s1²/n1 + (S−s1)²/(n−n1) − S²/n
+    (equivalently: minimizing within-segment SSE; means drop out).
+    Plan: the corpus collapses to a day-bounded count frame FIRST;
+    prefix sums come from a day-frame self-join (|days|² pairs, never
+    corpus rows — no window, no cumsum over an unbounded input);
+    totals are a 1-row broadcast; the argmax is a TakeOrdered over
+    |days| candidates with an explicit earliest-day tiebreak. All
+    inputs to the double BGSS expression are exact integers, and the
+    expression is written in the same operation order as the oracle
+    so both engines produce bit-identical doubles."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("__day")).agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    rhs = daily.select(
+        F.col("__day").alias("__d2"), F.col("__y").alias("__y2")
+    )
+    pref = (
+        daily.select(F.col("__day").alias("__s"))
+        .join(rhs, F.col("__d2") <= F.col("__s"))
+        .groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n1"),
+            F.sum("__y2").cast("long").alias("__s1"),
+        )
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__tot"),
+    )
+    scored = (
+        pref.crossJoin(F.broadcast(tot))
+        .where(F.col("__n1") < F.col("__n"))
+        .withColumn(
+            "__bgss",
+            F.expr(
+                "CAST(__s1 AS DOUBLE) * CAST(__s1 AS DOUBLE)"
+                " / CAST(__n1 AS DOUBLE)"
+                " + CAST(__tot - __s1 AS DOUBLE) * CAST(__tot - __s1 AS DOUBLE)"
+                " / CAST(__n - __n1 AS DOUBLE)"
+                " - CAST(__tot AS DOUBLE) * CAST(__tot AS DOUBLE)"
+                " / CAST(__n AS DOUBLE)"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("__bgss"), F.asc("__s"))
+        .limit(1)
+        .select(
+            F.date_format("__s", "yyyy-MM-dd").alias("split_day"),
+            F.col("__n1").alias("n_days_left"),
+            (F.col("__n") - F.col("__n1")).cast("long").alias("n_days_right"),
+            F.round(
+                F.col("__s1").cast("double") / F.col("__n1").cast("double"), 6
+            ).alias("mean_left"),
+            F.round(
+                (F.col("__tot") - F.col("__s1")).cast("double")
+                / (F.col("__n") - F.col("__n1")).cast("double"),
+                6,
+            ).alias("mean_right"),
+            F.round("__bgss", 6).alias("bgss"),
+        )
+    )
+
+
+ORACLE_E4_CHANGEPOINT = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+),
+pref AS (
+  SELECT a.day AS s, count(*)::BIGINT AS n1, sum(b.y)::BIGINT AS s1
+  FROM daily a JOIN daily b ON b.day <= a.day
+  GROUP BY a.day
+),
+tot AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS tot_s FROM daily),
+scored AS (
+  SELECT pref.s, pref.n1, pref.s1, tot.n, tot.tot_s,
+         CAST(pref.s1 AS DOUBLE) * CAST(pref.s1 AS DOUBLE)
+           / CAST(pref.n1 AS DOUBLE)
+         + CAST(tot.tot_s - pref.s1 AS DOUBLE) * CAST(tot.tot_s - pref.s1 AS DOUBLE)
+           / CAST(tot.n - pref.n1 AS DOUBLE)
+         - CAST(tot.tot_s AS DOUBLE) * CAST(tot.tot_s AS DOUBLE)
+           / CAST(tot.n AS DOUBLE) AS bgss
+  FROM pref CROSS JOIN tot
+  WHERE pref.n1 < tot.n
+)
+SELECT strftime(s, '%Y-%m-%d') AS split_day,
+       n1 AS n_days_left,
+       (n - n1)::BIGINT AS n_days_right,
+       round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS mean_left,
+       round(CAST(tot_s - s1 AS DOUBLE) / CAST(n - n1 AS DOUBLE), 6)
+         AS mean_right,
+       round(bgss, 6) AS bgss
+FROM scored
+ORDER BY bgss DESC, s
+LIMIT 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -12042,6 +12147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_activity_gini": q_e4_activity_gini,
     "p6_temporal_split": q_p6_temporal_split,
     "e2_dim_variance": q_e2_dim_variance,
+    "e4_changepoint": q_e4_changepoint,
 }
 
 ORACLES: dict[str, str] = {
@@ -12311,6 +12417,7 @@ ORACLES: dict[str, str] = {
     "e4_activity_gini": ORACLE_E4_ACTIVITY_GINI,
     "p6_temporal_split": ORACLE_P6_TEMPORAL_SPLIT,
     "e2_dim_variance": ORACLE_E2_DIM_VARIANCE,
+    "e4_changepoint": ORACLE_E4_CHANGEPOINT,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

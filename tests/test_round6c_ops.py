@@ -108,3 +108,40 @@ class TestDimVariance:
         assert out[2].p05 == out[2].p95 == 0.0
         assert out[3].n_zero == 0
         assert out[3].p05 == out[3].p95 == 0.5  # collapsed but nonzero
+
+
+class TestChangepoint:
+    def test_step_series_split_found(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        # daily counts [1, 1, 1, 5, 5] -> best split after day 3:
+        # BGSS = 9/3 + 100/2 - 169/5 = 19.2, means 1.0 | 5.0
+        rows = []
+        eid = 0
+        for day, n in ((1, 1), (2, 1), (3, 1), (4, 5), (5, 5)):
+            for _ in range(n):
+                rows.append(
+                    (eid, f"2024-03-0{day} 12:00:00", 1, "click", 1.0, "{}")
+                )
+                eid += 1
+        d = tempfile.mkdtemp(prefix="chgpt-")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "events.parquet"))
+        [r] = QUERIES["e4_changepoint"](spark, d).collect()
+        assert r.split_day == "2024-03-03"
+        assert r.n_days_left == 3 and r.n_days_right == 2
+        assert r.mean_left == 1.0 and r.mean_right == 5.0
+        assert r.bgss == 19.2
+
+    def test_no_unpartitioned_window(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        from tests.test_plan_windows import _unpartitioned_windows
+
+        df = QUERIES["e4_changepoint"](spark, "/root/testdata/sf0.001")
+        assert _unpartitioned_windows(df) == []
