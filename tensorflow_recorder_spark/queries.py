@@ -11837,6 +11837,130 @@ LIMIT 1
 """
 
 
+def q_e3_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 mixture design: pairwise Jensen-Shannon divergence between
+    per-source unigram distributions, restricted to the global top-100
+    vocabulary — the "how different are my sources actually" readout
+    that decides whether two sources deserve separate mixture weights
+    or are near-clones. Restricting to the shared head vocabulary
+    bounds everything: the dense (source x top-word) matrix is
+    |sources| x 100, the pair join |sources|^2 x 100 — never corpus
+    rows. JSD is symmetric and bounded (<= ln 2), with 0*ln(0) := 0
+    handled by CASE arms. Per-pair sums fold doubles in explicit word
+    order (array_sort + ordered aggregate == DuckDB list ORDER BY) so
+    both engines add in the same sequence."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    top = text.word_frequencies(docs, "text", top_n=100).select("word")
+    sw = (
+        w.join(F.broadcast(top), "word")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    tot = sw.groupBy("source").agg(F.sum("__c").cast("long").alias("__t"))
+    dense = (
+        sw.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(top))
+        .join(sw, ["source", "word"], "left")
+        .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)).cast("long"))
+        .join(tot, "source")
+    )
+    rhs = dense.select(
+        F.col("source").alias("source_b"),
+        F.col("word").alias("__wb"),
+        F.col("__c").alias("__cb"),
+        F.col("__t").alias("__tb"),
+    )
+    pairs = (
+        dense.select(
+            F.col("source").alias("source_a"),
+            "word",
+            F.col("__c").alias("__ca"),
+            F.col("__t").alias("__ta"),
+        )
+        .join(
+            rhs,
+            (F.col("word") == F.col("__wb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .withColumn("__p", F.expr("CAST(__ca AS DOUBLE) / CAST(__ta AS DOUBLE)"))
+        .withColumn("__q", F.expr("CAST(__cb AS DOUBLE) / CAST(__tb AS DOUBLE)"))
+        .withColumn(
+            "__term",
+            F.expr(
+                "CASE WHEN __p > 0 THEN 0.5 * __p * ln(2.0 * __p / (__p + __q))"
+                " ELSE 0.0 END"
+                " + CASE WHEN __q > 0 THEN 0.5 * __q * ln(2.0 * __q / (__p + __q))"
+                " ELSE 0.0 END"
+            ),
+        )
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.sum(
+            F.when((F.col("__ca") > 0) & (F.col("__cb") > 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_shared"),
+        F.expr(
+            "round(aggregate(array_sort(collect_list(struct(word, __term))),"
+            " 0.0D, (acc, x) -> acc + x.__term), 6)"
+        ).alias("jsd"),
+    )
+
+
+ORACLE_E3_SOURCE_DIVERGENCE = """
+WITH w AS (
+  SELECT source, word FROM (
+    SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+    FROM documents
+  ) WHERE word <> ''
+),
+top AS (
+  SELECT word FROM (
+    SELECT word, count(*) AS n FROM w GROUP BY word
+    ORDER BY n DESC, word ASC LIMIT 100
+  )
+),
+sw AS (
+  SELECT source, w.word, count(*)::BIGINT AS c
+  FROM w JOIN top USING (word) GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(c)::BIGINT AS t FROM sw GROUP BY source),
+dense AS (
+  SELECT s.source, tw.word, coalesce(sw.c, 0)::BIGINT AS c, t.t
+  FROM (SELECT DISTINCT source FROM sw) s
+  CROSS JOIN top tw
+  LEFT JOIN sw ON sw.source = s.source AND sw.word = tw.word
+  JOIN tot t ON t.source = s.source
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.word,
+         a.c AS ca, b.c AS cb,
+         CAST(a.c AS DOUBLE) / CAST(a.t AS DOUBLE) AS p,
+         CAST(b.c AS DOUBLE) / CAST(b.t AS DOUBLE) AS q
+  FROM dense a JOIN dense b
+    ON a.word = b.word AND a.source < b.source
+),
+terms AS (
+  SELECT source_a, source_b, word, ca, cb,
+         CASE WHEN p > 0 THEN 0.5 * p * ln(2.0 * p / (p + q))
+              ELSE 0.0 END
+         + CASE WHEN q > 0 THEN 0.5 * q * ln(2.0 * q / (p + q))
+                ELSE 0.0 END AS term
+  FROM pairs
+)
+SELECT source_a, source_b,
+       sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_shared,
+       round(list_reduce(list(term ORDER BY word), (acc, x) -> acc + x), 6)
+         AS jsd
+FROM terms GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -12148,6 +12272,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p6_temporal_split": q_p6_temporal_split,
     "e2_dim_variance": q_e2_dim_variance,
     "e4_changepoint": q_e4_changepoint,
+    "e3_source_divergence": q_e3_source_divergence,
 }
 
 ORACLES: dict[str, str] = {
@@ -12418,6 +12543,7 @@ ORACLES: dict[str, str] = {
     "p6_temporal_split": ORACLE_P6_TEMPORAL_SPLIT,
     "e2_dim_variance": ORACLE_E2_DIM_VARIANCE,
     "e4_changepoint": ORACLE_E4_CHANGEPOINT,
+    "e3_source_divergence": ORACLE_E3_SOURCE_DIVERGENCE,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

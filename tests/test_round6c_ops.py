@@ -145,3 +145,32 @@ class TestChangepoint:
 
         df = QUERIES["e4_changepoint"](spark, "/root/testdata/sf0.001")
         assert _unpartitioned_windows(df) == []
+
+
+class TestSourceDivergence:
+    def test_identical_sources_zero_clone_vs_disjoint(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import math, os, tempfile
+
+        # a and b share one distribution; c is disjoint vocabulary ->
+        # JSD(a,b) = 0, JSD(a,c) = ln(2) (maximal, no shared words)
+        rows = [
+            (1, "x x y", "en", "a", 5),
+            (2, "x x y", "en", "b", 5),
+            (3, "z z w", "en", "c", 5),
+        ]
+        d = tempfile.mkdtemp(prefix="srcdiv-")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {
+            (r.source_a, r.source_b): r
+            for r in QUERIES["e3_source_divergence"](spark, d).collect()
+        }
+        assert out[("a", "b")].jsd == 0.0
+        assert out[("a", "b")].n_shared == 2
+        assert out[("a", "c")].jsd == round(math.log(2.0), 6)
+        assert out[("a", "c")].n_shared == 0
