@@ -11961,6 +11961,34 @@ FROM terms GROUP BY 1, 2
 """
 
 
+def q_s28_stream_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting AS A STREAM: 2 scalars of state per user
+    (first/last active day) via applyInPandasWithState; each (user,
+    day) row is emitted exactly once, so the day-bounded finalize
+    below is the SAME arithmetic as the batch rollup and shares its
+    oracle."""
+    from .streaming.stateful import streaming_new_vs_returning
+
+    rows = streaming_new_vs_returning(_event_stream(spark, sf_dir))
+    table = _drain_to_memory(rows, "stream_nvr_sink", "update")
+    return (
+        table.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum("is_new").cast("long").alias("n_new"),
+        )
+        .select(
+            "day",
+            "n_active",
+            "n_new",
+            (F.col("n_active") - F.col("n_new")).cast("long").alias(
+                "n_returning"
+            ),
+            F.round(F.col("n_new") / F.col("n_active"), 6).alias("new_share"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -12273,6 +12301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_dim_variance": q_e2_dim_variance,
     "e4_changepoint": q_e4_changepoint,
     "e3_source_divergence": q_e3_source_divergence,
+    "s28_stream_new_vs_returning": q_s28_stream_new_vs_returning,
 }
 
 ORACLES: dict[str, str] = {
@@ -12544,6 +12573,8 @@ ORACLES: dict[str, str] = {
     "e2_dim_variance": ORACLE_E2_DIM_VARIANCE,
     "e4_changepoint": ORACLE_E4_CHANGEPOINT,
     "e3_source_divergence": ORACLE_E3_SOURCE_DIVERGENCE,
+    # stream twin emits each (user, day) once -> same day rollup, same oracle
+    "s28_stream_new_vs_returning": ORACLE_E4_NEW_VS_RETURNING,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -787,3 +787,67 @@ def streaming_transitions(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_new_vs_returning(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key streaming growth accounting via
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    ``new_vs_returning`` daily rollup. Each key keeps exactly TWO
+    scalars (first active day, last active day): under the in-order
+    drain (same caveat as :func:`streaming_cusum`) a previously-unseen
+    day is simply ``day > last_day``, so the distinct-(user, day)
+    dedup the batch query does with a shuffle becomes a constant-state
+    comparison. One row per (key, day) is emitted exactly once, the
+    first time that day appears, flagged ``is_new`` iff it is the
+    key's first-ever day — the downstream day-bounded rollup then
+    matches the batch oracle row-for-row.
+
+    Output per batch (update mode): (key, day 'yyyy-MM-dd', is_new).
+    """
+    out_schema = f"{key_col} long, day string, is_new int"
+    state_schema = "first_day long, last_day long"
+    _NS_PER_DAY = 86_400_000_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            first_day, last_day = state.get
+        else:
+            first_day, last_day = None, None
+        ordered = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
+        days: list[int] = []
+        flags: list[int] = []
+        for ts in ordered[ts_col]:
+            d = int(ts.value // _NS_PER_DAY)
+            if last_day is None or d > last_day:
+                if first_day is None:
+                    first_day = d
+                last_day = d
+                days.append(d)
+                flags.append(1 if d == first_day else 0)
+        state.update((first_day, last_day))
+        if days:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(days),
+                    "day": [
+                        pd.Timestamp(d, unit="D").strftime("%Y-%m-%d")
+                        for d in days
+                    ],
+                    "is_new": flags,
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

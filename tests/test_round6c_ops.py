@@ -174,3 +174,38 @@ class TestSourceDivergence:
         assert out[("a", "b")].n_shared == 2
         assert out[("a", "c")].jsd == round(math.log(2.0), 6)
         assert out[("a", "c")].n_shared == 0
+
+
+class TestStreamNewVsReturning:
+    def test_two_scalar_state_matches_batch_semantics(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        # user 1 active days 1,1,2; user 2 active day 2 only ->
+        # day1: active=1 new=1; day2: active=2 new=1 (user 2)
+        rows = [
+            (0, "2024-05-01 08:00:00", 1, "click", 1.0, "{}"),
+            (1, "2024-05-01 09:00:00", 1, "view", 1.0, "{}"),
+            (2, "2024-05-02 08:00:00", 1, "click", 1.0, "{}"),
+            (3, "2024-05-02 10:00:00", 2, "click", 1.0, "{}"),
+        ]
+        d = tempfile.mkdtemp(prefix="snvr-")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r.day: r
+            for r in QUERIES["s28_stream_new_vs_returning"](
+                spark, d
+            ).collect()
+        }
+        assert out["2024-05-01"].n_active == 1
+        assert out["2024-05-01"].n_new == 1
+        assert out["2024-05-02"].n_active == 2
+        assert out["2024-05-02"].n_new == 1
+        assert out["2024-05-02"].n_returning == 1
+        assert out["2024-05-02"].new_share == 0.5
