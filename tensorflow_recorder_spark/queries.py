@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .operators import dedup, events, similarity, text
 from .operators.scale import fit_and_apply_scale
@@ -11989,6 +11989,79 @@ def q_s28_stream_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_e4_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 ingestion-order audit: per event type, how many events
+    arrived LATE — event-time older than something the same user
+    already emitted under a smaller event_id (backfill, retry queues,
+    clock skew). Late share decides every watermark: a stream job's
+    allowed lateness must cover the p-max lateness seen here, and a
+    batch pipeline that assumes id-order == time-order silently
+    corrupts as-of joins. Plan: ONE user-keyed window (running max of
+    event-time over preceding ids — partitioned by the same key
+    sessionization shuffles on, never a global sort), then a
+    |types|-row rollup. Lateness seconds are exact integer micros
+    divided once at the end."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("__us"),
+        F.max(F.unix_micros("ts")).over(w).alias("__prev_max"),
+    ).withColumn(
+        "__late_us",
+        F.when(
+            F.col("__prev_max").isNotNull()
+            & (F.col("__us") < F.col("__prev_max")),
+            F.col("__prev_max") - F.col("__us"),
+        ),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("__late_us").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.round(
+            F.sum(
+                F.when(F.col("__late_us").isNotNull(), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("late_share"),
+        F.round(F.max("__late_us").cast("double") / 1000000.0, 6).alias(
+            "max_lateness_s"
+        ),
+    )
+
+
+ORACLE_E4_OUT_OF_ORDER = """
+WITH f AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         max(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_max
+  FROM events
+),
+l AS (
+  SELECT event_type,
+         CASE WHEN prev_max IS NOT NULL AND us < prev_max
+              THEN prev_max - us END AS late_us
+  FROM f
+)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN late_us IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_late,
+       round(sum(CASE WHEN late_us IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS late_share,
+       round(CAST(max(late_us) AS DOUBLE) / 1000000.0, 6) AS max_lateness_s
+FROM l GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -12302,6 +12375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_changepoint": q_e4_changepoint,
     "e3_source_divergence": q_e3_source_divergence,
     "s28_stream_new_vs_returning": q_s28_stream_new_vs_returning,
+    "e4_out_of_order": q_e4_out_of_order,
 }
 
 ORACLES: dict[str, str] = {
@@ -12575,6 +12649,7 @@ ORACLES: dict[str, str] = {
     "e3_source_divergence": ORACLE_E3_SOURCE_DIVERGENCE,
     # stream twin emits each (user, day) once -> same day rollup, same oracle
     "s28_stream_new_vs_returning": ORACLE_E4_NEW_VS_RETURNING,
+    "e4_out_of_order": ORACLE_E4_OUT_OF_ORDER,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -209,3 +209,36 @@ class TestStreamNewVsReturning:
         assert out["2024-05-02"].n_new == 1
         assert out["2024-05-02"].n_returning == 1
         assert out["2024-05-02"].new_share == 0.5
+
+
+class TestOutOfOrder:
+    def test_backfilled_event_flagged_with_exact_lateness(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        # user 1: id 0 @ t=100s, id 1 @ t=50s (late by 50s), id 2 @ 200s
+        # user 2: in-order
+        rows = [
+            (0, "2024-05-01 00:01:40", 1, "click", 1.0, "{}"),
+            (1, "2024-05-01 00:00:50", 1, "click", 1.0, "{}"),
+            (2, "2024-05-01 00:03:20", 1, "click", 1.0, "{}"),
+            (3, "2024-05-01 00:00:00", 2, "view", 1.0, "{}"),
+            (4, "2024-05-01 00:01:00", 2, "view", 1.0, "{}"),
+        ]
+        d = tempfile.mkdtemp(prefix="ooo-")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r.event_type: r
+            for r in QUERIES["e4_out_of_order"](spark, d).collect()
+        }
+        assert out["click"].n_events == 3 and out["click"].n_late == 1
+        assert out["click"].max_lateness_s == 50.0
+        assert out["click"].late_share == round(1 / 3, 6)
+        assert out["view"].n_late == 0
+        assert out["view"].max_lateness_s is None
