@@ -12062,6 +12062,48 @@ FROM l GROUP BY event_type
 """
 
 
+def q_rel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the top-20 part pairs that co-occur
+    in the same order — the recommendation/affinity primitive. Plan:
+    the within-order self-join is keyed by orderkey and bounded BY
+    CONSTRUCTION — an order has at most 7 lineitems (TPC-H invariant;
+    generally: basket size), so the pair explosion is O(k²) per order
+    with tiny k, never corpus². Distinct (order, part) first so a
+    part listed twice in one order counts once; canonical direction
+    (a < b); the final top-20 is a TakeOrdered with a deterministic
+    (count desc, part_a, part_b) tiebreak."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    rhs = li.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("__pb")
+    )
+    pairs = li.join(
+        rhs,
+        (F.col("l_orderkey") == F.col("__ok"))
+        & (F.col("l_partkey") < F.col("__pb")),
+    ).groupBy(
+        F.col("l_partkey").alias("part_a"), F.col("__pb").alias("part_b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    return pairs.orderBy(
+        F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
+
+
+ORACLE_REL_COPURCHASE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*)::BIGINT AS n_orders
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -12376,6 +12418,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_source_divergence": q_e3_source_divergence,
     "s28_stream_new_vs_returning": q_s28_stream_new_vs_returning,
     "e4_out_of_order": q_e4_out_of_order,
+    "rel_copurchase": q_rel_copurchase,
 }
 
 ORACLES: dict[str, str] = {
@@ -12650,6 +12693,7 @@ ORACLES: dict[str, str] = {
     # stream twin emits each (user, day) once -> same day rollup, same oracle
     "s28_stream_new_vs_returning": ORACLE_E4_NEW_VS_RETURNING,
     "e4_out_of_order": ORACLE_E4_OUT_OF_ORDER,
+    "rel_copurchase": ORACLE_REL_COPURCHASE,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -242,3 +242,37 @@ class TestOutOfOrder:
         assert out["click"].late_share == round(1 / 3, 6)
         assert out["view"].n_late == 0
         assert out["view"].max_lateness_s is None
+
+
+class TestCopurchase:
+    def test_pair_counts_and_ordering(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        rows = []
+        for ok, parts in ((1, [10, 20, 30]), (2, [10, 20]), (3, [20, 10]),
+                          (4, [10, 10, 40])):
+            for i, pk in enumerate(parts):
+                rows.append((ok, pk, 1, i, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                             "2024-01-01 00:00:00"))
+        d = tempfile.mkdtemp(prefix="copur-")
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_linenumber int, l_quantity double, l_extendedprice double,"
+            " l_discount double, l_tax double, l_returnflag string,"
+            " l_linestatus string, l_shipdate string",
+        ).withColumn(
+            "l_shipdate", F.col("l_shipdate").cast("timestamp")
+        ).write.mode("overwrite").parquet(
+            os.path.join(d, "lineitem.parquet")
+        )
+        out = QUERIES["rel_copurchase"](spark, d).collect()
+        as_map = {(r.part_a, r.part_b): r.n_orders for r in out}
+        # (10,20) in orders 1,2,3; duplicate part 10 in order 4 collapses
+        # so (10,40) counts once; no self-pair (10,10)
+        assert as_map[(10, 20)] == 3
+        assert as_map[(10, 30)] == 1 and as_map[(20, 30)] == 1
+        assert as_map[(10, 40)] == 1
+        assert (10, 10) not in as_map
+        assert out[0].part_a == 10 and out[0].part_b == 20  # top by count
