@@ -12104,6 +12104,84 @@ LIMIT 20
 """
 
 
+def q_e4_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 autocorrelation: Pearson r of the daily event-count series
+    against itself at lag 1 (momentum) and lag 7 (weekly seasonality
+    STRENGTH — the seasonal decomposition says what the weekly shape
+    is; r@7 says how much of the variance that shape explains). Plan:
+    the corpus collapses to the day-bounded count frame once; each
+    lag is an equi-join on datediff (|days| pairs per lag, never a
+    window); sufficient statistics are exact decimal(38,0) integer
+    sums, and only the final Pearson expression — written in the
+    same operation order as the oracle — runs in doubles."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("__day")).agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    lags = spark.createDataFrame([(1,), (7,)], "lag int")
+    rhs = daily.select(
+        F.col("__day").alias("__d2"), F.col("__y").alias("__y2")
+    )
+    pairs = daily.crossJoin(F.broadcast(lags)).join(
+        rhs, F.expr("datediff(__d2, __day) = lag")
+    )
+    stats = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__y").cast("decimal(38,0)")).alias("__sx"),
+        F.sum(F.col("__y2").cast("decimal(38,0)")).alias("__sy"),
+        F.sum(F.expr("CAST(__y AS DECIMAL(38,0)) * __y2")).alias("__sxy"),
+        F.sum(F.expr("CAST(__y AS DECIMAL(38,0)) * __y")).alias("__sxx"),
+        F.sum(F.expr("CAST(__y2 AS DECIMAL(38,0)) * __y2")).alias("__syy"),
+    )
+    return stats.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("__n").alias("n_pairs"),
+        F.round(
+            F.expr(
+                "(CAST(__n AS DOUBLE) * CAST(__sxy AS DOUBLE)"
+                " - CAST(__sx AS DOUBLE) * CAST(__sy AS DOUBLE))"
+                " / nullif(sqrt((CAST(__n AS DOUBLE) * CAST(__sxx AS DOUBLE)"
+                " - CAST(__sx AS DOUBLE) * CAST(__sx AS DOUBLE))"
+                " * (CAST(__n AS DOUBLE) * CAST(__syy AS DOUBLE)"
+                " - CAST(__sy AS DOUBLE) * CAST(__sy AS DOUBLE))), 0.0)"
+            ),
+            6,
+        ).alias("r"),
+    )
+
+
+ORACLE_E4_AUTOCORR = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+),
+lags AS (SELECT unnest([1, 7]) AS lag),
+pairs AS (
+  SELECT l.lag, a.y AS x, b.y AS y2
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.day - a.day = l.lag
+),
+stats AS (
+  SELECT lag, count(*)::BIGINT AS n,
+         sum(CAST(x AS HUGEINT)) AS sx,
+         sum(CAST(y2 AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y2) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y2 AS HUGEINT) * y2) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                      0.0), 6) AS r
+FROM stats
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -12419,6 +12497,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s28_stream_new_vs_returning": q_s28_stream_new_vs_returning,
     "e4_out_of_order": q_e4_out_of_order,
     "rel_copurchase": q_rel_copurchase,
+    "e4_autocorr": q_e4_autocorr,
 }
 
 ORACLES: dict[str, str] = {
@@ -12694,6 +12773,7 @@ ORACLES: dict[str, str] = {
     "s28_stream_new_vs_returning": ORACLE_E4_NEW_VS_RETURNING,
     "e4_out_of_order": ORACLE_E4_OUT_OF_ORDER,
     "rel_copurchase": ORACLE_REL_COPURCHASE,
+    "e4_autocorr": ORACLE_E4_AUTOCORR,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

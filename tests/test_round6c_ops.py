@@ -276,3 +276,51 @@ class TestCopurchase:
         assert as_map[(10, 40)] == 1
         assert (10, 10) not in as_map
         assert out[0].part_a == 10 and out[0].part_b == 20  # top by count
+
+
+class TestAutocorr:
+    def test_alternating_series_lag1_negative(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        # daily counts alternate 1,3,1,3,... -> lag-1 r = -1, lag-7
+        # (odd lag on period-2 series) also -1
+        rows = []
+        eid = 0
+        for day in range(1, 15):
+            n = 1 if day % 2 else 3
+            for _ in range(n):
+                rows.append(
+                    (eid, f"2024-06-{day:02d} 12:00:00", 1, "click", 1.0, "{}")
+                )
+                eid += 1
+        d = tempfile.mkdtemp(prefix="acf-")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "events.parquet"))
+        out = {r.lag: r for r in QUERIES["e4_autocorr"](spark, d).collect()}
+        assert out[1].n_pairs == 13 and out[1].r == -1.0
+        assert out[7].n_pairs == 7 and out[7].r == -1.0
+
+    def test_constant_series_null_r(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        rows = [
+            (i, f"2024-06-{d:02d} 12:00:00", 1, "click", 1.0, "{}")
+            for i, d in enumerate(range(1, 10))
+        ]
+        d = tempfile.mkdtemp(prefix="acf0-")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "events.parquet"))
+        out = {r.lag: r for r in QUERIES["e4_autocorr"](spark, d).collect()}
+        assert out[1].r is None  # zero variance -> undefined, not crash
