@@ -12182,6 +12182,95 @@ FROM stats
 """
 
 
+def q_e1_dup_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1xE3 curation cross-check: the point-biserial correlation
+    between exact-duplicate membership and document length — IS
+    duplication length-biased? If dups skew short (boilerplate,
+    templates) a naive keep-one dedup silently shifts the length
+    distribution the mixture was tuned on, and length quotas must be
+    re-fit AFTER dedup, not before. Plan: one text-keyed group-size
+    count joined back on the same key (the exact-dedup shuffle,
+    reused as-is), then a single 1-row aggregate of exact
+    decimal(38,0) sufficient statistics; the Pearson form of the
+    point-biserial runs in doubles only in the final expression,
+    written in oracle operation order."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "text", F.col("n_chars").cast("long").alias("__len")
+    )
+    sizes = docs.groupBy("text").agg(F.count(F.lit(1)).alias("__gn"))
+    marked = (
+        docs.join(sizes, "text")
+        .withColumn(
+            "__d",
+            F.when(F.col("__gn") > 1, 1).otherwise(0).cast("long"),
+        )
+    )
+    stats = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__d").cast("long").alias("__nd"),
+        F.sum(F.col("__len").cast("decimal(38,0)")).alias("__sy"),
+        F.sum(F.expr("CAST(__len AS DECIMAL(38,0)) * __len")).alias("__syy"),
+        F.sum(F.expr("CAST(__d AS DECIMAL(38,0)) * __len")).alias("__sxy"),
+    )
+    return stats.select(
+        F.col("__n").alias("n_docs"),
+        F.col("__nd").alias("n_dup_docs"),
+        F.round(
+            F.expr("CAST(__sxy AS DOUBLE) / nullif(CAST(__nd AS DOUBLE), 0.0)"),
+            6,
+        ).alias("mean_len_dup"),
+        F.round(
+            F.expr(
+                "(CAST(__sy AS DOUBLE) - CAST(__sxy AS DOUBLE))"
+                " / nullif(CAST(__n - __nd AS DOUBLE), 0.0)"
+            ),
+            6,
+        ).alias("mean_len_uniq"),
+        F.round(
+            F.expr(
+                "(CAST(__n AS DOUBLE) * CAST(__sxy AS DOUBLE)"
+                " - CAST(__nd AS DOUBLE) * CAST(__sy AS DOUBLE))"
+                " / nullif(sqrt((CAST(__n AS DOUBLE) * CAST(__nd AS DOUBLE)"
+                " - CAST(__nd AS DOUBLE) * CAST(__nd AS DOUBLE))"
+                " * (CAST(__n AS DOUBLE) * CAST(__syy AS DOUBLE)"
+                " - CAST(__sy AS DOUBLE) * CAST(__sy AS DOUBLE))), 0.0)"
+            ),
+            6,
+        ).alias("r_pb"),
+    )
+
+
+ORACLE_E1_DUP_LENGTH_BIAS = """
+WITH sizes AS (
+  SELECT text, count(*)::BIGINT AS gn FROM documents GROUP BY text
+),
+m AS (
+  SELECT CASE WHEN s.gn > 1 THEN 1 ELSE 0 END AS d, d0.n_chars AS len
+  FROM documents d0 JOIN sizes s USING (text)
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n, sum(d)::BIGINT AS nd,
+         sum(CAST(len AS HUGEINT)) AS sy,
+         sum(CAST(len AS HUGEINT) * len) AS syy,
+         sum(CAST(d AS HUGEINT) * len) AS sxy
+  FROM m
+)
+SELECT n AS n_docs, nd AS n_dup_docs,
+       round(CAST(sxy AS DOUBLE) / nullif(CAST(nd AS DOUBLE), 0.0), 6)
+         AS mean_len_dup,
+       round((CAST(sy AS DOUBLE) - CAST(sxy AS DOUBLE))
+             / nullif(CAST(n - nd AS DOUBLE), 0.0), 6) AS mean_len_uniq,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(nd AS DOUBLE) * CAST(sy AS DOUBLE))
+             / nullif(sqrt((CAST(n AS DOUBLE) * CAST(nd AS DOUBLE)
+                            - CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                      0.0), 6) AS r_pb
+FROM stats
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -12498,6 +12587,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_out_of_order": q_e4_out_of_order,
     "rel_copurchase": q_rel_copurchase,
     "e4_autocorr": q_e4_autocorr,
+    "e1_dup_length_bias": q_e1_dup_length_bias,
 }
 
 ORACLES: dict[str, str] = {
@@ -12774,6 +12864,7 @@ ORACLES: dict[str, str] = {
     "e4_out_of_order": ORACLE_E4_OUT_OF_ORDER,
     "rel_copurchase": ORACLE_REL_COPURCHASE,
     "e4_autocorr": ORACLE_E4_AUTOCORR,
+    "e1_dup_length_bias": ORACLE_E1_DUP_LENGTH_BIAS,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

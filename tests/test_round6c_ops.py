@@ -324,3 +324,42 @@ class TestAutocorr:
         ).parquet(os.path.join(d, "events.parquet"))
         out = {r.lag: r for r in QUERIES["e4_autocorr"](spark, d).collect()}
         assert out[1].r is None  # zero variance -> undefined, not crash
+
+
+class TestDupLengthBias:
+    def test_short_dups_give_negative_r(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        rows = [
+            (1, "a", "en", "s1", 5),
+            (2, "a", "en", "s1", 7),
+            (3, "b", "en", "s1", 100),
+        ]
+        d = tempfile.mkdtemp(prefix="dlb-")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        [r] = QUERIES["e1_dup_length_bias"](spark, d).collect()
+        assert r.n_docs == 3 and r.n_dup_docs == 2
+        assert r.mean_len_dup == 6.0 and r.mean_len_uniq == 100.0
+        assert r.r_pb < -0.99  # dups are short -> strong negative bias
+
+    def test_no_dups_yields_null_r(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        rows = [(1, "a", "en", "s1", 5), (2, "b", "en", "s1", 9)]
+        d = tempfile.mkdtemp(prefix="dlb0-")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        [r] = QUERIES["e1_dup_length_bias"](spark, d).collect()
+        assert r.n_dup_docs == 0
+        assert r.mean_len_dup is None and r.r_pb is None
