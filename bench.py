@@ -169,6 +169,18 @@ BENCH_QUERIES = [
     "e3_oov_rate",
     "e4_metric_correlation",
     "e1_source_overlap",
+    # round-6 session-3: the new audit/pair shapes with nontrivial
+    # sf0.1 cost (gini histogram self-join, JSD pair matrix, basket
+    # self-join, user-window lateness scan, dup-bias text shuffle)
+    "e4_activity_gini",
+    "p6_temporal_split",
+    "e2_dim_variance",
+    "e3_source_divergence",
+    "rel_copurchase",
+    "e4_out_of_order",
+    "e1_dup_length_bias",
+    "e4_changepoint",
+    "e4_autocorr",
 ]
 
 
