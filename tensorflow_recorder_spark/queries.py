@@ -12271,6 +12271,102 @@ FROM stats
 """
 
 
+def q_e4_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 causal readout: difference-in-differences on event value —
+    treatment = deterministic user-hash parity (the A/B assignment
+    every experiment here uses), pre/post = the Jan-15 cutoff. The
+    2x2 cell means difference out both the group baseline and the
+    common time trend; the interaction term is the effect estimate a
+    raw post-period A/B comparison overstates whenever the cohorts
+    started unequal. Plan: ONE scan into a 4-cell aggregate (exact
+    decimal value sums, integer counts); all four means and the DiD
+    come from that single broadcastable row — no join, no window.
+    Welch machinery lives in e4_ab_test; this is its
+    pre-trend-robust companion."""
+    ev = _events(spark, sf_dir)
+    cells = (
+        ev.select(
+            F.expr("CAST(user_id % 2 = 0 AS INT)").alias("__treat"),
+            F.expr(
+                "CAST(ts >= TIMESTAMP '2024-01-15 00:00:00' AS INT)"
+            ).alias("__post"),
+            F.col("value").cast("decimal(18,6)").alias("__v"),
+        )
+        .groupBy("__treat", "__post")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__v").alias("__s"),
+        )
+    )
+    wide = cells.groupBy().agg(
+        F.sum(F.when((F.col("__treat") == 1) & (F.col("__post") == 1), F.col("__n")).otherwise(0)).cast("long").alias("n_t_post"),
+        F.sum(F.when((F.col("__treat") == 1) & (F.col("__post") == 0), F.col("__n")).otherwise(0)).cast("long").alias("n_t_pre"),
+        F.sum(F.when((F.col("__treat") == 0) & (F.col("__post") == 1), F.col("__n")).otherwise(0)).cast("long").alias("n_c_post"),
+        F.sum(F.when((F.col("__treat") == 0) & (F.col("__post") == 0), F.col("__n")).otherwise(0)).cast("long").alias("n_c_pre"),
+        F.sum(F.when((F.col("__treat") == 1) & (F.col("__post") == 1), F.col("__s")).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("__s_t_post"),
+        F.sum(F.when((F.col("__treat") == 1) & (F.col("__post") == 0), F.col("__s")).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("__s_t_pre"),
+        F.sum(F.when((F.col("__treat") == 0) & (F.col("__post") == 1), F.col("__s")).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("__s_c_post"),
+        F.sum(F.when((F.col("__treat") == 0) & (F.col("__post") == 0), F.col("__s")).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("__s_c_pre"),
+    )
+    mean = lambda s, n: F.expr(  # noqa: E731
+        f"CAST({s} AS DOUBLE) / CAST({n} AS DOUBLE)"
+    )
+    return wide.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        F.round(mean("__s_t_pre", "n_t_pre"), 6).alias("mean_t_pre"),
+        F.round(mean("__s_t_post", "n_t_post"), 6).alias("mean_t_post"),
+        F.round(mean("__s_c_pre", "n_c_pre"), 6).alias("mean_c_pre"),
+        F.round(mean("__s_c_post", "n_c_post"), 6).alias("mean_c_post"),
+        F.round(
+            (mean("__s_t_post", "n_t_post") - mean("__s_t_pre", "n_t_pre"))
+            - (mean("__s_c_post", "n_c_post") - mean("__s_c_pre", "n_c_pre")),
+            6,
+        ).alias("did"),
+    )
+
+
+ORACLE_E4_DIFF_IN_DIFF = """
+WITH cells AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treat,
+         CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END
+           AS post,
+         count(*)::BIGINT AS n,
+         sum(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events GROUP BY 1, 2
+),
+wide AS (
+  SELECT
+    sum(CASE WHEN treat = 1 AND post = 0 THEN n ELSE 0 END)::BIGINT AS n_t_pre,
+    sum(CASE WHEN treat = 1 AND post = 1 THEN n ELSE 0 END)::BIGINT AS n_t_post,
+    sum(CASE WHEN treat = 0 AND post = 0 THEN n ELSE 0 END)::BIGINT AS n_c_pre,
+    sum(CASE WHEN treat = 0 AND post = 1 THEN n ELSE 0 END)::BIGINT AS n_c_post,
+    sum(CASE WHEN treat = 1 AND post = 0 THEN s ELSE 0 END) AS s_t_pre,
+    sum(CASE WHEN treat = 1 AND post = 1 THEN s ELSE 0 END) AS s_t_post,
+    sum(CASE WHEN treat = 0 AND post = 0 THEN s ELSE 0 END) AS s_c_pre,
+    sum(CASE WHEN treat = 0 AND post = 1 THEN s ELSE 0 END) AS s_c_post
+  FROM cells
+)
+SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+       round(CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE), 6)
+         AS mean_t_pre,
+       round(CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE), 6)
+         AS mean_t_post,
+       round(CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE), 6)
+         AS mean_c_pre,
+       round(CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE), 6)
+         AS mean_c_post,
+       round((CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+              - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+             - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+                - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)), 6)
+         AS did
+FROM wide
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -12588,6 +12684,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_copurchase": q_rel_copurchase,
     "e4_autocorr": q_e4_autocorr,
     "e1_dup_length_bias": q_e1_dup_length_bias,
+    "e4_diff_in_diff": q_e4_diff_in_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -12865,6 +12962,7 @@ ORACLES: dict[str, str] = {
     "rel_copurchase": ORACLE_REL_COPURCHASE,
     "e4_autocorr": ORACLE_E4_AUTOCORR,
     "e1_dup_length_bias": ORACLE_E1_DUP_LENGTH_BIAS,
+    "e4_diff_in_diff": ORACLE_E4_DIFF_IN_DIFF,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -363,3 +363,31 @@ class TestDupLengthBias:
         [r] = QUERIES["e1_dup_length_bias"](spark, d).collect()
         assert r.n_dup_docs == 0
         assert r.mean_len_dup is None and r.r_pb is None
+
+
+class TestDiffInDiff:
+    def test_common_trend_differenced_out(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        # control (user 1, odd): pre mean 10, post mean 14 (trend +4)
+        # treated (user 2, even): pre mean 12, post mean 20 (+8)
+        # DiD = (20-12) - (14-10) = 4
+        rows = [
+            (0, "2024-01-10 00:00:00", 1, "click", 10.0, "{}"),
+            (1, "2024-01-20 00:00:00", 1, "click", 14.0, "{}"),
+            (2, "2024-01-10 00:00:00", 2, "click", 12.0, "{}"),
+            (3, "2024-01-20 00:00:00", 2, "click", 20.0, "{}"),
+        ]
+        d = tempfile.mkdtemp(prefix="did-")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "events.parquet"))
+        [r] = QUERIES["e4_diff_in_diff"](spark, d).collect()
+        assert (r.n_t_pre, r.n_t_post, r.n_c_pre, r.n_c_post) == (1, 1, 1, 1)
+        assert r.mean_t_post == 20.0 and r.mean_c_pre == 10.0
+        assert r.did == 4.0
