@@ -12367,6 +12367,33 @@ FROM wide
 """
 
 
+def q_s29_stream_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lateness audit AS A STREAM: one scalar of state per user
+    (max event-time seen) via applyInPandasWithState; per-event flag
+    rows drain into the SAME |types|-row rollup expression tree as
+    the batch audit, so the twin shares its oracle."""
+    from .streaming.stateful import streaming_out_of_order
+
+    rows = streaming_out_of_order(_event_stream(spark, sf_dir))
+    table = _drain_to_memory(rows, "stream_ooo_sink", "update")
+    return table.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("late_us").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.round(
+            F.sum(
+                F.when(F.col("late_us").isNotNull(), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("late_share"),
+        F.round(F.max("late_us").cast("double") / 1000000.0, 6).alias(
+            "max_lateness_s"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -12685,6 +12712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_autocorr": q_e4_autocorr,
     "e1_dup_length_bias": q_e1_dup_length_bias,
     "e4_diff_in_diff": q_e4_diff_in_diff,
+    "s29_stream_out_of_order": q_s29_stream_out_of_order,
 }
 
 ORACLES: dict[str, str] = {
@@ -12963,6 +12991,9 @@ ORACLES: dict[str, str] = {
     "e4_autocorr": ORACLE_E4_AUTOCORR,
     "e1_dup_length_bias": ORACLE_E1_DUP_LENGTH_BIAS,
     "e4_diff_in_diff": ORACLE_E4_DIFF_IN_DIFF,
+    # stream twin flags each event once under one-scalar max-ts state
+    # -> same |types|-row rollup, same oracle
+    "s29_stream_out_of_order": ORACLE_E4_OUT_OF_ORDER,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

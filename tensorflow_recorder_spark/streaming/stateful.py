@@ -851,3 +851,58 @@ def streaming_new_vs_returning(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_out_of_order(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-key streaming lateness monitor via
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    ``out_of_order`` audit. Each key keeps exactly ONE scalar (the
+    max event-time seen so far); an incoming event older than it is
+    late, by that many micros. Folding in (id) order under the
+    in-order drain (same caveat as :func:`streaming_cusum`)
+    reproduces the batch running-max-over-preceding-ids window
+    exactly. Emits one flag row per event so the |types|-row
+    finalize is the batch rollup unchanged.
+
+    Output per batch (update mode): (key, event_type, late_us) with
+    late_us NULL for in-order events.
+    """
+    out_schema = f"{key_col} long, {type_col} string, late_us long"
+    state_schema = "max_us long"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (max_us,) = state.get if state.exists else (None,)
+        ordered = pd.concat(list(pdfs)).sort_values(id_col)
+        types: list[str] = []
+        lates: list[int | None] = []
+        for ts, etype in zip(ordered[ts_col], ordered[type_col]):
+            us = int(ts.value // 1000)
+            types.append(etype)
+            lates.append(max_us - us if max_us is not None and us < max_us
+                         else None)
+            if max_us is None or us > max_us:
+                max_us = us
+        state.update((max_us,))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(types),
+                type_col: types,
+                "late_us": pd.array(lates, dtype="Int64"),
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

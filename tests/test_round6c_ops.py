@@ -391,3 +391,37 @@ class TestDiffInDiff:
         assert (r.n_t_pre, r.n_t_post, r.n_c_pre, r.n_c_post) == (1, 1, 1, 1)
         assert r.mean_t_post == 20.0 and r.mean_c_pre == 10.0
         assert r.did == 4.0
+
+
+class TestStreamOutOfOrder:
+    def test_one_scalar_state_matches_batch(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        rows = [
+            (0, "2024-05-01 00:01:40", 1, "click", 1.0, "{}"),
+            (1, "2024-05-01 00:00:50", 1, "click", 1.0, "{}"),
+            (2, "2024-05-01 00:03:20", 1, "click", 1.0, "{}"),
+            (3, "2024-05-01 00:00:00", 2, "view", 1.0, "{}"),
+        ]
+        d = tempfile.mkdtemp(prefix="sooo-")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "events.parquet"))
+        stream = {
+            r.event_type: r
+            for r in QUERIES["s29_stream_out_of_order"](spark, d).collect()
+        }
+        batch = {
+            r.event_type: r
+            for r in QUERIES["e4_out_of_order"](spark, d).collect()
+        }
+        for t in ("click", "view"):
+            assert stream[t].n_late == batch[t].n_late
+            assert stream[t].max_lateness_s == batch[t].max_lateness_s
+        assert stream["click"].n_late == 1
+        assert stream["click"].max_lateness_s == 50.0
