@@ -12394,6 +12394,89 @@ def q_s29_stream_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e6_ess_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 mixture-design companion: the EFFECTIVE SAMPLE SIZE of
+    temperature sampling at alpha in {1.0, 0.7, 0.5} — flattening a
+    skewed source mix (alpha < 1) up-weights small sources, and
+    Kish's ESS = 1 / sum_s(p_s²/n_s) quantifies exactly how much
+    statistical mass that costs (alpha=1 gives ESS = N; more
+    flattening, lower ESS). The readout that turns "temperature 0.7
+    feels right" into "temperature 0.7 costs 18% of the corpus".
+    Plan: one |sources|-row count frame crossed with a 3-row alpha
+    literal; pow results and per-source terms are quantized to DECIMAL
+    before each sum (the temperature_weights discipline,
+    operators/sampling.py:499) so both engines sum exactly in any
+    order; doubles appear only in fixed per-row expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    alphas = spark.createDataFrame([(1.0,), (0.7,), (0.5,)], "alpha double")
+    pw = per_source.crossJoin(F.broadcast(alphas)).withColumn(
+        "__pw",
+        F.pow(F.col("__n").cast("double"), F.col("alpha")).cast(
+            "decimal(28,10)"
+        ),
+    )
+    den = pw.groupBy("alpha").agg(
+        F.sum("__pw").alias("__denom"),
+        F.sum("__n").cast("long").alias("n_docs"),
+    )
+    terms = pw.join(den.select("alpha", "__denom"), "alpha").withColumn(
+        "__t",
+        F.expr(
+            "CAST((CAST(__pw AS DOUBLE) / CAST(__denom AS DOUBLE))"
+            " * (CAST(__pw AS DOUBLE) / CAST(__denom AS DOUBLE))"
+            " / CAST(__n AS DOUBLE) AS DECIMAL(38,28))"
+        ),
+    )
+    summed = terms.groupBy("alpha").agg(F.sum("__t").alias("__ts"))
+    return (
+        summed.join(den.select("alpha", "n_docs"), "alpha")
+        .select(
+            "alpha",
+            "n_docs",
+            F.round(F.expr("1.0 / CAST(__ts AS DOUBLE)"), 4).alias("ess"),
+            F.round(
+                F.expr(
+                    "(1.0 / CAST(__ts AS DOUBLE)) / CAST(n_docs AS DOUBLE)"
+                ),
+                6,
+            ).alias("ess_ratio"),
+        )
+    )
+
+
+ORACLE_E6_ESS_MIXTURE = """
+WITH per_source AS (
+  SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source
+),
+alphas AS (SELECT unnest([1.0, 0.7, 0.5]) AS alpha),
+pw AS (
+  SELECT alpha, source, n,
+         CAST(pow(CAST(n AS DOUBLE), alpha) AS DECIMAL(28,10)) AS pwv
+  FROM per_source CROSS JOIN alphas
+),
+den AS (
+  SELECT alpha, sum(pwv) AS denom, sum(n)::BIGINT AS n_docs
+  FROM pw GROUP BY alpha
+),
+terms AS (
+  SELECT p.alpha,
+         CAST((CAST(p.pwv AS DOUBLE) / CAST(d.denom AS DOUBLE))
+              * (CAST(p.pwv AS DOUBLE) / CAST(d.denom AS DOUBLE))
+              / CAST(p.n AS DOUBLE) AS DECIMAL(38,28)) AS term
+  FROM pw p JOIN den d USING (alpha)
+),
+summed AS (SELECT alpha, sum(term) AS ts FROM terms GROUP BY alpha)
+SELECT d.alpha, d.n_docs,
+       round(1.0 / CAST(s2.ts AS DOUBLE), 4) AS ess,
+       round((1.0 / CAST(s2.ts AS DOUBLE)) / CAST(d.n_docs AS DOUBLE), 6)
+         AS ess_ratio
+FROM summed s2 JOIN den d USING (alpha)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -12713,6 +12796,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_dup_length_bias": q_e1_dup_length_bias,
     "e4_diff_in_diff": q_e4_diff_in_diff,
     "s29_stream_out_of_order": q_s29_stream_out_of_order,
+    "e6_ess_mixture": q_e6_ess_mixture,
 }
 
 ORACLES: dict[str, str] = {
@@ -12994,6 +13078,7 @@ ORACLES: dict[str, str] = {
     # stream twin flags each event once under one-scalar max-ts state
     # -> same |types|-row rollup, same oracle
     "s29_stream_out_of_order": ORACLE_E4_OUT_OF_ORDER,
+    "e6_ess_mixture": ORACLE_E6_ESS_MIXTURE,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -425,3 +425,29 @@ class TestStreamOutOfOrder:
             assert stream[t].max_lateness_s == batch[t].max_lateness_s
         assert stream["click"].n_late == 1
         assert stream["click"].max_lateness_s == 50.0
+
+
+class TestEssMixture:
+    def test_alpha_one_is_corpus_size_and_flattening_costs(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        # sources: a=8 docs, b=2 docs (N=10). alpha=1 -> ESS = N.
+        # alpha=0.5: p_a = sqrt8/(sqrt8+sqrt2), p_b = sqrt2/(...) ->
+        # p=(2/3, 1/3); ESS = 1/((4/9)/8 + (1/9)/2) = 9.
+        rows = [(i, f"t{i}", "en", "a" if i < 8 else "b", 5)
+                for i in range(10)]
+        d = tempfile.mkdtemp(prefix="ess-")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r.alpha: r for r in QUERIES["e6_ess_mixture"](spark, d).collect()}
+        assert out[1.0].n_docs == 10
+        assert abs(out[1.0].ess - 10.0) < 1e-3
+        assert abs(out[1.0].ess_ratio - 1.0) < 1e-4
+        assert abs(out[0.5].ess - 9.0) < 1e-3
+        # flattening strictly reduces ESS on a skewed mix
+        assert out[0.5].ess < out[0.7].ess < out[1.0].ess
