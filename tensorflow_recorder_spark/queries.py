@@ -12477,6 +12477,103 @@ FROM summed s2 JOIN den d USING (alpha)
 """
 
 
+def q_e3_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 source profiling: the top-5 DISTINCTIVE words per source by
+    smoothed log-odds ratio (source vs rest-of-corpus, +0.5
+    Haldane-Anscombe smoothing) — "what does this source talk about
+    that others don't", the readout that catches a crawl slice gone
+    topical (SEO spam, single-domain dumps) before it skews the mix.
+    Raw frequency ranks common words; log-odds ranks words
+    OVER-represented relative to everywhere else. Plan: counts are
+    restricted to the global top-200 vocabulary (TakeOrdered
+    broadcast), so the scored frame is |sources| x 200 and the
+    per-source rank window runs over <= 200 rows per partition —
+    keyed, bounded, never corpus-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    top = text.word_frequencies(docs, "text", top_n=200).select("word")
+    sw = (
+        w.join(F.broadcast(top), "word")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    tot = sw.groupBy("source").agg(F.sum("__c").cast("long").alias("__t"))
+    gw = sw.groupBy("word").agg(F.sum("__c").cast("long").alias("__g"))
+    grand = gw.agg(F.sum("__g").cast("long").alias("__gg"))
+    scored = (
+        sw.join(tot, "source")
+        .join(F.broadcast(gw), "word")
+        .crossJoin(F.broadcast(grand))
+        .withColumn(
+            "score",
+            F.round(
+                F.expr(
+                    "ln((CAST(__c AS DOUBLE) + 0.5)"
+                    " / (CAST(__t - __c AS DOUBLE) + 0.5))"
+                    " - ln((CAST(__g - __c AS DOUBLE) + 0.5)"
+                    " / (CAST(__gg - __t - __g + __c AS DOUBLE) + 0.5))"
+                ),
+                6,
+            ),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.desc("score"), F.asc("word")
+            )
+        )
+        .cast("long"),
+    )
+    return ranked.where(F.col("rank") <= 5).select(
+        "source", "rank", "word", "score"
+    )
+
+
+ORACLE_E3_DISTINCTIVE_TERMS = """
+WITH w AS (
+  SELECT source, word FROM (
+    SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+    FROM documents
+  ) WHERE word <> ''
+),
+top AS (
+  SELECT word FROM (
+    SELECT word, count(*) AS n FROM w GROUP BY word
+    ORDER BY n DESC, word ASC LIMIT 200
+  )
+),
+sw AS (
+  SELECT source, w.word, count(*)::BIGINT AS c
+  FROM w JOIN top USING (word) GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(c)::BIGINT AS t FROM sw GROUP BY source),
+gw AS (SELECT word, sum(c)::BIGINT AS g FROM sw GROUP BY word),
+grand AS (SELECT sum(g)::BIGINT AS gg FROM gw),
+scored AS (
+  SELECT sw.source, sw.word,
+         round(ln((CAST(sw.c AS DOUBLE) + 0.5)
+                  / (CAST(tot.t - sw.c AS DOUBLE) + 0.5))
+               - ln((CAST(gw.g - sw.c AS DOUBLE) + 0.5)
+                    / (CAST(grand.gg - tot.t - gw.g + sw.c AS DOUBLE)
+                       + 0.5)), 6) AS score
+  FROM sw JOIN tot USING (source) JOIN gw USING (word) CROSS JOIN grand
+),
+ranked AS (
+  SELECT source, word, score,
+         row_number() OVER (
+           PARTITION BY source ORDER BY score DESC, word ASC
+         )::BIGINT AS rank
+  FROM scored
+)
+SELECT source, rank, word, score FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -12797,6 +12894,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_diff_in_diff": q_e4_diff_in_diff,
     "s29_stream_out_of_order": q_s29_stream_out_of_order,
     "e6_ess_mixture": q_e6_ess_mixture,
+    "e3_distinctive_terms": q_e3_distinctive_terms,
 }
 
 ORACLES: dict[str, str] = {
@@ -13079,6 +13177,7 @@ ORACLES: dict[str, str] = {
     # -> same |types|-row rollup, same oracle
     "s29_stream_out_of_order": ORACLE_E4_OUT_OF_ORDER,
     "e6_ess_mixture": ORACLE_E6_ESS_MIXTURE,
+    "e3_distinctive_terms": ORACLE_E3_DISTINCTIVE_TERMS,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -451,3 +451,30 @@ class TestEssMixture:
         assert abs(out[0.5].ess - 9.0) < 1e-3
         # flattening strictly reduces ESS on a skewed mix
         assert out[0.5].ess < out[0.7].ess < out[1.0].ess
+
+
+class TestDistinctiveTerms:
+    def test_overrepresented_word_wins(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        # 'zebra' dominates source a but is rare elsewhere; common
+        # filler 'the' appears evenly -> zebra must outrank the in a
+        rows = [
+            (1, "zebra zebra zebra the", "en", "a", 20),
+            (2, "zebra the filler words", "en", "a", 20),
+            (3, "the filler words here", "en", "b", 20),
+            (4, "the filler words here", "en", "b", 20),
+        ]
+        d = tempfile.mkdtemp(prefix="dterm-")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = QUERIES["e3_distinctive_terms"](spark, d).collect()
+        a_top = [r.word for r in out if r.source == "a" and r.rank == 1]
+        assert a_top == ["zebra"]
+        ranks = {(r.source, r.rank) for r in out}
+        assert all(rk <= 5 for _, rk in ranks)
