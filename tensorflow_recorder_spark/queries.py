@@ -12574,6 +12574,76 @@ SELECT source, rank, word, score FROM ranked WHERE rank <= 5
 """
 
 
+def q_e4_tenure_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 survival curve: user tenure (weeks between first and last
+    activity) as a survival table — for each observed tenure week w,
+    how many users lasted exactly w weeks and what share of ALL users
+    survived AT LEAST w weeks. The uncensored Kaplan-Meier companion
+    to the cohort triangle: retention says who came back each week,
+    tenure says how long engagement lasts end-to-end. Plan: events
+    collapse to per-user (first, last) day — one user-keyed partial
+    agg — then to a tenure-week histogram whose key space is the
+    calendar span in weeks; the reverse-cumulative survival count is
+    a |weeks|² self-join over that bounded frame (no window), and the
+    denominator is a 1-row broadcast."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("__first"),
+        F.max(F.to_date("ts")).alias("__last"),
+    )
+    hist = per_user.select(
+        F.expr("datediff(__last, __first) div 7").cast("long").alias(
+            "tenure_weeks"
+        )
+    ).groupBy("tenure_weeks").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    rhs = hist.select(
+        F.col("tenure_weeks").alias("__tw2"), F.col("n_users").alias("__m2")
+    )
+    surv = (
+        hist.join(rhs, F.col("__tw2") >= F.col("tenure_weeks"))
+        .groupBy("tenure_weeks", "n_users")
+        .agg(F.sum("__m2").cast("long").alias("n_surviving"))
+    )
+    total = hist.agg(F.sum("n_users").cast("long").alias("__total"))
+    return surv.crossJoin(F.broadcast(total)).select(
+        "tenure_weeks",
+        "n_users",
+        "n_surviving",
+        F.round(
+            F.expr(
+                "CAST(n_surviving AS DOUBLE) / CAST(__total AS DOUBLE)"
+            ),
+            6,
+        ).alias("survival_share"),
+    )
+
+
+ORACLE_E4_TENURE_CURVE = """
+WITH per_user AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
+  FROM events GROUP BY user_id
+),
+hist AS (
+  SELECT date_diff('day', f, l) // 7 AS tenure_weeks,
+         count(*)::BIGINT AS n_users
+  FROM per_user GROUP BY 1
+),
+surv AS (
+  SELECT a.tenure_weeks, a.n_users, sum(b.n_users)::BIGINT AS n_surviving
+  FROM hist a JOIN hist b ON b.tenure_weeks >= a.tenure_weeks
+  GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_users)::BIGINT AS total FROM hist)
+SELECT CAST(s.tenure_weeks AS BIGINT) AS tenure_weeks, s.n_users,
+       s.n_surviving,
+       round(CAST(s.n_surviving AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+         AS survival_share
+FROM surv s CROSS JOIN tot t
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -12895,6 +12965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s29_stream_out_of_order": q_s29_stream_out_of_order,
     "e6_ess_mixture": q_e6_ess_mixture,
     "e3_distinctive_terms": q_e3_distinctive_terms,
+    "e4_tenure_curve": q_e4_tenure_curve,
 }
 
 ORACLES: dict[str, str] = {
@@ -13178,6 +13249,7 @@ ORACLES: dict[str, str] = {
     "s29_stream_out_of_order": ORACLE_E4_OUT_OF_ORDER,
     "e6_ess_mixture": ORACLE_E6_ESS_MIXTURE,
     "e3_distinctive_terms": ORACLE_E3_DISTINCTIVE_TERMS,
+    "e4_tenure_curve": ORACLE_E4_TENURE_CURVE,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -478,3 +478,36 @@ class TestDistinctiveTerms:
         assert a_top == ["zebra"]
         ranks = {(r.source, r.rank) for r in out}
         assert all(rk <= 5 for _, rk in ranks)
+
+
+class TestTenureCurve:
+    def test_survival_table_exact(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        # user 1: one day (tenure 0w); user 2: 10-day span (1w);
+        # user 3: 15-day span (2w)
+        rows = [
+            (0, "2024-01-01 00:00:00", 1, "click", 1.0, "{}"),
+            (1, "2024-01-01 00:00:00", 2, "click", 1.0, "{}"),
+            (2, "2024-01-11 00:00:00", 2, "click", 1.0, "{}"),
+            (3, "2024-01-01 00:00:00", 3, "click", 1.0, "{}"),
+            (4, "2024-01-16 00:00:00", 3, "click", 1.0, "{}"),
+        ]
+        d = tempfile.mkdtemp(prefix="tenure-")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r.tenure_weeks: r
+            for r in QUERIES["e4_tenure_curve"](spark, d).collect()
+        }
+        assert out[0].n_users == 1 and out[0].n_surviving == 3
+        assert out[0].survival_share == 1.0
+        assert out[1].n_users == 1 and out[1].n_surviving == 2
+        assert out[2].n_users == 1 and out[2].n_surviving == 1
+        assert out[2].survival_share == round(1 / 3, 6)
