@@ -12644,6 +12644,46 @@ FROM surv s CROSS JOIN tot t
 """
 
 
+def q_e1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 dedup tuning curve: for Jaccard thresholds 0.3..0.8, how
+    many verified near-dup pairs survive and how many documents the
+    greedy keep-smallest-id rule would drop — the aggressiveness
+    curve you read BEFORE committing a threshold to a 100 TB dedup
+    run (0.1 too aggressive eats paraphrases; 0.1 too lax keeps
+    templates). Plan: the expensive two-stage pipeline
+    (MinHash+LSH propose, exact-Jaccard verify) runs ONCE; the sweep
+    is a 6-row threshold literal theta-joined against the bounded
+    verified-pair frame — re-thresholding is free, re-verifying is
+    not. Comparison is on the 6dp-rounded jaccard in both engines so
+    boundary pairs can't flip."""
+    pairs = dedup.lsh_verified_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).select("id_b", F.round("jaccard", 6).alias("__j"))
+    th = spark.createDataFrame(
+        [(0.3,), (0.4,), (0.5,), (0.6,), (0.7,), (0.8,)], "threshold double"
+    )
+    return (
+        F.broadcast(th)
+        .join(pairs, pairs["__j"] >= th["threshold"], "left")
+        .groupBy("threshold")
+        .agg(
+            F.count("id_b").cast("long").alias("n_pairs"),
+            F.countDistinct("id_b").cast("long").alias("n_docs_dropped"),
+        )
+    )
+
+
+def _oracle_threshold_sweep() -> str:
+    return f"""
+WITH verified AS ({_oracle_lsh_verified(0.25, 0.3)}),
+th AS (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8]) AS threshold)
+SELECT th.threshold, count(v.id_b)::BIGINT AS n_pairs,
+       count(DISTINCT v.id_b)::BIGINT AS n_docs_dropped
+FROM th LEFT JOIN verified v ON v.jaccard >= th.threshold
+GROUP BY th.threshold
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -12966,6 +13006,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_ess_mixture": q_e6_ess_mixture,
     "e3_distinctive_terms": q_e3_distinctive_terms,
     "e4_tenure_curve": q_e4_tenure_curve,
+    "e1_threshold_sweep": q_e1_threshold_sweep,
 }
 
 ORACLES: dict[str, str] = {
@@ -13250,6 +13291,7 @@ ORACLES: dict[str, str] = {
     "e6_ess_mixture": ORACLE_E6_ESS_MIXTURE,
     "e3_distinctive_terms": ORACLE_E3_DISTINCTIVE_TERMS,
     "e4_tenure_curve": ORACLE_E4_TENURE_CURVE,
+    "e1_threshold_sweep": _oracle_threshold_sweep(),
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

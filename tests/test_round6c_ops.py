@@ -511,3 +511,22 @@ class TestTenureCurve:
         assert out[1].n_users == 1 and out[1].n_surviving == 2
         assert out[2].n_users == 1 and out[2].n_surviving == 1
         assert out[2].survival_share == round(1 / 3, 6)
+
+
+class TestThresholdSweep:
+    def test_monotone_and_zero_tail(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+
+        out = {
+            r.threshold: r
+            for r in QUERIES["e1_threshold_sweep"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert set(out) == {0.3, 0.4, 0.5, 0.6, 0.7, 0.8}
+        # raising the threshold never keeps more pairs or drops more docs
+        ts = sorted(out)
+        for lo, hi in zip(ts, ts[1:]):
+            assert out[lo].n_pairs >= out[hi].n_pairs
+            assert out[lo].n_docs_dropped >= out[hi].n_docs_dropped
+        assert out[0.3].n_pairs > 0  # fixture has near-dups
