@@ -181,6 +181,9 @@ BENCH_QUERIES = [
     "e1_dup_length_bias",
     "e4_changepoint",
     "e4_autocorr",
+    # heavy: runs the full two-stage fuzzy pipeline once (tracked per
+    # the r4 rule: bench new dedup-family ops before they get expensive)
+    "e1_threshold_sweep",
 ]
 
 

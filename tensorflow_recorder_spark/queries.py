@@ -12656,9 +12656,16 @@ def q_e1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified-pair frame — re-thresholding is free, re-verifying is
     not. Comparison is on the 6dp-rounded jaccard in both engines so
     boundary pairs can't flip."""
-    pairs = dedup.lsh_verified_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id"
-    ).select("id_b", F.round("jaccard", 6).alias("__j"))
+    # localCheckpoint: the verified-pair frame is tiny (near-dup pairs,
+    # not corpus rows) but its PLAN carries the whole verify join —
+    # without pinning it, the 6-way theta-join below re-evaluates the
+    # shingle-intersection expressions once per threshold row (measured
+    # 33s -> 12s at sf0.1).
+    pairs = (
+        dedup.lsh_verified_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id")
+        .select("id_b", F.round("jaccard", 6).alias("__j"))
+        .localCheckpoint()
+    )
     th = spark.createDataFrame(
         [(0.3,), (0.4,), (0.5,), (0.6,), (0.7,), (0.8,)], "threshold double"
     )
