@@ -12691,6 +12691,70 @@ GROUP BY th.threshold
 """
 
 
+def q_e1_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 method-agreement audit: how much do LEXICAL near-dup pairs
+    (MinHash+LSH -> exact shingle Jaccard >= 0.3) and SEMANTIC
+    near-dup pairs (label-blocked embedding cosine >= 0.3) overlap?
+    Lexical dedup catches templates and near-verbatim copies;
+    semantic catches paraphrase — low agreement means running only
+    one tier leaves the other tier's duplicates in the corpus, and
+    the Jaccard-style overlap here is the number that justifies (or
+    retires) the second pass. Plan: both pair pipelines are
+    sub-quadratic and bounded (LSH bands / label blocks); the
+    agreement is one equi-join of two small canonical (a < b) pair
+    frames plus three 1-row counts — no new corpus pass."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = dedup.lsh_verified_pairs(docs, "text", "doc_id").select(
+        "id_a", "id_b"
+    )
+    sem = (
+        dedup.embedding_neardup_pairs(
+            emb, "embedding", "vec_id", block_col="label", threshold=-2.0
+        )
+        .select("id_a", "id_b", F.round("cosine", 6).alias("__cos"))
+        .where(F.col("__cos") >= 0.3)
+        .select("id_a", "id_b")
+    )
+    n_lex = lex.agg(F.count(F.lit(1)).cast("long").alias("n_lexical"))
+    n_sem = sem.agg(F.count(F.lit(1)).cast("long").alias("n_semantic"))
+    n_both = lex.join(sem, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_both")
+    )
+    return (
+        n_lex.crossJoin(F.broadcast(n_sem))
+        .crossJoin(F.broadcast(n_both))
+        .select(
+            "n_lexical",
+            "n_semantic",
+            "n_both",
+            F.round(
+                F.expr(
+                    "CAST(n_both AS DOUBLE)"
+                    " / nullif(CAST(n_lexical + n_semantic - n_both"
+                    " AS DOUBLE), 0.0)"
+                ),
+                6,
+            ).alias("agreement"),
+        )
+    )
+
+
+def _oracle_lexical_semantic_agreement() -> str:
+    return f"""
+WITH lex AS (SELECT id_a, id_b FROM ({_oracle_lsh_verified(0.25, 0.3)})),
+sem AS (SELECT id_a, id_b FROM ({ORACLE_E1_EMB_NEARDUP})),
+b AS (SELECT count(*)::BIGINT AS n_both FROM lex JOIN sem USING (id_a, id_b)),
+l AS (SELECT count(*)::BIGINT AS n_lexical FROM lex),
+s2 AS (SELECT count(*)::BIGINT AS n_semantic FROM sem)
+SELECT n_lexical, n_semantic, n_both,
+       round(CAST(n_both AS DOUBLE)
+             / nullif(CAST(n_lexical + n_semantic - n_both AS DOUBLE), 0.0),
+             6) AS agreement
+FROM l CROSS JOIN s2 CROSS JOIN b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -13014,6 +13078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_distinctive_terms": q_e3_distinctive_terms,
     "e4_tenure_curve": q_e4_tenure_curve,
     "e1_threshold_sweep": q_e1_threshold_sweep,
+    "e1_lexical_semantic_agreement": q_e1_lexical_semantic_agreement,
 }
 
 ORACLES: dict[str, str] = {
@@ -13299,6 +13364,7 @@ ORACLES: dict[str, str] = {
     "e3_distinctive_terms": ORACLE_E3_DISTINCTIVE_TERMS,
     "e4_tenure_curve": ORACLE_E4_TENURE_CURVE,
     "e1_threshold_sweep": _oracle_threshold_sweep(),
+    "e1_lexical_semantic_agreement": _oracle_lexical_semantic_agreement(),
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

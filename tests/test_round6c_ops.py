@@ -530,3 +530,19 @@ class TestThresholdSweep:
             assert out[lo].n_pairs >= out[hi].n_pairs
             assert out[lo].n_docs_dropped >= out[hi].n_docs_dropped
         assert out[0.3].n_pairs > 0  # fixture has near-dups
+
+
+class TestLexicalSemanticAgreement:
+    def test_counts_and_jaccard_overlap_on_fixture(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+
+        [r] = QUERIES["e1_lexical_semantic_agreement"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert r.n_lexical >= 0 and r.n_semantic >= 0
+        assert r.n_both <= min(r.n_lexical, r.n_semantic)
+        if r.n_lexical + r.n_semantic > 0:
+            union = r.n_lexical + r.n_semantic - r.n_both
+            assert r.agreement == round(r.n_both / union, 6)
+        else:
+            assert r.agreement is None
