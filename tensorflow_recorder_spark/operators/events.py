@@ -1389,6 +1389,19 @@ def activity_gini(
     per_key = df.groupBy(group_col, key_col).agg(
         F.count(F.lit(1)).cast("long").alias("__c")
     )
+    return gini_from_counts(per_key, group_col, "__c")
+
+
+def gini_from_counts(
+    per_key: DataFrame, group_col: str, count_col: str = "__c"
+) -> DataFrame:
+    """Gini finalize over an already-collapsed per-key count frame —
+    shared verbatim by the batch :func:`activity_gini` and the
+    complete-mode streaming twin (whose state IS the per-key count
+    frame), so batch and stream hash-match by construction."""
+    per_key = per_key.select(
+        group_col, F.col(count_col).cast("long").alias("__c")
+    )
     hist = per_key.groupBy(group_col, "__c").agg(
         F.count(F.lit(1)).cast("long").alias("__m")
     )
@@ -1412,7 +1425,13 @@ def activity_gini(
         F.sum("__m").cast("long").alias("n_keys"),
         F.sum(F.col("__m") * F.col("__c")).cast("long").alias("n_events"),
     )
-    return totals.join(num, group_col).select(
+    # join on a renamed key: totals and num share the hist lineage, and
+    # a same-name equi-join over a streaming memory-sink scan trips
+    # Spark's conflicting-reference resolution (batch plans dedup fine)
+    num = num.select(F.col(group_col).alias("__g3"), "__num")
+    return totals.join(
+        num, F.col(group_col) == F.col("__g3")
+    ).select(
         group_col,
         "n_keys",
         "n_events",

@@ -12755,6 +12755,23 @@ FROM l CROSS JOIN s2 CROSS JOIN b
 """
 
 
+def q_s30_stream_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inequality audit AS A STREAM: per-(type, user) event counts
+    run as a complete-mode streaming aggregate (one long of state per
+    active key) and the drained count frame finalizes through the
+    SAME histogram-self-join Gini as the batch operator
+    (gini_from_counts, shared verbatim) — integer counts make the
+    streamed coefficient hash-identical regardless of micro-batching."""
+    from .operators.events import gini_from_counts
+
+    stream = _event_stream(spark, sf_dir)
+    counts = stream.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    drained = _drain_to_memory(counts, "stream_gini_sink", "complete")
+    return gini_from_counts(drained, "event_type", "__c")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -13079,6 +13096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_tenure_curve": q_e4_tenure_curve,
     "e1_threshold_sweep": q_e1_threshold_sweep,
     "e1_lexical_semantic_agreement": q_e1_lexical_semantic_agreement,
+    "s30_stream_activity_gini": q_s30_stream_activity_gini,
 }
 
 ORACLES: dict[str, str] = {
@@ -13365,6 +13383,8 @@ ORACLES: dict[str, str] = {
     "e4_tenure_curve": ORACLE_E4_TENURE_CURVE,
     "e1_threshold_sweep": _oracle_threshold_sweep(),
     "e1_lexical_semantic_agreement": _oracle_lexical_semantic_agreement(),
+    # complete-mode stream shares the batch gini finalize -> same oracle
+    "s30_stream_activity_gini": ORACLE_E4_ACTIVITY_GINI,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -546,3 +546,23 @@ class TestLexicalSemanticAgreement:
             assert r.agreement == round(r.n_both / union, 6)
         else:
             assert r.agreement is None
+
+
+class TestStreamActivityGini:
+    def test_stream_matches_batch_gini(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        batch = {
+            r.event_type: r
+            for r in QUERIES["e4_activity_gini"](spark, sf).collect()
+        }
+        stream = {
+            r.event_type: r
+            for r in QUERIES["s30_stream_activity_gini"](spark, sf).collect()
+        }
+        assert set(batch) == set(stream)
+        for t in batch:
+            assert stream[t].gini == batch[t].gini
+            assert stream[t].n_keys == batch[t].n_keys
+            assert stream[t].n_events == batch[t].n_events
