@@ -12772,6 +12772,82 @@ def q_s30_stream_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_from_counts(drained, "event_type", "__c")
 
 
+def q_e1_cluster_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 transitivity audit: connected components MERGE by chaining
+    (A~B, B~C puts A with C even when A and C were never verified as
+    similar), so a cluster of size s claims C(s,2) duplicate pairs
+    while only n_verified were actually checked. The inflation ratio
+    implied/verified is the over-merge alarm — near 1.0 means tight
+    clusters; high means chains are gluing unrelated documents and
+    the keep-one policy is deleting originals. Plan: the verified
+    pair frame (checkpoint-backed) feeds BOTH the count and the
+    existing min-label CC unchanged; sizes and the final ratio are
+    cluster-bounded aggregates joined as 1-row broadcasts."""
+    pairs = dedup.lsh_verified_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        min_est_jaccard=0.5, threshold=0.5,
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    clusters = dedup.duplicate_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__sz")
+    ).where(F.col("__sz") >= 2)
+    agg = sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.coalesce(F.sum("__sz"), F.lit(0)).cast("long").alias(
+            "n_clustered_docs"
+        ),
+        F.coalesce(F.sum(F.expr("__sz * (__sz - 1) div 2")), F.lit(0))
+        .cast("long")
+        .alias("n_implied_pairs"),
+    )
+    return n_pairs.crossJoin(F.broadcast(agg)).select(
+        "n_pairs",
+        "n_clusters",
+        "n_clustered_docs",
+        "n_implied_pairs",
+        F.round(
+            F.expr(
+                "CAST(n_implied_pairs AS DOUBLE)"
+                " / nullif(CAST(n_pairs AS DOUBLE), 0.0)"
+            ),
+            6,
+        ).alias("inflation"),
+    )
+
+
+def _oracle_cluster_inflation() -> str:
+    return f"""
+WITH RECURSIVE verified AS ({_oracle_lsh_verified(0.5, 0.5)}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM verified
+  UNION
+  SELECT id_b, id_a FROM verified
+),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+sizes AS (
+  SELECT cluster_id, count(*)::BIGINT AS sz FROM clusters GROUP BY cluster_id
+),
+np AS (SELECT count(*)::BIGINT AS n_pairs FROM verified),
+agg AS (
+  SELECT count(*)::BIGINT AS n_clusters,
+         coalesce(sum(sz), 0)::BIGINT AS n_clustered_docs,
+         coalesce(sum(sz * (sz - 1) // 2), 0)::BIGINT AS n_implied_pairs
+  FROM sizes WHERE sz >= 2
+)
+SELECT np.n_pairs, agg.n_clusters, agg.n_clustered_docs,
+       agg.n_implied_pairs,
+       round(CAST(agg.n_implied_pairs AS DOUBLE)
+             / nullif(CAST(np.n_pairs AS DOUBLE), 0.0), 6) AS inflation
+FROM np CROSS JOIN agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -13097,6 +13173,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_threshold_sweep": q_e1_threshold_sweep,
     "e1_lexical_semantic_agreement": q_e1_lexical_semantic_agreement,
     "s30_stream_activity_gini": q_s30_stream_activity_gini,
+    "e1_cluster_inflation": q_e1_cluster_inflation,
 }
 
 ORACLES: dict[str, str] = {
@@ -13385,6 +13462,7 @@ ORACLES: dict[str, str] = {
     "e1_lexical_semantic_agreement": _oracle_lexical_semantic_agreement(),
     # complete-mode stream shares the batch gini finalize -> same oracle
     "s30_stream_activity_gini": ORACLE_E4_ACTIVITY_GINI,
+    "e1_cluster_inflation": _oracle_cluster_inflation(),
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

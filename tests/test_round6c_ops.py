@@ -566,3 +566,18 @@ class TestStreamActivityGini:
             assert stream[t].gini == batch[t].gini
             assert stream[t].n_keys == batch[t].n_keys
             assert stream[t].n_events == batch[t].n_events
+
+
+class TestClusterInflation:
+    def test_chain_inflates_implied_pairs(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+
+        [r] = QUERIES["e1_cluster_inflation"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        # implied pairs always >= verified pairs (CC only merges)
+        assert r.n_implied_pairs >= r.n_pairs
+        if r.n_pairs:
+            assert r.inflation >= 1.0
+        # every clustered doc sits in a cluster of size >= 2
+        assert r.n_clustered_docs >= 2 * r.n_clusters
