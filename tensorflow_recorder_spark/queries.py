@@ -12848,6 +12848,116 @@ FROM np CROSS JOIN agg
 """
 
 
+def q_e4_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 forecast backtest: hold out the last 7 days of each type's
+    daily series and score two baselines on it — NAIVE (every holdout
+    day = the last training day's count) vs SEASONAL-NAIVE (each
+    holdout day = the same weekday one week earlier, all inside
+    training at this horizon). The skill score 1 − MAE_s/MAE_n is the
+    number that says whether weekly seasonality is worth modeling at
+    all — the backtest every forecasting pipeline runs before
+    anything fancier (e4_forecast, e4_holt) earns its complexity.
+    Plan: the corpus collapses to the day-bounded count frame once;
+    the cutoff is a 1-row broadcast; predictions are two bounded
+    joins on the day frame (per-type last value broadcast; lag-7
+    equi-join on datediff, the e4_autocorr shape); errors stay exact
+    integers until the final MAE division."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("__day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__y"))
+    cut = daily.agg(F.date_sub(F.max("__day"), 7).alias("__cut"))
+    marked = daily.crossJoin(F.broadcast(cut))
+    train = marked.where(F.col("__day") <= F.col("__cut"))
+    hold = marked.where(F.col("__day") > F.col("__cut")).select(
+        "event_type", "__day", "__y"
+    )
+    last_day = train.groupBy(F.col("event_type").alias("__lt")).agg(
+        F.max("__day").alias("__ld")
+    )
+    naive = (
+        train.join(
+            F.broadcast(last_day),
+            (train["event_type"] == F.col("__lt"))
+            & (train["__day"] == F.col("__ld")),
+        )
+        .select(F.col("__lt").alias("__nt"), F.col("__y").alias("__naive"))
+    )
+    lag7 = train.select(
+        F.col("event_type").alias("__t7"),
+        F.col("__day").alias("__d7"),
+        F.col("__y").alias("__s7"),
+    )
+    scored = (
+        hold.join(
+            F.broadcast(naive), hold["event_type"] == F.col("__nt")
+        )
+        .join(
+            lag7,
+            (hold["event_type"] == F.col("__t7"))
+            & (F.expr("datediff(__day, __d7) = 7")),
+        )
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.round(
+            F.sum(F.abs(F.col("__y") - F.col("__naive"))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mae_naive"),
+        F.round(
+            F.sum(F.abs(F.col("__y") - F.col("__s7"))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mae_seasonal"),
+        F.round(
+            F.lit(1.0)
+            - (
+                F.sum(F.abs(F.col("__y") - F.col("__s7"))).cast("double")
+                / F.expr(
+                    "nullif(CAST(sum(abs(__y - __naive)) AS DOUBLE), 0.0)"
+                )
+            ),
+            6,
+        ).alias("skill"),
+    )
+
+
+ORACLE_E4_FORECAST_BACKTEST = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+cut AS (SELECT max(day) - 7 AS c FROM daily),
+train AS (SELECT d.* FROM daily d CROSS JOIN cut WHERE d.day <= cut.c),
+hold AS (SELECT d.* FROM daily d CROSS JOIN cut WHERE d.day > cut.c),
+last_day AS (
+  SELECT event_type, max(day) AS ld FROM train GROUP BY event_type
+),
+naive AS (
+  SELECT t.event_type, t.y AS naive_y
+  FROM train t JOIN last_day l
+    ON t.event_type = l.event_type AND t.day = l.ld
+),
+scored AS (
+  SELECT h.event_type, h.y, n.naive_y, t7.y AS s7
+  FROM hold h
+  JOIN naive n ON h.event_type = n.event_type
+  JOIN train t7 ON h.event_type = t7.event_type
+              AND h.day - t7.day = 7
+)
+SELECT event_type, count(*)::BIGINT AS n_scored,
+       round(CAST(sum(abs(y - naive_y)) AS DOUBLE) / count(*), 6)
+         AS mae_naive,
+       round(CAST(sum(abs(y - s7)) AS DOUBLE) / count(*), 6)
+         AS mae_seasonal,
+       round(1.0 - (CAST(sum(abs(y - s7)) AS DOUBLE)
+                    / nullif(CAST(sum(abs(y - naive_y)) AS DOUBLE), 0.0)),
+             6) AS skill
+FROM scored GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -13174,6 +13284,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_lexical_semantic_agreement": q_e1_lexical_semantic_agreement,
     "s30_stream_activity_gini": q_s30_stream_activity_gini,
     "e1_cluster_inflation": q_e1_cluster_inflation,
+    "e4_forecast_backtest": q_e4_forecast_backtest,
 }
 
 ORACLES: dict[str, str] = {
@@ -13463,6 +13574,7 @@ ORACLES: dict[str, str] = {
     # complete-mode stream shares the batch gini finalize -> same oracle
     "s30_stream_activity_gini": ORACLE_E4_ACTIVITY_GINI,
     "e1_cluster_inflation": _oracle_cluster_inflation(),
+    "e4_forecast_backtest": ORACLE_E4_FORECAST_BACKTEST,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -581,3 +581,33 @@ class TestClusterInflation:
             assert r.inflation >= 1.0
         # every clustered doc sits in a cluster of size >= 2
         assert r.n_clustered_docs >= 2 * r.n_clusters
+
+
+class TestForecastBacktest:
+    def test_seasonal_series_gives_positive_skill(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        # 28 days, weekly pattern: weekday counts cycle 1..7 repeating.
+        # seasonal-naive is perfect (MAE 0); naive errs -> skill = 1.
+        rows = []
+        eid = 0
+        for day in range(28):
+            n = (day % 7) + 1
+            date = f"2024-03-{day + 1:02d}"
+            for _ in range(n):
+                rows.append((eid, f"{date} 12:00:00", 1, "click", 1.0, "{}"))
+                eid += 1
+        d = tempfile.mkdtemp(prefix="fbt-")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "events.parquet"))
+        [r] = QUERIES["e4_forecast_backtest"](spark, d).collect()
+        assert r.n_scored == 7
+        assert r.mae_seasonal == 0.0
+        assert r.mae_naive > 0.0
+        assert r.skill == 1.0
