@@ -12958,6 +12958,56 @@ FROM scored GROUP BY event_type
 """
 
 
+def q_e1_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 fuzzy eval decontamination: how many EVAL documents
+    (doc_id % 10 == 0, the incremental-dedup batch convention) have a
+    NEAR-duplicate in the training corpus — exact n-gram containment
+    (e1_contamination) misses paraphrased or lightly-edited leakage,
+    which is exactly what published decontamination pipelines hunt
+    with MinHash. Plan: the asymmetric LSH band join (index never
+    self-joins, cost linear in eval size) + exact-Jaccard verify from
+    incremental_neardup_pairs, reused unchanged; the readout is one
+    distinct count over the bounded pair frame plus a 1-row eval
+    count."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.incremental_neardup_pairs(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        "text",
+        "doc_id",
+    )
+    n_eval = docs.where(F.col("doc_id") % 10 == 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval")
+    )
+    n_cont = pairs.agg(
+        F.countDistinct("id_b").cast("long").alias("n_contaminated")
+    )
+    return n_eval.crossJoin(F.broadcast(n_cont)).select(
+        "n_eval",
+        "n_contaminated",
+        F.round(
+            F.expr(
+                "CAST(n_contaminated AS DOUBLE) / CAST(n_eval AS DOUBLE)"
+            ),
+            6,
+        ).alias("contaminated_share"),
+    )
+
+
+def _oracle_fuzzy_contamination() -> str:
+    return f"""
+WITH pairs AS ({_oracle_incremental_dedup(0.25, 0.3)}),
+ev AS (
+  SELECT count(*)::BIGINT AS n_eval FROM documents WHERE doc_id % 10 = 0
+),
+c AS (SELECT count(DISTINCT id_b)::BIGINT AS n_contaminated FROM pairs)
+SELECT ev.n_eval, c.n_contaminated,
+       round(CAST(c.n_contaminated AS DOUBLE) / CAST(ev.n_eval AS DOUBLE), 6)
+         AS contaminated_share
+FROM ev CROSS JOIN c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -13285,6 +13335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s30_stream_activity_gini": q_s30_stream_activity_gini,
     "e1_cluster_inflation": q_e1_cluster_inflation,
     "e4_forecast_backtest": q_e4_forecast_backtest,
+    "e1_fuzzy_contamination": q_e1_fuzzy_contamination,
 }
 
 ORACLES: dict[str, str] = {
@@ -13575,6 +13626,7 @@ ORACLES: dict[str, str] = {
     "s30_stream_activity_gini": ORACLE_E4_ACTIVITY_GINI,
     "e1_cluster_inflation": _oracle_cluster_inflation(),
     "e4_forecast_backtest": ORACLE_E4_FORECAST_BACKTEST,
+    "e1_fuzzy_contamination": _oracle_fuzzy_contamination(),
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -611,3 +611,15 @@ class TestForecastBacktest:
         assert r.mae_seasonal == 0.0
         assert r.mae_naive > 0.0
         assert r.skill == 1.0
+
+
+class TestFuzzyContamination:
+    def test_counts_consistent_with_incremental_pairs(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        [r] = QUERIES["e1_fuzzy_contamination"](spark, sf).collect()
+        pairs = QUERIES["e1_incremental_dedup"](spark, sf).collect()
+        assert r.n_contaminated == len({p.id_b for p in pairs})
+        assert 0 <= r.n_contaminated <= r.n_eval
+        assert r.contaminated_share == round(r.n_contaminated / r.n_eval, 6)
