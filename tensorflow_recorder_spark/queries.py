@@ -13008,6 +13008,75 @@ FROM ev CROSS JOIN c
 """
 
 
+def q_e4_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 robust outlier days: the Iglewicz-Hoaglin modified z-score
+    (0.6745·(y−median)/MAD, flag at |z| > 3.5) over each type's daily
+    counts — the mean/stddev pair the rolling z-score and the Tukey
+    fences use is itself dragged by the outliers it hunts; median/MAD
+    has a 50% breakdown point and survives a day of doubled traffic
+    undistorted. Plan: the corpus collapses to the day-bounded count
+    frame once; median and MAD are two exact interpolated percentiles
+    over |days|-per-type groups, each joined back as a |types|-row
+    broadcast; a zero MAD (constant series) NULLs the score rather
+    than dividing by it."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("__day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__y"))
+    med = daily.groupBy(F.col("event_type").alias("__tm")).agg(
+        F.expr("percentile(__y, 0.5)").alias("__med")
+    )
+    with_med = daily.join(
+        F.broadcast(med), daily["event_type"] == F.col("__tm")
+    )
+    mad = with_med.groupBy(F.col("event_type").alias("__ta")).agg(
+        F.expr("percentile(abs(__y - __med), 0.5)").alias("__mad")
+    )
+    scored = with_med.join(
+        F.broadcast(mad), with_med["event_type"] == F.col("__ta")
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.max("__med"), 6).alias("median_daily"),
+        F.round(F.max("__mad"), 6).alias("mad"),
+        F.sum(
+            F.when(
+                F.expr(
+                    "abs(0.6745 * (CAST(__y AS DOUBLE) - __med)"
+                    " / nullif(__mad, 0.0)) > 3.5"
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outlier_days"),
+    )
+
+
+ORACLE_E4_MAD_OUTLIERS = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(y, 0.5) AS m FROM daily GROUP BY 1
+),
+wm AS (SELECT d.*, med.m FROM daily d JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(abs(y - m), 0.5) AS md
+  FROM wm GROUP BY 1
+),
+scored AS (SELECT wm.*, mad.md FROM wm JOIN mad USING (event_type))
+SELECT event_type, count(*)::BIGINT AS n_days,
+       round(max(m), 6) AS median_daily,
+       round(max(md), 6) AS mad,
+       sum(CASE WHEN abs(0.6745 * (CAST(y AS DOUBLE) - m)
+                         / nullif(md, 0.0)) > 3.5
+                THEN 1 ELSE 0 END)::BIGINT AS n_outlier_days
+FROM scored GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -13336,6 +13405,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_cluster_inflation": q_e1_cluster_inflation,
     "e4_forecast_backtest": q_e4_forecast_backtest,
     "e1_fuzzy_contamination": q_e1_fuzzy_contamination,
+    "e4_mad_outliers": q_e4_mad_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -13627,6 +13697,7 @@ ORACLES: dict[str, str] = {
     "e1_cluster_inflation": _oracle_cluster_inflation(),
     "e4_forecast_backtest": ORACLE_E4_FORECAST_BACKTEST,
     "e1_fuzzy_contamination": _oracle_fuzzy_contamination(),
+    "e4_mad_outliers": ORACLE_E4_MAD_OUTLIERS,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

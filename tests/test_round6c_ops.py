@@ -623,3 +623,53 @@ class TestFuzzyContamination:
         assert r.n_contaminated == len({p.id_b for p in pairs})
         assert 0 <= r.n_contaminated <= r.n_eval
         assert r.contaminated_share == round(r.n_contaminated / r.n_eval, 6)
+
+
+class TestMadOutliers:
+    def test_spike_day_flagged_mean_would_be_dragged(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        # 14 quiet days alternating 9/11 events + one 100-event spike:
+        # sorted counts put the median at 11, MAD at 2; only the spike
+        # crosses the 3.5 modified-z fence (z = 0.6745*89/2 ~ 30).
+        rows = []
+        eid = 0
+        counts = [9, 11] * 7 + [100]
+        for day, n in enumerate(counts, start=1):
+            for _ in range(n):
+                rows.append(
+                    (eid, f"2024-03-{day:02d} 12:00:00", 1, "click", 1.0, "{}")
+                )
+                eid += 1
+        d = tempfile.mkdtemp(prefix="mad-")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "events.parquet"))
+        [r] = QUERIES["e4_mad_outliers"](spark, d).collect()
+        assert r.n_days == 15
+        assert r.median_daily == 11.0 and r.mad == 2.0
+        assert r.n_outlier_days == 1  # only the spike crosses 3.5
+
+    def test_constant_series_no_outliers(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        rows = [
+            (i, f"2024-03-{d:02d} 12:00:00", 1, "click", 1.0, "{}")
+            for i, d in enumerate([1, 2, 3, 4, 5])
+        ]
+        d = tempfile.mkdtemp(prefix="mad0-")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "events.parquet"))
+        [r] = QUERIES["e4_mad_outliers"](spark, d).collect()
+        assert r.mad == 0.0 and r.n_outlier_days == 0  # NULL z, not div0
