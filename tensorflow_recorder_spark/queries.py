@@ -13077,6 +13077,72 @@ FROM scored GROUP BY event_type
 """
 
 
+def q_rel_ship_latency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-latency distribution: order-to-ship days bucketed
+    (0-30 / 31-60 / 61-90 / 90+) per order priority — does URGENT
+    actually ship faster? Plan: one orderkey-keyed fact-fact join
+    (both sides shuffle on the same key once), a stateless bucket
+    projection, and a (|priorities| x 4)-row aggregate; shares come
+    from a |priorities|-row broadcast of per-priority totals. All
+    integer counts — no window, no percentile over unbounded groups
+    (the bucket census IS the scale-safe quantile substitute here)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_orderpriority",
+        F.expr(
+            "CASE WHEN datediff(l_shipdate, o_orderdate) <= 30 THEN '00-30'"
+            " WHEN datediff(l_shipdate, o_orderdate) <= 60 THEN '31-60'"
+            " WHEN datediff(l_shipdate, o_orderdate) <= 90 THEN '61-90'"
+            " ELSE '90+' END"
+        ).alias("latency_bucket"),
+    )
+    counts = j.groupBy("o_orderpriority", "latency_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    totals = counts.groupBy(F.col("o_orderpriority").alias("__p")).agg(
+        F.sum("n_lines").cast("long").alias("__t")
+    )
+    return counts.join(
+        F.broadcast(totals), counts["o_orderpriority"] == F.col("__p")
+    ).select(
+        "o_orderpriority",
+        "latency_bucket",
+        "n_lines",
+        F.round(
+            F.expr("CAST(n_lines AS DOUBLE) / CAST(__t AS DOUBLE)"), 6
+        ).alias("share"),
+    )
+
+
+ORACLE_REL_SHIP_LATENCY = """
+WITH j AS (
+  SELECT o.o_orderpriority,
+         CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+                THEN '00-30'
+              WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 60
+                THEN '31-60'
+              WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
+                THEN '61-90'
+              ELSE '90+' END AS latency_bucket
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+c AS (
+  SELECT o_orderpriority, latency_bucket, count(*)::BIGINT AS n_lines
+  FROM j GROUP BY 1, 2
+),
+t AS (
+  SELECT o_orderpriority, sum(n_lines)::BIGINT AS tot
+  FROM c GROUP BY 1
+)
+SELECT c.o_orderpriority, c.latency_bucket, c.n_lines,
+       round(CAST(c.n_lines AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS share
+FROM c JOIN t USING (o_orderpriority)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -13406,6 +13472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_forecast_backtest": q_e4_forecast_backtest,
     "e1_fuzzy_contamination": q_e1_fuzzy_contamination,
     "e4_mad_outliers": q_e4_mad_outliers,
+    "rel_ship_latency_buckets": q_rel_ship_latency_buckets,
 }
 
 ORACLES: dict[str, str] = {
@@ -13698,6 +13765,7 @@ ORACLES: dict[str, str] = {
     "e4_forecast_backtest": ORACLE_E4_FORECAST_BACKTEST,
     "e1_fuzzy_contamination": _oracle_fuzzy_contamination(),
     "e4_mad_outliers": ORACLE_E4_MAD_OUTLIERS,
+    "rel_ship_latency_buckets": ORACLE_REL_SHIP_LATENCY,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -673,3 +673,42 @@ class TestMadOutliers:
         ).parquet(os.path.join(d, "events.parquet"))
         [r] = QUERIES["e4_mad_outliers"](spark, d).collect()
         assert r.mad == 0.0 and r.n_outlier_days == 0  # NULL z, not div0
+
+
+class TestShipLatencyBuckets:
+    def test_bucket_boundaries_and_shares(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        d = tempfile.mkdtemp(prefix="shiplat-")
+        orders = [(1, 1, "O", 10.0, "2024-01-01 00:00:00", "1-URGENT")]
+        lines = [
+            # latencies 30 (boundary -> 00-30), 31 (-> 31-60), 91 (-> 90+)
+            (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", "2024-01-31 00:00:00"),
+            (1, 2, 1, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", "2024-02-01 00:00:00"),
+            (1, 3, 1, 3, 1.0, 10.0, 0.0, 0.0, "N", "O", "2024-04-01 00:00:00"),
+        ]
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn(
+            "o_orderdate", F.col("o_orderdate").cast("timestamp")
+        ).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        spark.createDataFrame(
+            lines,
+            "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_linenumber int, l_quantity double, l_extendedprice double,"
+            " l_discount double, l_tax double, l_returnflag string,"
+            " l_linestatus string, l_shipdate string",
+        ).withColumn(
+            "l_shipdate", F.col("l_shipdate").cast("timestamp")
+        ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        out = {
+            r.latency_bucket: r
+            for r in QUERIES["rel_ship_latency_buckets"](spark, d).collect()
+        }
+        assert out["00-30"].n_lines == 1
+        assert out["31-60"].n_lines == 1
+        assert out["90+"].n_lines == 1
+        assert out["00-30"].share == round(1 / 3, 6)
