@@ -13143,6 +13143,97 @@ FROM c JOIN t USING (o_orderpriority)
 """
 
 
+def q_e2_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 pseudo-relevance feedback (Rocchio): BM25 retrieves the
+    lexical top-5 for the fixed query, their embedding CENTROID
+    becomes the dense query, and the corpus is re-ranked by cosine to
+    it — the classic PRF bridge that finds documents sharing the
+    topic but not the keywords (pure BM25 can't) without any trained
+    query encoder. Plan: BM25's top-5 is a bounded TakeOrdered; the
+    centroid is a d-row aggregate over 5 vectors (exact decimal sums
+    of 6dp-rounded coords) collected into ONE broadcast array; the
+    re-rank is a single narrow projection over the corpus + a bounded
+    top-10 — no pair joins anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = text.bm25_scores(
+        docs, "text", "doc_id", query_terms=["hash", "join", "spark"]
+    )
+    top5 = bm.orderBy(F.desc("score"), F.asc("doc_id")).limit(5).select(
+        "doc_id"
+    )
+    fb = emb.join(F.broadcast(top5), emb["vec_id"] == top5["doc_id"])
+    cent = (
+        fb.select(F.posexplode("embedding").alias("__p", "__x"))
+        .groupBy("__p")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("__x").cast("double"), 6).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("__m")
+        )
+    )
+    centroid = cent.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(__p, __m))),"
+            " s -> s.__m)"
+        ).alias("__cv")
+    )
+    scored = emb.crossJoin(F.broadcast(centroid)).select(
+        "vec_id",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), __cv,"
+                " (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
+                " / nullif(sqrt(aggregate(transform("
+                "CAST(embedding AS ARRAY<DOUBLE>), a -> a * a), 0.0D,"
+                " (acc, x) -> acc + x))"
+                " * sqrt(aggregate(transform(__cv, b -> b * b), 0.0D,"
+                " (acc, x) -> acc + x)), 0.0)"
+            ),
+            6,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
+def _oracle_rocchio_prf() -> str:
+    return f"""
+WITH bm AS ({ORACLE_E3_BM25}),
+top5 AS (SELECT doc_id FROM bm ORDER BY score DESC, doc_id LIMIT 5),
+fb AS (
+  SELECT e.embedding FROM embeddings e JOIN top5 t ON e.vec_id = t.doc_id
+),
+cent0 AS (
+  SELECT dim,
+         round(CAST(sum(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) / count(*), 6) AS m
+  FROM (
+    SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS x
+    FROM fb
+  ) GROUP BY dim
+),
+cv AS (SELECT list(m ORDER BY dim) AS c FROM cent0),
+scored AS (
+  SELECT e.vec_id,
+         round(list_aggregate(list_transform(
+                 list_zip(e.embedding::DOUBLE[], cv.c),
+                 p -> p[1] * p[2]), 'sum')
+               / nullif(sqrt(list_aggregate(list_transform(
+                   e.embedding::DOUBLE[], a -> a * a), 'sum'))
+                 * sqrt(list_aggregate(list_transform(cv.c, b -> b * b),
+                   'sum')), 0.0), 6) AS score
+  FROM embeddings e CROSS JOIN cv
+)
+SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -13473,6 +13564,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_fuzzy_contamination": q_e1_fuzzy_contamination,
     "e4_mad_outliers": q_e4_mad_outliers,
     "rel_ship_latency_buckets": q_rel_ship_latency_buckets,
+    "e2_rocchio_prf": q_e2_rocchio_prf,
 }
 
 ORACLES: dict[str, str] = {
@@ -13766,6 +13858,7 @@ ORACLES: dict[str, str] = {
     "e1_fuzzy_contamination": _oracle_fuzzy_contamination(),
     "e4_mad_outliers": ORACLE_E4_MAD_OUTLIERS,
     "rel_ship_latency_buckets": ORACLE_REL_SHIP_LATENCY,
+    "e2_rocchio_prf": _oracle_rocchio_prf(),
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -712,3 +712,38 @@ class TestShipLatencyBuckets:
         assert out["31-60"].n_lines == 1
         assert out["90+"].n_lines == 1
         assert out["00-30"].share == round(1 / 3, 6)
+
+
+class TestRocchioPrf:
+    def test_prf_finds_topical_doc_without_keywords(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        # docs 1-2 contain the query words; doc 3 shares NO keywords.
+        # embeddings: 1,2,3 point the same way; 4 is orthogonal ->
+        # PRF centroid (from BM25 top docs 1,2) must rank 3 above 4.
+        docs = [
+            (1, "hash join spark", "en", "a", 15),
+            (2, "hash join spark again", "en", "a", 20),
+            (3, "totally different words", "en", "a", 23),
+            (4, "unrelated filler text", "en", "a", 21),
+        ]
+        embs = [
+            (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.95, 0.05]),
+            (4, [0.0, 1.0]),
+        ]
+        d = tempfile.mkdtemp(prefix="prf-")
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        spark.createDataFrame(
+            [(i, v, 0) for i, v in embs],
+            "vec_id long, embedding array<float>, label int",
+        ).write.mode("overwrite").parquet(
+            os.path.join(d, "embeddings.parquet")
+        )
+        out = QUERIES["e2_rocchio_prf"](spark, d).collect()
+        scores = {r.vec_id: r.score for r in out}
+        assert scores[3] > scores[4]  # topical neighbor beats orthogonal
+        assert out[0].vec_id in (1, 2, 3)
