@@ -13234,6 +13234,105 @@ SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
 """
 
 
+def q_e4_type_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 cross-metric structure: the pairwise Pearson matrix between
+    event types' daily volumes — "do errors spike when purchases
+    spike" across ALL type pairs at once, where e4_metric_correlation
+    tracks one chosen KPI pair. Missing (type, day) cells are real
+    zeros, so the day x type grid is densified FIRST (|days| x
+    |types|, bounded by calendar x alphabet — never event volume);
+    the pair frame is a day-keyed self-join with a canonical a < b
+    direction, and sufficient statistics are exact decimal sums with
+    doubles only in the final Pearson expression (oracle operation
+    order)."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("__day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__y"))
+    days = daily.select("__day").distinct()
+    types = daily.select("event_type").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["event_type", "__day"], "left")
+        .withColumn("__y", F.coalesce(F.col("__y"), F.lit(0)).cast("long"))
+    )
+    rhs = dense.select(
+        F.col("event_type").alias("type_b"),
+        F.col("__day").alias("__d2"),
+        F.col("__y").alias("__y2"),
+    )
+    pairs = dense.select(
+        F.col("event_type").alias("type_a"), "__day", "__y"
+    ).join(
+        rhs,
+        (F.col("__day") == F.col("__d2"))
+        & (F.col("type_a") < F.col("type_b")),
+    )
+    stats = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__y").cast("decimal(38,0)")).alias("__sx"),
+        F.sum(F.col("__y2").cast("decimal(38,0)")).alias("__sy"),
+        F.sum(F.expr("CAST(__y AS DECIMAL(38,0)) * __y2")).alias("__sxy"),
+        F.sum(F.expr("CAST(__y AS DECIMAL(38,0)) * __y")).alias("__sxx"),
+        F.sum(F.expr("CAST(__y2 AS DECIMAL(38,0)) * __y2")).alias("__syy"),
+    )
+    return stats.select(
+        "type_a",
+        "type_b",
+        F.col("__n").alias("n_days"),
+        F.round(
+            F.expr(
+                "(CAST(__n AS DOUBLE) * CAST(__sxy AS DOUBLE)"
+                " - CAST(__sx AS DOUBLE) * CAST(__sy AS DOUBLE))"
+                " / nullif(sqrt((CAST(__n AS DOUBLE) * CAST(__sxx AS DOUBLE)"
+                " - CAST(__sx AS DOUBLE) * CAST(__sx AS DOUBLE))"
+                " * (CAST(__n AS DOUBLE) * CAST(__syy AS DOUBLE)"
+                " - CAST(__sy AS DOUBLE) * CAST(__sy AS DOUBLE))), 0.0)"
+            ),
+            6,
+        ).alias("r"),
+    )
+
+
+ORACLE_E4_TYPE_CORRELATION = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM daily),
+types AS (SELECT DISTINCT event_type FROM daily),
+dense AS (
+  SELECT t.event_type, d.day, coalesce(x.y, 0)::BIGINT AS y
+  FROM days d CROSS JOIN types t
+  LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.y AS x, b.y AS y2
+  FROM dense a JOIN dense b
+    ON a.day = b.day AND a.event_type < b.event_type
+),
+stats AS (
+  SELECT type_a, type_b, count(*)::BIGINT AS n,
+         sum(CAST(x AS HUGEINT)) AS sx,
+         sum(CAST(y2 AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y2) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y2 AS HUGEINT) * y2) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT type_a, type_b, n AS n_days,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                      0.0), 6) AS r
+FROM stats
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -13565,6 +13664,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_mad_outliers": q_e4_mad_outliers,
     "rel_ship_latency_buckets": q_rel_ship_latency_buckets,
     "e2_rocchio_prf": q_e2_rocchio_prf,
+    "e4_type_correlation_matrix": q_e4_type_correlation_matrix,
 }
 
 ORACLES: dict[str, str] = {
@@ -13859,6 +13959,7 @@ ORACLES: dict[str, str] = {
     "e4_mad_outliers": ORACLE_E4_MAD_OUTLIERS,
     "rel_ship_latency_buckets": ORACLE_REL_SHIP_LATENCY,
     "e2_rocchio_prf": _oracle_rocchio_prf(),
+    "e4_type_correlation_matrix": ORACLE_E4_TYPE_CORRELATION,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

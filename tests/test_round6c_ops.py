@@ -747,3 +747,40 @@ class TestRocchioPrf:
         scores = {r.vec_id: r.score for r in out}
         assert scores[3] > scores[4]  # topical neighbor beats orthogonal
         assert out[0].vec_id in (1, 2, 3)
+
+
+class TestTypeCorrelationMatrix:
+    def test_perfect_anti_and_missing_day_zero_fill(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        # a: [1,2,3]; b: [3,2,1] -> r(a,b) = -1.
+        # c appears only on day 1 (days 2,3 are REAL zeros): c=[5,0,0]
+        rows = []
+        eid = 0
+        for day, counts in ((1, {"a": 1, "b": 3, "c": 5}),
+                            (2, {"a": 2, "b": 2}),
+                            (3, {"a": 3, "b": 1})):
+            for t, n in counts.items():
+                for _ in range(n):
+                    rows.append(
+                        (eid, f"2024-03-0{day} 12:00:00", 1, t, 1.0, "{}")
+                    )
+                    eid += 1
+        d = tempfile.mkdtemp(prefix="tcm-")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "events.parquet"))
+        out = {
+            (r.type_a, r.type_b): r
+            for r in QUERIES["e4_type_correlation_matrix"](spark, d).collect()
+        }
+        assert len(out) == 3  # C(3,2) canonical pairs
+        assert out[("a", "b")].r == -1.0
+        assert out[("a", "b")].n_days == 3
+        # c's zero-filled days: r(b,c) with b=[3,2,1], c=[5,0,0] > 0
+        assert out[("b", "c")].r > 0.8
