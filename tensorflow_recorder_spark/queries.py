@@ -13333,6 +13333,83 @@ FROM stats
 """
 
 
+def q_e6_flag_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 governance gap: dedup keeps one representative per cluster —
+    but if a DROPPED member carried a sensitive-content flag (PII,
+    license taint) and the KEPT one looks clean, auditing only kept
+    documents under-counts the obligation (near-dups of flagged text
+    are almost surely the same text). This query counts 'leaky'
+    clusters: kept member clean, some dropped member flagged — the
+    number that says flags must propagate THROUGH dup clusters, not
+    ride on surviving rows. Plan: the unchanged CC output joins the
+    map-only flag projection on doc_id; per-cluster flags collapse in
+    one cluster-keyed aggregate and the readout is a single row."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_verified_pairs(
+        docs, "text", "doc_id", min_est_jaccard=0.5, threshold=0.5
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    flags = docs.select(
+        F.col("doc_id").alias("__fid"),
+        F.expr(
+            r"CAST(text RLIKE '\\b(spark|hash|merge)\\b' AS INT)"
+        ).alias("__flag"),
+    )
+    j = clusters.join(flags, clusters["id"] == F.col("__fid"))
+    per_cluster = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__sz"),
+        F.max("__flag").alias("__any_flag"),
+        F.max(
+            F.when(F.col("id") == F.col("cluster_id"), F.col("__flag"))
+        ).alias("__kept_flag"),
+        F.sum("__flag").cast("long").alias("__n_flagged"),
+    )
+    return per_cluster.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("__sz").cast("long").alias("n_clustered_docs"),
+        F.sum("__n_flagged").cast("long").alias("n_flagged_members"),
+        F.sum(F.col("__any_flag").cast("long"))
+        .cast("long")
+        .alias("n_clusters_flagged"),
+        F.sum(
+            F.when(
+                (F.col("__any_flag") == 1) & (F.col("__kept_flag") == 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_leaky_clusters"),
+    )
+
+
+def _oracle_flag_propagation() -> str:
+    return f"""
+WITH clusters AS ({_oracle_dup_clusters()}),
+f AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(text, '\\b(spark|hash|merge)\\b')
+              THEN 1 ELSE 0 END AS flag
+  FROM documents
+),
+j AS (
+  SELECT c.doc_id, c.cluster_id, f.flag
+  FROM clusters c JOIN f ON c.doc_id = f.doc_id
+),
+pc AS (
+  SELECT cluster_id, count(*)::BIGINT AS sz, max(flag) AS any_flag,
+         max(CASE WHEN doc_id = cluster_id THEN flag END) AS kept_flag,
+         sum(flag)::BIGINT AS n_flagged
+  FROM j GROUP BY cluster_id
+)
+SELECT count(*)::BIGINT AS n_clusters,
+       sum(sz)::BIGINT AS n_clustered_docs,
+       sum(n_flagged)::BIGINT AS n_flagged_members,
+       sum(any_flag)::BIGINT AS n_clusters_flagged,
+       sum(CASE WHEN any_flag = 1 AND kept_flag = 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_leaky_clusters
+FROM pc
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -13665,6 +13742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_ship_latency_buckets": q_rel_ship_latency_buckets,
     "e2_rocchio_prf": q_e2_rocchio_prf,
     "e4_type_correlation_matrix": q_e4_type_correlation_matrix,
+    "e6_flag_propagation": q_e6_flag_propagation,
 }
 
 ORACLES: dict[str, str] = {
@@ -13960,6 +14038,7 @@ ORACLES: dict[str, str] = {
     "rel_ship_latency_buckets": ORACLE_REL_SHIP_LATENCY,
     "e2_rocchio_prf": _oracle_rocchio_prf(),
     "e4_type_correlation_matrix": ORACLE_E4_TYPE_CORRELATION,
+    "e6_flag_propagation": _oracle_flag_propagation(),
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

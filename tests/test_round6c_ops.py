@@ -784,3 +784,30 @@ class TestTypeCorrelationMatrix:
         assert out[("a", "b")].n_days == 3
         # c's zero-filled days: r(b,c) with b=[3,2,1], c=[5,0,0] > 0
         assert out[("b", "c")].r > 0.8
+
+
+class TestFlagPropagation:
+    def test_leaky_cluster_detected(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        # docs 1/2 near-identical (one cluster, kept = min id 1);
+        # only the DROPPED member (2) carries the flag term 'spark'.
+        base = "the quick brown fox jumps over the lazy dog " * 4
+        rows = [
+            (1, base + "tail one", "en", "a", 100),
+            (2, base + "spark two", "en", "a", 100),
+            (3, "completely unrelated text here", "en", "a", 30),
+        ]
+        d = tempfile.mkdtemp(prefix="flagprop-")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        [r] = QUERIES["e6_flag_propagation"](spark, d).collect()
+        assert r.n_clusters == 1 and r.n_clustered_docs == 2
+        assert r.n_flagged_members == 1
+        assert r.n_clusters_flagged == 1
+        assert r.n_leaky_clusters == 1  # kept doc 1 is clean
