@@ -12591,6 +12591,13 @@ def q_e4_tenure_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.to_date("ts")).alias("__first"),
         F.max(F.to_date("ts")).alias("__last"),
     )
+    return _tenure_finalize(per_user)
+
+
+def _tenure_finalize(per_user: DataFrame) -> DataFrame:
+    """Survival-table finalize over per-user (first, last) day spans —
+    shared verbatim by the batch query and the complete-mode
+    streaming twin (whose state IS the span frame)."""
     hist = per_user.select(
         F.expr("datediff(__last, __first) div 7").cast("long").alias(
             "tenure_weeks"
@@ -13410,6 +13417,21 @@ FROM pc
 """
 
 
+def q_s31_stream_tenure_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tenure survival table AS A STREAM: per-user (first, last)
+    day spans run as a complete-mode streaming min/max aggregate (two
+    dates of state per user) and the drained span frame finalizes
+    through the SAME _tenure_finalize as the batch query — integer
+    week arithmetic keeps the streamed table hash-identical."""
+    stream = _event_stream(spark, sf_dir)
+    spans = stream.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("__first"),
+        F.max(F.to_date("ts")).alias("__last"),
+    )
+    drained = _drain_to_memory(spans, "stream_tenure_sink", "complete")
+    return _tenure_finalize(drained)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -13743,6 +13765,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_rocchio_prf": q_e2_rocchio_prf,
     "e4_type_correlation_matrix": q_e4_type_correlation_matrix,
     "e6_flag_propagation": q_e6_flag_propagation,
+    "s31_stream_tenure_curve": q_s31_stream_tenure_curve,
 }
 
 ORACLES: dict[str, str] = {
@@ -14039,6 +14062,8 @@ ORACLES: dict[str, str] = {
     "e2_rocchio_prf": _oracle_rocchio_prf(),
     "e4_type_correlation_matrix": ORACLE_E4_TYPE_CORRELATION,
     "e6_flag_propagation": _oracle_flag_propagation(),
+    # complete-mode stream shares the batch tenure finalize -> same oracle
+    "s31_stream_tenure_curve": ORACLE_E4_TENURE_CURVE,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

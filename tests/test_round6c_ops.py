@@ -811,3 +811,22 @@ class TestFlagPropagation:
         assert r.n_flagged_members == 1
         assert r.n_clusters_flagged == 1
         assert r.n_leaky_clusters == 1  # kept doc 1 is clean
+
+
+class TestStreamTenureCurve:
+    def test_stream_matches_batch_table(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        batch = sorted(
+            [tuple(r) for r in QUERIES["e4_tenure_curve"](spark, sf).collect()]
+        )
+        stream = sorted(
+            [
+                tuple(r)
+                for r in QUERIES["s31_stream_tenure_curve"](
+                    spark, sf
+                ).collect()
+            ]
+        )
+        assert stream == batch
