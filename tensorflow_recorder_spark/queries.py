@@ -13432,6 +13432,128 @@ def q_s31_stream_tenure_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tenure_finalize(drained)
 
 
+def q_e2_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 redundancy audit: pairwise Pearson between the 8
+    highest-variance embedding dimensions — strongly correlated
+    coordinates carry duplicated signal, the tell that the encoder
+    needs whitening (or PCA before PQ, whose codebooks assume
+    near-independent subspaces). Restricting to the top-8 by variance
+    bounds the pair frame at C(8,2) x n_vectors while still covering
+    the dimensions that dominate every distance. Plan: one posexplode
+    feeds BOTH the d-row variance stats (exact decimal sums; the
+    top-8 is a TakeOrdered broadcast) and the vec-keyed pair join;
+    per-pair sufficient statistics stay exact decimals, doubles only
+    in the final Pearson expression (oracle operation order)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    coords = emb.select(
+        "vec_id", F.posexplode("embedding").alias("__p", "__x")
+    ).select(
+        "vec_id",
+        (F.col("__p") + 1).cast("long").alias("dim"),
+        F.round(F.col("__x").cast("double"), 6)
+        .cast("decimal(18,6)")
+        .alias("__v"),
+    )
+    stats = coords.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__v").alias("__sx"),
+        F.sum(F.expr("__v * __v")).alias("__sxx"),
+    )
+    sel = (
+        stats.withColumn(
+            "__var",
+            F.expr(
+                "CAST(__n AS DOUBLE) * CAST(__sxx AS DOUBLE)"
+                " - CAST(__sx AS DOUBLE) * CAST(__sx AS DOUBLE)"
+            ),
+        )
+        .orderBy(F.desc("__var"), F.asc("dim"))
+        .limit(8)
+        .select("dim")
+    )
+    sub = coords.join(F.broadcast(sel), "dim")
+    rhs = sub.select(
+        F.col("dim").alias("dim_b"),
+        F.col("vec_id").alias("__vid2"),
+        F.col("__v").alias("__v2"),
+    )
+    pairs = sub.join(
+        rhs,
+        (F.col("vec_id") == F.col("__vid2")) & (F.col("dim") < F.col("dim_b")),
+    )
+    pstats = pairs.groupBy(
+        F.col("dim").alias("dim_a"), "dim_b"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__v").alias("__sx"),
+        F.sum("__v2").alias("__sy"),
+        F.sum(F.expr("__v * __v2")).alias("__sxy"),
+        F.sum(F.expr("__v * __v")).alias("__sxx"),
+        F.sum(F.expr("__v2 * __v2")).alias("__syy"),
+    )
+    return pstats.select(
+        "dim_a",
+        "dim_b",
+        F.col("__n").alias("n_vectors"),
+        F.round(
+            F.expr(
+                "(CAST(__n AS DOUBLE) * CAST(__sxy AS DOUBLE)"
+                " - CAST(__sx AS DOUBLE) * CAST(__sy AS DOUBLE))"
+                " / nullif(sqrt((CAST(__n AS DOUBLE) * CAST(__sxx AS DOUBLE)"
+                " - CAST(__sx AS DOUBLE) * CAST(__sx AS DOUBLE))"
+                " * (CAST(__n AS DOUBLE) * CAST(__syy AS DOUBLE)"
+                " - CAST(__sy AS DOUBLE) * CAST(__sy AS DOUBLE))), 0.0)"
+            ),
+            6,
+        ).alias("r"),
+    )
+
+
+ORACLE_E2_DIM_CORRELATION = """
+WITH coords AS (
+  SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+         CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+  FROM (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+           unnest(embedding) AS x
+    FROM embeddings
+  )
+),
+stats AS (
+  SELECT dim, count(*)::BIGINT AS n, sum(v) AS sx, sum(v * v) AS sxx
+  FROM coords GROUP BY dim
+),
+sel AS (
+  SELECT dim FROM (
+    SELECT dim,
+           CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS var_num
+    FROM stats
+  ) ORDER BY var_num DESC, dim LIMIT 8
+),
+sub AS (SELECT c.* FROM coords c JOIN sel USING (dim)),
+pairs AS (
+  SELECT a.dim AS dim_a, b.dim AS dim_b, a.v AS x, b.v AS y
+  FROM sub a JOIN sub b ON a.vec_id = b.vec_id AND a.dim < b.dim
+),
+pstats AS (
+  SELECT dim_a, dim_b, count(*)::BIGINT AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT dim_a, dim_b, n AS n_vectors,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                      0.0), 6) AS r
+FROM pstats
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -13766,6 +13888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4_type_correlation_matrix": q_e4_type_correlation_matrix,
     "e6_flag_propagation": q_e6_flag_propagation,
     "s31_stream_tenure_curve": q_s31_stream_tenure_curve,
+    "e2_dim_correlation": q_e2_dim_correlation,
 }
 
 ORACLES: dict[str, str] = {
@@ -14064,6 +14187,7 @@ ORACLES: dict[str, str] = {
     "e6_flag_propagation": _oracle_flag_propagation(),
     # complete-mode stream shares the batch tenure finalize -> same oracle
     "s31_stream_tenure_curve": ORACLE_E4_TENURE_CURVE,
+    "e2_dim_correlation": ORACLE_E2_DIM_CORRELATION,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -830,3 +830,30 @@ class TestStreamTenureCurve:
             ]
         )
         assert stream == batch
+
+
+class TestDimCorrelation:
+    def test_duplicated_dimension_has_r_one(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        # dims 1 and 2 identical (r=1); dim 3 = -dim1 (r=-1);
+        # dim 4 constant (zero variance, excluded from any pair r as
+        # NULL if selected; with only 4 dims all are in top-8)
+        rows = [
+            (i, [float(i), float(i), float(-i), 1.0], 0) for i in range(1, 6)
+        ]
+        d = tempfile.mkdtemp(prefix="dimcor-")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(
+            os.path.join(d, "embeddings.parquet")
+        )
+        out = {
+            (r.dim_a, r.dim_b): r
+            for r in QUERIES["e2_dim_correlation"](spark, d).collect()
+        }
+        assert out[(1, 2)].r == 1.0
+        assert out[(1, 3)].r == -1.0
+        assert out[(1, 4)].r is None  # constant dim -> undefined
+        assert out[(1, 2)].n_vectors == 5
