@@ -13554,6 +13554,92 @@ FROM pstats
 """
 
 
+def q_rel_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment-migration matrix: each customer's spend tier
+    (NONE / LOW < 100k / MID < 300k / HIGH) in the first half of the
+    order-date range vs the second half, counted per (from, to) cell —
+    the upgrade/downgrade/churn flow behind every account-health
+    review. Fixed absolute thresholds keep tiers scale-safe (no
+    global quantile over customers); the half-point is integer
+    epoch-day arithmetic broadcast from one min/max row. Plan: orders
+    collapse to per-(customer, half) decimal spend in one partial
+    agg; a self-joinable pivot (FULL OUTER on customer via two
+    half-filtered frames) labels both tiers; the matrix is a
+    16-cell-bounded aggregate."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        # parquet infers NTZ here; under the pinned-UTC session the LTZ
+        # cast is value-identical and unlocks unix_micros
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("__p"),
+    )
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("__lo"), F.max("o_orderdate").alias("__hi")
+    )
+    halved = orders.crossJoin(F.broadcast(bounds)).withColumn(
+        "__half",
+        F.expr(
+            "CASE WHEN unix_micros(o_orderdate) < unix_micros(__lo)"
+            " + ((unix_micros(__hi) - unix_micros(__lo)) div 2)"
+            " THEN 1 ELSE 2 END"
+        ),
+    )
+    spend = halved.groupBy("o_custkey", "__half").agg(
+        F.sum("__p").alias("__s")
+    )
+    tier = (
+        "CASE WHEN __s IS NULL THEN 'NONE'"
+        " WHEN __s < 100000 THEN 'LOW'"
+        " WHEN __s < 300000 THEN 'MID'"
+        " ELSE 'HIGH' END"
+    )
+    h1 = spend.where(F.col("__half") == 1).select(
+        F.col("o_custkey").alias("__c1"), F.col("__s")
+    )
+    h2 = spend.where(F.col("__half") == 2).select(
+        F.col("o_custkey").alias("__c2"), F.col("__s").alias("__s2")
+    )
+    joined = h1.join(h2, h1["__c1"] == h2["__c2"], "full").select(
+        F.expr(tier).alias("from_tier"),
+        F.expr(tier.replace("__s", "__s2")).alias("to_tier"),
+    )
+    return joined.groupBy("from_tier", "to_tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+
+
+ORACLE_REL_SEGMENT_MIGRATION = """
+WITH b AS (
+  SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+),
+halved AS (
+  SELECT o.o_custkey, CAST(o.o_totalprice AS DECIMAL(18,6)) AS p,
+         CASE WHEN epoch_us(o.o_orderdate) < epoch_us(b.lo)
+                   + ((epoch_us(b.hi) - epoch_us(b.lo)) // 2)
+              THEN 1 ELSE 2 END AS half
+  FROM orders o CROSS JOIN b
+),
+spend AS (
+  SELECT o_custkey, half, sum(p) AS s FROM halved GROUP BY 1, 2
+),
+h1 AS (SELECT o_custkey, s FROM spend WHERE half = 1),
+h2 AS (SELECT o_custkey, s AS s2 FROM spend WHERE half = 2),
+j AS (
+  SELECT CASE WHEN h1.s IS NULL THEN 'NONE'
+              WHEN h1.s < 100000 THEN 'LOW'
+              WHEN h1.s < 300000 THEN 'MID'
+              ELSE 'HIGH' END AS from_tier,
+         CASE WHEN h2.s2 IS NULL THEN 'NONE'
+              WHEN h2.s2 < 100000 THEN 'LOW'
+              WHEN h2.s2 < 300000 THEN 'MID'
+              ELSE 'HIGH' END AS to_tier
+  FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+)
+SELECT from_tier, to_tier, count(*)::BIGINT AS n_customers
+FROM j GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -13889,6 +13975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_flag_propagation": q_e6_flag_propagation,
     "s31_stream_tenure_curve": q_s31_stream_tenure_curve,
     "e2_dim_correlation": q_e2_dim_correlation,
+    "rel_segment_migration": q_rel_segment_migration,
 }
 
 ORACLES: dict[str, str] = {
@@ -14188,6 +14275,7 @@ ORACLES: dict[str, str] = {
     # complete-mode stream shares the batch tenure finalize -> same oracle
     "s31_stream_tenure_curve": ORACLE_E4_TENURE_CURVE,
     "e2_dim_correlation": ORACLE_E2_DIM_CORRELATION,
+    "rel_segment_migration": ORACLE_REL_SEGMENT_MIGRATION,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

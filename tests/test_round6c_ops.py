@@ -857,3 +857,35 @@ class TestDimCorrelation:
         assert out[(1, 3)].r == -1.0
         assert out[(1, 4)].r is None  # constant dim -> undefined
         assert out[(1, 2)].n_vectors == 5
+
+
+class TestSegmentMigration:
+    def test_upgrade_churn_and_new_cells(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        # range Jan 1 .. Jan 10 (midpoint Jan 5.5). customer 1: LOW in
+        # h1, HIGH in h2 (upgrade). customer 2: only h1 (churn ->
+        # NONE). customer 3: only h2 (new).
+        orders = [
+            (1, 1, "O", 50000.0, "2024-01-01 00:00:00", "1-URGENT"),
+            (2, 1, "O", 400000.0, "2024-01-10 00:00:00", "1-URGENT"),
+            (3, 2, "O", 150000.0, "2024-01-02 00:00:00", "1-URGENT"),
+            (4, 3, "O", 350000.0, "2024-01-09 00:00:00", "1-URGENT"),
+        ]
+        d = tempfile.mkdtemp(prefix="segmig-")
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn(
+            "o_orderdate", F.col("o_orderdate").cast("timestamp")
+        ).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        out = {
+            (r.from_tier, r.to_tier): r.n_customers
+            for r in QUERIES["rel_segment_migration"](spark, d).collect()
+        }
+        assert out[("LOW", "HIGH")] == 1
+        assert out[("MID", "NONE")] == 1
+        assert out[("NONE", "HIGH")] == 1
+        assert sum(out.values()) == 3
