@@ -331,6 +331,38 @@ def test_driver_window_holds_all_unique_queries():
         "rel_specialized_suppliers",
         "e2_dup_vectors",
         "e1_prefix_boilerplate",
+        # round-6 session-3 additions (all oracle-checked by
+        # scripts/check_oracle.py over the full registry; driver
+        # rotation candidates for round 7)
+        "e4_activity_gini",
+        "p6_temporal_split",
+        "e2_dim_variance",
+        "e4_changepoint",
+        "e3_source_divergence",
+        "s28_stream_new_vs_returning",
+        "e4_out_of_order",
+        "rel_copurchase",
+        "e4_autocorr",
+        "e1_dup_length_bias",
+        "e4_diff_in_diff",
+        "s29_stream_out_of_order",
+        "e6_ess_mixture",
+        "e3_distinctive_terms",
+        "e4_tenure_curve",
+        "e1_threshold_sweep",
+        "e1_lexical_semantic_agreement",
+        "s30_stream_activity_gini",
+        "e1_cluster_inflation",
+        "e4_forecast_backtest",
+        "e1_fuzzy_contamination",
+        "e4_mad_outliers",
+        "rel_ship_latency_buckets",
+        "e2_rocchio_prf",
+        "e4_type_correlation_matrix",
+        "e6_flag_propagation",
+        "s31_stream_tenure_curve",
+        "e2_dim_correlation",
+        "rel_segment_migration",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
