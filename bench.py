@@ -184,6 +184,22 @@ BENCH_QUERIES = [
     # heavy: runs the full two-stage fuzzy pipeline once (tracked per
     # the r4 rule: bench new dedup-family ops before they get expensive)
     "e1_threshold_sweep",
+    # round-6 session-3b: the remaining batch shapes (causal 4-cell,
+    # ESS, log-odds profile, survival, robust outliers, latency
+    # buckets, PRF re-rank, correlation matrices, migration, backtest,
+    # and the CC-based inflation audit — the heaviest new dedup shape)
+    "e4_diff_in_diff",
+    "e6_ess_mixture",
+    "e3_distinctive_terms",
+    "e4_tenure_curve",
+    "e4_mad_outliers",
+    "rel_ship_latency_buckets",
+    "e2_rocchio_prf",
+    "e4_type_correlation_matrix",
+    "e2_dim_correlation",
+    "rel_segment_migration",
+    "e4_forecast_backtest",
+    "e1_cluster_inflation",
 ]
 
 
