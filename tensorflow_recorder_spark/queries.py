@@ -13640,6 +13640,148 @@ FROM j GROUP BY 1, 2
 """
 
 
+def q_e6_quality_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 quota-tuning curve: documents and characters KEPT at quality
+    floors 0.4..0.8 — the dedup threshold sweep's twin for the quality
+    gate (a floor of 0.7 that silently drops 60% of tokens is a
+    mixture decision, not a cleanup). ONE corpus pass: scores collapse
+    into a 6-bucket frame (floor-banded on the 6dp-rounded score), and
+    the five thresholds read it via a bounded reverse-cumulative
+    theta-join — tuning never rescans text. Character volume stays an
+    exact decimal sum; shares divide two broadcast totals."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = text.quality_score(docs, "text", "doc_id").select(
+        F.col("quality_score").alias("__s"), "n_chars"
+    )
+    bucket = (
+        "CASE WHEN __s >= 0.8 THEN 0.8 WHEN __s >= 0.7 THEN 0.7"
+        " WHEN __s >= 0.6 THEN 0.6 WHEN __s >= 0.5 THEN 0.5"
+        " WHEN __s >= 0.4 THEN 0.4 ELSE 0.0 END"
+    )
+    b = (
+        qs.select(F.expr(bucket).alias("__b"), "n_chars")
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("__ch"),
+        )
+    )
+    th = spark.createDataFrame(
+        [(0.4,), (0.5,), (0.6,), (0.7,), (0.8,)], "threshold double"
+    )
+    tot = b.agg(
+        F.sum("__n").cast("long").alias("__tn"),
+        F.sum("__ch").alias("__tch"),
+    )
+    joined = th.join(b, F.col("__b") >= F.col("threshold"), "left").crossJoin(
+        F.broadcast(tot)
+    )
+    return (
+        joined.groupBy("threshold", "__tn", "__tch")
+        .agg(
+            F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias(
+                "n_docs_kept"
+            ),
+            F.coalesce(F.sum("__ch"), F.lit(0).cast("decimal(38,0)")).alias(
+                "__kch"
+            ),
+        )
+        .select(
+            "threshold",
+            "n_docs_kept",
+            F.col("__kch").cast("long").alias("n_chars_kept"),
+            F.round(
+                F.expr(
+                    "CAST(n_docs_kept AS DOUBLE) / CAST(__tn AS DOUBLE)"
+                ),
+                6,
+            ).alias("doc_share"),
+            F.round(
+                F.expr("CAST(__kch AS DOUBLE) / CAST(__tch AS DOUBLE)"), 6
+            ).alias("char_share"),
+        )
+    )
+
+
+def _oracle_quality_threshold_curve() -> str:
+    return f"""
+WITH q AS ({ORACLE_E3_QUALITY}),
+b AS (
+  SELECT CASE WHEN quality_score >= 0.8 THEN 0.8
+              WHEN quality_score >= 0.7 THEN 0.7
+              WHEN quality_score >= 0.6 THEN 0.6
+              WHEN quality_score >= 0.5 THEN 0.5
+              WHEN quality_score >= 0.4 THEN 0.4
+              ELSE 0.0 END AS bkt,
+         count(*)::BIGINT AS n, sum(CAST(n_chars AS HUGEINT)) AS ch
+  FROM q GROUP BY 1
+),
+th AS (SELECT unnest([0.4, 0.5, 0.6, 0.7, 0.8]) AS threshold),
+tot AS (SELECT sum(n)::BIGINT AS tn, sum(ch) AS tch FROM b)
+SELECT th.threshold,
+       coalesce(sum(b.n), 0)::BIGINT AS n_docs_kept,
+       coalesce(sum(b.ch), 0)::BIGINT AS n_chars_kept,
+       round(coalesce(sum(b.n), 0)::DOUBLE / CAST(tot.tn AS DOUBLE), 6)
+         AS doc_share,
+       round(CAST(coalesce(sum(b.ch), 0) AS DOUBLE)
+             / CAST(tot.tch AS DOUBLE), 6) AS char_share
+FROM th LEFT JOIN b ON b.bkt >= th.threshold CROSS JOIN tot
+GROUP BY th.threshold, tot.tn, tot.tch
+"""
+
+
+def q_e1_label_inconsistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 label-consistency audit: byte-identical documents carrying
+    DIFFERENT lang labels — impossible if labeling were a function of
+    content, so every conflicting group is a measured labeling-error
+    floor (and a trainer feeding lang-conditioned mixtures is mixing
+    mislabeled rows). Plan: one text-keyed aggregate (the exact-dedup
+    shuffle) counting rows and distinct labels per group, then a
+    1-row rollup — no joins, no second text pass."""
+    docs = _t(spark, sf_dir, "documents")
+    groups = docs.groupBy("text").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.countDistinct("lang").cast("long").alias("__nl"),
+    )
+    dup_groups = groups.where(F.col("__n") > 1)
+    return dup_groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_groups"),
+        F.sum(F.when(F.col("__nl") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_conflicting_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("__nl") > 1, F.col("__n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_docs_in_conflict"),
+        F.round(
+            F.expr(
+                "sum(CASE WHEN __nl > 1 THEN 1 ELSE 0 END)"
+                " / nullif(CAST(count(1) AS DOUBLE), 0.0)"
+            ),
+            6,
+        ).alias("conflict_share"),
+    )
+
+
+ORACLE_E1_LABEL_INCONSISTENCY = """
+WITH g AS (
+  SELECT text, count(*)::BIGINT AS n,
+         count(DISTINCT lang)::BIGINT AS nl
+  FROM documents GROUP BY text
+),
+d AS (SELECT * FROM g WHERE n > 1)
+SELECT count(*)::BIGINT AS n_dup_groups,
+       sum(CASE WHEN nl > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_conflicting_groups,
+       coalesce(sum(CASE WHEN nl > 1 THEN n END), 0)::BIGINT
+         AS n_docs_in_conflict,
+       round(sum(CASE WHEN nl > 1 THEN 1 ELSE 0 END)
+             / nullif(CAST(count(*) AS DOUBLE), 0.0), 6) AS conflict_share
+FROM d
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -13976,6 +14118,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s31_stream_tenure_curve": q_s31_stream_tenure_curve,
     "e2_dim_correlation": q_e2_dim_correlation,
     "rel_segment_migration": q_rel_segment_migration,
+    "e6_quality_threshold_curve": q_e6_quality_threshold_curve,
+    "e1_label_inconsistency": q_e1_label_inconsistency,
 }
 
 ORACLES: dict[str, str] = {
@@ -14276,6 +14420,8 @@ ORACLES: dict[str, str] = {
     "s31_stream_tenure_curve": ORACLE_E4_TENURE_CURVE,
     "e2_dim_correlation": ORACLE_E2_DIM_CORRELATION,
     "rel_segment_migration": ORACLE_REL_SEGMENT_MIGRATION,
+    "e6_quality_threshold_curve": _oracle_quality_threshold_curve(),
+    "e1_label_inconsistency": ORACLE_E1_LABEL_INCONSISTENCY,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -363,6 +363,8 @@ def test_driver_window_holds_all_unique_queries():
         "s31_stream_tenure_curve",
         "e2_dim_correlation",
         "rel_segment_migration",
+        "e6_quality_threshold_curve",
+        "e1_label_inconsistency",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

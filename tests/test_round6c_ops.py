@@ -889,3 +889,47 @@ class TestSegmentMigration:
         assert out[("MID", "NONE")] == 1
         assert out[("NONE", "HIGH")] == 1
         assert sum(out.values()) == 3
+
+
+class TestQualityThresholdCurve:
+    def test_monotone_and_exact_shares(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+
+        out = {
+            r.threshold: r
+            for r in QUERIES["e6_quality_threshold_curve"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert set(out) == {0.4, 0.5, 0.6, 0.7, 0.8}
+        ts = sorted(out)
+        for lo, hi in zip(ts, ts[1:]):
+            assert out[lo].n_docs_kept >= out[hi].n_docs_kept
+            assert out[lo].n_chars_kept >= out[hi].n_chars_kept
+        assert 0.0 <= out[0.8].doc_share <= out[0.4].doc_share <= 1.0
+
+
+class TestLabelInconsistency:
+    def test_conflicting_group_counted(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+        import os, tempfile
+
+        rows = [
+            (1, "same text", "en", "a", 9),
+            (2, "same text", "fr", "a", 9),   # conflict
+            (3, "other text", "en", "a", 10),
+            (4, "other text", "en", "a", 10),  # dup, consistent
+            (5, "unique", "de", "a", 6),
+        ]
+        d = tempfile.mkdtemp(prefix="labinc-")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        [r] = QUERIES["e1_label_inconsistency"](spark, d).collect()
+        assert r.n_dup_groups == 2
+        assert r.n_conflicting_groups == 1
+        assert r.n_docs_in_conflict == 2
+        assert r.conflict_share == 0.5
