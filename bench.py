@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "rel_segment_migration",
     "e4_forecast_backtest",
     "e1_cluster_inflation",
+    "e6_quality_threshold_curve",
+    "e1_label_inconsistency",
 ]
 
 
