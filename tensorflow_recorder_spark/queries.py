@@ -13782,6 +13782,124 @@ FROM d
 """
 
 
+def q_e6_shard_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 layout-stability audit: when a 16-shard dataset grows to 20
+    shards, how many documents MOVE under mod-N hashing vs a
+    consistent-hash ring — mod-N relocates ~(1 − 1/N... in practice
+    ~95%) of the corpus (every resize is a full rewrite), the ring
+    relocates only the arc claimed by the 4 new nodes (~20%). The
+    number that decides whether shard-addressed artifacts (caches,
+    dedup indexes, ANN cells) survive a resize. Ring assignment is
+    successor-of-hash with wraparound; both schemes use the same
+    deterministic md5 hash space so the comparison is apples-to-
+    apples. Plan: mod assignments are a map-only projection; ring
+    assignment theta-joins each doc against the 20-row broadcast node
+    table and keeps two min aggregates (successor, wraparound floor);
+    the readout is one row of exact integer counts."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT)"
+        ).alias("__dpos")
+    )
+    nodes = spark.range(20).select(
+        F.col("id").alias("__node"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('node-', CAST(id AS STRING))),"
+            " 1, 8), 16, 10) AS BIGINT)"
+        ).alias("__npos"),
+    )
+    ringed = (
+        docs.crossJoin(F.broadcast(nodes))
+        .groupBy("__dpos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__ndocs"),
+            F.min(
+                F.when(
+                    (F.col("__node") < 16) & (F.col("__npos") >= F.col("__dpos")),
+                    F.col("__npos"),
+                )
+            ).alias("__succ16"),
+            F.min(F.when(F.col("__node") < 16, F.col("__npos"))).alias(
+                "__first16"
+            ),
+            F.min(
+                F.when(F.col("__npos") >= F.col("__dpos"), F.col("__npos"))
+            ).alias("__succ20"),
+            F.min("__npos").alias("__first20"),
+        )
+        .select(
+            "__dpos",
+            "__ndocs",
+            F.coalesce(F.col("__succ16"), F.col("__first16")).alias("__r16"),
+            F.coalesce(F.col("__succ20"), F.col("__first20")).alias("__r20"),
+        )
+    )
+    return ringed.agg(
+        F.sum("__ndocs").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.expr("pmod(__dpos, 16) <> pmod(__dpos, 20)"),
+                F.col("__ndocs"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_moved_mod"),
+        F.sum(
+            F.when(F.col("__r16") != F.col("__r20"), F.col("__ndocs")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_moved_ring"),
+    ).select(
+        "n_docs",
+        "n_moved_mod",
+        F.round(
+            F.expr("CAST(n_moved_mod AS DOUBLE) / CAST(n_docs AS DOUBLE)"), 6
+        ).alias("mod_moved_share"),
+        "n_moved_ring",
+        F.round(
+            F.expr("CAST(n_moved_ring AS DOUBLE) / CAST(n_docs AS DOUBLE)"),
+            6,
+        ).alias("ring_moved_share"),
+    )
+
+
+ORACLE_E6_SHARD_STABILITY = """
+WITH d AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           AS dpos
+  FROM documents
+),
+nodes AS (
+  SELECT i AS node,
+         ('0x' || substr(md5('node-' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           AS npos
+  FROM generate_series(0, 19) AS t(i)
+),
+ringed AS (
+  SELECT d.dpos, count(*)::BIGINT AS ndocs,
+         coalesce(min(CASE WHEN n.node < 16 AND n.npos >= d.dpos
+                           THEN n.npos END),
+                  min(CASE WHEN n.node < 16 THEN n.npos END)) AS r16,
+         coalesce(min(CASE WHEN n.npos >= d.dpos THEN n.npos END),
+                  min(n.npos)) AS r20
+  FROM d CROSS JOIN nodes n
+  GROUP BY d.dpos
+)
+SELECT sum(ndocs)::BIGINT AS n_docs,
+       sum(CASE WHEN dpos % 16 <> dpos % 20 THEN ndocs ELSE 0 END)::BIGINT
+         AS n_moved_mod,
+       round(CAST(sum(CASE WHEN dpos % 16 <> dpos % 20 THEN ndocs
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(sum(ndocs) AS DOUBLE), 6) AS mod_moved_share,
+       sum(CASE WHEN r16 <> r20 THEN ndocs ELSE 0 END)::BIGINT
+         AS n_moved_ring,
+       round(CAST(sum(CASE WHEN r16 <> r20 THEN ndocs ELSE 0 END) AS DOUBLE)
+             / CAST(sum(ndocs) AS DOUBLE), 6) AS ring_moved_share
+FROM ringed
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -14120,6 +14238,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_segment_migration": q_rel_segment_migration,
     "e6_quality_threshold_curve": q_e6_quality_threshold_curve,
     "e1_label_inconsistency": q_e1_label_inconsistency,
+    "e6_shard_stability": q_e6_shard_stability,
 }
 
 ORACLES: dict[str, str] = {
@@ -14422,6 +14541,7 @@ ORACLES: dict[str, str] = {
     "rel_segment_migration": ORACLE_REL_SEGMENT_MIGRATION,
     "e6_quality_threshold_curve": _oracle_quality_threshold_curve(),
     "e1_label_inconsistency": ORACLE_E1_LABEL_INCONSISTENCY,
+    "e6_shard_stability": ORACLE_E6_SHARD_STABILITY,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -365,6 +365,7 @@ def test_driver_window_holds_all_unique_queries():
         "rel_segment_migration",
         "e6_quality_threshold_curve",
         "e1_label_inconsistency",
+        "e6_shard_stability",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

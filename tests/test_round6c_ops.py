@@ -933,3 +933,19 @@ class TestLabelInconsistency:
         assert r.n_conflicting_groups == 1
         assert r.n_docs_in_conflict == 2
         assert r.conflict_share == 0.5
+
+
+class TestShardStability:
+    def test_ring_moves_far_fewer_docs_than_mod(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+
+        [r] = QUERIES["e6_shard_stability"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert r.n_docs > 0
+        # mod-N resize reshuffles most of the corpus; the ring only the
+        # arc claimed by the 4 new nodes (4/20 expected)
+        assert r.mod_moved_share > 0.7
+        assert r.ring_moved_share < 0.5
+        assert r.ring_moved_share < r.mod_moved_share
+        assert r.n_moved_ring <= r.n_docs and r.n_moved_mod <= r.n_docs
