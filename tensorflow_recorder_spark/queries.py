@@ -11751,6 +11751,16 @@ def q_e4_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.to_date("ts").alias("__day")).agg(
         F.count(F.lit(1)).cast("long").alias("__y")
     )
+    return _changepoint_finalize(daily)
+
+
+def _changepoint_finalize(daily: DataFrame) -> DataFrame:
+    """BGSS argmax over a (day, count) frame — shared verbatim by the
+    batch query and the complete-mode streaming twin (whose state IS
+    the day frame)."""
+    daily = daily.select(
+        "__day", F.col("__y").cast("long").alias("__y")
+    )
     rhs = daily.select(
         F.col("__day").alias("__d2"), F.col("__y").alias("__y2")
     )
@@ -13900,6 +13910,74 @@ FROM ringed
 """
 
 
+def q_s32_stream_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DiD estimate AS A STREAM: the experiment monitor holds
+    exactly FOUR cells of state (treat x pre/post counts + exact
+    decimal value sums, a complete-mode aggregate) and the drained
+    cells finalize through the SAME mean/interaction expressions as
+    the batch query — the effect estimate updates per micro-batch
+    with constant state."""
+    stream = _event_stream(spark, sf_dir)
+    cells = (
+        stream.select(
+            F.expr("CAST(user_id % 2 = 0 AS INT)").alias("__treat"),
+            F.expr(
+                "CAST(ts >= TIMESTAMP '2024-01-15 00:00:00' AS INT)"
+            ).alias("__post"),
+            F.col("value").cast("decimal(18,6)").alias("__v"),
+        )
+        .groupBy("__treat", "__post")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__v").alias("__s"),
+        )
+    )
+    drained = _drain_to_memory(cells, "stream_did_sink", "complete")
+    wide = drained.groupBy().agg(
+        F.sum(F.when((F.col("__treat") == 1) & (F.col("__post") == 1), F.col("__n")).otherwise(0)).cast("long").alias("n_t_post"),
+        F.sum(F.when((F.col("__treat") == 1) & (F.col("__post") == 0), F.col("__n")).otherwise(0)).cast("long").alias("n_t_pre"),
+        F.sum(F.when((F.col("__treat") == 0) & (F.col("__post") == 1), F.col("__n")).otherwise(0)).cast("long").alias("n_c_post"),
+        F.sum(F.when((F.col("__treat") == 0) & (F.col("__post") == 0), F.col("__n")).otherwise(0)).cast("long").alias("n_c_pre"),
+        F.sum(F.when((F.col("__treat") == 1) & (F.col("__post") == 1), F.col("__s")).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("__s_t_post"),
+        F.sum(F.when((F.col("__treat") == 1) & (F.col("__post") == 0), F.col("__s")).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("__s_t_pre"),
+        F.sum(F.when((F.col("__treat") == 0) & (F.col("__post") == 1), F.col("__s")).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("__s_c_post"),
+        F.sum(F.when((F.col("__treat") == 0) & (F.col("__post") == 0), F.col("__s")).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("__s_c_pre"),
+    )
+    mean = lambda s, n: F.expr(  # noqa: E731
+        f"CAST({s} AS DOUBLE) / CAST({n} AS DOUBLE)"
+    )
+    return wide.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        F.round(mean("__s_t_pre", "n_t_pre"), 6).alias("mean_t_pre"),
+        F.round(mean("__s_t_post", "n_t_post"), 6).alias("mean_t_post"),
+        F.round(mean("__s_c_pre", "n_c_pre"), 6).alias("mean_c_pre"),
+        F.round(mean("__s_c_post", "n_c_post"), 6).alias("mean_c_post"),
+        F.round(
+            (mean("__s_t_post", "n_t_post") - mean("__s_t_pre", "n_t_pre"))
+            - (mean("__s_c_post", "n_c_post") - mean("__s_c_pre", "n_c_pre")),
+            6,
+        ).alias("did"),
+    )
+
+
+def q_s33_stream_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regime detection AS A STREAM: per-day event counts run as a
+    complete-mode streaming aggregate (one long of state per calendar
+    day) and the drained day frame flows through the SAME bounded
+    prefix-sum-join BGSS argmax as the batch query — the detected
+    breakpoint updates as days close, with state bounded by the
+    calendar, never event volume."""
+    stream = _event_stream(spark, sf_dir)
+    daily = stream.groupBy(F.to_date("ts").alias("__day")).agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    drained = _drain_to_memory(daily, "stream_chgpt_sink", "complete")
+    return _changepoint_finalize(drained)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -14239,6 +14317,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_quality_threshold_curve": q_e6_quality_threshold_curve,
     "e1_label_inconsistency": q_e1_label_inconsistency,
     "e6_shard_stability": q_e6_shard_stability,
+    "s32_stream_diff_in_diff": q_s32_stream_diff_in_diff,
+    "s33_stream_changepoint": q_s33_stream_changepoint,
 }
 
 ORACLES: dict[str, str] = {
@@ -14542,6 +14622,9 @@ ORACLES: dict[str, str] = {
     "e6_quality_threshold_curve": _oracle_quality_threshold_curve(),
     "e1_label_inconsistency": ORACLE_E1_LABEL_INCONSISTENCY,
     "e6_shard_stability": ORACLE_E6_SHARD_STABILITY,
+    # complete-mode streams share the batch 4-cell / BGSS finalizes
+    "s32_stream_diff_in_diff": ORACLE_E4_DIFF_IN_DIFF,
+    "s33_stream_changepoint": ORACLE_E4_CHANGEPOINT,
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

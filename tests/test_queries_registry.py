@@ -366,6 +366,8 @@ def test_driver_window_holds_all_unique_queries():
         "e6_quality_threshold_curve",
         "e1_label_inconsistency",
         "e6_shard_stability",
+        "s32_stream_diff_in_diff",
+        "s33_stream_changepoint",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

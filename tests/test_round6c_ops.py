@@ -949,3 +949,16 @@ class TestShardStability:
         assert r.ring_moved_share < 0.5
         assert r.ring_moved_share < r.mod_moved_share
         assert r.n_moved_ring <= r.n_docs and r.n_moved_mod <= r.n_docs
+
+
+class TestStreamDiffInDiffAndChangepoint:
+    def test_stream_twins_match_batch(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        [bd] = QUERIES["e4_diff_in_diff"](spark, sf).collect()
+        [sd] = QUERIES["s32_stream_diff_in_diff"](spark, sf).collect()
+        assert tuple(sd) == tuple(bd)
+        [bc] = QUERIES["e4_changepoint"](spark, sf).collect()
+        [sc] = QUERIES["s33_stream_changepoint"](spark, sf).collect()
+        assert tuple(sc) == tuple(bc)
