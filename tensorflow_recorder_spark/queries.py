@@ -13978,6 +13978,115 @@ def q_s33_stream_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _changepoint_finalize(drained)
 
 
+def q_e2_nlist_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 index-tuning curve, the OTHER axis: micro-averaged recall@10
+    of IVF at nprobe=1 as the cell count K grows (4, 8, 16 seed
+    centroids) — more cells probe less of the corpus per query
+    (speed) but split true neighborhoods across cell boundaries
+    (recall), and this table is where that trade is read before
+    fixing K at corpus scale (the e2_nprobe_recall_curve sweeps the
+    compensating knob). One shared brute-force truth, checkpointed
+    once; each K is the ordinary cell-pruned probe; recall is
+    integer-summed — no FP-order hazard."""
+    from functools import reduce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = (
+        similarity.brute_force_topk(emb, queries, k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    frames = []
+    for k_cells in (4, 8, 16):
+        centroids = emb.where(F.col("vec_id") < k_cells).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        ivf = similarity.ivf_topk(emb, centroids, queries, k=10, nprobe=1)
+        frames.append(
+            similarity.ann_recall(ivf, exact)
+            .agg(
+                F.sum("n_true").cast("long").alias("n_true"),
+                F.sum("n_hits").cast("long").alias("n_hits"),
+            )
+            .select(
+                F.lit(k_cells).cast("long").alias("nlist"),
+                "n_true",
+                "n_hits",
+                F.round(
+                    F.col("n_hits") / F.expr("nullif(n_true, 0)"), 6
+                ).alias("recall"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def _oracle_nlist_recall_curve() -> str:
+    ctes = []
+    selects = []
+    for k_cells in (4, 8, 16):
+        ctes.append(f"""ascored{k_cells} AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         round(list_aggregate(list_transform(list_zip(v.e, c.e),
+               p -> p[1] * p[2]), 'sum') / nullif(v.nrm * c.nrm, 0), 6)
+           AS score
+  FROM norms v JOIN norms c ON c.vec_id < {k_cells}
+),
+assign{k_cells} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY score DESC, centroid_id) AS rn
+    FROM ascored{k_cells}
+  ) WHERE rn = 1
+),
+ivf{k_cells} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_aggregate(list_transform(
+                 list_zip(qe.e, ve.e), p -> p[1] * p[2]), 'sum')
+                 / nullif(qe.nrm * ve.nrm, 0), 4) DESC, v.vec_id) AS rank
+    FROM assign{k_cells} q
+    JOIN assign{k_cells} v ON v.centroid_id = q.centroid_id
+    JOIN norms qe ON qe.vec_id = q.vec_id
+    JOIN norms ve ON ve.vec_id = v.vec_id
+    WHERE q.vec_id < 5 AND v.vec_id <> q.vec_id
+  ) WHERE rank <= 10
+)""")
+        selects.append(f"""SELECT CAST({k_cells} AS BIGINT) AS nlist,
+       (SELECT count(*) FROM bf)::BIGINT AS n_true,
+       (SELECT count(*) FROM bf b JOIN ivf{k_cells} i
+         ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       )::BIGINT AS n_hits,
+       round((SELECT count(*) FROM bf b JOIN ivf{k_cells} i
+               ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id)
+             / nullif(CAST((SELECT count(*) FROM bf) AS DOUBLE), 0), 6)
+         AS recall""")
+    joined_ctes = ",\n".join(ctes)
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e,
+         sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round(list_aggregate(list_transform(list_zip(a.e, b.e),
+                   p -> p[1] * p[2]), 'sum') / nullif(a.nrm * b.nrm, 0), 4)
+                   DESC, b.vec_id) AS rank
+    FROM norms a JOIN norms b ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+  ) WHERE rank <= 10
+),
+{joined_ctes}
+{body}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_split_routing": q_p1_split_routing,
     "a1_split_histogram": q_a1_split_histogram,
@@ -14319,6 +14428,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_shard_stability": q_e6_shard_stability,
     "s32_stream_diff_in_diff": q_s32_stream_diff_in_diff,
     "s33_stream_changepoint": q_s33_stream_changepoint,
+    "e2_nlist_recall_curve": q_e2_nlist_recall_curve,
 }
 
 ORACLES: dict[str, str] = {
@@ -14625,6 +14735,7 @@ ORACLES: dict[str, str] = {
     # complete-mode streams share the batch 4-cell / BGSS finalizes
     "s32_stream_diff_in_diff": ORACLE_E4_DIFF_IN_DIFF,
     "s33_stream_changepoint": ORACLE_E4_CHANGEPOINT,
+    "e2_nlist_recall_curve": _oracle_nlist_recall_curve(),
     "e2_range_search_ivf": ORACLE_E2_RANGE_SEARCH_IVF,
     "rel_discount_revenue": ORACLE_REL_DISCOUNT_REVENUE,
     "rel_nation_volume": ORACLE_REL_NATION_VOLUME,

@@ -368,6 +368,7 @@ def test_driver_window_holds_all_unique_queries():
         "e6_shard_stability",
         "s32_stream_diff_in_diff",
         "s33_stream_changepoint",
+        "e2_nlist_recall_curve",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

@@ -962,3 +962,22 @@ class TestStreamDiffInDiffAndChangepoint:
         [bc] = QUERIES["e4_changepoint"](spark, sf).collect()
         [sc] = QUERIES["s33_stream_changepoint"](spark, sf).collect()
         assert tuple(sc) == tuple(bc)
+
+
+class TestNlistRecallCurve:
+    def test_more_cells_never_raise_nprobe1_recall(self, spark):
+        from tensorflow_recorder_spark.queries import QUERIES
+
+        out = {
+            r.nlist: r
+            for r in QUERIES["e2_nlist_recall_curve"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert set(out) == {4, 8, 16}
+        for k in out:
+            assert 0.0 <= out[k].recall <= 1.0
+            assert out[k].n_true == 50  # 5 queries x 10 truth rows
+        # finer partitions probe a smaller fraction at nprobe=1: recall
+        # must not improve as K grows on the same corpus
+        assert out[4].recall >= out[16].recall
