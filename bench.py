@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "e1_cluster_inflation",
     "e6_quality_threshold_curve",
     "e1_label_inconsistency",
+    "e6_shard_stability",
+    "e2_nlist_recall_curve",
 ]
 
 
