@@ -768,7 +768,10 @@ def vocab_growth(
             for i, f in enumerate(fractions)
         ]
     )
-    curve = vocab_row.crossJoin(docs_row)
+    # The one-row curve frame carries the whole explode + min-bucket
+    # subtree and feeds one select PER fraction — pin it so the corpus
+    # explode runs once, not |fractions| times (r6 judge sweep).
+    curve = vocab_row.crossJoin(docs_row).localCheckpoint(eager=True)
     points = [
         curve.select(
             F.lit(f).cast("double").alias("fraction"),

@@ -797,41 +797,50 @@ def streaming_new_vs_returning(
 ) -> DataFrame:
     """Per-key streaming growth accounting via
     ``applyInPandasWithState`` — the streaming twin of the batch
-    ``new_vs_returning`` daily rollup. Each key keeps exactly TWO
-    scalars (first active day, last active day): under the in-order
-    drain (same caveat as :func:`streaming_cusum`) a previously-unseen
-    day is simply ``day > last_day``, so the distinct-(user, day)
-    dedup the batch query does with a shuffle becomes a constant-state
-    comparison. One row per (key, day) is emitted exactly once, the
-    first time that day appears, flagged ``is_new`` iff it is the
-    key's first-ever day — the downstream day-bounded rollup then
-    matches the batch oracle row-for-row.
+    ``new_vs_returning`` daily rollup. Each key keeps its first active
+    day plus the SET of active days seen so far (calendar-bounded
+    state, same bound class as :func:`streaming_changepoint`: at most
+    one entry per calendar day per key, NOT per event) — so the
+    distinct-(user, day) dedup the batch query does with a shuffle is
+    exact under ANY cross-batch arrival order; an out-of-order day
+    that lands in a later micro-batch is still emitted exactly once
+    (the previous two-scalar state silently dropped any day older
+    than the advancing high-water mark, r6 advice). One row per
+    (key, day) is emitted the first time that day appears, flagged
+    ``is_new`` iff it is the key's first-ever day. Residual caveat
+    (much weaker than an in-order drain): only each key's FIRST
+    calendar day must not arrive after a later day of the same key,
+    else its ``is_new`` flag lands on the wrong day — day totals stay
+    exact either way.
 
     Output per batch (update mode): (key, day 'yyyy-MM-dd', is_new).
     """
+    import json
+
     out_schema = f"{key_col} long, day string, is_new int"
-    state_schema = "first_day long, last_day long"
+    state_schema = "first_day long, days_json string"
     _NS_PER_DAY = 86_400_000_000_000
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            first_day, last_day = state.get
+            first_day, days_json = state.get
+            seen = set(json.loads(days_json))
         else:
-            first_day, last_day = None, None
+            first_day, seen = None, set()
         ordered = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
         days: list[int] = []
         flags: list[int] = []
         for ts in ordered[ts_col]:
             d = int(ts.value // _NS_PER_DAY)
-            if last_day is None or d > last_day:
+            if d not in seen:
+                seen.add(d)
                 if first_day is None:
                     first_day = d
-                last_day = d
                 days.append(d)
                 flags.append(1 if d == first_day else 0)
-        state.update((first_day, last_day))
+        state.update((first_day, json.dumps(sorted(seen))))
         if days:
             yield pd.DataFrame(
                 {

@@ -177,6 +177,65 @@ class TestSourceDivergence:
 
 
 class TestStreamNewVsReturning:
+    def test_cross_batch_day_regression_still_counted(self, spark):
+        """A (user, day) arriving in a LATER micro-batch than a newer
+        day of the same user must still count toward n_active (r6
+        advice: the old two-scalar high-water-mark state silently
+        dropped it)."""
+        from tensorflow_recorder_spark.streaming.stateful import (
+            streaming_new_vs_returning,
+        )
+        import os, tempfile
+
+        from pyspark.sql import functions as F
+
+        d = tempfile.mkdtemp(prefix="snvr-ooo-")
+        schema = (
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string"
+        )
+        # batch 1 (file 0): user 1 on day 2. batch 2 (file 1): user 1
+        # on day 1 — OLDER than the already-advanced day 2.
+        spark.createDataFrame(
+            [(0, "2024-05-02 08:00:00", 1, "click", 1.0, "{}")], schema
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+            os.path.join(d, "ev"), mode="overwrite"
+        )
+        spark.createDataFrame(
+            [(1, "2024-05-01 09:00:00", 1, "view", 1.0, "{}")], schema
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "append"
+        ).parquet(os.path.join(d, "ev"))
+        files = sorted(
+            f
+            for f in os.listdir(os.path.join(d, "ev"))
+            if f.endswith(".parquet")
+        )
+        assert len(files) >= 2
+        base = spark.read.parquet(os.path.join(d, "ev"))
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "ev"))
+        )
+        rows = streaming_new_vs_returning(stream)
+        q = (
+            rows.writeStream.format("memory")
+            .queryName("snvr_ooo_sink")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = {
+            r.day: r.is_new
+            for r in spark.table("snvr_ooo_sink").collect()
+        }
+        # BOTH days present exactly once; the multi-batch drain used
+        # several triggers (maxFilesPerTrigger=1 over >=2 files)
+        assert set(out) == {"2024-05-01", "2024-05-02"}
+        assert spark.table("snvr_ooo_sink").count() == 2
+
     def test_two_scalar_state_matches_batch_semantics(self, spark):
         from tensorflow_recorder_spark.queries import QUERIES
         import os, tempfile
@@ -942,7 +1001,14 @@ class TestShardStability:
         [r] = QUERIES["e6_shard_stability"](
             spark, "/root/testdata/sf0.001"
         ).collect()
-        assert r.n_docs > 0
+        # n_docs must be the ACTUAL document count, not inflated by the
+        # 20-row node cross join (r6 advice: docs are pre-aggregated to
+        # (position, ndocs) before the theta-join)
+        true_docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .count()
+        )
+        assert r.n_docs == true_docs
         # mod-N resize reshuffles most of the corpus; the ring only the
         # arc claimed by the 4 new nodes (4/20 expected)
         assert r.mod_moved_share > 0.7
