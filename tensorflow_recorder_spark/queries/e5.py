@@ -1,0 +1,321 @@
+"""E5 multimodal queries (image meta, codecs, phash, shot boundary, audio gates) + their oracles.
+
+Split from the original single-module registry (r6 verdict item 7);
+bodies are unchanged — see git history of queries.py.
+"""
+from __future__ import annotations
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from ..operators import dedup, events, similarity, text
+from ..operators.scale import fit_and_apply_scale
+from ..operators.split import normalize_split, split_histogram_df
+from ..operators.vocabulary import (
+    apply_vocabulary,
+    fit_vocabulary,
+    fit_vocabulary_large,
+)
+from ._shared import (
+    _t,
+)
+
+
+def q_e5_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: documents' text bytes stand in as
+    the opaque payload; decode_image_features runs the Arrow-batched
+    mapInPandas decode (stub codec: 8x8x3) with per-row failure routing.
+    NULL payloads -> image_ok = false."""
+    from ..operators.multimodal import decode_image_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 97 != 0, F.encode(F.col("text"), "UTF-8")
+        ).alias("media_bytes"),  # every 97th row: missing media
+    )
+    feats = decode_image_features(docs, "media_bytes")
+    return feats.select(
+        "doc_id", "image_width", "image_height", "image_channels", "image_ok"
+    )
+
+ORACLE_E5_IMAGE_META = """
+SELECT doc_id,
+       CASE WHEN doc_id % 97 <> 0 THEN 8 END AS image_width,
+       CASE WHEN doc_id % 97 <> 0 THEN 8 END AS image_height,
+       CASE WHEN doc_id % 97 <> 0 THEN 3 END AS image_channels,
+       doc_id % 97 <> 0 AS image_ok
+FROM documents
+"""
+
+def q_e5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled frame index. The
+    stub codec derives n_frames = 64 + sha256('video' || payload)[0] % 64
+    deterministically, so the exploded (doc, frame_idx) set is fully
+    oracle-checkable — the explode-before-decode plan shape is the part
+    that matters at scale."""
+    from ..operators.multimodal import sample_video_frames
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("media_bytes")
+    )
+    return sample_video_frames(docs, "media_bytes", every_n=10)
+
+ORACLE_E5_FRAME_SAMPLE = """
+WITH meta AS (
+  SELECT doc_id,
+         64 + ('0x' || substr(sha256('video' || text), 1, 2))::INT % 64 AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx
+FROM meta
+"""
+
+def q_e5_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio window-sampling plan: one row per 1s window at 0.5s hop
+    (the ASR feature-extraction shape). The stub codec derives
+    n_samples = 16000 + sha256('audio' || payload)[0] * 256
+    deterministically, so the exploded (doc, window) set is fully
+    oracle-checkable — explode-before-extract is the part that matters
+    at scale."""
+    from ..operators.multimodal import sample_audio_windows
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("media_bytes")
+    )
+    return sample_audio_windows(
+        docs, "media_bytes", window_samples=16000, hop_samples=8000
+    )
+
+ORACLE_E5_AUDIO_WINDOWS = """
+WITH meta AS (
+  SELECT doc_id,
+         16000 + ('0x' || substr(sha256('audio' || text), 1, 2))::INT * 256 AS n
+  FROM documents
+)
+SELECT doc_id, CAST(w AS BIGINT) AS window_start,
+       CAST(least(16000, n - w) AS BIGINT) AS window_len
+FROM (SELECT doc_id, n, unnest(range(0, n, 8000)) AS w FROM meta)
+"""
+
+def q_e5_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 codec integration probe: per document, synthesize a tiny
+    deterministic image (format/dims from doc_id), encode with the
+    repo's pure-Python PNG/GIF/BMP/JPEG/WebP-VP8L/TIFF writers, decode
+    through the T3 loader's magic-byte dispatch — one Arrow-batched mapInPandas pass.
+    ok=true requires dimension fidelity everywhere and byte-exact
+    pixels for the lossless formats, so a codec regression flips rows
+    visibly."""
+    from ..operators.multimodal import codec_roundtrip_probe
+
+    return codec_roundtrip_probe(_t(spark, sf_dir, "documents"), "doc_id")
+
+ORACLE_E5_CODEC_ROUNDTRIP = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                       WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg'
+                       WHEN 4 THEN 'webp' ELSE 'tiff' END AS fmt,
+       CAST(4 + doc_id % 5 AS BIGINT) AS width,
+       CAST(3 + doc_id % 4 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       TRUE AS ok
+FROM documents
+"""
+
+def q_e5_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 perceptual image dedup through the real PNG codec: per-doc
+    synthesized 8x8 grayscale image -> encode -> decode -> 56-bit
+    dHash from the DECODED pixels -> exact-dedup groupBy on the hash.
+    The construction makes the hash arithmetically predictable, so the
+    DuckDB oracle checks the entire encode/decode/hash chain bit for
+    bit."""
+    from ..operators.multimodal import phash_dedup_probe
+
+    return phash_dedup_probe(_t(spark, sf_dir, "documents"), "doc_id")
+
+ORACLE_E5_PHASH_DEDUP = """
+WITH h AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(generate_series(0, 55),
+           i -> CASE WHEN ((doc_id // 16 + i // 7) >> (i % 7)) & 1 = 1
+                THEN (1::BIGINT << i) ELSE 0 END), 'sum') AS phash
+  FROM documents
+),
+g AS (SELECT phash, count(*) AS group_size FROM h GROUP BY phash)
+SELECT doc_id, h.phash, group_size FROM h JOIN g USING (phash)
+"""
+
+def q_e5_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 vision-corpus layout audit: aspect-ratio x resolution-tier
+    histogram from REAL image decodes (PNG/BMP alternating, id-derived
+    dims) — one Arrow-batched decode pass feeding a 9-key groupBy
+    (operators/multimodal.py image_dims_audit)."""
+    from ..operators.multimodal import image_dims_audit
+
+    return image_dims_audit(_t(spark, sf_dir, "documents"), "doc_id")
+
+ORACLE_E5_ASPECT_BUCKETS = """
+WITH d AS (
+  SELECT doc_id, 8 + (doc_id * 13) % 57 AS w, 8 + (doc_id * 7) % 41 AS h
+  FROM documents
+),
+b AS (
+  SELECT CASE WHEN 2 * w >= 3 * h THEN 'wide'
+              WHEN 3 * w <= 2 * h THEN 'tall'
+              ELSE 'square' END AS aspect_bucket,
+         CASE WHEN w * h < 600 THEN 'tiny'
+              WHEN w * h < 1800 THEN 'small'
+              ELSE 'ok' END AS res_tier
+  FROM d
+),
+c AS (SELECT aspect_bucket, res_tier, count(*) AS n FROM b GROUP BY 1, 2),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT aspect_bucket, res_tier, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / total, 6) AS share
+FROM c, t
+"""
+
+def q_e5_shot_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 video shot-boundary detection: luminance-delta cut detector
+    over per-frame REAL encode/decode (4-frame scenes, id-derived
+    pixels), frames exploded JVM-side, cuts from one bounded per-video
+    lag window (operators/multimodal.py shot_boundaries)."""
+    from ..operators.multimodal import shot_boundaries
+
+    return shot_boundaries(_t(spark, sf_dir, "documents"), "doc_id")
+
+ORACLE_E5_SHOT_BOUNDARY = """
+WITH f AS (
+  SELECT doc_id, unnest(range(0, 8 + doc_id % 5)) AS frame_idx
+  FROM documents
+),
+l AS (
+  SELECT doc_id, frame_idx,
+         CAST((doc_id * 31 + (frame_idx // 4) * 97) % 256 AS DOUBLE) AS lum
+  FROM f
+),
+d AS (
+  SELECT doc_id, frame_idx,
+         lag(lum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_lum,
+         lum
+  FROM l
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       round(prev_lum, 4) AS prev_lum,
+       round(lum, 4) AS lum,
+       round(abs(lum - prev_lum), 4) AS delta
+FROM d WHERE abs(lum - prev_lum) >= 10
+"""
+
+def q_e5_orientation_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 EXIF-orientation normalization audit: per orientation tag
+    (id-derived 1-8), count + whether the fix transposes + mean output
+    dims after the fix — dims from REAL PNG/BMP decodes in one
+    Arrow-batched pass (operators/multimodal.py orientation_fix_audit),
+    orientation arithmetic JVM-side over an 8-key partial agg."""
+    from ..operators.multimodal import orientation_fix_audit
+
+    return orientation_fix_audit(_t(spark, sf_dir, "documents"), "doc_id")
+
+ORACLE_E5_ORIENTATION_FIX = """
+WITH d AS (
+  SELECT doc_id, 8 + (doc_id * 13) % 57 AS w, 8 + (doc_id * 7) % 41 AS h,
+         CAST(1 + doc_id % 8 AS INTEGER) AS orientation
+  FROM documents
+),
+f AS (
+  SELECT orientation, orientation >= 5 AS transposed,
+         CASE WHEN orientation >= 5 THEN h ELSE w END AS ow,
+         CASE WHEN orientation >= 5 THEN w ELSE h END AS oh
+  FROM d
+)
+SELECT orientation, transposed, count(*)::BIGINT AS n,
+       round(avg(ow), 6) AS avg_out_w, round(avg(oh), 6) AS avg_out_h
+FROM f GROUP BY orientation, transposed
+"""
+
+def q_e5_letterbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 letterbox-resize padding audit: per aspect bucket, the
+    canvas fraction wasted on padding when fitting each image to a
+    64x64 letterbox (scale by 64/max(w,h), floor to integer pixels) —
+    dims from REAL decodes (operators/multimodal.py letterbox_audit),
+    integer-exact resize arithmetic JVM-side, 3-key partial agg."""
+    from ..operators.multimodal import letterbox_audit
+
+    return letterbox_audit(_t(spark, sf_dir, "documents"), "doc_id", target=64)
+
+ORACLE_E5_LETTERBOX = """
+WITH d AS (
+  SELECT doc_id, 8 + (doc_id * 13) % 57 AS w, 8 + (doc_id * 7) % 41 AS h
+  FROM documents
+),
+p AS (
+  SELECT CASE WHEN 2 * w >= 3 * h THEN 'wide'
+              WHEN 3 * w <= 2 * h THEN 'tall'
+              ELSE 'square' END AS aspect_bucket,
+         4096 - CAST(floor(w * 64.0 / greatest(w, h)) AS BIGINT)
+              * CAST(floor(h * 64.0 / greatest(w, h)) AS BIGINT) AS pad
+  FROM d
+)
+SELECT aspect_bucket, count(*)::BIGINT AS n,
+       round(avg(pad / 4096.0), 6) AS avg_pad_frac,
+       max(pad)::BIGINT AS max_pad_px
+FROM p GROUP BY aspect_bucket
+"""
+
+def q_e5_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 audio-quality gate: per source, the share of clips failing
+    the clipping-rate / DC-offset waveform checks — per-sample stats
+    (id-derived PCM) reduced to INTEGER sufficient statistics inside
+    one Arrow-batched pass, flags derived JVM-side from exact integer
+    ratios (operators/multimodal.py audio_quality_audit)."""
+    from ..operators.multimodal import audio_quality_audit
+
+    return audio_quality_audit(_t(spark, sf_dir, "documents"))
+
+ORACLE_E5_AUDIO_CLIPPING = """
+WITH s AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(0, 63 + doc_id % 64),
+                j -> (doc_id * 37 + j * 13) % 2001 - 1000)) AS v
+  FROM documents
+),
+d AS (
+  SELECT doc_id, any_value(source) AS source,
+         count(*) AS n, sum(CASE WHEN abs(v) >= 950 THEN 1 ELSE 0 END) AS clip,
+         sum(v) AS sm
+  FROM s GROUP BY doc_id
+),
+f AS (
+  SELECT source,
+         CASE WHEN clip::DOUBLE / n >= 0.1
+                OR abs(sm::DOUBLE / n) >= 100.0 THEN 1 ELSE 0 END AS flagged
+  FROM d
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(flagged)::BIGINT AS n_flagged,
+       round(sum(flagged)::DOUBLE / count(*), 6) AS flag_share
+FROM f GROUP BY source
+"""
+
+def q_e5_decode_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 decode-failure routing census: per container format, how many
+    REAL decodes succeed vs route to DISCARD when ids divisible by 7
+    carry truncated payloads — the executor-side try/decode/route path
+    of the convert pipeline, exercised as an oracle-checkable query
+    (operators/multimodal.py decode_failure_audit)."""
+    from ..operators.multimodal import decode_failure_audit
+
+    return decode_failure_audit(_t(spark, sf_dir, "documents"), "doc_id")
+
+ORACLE_E5_DECODE_FAILURES = """
+WITH d AS (
+  SELECT CASE doc_id % 3 WHEN 1 THEN 'bmp' WHEN 2 THEN 'tiff'
+                         ELSE 'png' END AS format,
+         CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS ok
+  FROM documents
+)
+SELECT format, sum(ok)::BIGINT AS n_ok,
+       sum(1 - ok)::BIGINT AS n_failed,
+       round(sum(1 - ok)::DOUBLE / count(*), 6) AS fail_rate
+FROM d GROUP BY format
+"""
