@@ -444,6 +444,12 @@ def _dc_unit(reader, dct, coeffs, preds, ci, ah, al):
     chain; refinement scans append one magnitude bit."""
     if ah == 0:
         t = reader.decode(dct)
+        if t > 15:
+            # T.81 F.1.2.1.1: DC categories are 0..15; a corrupt Huffman
+            # table can hand back any byte, and an unchecked one makes
+            # receive(t) read hundreds of bits and the predictor
+            # overflow the int64 coefficient store (hypothesis-found)
+            raise ValueError(f"corrupt JPEG: DC category {t}")
         diff = _extend(reader.receive(t), t)
         preds[ci] += diff
         coeffs[0] = preds[ci] << al
@@ -575,6 +581,10 @@ def _decode_scan(
                     for bh in range(h):
                         coeffs = blocks[((my * v + bv) * mcux * h) + mx * h + bh]
                         t = reader.decode(dct)
+                        if t > 15:
+                            raise ValueError(
+                                f"corrupt JPEG: DC category {t}"
+                            )
                         diff = _extend(reader.receive(t), t)
                         preds[ci] += diff
                         coeffs[0] = preds[ci]

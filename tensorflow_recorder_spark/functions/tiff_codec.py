@@ -1,0 +1,427 @@
+"""Baseline TIFF codec — pure stdlib + numpy, no PIL.
+
+Closes the last tractable no-PIL format gap vs the reference's
+PIL-based loader (/root/reference/tfrecorder/beam_image.py:62-73, which
+opens any PIL-supported format): baseline TIFF 6.0 — strip-organized,
+chunky (PlanarConfiguration=1), 8-bit samples (plus 1-bit bilevel),
+grayscale / palette / RGB, with the three baseline compressions:
+
+* 1     = none
+* 5     = LZW (TIFF flavor: MSB-first bit packing, codes grow at
+          2^n - 1 — the spec's "early change" — ClearCode 256, EOI 257),
+          with horizontal-differencing Predictor 2 support
+* 32773 = PackBits
+
+Tiled TIFFs, planar layout, 16-bit samples, and the non-baseline
+compressions (CCITT, JPEG-in-TIFF, Deflate) raise ValueError — the
+loader's DISCARD route, same as a corrupt file. Output is PIL
+``tobytes()`` layout (row-major, top row first); grayscale decodes to
+mode 'L', palette and RGB to 'RGB'.
+
+The encoder writes little-endian strip TIFFs (none/PackBits/LZW) — the
+fixture builder: tests need real TIFFs and PIL is absent.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# tag ids (TIFF 6.0 baseline)
+_IMAGE_WIDTH = 256
+_IMAGE_LENGTH = 257
+_BITS_PER_SAMPLE = 258
+_COMPRESSION = 259
+_PHOTOMETRIC = 262
+_STRIP_OFFSETS = 273
+_SAMPLES_PER_PIXEL = 277
+_ROWS_PER_STRIP = 278
+_STRIP_BYTE_COUNTS = 279
+_PLANAR_CONFIG = 284
+_PREDICTOR = 317
+_COLOR_MAP = 320
+_TILE_WIDTH = 322
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i"}
+
+
+def is_tiff(data: bytes) -> bool:
+    return len(data) >= 4 and data[:4] in (b"II*\x00", b"MM\x00*")
+
+
+def _read_tag_values(data: bytes, endian: str, typ: int, count: int,
+                     value_field: bytes) -> list[int]:
+    size = _TYPE_SIZES.get(typ)
+    if size is None or typ not in _TYPE_FMT:
+        raise ValueError(f"unsupported TIFF tag type {typ}")
+    total = size * count
+    if total <= 4:
+        raw = value_field[:total]
+    else:
+        (off,) = struct.unpack(endian + "I", value_field)
+        if off + total > len(data):
+            raise ValueError("corrupt TIFF: tag value beyond EOF")
+        raw = data[off:off + total]
+    return list(struct.unpack(endian + _TYPE_FMT[typ] * count, raw))
+
+
+def _parse_ifd(data: bytes) -> tuple[dict[int, list[int]], str]:
+    if not is_tiff(data):
+        raise ValueError("not a TIFF (missing II*/MM* magic)")
+    endian = "<" if data[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(endian + "I", data, 4)
+    if ifd_off + 2 > len(data):
+        raise ValueError("corrupt TIFF: IFD offset beyond EOF")
+    (n_entries,) = struct.unpack_from(endian + "H", data, ifd_off)
+    tags: dict[int, list[int]] = {}
+    pos = ifd_off + 2
+    if pos + 12 * n_entries > len(data):
+        raise ValueError("corrupt TIFF: truncated IFD")
+    for _ in range(n_entries):
+        tag, typ, count = struct.unpack_from(endian + "HHI", data, pos)
+        tags[tag] = _read_tag_values(
+            data, endian, typ, count, data[pos + 8:pos + 12]
+        )
+        pos += 12
+    return tags, endian
+
+
+def _unpackbits(src: bytes, expected: int) -> bytes:
+    """Apple PackBits decompression (TIFF 6.0 §9)."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n and len(out) < expected:
+        h = src[i]
+        i += 1
+        if h < 128:  # literal run of h+1 bytes
+            if i + h + 1 > n:
+                raise ValueError("corrupt PackBits: literal beyond EOF")
+            out += src[i:i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            if i >= n:
+                raise ValueError("corrupt PackBits: repeat beyond EOF")
+            out += bytes((src[i],)) * (257 - h)
+            i += 1
+        # h == 128: no-op
+    if len(out) < expected:
+        raise ValueError("corrupt PackBits: short output")
+    return bytes(out[:expected])
+
+
+_CLEAR, _EOI = 256, 257
+
+
+def _lzw_decode(src: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first bit packing, table
+    reset at ClearCode, width bumps at 2^n - 1 (early change)."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset() -> int:
+        del table[:]
+        table.extend(bytes((i,)) for i in range(256))
+        table.append(b"")  # 256 clear
+        table.append(b"")  # 257 eoi
+        return 9
+
+    width = reset()
+    bitbuf = bitcnt = 0
+    prev: bytes | None = None
+    i, n = 0, len(src)
+    while len(out) < expected:
+        while bitcnt < width:
+            if i >= n:
+                raise ValueError("corrupt LZW: bitstream exhausted")
+            bitbuf = (bitbuf << 8) | src[i]
+            bitcnt += 8
+            i += 1
+        code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+        bitcnt -= width
+        if code == _EOI:
+            break
+        if code == _CLEAR:
+            width = reset()
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError("corrupt LZW: first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW: code beyond table")
+        out += entry
+        prev = entry
+        # early change: the decoder's table lags the encoder's by one
+        # entry, so it must widen one code EARLIER than plain LZW —
+        # at 2^w - 2, pairing with the encoder's bump at
+        # next_code == 2^w - 1 (TIFF 6.0 §13)
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError("corrupt LZW: short output")
+    return bytes(out[:expected])
+
+
+def decode_tiff(data: bytes) -> tuple[bytes, int, int, str]:
+    """Decode a baseline strip TIFF -> (pixels, width, height, mode),
+    PIL tobytes() layout. mode is 'L' (grayscale) or 'RGB'."""
+    tags, endian = _parse_ifd(data)
+    if _TILE_WIDTH in tags:
+        raise ValueError("unsupported TIFF: tiled layout")
+    try:
+        width = tags[_IMAGE_WIDTH][0]
+        height = tags[_IMAGE_LENGTH][0]
+        offsets = tags[_STRIP_OFFSETS]
+        counts = tags[_STRIP_BYTE_COUNTS]
+    except KeyError as e:
+        raise ValueError(f"corrupt TIFF: missing required tag {e}")
+    if width <= 0 or height <= 0:
+        raise ValueError("corrupt TIFF: bad dimensions")
+    compression = tags.get(_COMPRESSION, [1])[0]
+    photometric = tags.get(_PHOTOMETRIC, [1])[0]
+    spp = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
+    bits = tags.get(_BITS_PER_SAMPLE, [1])
+    rows_per_strip = tags.get(_ROWS_PER_STRIP, [height])[0] or height
+    planar = tags.get(_PLANAR_CONFIG, [1])[0]
+    predictor = tags.get(_PREDICTOR, [1])[0]
+    if planar != 1:
+        raise ValueError(f"unsupported TIFF: planar config {planar}")
+    if compression not in (1, 5, 32773):
+        raise ValueError(f"unsupported TIFF compression {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if len(offsets) != len(counts):
+        raise ValueError("corrupt TIFF: strip offset/count mismatch")
+    bilevel = spp == 1 and bits == [1]
+    if not bilevel and (spp not in (1, 3) or any(b != 8 for b in bits)):
+        raise ValueError(
+            f"unsupported TIFF: {spp} samples x {bits} bits"
+        )
+
+    row_bytes = (width + 7) // 8 if bilevel else width * spp
+    raw = bytearray()
+    rows_left = height
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(data):
+            raise ValueError("corrupt TIFF: strip beyond EOF")
+        strip_rows = min(rows_per_strip, rows_left)
+        expected = row_bytes * strip_rows
+        chunk = data[off:off + cnt]
+        if compression == 1:
+            if len(chunk) < expected:
+                raise ValueError("corrupt TIFF: short strip")
+            strip = chunk[:expected]
+        elif compression == 32773:
+            strip = _unpackbits(chunk, expected)
+        else:
+            strip = _lzw_decode(chunk, expected)
+        if predictor == 2 and not bilevel:
+            arr = np.frombuffer(strip, dtype=np.uint8).reshape(
+                strip_rows, width, spp
+            )
+            strip = np.cumsum(arr, axis=1, dtype=np.uint8).tobytes()
+        raw += strip
+        rows_left -= strip_rows
+    if rows_left > 0:
+        raise ValueError("corrupt TIFF: missing strips")
+
+    if bilevel:
+        packed = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
+            height, row_bytes
+        )
+        cols = np.unpackbits(packed, axis=1)[:, :width]
+        if photometric == 0:  # WhiteIsZero
+            cols = 1 - cols
+        return (cols * 255).astype(np.uint8).tobytes(), width, height, "L"
+
+    if spp == 1 and photometric == 3:  # palette -> RGB
+        cmap = tags.get(_COLOR_MAP)
+        if cmap is None or len(cmap) < 3 * 256:
+            raise ValueError("corrupt TIFF: palette image without ColorMap")
+        cm = np.asarray(cmap[: 3 * 256], dtype=np.uint32).reshape(3, 256)
+        cm8 = (cm // 257).astype(np.uint8)  # 16-bit entries -> 8-bit
+        idx = np.frombuffer(bytes(raw), dtype=np.uint8)
+        rgb = np.stack([cm8[0][idx], cm8[1][idx], cm8[2][idx]], axis=1)
+        return rgb.tobytes(), width, height, "RGB"
+    if spp == 1:
+        arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+        if photometric == 0:  # WhiteIsZero
+            arr = 255 - arr
+        return arr.tobytes(), width, height, "L"
+    return bytes(raw), width, height, "RGB"
+
+
+def _packbits(row: bytes) -> bytes:
+    """PackBits compression of one row (TIFF 6.0 §9 recommendation:
+    runs of >= 3 repeat, else literal)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        # find run length at i
+        j = i + 1
+        while j < n and j - i < 128 and row[j] == row[i]:
+            j += 1
+        if j - i >= 3:
+            out.append(257 - (j - i))
+            out.append(row[i])
+            i = j
+            continue
+        # literal: until next >=3 run or 128 bytes
+        lit = i
+        while j < n and j - lit < 128:
+            k = j + 1
+            while k < n and row[k] == row[j]:
+                k += 1
+            if k - j >= 3:
+                break
+            j = k
+        j = min(j, lit + 128, n)
+        out.append(j - lit - 1)
+        out += row[lit:j]
+        i = j
+    return bytes(out)
+
+
+def _lzw_encode(src: bytes) -> bytes:
+    """TIFF-flavor LZW compression (early change, MSB-first)."""
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+        bitbuf &= (1 << bitcnt) - 1
+
+    table: dict[bytes, int] = {bytes((i,)): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(_CLEAR, width)
+    w = b""
+    for b in src:
+        wb = w + bytes((b,))
+        if wb in table:
+            w = wb
+            continue
+        emit(table[w], width)
+        table[wb] = next_code
+        next_code += 1
+        # early change: the DECODER bumps when its table reaches
+        # 2^width - 1, so the encoder must bump at the same point
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:  # table nearly full: reset
+            emit(_CLEAR, width)
+            table = {bytes((i,)): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes((b,))
+    if w:
+        emit(table[w], width)
+    emit(_EOI, width)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def encode_tiff(
+    pixels: bytes,
+    width: int,
+    height: int,
+    mode: str = "RGB",
+    compression: str = "none",
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Write a little-endian strip TIFF (the test-fixture builder).
+    mode 'L' or 'RGB'; compression 'none', 'packbits', or 'lzw'."""
+    spp = 1 if mode == "L" else 3
+    if len(pixels) != width * height * spp:
+        raise ValueError("pixel buffer does not match dimensions")
+    comp_id = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    rps = rows_per_strip or height
+    row_bytes = width * spp
+
+    strips: list[bytes] = []
+    for y0 in range(0, height, rps):
+        rows = pixels[y0 * row_bytes:(y0 + min(rps, height - y0)) * row_bytes]
+        if compression == "none":
+            strips.append(rows)
+        elif compression == "packbits":
+            packed = bytearray()
+            for r in range(0, len(rows), row_bytes):
+                packed += _packbits(rows[r:r + row_bytes])
+            strips.append(bytes(packed))
+        else:
+            strips.append(_lzw_encode(rows))
+
+    n_strips = len(strips)
+    # layout: header(8) + IFD + [external tag arrays] + strip data
+    tag_list = [
+        (_IMAGE_WIDTH, 4, 1, width),
+        (_IMAGE_LENGTH, 4, 1, height),
+        (_BITS_PER_SAMPLE, 3, spp, 8 if spp == 1 else None),
+        (_COMPRESSION, 3, 1, comp_id),
+        (_PHOTOMETRIC, 3, 1, 1 if spp == 1 else 2),
+        (_STRIP_OFFSETS, 4, n_strips, None),
+        (_SAMPLES_PER_PIXEL, 3, 1, spp),
+        (_ROWS_PER_STRIP, 4, 1, rps),
+        (_STRIP_BYTE_COUNTS, 4, n_strips, None),
+    ]
+    n_tags = len(tag_list)
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + 12 * n_tags + 4
+    # external arrays
+    ext = bytearray()
+    ext_base = after_ifd
+    bits_off = None
+    if spp == 3:
+        bits_off = ext_base + len(ext)
+        ext += struct.pack("<HHH", 8, 8, 8)
+    offsets_off = counts_off = None
+    if n_strips > 1:
+        offsets_off = ext_base + len(ext)
+        ext += b"\x00" * (4 * n_strips)
+        counts_off = ext_base + len(ext)
+        ext += b"\x00" * (4 * n_strips)
+    data_start = ext_base + len(ext)
+    strip_offsets, pos = [], data_start
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    if n_strips > 1:
+        struct.pack_into(
+            f"<{n_strips}I", ext, offsets_off - ext_base, *strip_offsets
+        )
+        struct.pack_into(
+            f"<{n_strips}I", ext, counts_off - ext_base,
+            *[len(s) for s in strips],
+        )
+
+    out = bytearray()
+    out += b"II*\x00" + struct.pack("<I", ifd_off)
+    out += struct.pack("<H", n_tags)
+    for tag, typ, count, value in tag_list:
+        if tag == _BITS_PER_SAMPLE and spp == 3:
+            value = bits_off
+        elif tag == _STRIP_OFFSETS:
+            value = strip_offsets[0] if n_strips == 1 else offsets_off
+        elif tag == _STRIP_BYTE_COUNTS:
+            value = len(strips[0]) if n_strips == 1 else counts_off
+        out += struct.pack("<HHII", tag, typ, count, value)
+    out += struct.pack("<I", 0)  # next IFD
+    out += ext
+    for s in strips:
+        out += s
+    return bytes(out)

@@ -60,6 +60,7 @@ except ImportError:
     from ..functions.gif_codec import decode_gif, is_gif
     from ..functions.jpeg_codec import decode_jpeg, is_jpeg
     from ..functions.png_codec import decode_png, is_png
+    from ..functions.tiff_codec import decode_tiff, is_tiff
     from ..functions.vp8l_codec import decode_webp, is_webp
 
     def _stdlib_loader(path: str) -> tuple[bytes, int, int, str]:
@@ -67,8 +68,10 @@ except ImportError:
         + per-row unfilter, ``functions/png_codec.py``), JPEG — baseline
         AND progressive (``functions/jpeg_codec.py``), GIF (first
         frame, ``functions/gif_codec.py``), BMP
-        (``functions/bmp_codec.py``), and LOSSLESS WebP (VP8L,
-        ``functions/vp8l_codec.py``); deterministic synthetic pixels
+        (``functions/bmp_codec.py``), baseline strip TIFF —
+        none/PackBits/LZW (``functions/tiff_codec.py``), and LOSSLESS
+        WebP (VP8L, ``functions/vp8l_codec.py``); deterministic
+        synthetic pixels
         for the remaining capability gap (lossy-VP8 WebP). Real
         filesystem semantics either way: the file must exist and be
         readable (missing file -> the DISCARD route), and a corrupt
@@ -85,6 +88,8 @@ except ImportError:
             return decode_gif(content)
         if is_bmp(content):
             return decode_bmp(content)
+        if is_tiff(content):
+            return decode_tiff(content)
         if is_webp(content):
             try:
                 return decode_webp(content)

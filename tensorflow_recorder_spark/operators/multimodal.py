@@ -183,13 +183,14 @@ def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Distributed integration probe of the REAL pure-Python codecs
     (round 5): each row synthesizes a tiny deterministic image — format
     and dimensions derived from the id — encodes it with the repo's own
-    PNG/GIF/BMP/JPEG writers, and decodes it back through the same
+    PNG/GIF/BMP/JPEG/WebP-VP8L/TIFF writers, and decodes it back through the same
     magic-byte dispatch the T3 no-PIL loader uses, all inside one
     Arrow-batched ``mapInPandas`` pass (the per-executor path a 100 TB
     media backfill would take; no driver round-trip, no UDF-per-row).
 
     ``ok`` requires dimension fidelity for every format and byte-exact
-    pixels for the lossless four (PNG/GIF/BMP/WebP-VP8L). Output: (id, fmt,
+    pixels for the lossless five (PNG/GIF/BMP/WebP-VP8L/TIFF, the TIFF
+    arm cycling none/PackBits/LZW strips). Output: (id, fmt,
     width, height, channels, ok) — fully arithmetic-predictable, hence
     oracle-checkable.
     """
@@ -197,6 +198,7 @@ def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from ..functions.gif_codec import decode_gif, encode_gif, is_gif
     from ..functions.jpeg_codec import decode_jpeg, encode_jpeg, is_jpeg
     from ..functions.png_codec import decode_png, encode_png, is_png
+    from ..functions.tiff_codec import decode_tiff, encode_tiff, is_tiff
     from ..functions.vp8l_codec import decode_webp, encode_vp8l, is_webp
 
     out_struct = T.StructType(
@@ -209,10 +211,10 @@ def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("ok", T.BooleanType()),
         ]
     )
-    fmts = ("png", "gif", "bmp", "jpeg", "webp")
+    fmts = ("png", "gif", "bmp", "jpeg", "webp", "tiff")
 
     def probe(i: int):
-        fmt = fmts[i % 5]
+        fmt = fmts[i % 6]
         w, h = 4 + i % 5, 3 + i % 4
         c = (i * 17) % 256
         color = (c, (c * 3) % 256, (c * 7) % 256)
@@ -225,6 +227,10 @@ def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             data = encode_gif(bytes(w * h), [color, (0, 0, 0)], w, h)
         elif fmt == "webp":
             data = encode_vp8l(px, w, h, subtract_green=True, lz77=True)
+        elif fmt == "tiff":
+            # cycle all three baseline compressions through the probe
+            comp = ("none", "packbits", "lzw")[(i // 6) % 3]
+            data = encode_tiff(px, w, h, "RGB", comp)
         else:
             data = encode_jpeg(px, w, h)
         if is_png(data):
@@ -235,6 +241,8 @@ def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             dec = decode_gif(data)
         elif is_bmp(data):
             dec = decode_bmp(data)
+        elif is_tiff(data):
+            dec = decode_tiff(data)
         elif is_webp(data):
             dec = decode_webp(data)
         else:
@@ -517,7 +525,7 @@ def audio_quality_audit(
 
 def decode_failure_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Decode-failure routing census: every row synthesizes an image
-    (PNG/BMP alternating, id-derived) but ids divisible by 7 get their
+    (PNG/BMP/TIFF cycling, id-derived) but ids divisible by 7 get their
     payload TRUNCATED to 10 bytes — a corrupt blob — and the audit
     counts, per container format, how many decodes succeed vs route to
     DISCARD, exercising the exact executor-side try/decode/route path
@@ -529,6 +537,7 @@ def decode_failure_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """
     from ..functions.bmp_codec import decode_bmp, encode_bmp
     from ..functions.png_codec import decode_png, encode_png
+    from ..functions.tiff_codec import decode_tiff, encode_tiff
 
     out_struct = T.StructType(
         [
@@ -540,8 +549,15 @@ def decode_failure_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def probe(i: int):
         w, h = 4 + i % 5, 4 + i % 3
         px = bytes((i % 256,) * 3) * (w * h)
-        if i % 2:
+        if i % 3 == 1:
             fmt, data, dec = "bmp", encode_bmp(px, w, h), decode_bmp
+        elif i % 3 == 2:
+            comp = ("none", "packbits", "lzw")[(i // 3) % 3]
+            fmt, data, dec = (
+                "tiff",
+                encode_tiff(px, w, h, "RGB", comp),
+                decode_tiff,
+            )
         else:
             fmt, data, dec = "png", encode_png(px, w, h), decode_png
         if i % 7 == 0:

@@ -85,12 +85,15 @@ def test_codec_roundtrip_probe_all_formats_ok(spark):
         codec_roundtrip_probe,
     )
 
-    df = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    # 54 ids = 3 full format cycles x all three TIFF compressions
+    df = spark.range(0, 54).select(F.col("id").alias("doc_id"))
     rows = codec_roundtrip_probe(df, "doc_id").collect()
-    assert len(rows) == 40
+    assert len(rows) == 54
     assert all(r["ok"] for r in rows)
-    fmts = {r["doc_id"] % 5: r["fmt"] for r in rows}
-    assert fmts == {0: "png", 1: "gif", 2: "bmp", 3: "jpeg", 4: "webp"}
+    fmts = {r["doc_id"] % 6: r["fmt"] for r in rows}
+    assert fmts == {
+        0: "png", 1: "gif", 2: "bmp", 3: "jpeg", 4: "webp", 5: "tiff",
+    }
     for r in rows:
         assert r["width"] == 4 + r["doc_id"] % 5
         assert r["height"] == 3 + r["doc_id"] % 4
