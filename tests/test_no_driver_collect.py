@@ -44,12 +44,16 @@ ALLOWED = {
         "partition crosses the driver, never sample data (same "
         "contract as sinks/tfrecord.py write_all_splits)",
     ),
-    "queries.py": (
-        3,
-        "e3_bpe_encode / e3_token_fertility / e6_bpe_pack merge "
-        "tables: limit(8).collect() — tokenizer-sized fitted state "
-        "(8 rows each), the same broadcastable-model pattern as "
-        "bpe_fit",
+    "queries/e3.py": (
+        2,
+        "e3_bpe_encode / e3_token_fertility merge tables: "
+        "limit(8).collect() — tokenizer-sized fitted state (8 rows "
+        "each), the same broadcastable-model pattern as bpe_fit",
+    ),
+    "queries/e6.py": (
+        1,
+        "e6_bpe_pack merge table: limit(8).collect() — tokenizer-"
+        "sized fitted state, same contract as queries/e3.py",
     ),
 }
 
