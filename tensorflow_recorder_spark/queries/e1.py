@@ -1594,3 +1594,93 @@ SELECT count(*)::BIGINT AS n_dup_groups,
              / nullif(CAST(count(*) AS DOUBLE), 0.0), 6) AS conflict_share
 FROM d
 """
+
+
+def q_e1_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 shingle-granularity calibration: corpus shingle statistics at
+    k in (3, 5, 8) — the third LSH tuning axis next to the band sweep
+    and the threshold sweep (short shingles saturate and over-merge,
+    long ones miss paraphrase edits; this sweep is what picks the k
+    those two sweeps then tune around). Per k: distinct-shingle count,
+    distinct (doc, shingle) incidences, shingles appearing in > 1 doc,
+    their share, and mean distinct shingles per doc. Plan: one explode
+    -> distinct (doc, h) -> vocabulary-bounded per-h count per arm
+    (arms use DIFFERENT gram lengths, so the explodes are inherently
+    separate scans); the n_docs one-row frame is checkpointed once and
+    broadcast into all three arms; every count is an exact integer and
+    only the two share expressions divide, in the same operation order
+    as the oracle."""
+    from functools import reduce
+
+    from ..operators.dedup import hashed_shingle_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    nd = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("__nd")
+    ).localCheckpoint(eager=True)
+    arms = []
+    for k in (3, 5, 8):
+        inc = (
+            docs.select(
+                "doc_id",
+                F.explode(
+                    F.expr(hashed_shingle_expr("text", k))
+                ).alias("__h"),
+            )
+            .distinct()
+        )
+        per_h = inc.groupBy("__h").agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        arm = (
+            per_h.agg(
+                F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                F.sum("__c").cast("long").alias("n_incidences"),
+                F.sum(F.when(F.col("__c") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_shared"),
+            )
+            .crossJoin(F.broadcast(nd))
+            .select(
+                F.lit(k).cast("long").alias("shingle_k"),
+                "n_shingles",
+                "n_incidences",
+                "n_shared",
+                F.round(
+                    F.col("n_shared")
+                    / F.expr("nullif(CAST(n_shingles AS DOUBLE), 0.0)"),
+                    6,
+                ).alias("shared_share"),
+                F.round(
+                    F.col("n_incidences")
+                    / F.expr("nullif(CAST(__nd AS DOUBLE), 0.0)"),
+                    6,
+                ).alias("mean_per_doc"),
+            )
+        )
+        arms.append(arm)
+    return reduce(lambda a, b: a.unionByName(b), arms)
+
+
+def _oracle_shingle_size_sweep() -> str:
+    selects = []
+    for k in (3, 5, 8):
+        selects.append(f"""SELECT {k}::BIGINT AS shingle_k,
+       count(*)::BIGINT AS n_shingles,
+       sum(c)::BIGINT AS n_incidences,
+       sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+       round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+             / nullif(CAST(count(*) AS DOUBLE), 0.0), 6) AS shared_share,
+       round(sum(c) / nullif(CAST((SELECT count(*) FROM documents) AS DOUBLE),
+                             0.0), 6) AS mean_per_doc
+FROM (
+  SELECT h, count(*)::BIGINT AS c FROM (
+    SELECT DISTINCT doc_id,
+           unnest(list_distinct(list_transform(
+             generate_series(1, greatest(length(text)-{k - 1}, 1)),
+             i -> ('0x' || substr(md5(substr(lower(text), i, {k})), 1, 8))::BIGINT
+           ))) AS h
+    FROM documents
+  ) GROUP BY h
+)""")
+    return "\nUNION ALL\n".join(selects)

@@ -2366,3 +2366,183 @@ bf AS (
 {joined_ctes}
 {body}
 """
+
+
+def q_e2_scan_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 recall-vs-cost tuning frontier: the nprobe recall curve
+    JOINED with what each arm actually PAYS — candidate vectors
+    scanned per probe setting (sum of probed cell sizes minus the
+    query's own appearance) and the fraction of brute-force work that
+    represents. The nprobe/nlist curves answer "how much recall";
+    this is the other coordinate a deployment review needs — recall
+    0.9 at 8%% of brute cost vs 0.95 at 40%% is the whole IVF
+    trade-off. Plan: the vector->cell assignment runs ONCE
+    (checkpointed, reused as cell sizes AND self-cell corrections for
+    every arm), the shared brute-force truth runs once; per arm the
+    recall side is the ordinary cell-pruned probe and the cost side
+    is a |probes|-row broadcast join against the 8-row cell-size
+    table — integer sufficient statistics, two final divisions in
+    oracle operation order."""
+    from functools import reduce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = (
+        similarity.brute_force_topk(emb, queries, k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    assign = similarity.ivf_assign(emb, centroids).localCheckpoint(
+        eager=True
+    )
+    sizes = assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__sz")
+    )
+    totals = (
+        emb.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .crossJoin(
+            queries.agg(F.count(F.lit(1)).cast("long").alias("__q"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    probes4 = similarity.ivf_probes(
+        queries, centroids, nprobe=4
+    ).localCheckpoint(eager=True)
+    qcell = assign.join(
+        queries.select("vec_id"), "vec_id"
+    ).withColumnRenamed("centroid_id", "__own")
+    frames = []
+    for np_ in (1, 2, 4):
+        arm_probes = probes4.where(F.col("probe_rank") <= np_)
+        scanned = (
+            arm_probes.join(F.broadcast(sizes), "centroid_id")
+            .join(
+                F.broadcast(qcell),
+                (arm_probes["vec_id"] == qcell["vec_id"])
+                & (F.col("centroid_id") == F.col("__own")),
+                "left",
+            )
+            .agg(
+                F.sum("__sz").cast("long").alias("__scanned_raw"),
+                F.sum(
+                    F.when(F.col("__own").isNotNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("__self"),
+            )
+            .select(
+                (F.col("__scanned_raw") - F.col("__self"))
+                .cast("long")
+                .alias("n_scanned")
+            )
+        )
+        ivf = similarity.ivf_topk(emb, centroids, queries, k=10, nprobe=np_)
+        rec = similarity.ann_recall(ivf, exact).agg(
+            F.sum("n_true").cast("long").alias("n_true"),
+            F.sum("n_hits").cast("long").alias("n_hits"),
+        )
+        frames.append(
+            rec.crossJoin(F.broadcast(scanned))
+            .crossJoin(F.broadcast(totals))
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "n_true",
+                "n_hits",
+                F.round(
+                    F.col("n_hits") / F.expr("nullif(n_true, 0)"), 6
+                ).alias("recall"),
+                "n_scanned",
+                F.round(
+                    F.col("n_scanned")
+                    / F.expr("nullif(CAST(__q * (__n - 1) AS DOUBLE), 0.0)"),
+                    6,
+                ).alias("scan_fraction"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def _oracle_scan_cost_frontier() -> str:
+    ivf_ctes = []
+    selects = []
+    for np_ in (1, 2, 4):
+        ivf_ctes.append(f"""qa{np_} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+    FROM assign_scored WHERE vec_id < 5
+  ) WHERE rn <= {np_}
+),
+ivf{np_} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_aggregate(list_transform(list_zip(q.e, v.e),
+                   p -> p[1] * p[2]), 'sum') / nullif(q.nrm * v.nrm, 0), 4) DESC,
+             v.vec_id) AS rank
+    FROM norms q
+    JOIN qa{np_} qa ON qa.vec_id = q.vec_id
+    JOIN assign va ON va.centroid_id = qa.centroid_id
+    JOIN norms v ON v.vec_id = va.vec_id AND v.vec_id <> q.vec_id
+    WHERE q.vec_id < 5
+  ) WHERE rank <= 10
+),
+scan{np_} AS (
+  SELECT sum(cs.sz)
+         - sum(CASE WHEN a.centroid_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_scanned
+  FROM qa{np_} qa
+  JOIN cell_sizes cs ON cs.centroid_id = qa.centroid_id
+  LEFT JOIN assign a
+    ON a.vec_id = qa.vec_id AND a.centroid_id = qa.centroid_id
+)""")
+        selects.append(f"""SELECT {np_}::BIGINT AS nprobe,
+       (SELECT count(*) FROM bf) AS n_true,
+       (SELECT count(*) FROM ivf{np_} i JOIN bf USING (query_id, neighbor_id)) AS n_hits,
+       round((SELECT count(*) FROM ivf{np_} i JOIN bf USING (query_id, neighbor_id))::DOUBLE
+             / nullif((SELECT count(*) FROM bf), 0), 6) AS recall,
+       (SELECT n_scanned FROM scan{np_})::BIGINT AS n_scanned,
+       round((SELECT n_scanned FROM scan{np_})
+             / nullif(CAST((SELECT count(*) FROM e WHERE vec_id < 5)
+                      * ((SELECT count(*) FROM e) - 1) AS DOUBLE), 0.0),
+             6) AS scan_fraction""")
+    ctes = ",\n".join(ivf_ctes)
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+norms AS (
+  SELECT vec_id, e, sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round(list_aggregate(list_transform(list_zip(a.e, b.e),
+                   p -> p[1] * p[2]), 'sum') / nullif(a.nrm * b.nrm, 0), 4) DESC,
+             b.vec_id) AS rank
+    FROM norms a JOIN norms b ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+  ) WHERE rank <= 10
+),
+assign_scored AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         round(list_aggregate(list_transform(list_zip(v.e, c.e),
+               p -> p[1] * p[2]), 'sum') / nullif(v.nrm * c.nrm, 0), 6) AS score
+  FROM norms v JOIN norms c ON c.vec_id < 8
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+cell_sizes AS (
+  SELECT centroid_id, count(*)::BIGINT AS sz FROM assign GROUP BY centroid_id
+),
+{ctes}
+{body}
+"""

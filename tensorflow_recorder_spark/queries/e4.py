@@ -2324,3 +2324,49 @@ SELECT type_a, type_b, n AS n_days,
                       0.0), 6) AS r
 FROM stats
 """
+
+
+def q_e4_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 load heatmap: the day-of-week x hour-of-day event matrix with
+    each cell's share of corpus traffic — the capacity/trigger-placement
+    readout next to the seasonal decomposition (seasonal says the weekly
+    SHAPE per type; this is the absolute placement grid ops teams read).
+    Plan: one map-only projection to (dow, hour) -> a 168-key bounded
+    partial aggregate; the share divides by a broadcast one-row total,
+    exact integers until the single final division. dow is ISO
+    (1=Monday), matching DuckDB's isodow."""
+    ev = _events(spark, sf_dir)
+    cells = ev.groupBy(
+        F.expr("CAST(dayofweek(ts) AS BIGINT)").alias("__dow_sun1"),
+        F.expr("CAST(hour(ts) AS BIGINT)").alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    total = cells.agg(
+        F.sum("n_events").cast("long").alias("__total")
+    ).localCheckpoint(eager=True)
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            # Spark dayofweek is 1=Sunday; re-base to ISO 1=Monday
+            F.expr(
+                "CAST(CASE WHEN __dow_sun1 = 1 THEN 7"
+                " ELSE __dow_sun1 - 1 END AS BIGINT)"
+            ).alias("iso_dow"),
+            "hour_of_day",
+            "n_events",
+            F.round(
+                F.col("n_events")
+                / F.expr("nullif(CAST(__total AS DOUBLE), 0.0)"),
+                6,
+            ).alias("traffic_share"),
+        )
+    )
+
+
+ORACLE_E4_DOW_HOUR_HEATMAP = """
+SELECT isodow(ts)::BIGINT AS iso_dow,
+       hour(ts)::BIGINT AS hour_of_day,
+       count(*)::BIGINT AS n_events,
+       round(count(*) / nullif(CAST((SELECT count(*) FROM events)
+                                    AS DOUBLE), 0.0), 6) AS traffic_share
+FROM events GROUP BY 1, 2
+"""

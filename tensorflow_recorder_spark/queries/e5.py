@@ -319,3 +319,79 @@ SELECT format, sum(ok)::BIGINT AS n_ok,
        round(sum(1 - ok)::DOUBLE / count(*), 6) AS fail_rate
 FROM d GROUP BY format
 """
+
+
+def q_e5_video_keyframe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 frame-extraction budget planner: for three sampling policies
+    — uniform 1 fps, fixed stride-10, and shot-based (one keyframe per
+    4-frame scene, the e5_shot_boundary construction) — the corpus-wide
+    frame budget a video-captioning run must provision: videos, source
+    frames, frames each policy extracts, and the extract share. Uses
+    the SAME deterministic stub metadata as e5_frame_sample
+    (n_frames = 64 + sha256('video' || payload)[0] % 64, fps = 24 or
+    30 by doc parity), so every number is arithmetic and the oracle
+    checks the whole plan. Plan shape: map-only metadata projection ->
+    three conditional-sum single-row aggregates unioned (ceil-division
+    in exact integers; the one division at the end)."""
+    from functools import reduce
+
+    meta = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.expr(
+                "64 + CAST(conv(substring(sha2(concat('video', text), 256),"
+                " 1, 2), 16, 10) AS INT) % 64"
+            ).alias("__nf"),
+            F.expr("CAST(24 + (doc_id % 2) * 6 AS INT)").alias("__fps"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    policies = [
+        ("1_uniform_1fps", "CAST(ceil(__nf / CAST(__fps AS DOUBLE)) AS BIGINT)"),
+        ("2_stride_10", "CAST(ceil(__nf / 10.0) AS BIGINT)"),
+        ("3_shot_keyframes", "CAST(ceil(__nf / 4.0) AS BIGINT)"),
+    ]
+    arms = [
+        meta.agg(
+            F.count(F.lit(1)).cast("long").alias("n_videos"),
+            F.sum("__nf").cast("long").alias("n_source_frames"),
+            F.sum(F.expr(expr)).cast("long").alias("n_sampled"),
+        ).select(
+            F.lit(name).alias("policy"),
+            "n_videos",
+            "n_source_frames",
+            "n_sampled",
+            F.round(
+                F.col("n_sampled")
+                / F.expr("nullif(CAST(n_source_frames AS DOUBLE), 0.0)"),
+                6,
+            ).alias("sample_share"),
+        )
+        for name, expr in policies
+    ]
+    return reduce(lambda a, b: a.unionByName(b), arms)
+
+
+def _oracle_video_keyframe_budget() -> str:
+    arms = []
+    for name, expr in (
+        ("1_uniform_1fps", "ceil(nf / CAST(fps AS DOUBLE))"),
+        ("2_stride_10", "ceil(nf / 10.0)"),
+        ("3_shot_keyframes", "ceil(nf / 4.0)"),
+    ):
+        arms.append(f"""SELECT '{name}' AS policy,
+       count(*)::BIGINT AS n_videos,
+       sum(nf)::BIGINT AS n_source_frames,
+       sum({expr})::BIGINT AS n_sampled,
+       round(sum({expr}) / nullif(CAST(sum(nf) AS DOUBLE), 0.0), 6)
+         AS sample_share
+FROM meta""")
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH meta AS (
+  SELECT 64 + ('0x' || substr(sha256('video' || text), 1, 2))::INT % 64 AS nf,
+         24 + (doc_id % 2) * 6 AS fps
+  FROM documents
+)
+{body}
+"""

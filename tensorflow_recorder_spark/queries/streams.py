@@ -1068,3 +1068,37 @@ def q_s33_stream_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained = _drain_to_memory(daily, "stream_chgpt_sink", "complete")
     return _changepoint_finalize(drained)
+
+
+def q_s34_stream_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-depth readout AS A STREAM: sessions form in the
+    native session_window state store (same stateful operator as s2,
+    now also carrying exact whole-second first/last-event bounds), and
+    the drained session set finalizes through the SAME
+    count/percentile arithmetic as the batch e4_session_depth — so the
+    engagement-depth one-rower shares the batch oracle. State is one
+    open window per (user, gap-cluster), closed by the watermark;
+    percentiles run batch-side over the drained session frame (bounded
+    by session count), since chained streaming aggregations are not
+    expressible."""
+    from ..streaming.windows import streaming_sessionize
+
+    stream = _event_stream(spark, sf_dir)
+    sess = streaming_sessionize(
+        stream.withColumn("value", F.col("value").cast("decimal(18,6)")),
+        gap_minutes=30,
+    ).select("user_id", "session_start", "n_events", "duration_s")
+    table = _drain_to_memory(sess, "stream_session_depth_sink", "complete")
+    return table.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.round(F.expr("percentile(n_events, 0.5)"), 6).alias(
+            "median_events"
+        ),
+        F.round(F.expr("percentile(n_events, 0.9)"), 6).alias("p90_events"),
+        F.round(F.expr("percentile(duration_s, 0.5)"), 6).alias(
+            "median_duration_s"
+        ),
+        F.round(F.expr("percentile(duration_s, 0.9)"), 6).alias(
+            "p90_duration_s"
+        ),
+    )

@@ -18,8 +18,16 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "tensorflow_recorder_spark", master: str | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    # In local mode the driver JVM IS the executor; the stock 1g heap
+    # makes every localCheckpoint/persist spill long before the host's
+    # memory is used (observed: 10x-scale runs degraded to disk-backed
+    # block persistence). Only effective before the JVM launches —
+    # getOrCreate against a live session leaves it untouched, and on a
+    # real cluster executor sizing comes from the cluster config.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", mem)
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

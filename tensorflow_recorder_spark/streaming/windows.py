@@ -51,13 +51,23 @@ def streaming_sessionize(
             F.session_window(F.col(ts_col), f"{gap_minutes} minutes").alias("sess"),
             F.col(user_col),
         )
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            # exact whole-second bounds (same cast as the batch
+            # sessionize), so downstream depth rollups share the batch
+            # duration arithmetic — session_window's own `end` is
+            # last_event + gap, not the last event
+            F.min(F.col(ts_col).cast("long")).alias("__first_s"),
+            F.max(F.col(ts_col).cast("long")).alias("__last_s"),
+        )
         .select(
             F.col(user_col).alias("user_id"),
             F.date_format("sess.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             F.date_format("sess.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
             "n_events",
             "sum_value",
+            (F.col("__last_s") - F.col("__first_s")).alias("duration_s"),
         )
     )
 

@@ -369,6 +369,23 @@ def test_driver_window_holds_all_unique_queries():
         "s32_stream_diff_in_diff",
         "s33_stream_changepoint",
         "e2_nlist_recall_curve",
+        # round-7 swap-outs (all carry green driver rows through r06;
+        # their families stay scored: rel by pricing_summary/
+        # waiting_supplier/zorder, e4 by streaks/cusum/changepoint/
+        # dow_hour_heatmap, e2 by sq_recall/nprobe+nlist curves/
+        # scan_cost_frontier, e1 by dedup_exact/fuzzy/band+shingle
+        # sweeps, e6 by curate/epoch/anneal/shard_stability, streams
+        # by s1/s2/s33/s34)
+        "rel_discount_revenue",
+        "rel_returned_revenue",
+        "rel_profit_by_nation",
+        "e4_holt",
+        "e4_trend_slope",
+        "e3_token_fertility",
+        "e2_ivf_balance",
+        "e1_lsh_recall_audit",
+        "s22_stream_rate_spikes",
+        "e6_bpe_pack",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
