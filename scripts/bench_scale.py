@@ -50,6 +50,11 @@ DEFAULT_QUERIES = [
     "e2_nprobe_recall_curve",
     "e2_label_purity",
     "e2_knn_classify",
+    # the other two members of the fixed-query-budget audit family
+    # (all four were O(N^2/20) via %-of-corpus query sides until the
+    # r7 budget fix; kept here so a regression reappears as a ratio)
+    "e2_filtered_topk",
+    "e2_match_confidence",
     "e1_lsh_pairs",
     "e2_dim_truncation_curve",
     "rel_waiting_supplier",

@@ -1357,9 +1357,22 @@ FROM (
 ) u
 """
 
+def _query_budget(emb: DataFrame, salt: str, n: int = 100) -> DataFrame:
+    """Fixed ABSOLUTE query budget for the k-NN audit family: the
+    ``n`` vectors smallest in deterministic md5 order. Audit precision
+    is set by the sample SIZE, not the corpus fraction — a %%-of-corpus
+    query side makes every audit O(N^2/const) (measured: 101x wall at
+    10x input before this fix, scripts/bench_scale.py r7); a fixed
+    budget keeps them O(n x N). TakeOrdered, never a full sort."""
+    return emb.orderBy(
+        F.expr(f"md5(concat('{salt}:', cast(vec_id as string)))"),
+        "vec_id",
+    ).limit(n)
+
+
 def q_e2_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 weak supervision: k-NN majority-vote label prediction for a
-    deterministic query sample (vec_id % 20 == 7) from the 10 nearest
+    fixed 100-query budget (md5-ordered, salt 'knn') from the 10 nearest
     labeled neighbors — built on the salted exact top-k, so the corpus
     never shuffles to score; the vote aggregate and argmax window are
     bounded at |labels| rows per query."""
@@ -1367,7 +1380,7 @@ def q_e2_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return knn_label_vote(
-        emb, emb.where(F.col("vec_id") % 20 == 7), k=10
+        emb, _query_budget(emb, "knn"), k=10
     ).select(
         "query_id",
         F.col("predicted_label").cast("long").alias("predicted_label"),
@@ -1376,6 +1389,10 @@ def q_e2_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_E2_KNN_CLASSIFY = """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+qknn AS (
+  SELECT vec_id FROM e
+  ORDER BY md5('knn:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+),
 norms AS (
   SELECT vec_id, label, e,
          sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
@@ -1385,7 +1402,8 @@ scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS nl,
          round(list_aggregate(list_transform(list_zip(a.e, b.e),
                p -> p[1] * p[2]), 'sum') / nullif(a.nrm * b.nrm, 0), 4) AS score
-  FROM norms a JOIN norms b ON a.vec_id % 20 = 7 AND a.vec_id <> b.vec_id
+  FROM norms a JOIN qknn ON qknn.vec_id = a.vec_id
+  JOIN norms b ON a.vec_id <> b.vec_id
 ),
 ranked AS (
   SELECT query_id, nl,
@@ -1408,17 +1426,21 @@ FROM (
 
 def q_e2_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 representation audit: per-label purity of the 10-NN
-    neighborhoods of a deterministic query sample (vec_id % 20 == 3) —
+    neighborhoods of a fixed 100-query budget (md5-ordered, salt 'purity') —
     integer match counts with one final division, engine-exact."""
     from ..operators.similarity import neighbor_label_purity
 
     emb = _t(spark, sf_dir, "embeddings")
     return neighbor_label_purity(
-        emb, emb.where(F.col("vec_id") % 20 == 3), k=10
+        emb, _query_budget(emb, "purity"), k=10
     ).select(F.col("label").cast("long").alias("label"), "n_queries", "n_neighbors", "purity")
 
 ORACLE_E2_LABEL_PURITY = """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+qpurity AS (
+  SELECT vec_id FROM e
+  ORDER BY md5('purity:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+),
 norms AS (
   SELECT vec_id, label, e,
          sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
@@ -1428,7 +1450,8 @@ scored AS (
   SELECT a.vec_id AS query_id, a.label AS ql, b.label AS nl, b.vec_id AS neighbor_id,
          round(list_aggregate(list_transform(list_zip(a.e, b.e),
                p -> p[1] * p[2]), 'sum') / nullif(a.nrm * b.nrm, 0), 4) AS score
-  FROM norms a JOIN norms b ON a.vec_id % 20 = 3 AND a.vec_id <> b.vec_id
+  FROM norms a JOIN qpurity ON qpurity.vec_id = a.vec_id
+  JOIN norms b ON a.vec_id <> b.vec_id
 ),
 topk AS (
   SELECT query_id, ql, nl FROM (
@@ -1712,7 +1735,7 @@ SELECT (SELECT count(*) FROM bf)::BIGINT AS n_true,
 
 def q_e2_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 metadata-filtered vector search: top-10 SAME-LABEL cosine
-    neighbors for a deterministic query sample (vec_id % 20 == 11) —
+    neighbors for a fixed 100-query budget (md5-ordered, salt 'filtered') —
     the pre-filtering strategy (the label predicate prunes candidates
     in the broadcast-join stage, BEFORE any dot product), ranked by
     the same salted two-phase top-k as the unfiltered baseline
@@ -1721,12 +1744,16 @@ def q_e2_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return filtered_topk(
-        emb, emb.where(F.col("vec_id") % 20 == 11), "label", k=10
+        emb, _query_budget(emb, "filtered"), "label", k=10
     ).select("query_id", "neighbor_id", "score", "rank")
 
 ORACLE_E2_FILTERED_TOPK = """
 WITH e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+),
+qfiltered AS (
+  SELECT vec_id FROM e
+  ORDER BY md5('filtered:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
 ),
 n AS (
   SELECT vec_id, label, e,
@@ -1741,8 +1768,8 @@ SELECT query_id, neighbor_id, score, rank FROM (
            ORDER BY round(list_aggregate(list_transform(list_zip(a.e, b.e),
                  p -> p[1] * p[2]), 'sum') / nullif(a.nrm * b.nrm, 0), 4) DESC,
              b.vec_id) AS rank
-  FROM n a JOIN n b
-    ON a.vec_id % 20 = 11 AND a.label = b.label AND a.vec_id <> b.vec_id
+  FROM n a JOIN qfiltered ON qfiltered.vec_id = a.vec_id
+  JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id
 ) WHERE rank <= 10
 """
 
@@ -1807,7 +1834,7 @@ LIMIT 10
 
 def q_e2_match_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 match-confidence audit (Lowe's ratio test, public): for each
-    query in a deterministic sample (vec_id % 20 == 13), the
+    query in a fixed 100-query budget (md5-ordered, salt 'lowe'), the
     best/second-best cosine and their ratio — matches whose runner-up
     is nearly as close (ratio > 0.95) are ambiguous and should not
     drive an auto-merge in semantic dedup. Reuses the salted exact
@@ -1816,7 +1843,7 @@ def q_e2_match_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     top2 = brute_force_topk(
-        emb, emb.where(F.col("vec_id") % 20 == 13), k=2
+        emb, _query_budget(emb, "lowe"), k=2
     )
     pivoted = top2.groupBy("query_id").agg(
         F.max(F.when(F.col("rank") == 1, F.col("score"))).alias("best"),
@@ -1835,6 +1862,10 @@ def q_e2_match_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_E2_MATCH_CONFIDENCE = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+qlowe AS (
+  SELECT vec_id FROM e
+  ORDER BY md5('lowe:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+),
 n AS (
   SELECT vec_id, e,
          sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
@@ -1848,7 +1879,8 @@ r AS (
            ORDER BY round(list_aggregate(list_transform(list_zip(a.e, b.e),
                  p -> p[1] * p[2]), 'sum') / nullif(a.nrm * b.nrm, 0), 4) DESC,
              b.vec_id) AS rank
-  FROM n a JOIN n b ON a.vec_id % 20 = 13 AND a.vec_id <> b.vec_id
+  FROM n a JOIN qlowe ON qlowe.vec_id = a.vec_id
+  JOIN n b ON a.vec_id <> b.vec_id
 ),
 p AS (
   SELECT query_id,
