@@ -11,9 +11,10 @@ grayscale / palette / RGB, with the three baseline compressions:
           2^n - 1 — the spec's "early change" — ClearCode 256, EOI 257),
           with horizontal-differencing Predictor 2 support
 * 32773 = PackBits
+* 8 / 32946 = Deflate (Adobe + legacy tags; stdlib zlib)
 
 Tiled TIFFs, planar layout, 16-bit samples, and the non-baseline
-compressions (CCITT, JPEG-in-TIFF, Deflate) raise ValueError — the
+compressions (CCITT, JPEG-in-TIFF) raise ValueError — the
 loader's DISCARD route, same as a corrupt file. Output is PIL
 ``tobytes()`` layout (row-major, top row first); grayscale decodes to
 mode 'L', palette and RGB to 'RGB'.
@@ -25,6 +26,7 @@ fixture builder: tests need real TIFFs and PIL is absent.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -195,7 +197,7 @@ def decode_tiff(data: bytes) -> tuple[bytes, int, int, str]:
     predictor = tags.get(_PREDICTOR, [1])[0]
     if planar != 1:
         raise ValueError(f"unsupported TIFF: planar config {planar}")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32946, 32773):
         raise ValueError(f"unsupported TIFF compression {compression}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
@@ -222,6 +224,14 @@ def decode_tiff(data: bytes) -> tuple[bytes, int, int, str]:
             strip = chunk[:expected]
         elif compression == 32773:
             strip = _unpackbits(chunk, expected)
+        elif compression in (8, 32946):
+            try:
+                strip = zlib.decompress(bytes(chunk))
+            except zlib.error as e:
+                raise ValueError(f"corrupt TIFF deflate strip: {e}")
+            if len(strip) < expected:
+                raise ValueError("corrupt TIFF: short deflate strip")
+            strip = strip[:expected]
         else:
             strip = _lzw_decode(chunk, expected)
         if predictor == 2 and not bilevel:
@@ -345,11 +355,14 @@ def encode_tiff(
     rows_per_strip: int | None = None,
 ) -> bytes:
     """Write a little-endian strip TIFF (the test-fixture builder).
-    mode 'L' or 'RGB'; compression 'none', 'packbits', or 'lzw'."""
+    mode 'L' or 'RGB'; compression 'none', 'packbits', 'lzw', or
+    'deflate'."""
     spp = 1 if mode == "L" else 3
     if len(pixels) != width * height * spp:
         raise ValueError("pixel buffer does not match dimensions")
-    comp_id = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    comp_id = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}[
+        compression
+    ]
     rps = rows_per_strip or height
     row_bytes = width * spp
 
@@ -363,6 +376,8 @@ def encode_tiff(
             for r in range(0, len(rows), row_bytes):
                 packed += _packbits(rows[r:r + row_bytes])
             strips.append(bytes(packed))
+        elif compression == "deflate":
+            strips.append(zlib.compress(rows))
         else:
             strips.append(_lzw_encode(rows))
 

@@ -229,7 +229,7 @@ def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             data = encode_vp8l(px, w, h, subtract_green=True, lz77=True)
         elif fmt == "tiff":
             # cycle all three baseline compressions through the probe
-            comp = ("none", "packbits", "lzw")[(i // 6) % 3]
+            comp = ("none", "packbits", "lzw", "deflate")[(i // 6) % 4]
             data = encode_tiff(px, w, h, "RGB", comp)
         else:
             data = encode_jpeg(px, w, h)
@@ -552,7 +552,7 @@ def decode_failure_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         if i % 3 == 1:
             fmt, data, dec = "bmp", encode_bmp(px, w, h), decode_bmp
         elif i % 3 == 2:
-            comp = ("none", "packbits", "lzw")[(i // 3) % 3]
+            comp = ("none", "packbits", "lzw", "deflate")[(i // 3) % 4]
             fmt, data, dec = (
                 "tiff",
                 encode_tiff(px, w, h, "RGB", comp),

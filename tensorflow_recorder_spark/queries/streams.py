@@ -1,4 +1,4 @@
-"""Streaming twins (s1..s33): each batch query re-expressed over Structured Streaming state + shared oracles.
+"""Streaming twins (s1..s35): each batch query re-expressed over Structured Streaming state + shared oracles.
 
 Split from the original single-module registry (r6 verdict item 7);
 bodies are unchanged — see git history of queries.py.
@@ -1101,4 +1101,37 @@ def q_s34_stream_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(duration_s, 0.9)"), 6).alias(
             "p90_duration_s"
         ),
+    )
+
+
+def q_s35_stream_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The load heatmap AS A STREAM: a complete-mode streaming
+    aggregate over exactly the 168 (day-of-week x hour) cells — state
+    is the cell table itself, fixed-size regardless of stream length —
+    drained with availableNow; the traffic-share normalization runs
+    batch-side over the drained 168 rows (chained streaming aggregates
+    are not expressible, and the finalize is a presentation step, not
+    state). Shares and ISO re-basing use the SAME expressions as the
+    batch query, so it shares the batch oracle."""
+    stream = _event_stream(spark, sf_dir)
+    cells = stream.groupBy(
+        F.expr("CAST(dayofweek(ts) AS BIGINT)").alias("__dow_sun1"),
+        F.expr("CAST(hour(ts) AS BIGINT)").alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    table = _drain_to_memory(cells, "stream_dow_hour_sink", "complete")
+    total = table.agg(
+        F.sum("n_events").cast("long").alias("__total")
+    ).localCheckpoint(eager=True)
+    return table.crossJoin(F.broadcast(total)).select(
+        F.expr(
+            "CAST(CASE WHEN __dow_sun1 = 1 THEN 7"
+            " ELSE __dow_sun1 - 1 END AS BIGINT)"
+        ).alias("iso_dow"),
+        "hour_of_day",
+        "n_events",
+        F.round(
+            F.col("n_events")
+            / F.expr("nullif(CAST(__total AS DOUBLE), 0.0)"),
+            6,
+        ).alias("traffic_share"),
     )

@@ -386,6 +386,10 @@ def test_driver_window_holds_all_unique_queries():
         "e1_lsh_recall_audit",
         "s22_stream_rate_spikes",
         "e6_bpe_pack",
+        # round-7 late addition past the window: finalize arithmetic is
+        # the scored e4_dow_hour_heatmap's; stream state is the bounded
+        # 168-cell table
+        "s35_stream_dow_hour_heatmap",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

@@ -31,7 +31,7 @@ def test_is_tiff_magic():
     assert not is_tiff(b"II")
 
 
-@pytest.mark.parametrize("compression", ["none", "packbits", "lzw"])
+@pytest.mark.parametrize("compression", ["none", "packbits", "lzw", "deflate"])
 @pytest.mark.parametrize("mode,spp", [("L", 1), ("RGB", 3)])
 def test_round_trip_single_strip(compression, mode, spp):
     rng = np.random.RandomState(7)
@@ -43,7 +43,7 @@ def test_round_trip_single_strip(compression, mode, spp):
         assert px == img
 
 
-@pytest.mark.parametrize("compression", ["none", "packbits", "lzw"])
+@pytest.mark.parametrize("compression", ["none", "packbits", "lzw", "deflate"])
 def test_round_trip_multi_strip(compression):
     rng = np.random.RandomState(11)
     w, h = 13, 22
@@ -233,13 +233,13 @@ def test_corrupt_and_unsupported_raise():
     # strip beyond EOF
     with pytest.raises(ValueError):
         decode_tiff(good[:-4])
-    # unsupported compression (deflate=8)
+    # unsupported compression (JPEG-in-TIFF = 7)
     bad = bytearray(good)
     pos = 8 + 2
     for t in range(9):
         tag = struct.unpack_from("<H", bad, pos + 12 * t)[0]
         if tag == 259:
-            struct.pack_into("<I", bad, pos + 12 * t + 8, 8)
+            struct.pack_into("<I", bad, pos + 12 * t + 8, 7)
     with pytest.raises(ValueError):
         decode_tiff(bytes(bad))
     # tiled layout rejected
