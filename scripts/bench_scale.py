@@ -126,6 +126,13 @@ def main() -> int:
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "SCALING.json"
     )
+    if sys.argv[1:] and os.path.exists(path):
+        # targeted re-measure (e.g. after a plan rewrite): merge into
+        # the existing record instead of discarding the other queries
+        with open(path) as f:
+            prev = json.load(f).get("queries", {})
+        prev.update(out)
+        out = prev
     with open(path, "w") as f:
         json.dump(
             {"input_growth": 10.0, "excluded": {
