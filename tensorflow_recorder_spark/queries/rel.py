@@ -1922,3 +1922,128 @@ j AS (
 SELECT from_tier, to_tier, count(*)::BIGINT AS n_customers
 FROM j GROUP BY 1, 2
 """
+
+
+def q_rel_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-style order-priority checking: per priority, how many orders
+    in 1996-Q3 contain at least one LATE line (shipped > 60 days after
+    the order date — the testdata has no commit/receipt dates, so
+    lateness adapts Q4's commitdate predicate, same adaptation as
+    rel_waiting_supplier). The textbook form is a correlated EXISTS;
+    the scalable reformulation is a LEFT SEMI join of the
+    quarter-pruned orders against the late-line keys — the semi join
+    deduplicates probe-side matches in the join itself (no distinct
+    shuffle), the order-date filter is pushed to the orders scan, and
+    the final rollup is a |priorities|-row aggregate. The DuckDB
+    oracle runs the textbook EXISTS, so the equivalence is checked,
+    not assumed."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-07-01"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_REL_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o_orderdate >= DATE '1996-07-01'
+  AND o_orderdate < DATE '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_rel_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-style returned-item reporting: the top 20 customers by
+    revenue lost to returned lineitems in 1996-H2 — the churn-risk
+    list an account team reads. Plan: the return flag and the order
+    date window are pushed into the two fact scans, the fact-to-fact
+    equi-join shuffles only pruned rows, revenue partial-aggregates by
+    custkey (map-side combine) BEFORE the broadcast joins against
+    customer and nation, and the top-20 is a bounded
+    TakeOrderedAndProject, never a global sort. Revenue sums through
+    DECIMAL(18,4) (exact, order-independent) and surfaces as DOUBLE
+    rounded to 4."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-07-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            F.expr(
+                "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+            ).alias("__rev"),
+        )
+    )
+    per_cust = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("__rev").alias("__rev"))
+    )
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(
+            F.broadcast(customer), per_cust.o_custkey == customer.c_custkey
+        )
+        .join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            F.round(F.col("__rev").cast("double"), 4).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_REL_RETURNED_CUSTOMERS = """
+SELECT c_custkey, c_name, n_name AS nation,
+       round(c_acctbal, 2) AS acctbal,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE o_orderdate >= DATE '1996-07-01'
+  AND o_orderdate < DATE '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
