@@ -1373,13 +1373,18 @@ def q_e1_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFra
     one tier leaves the other tier's duplicates in the corpus, and
     the Jaccard-style overlap here is the number that justifies (or
     retires) the second pass. Plan: both pair pipelines are
-    sub-quadratic and bounded (LSH bands / label blocks); the
-    agreement is one equi-join of two small canonical (a < b) pair
-    frames plus three 1-row counts — no new corpus pass."""
+    sub-quadratic and bounded (LSH bands / label blocks), and each is
+    materialized ONCE (checkpointed — each feeds its own count AND
+    the intersection join; un-pinned, both expensive pipelines ran
+    twice, measured 16.3s -> ~half at sf0.1, r7); the agreement is
+    one equi-join of two small canonical (a < b) pair frames plus
+    three 1-row counts — no new corpus pass."""
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    lex = dedup.lsh_verified_pairs(docs, "text", "doc_id").select(
-        "id_a", "id_b"
+    lex = (
+        dedup.lsh_verified_pairs(docs, "text", "doc_id")
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
     sem = (
         dedup.embedding_neardup_pairs(
@@ -1388,6 +1393,7 @@ def q_e1_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFra
         .select("id_a", "id_b", F.round("cosine", 6).alias("__cos"))
         .where(F.col("__cos") >= 0.3)
         .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
     n_lex = lex.agg(F.count(F.lit(1)).cast("long").alias("n_lexical"))
     n_sem = sem.agg(F.count(F.lit(1)).cast("long").alias("n_semantic"))
