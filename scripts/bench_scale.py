@@ -61,6 +61,17 @@ DEFAULT_QUERIES = [
     "e1_lsh_recall_sampled",
     "e3_bpe_encode",
     "e4_sessionize",
+    # r7: the expensive tail surfaced by benching every registry query
+    # (auto-append) plus the new r7 flagships
+    "e1_lexical_semantic_agreement",
+    "rel_pagerank",
+    "e1_lsh_verified",
+    "e1_minhash_calibration",
+    "e1_shingle_size_sweep",
+    "e1_dedup_funnel",
+    "e2_scan_cost_frontier",
+    "e3_char_entropy",
+    "e1_embedding_neardup",
 ]
 
 

@@ -316,15 +316,40 @@ _DOT = (
     "p -> p[1]::DOUBLE * p[2]::DOUBLE), 'sum')"
 )
 
-def q_e1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs within label blocks, cos >= 0.3."""
+def _sem_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared semantic near-dup pair definition (e1_embedding_neardup +
+    the agreement audit): cosine >= 0.3 pairs within (label x IVF cell)
+    blocks — the SemDeDup-style partition. Blocking by label ALONE is
+    O(N^2/|labels|): the r7 scaling harness measured the old shape at
+    ~30x wall for 10x input. The centroid sub-block bounds the
+    quadratic the same way the e2 index does — at scale nlist grows
+    with N so cell sizes stay bounded, and the assignment itself is
+    the linear broadcast argmax."""
+    from ..operators.similarity import ivf_assign
+
     emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = ivf_assign(emb, centroids)
+    blocked = emb.join(assign, "vec_id").withColumn(
+        "__blk",
+        F.concat_ws(":", F.col("label"), F.col("centroid_id")),
+    )
     pairs = dedup.embedding_neardup_pairs(
-        emb, "embedding", "vec_id", block_col="label", threshold=-2.0
+        blocked, "embedding", "vec_id", block_col="__blk", threshold=-2.0
     )
     return pairs.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     ).where(F.col("cosine") >= 0.3)
+
+
+def q_e1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at cos >= 0.3 within
+    (label x IVF-cell) blocks — the SemDeDup partition; see
+    :func:`_sem_neardup_pairs` for the scale rationale (label-only
+    blocking measured ~quadratic on the r7 scaling harness)."""
+    return _sem_neardup_pairs(spark, sf_dir)
 
 ORACLE_E1_EMB_NEARDUP = """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
@@ -332,11 +357,30 @@ norms AS (
   SELECT vec_id, label, e,
          sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
   FROM e
+),
+assign_scored AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         round(list_aggregate(list_transform(list_zip(v.e, c.e),
+               p -> p[1] * p[2]), 'sum') / nullif(v.nrm * c.nrm, 0), 6) AS score
+  FROM norms v JOIN norms c ON c.vec_id < 8
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+blocked AS (
+  SELECT n.vec_id, n.label, n.e, n.nrm, a.centroid_id
+  FROM norms n JOIN assign a ON a.vec_id = n.vec_id
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_aggregate(list_transform(list_zip(a.e, b.e),
              p -> p[1] * p[2]), 'sum') / (a.nrm * b.nrm), 6) AS cosine
-FROM norms a JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM blocked a JOIN blocked b
+  ON a.label = b.label AND a.centroid_id = b.centroid_id
+ AND a.vec_id < b.vec_id
 WHERE round(list_aggregate(list_transform(list_zip(a.e, b.e),
             p -> p[1] * p[2]), 'sum') / (a.nrm * b.nrm), 6) >= 0.3
 """
@@ -1367,7 +1411,8 @@ GROUP BY th.threshold
 def q_e1_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 method-agreement audit: how much do LEXICAL near-dup pairs
     (MinHash+LSH -> exact shingle Jaccard >= 0.3) and SEMANTIC
-    near-dup pairs (label-blocked embedding cosine >= 0.3) overlap?
+    near-dup pairs ((label x IVF-cell)-blocked embedding cosine
+    >= 0.3, the SemDeDup partition) overlap?
     Lexical dedup catches templates and near-verbatim copies;
     semantic catches paraphrase — low agreement means running only
     one tier leaves the other tier's duplicates in the corpus, and
@@ -1380,18 +1425,13 @@ def q_e1_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFra
     one equi-join of two small canonical (a < b) pair frames plus
     three 1-row counts — no new corpus pass."""
     docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
     lex = (
         dedup.lsh_verified_pairs(docs, "text", "doc_id")
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
     sem = (
-        dedup.embedding_neardup_pairs(
-            emb, "embedding", "vec_id", block_col="label", threshold=-2.0
-        )
-        .select("id_a", "id_b", F.round("cosine", 6).alias("__cos"))
-        .where(F.col("__cos") >= 0.3)
+        _sem_neardup_pairs(spark, sf_dir)
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )

@@ -108,6 +108,27 @@ class TestVideoKeyframeBudget:
         )
 
 
+class TestQueryBudget:
+    def test_fixed_size_and_deterministic(self, spark):
+        """The k-NN audit family's query side must be a fixed ABSOLUTE
+        budget (the r7 scaling harness measured the old %-of-corpus
+        sampling at 101x wall for 10x input)."""
+        from tensorflow_recorder_spark.queries._shared import _t
+        from tensorflow_recorder_spark.queries.e2 import _query_budget
+
+        emb = _t(spark, SF, "embeddings")
+        n = emb.count()
+        b1 = [r.vec_id for r in _query_budget(emb, "knn").select("vec_id").collect()]
+        b2 = [r.vec_id for r in _query_budget(emb, "knn").select("vec_id").collect()]
+        assert len(b1) == min(100, n)
+        assert b1 == b2  # deterministic across evaluations
+        other = [
+            r.vec_id
+            for r in _query_budget(emb, "purity").select("vec_id").collect()
+        ]
+        assert set(other) != set(b1)  # salts pick different samples
+
+
 class TestStreamSessionDepth:
     def test_stream_twin_matches_batch(self, spark):
         from tensorflow_recorder_spark.queries import QUERIES
