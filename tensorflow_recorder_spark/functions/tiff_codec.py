@@ -83,9 +83,18 @@ def _parse_ifd(data: bytes) -> tuple[dict[int, list[int]], str]:
         raise ValueError("corrupt TIFF: truncated IFD")
     for _ in range(n_entries):
         tag, typ, count = struct.unpack_from(endian + "HHI", data, pos)
-        tags[tag] = _read_tag_values(
-            data, endian, typ, count, data[pos + 8:pos + 12]
-        )
+        try:
+            tags[tag] = _read_tag_values(
+                data, endian, typ, count, data[pos + 8:pos + 12]
+            )
+        except ValueError:
+            # Real-world baseline TIFFs carry ASCII (2) and RATIONAL (5)
+            # metadata tags (Software, XResolution, ...) the decoder has
+            # no use for — skip what can't be parsed instead of routing
+            # the whole image to DISCARD; a required tag that got
+            # skipped surfaces as the missing-tag ValueError below
+            # (review finding r7).
+            pass
         pos += 12
     return tags, endian
 

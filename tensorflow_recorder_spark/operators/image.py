@@ -69,7 +69,7 @@ except ImportError:
         AND progressive (``functions/jpeg_codec.py``), GIF (first
         frame, ``functions/gif_codec.py``), BMP
         (``functions/bmp_codec.py``), baseline strip TIFF —
-        none/PackBits/LZW (``functions/tiff_codec.py``), and LOSSLESS
+        none/PackBits/LZW/Deflate (``functions/tiff_codec.py``), and LOSSLESS
         WebP (VP8L, ``functions/vp8l_codec.py``); deterministic
         synthetic pixels
         for the remaining capability gap (lossy-VP8 WebP). Real

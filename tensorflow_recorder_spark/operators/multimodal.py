@@ -190,7 +190,7 @@ def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     ``ok`` requires dimension fidelity for every format and byte-exact
     pixels for the lossless five (PNG/GIF/BMP/WebP-VP8L/TIFF, the TIFF
-    arm cycling none/PackBits/LZW strips). Output: (id, fmt,
+    arm cycling none/PackBits/LZW/Deflate strips). Output: (id, fmt,
     width, height, channels, ok) — fully arithmetic-predictable, hence
     oracle-checkable.
     """
@@ -228,7 +228,7 @@ def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         elif fmt == "webp":
             data = encode_vp8l(px, w, h, subtract_green=True, lz77=True)
         elif fmt == "tiff":
-            # cycle all three baseline compressions through the probe
+            # cycle all four strip compressions through the probe
             comp = ("none", "packbits", "lzw", "deflate")[(i // 6) % 4]
             data = encode_tiff(px, w, h, "RGB", comp)
         else:

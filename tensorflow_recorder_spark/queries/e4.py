@@ -2336,13 +2336,18 @@ def q_e4_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers until the single final division. dow is ISO
     (1=Monday), matching DuckDB's isodow."""
     ev = _events(spark, sf_dir)
-    cells = ev.groupBy(
-        F.expr("CAST(dayofweek(ts) AS BIGINT)").alias("__dow_sun1"),
-        F.expr("CAST(hour(ts) AS BIGINT)").alias("hour_of_day"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-    total = cells.agg(
-        F.sum("n_events").cast("long").alias("__total")
-    ).localCheckpoint(eager=True)
+    # pin the 168-row cell table itself — it feeds BOTH the total and
+    # the share projection, and checkpointing only the total would
+    # re-scan the corpus for the second consumer (r7 review finding)
+    cells = (
+        ev.groupBy(
+            F.expr("CAST(dayofweek(ts) AS BIGINT)").alias("__dow_sun1"),
+            F.expr("CAST(hour(ts) AS BIGINT)").alias("hour_of_day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .localCheckpoint(eager=True)
+    )
+    total = cells.agg(F.sum("n_events").cast("long").alias("__total"))
     return (
         cells.crossJoin(F.broadcast(total))
         .select(

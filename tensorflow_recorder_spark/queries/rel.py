@@ -1924,56 +1924,6 @@ FROM j GROUP BY 1, 2
 """
 
 
-def q_rel_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q4-style order-priority checking: per priority, how many orders
-    in 1996-Q3 contain at least one LATE line (shipped > 60 days after
-    the order date — the testdata has no commit/receipt dates, so
-    lateness adapts Q4's commitdate predicate, same adaptation as
-    rel_waiting_supplier). The textbook form is a correlated EXISTS;
-    the scalable reformulation is a LEFT SEMI join of the
-    quarter-pruned orders against the late-line keys — the semi join
-    deduplicates probe-side matches in the join itself (no distinct
-    shuffle), the order-date filter is pushed to the orders scan, and
-    the final rollup is a |priorities|-row aggregate. The DuckDB
-    oracle runs the textbook EXISTS, so the equivalence is checked,
-    not assumed."""
-    orders = (
-        _t(spark, sf_dir, "orders")
-        .where(
-            (F.col("o_orderdate") >= F.lit("1996-07-01"))
-            & (F.col("o_orderdate") < F.lit("1996-10-01"))
-        )
-        .select("o_orderkey", "o_orderdate", "o_orderpriority")
-    )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    late = orders.join(
-        li,
-        (orders.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAYS")),
-        "left_semi",
-    )
-    return (
-        late.groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
-        .orderBy("o_orderpriority")
-    )
-
-
-ORACLE_REL_ORDER_PRIORITY = """
-SELECT o_orderpriority, count(*)::BIGINT AS order_count
-FROM orders o
-WHERE o_orderdate >= DATE '1996-07-01'
-  AND o_orderdate < DATE '1996-10-01'
-  AND EXISTS (
-    SELECT 1 FROM lineitem l
-    WHERE l.l_orderkey = o.o_orderkey
-      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-  )
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
-"""
-
-
 def q_rel_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10-style returned-item reporting: the top 20 customers by
     revenue lost to returned lineitems in 1996-H2 — the churn-risk

@@ -21,10 +21,25 @@ def get_spark(app_name: str = "tensorflow_recorder_spark", master: str | None = 
     # In local mode the driver JVM IS the executor; the stock 1g heap
     # makes every localCheckpoint/persist spill long before the host's
     # memory is used (observed: 10x-scale runs degraded to disk-backed
-    # block persistence). Only effective before the JVM launches —
+    # block persistence and one hard SparkOutOfMemoryError). The
+    # default is capped at ~40% of MemAvailable so small hosts keep
+    # headroom for the OS + Python workers instead of inviting the
+    # kernel OOM killer (a fixed 12g on an 8 GB box trades graceful
+    # spill for a hard kill). Only effective before the JVM launches —
     # getOrCreate against a live session leaves it untouched, and on a
     # real cluster executor sizing comes from the cluster config.
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if not mem:
+        avail_gb = 8.0  # conservative fallback when /proc is absent
+        try:
+            with open("/proc/meminfo") as fh:
+                for line in fh:
+                    if line.startswith("MemAvailable:"):
+                        avail_gb = int(line.split()[1]) / 1024 / 1024
+                        break
+        except OSError:
+            pass
+        mem = f"{max(1, min(12, int(avail_gb * 0.4)))}g"
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.driver.memory", mem)

@@ -388,11 +388,10 @@ def test_driver_window_holds_all_unique_queries():
         "e6_bpe_pack",
         # round-7 late additions past the window: s35's finalize
         # arithmetic is the scored e4_dow_hour_heatmap's (bounded
-        # 168-cell state); the two TPC-H shapes' machinery (semi-join
-        # EXISTS, pruned fact-join + broadcast dims + TakeOrdered) is
-        # scored via rel_waiting_supplier / rel_pricing_summary
+        # 168-cell state); the Q10 shape's machinery (pruned fact-join
+        # + broadcast dims + TakeOrdered) is scored via
+        # rel_waiting_supplier / rel_pricing_summary
         "s35_stream_dow_hour_heatmap",
-        "rel_order_priority",
         "rel_returned_customers",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50

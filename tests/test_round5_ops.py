@@ -85,7 +85,7 @@ def test_codec_roundtrip_probe_all_formats_ok(spark):
         codec_roundtrip_probe,
     )
 
-    # 54 ids = 3 full format cycles x all three TIFF compressions
+    # 54 ids = 9 format cycles, TIFF arm sweeping its compression cycle
     df = spark.range(0, 54).select(F.col("id").alias("doc_id"))
     rows = codec_roundtrip_probe(df, "doc_id").collect()
     assert len(rows) == 54

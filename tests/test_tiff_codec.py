@@ -223,6 +223,42 @@ def test_lzw_predictor2():
     assert px == img.tobytes()
 
 
+def test_metadata_tags_are_skipped_not_fatal():
+    """Real-world TIFFs carry ASCII (Software) and RATIONAL
+    (XResolution) tags; the decoder must skip them, not DISCARD the
+    image (r7 review finding)."""
+    img = bytes(range(12))
+    w, h = 2, 2
+    ifd_off = 8
+    n_tags = 10
+    sw_off = ifd_off + 2 + 12 * n_tags + 4
+    res_off = sw_off + 8
+    data_off = res_off + 8
+    out = bytearray()
+    out += b"II*\x00" + struct.pack("<I", ifd_off)
+    out += struct.pack("<H", n_tags)
+    for tag, typ, count, value in [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, 1, 8),
+        (259, 3, 1, 1),
+        (262, 3, 1, 2),
+        (273, 4, 1, data_off),
+        (277, 3, 1, 3),
+        (279, 4, 1, len(img)),
+        (282, 5, 1, res_off),  # XResolution, RATIONAL
+        (305, 2, 8, sw_off),  # Software, ASCII
+    ]:
+        out += struct.pack("<HHII", tag, typ, count, value)
+    out += struct.pack("<I", 0)
+    out += b"spark!!\x00"  # software string
+    out += struct.pack("<II", 72, 1)  # 72/1 dpi rational
+    out += img
+    px, dw, dh, mode = decode_tiff(bytes(out))
+    assert (dw, dh, mode) == (w, h, "RGB")
+    assert px == img
+
+
 def test_corrupt_and_unsupported_raise():
     img = bytes(range(12))
     good = encode_tiff(img, 2, 2, "RGB", "none")
