@@ -267,7 +267,11 @@ def decode_tiff(data: bytes) -> tuple[bytes, int, int, str]:
         if cmap is None or len(cmap) < 3 * 256:
             raise ValueError("corrupt TIFF: palette image without ColorMap")
         cm = np.asarray(cmap[: 3 * 256], dtype=np.uint32).reshape(3, 256)
-        cm8 = (cm // 257).astype(np.uint8)  # 16-bit entries -> 8-bit
+        # 16-bit entries -> 8-bit via high-byte truncation (>> 8), the
+        # same mapping PIL's TiffImagePlugin applies, so palette-TIFF
+        # pixel values are byte-identical to a PIL-based decode (r7
+        # advice: // 257 exact rounding differed by 1 on some entries).
+        cm8 = (cm >> 8).astype(np.uint8)
         idx = np.frombuffer(bytes(raw), dtype=np.uint8)
         rgb = np.stack([cm8[0][idx], cm8[1][idx], cm8[2][idx]], axis=1)
         return rgb.tobytes(), width, height, "RGB"

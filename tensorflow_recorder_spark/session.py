@@ -37,7 +37,11 @@ def get_spark(app_name: str = "tensorflow_recorder_spark", master: str | None = 
                     if line.startswith("MemAvailable:"):
                         avail_gb = int(line.split()[1]) / 1024 / 1024
                         break
-        except OSError:
+        except (OSError, ValueError, IndexError):
+            # A missing /proc, or a malformed/truncated MemAvailable
+            # line (int()/split() raising), both mean "unknown host
+            # memory" — keep the conservative 8 GB fallback rather
+            # than crashing session creation.
             pass
         mem = f"{max(1, min(12, int(avail_gb * 0.4)))}g"
     builder = (

@@ -794,53 +794,70 @@ def streaming_new_vs_returning(
     key_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    retain_days: int = 366,
 ) -> DataFrame:
     """Per-key streaming growth accounting via
     ``applyInPandasWithState`` — the streaming twin of the batch
     ``new_vs_returning`` daily rollup. Each key keeps its first active
-    day plus the SET of active days seen so far (calendar-bounded
-    state, same bound class as :func:`streaming_changepoint`: at most
-    one entry per calendar day per key, NOT per event) — so the
-    distinct-(user, day) dedup the batch query does with a shuffle is
-    exact under ANY cross-batch arrival order; an out-of-order day
-    that lands in a later micro-batch is still emitted exactly once
-    (the previous two-scalar state silently dropped any day older
-    than the advancing high-water mark, r6 advice). One row per
-    (key, day) is emitted the first time that day appears, flagged
-    ``is_new`` iff it is the key's first-ever day. Residual caveat
-    (much weaker than an in-order drain): only each key's FIRST
-    calendar day must not arrive after a later day of the same key,
-    else its ``is_new`` flag lands on the wrong day — day totals stay
-    exact either way.
+    day, a FOLD LINE, and the set of active days newer than the fold
+    line, so the distinct-(user, day) dedup the batch query does with
+    a shuffle is exact under bounded cross-batch disorder; an
+    out-of-order day that lands in a later micro-batch is still
+    emitted exactly once (the pre-r7 two-scalar state silently dropped
+    any day older than the advancing high-water mark, r6 advice). One
+    row per (key, day) is emitted the first time that day appears,
+    flagged ``is_new`` iff it is the key's first-ever day.
+
+    State bound (r7 verdict item 4): after each batch, days older than
+    ``max_seen - retain_days`` are folded out of the set and the fold
+    line advances — a day at or below the fold line is treated as
+    already-seen (it was either emitted before folding, or it is a
+    late arrival beyond the disorder bound, dropped with watermark
+    semantics). State per key is therefore O(retain_days) forever —
+    three scalars plus at most ``retain_days`` day entries — instead
+    of growing with the key's whole calendar lifetime. Exactness
+    caveats: (a) a day arriving more than ``retain_days`` behind the
+    key's newest seen day is dropped, the same late-data contract as
+    a ``retain_days`` watermark; (b) each key's FIRST calendar day
+    must not arrive after a later day of the same key, else its
+    ``is_new`` flag lands on the wrong day — day totals stay exact
+    either way.
 
     Output per batch (update mode): (key, day 'yyyy-MM-dd', is_new).
     """
     import json
 
     out_schema = f"{key_col} long, day string, is_new int"
-    state_schema = "first_day long, days_json string"
+    state_schema = "first_day long, fold_day long, days_json string"
     _NS_PER_DAY = 86_400_000_000_000
+    _NO_FOLD = -(1 << 62)  # sentinel: nothing folded yet
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            first_day, days_json = state.get
+            first_day, fold_day, days_json = state.get
             seen = set(json.loads(days_json))
         else:
-            first_day, seen = None, set()
+            first_day, fold_day, seen = None, _NO_FOLD, set()
         ordered = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
         days: list[int] = []
         flags: list[int] = []
         for ts in ordered[ts_col]:
             d = int(ts.value // _NS_PER_DAY)
-            if d not in seen:
-                seen.add(d)
-                if first_day is None:
-                    first_day = d
-                days.append(d)
-                flags.append(1 if d == first_day else 0)
-        state.update((first_day, json.dumps(sorted(seen))))
+            if d <= fold_day or d in seen:
+                continue
+            seen.add(d)
+            if first_day is None:
+                first_day = d
+            days.append(d)
+            flags.append(1 if d == first_day else 0)
+        if seen:
+            new_fold = max(fold_day, max(seen) - retain_days)
+            if new_fold > fold_day:
+                seen = {d for d in seen if d > new_fold}
+                fold_day = new_fold
+        state.update((first_day, fold_day, json.dumps(sorted(seen))))
         if days:
             yield pd.DataFrame(
                 {
