@@ -16,6 +16,13 @@ python -m pytest tests/ -q
 echo "== full-registry oracle check (sf0.01) =="
 python scripts/check_oracle.py
 
+echo "== scaling gate (r7 verdict item 7) =="
+# asserts every recorded SCALING.json ratio is within its input growth
+# (10x / 30x) * 1.15 — a reintroduced quadratic fails the gate here
+# instead of waiting for a judge. Re-measure with scripts/bench_scale.py
+# after touching any measured query.
+python scripts/bench_scale.py --assert-within-growth
+
 if [[ "${1:-}" != "--quick" ]]; then
   echo "== bench (sf0.1) =="
   python bench.py

@@ -1,26 +1,46 @@
-"""Derive a 10x (sf1-equivalent) dataset from /root/testdata/sf0.1 for
-scaling-curve measurement (r6 verdict item 1: back the 100 TB design
-claims with a measured sf0.1 -> sf1 exponent per headline query).
+"""Derive scaled datasets from /root/testdata/sf0.1 for scaling-curve
+measurement (r6 verdict item 1; r7 verdict item 2: a SECOND growth
+decade and organic distinct-value growth; r7 verdict item 5: a
+Zipf-skewed derivative for the skew-defense arm).
 
 R replicas of every fact table with disjoint key ranges; dimension
 tables (region, nation) stay fixed, as they would at any scale.
-Document text is passed through a per-replica character permutation
-(vowel rotation, + 'st' swap for replicas 5-9) so cross-replica texts
-share almost no 5-gram shingles: duplicate/near-dup STRUCTURE is
-preserved within each replica (every replica applies one consistent
-transform), while the corpus-wide pair count grows linearly in R, the
-realistic growth model — naive text copies would grow verified-pair
-workloads quadratically in R and measure a workload change, not a
-scale-up. Embeddings keep their vectors (the ANN query contract pins
-the query side to vec_id < 5, so brute-force cost grows linearly in N).
 
-Usage: python scripts/gen_scale_data.py [R] [out_dir]
+Document text goes through a PER-REPLICA ALPHABET BIJECTION (Caesar
+rotation of a-z, reversed for the second band of 26) so that
+  * duplicate/near-dup STRUCTURE is preserved within each replica
+    (every replica applies one consistent transform);
+  * cross-replica texts share essentially no shingles, so corpus-wide
+    pair counts grow linearly in R (naive copies would grow verified-
+    pair workloads quadratically and measure a workload change);
+  * the DISTINCT-VALUE state grows ~R x — vocabulary, BPE pair
+    tables, and shingle universes are disjoint across replicas, the
+    organic-growth model the r7 vowel-rotation transform under-grew
+    (r7 verdict item 2: "replication-with-permutation under-grows
+    distinct-value state ... exactly the state that breaks at 100 TB").
+Embeddings keep their vectors (the ANN query contract pins the query
+side to a fixed budget, so brute-force cost grows linearly in N).
+
+--skew additionally plants the two adversarial hot spots the skew arm
+measures (r7 verdict item 5):
+  * lineitem: ~6k rows are remapped into 2 HOT ORDERS (~3,000-line
+    baskets vs the TPC-H max of 7, ~4.5M pair-combinations each) —
+    the celebrity-basket case whose pair explosion serializes the
+    naive rel_copurchase self-join onto two tasks;
+  * documents: ~0.5% of docs are rewritten as one giant near-dup
+    family (shared boilerplate + tiny per-doc tail) — the hub-cluster
+    case that stresses p4_leakage_safe_split's LSH band join and the
+    connected-components step.
+
+Usage: python scripts/gen_scale_data.py [R] [out_dir] [--skew]
 Defaults: R=10, out_dir=/root/repo/.scale/sf1
+Second decade: python scripts/gen_scale_data.py 30 /root/repo/.scale/sf3
 """
 
 from __future__ import annotations
 
 import os
+import string
 import sys
 
 import duckdb
@@ -42,22 +62,30 @@ STRIDES = {
     "vec_id": 100_000,
 }
 
-VOWELS = "aeiou"
+# hot keys for --skew live far above every replica range
+HOT_ORDER_BASE = 9_000_000_000
+N_HOT_ORDERS = 2
+HOT_ORDER_LINE_MOD = 1000  # ~1/1000 of lineitem rows join a hot basket
+HOT_DOC_MOD = 200  # ~0.5% of docs join the boilerplate family
 
 
 def _perm(k: int) -> tuple[str, str]:
-    """Per-replica text transform: rotate vowels by k%5; replicas >= 5
-    additionally swap s<->t. k=0 is the identity."""
-    r = k % 5
-    src, dst = VOWELS, VOWELS[r:] + VOWELS[:r]
-    if k >= 5:
-        src, dst = src + "st", dst + "ts"
-    return src, dst
+    """Per-replica text bijection: rotate a-z by k%26; the second band
+    of 26 replicas uses the REVERSED rotation so all transforms up to
+    R=52 are distinct. k=0 is the identity. Upper case maps
+    consistently."""
+    a = string.ascii_lowercase
+    rot = a[k % 26:] + a[: k % 26]
+    if (k // 26) % 2 == 1:
+        rot = rot[::-1]
+    return a + a.upper(), rot + rot.upper()
 
 
 def main() -> int:
-    r = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale/sf1"
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    r = int(args[0]) if args else 10
+    out = args[1] if len(args) > 1 else "/root/repo/.scale/sf1"
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
 
@@ -99,9 +127,24 @@ def main() -> int:
                    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
             FROM '{SRC}/orders.parquet' CROSS JOIN {reps}""",
     )
+    li_orderkey = f"l_orderkey + __k * {STRIDES['l_orderkey']}"
+    if skew:
+        # deterministic ~1/HOT_ORDER_LINE_MOD of rows land in one of
+        # N_HOT_ORDERS celebrity baskets (hash on replica+key+line so
+        # the hot rows are spread over the whole file, like real skew)
+        h = (
+            "CAST(hash(__k * 131071 + l_orderkey * 7 + l_linenumber)"
+            " % 1000000007 AS BIGINT)"
+        )
+        li_orderkey = (
+            f"CAST(CASE WHEN {h} % {HOT_ORDER_LINE_MOD} = 0"
+            f" THEN {HOT_ORDER_BASE} + ({h} // {HOT_ORDER_LINE_MOD})"
+            f" % {N_HOT_ORDERS}"
+            f" ELSE l_orderkey + __k * {STRIDES['l_orderkey']} END AS BIGINT)"
+        )
     copy(
         "lineitem",
-        f"""SELECT l_orderkey + __k * {STRIDES['l_orderkey']} AS l_orderkey,
+        f"""SELECT {li_orderkey} AS l_orderkey,
                    l_partkey + __k * {STRIDES['l_partkey']} AS l_partkey,
                    l_suppkey + __k * {STRIDES['l_suppkey']} AS l_suppkey,
                    l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -116,11 +159,31 @@ def main() -> int:
                    event_type, value, props
             FROM '{SRC}/events.parquet' CROSS JOIN {reps}""",
     )
+    doc_text = "translate(text, '{src}', '{dst}')"
+    if skew:
+        # one giant near-dup family: a long shared boilerplate plus a
+        # tiny per-doc tail so true Jaccard stays high (a real hub
+        # cluster), for ~1/HOT_DOC_MOD of docs across ALL replicas
+        boiler = (
+            "the quick brown fox jumps over the lazy dog while every "
+            "good boy deserves fudge and the five boxing wizards jump "
+            "quickly over the glib jocks who quiz nymphs to vex dwarf "
+        ) * 3
+        doc_text = (
+            f"CASE WHEN hash(__k * 524287 + doc_id) % {HOT_DOC_MOD} = 7"
+            f" THEN '{boiler}' || CAST(doc_id AS VARCHAR)"
+            f" ELSE {doc_text} END"
+        )
     doc_arms = "\nUNION ALL\n".join(
-        f"""SELECT doc_id + {k * STRIDES['doc_id']} AS doc_id,
-                   translate(text, '{_perm(k)[0]}', '{_perm(k)[1]}') AS text,
-                   lang, source, n_chars
-            FROM '{SRC}/documents.parquet'"""
+        "SELECT doc_id + {off} AS doc_id, {text} AS text,"
+        " lang, source, n_chars"
+        " FROM '{src_dir}/documents.parquet'"
+        " CROSS JOIN (SELECT {k} AS __k)".format(
+            off=k * STRIDES["doc_id"],
+            text=doc_text.format(src=_perm(k)[0], dst=_perm(k)[1]),
+            src_dir=SRC,
+            k=k,
+        )
         for k in range(r)
     )
     copy("documents", doc_arms)
@@ -130,7 +193,7 @@ def main() -> int:
                    embedding, label
             FROM '{SRC}/embeddings.parquet' CROSS JOIN {reps}""",
     )
-    print(f"wrote {out} (R={r})")
+    print(f"wrote {out} (R={r}, skew={skew})")
     return 0
 
 

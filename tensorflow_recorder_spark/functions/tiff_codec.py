@@ -37,6 +37,7 @@ _BITS_PER_SAMPLE = 258
 _COMPRESSION = 259
 _PHOTOMETRIC = 262
 _STRIP_OFFSETS = 273
+_ORIENTATION = 274
 _SAMPLES_PER_PIXEL = 277
 _ROWS_PER_STRIP = 278
 _STRIP_BYTE_COUNTS = 279
@@ -359,6 +360,17 @@ def _lzw_encode(src: bytes) -> bytes:
     return bytes(out)
 
 
+def read_tiff_orientation(data: bytes) -> int:
+    """The EXIF/TIFF Orientation tag (274) from the first IFD, 1 if
+    absent — the real-tag counterpart of the id-derived orientation in
+    the r7 audit (reference loads orientation-bearing files through
+    PIL, beam_image.py:62-73; the fix arithmetic is TIFF 6.0 §"
+    "Orientation / JEITA CP-3451 EXIF 4.6.4)."""
+    tags, _ = _parse_ifd(data)
+    vals = tags.get(_ORIENTATION)
+    return int(vals[0]) if vals else 1
+
+
 def encode_tiff(
     pixels: bytes,
     width: int,
@@ -366,10 +378,12 @@ def encode_tiff(
     mode: str = "RGB",
     compression: str = "none",
     rows_per_strip: int | None = None,
+    orientation: int | None = None,
 ) -> bytes:
     """Write a little-endian strip TIFF (the test-fixture builder).
     mode 'L' or 'RGB'; compression 'none', 'packbits', 'lzw', or
-    'deflate'."""
+    'deflate'; ``orientation`` writes a real Orientation (274) SHORT
+    tag."""
     spp = 1 if mode == "L" else 3
     if len(pixels) != width * height * spp:
         raise ValueError("pixel buffer does not match dimensions")
@@ -403,10 +417,13 @@ def encode_tiff(
         (_COMPRESSION, 3, 1, comp_id),
         (_PHOTOMETRIC, 3, 1, 1 if spp == 1 else 2),
         (_STRIP_OFFSETS, 4, n_strips, None),
+        (_ORIENTATION, 3, 1, orientation),
         (_SAMPLES_PER_PIXEL, 3, 1, spp),
         (_ROWS_PER_STRIP, 4, 1, rps),
         (_STRIP_BYTE_COUNTS, 4, n_strips, None),
     ]
+    if orientation is None:
+        tag_list = [t for t in tag_list if t[0] != _ORIENTATION]
     n_tags = len(tag_list)
     ifd_off = 8
     after_ifd = ifd_off + 2 + 12 * n_tags + 4

@@ -878,3 +878,140 @@ def phash_dedup_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("group_size")
     )
     return hashes.join(groups, "phash").select(id_col, "phash", "group_size")
+
+
+def exif_tiff_orientation_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """EXIF-orientation audit through REAL TIFF tag bytes (r8): each
+    row synthesizes a deterministic grayscale image, writes it as a
+    real TIFF with an Orientation (274) SHORT tag (``1 + id % 8``),
+    then decodes the pixels AND reads the tag back from the IFD — the
+    full wire path a phone-photo corpus takes (the reference's PIL
+    loader honors this tag family, beam_image.py:62-73; tag semantics
+    are public, TIFF 6.0 / JEITA CP-3451 §4.6.4). Unlike
+    :func:`orientation_fix_audit` (id-derived orientation, no tag
+    bytes), a regression anywhere in the TIFF writer/parser flips
+    these rows.
+
+    Scale shape: one Arrow-batched encode/decode/tag-read pass (bytes
+    never leave the Python stage) -> 8-key partial agg -> 1-row total
+    broadcast for the share. Output: (orientation, transposed, n,
+    avg_out_w, avg_out_h, share).
+    """
+    from ..functions.tiff_codec import (
+        decode_tiff,
+        encode_tiff,
+        read_tiff_orientation,
+    )
+
+    out_struct = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("orientation", T.IntegerType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+        ]
+    )
+
+    def probe(i: int):
+        w, h = 8 + (i * 11) % 53, 8 + (i * 5) % 37
+        px = bytes(((i + j) % 256 for j in range(w * h)))
+        data = encode_tiff(px, w, h, "L", orientation=1 + i % 8)
+        o = read_tiff_orientation(data)
+        dec, dw, dh, mode = decode_tiff(data)
+        if (dw, dh, mode) != (w, h, "L") or dec != px:
+            raise ValueError("TIFF round-trip corrupted payload")
+        return o, dw, dh
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(v) for v in pdf[id_col]]
+            rows = [probe(i) for i in ids]
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "orientation": [r[0] for r in rows],
+                    "width": [r[1] for r in rows],
+                    "height": [r[2] for r in rows],
+                }
+            )
+
+    dims = df.select(id_col).mapInPandas(run, schema=out_struct)
+    swapped = F.col("orientation") >= 5
+    counted = (
+        dims.select(
+            "orientation",
+            swapped.alias("transposed"),
+            F.when(swapped, F.col("height")).otherwise(F.col("width")).alias("__ow"),
+            F.when(swapped, F.col("width")).otherwise(F.col("height")).alias("__oh"),
+        )
+        .groupBy("orientation", "transposed")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("__ow"), 6).alias("avg_out_w"),
+            F.round(F.avg("__oh"), 6).alias("avg_out_h"),
+        )
+    )
+    total = counted.agg(F.sum("n").alias("__total"))
+    return counted.crossJoin(F.broadcast(total)).select(
+        "orientation",
+        "transposed",
+        "n",
+        "avg_out_w",
+        "avg_out_h",
+        F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+    )
+
+
+def channel_stats_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-image color-channel statistics from REAL decoded pixels
+    (r8): each row synthesizes a small constant-color RGB image
+    (channels ``c, 5c, 11c mod 256`` with ``c = id*29 mod 256`` — the
+    :func:`image_dims_audit` color family), encodes it with the
+    pure-Python PNG writer, decodes it back, and reduces the DECODED
+    pixels to INTEGER channel sums inside the same Arrow batch — the
+    ingest-side stats pass a vision-curation run uses for exposure /
+    tint gates. The constant construction makes every mean exactly
+    predictable, so the oracle certifies the pixel path end to end.
+
+    Scale shape: narrow id in, five integers out — bytes never leave
+    the Python stage; the downstream per-source aggregate moves
+    integers only. Output: (``id_col``, n_px, r_sum, g_sum, b_sum).
+    """
+    from ..functions.png_codec import decode_png, encode_png
+
+    out_struct = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_px", T.LongType()),
+            T.StructField("r_sum", T.LongType()),
+            T.StructField("g_sum", T.LongType()),
+            T.StructField("b_sum", T.LongType()),
+        ]
+    )
+
+    def probe(i: int):
+        w, h = 4 + i % 5, 3 + i % 4
+        c = (i * 29) % 256
+        px = bytes((c, (c * 5) % 256, (c * 11) % 256)) * (w * h)
+        data = encode_png(px, w, h, "RGB")
+        dec, dw, dh, mode = decode_png(data)
+        if (dw, dh, mode) != (w, h, "RGB") or dec != px:
+            raise ValueError("PNG round-trip corrupted payload")
+        n = w * h
+        return n, sum(dec[0::3]), sum(dec[1::3]), sum(dec[2::3])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(v) for v in pdf[id_col]]
+            rows = [probe(i) for i in ids]
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_px": [r[0] for r in rows],
+                    "r_sum": [r[1] for r in rows],
+                    "g_sum": [r[2] for r in rows],
+                    "b_sum": [r[3] for r in rows],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=out_struct)

@@ -395,3 +395,288 @@ WITH meta AS (
 )
 {body}
 """
+
+
+def q_e5_exif_tiff_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 EXIF-orientation audit through REAL TIFF tag bytes: each doc
+    synthesizes a grayscale image, writes a real TIFF with an
+    Orientation (274) SHORT tag (1 + id % 8), decodes pixels AND reads
+    the tag back from the IFD, then rolls up the post-fix output dims
+    per tag value — the r7-suggested upgrade of e5_orientation_fix
+    from id-derived orientation to real tag wire bytes
+    (operators/multimodal.py exif_tiff_orientation_audit)."""
+    from ..operators.multimodal import exif_tiff_orientation_audit
+
+    return exif_tiff_orientation_audit(_t(spark, sf_dir, "documents"), "doc_id")
+
+ORACLE_E5_EXIF_TIFF_ORIENTATION = """
+WITH d AS (
+  SELECT doc_id, 8 + (doc_id * 11) % 53 AS w, 8 + (doc_id * 5) % 37 AS h,
+         CAST(1 + doc_id % 8 AS INTEGER) AS orientation
+  FROM documents
+),
+f AS (
+  SELECT orientation, orientation >= 5 AS transposed,
+         CASE WHEN orientation >= 5 THEN h ELSE w END AS ow,
+         CASE WHEN orientation >= 5 THEN w ELSE h END AS oh
+  FROM d
+),
+c AS (
+  SELECT orientation, transposed, count(*)::BIGINT AS n,
+         round(avg(ow), 6) AS avg_out_w, round(avg(oh), 6) AS avg_out_h
+  FROM f GROUP BY orientation, transposed
+),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT orientation, transposed, n, avg_out_w, avg_out_h,
+       round(CAST(n AS DOUBLE) / total, 6) AS share
+FROM c, t
+"""
+
+def q_e5_color_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 exposure/tint gate: per source, the mean decoded R/G/B
+    channel values and the share of dark images (summed channel means
+    < 192, i.e. mean luminance < 64) — channel sums reduced to exact
+    integers from REAL PNG decodes inside one Arrow batch
+    (operators/multimodal.py channel_stats_audit), means derived
+    JVM-side from exactly-divisible integer ratios."""
+    from ..operators.multimodal import channel_stats_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = channel_stats_audit(docs, "doc_id")
+    per_img = stats.select(
+        "doc_id",
+        (F.col("r_sum") / F.col("n_px")).alias("__r"),
+        (F.col("g_sum") / F.col("n_px")).alias("__g"),
+        (F.col("b_sum") / F.col("n_px")).alias("__b"),
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    return per_img.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.round(F.avg("__r"), 6).alias("avg_r"),
+        F.round(F.avg("__g"), 6).alias("avg_g"),
+        F.round(F.avg("__b"), 6).alias("avg_b"),
+        F.round(
+            F.avg(
+                (F.col("__r") + F.col("__g") + F.col("__b") < 192).cast("int")
+            ),
+            6,
+        ).alias("dark_share"),
+    )
+
+ORACLE_E5_COLOR_CHANNEL_STATS = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST((doc_id * 29) % 256 AS DOUBLE) AS r,
+         CAST((doc_id * 29 * 5) % 256 AS DOUBLE) AS g,
+         CAST((doc_id * 29 * 11) % 256 AS DOUBLE) AS b
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_images,
+       round(avg(r), 6) AS avg_r,
+       round(avg(g), 6) AS avg_g,
+       round(avg(b), 6) AS avg_b,
+       round(avg(CASE WHEN r + g + b < 192 THEN 1 ELSE 0 END), 6)
+         AS dark_share
+FROM d GROUP BY source
+"""
+
+def q_e5_image_text_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 image-text pair integrity census (the r7-suggested query):
+    per source, how many caption pairs are trainable vs flagged —
+    missing media (the e5_image_meta every-97th convention), short
+    caption (n_chars < 150), or tiny image (< 600 px from REAL
+    decodes) — the pre-training gate a multimodal pair corpus runs
+    before contrastive training. Dims come from the shared real-decode
+    pass (operators/multimodal.py decoded_dims); flags are disjoint
+    integer predicates so every count is engine-exact."""
+    from ..operators.multimodal import decoded_dims
+
+    docs = _t(spark, sf_dir, "documents")
+    dims = decoded_dims(docs, "doc_id")
+    flags = docs.select("doc_id", "source", "n_chars").join(
+        dims, "doc_id"
+    ).select(
+        "source",
+        (F.col("doc_id") % 97 == 0).alias("__missing"),
+        (F.col("n_chars") < 150).alias("__short"),
+        (F.col("width") * F.col("height") < 600).alias("__tiny"),
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("__missing").cast("int")).cast("long").alias("n_missing_image"),
+        F.sum(F.col("__short").cast("int")).cast("long").alias("n_short_caption"),
+        F.sum(F.col("__tiny").cast("int")).cast("long").alias("n_tiny_image"),
+        F.sum(
+            (~F.col("__missing") & ~F.col("__short") & ~F.col("__tiny")).cast("int")
+        ).cast("long").alias("n_trainable"),
+        F.round(
+            F.avg(
+                (~F.col("__missing") & ~F.col("__short") & ~F.col("__tiny")).cast("int")
+            ),
+            6,
+        ).alias("trainable_share"),
+    )
+
+ORACLE_E5_IMAGE_TEXT_INTEGRITY = """
+WITH d AS (
+  SELECT doc_id, source,
+         doc_id % 97 = 0 AS missing,
+         n_chars < 150 AS short,
+         (8 + (doc_id * 13) % 57) * (8 + (doc_id * 7) % 41) < 600 AS tiny
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN missing THEN 1 ELSE 0 END)::BIGINT AS n_missing_image,
+       sum(CASE WHEN short THEN 1 ELSE 0 END)::BIGINT AS n_short_caption,
+       sum(CASE WHEN tiny THEN 1 ELSE 0 END)::BIGINT AS n_tiny_image,
+       sum(CASE WHEN NOT missing AND NOT short AND NOT tiny
+                THEN 1 ELSE 0 END)::BIGINT AS n_trainable,
+       round(avg(CASE WHEN NOT missing AND NOT short AND NOT tiny
+                 THEN 1 ELSE 0 END), 6) AS trainable_share
+FROM d GROUP BY source
+"""
+
+def q_e5_thumbnail_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 thumbnail-pyramid budget: for target long edges 12/24/48,
+    the aspect-preserving integer thumbnail dims each image needs
+    (skip levels at or above the source long edge — no upscaling) and
+    the storage the pyramid costs: images per level, total output
+    pixels, mean pixel reduction. Dims from the shared real-decode
+    pass; all resize arithmetic is integer division, exact on both
+    engines. Plan: one decode scan -> JVM-side level explode (3x) ->
+    3-key partial agg."""
+    from ..operators.multimodal import decoded_dims
+
+    dims = decoded_dims(_t(spark, sf_dir, "documents"), "doc_id")
+    lv = dims.select(
+        "width",
+        "height",
+        F.explode(F.array(F.lit(12), F.lit(24), F.lit(48))).alias("level"),
+    ).where(
+        F.col("level") < F.greatest("width", "height")
+    ).select(
+        "level",
+        "width",
+        "height",
+        F.expr("(width * level) div greatest(width, height)").alias("__ow"),
+        F.expr("(height * level) div greatest(width, height)").alias("__oh"),
+    )
+    return lv.groupBy("level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.sum(F.col("__ow") * F.col("__oh")).cast("long").alias("total_out_px"),
+        F.round(
+            F.avg(
+                F.lit(1.0)
+                - (F.col("__ow") * F.col("__oh"))
+                / (F.col("width") * F.col("height"))
+            ),
+            6,
+        ).alias("avg_px_reduction"),
+    )
+
+ORACLE_E5_THUMBNAIL_PYRAMID = """
+WITH d AS (
+  SELECT 8 + (doc_id * 13) % 57 AS w, 8 + (doc_id * 7) % 41 AS h
+  FROM documents
+),
+lv AS (
+  SELECT w, h, unnest([12, 24, 48]) AS level FROM d
+),
+r AS (
+  SELECT level, w, h,
+         (w * level) // greatest(w, h) AS ow,
+         (h * level) // greatest(w, h) AS oh
+  FROM lv WHERE level < greatest(w, h)
+)
+SELECT level, count(*)::BIGINT AS n_images,
+       sum(ow * oh)::BIGINT AS total_out_px,
+       round(avg(1.0 - CAST(ow * oh AS DOUBLE) / (w * h)), 6)
+         AS avg_px_reduction
+FROM r GROUP BY level
+"""
+
+def q_e5_subtitle_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 subtitle/transcript alignment audit (the r7-suggested
+    query): per source, how far subtitle cues drift from the audio
+    segment that should anchor them — each cue as-of joins BACKWARD to
+    the latest segment boundary at or before it through the engine's
+    scalable union+window as-of (operators/events.py asof_join; one
+    shuffle, no range probe). Cue/segment times are id-derived
+    integers (cues every 2s with a per-doc subtitle offset, segments
+    every 2s with a smaller per-doc mux offset), so drift is exact
+    integer milliseconds and first cues whose mux offset exceeds the
+    subtitle offset legitimately miss — the oracle checks matched
+    counts, mean/max drift, and the within-150ms share."""
+    from ..operators.events import asof_join
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    cues = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(F.lit(0), (F.lit(3) + F.col("doc_id") % 5))
+        ).alias("__k"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("__k") * 2000 + (F.col("doc_id") * 7) % 500).alias("cue_ms"),
+    ).withColumn("ts", F.timestamp_millis(F.col("cue_ms")))
+    segs = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.lit(3) + F.col("doc_id") % 5))
+        ).alias("__k"),
+    ).select(
+        "doc_id",
+        (F.col("__k") * 2000 + (F.col("doc_id") * 13) % 300).alias("seg_ms"),
+    ).withColumn("ts", F.timestamp_millis(F.col("seg_ms")))
+    joined = asof_join(
+        cues,
+        segs,
+        key_col="doc_id",
+        ts_col="ts",
+        right_cols=("seg_ms",),
+        direction="backward",
+    )
+    drift = (F.col("cue_ms") - F.col("seg_ms_asof")).alias("__drift")
+    return joined.select("source", "cue_ms", drift).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cues"),
+        F.count("__drift").cast("long").alias("n_matched"),
+        F.round(F.avg("__drift"), 6).alias("avg_drift_ms"),
+        F.max("__drift").cast("long").alias("max_drift_ms"),
+        F.round(
+            F.sum(
+                F.when(F.col("__drift") <= 150, 1).otherwise(0)
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("within_150ms_share"),
+    )
+
+ORACLE_E5_SUBTITLE_ALIGNMENT = """
+WITH c AS (
+  SELECT doc_id, source, unnest(range(0, 4 + doc_id % 5)) AS k
+  FROM documents
+),
+cues AS (
+  SELECT doc_id, source, k * 2000 + (doc_id * 7) % 500 AS cue_ms FROM c
+),
+s AS (
+  SELECT doc_id, unnest(range(0, 4 + doc_id % 5)) AS k FROM documents
+),
+segs AS (
+  SELECT doc_id, k * 2000 + (doc_id * 13) % 300 AS seg_ms FROM s
+),
+m AS (
+  SELECT cues.doc_id, cues.source, cues.cue_ms, max(segs.seg_ms) AS seg_ms
+  FROM cues LEFT JOIN segs
+    ON segs.doc_id = cues.doc_id AND segs.seg_ms <= cues.cue_ms
+  GROUP BY 1, 2, 3
+)
+SELECT source, count(*)::BIGINT AS n_cues,
+       count(seg_ms)::BIGINT AS n_matched,
+       round(avg(cue_ms - seg_ms), 6) AS avg_drift_ms,
+       max(cue_ms - seg_ms)::BIGINT AS max_drift_ms,
+       round(sum(CASE WHEN cue_ms - seg_ms <= 150 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS within_150ms_share
+FROM m GROUP BY source
+"""

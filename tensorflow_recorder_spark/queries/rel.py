@@ -1745,20 +1745,30 @@ def q_rel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     part listed twice in one order counts once; canonical direction
     (a < b); the final top-20 is a TakeOrdered with a deterministic
     (count desc, part_a, part_b) tiebreak."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    from ..operators.skew import skew_split_pairs
+
+    raw = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = raw.distinct()
+    # r8: pair generation through the conditional-salt skew operator —
+    # a celebrity basket (>64 items) is salted over 16 buckets so its
+    # O(k²) pair work spreads across tasks instead of pinning one;
+    # TPC-H-shaped orders (≤7 lines) all carry salt 0, so the
+    # uniform-data join is the naive shape plus a broadcast tag.
+    # Hot keys come from the RAW line count (an upper bound on the
+    # distinct-part count — over-detection is exact, the salted path
+    # is exact for any group), avoiding a third scan of the distinct
+    # subtree. Output identical (oracle-checked).
+    hot = (
+        raw.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 64)
+        .select("l_orderkey")
     )
-    rhs = li.select(
-        F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("__pb")
-    )
-    pairs = li.join(
-        rhs,
-        (F.col("l_orderkey") == F.col("__ok"))
-        & (F.col("l_partkey") < F.col("__pb")),
+    pairs = skew_split_pairs(
+        li, "l_orderkey", "l_partkey",
+        hot_threshold=64, salt_buckets=16, hot_keys=hot,
     ).groupBy(
-        F.col("l_partkey").alias("part_a"), F.col("__pb").alias("part_b")
+        F.col("item_a").alias("part_a"), F.col("item_b").alias("part_b")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     return pairs.orderBy(
         F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")

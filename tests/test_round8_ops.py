@@ -14,9 +14,11 @@ def _write_event_file(spark, path, rows, mode):
         "event_id long, ts string, user_id long, event_type string,"
         " value double, props string"
     )
+    # one part-file per call so maxFilesPerTrigger=1 maps each call to
+    # exactly one micro-batch
     spark.createDataFrame(rows, schema).withColumn(
         "ts", F.col("ts").cast("timestamp")
-    ).write.mode(mode).parquet(path)
+    ).coalesce(1).write.mode(mode).parquet(path)
 
 
 class TestNewVsReturningBoundedState:
@@ -222,3 +224,88 @@ class TestTiffPalettePilParity:
         px, dw, dh, mode = decode_tiff(bytes(out))
         assert (dw, dh, mode) == (1, 1, "RGB")
         assert px[0] == 255  # high byte of 65534 (was 254 under //257)
+
+
+class TestExifTiffOrientation:
+    def test_real_tag_roundtrip_drives_audit(self, spark):
+        from tensorflow_recorder_spark.operators.multimodal import (
+            exif_tiff_orientation_audit,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
+        rows = {
+            (r.orientation, r.transposed): r
+            for r in exif_tiff_orientation_audit(df).collect()
+        }
+        # ids 0..15 -> orientations 1..8 twice each
+        assert set(rows) == {(o, o >= 5) for o in range(1, 9)}
+        assert all(r.n == 2 for r in rows.values())
+        assert abs(sum(r.share for r in rows.values()) - 1.0) < 1e-6
+        # transposed rows report swapped dims: orientation 5 covers
+        # ids 4 and 12 -> (w,h) = (8+44%53, 8+20%37) and (8+(132)%53...)
+        r5 = rows[(5, True)]
+        w4, h4 = 8 + (4 * 11) % 53, 8 + (4 * 5) % 37
+        w12, h12 = 8 + (12 * 11) % 53, 8 + (12 * 5) % 37
+        assert r5.avg_out_w == round((h4 + h12) / 2, 6)
+        assert r5.avg_out_h == round((w4 + w12) / 2, 6)
+
+    def test_orientation_tag_survives_compression_modes(self):
+        from tensorflow_recorder_spark.functions.tiff_codec import (
+            decode_tiff,
+            encode_tiff,
+            read_tiff_orientation,
+        )
+
+        px = bytes(range(48))  # 8x6 grayscale
+        for comp in ("none", "packbits", "lzw", "deflate"):
+            for o in (1, 3, 6, 8):
+                t = encode_tiff(px, 8, 6, "L", compression=comp, orientation=o)
+                assert read_tiff_orientation(t) == o
+                dec, w, h, mode = decode_tiff(t)
+                assert (dec, w, h, mode) == (px, 8, 6, "L")
+
+
+class TestChannelStats:
+    def test_exact_integer_sums_from_decoded_pixels(self, spark):
+        from tensorflow_recorder_spark.operators.multimodal import (
+            channel_stats_audit,
+        )
+
+        df = spark.createDataFrame([(3,), (10,)], "doc_id long")
+        out = {r.doc_id: r for r in channel_stats_audit(df).collect()}
+        for i in (3, 10):
+            w, h = 4 + i % 5, 3 + i % 4
+            c = (i * 29) % 256
+            r = out[i]
+            assert r.n_px == w * h
+            assert r.r_sum == c * w * h
+            assert r.g_sum == ((c * 5) % 256) * w * h
+            assert r.b_sum == ((c * 11) % 256) * w * h
+
+
+class TestSubtitleAlignment:
+    def test_first_cue_miss_and_drift_arithmetic(self, spark, tmp_path):
+        """A doc whose mux offset exceeds its subtitle offset misses on
+        the first cue; later cues match the same-index segment."""
+        import os
+
+        from tensorflow_recorder_spark.queries import QUERIES
+
+        # doc_id 50: off_c = 350%500=350, off_s = 650%300=50 -> all match,
+        #            drift 300
+        # doc_id 100: off_c = 700%500=200, off_s = 1300%300=100 -> match,
+        #            drift 100 (within 150)
+        d = str(tmp_path)
+        spark.createDataFrame(
+            [(50, "x", "en", "sA", 10), (100, "y", "en", "sA", 10)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"), mode="overwrite")
+        rows = {r.source: r for r in
+                QUERIES["e5_subtitle_alignment"](spark, d).collect()}
+        r = rows["sA"]
+        # doc 50: 4 + 50%5 = 4 cues; doc 100: 4 cues -> 8 cues total
+        assert r.n_cues == 8
+        assert r.n_matched == 8
+        assert r.max_drift_ms == 300
+        assert r.within_150ms_share == 0.5
