@@ -104,7 +104,10 @@ class BoolEncoder:
     def __init__(self):
         self.low = 0
         self.range = 255
-        self.nbits = 16  # decoder preloads two bytes
+        # the interval's unit aligns with the TOP byte of the decoder's
+        # 16-bit window (the decoder compares value >= split << 8), so
+        # the running scale starts at 8 bits, not 16
+        self.nbits = 8
 
     def put_bool(self, bit: int, prob: int) -> None:
         split = 1 + (((self.range - 1) * prob) >> 8)
@@ -389,3 +392,1129 @@ COEF_UPDATE_PROBS = tuple(
     )
     for _ in range(4)
 )
+
+
+# --------------------------------------------------------------- transforms
+
+_COS = 20091  # cospi8sqrt2 - 1, Q16 (RFC 6386 section 14.3)
+_SIN = 35468  # sinpi8sqrt2, Q16
+
+
+def idct4x4(block: list[int]) -> list[int]:
+    """RFC 6386 section 14.3 inverse DCT; ``block`` is 16 dequantized
+    coefficients in raster order, output 16 residuals."""
+    tmp = [0] * 16
+    for i in range(4):
+        ip0, ip4, ip8, ip12 = block[i], block[4 + i], block[8 + i], block[12 + i]
+        a1 = ip0 + ip8
+        b1 = ip0 - ip8
+        t1 = (ip4 * _SIN) >> 16
+        t2 = ip12 + ((ip12 * _COS) >> 16)
+        c1 = t1 - t2
+        t1 = ip4 + ((ip4 * _COS) >> 16)
+        t2 = (ip12 * _SIN) >> 16
+        d1 = t1 + t2
+        tmp[i] = a1 + d1
+        tmp[12 + i] = a1 - d1
+        tmp[4 + i] = b1 + c1
+        tmp[8 + i] = b1 - c1
+    out = [0] * 16
+    for i in range(4):
+        b = 4 * i
+        ip0, ip1, ip2, ip3 = tmp[b], tmp[b + 1], tmp[b + 2], tmp[b + 3]
+        a1 = ip0 + ip2
+        b1 = ip0 - ip2
+        t1 = (ip1 * _SIN) >> 16
+        t2 = ip3 + ((ip3 * _COS) >> 16)
+        c1 = t1 - t2
+        t1 = ip1 + ((ip1 * _COS) >> 16)
+        t2 = (ip3 * _SIN) >> 16
+        d1 = t1 + t2
+        out[b + 0] = (a1 + d1 + 4) >> 3
+        out[b + 3] = (a1 - d1 + 4) >> 3
+        out[b + 1] = (b1 + c1 + 4) >> 3
+        out[b + 2] = (b1 - c1 + 4) >> 3
+    return out
+
+
+def fdct4x4(block: list[int]) -> list[int]:
+    """Forward 4x4 DCT (libvpx vp8_short_fdct4x4_c arithmetic — the
+    encoder-side pair of :func:`idct4x4`; any forward transform is
+    spec-legal, conformance lives in the inverse)."""
+    tmp = [0] * 16
+    for i in range(4):
+        b = 4 * i
+        ip0, ip1, ip2, ip3 = block[b], block[b + 1], block[b + 2], block[b + 3]
+        a1 = (ip0 + ip3) * 8
+        b1 = (ip1 + ip2) * 8
+        c1 = (ip1 - ip2) * 8
+        d1 = (ip0 - ip3) * 8
+        tmp[b + 0] = a1 + b1
+        tmp[b + 2] = a1 - b1
+        tmp[b + 1] = (c1 * 2217 + d1 * 5352 + 14500) >> 12
+        tmp[b + 3] = (d1 * 2217 - c1 * 5352 + 7500) >> 12
+    out = [0] * 16
+    for i in range(4):
+        ip0, ip4, ip8, ip12 = tmp[i], tmp[4 + i], tmp[8 + i], tmp[12 + i]
+        a1 = ip0 + ip12
+        b1 = ip4 + ip8
+        c1 = ip4 - ip8
+        d1 = ip0 - ip12
+        out[i] = (a1 + b1 + 7) >> 4
+        out[8 + i] = (a1 - b1 + 7) >> 4
+        out[4 + i] = ((c1 * 2217 + d1 * 5352 + 12000) >> 16) + (1 if d1 else 0)
+        out[12 + i] = (d1 * 2217 - c1 * 5352 + 51000) >> 16
+    return out
+
+
+def iwht4x4(block: list[int]) -> list[int]:
+    """RFC 6386 section 14.3 inverse Walsh-Hadamard (Y2 block)."""
+    tmp = [0] * 16
+    for i in range(4):
+        a1 = block[i] + block[12 + i]
+        b1 = block[4 + i] + block[8 + i]
+        c1 = block[4 + i] - block[8 + i]
+        d1 = block[i] - block[12 + i]
+        tmp[i] = a1 + b1
+        tmp[4 + i] = c1 + d1
+        tmp[8 + i] = a1 - b1
+        tmp[12 + i] = d1 - c1
+    out = [0] * 16
+    for i in range(4):
+        b = 4 * i
+        a1 = tmp[b] + tmp[b + 3]
+        b1 = tmp[b + 1] + tmp[b + 2]
+        c1 = tmp[b + 1] - tmp[b + 2]
+        d1 = tmp[b] - tmp[b + 3]
+        out[b + 0] = (a1 + b1 + 3) >> 3
+        out[b + 1] = (c1 + d1 + 3) >> 3
+        out[b + 2] = (a1 - b1 + 3) >> 3
+        out[b + 3] = (d1 - c1 + 3) >> 3
+    return out
+
+
+def fwht4x4(block: list[int]) -> list[int]:
+    """Forward Walsh-Hadamard (libvpx vp8_short_walsh4x4_c arithmetic)."""
+    tmp = [0] * 16
+    for i in range(4):
+        b = 4 * i
+        a1 = (block[b] + block[b + 2]) << 2
+        d1 = (block[b + 1] + block[b + 3]) << 2
+        c1 = (block[b + 1] - block[b + 3]) << 2
+        b1 = (block[b] - block[b + 2]) << 2
+        tmp[b + 0] = a1 + d1 + (1 if a1 else 0)
+        tmp[b + 1] = b1 + c1
+        tmp[b + 2] = b1 - c1
+        tmp[b + 3] = a1 - d1
+    out = [0] * 16
+    for i in range(4):
+        a1 = tmp[i] + tmp[8 + i]
+        d1 = tmp[4 + i] + tmp[12 + i]
+        c1 = tmp[4 + i] - tmp[12 + i]
+        b1 = tmp[i] - tmp[8 + i]
+        a2 = a1 + d1
+        b2 = b1 + c1
+        c2 = b1 - c1
+        d2 = a1 - d1
+        a2 += 1 if a2 < 0 else 0
+        b2 += 1 if b2 < 0 else 0
+        c2 += 1 if c2 < 0 else 0
+        d2 += 1 if d2 < 0 else 0
+        out[i] = (a2 + 3) >> 3
+        out[4 + i] = (b2 + 3) >> 3
+        out[8 + i] = (c2 + 3) >> 3
+        out[12 + i] = (d2 + 3) >> 3
+    return out
+
+
+def dequant_factors(
+    qi: int,
+    y_dc_delta: int = 0,
+    y2_dc_delta: int = 0,
+    y2_ac_delta: int = 0,
+    uv_dc_delta: int = 0,
+    uv_ac_delta: int = 0,
+) -> dict:
+    """RFC 6386 section 14.1 dequantization factors."""
+    y2ac = AC_QLOOKUP[_clamp_q(qi + y2_ac_delta)] * 155 // 100
+    uvdc = DC_QLOOKUP[_clamp_q(qi + uv_dc_delta)]
+    return {
+        "y1": (DC_QLOOKUP[_clamp_q(qi + y_dc_delta)], AC_QLOOKUP[_clamp_q(qi)]),
+        "y2": (DC_QLOOKUP[_clamp_q(qi + y2_dc_delta)] * 2, max(y2ac, 8)),
+        "uv": (min(uvdc, 132), AC_QLOOKUP[_clamp_q(qi + uv_ac_delta)]),
+    }
+
+
+# --------------------------------------------------------------- predictors
+
+
+def _clamp255(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def predict_block(
+    mode: int,
+    size: int,
+    above: list[int],
+    left: list[int],
+    aboveleft: int,
+    have_above: bool,
+    have_left: bool,
+) -> list[list[int]]:
+    """Whole-block intra predictors (16x16 Y / 8x8 chroma), RFC 6386
+    section 12.2. ``above``/``left`` are the border buffers (127/129
+    fill at frame edges)."""
+    if mode == DC_PRED:
+        if have_above and have_left:
+            total = sum(above[:size]) + sum(left[:size])
+            dc = (total + size) >> (5 if size == 16 else 4)
+        elif have_above:
+            dc = (sum(above[:size]) + (size >> 1)) >> (4 if size == 16 else 3)
+        elif have_left:
+            dc = (sum(left[:size]) + (size >> 1)) >> (4 if size == 16 else 3)
+        else:
+            dc = 128
+        return [[dc] * size for _ in range(size)]
+    if mode == V_PRED:
+        return [list(above[:size]) for _ in range(size)]
+    if mode == H_PRED:
+        return [[left[r]] * size for r in range(size)]
+    if mode == TM_PRED:
+        return [
+            [_clamp255(left[r] + above[c] - aboveleft) for c in range(size)]
+            for r in range(size)
+        ]
+    raise ValueError(f"bad whole-block mode {mode}")
+
+
+def predict_b(mode: int, a: list[int], left: list[int], al: int) -> list[list[int]]:
+    """4x4 B_PRED sub-predictors, RFC 6386 section 12.3. ``a`` holds 8
+    above pixels (4 above + 4 above-right), ``left`` 4, ``al`` the
+    above-left corner."""
+    def avg3(x, y, z):
+        return (x + 2 * y + z + 2) >> 2
+
+    def avg2(x, y):
+        return (x + y + 1) >> 1
+
+    p = [[0] * 4 for _ in range(4)]
+    if mode == B_DC:
+        dc = (sum(a[:4]) + sum(left) + 4) >> 3
+        return [[dc] * 4 for _ in range(4)]
+    if mode == B_TM:
+        return [
+            [_clamp255(left[r] + a[c] - al) for c in range(4)] for r in range(4)
+        ]
+    if mode == B_VE:
+        row = [
+            avg3(al, a[0], a[1]),
+            avg3(a[0], a[1], a[2]),
+            avg3(a[1], a[2], a[3]),
+            avg3(a[2], a[3], a[4]),
+        ]
+        return [list(row) for _ in range(4)]
+    if mode == B_HE:
+        vals = [
+            avg3(al, left[0], left[1]),
+            avg3(left[0], left[1], left[2]),
+            avg3(left[1], left[2], left[3]),
+            avg3(left[2], left[3], left[3]),
+        ]
+        return [[v] * 4 for v in vals]
+    if mode == B_LD:
+        for r in range(4):
+            for c in range(4):
+                i = r + c
+                p[r][c] = (
+                    avg3(a[i], a[i + 1], a[i + 2])
+                    if i < 6
+                    else avg3(a[6], a[7], a[7])
+                )
+        return p
+    if mode == B_RD:
+        e = [
+            left[3], left[2], left[1], left[0], al, a[0], a[1], a[2], a[3],
+        ]
+        for r in range(4):
+            for c in range(4):
+                i = c - r + 4
+                p[r][c] = avg3(e[i - 1], e[i], e[i + 1])
+        return p
+    if mode == B_VR:
+        e = [left[3], left[2], left[1], left[0], al, a[0], a[1], a[2], a[3]]
+        for r in range(4):
+            for c in range(4):
+                d = 2 * c - r
+                if d >= 0 and d % 2 == 0:
+                    p[r][c] = avg2(e[4 + c - (r >> 1) - 1], e[4 + c - (r >> 1)])
+                elif d >= 0:
+                    p[r][c] = avg3(
+                        e[4 + c - (r >> 1) - 2],
+                        e[4 + c - (r >> 1) - 1],
+                        e[4 + c - (r >> 1)],
+                    )
+                else:
+                    i = 4 - (r - 2 * c)
+                    p[r][c] = avg3(e[i + 1], e[i], e[i - 1])
+        return p
+    if mode == B_VL:
+        for r in range(4):
+            for c in range(4):
+                d = 2 * c + r
+                if r % 2 == 0:
+                    p[r][c] = avg2(a[c + (r >> 1)], a[c + (r >> 1) + 1])
+                else:
+                    p[r][c] = avg3(
+                        a[c + (r >> 1)], a[c + (r >> 1) + 1], a[c + (r >> 1) + 2]
+                    )
+        # spec patches the two bottom-right corner pixels
+        p[3][3] = avg3(a[5], a[6], a[7])
+        p[2][3] = avg3(a[4], a[5], a[6])
+        return p
+    if mode == B_HD:
+        e = [left[3], left[2], left[1], left[0], al, a[0], a[1], a[2]]
+        for r in range(4):
+            for c in range(4):
+                d = 2 * r - c
+                if d >= 0 and d % 2 == 0:
+                    i = 3 - r + (c >> 1) + 1
+                    p[r][c] = avg2(e[i - 1 + (c & 1) * 0], e[i])
+                elif d >= 0:
+                    i = 3 - r + (c >> 1) + 1
+                    p[r][c] = avg3(e[i - 1], e[i], e[i + 1])
+                else:
+                    i = 4 + c - 2 * r
+                    p[r][c] = avg3(e[i + 1], e[i], e[i - 1])
+        return p
+    if mode == B_HU:
+        l0, l1, l2, l3 = left
+        vals = [
+            avg2(l0, l1), avg3(l0, l1, l2), avg2(l1, l2), avg3(l1, l2, l3),
+            avg2(l2, l3), avg3(l2, l3, l3), l3, l3, l3, l3,
+        ]
+        for r in range(4):
+            for c in range(4):
+                p[r][c] = vals[min(2 * r + c, 9)]
+        return p
+    raise ValueError(f"bad b mode {mode}")
+
+
+# --------------------------------------------------------------- tokens
+
+
+def _token_for(value: int) -> int:
+    v = abs(value)
+    if v <= 4:
+        return v  # ZERO..FOUR share their numeric value
+    for cat in range(6):
+        base = CAT_BASE[cat]
+        width = len(CAT_PROBS[cat])
+        if v < base + (1 << width):
+            return CAT1 + cat
+    raise ValueError(f"coefficient {value} out of CAT6 range")
+
+
+def _decode_coeffs(bd: BoolDecoder, probs, plane: int, ctx: int, first: int):
+    """One 4x4 block's coefficients (RFC 6386 section 13.3). Returns
+    (raster-order coefficient list BEFORE dequant, had_nonzero)."""
+    coeffs = [0] * 16
+    i = first
+    prev_zero = False
+    nonzero = False
+    while i < 16:
+        p = probs[plane][COEFF_BANDS[i]][ctx]
+        start = 2 if prev_zero else 0  # EOB cannot follow a zero token
+        node = start
+        while True:
+            node = COEFF_TREE[node + bd.get_bool(p[node >> 1])]
+            if node <= 0:
+                break
+        token = -node
+        if token == EOB_TOKEN:
+            break
+        if token == ZERO_TOKEN:
+            ctx = 0
+            prev_zero = True
+            i += 1
+            continue
+        prev_zero = False
+        if token <= FOUR_TOKEN:
+            v = token
+        else:
+            cat = token - CAT1
+            extra = 0
+            for cp in CAT_PROBS[cat]:
+                extra = (extra << 1) | bd.get_bool(cp)
+            v = CAT_BASE[cat] + extra
+        if bd.get_bool(128):
+            v = -v
+        coeffs[ZIGZAG[i]] = v
+        nonzero = True
+        ctx = 1 if abs(v) == 1 else 2
+        i += 1
+    return coeffs, nonzero
+
+
+def _encode_coeffs(be: BoolEncoder, probs, plane: int, ctx: int, first: int,
+                   zz: list[int]) -> bool:
+    """Encoder mirror of :func:`_decode_coeffs`; ``zz`` holds the 16
+    quantized coefficients in ZIGZAG order. Returns had_nonzero."""
+    last = -1
+    for i in range(15, first - 1, -1):
+        if zz[i]:
+            last = i
+            break
+    if last < 0:
+        p = probs[plane][COEFF_BANDS[first]][ctx]
+        be.put_tree(COEFF_TREE, p, EOB_TOKEN)
+        return False
+    prev_zero = False
+    i = first
+    while i <= last:
+        v = zz[i]
+        token = _token_for(v)
+        p = probs[plane][COEFF_BANDS[i]][ctx]
+        if prev_zero:
+            # re-encode on the zero-suffixed tree (skip the EOB branch):
+            # walk from node 2
+            path = be._path(COEFF_TREE, p, token, 2)
+            for prob, bit in path:
+                be.put_bool(bit, prob)
+        else:
+            be.put_tree(COEFF_TREE, p, token)
+        if token == ZERO_TOKEN:
+            ctx = 0
+            prev_zero = True
+        else:
+            prev_zero = False
+            if token > FOUR_TOKEN:
+                cat = token - CAT1
+                extra = abs(v) - CAT_BASE[cat]
+                for k, cp in enumerate(CAT_PROBS[cat]):
+                    be.put_bool((extra >> (len(CAT_PROBS[cat]) - 1 - k)) & 1, cp)
+            be.put_bool(1 if v < 0 else 0, 128)
+            ctx = 1 if abs(v) == 1 else 2
+        i += 1
+    if last < 15:
+        p = probs[plane][COEFF_BANDS[last + 1]][ctx]
+        be.put_tree(COEFF_TREE, p, EOB_TOKEN)
+    return True
+
+
+# --------------------------------------------------------------- color
+
+
+def _rgb_to_yuv420(px: bytes, w: int, h: int):
+    """BT.601 integer RGB -> YUV 4:2:0, padded to 16x16 macroblocks."""
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(np.int32)
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = ((66 * r + 129 * g + 25 * b + 128) >> 8) + 16
+    u = ((-38 * r - 74 * g + 112 * b + 128) >> 8) + 128
+    v = ((112 * r - 94 * g - 18 * b + 128) >> 8) + 128
+    mbw, mbh = (w + 15) // 16, (h + 15) // 16
+    W, H = mbw * 16, mbh * 16
+
+    def pad(p, target_h, target_w):
+        out = np.empty((target_h, target_w), dtype=np.int32)
+        ph, pw = p.shape
+        out[:ph, :pw] = p
+        out[:ph, pw:] = p[:, pw - 1 : pw]
+        out[ph:, :] = out[ph - 1 : ph, :]
+        return out
+
+    yp = pad(np.clip(y, 0, 255), H, W)
+    # 2x2 average chroma (pad to even first)
+    ue = pad(np.clip(u, 0, 255), (h + 1) // 2 * 2, (w + 1) // 2 * 2)
+    ve = pad(np.clip(v, 0, 255), (h + 1) // 2 * 2, (w + 1) // 2 * 2)
+    u2 = (ue[0::2, 0::2] + ue[0::2, 1::2] + ue[1::2, 0::2] + ue[1::2, 1::2] + 2) >> 2
+    v2 = (ve[0::2, 0::2] + ve[0::2, 1::2] + ve[1::2, 0::2] + ve[1::2, 1::2] + 2) >> 2
+    up = pad(u2, H // 2, W // 2)
+    vp = pad(v2, H // 2, W // 2)
+    return yp, up, vp, mbw, mbh
+
+
+def _yuv420_to_rgb(yp, up, vp, w: int, h: int) -> bytes:
+    """BT.601 integer YUV 4:2:0 -> RGB (nearest-neighbor chroma up)."""
+    y = yp[:h, :w].astype(np.int32)
+    u = np.repeat(np.repeat(up, 2, axis=0), 2, axis=1)[:h, :w].astype(np.int32)
+    v = np.repeat(np.repeat(vp, 2, axis=0), 2, axis=1)[:h, :w].astype(np.int32)
+    c = y - 16
+    d = u - 128
+    e = v - 128
+    r = np.clip((298 * c + 409 * e + 128) >> 8, 0, 255)
+    g = np.clip((298 * c - 100 * d - 208 * e + 128) >> 8, 0, 255)
+    b = np.clip((298 * c + 516 * d + 128) >> 8, 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8).tobytes()
+
+
+# --------------------------------------------------------------- planes
+
+_Y_INIT = 127  # above border value
+_L_INIT = 129  # left border value
+
+
+class _Plane:
+    """A reconstruction plane with the RFC border conventions: one
+    virtual above row of 127s (extended 4 px past the right edge for
+    above-right reads), one virtual left column of 129s; the rightmost
+    real column replicates into the extension as rows complete."""
+
+    def __init__(self, w: int, h: int):
+        self.w, self.h = w, h
+        self.a = np.empty((h + 1, w + 5), dtype=np.int32)
+        self.a[0, :] = _Y_INIT
+        self.a[:, 0] = _L_INIT
+        self.a[0, 0] = _Y_INIT
+
+    def px(self, x: int, y: int) -> int:
+        return int(self.a[y + 1, x + 1])
+
+    def above(self, x0: int, y0: int, n: int) -> list[int]:
+        return [int(v) for v in self.a[y0, x0 + 1 : x0 + 1 + n]]
+
+    def left(self, x0: int, y0: int, n: int) -> list[int]:
+        return [int(v) for v in self.a[y0 + 1 : y0 + 1 + n, x0]]
+
+    def corner(self, x0: int, y0: int) -> int:
+        return int(self.a[y0, x0])
+
+    def put(self, x0: int, y0: int, block) -> None:
+        b = np.asarray(block, dtype=np.int32)
+        self.a[y0 + 1 : y0 + 1 + b.shape[0], x0 + 1 : x0 + 1 + b.shape[1]] = b
+
+    def finish_row(self, y0: int, rows: int) -> None:
+        # replicate the rightmost pixel into the above-right extension
+        self.a[y0 + 1 : y0 + 1 + rows, self.w + 1 :] = self.a[
+            y0 + 1 : y0 + 1 + rows, self.w : self.w + 1
+        ]
+
+
+# --------------------------------------------------------------- decoder
+
+
+def _mutable_probs():
+    return [
+        [[list(c) for c in band] for band in plane] for plane in DEFAULT_COEF_PROBS
+    ]
+
+
+def decode_vp8_frame(data: bytes) -> tuple[bytes, int, int]:
+    """Decode a raw VP8 key-frame payload (the content of a WebP
+    'VP8 ' chunk) -> (rgb bytes, width, height)."""
+    if len(data) < 10:
+        raise ValueError("corrupt VP8: truncated frame")
+    tag = data[0] | (data[1] << 8) | (data[2] << 16)
+    frame_type = tag & 1
+    part1_size = tag >> 5
+    if frame_type != 0:
+        raise ValueError("VP8: not a key frame")
+    if data[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("corrupt VP8: bad start code")
+    (wraw,) = struct.unpack_from("<H", data, 6)
+    (hraw,) = struct.unpack_from("<H", data, 8)
+    w, h = wraw & 0x3FFF, hraw & 0x3FFF
+    if w == 0 or h == 0:
+        raise ValueError("corrupt VP8: zero dimension")
+    part1 = data[10 : 10 + part1_size]
+    if len(part1) < part1_size:
+        raise ValueError("corrupt VP8: first partition past end")
+    rest = data[10 + part1_size :]
+
+    bd = BoolDecoder(part1)
+    bd.get_bool(128)  # color space
+    bd.get_bool(128)  # clamping type
+
+    # segmentation
+    seg_enabled = bd.get_bool(128)
+    seg_update_map = 0
+    seg_abs = 0
+    seg_q = [0, 0, 0, 0]
+    seg_tree_probs = [255, 255, 255]
+    if seg_enabled:
+        seg_update_map = bd.get_bool(128)
+        update_data = bd.get_bool(128)
+        if update_data:
+            seg_abs = bd.get_bool(128)
+            for i in range(4):  # quantizer features
+                if bd.get_bool(128):
+                    seg_q[i] = bd.get_signed(7)
+            for _ in range(4):  # loop-filter features (parsed, unused)
+                if bd.get_bool(128):
+                    bd.get_signed(6)
+        if seg_update_map:
+            for i in range(3):
+                if bd.get_bool(128):
+                    seg_tree_probs[i] = bd.get_literal(8)
+
+    bd.get_bool(128)  # filter type
+    bd.get_literal(6)  # loop filter level (parsed; filter not applied)
+    bd.get_literal(3)  # sharpness
+    if bd.get_bool(128):  # loop-filter delta adjustments
+        if bd.get_bool(128):
+            for _ in range(8):
+                if bd.get_bool(128):
+                    bd.get_signed(6)
+
+    n_parts = 1 << bd.get_literal(2)
+
+    base_qi = bd.get_literal(7)
+    deltas = []
+    for _ in range(5):  # y_dc, y2_dc, y2_ac, uv_dc, uv_ac
+        deltas.append(bd.get_signed(4) if bd.get_bool(128) else 0)
+
+    bd.get_bool(128)  # refresh entropy probs (key frame: ignored)
+
+    probs = _mutable_probs()
+    for pl in range(4):
+        for band in range(8):
+            for ctx in range(3):
+                for t in range(11):
+                    if bd.get_bool(COEF_UPDATE_PROBS[pl][band][ctx][t]):
+                        probs[pl][band][ctx][t] = bd.get_literal(8)
+
+    mb_no_skip = bd.get_bool(128)
+    prob_skip = bd.get_literal(8) if mb_no_skip else 0
+
+    mbw, mbh = (w + 15) // 16, (h + 15) // 16
+
+    # ---- pass 1: per-MB modes from the first partition ----
+    seg_tree = (2, 4, -0, -1, -2, -3)
+    modes = []  # (seg_id, skip, ymode, submodes (16) or None, uvmode)
+    above_sub = [[B_DC] * 4 for _ in range(mbw)]
+    for my in range(mbh):
+        left_sub = [B_DC] * 4
+        for mx in range(mbw):
+            seg_id = 0
+            if seg_enabled and seg_update_map:
+                seg_id = bd.get_tree(seg_tree, seg_tree_probs)
+            skip = bd.get_bool(prob_skip) if mb_no_skip else 0
+            ymode = bd.get_tree(KF_YMODE_TREE, KF_YMODE_PROB)
+            subs = None
+            if ymode == B_PRED:
+                subs = [0] * 16
+                for r in range(4):
+                    for c in range(4):
+                        a = above_sub[mx][c] if r == 0 else subs[(r - 1) * 4 + c]
+                        l = left_sub[r] if c == 0 else subs[r * 4 + c - 1]
+                        subs[r * 4 + c] = bd.get_tree(
+                            BMODE_TREE, KF_BMODE_PROB[a][l]
+                        )
+                above_sub[mx] = subs[12:16]
+                left_sub = [subs[3], subs[7], subs[11], subs[15]]
+            else:
+                above_sub[mx] = [B_DC] * 4
+                left_sub = [B_DC] * 4
+            uvmode = bd.get_tree(UV_MODE_TREE, KF_UV_MODE_PROB)
+            modes.append((seg_id, skip, ymode, subs, uvmode))
+
+    # ---- token partitions ----
+    if n_parts > 1:
+        sizes = []
+        off = 0
+        for _ in range(n_parts - 1):
+            sizes.append(
+                rest[off] | (rest[off + 1] << 8) | (rest[off + 2] << 16)
+            )
+            off += 3
+        bodies = []
+        pos = off
+        for s in sizes:
+            bodies.append(rest[pos : pos + s])
+            pos += s
+        bodies.append(rest[pos:])
+        token_bds = [BoolDecoder(b) for b in bodies]
+    else:
+        token_bds = [BoolDecoder(rest)]
+
+    # ---- pass 2: tokens + reconstruction ----
+    Y = _Plane(mbw * 16, mbh * 16)
+    U = _Plane(mbw * 8, mbh * 8)
+    V = _Plane(mbw * 8, mbh * 8)
+
+    # nz contexts: above per MB col, left reset per row. layout:
+    # [y0..y3, u0,u1, v0,v1, y2]
+    above_nz = [[0] * 9 for _ in range(mbw)]
+    qs = {}
+    for my in range(mbh):
+        left_nz = [0] * 9
+        td = token_bds[my % n_parts]
+        for mx in range(mbw):
+            seg_id, skip, ymode, subs, uvmode = modes[my * mbw + mx]
+            if seg_enabled:
+                qi = seg_q[seg_id] if seg_abs else base_qi + seg_q[seg_id]
+            else:
+                qi = base_qi
+            qi = _clamp_q(qi)
+            if qi not in qs:
+                qs[qi] = dequant_factors(qi, *deltas)
+            dq = qs[qi]
+            has_y2 = ymode != B_PRED
+
+            y_coeffs = [[0] * 16 for _ in range(16)]
+            u_coeffs = [[0] * 16 for _ in range(4)]
+            v_coeffs = [[0] * 16 for _ in range(4)]
+            y2_res = None
+            if skip:
+                above_nz[mx][:8] = [0] * 8
+                left_nz[:8] = [0] * 8
+                if has_y2:
+                    above_nz[mx][8] = 0
+                    left_nz[8] = 0
+            else:
+                if has_y2:
+                    ctx = above_nz[mx][8] + left_nz[8]
+                    c2, nz = _decode_coeffs(td, probs, 1, ctx, 0)
+                    above_nz[mx][8] = left_nz[8] = 1 if nz else 0
+                    dqd = [
+                        v * (dq["y2"][0] if i == 0 else dq["y2"][1])
+                        for i, v in enumerate(c2)
+                    ]
+                    y2_res = iwht4x4(dqd)
+                first = 1 if has_y2 else 0
+                plane = 0 if has_y2 else 3
+                for r in range(4):
+                    for c in range(4):
+                        ctx = above_nz[mx][c] + left_nz[r]
+                        cf, nz = _decode_coeffs(td, probs, plane, ctx, first)
+                        above_nz[mx][c] = left_nz[r] = 1 if nz else 0
+                        y_coeffs[r * 4 + c] = [
+                            v * (dq["y1"][0] if i == 0 else dq["y1"][1])
+                            for i, v in enumerate(cf)
+                        ]
+                for blocks, base_i in ((u_coeffs, 4), (v_coeffs, 6)):
+                    for r in range(2):
+                        for c in range(2):
+                            ctx = (
+                                above_nz[mx][base_i + c] + left_nz[base_i + r]
+                            )
+                            cf, nz = _decode_coeffs(td, probs, 2, ctx, 0)
+                            above_nz[mx][base_i + c] = left_nz[base_i + r] = (
+                                1 if nz else 0
+                            )
+                            blocks[r * 2 + c] = [
+                                v * (dq["uv"][0] if i == 0 else dq["uv"][1])
+                                for i, v in enumerate(cf)
+                            ]
+                if y2_res is not None:
+                    for b in range(16):
+                        y_coeffs[b][0] = y2_res[b]
+
+            _reconstruct_mb(
+                Y, U, V, mx, my, ymode, subs, uvmode, y_coeffs, u_coeffs,
+                v_coeffs,
+            )
+        Y.finish_row(my * 16, 16)
+        U.finish_row(my * 8, 8)
+        V.finish_row(my * 8, 8)
+
+    rgb = _yuv420_to_rgb(
+        Y.a[1 : 1 + mbh * 16, 1 : 1 + mbw * 16],
+        U.a[1 : 1 + mbh * 8, 1 : 1 + mbw * 8],
+        V.a[1 : 1 + mbh * 8, 1 : 1 + mbw * 8],
+        w,
+        h,
+    )
+    return rgb, w, h
+
+
+def _reconstruct_mb(Y, U, V, mx, my, ymode, subs, uvmode, y_coeffs, u_coeffs,
+                    v_coeffs):
+    x0, y0 = mx * 16, my * 16
+    have_a, have_l = my > 0, mx > 0
+    if ymode == B_PRED:
+        # above-right of the MB, captured once (spec: subblock col 3
+        # rows 1-3 reuse it rather than reading not-yet-decoded MBs)
+        mb_ar = Y.above(x0 + 16, y0, 4)
+        for r in range(4):
+            for c in range(4):
+                bx, by = x0 + c * 4, y0 + r * 4
+                a4 = Y.above(bx, by, 4)
+                ar = mb_ar if c == 3 else Y.above(bx + 4, by, 4)
+                lf = Y.left(bx, by, 4)
+                al = Y.corner(bx, by)
+                pred = predict_b(subs[r * 4 + c], a4 + ar, lf, al)
+                res = idct4x4(y_coeffs[r * 4 + c])
+                blk = [
+                    [
+                        _clamp255(pred[i][j] + res[i * 4 + j])
+                        for j in range(4)
+                    ]
+                    for i in range(4)
+                ]
+                Y.put(bx, by, blk)
+    else:
+        pred = predict_block(
+            ymode, 16, Y.above(x0, y0, 16), Y.left(x0, y0, 16),
+            Y.corner(x0, y0), have_a, have_l,
+        )
+        out = [[0] * 16 for _ in range(16)]
+        for r in range(4):
+            for c in range(4):
+                res = idct4x4(y_coeffs[r * 4 + c])
+                for i in range(4):
+                    for j in range(4):
+                        out[r * 4 + i][c * 4 + j] = _clamp255(
+                            pred[r * 4 + i][c * 4 + j] + res[i * 4 + j]
+                        )
+        Y.put(x0, y0, out)
+    # chroma
+    cx0, cy0 = mx * 8, my * 8
+    for plane, coeffs in ((U, u_coeffs), (V, v_coeffs)):
+        pred = predict_block(
+            uvmode, 8, plane.above(cx0, cy0, 8), plane.left(cx0, cy0, 8),
+            plane.corner(cx0, cy0), have_a, have_l,
+        )
+        out = [[0] * 8 for _ in range(8)]
+        for r in range(2):
+            for c in range(2):
+                res = idct4x4(coeffs[r * 2 + c])
+                for i in range(4):
+                    for j in range(4):
+                        out[r * 4 + i][c * 4 + j] = _clamp255(
+                            pred[r * 4 + i][c * 4 + j] + res[i * 4 + j]
+                        )
+        plane.put(cx0, cy0, out)
+
+
+# --------------------------------------------------------------- encoder
+
+
+def _quantize(coeffs: list[int], dc: int, ac: int) -> list[int]:
+    """Round-to-nearest quantization, zigzag order out, clamped to the
+    CAT6 extent."""
+    zz = []
+    for i in range(16):
+        c = coeffs[ZIGZAG[i]]
+        f = dc if i == 0 else ac
+        q = (abs(c) + f // 2) // f
+        if q > 2047 + 67:
+            q = 2047 + 67
+        zz.append(-q if c < 0 else q)
+    return zz
+
+
+def _dezigzag(zz: list[int], dc: int, ac: int) -> list[int]:
+    out = [0] * 16
+    for i in range(16):
+        out[ZIGZAG[i]] = zz[i] * (dc if i == 0 else ac)
+    return out
+
+
+def _sse(a, b) -> int:
+    return sum(
+        (a[i][j] - b[i][j]) ** 2 for i in range(len(a)) for j in range(len(a[0]))
+    )
+
+
+def encode_vp8_frame(
+    px: bytes, w: int, h: int, mode: str = "RGB", qi: int = 12,
+    force_bpred: bool = False,
+) -> bytes:
+    """Encode pixels as a single VP8 key frame (raw 'VP8 ' chunk
+    payload). ``qi`` is the base quantizer index (0 = finest). The
+    encoder reconstructs exactly like the decoder, so
+    decode(encode(x)) equals the encoder's own reconstruction bit for
+    bit — the property the round-trip suite pins."""
+    if mode == "L":
+        px = b"".join(bytes((v, v, v)) for v in px)
+    elif mode != "RGB":
+        raise ValueError(f"unsupported mode {mode!r}")
+    if len(px) != w * h * 3:
+        raise ValueError("pixel buffer does not match dimensions")
+    qi = _clamp_q(qi)
+    yp, up, vp, mbw, mbh = _rgb_to_yuv420(px, w, h)
+    dq = dequant_factors(qi)
+
+    Y = _Plane(mbw * 16, mbh * 16)
+    U = _Plane(mbw * 8, mbh * 8)
+    V = _Plane(mbw * 8, mbh * 8)
+
+    be_hdr = BoolEncoder()  # first partition: header + modes
+    be_tok = BoolEncoder()  # token partition
+
+    # frame header (everything before the per-MB records)
+    be_hdr.put_bool(0, 128)  # color space
+    be_hdr.put_bool(0, 128)  # clamping
+    be_hdr.put_bool(0, 128)  # segmentation disabled
+    be_hdr.put_bool(0, 128)  # filter type
+    be_hdr.put_literal(0, 6)  # loop filter level 0
+    be_hdr.put_literal(0, 3)  # sharpness
+    be_hdr.put_bool(0, 128)  # no lf deltas
+    be_hdr.put_literal(0, 2)  # one token partition
+    be_hdr.put_literal(qi, 7)
+    for _ in range(5):
+        be_hdr.put_bool(0, 128)  # no quantizer deltas
+    be_hdr.put_bool(0, 128)  # refresh entropy (n/a for kf)
+    for pl in range(4):
+        for band in range(8):
+            for ctx in range(3):
+                for t in range(11):
+                    be_hdr.put_bool(0, COEF_UPDATE_PROBS[pl][band][ctx][t])
+    be_hdr.put_bool(1, 128)  # mb_no_coeff_skip
+    prob_skip = 128
+    be_hdr.put_literal(prob_skip, 8)
+
+    probs = DEFAULT_COEF_PROBS
+    above_nz = [[0] * 9 for _ in range(mbw)]
+    above_sub = [[B_DC] * 4 for _ in range(mbw)]
+    # buffer per-MB token emissions: the skip flag precedes the mode
+    # record in partition 1, but we only know skip after quantizing, so
+    # build each MB fully before writing
+    for my in range(mbh):
+        left_nz = [0] * 9
+        left_sub = [B_DC] * 4
+        for mx in range(mbw):
+            x0, y0 = mx * 16, my * 16
+            cx0, cy0 = mx * 8, my * 8
+            have_a, have_l = my > 0, mx > 0
+            src_y = yp[y0 : y0 + 16, x0 : x0 + 16]
+            src_u = up[cy0 : cy0 + 8, cx0 : cx0 + 8]
+            src_v = vp[cy0 : cy0 + 8, cx0 : cx0 + 8]
+
+            # ---- choose modes ----
+            if force_bpred:
+                ymode, subs = B_PRED, [B_DC] * 16
+            else:
+                best, ymode = None, DC_PRED
+                for m in (DC_PRED, V_PRED, H_PRED, TM_PRED):
+                    p = predict_block(
+                        m, 16, Y.above(x0, y0, 16), Y.left(x0, y0, 16),
+                        Y.corner(x0, y0), have_a, have_l,
+                    )
+                    s = _sse(p, src_y.tolist())
+                    if best is None or s < best:
+                        best, ymode = s, m
+                subs = None
+            bestu, uvmode = None, DC_PRED
+            for m in (DC_PRED, V_PRED, H_PRED, TM_PRED):
+                p = predict_block(
+                    m, 8, U.above(cx0, cy0, 8), U.left(cx0, cy0, 8),
+                    U.corner(cx0, cy0), have_a, have_l,
+                )
+                s = _sse(p, src_u.tolist())
+                if bestu is None or s < bestu:
+                    bestu, uvmode = s, m
+            has_y2 = ymode != B_PRED
+
+            # ---- transform + quantize (and reconstruct like the
+            # decoder) ----
+            y_zz = [None] * 16  # zigzag quantized per block
+            y_res_deq = [None] * 16  # dequantized raster coeffs
+            if has_y2:
+                pred16 = predict_block(
+                    ymode, 16, Y.above(x0, y0, 16), Y.left(x0, y0, 16),
+                    Y.corner(x0, y0), have_a, have_l,
+                )
+                dcs = [0] * 16
+                for r in range(4):
+                    for c in range(4):
+                        blk = [
+                            int(src_y[r * 4 + i, c * 4 + j])
+                            - pred16[r * 4 + i][c * 4 + j]
+                            for i in range(4)
+                            for j in range(4)
+                        ]
+                        f = fdct4x4(blk)
+                        dcs[r * 4 + c] = f[0]
+                        zz = _quantize(f, dq["y1"][0], dq["y1"][1])
+                        zz[0] = 0  # DC rides in Y2
+                        y_zz[r * 4 + c] = zz
+                        y_res_deq[r * 4 + c] = _dezigzag(
+                            zz, dq["y1"][0], dq["y1"][1]
+                        )
+                y2 = fwht4x4(dcs)
+                y2_zz = _quantize(y2, dq["y2"][0], dq["y2"][1])
+                y2_deq = _dezigzag(y2_zz, dq["y2"][0], dq["y2"][1])
+                y2_res = iwht4x4(y2_deq)
+                for b in range(16):
+                    y_res_deq[b][0] = y2_res[b]
+            else:
+                y2_zz = None
+
+            u_zz, u_deq, v_zz, v_deq = [], [], [], []
+            for plane, src, zs, ds in (
+                (U, src_u, u_zz, u_deq), (V, src_v, v_zz, v_deq),
+            ):
+                preду = predict_block(
+                    uvmode, 8, plane.above(cx0, cy0, 8),
+                    plane.left(cx0, cy0, 8), plane.corner(cx0, cy0),
+                    have_a, have_l,
+                )
+                for r in range(2):
+                    for c in range(2):
+                        blk = [
+                            int(src[r * 4 + i, c * 4 + j])
+                            - preду[r * 4 + i][c * 4 + j]
+                            for i in range(4)
+                            for j in range(4)
+                        ]
+                        zz = _quantize(fdct4x4(blk), dq["uv"][0], dq["uv"][1])
+                        zs.append(zz)
+                        ds.append(_dezigzag(zz, dq["uv"][0], dq["uv"][1]))
+
+            bpred_tokens = None
+            if not has_y2:
+                # B_PRED: prediction depends on reconstructed subblocks,
+                # so transform/quantize/reconstruct per subblock in order
+                mb_ar = Y.above(x0 + 16, y0, 4)
+                for r in range(4):
+                    for c in range(4):
+                        bx, by = x0 + c * 4, y0 + r * 4
+                        a4 = Y.above(bx, by, 4)
+                        ar = mb_ar if c == 3 else Y.above(bx + 4, by, 4)
+                        lf = Y.left(bx, by, 4)
+                        al = Y.corner(bx, by)
+                        pred = predict_b(subs[r * 4 + c], a4 + ar, lf, al)
+                        blk = [
+                            int(src_y[r * 4 + i, c * 4 + j]) - pred[i][j]
+                            for i in range(4)
+                            for j in range(4)
+                        ]
+                        zz = _quantize(fdct4x4(blk), dq["y1"][0], dq["y1"][1])
+                        y_zz[r * 4 + c] = zz
+                        deq = _dezigzag(zz, dq["y1"][0], dq["y1"][1])
+                        y_res_deq[r * 4 + c] = deq
+                        res = idct4x4(deq)
+                        Y.put(bx, by, [
+                            [
+                                _clamp255(pred[i][j] + res[i * 4 + j])
+                                for j in range(4)
+                            ]
+                            for i in range(4)
+                        ])
+
+            skip = (
+                all(all(v == 0 for v in zz) for zz in y_zz)
+                and (y2_zz is None or all(v == 0 for v in y2_zz))
+                and all(all(v == 0 for v in zz) for zz in u_zz + v_zz)
+            )
+
+            # ---- partition 1: skip flag + modes ----
+            be_hdr.put_bool(1 if skip else 0, prob_skip)
+            be_hdr.put_tree(KF_YMODE_TREE, KF_YMODE_PROB, ymode)
+            if ymode == B_PRED:
+                for r in range(4):
+                    for c in range(4):
+                        a = above_sub[mx][c] if r == 0 else subs[(r - 1) * 4 + c]
+                        l = left_sub[r] if c == 0 else subs[r * 4 + c - 1]
+                        be_hdr.put_tree(
+                            BMODE_TREE, KF_BMODE_PROB[a][l], subs[r * 4 + c]
+                        )
+                above_sub[mx] = subs[12:16]
+                left_sub = [subs[3], subs[7], subs[11], subs[15]]
+            else:
+                above_sub[mx] = [B_DC] * 4
+                left_sub = [B_DC] * 4
+            be_hdr.put_tree(UV_MODE_TREE, KF_UV_MODE_PROB, uvmode)
+
+            # ---- token partition ----
+            if skip:
+                above_nz[mx][:8] = [0] * 8
+                left_nz[:8] = [0] * 8
+                if has_y2:
+                    above_nz[mx][8] = 0
+                    left_nz[8] = 0
+            else:
+                if has_y2:
+                    ctx = above_nz[mx][8] + left_nz[8]
+                    nz = _encode_coeffs(be_tok, probs, 1, ctx, 0, y2_zz)
+                    above_nz[mx][8] = left_nz[8] = 1 if nz else 0
+                first = 1 if has_y2 else 0
+                plane_i = 0 if has_y2 else 3
+                for r in range(4):
+                    for c in range(4):
+                        ctx = above_nz[mx][c] + left_nz[r]
+                        nz = _encode_coeffs(
+                            be_tok, probs, plane_i, ctx, first,
+                            y_zz[r * 4 + c],
+                        )
+                        above_nz[mx][c] = left_nz[r] = 1 if nz else 0
+                for zzs, base_i in ((u_zz, 4), (v_zz, 6)):
+                    for r in range(2):
+                        for c in range(2):
+                            ctx = (
+                                above_nz[mx][base_i + c] + left_nz[base_i + r]
+                            )
+                            nz = _encode_coeffs(
+                                be_tok, probs, 2, ctx, 0, zzs[r * 2 + c]
+                            )
+                            above_nz[mx][base_i + c] = left_nz[
+                                base_i + r
+                            ] = 1 if nz else 0
+
+            # ---- reconstruct (decoder-identical) ----
+            if has_y2:
+                out = [[0] * 16 for _ in range(16)]
+                for r in range(4):
+                    for c in range(4):
+                        res = idct4x4(y_res_deq[r * 4 + c])
+                        for i in range(4):
+                            for j in range(4):
+                                out[r * 4 + i][c * 4 + j] = _clamp255(
+                                    pred16[r * 4 + i][c * 4 + j]
+                                    + res[i * 4 + j]
+                                )
+                Y.put(x0, y0, out)
+            for plane, ds in ((U, u_deq), (V, v_deq)):
+                pred = predict_block(
+                    uvmode, 8, plane.above(cx0, cy0, 8),
+                    plane.left(cx0, cy0, 8), plane.corner(cx0, cy0),
+                    have_a, have_l,
+                )
+                out = [[0] * 8 for _ in range(8)]
+                for r in range(2):
+                    for c in range(2):
+                        res = idct4x4(ds[r * 2 + c])
+                        for i in range(4):
+                            for j in range(4):
+                                out[r * 4 + i][c * 4 + j] = _clamp255(
+                                    pred[r * 4 + i][c * 4 + j]
+                                    + res[i * 4 + j]
+                                )
+                plane.put(cx0, cy0, out)
+        Y.finish_row(my * 16, 16)
+        U.finish_row(my * 8, 8)
+        V.finish_row(my * 8, 8)
+
+    part1 = be_hdr.flush()
+    part2 = be_tok.flush()
+    tag = (len(part1) << 5) | (1 << 4) | 0  # show_frame, version 0, key
+    out = bytearray()
+    out += bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
+    out += b"\x9d\x01\x2a"
+    out += struct.pack("<HH", w & 0x3FFF, h & 0x3FFF)
+    out += part1
+    out += part2
+    return bytes(out)
+
+
+# --------------------------------------------------------------- container
+
+
+def encode_webp_vp8(px: bytes, w: int, h: int, mode: str = "RGB",
+                    qi: int = 12, force_bpred: bool = False) -> bytes:
+    """Encode pixels as a lossy WebP (RIFF container, VP8 chunk)."""
+    frame = encode_vp8_frame(px, w, h, mode, qi, force_bpred)
+    chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
+    if len(frame) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_webp_vp8(data: bytes) -> tuple[bytes, int, int, str]:
+    """Decode the 'VP8 ' chunk of a WebP container -> (rgb, w, h,
+    'RGB')."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (missing magic)")
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if pos + 8 + size > len(data):
+            raise ValueError("corrupt WebP: chunk past end of file")
+        if tag == b"VP8 ":
+            rgb, w, h = decode_vp8_frame(data[pos + 8 : pos + 8 + size])
+            return rgb, w, h, "RGB"
+        pos += 8 + size + (size & 1)
+    raise ValueError("WebP container without a VP8 chunk")

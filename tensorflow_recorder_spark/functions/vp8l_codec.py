@@ -569,15 +569,24 @@ def decode_vp8l_stream(body: bytes) -> tuple[list[int], int, int, bool]:
 
 
 def decode_webp(data: bytes) -> tuple[bytes, int, int, str]:
-    """Decode a lossless WebP -> (pixels, width, height, mode). Mode is
-    'RGBA' when any pixel has alpha != 255, else 'RGB'. Lossy VP8
-    raises NotImplementedError (caller falls back); corrupt data
-    raises ValueError (-> DISCARD route)."""
+    """Decode a WebP -> (pixels, width, height, mode). Lossless (VP8L)
+    decodes here; lossy key frames (VP8) dispatch to the real decoder
+    in ``functions/vp8_codec.py`` (r8 — this was the T3 envelope's
+    last synthetic fallback). Mode is 'RGBA' when any pixel has alpha
+    != 255, else 'RGB'. Animated/extended containers remain
+    NotImplementedError; corrupt data raises ValueError (-> DISCARD
+    route)."""
     if not is_webp(data):
         raise ValueError("not a WebP (missing magic)")
     try:
         body = _find_vp8l_chunk(data)
         pixels, w, h, _ = decode_vp8l_stream(body)
+    except NotImplementedError as exc:
+        if "lossy" not in str(exc):
+            raise
+        from .vp8_codec import decode_webp_vp8
+
+        return decode_webp_vp8(data)
     except (struct.error, IndexError) as exc:
         raise ValueError(f"corrupt WebP: truncated ({exc})") from exc
     has_alpha = any((p >> 24) & 0xFF != 0xFF for p in pixels)

@@ -69,15 +69,16 @@ except ImportError:
         AND progressive (``functions/jpeg_codec.py``), GIF (first
         frame, ``functions/gif_codec.py``), BMP
         (``functions/bmp_codec.py``), baseline strip TIFF —
-        none/PackBits/LZW/Deflate (``functions/tiff_codec.py``), and LOSSLESS
-        WebP (VP8L, ``functions/vp8l_codec.py``); deterministic
-        synthetic pixels
-        for the remaining capability gap (lossy-VP8 WebP). Real
-        filesystem semantics either way: the file must exist and be
-        readable (missing file -> the DISCARD route), and a corrupt
-        file — including flavors a decoder rejects (lossless/12-bit
-        JPEG, RLE BMP) — raises -> DISCARD, matching the reference's
-        failure handling (beam_image.py:112-116)."""
+        none/PackBits/LZW/Deflate (``functions/tiff_codec.py``), and
+        BOTH WebP flavors — lossless VP8L
+        (``functions/vp8l_codec.py``) and lossy VP8 key frames
+        (``functions/vp8_codec.py``, r8 — previously the loader's one
+        synthetic fallback). Real filesystem semantics: the file must
+        exist and be readable (missing file -> the DISCARD route);
+        a corrupt file — including flavors a decoder rejects
+        (lossless/12-bit JPEG, RLE BMP, animated WebP) — raises ->
+        DISCARD, matching the reference's failure handling
+        (beam_image.py:112-116)."""
         with open(path, "rb") as fh:
             content = fh.read()
         if is_png(content):
@@ -91,10 +92,19 @@ except ImportError:
         if is_tiff(content):
             return decode_tiff(content)
         if is_webp(content):
+            # both still flavors decode for REAL now (lossless VP8L and
+            # lossy VP8, r8); the only remaining capability gap is an
+            # animated/extended-only container, which keeps the r5
+            # contract: NotImplementedError -> synthetic fallback, so a
+            # VALID file is never DISCARDed over a capability gap
             try:
                 return decode_webp(content)
             except NotImplementedError:
-                pass  # lossy VP8: fall through to the synthetic pixels
+                pass
+        # unrecognized container / capability gap: deterministic
+        # synthetic pixels (the documented fixture convention — any
+        # readable non-image bytes act as a tiny valid image so
+        # pipeline tests can fabricate corpora without shipping files)
         width = height = 4
         mode = "RGB"
         n = width * height * 3

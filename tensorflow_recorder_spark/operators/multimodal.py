@@ -183,7 +183,7 @@ def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Distributed integration probe of the REAL pure-Python codecs
     (round 5): each row synthesizes a tiny deterministic image — format
     and dimensions derived from the id — encodes it with the repo's own
-    PNG/GIF/BMP/JPEG/WebP-VP8L/TIFF writers, and decodes it back through the same
+    PNG/GIF/BMP/JPEG/WebP-VP8L/WebP-VP8/TIFF writers, and decodes it back through the same
     magic-byte dispatch the T3 no-PIL loader uses, all inside one
     Arrow-batched ``mapInPandas`` pass (the per-executor path a 100 TB
     media backfill would take; no driver round-trip, no UDF-per-row).
@@ -199,6 +199,7 @@ def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from ..functions.jpeg_codec import decode_jpeg, encode_jpeg, is_jpeg
     from ..functions.png_codec import decode_png, encode_png, is_png
     from ..functions.tiff_codec import decode_tiff, encode_tiff, is_tiff
+    from ..functions.vp8_codec import encode_webp_vp8
     from ..functions.vp8l_codec import decode_webp, encode_vp8l, is_webp
 
     out_struct = T.StructType(
@@ -211,10 +212,10 @@ def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("ok", T.BooleanType()),
         ]
     )
-    fmts = ("png", "gif", "bmp", "jpeg", "webp", "tiff")
+    fmts = ("png", "gif", "bmp", "jpeg", "webp", "tiff", "vp8")
 
     def probe(i: int):
-        fmt = fmts[i % 6]
+        fmt = fmts[i % 7]
         w, h = 4 + i % 5, 3 + i % 4
         c = (i * 17) % 256
         color = (c, (c * 3) % 256, (c * 7) % 256)
@@ -229,8 +230,12 @@ def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             data = encode_vp8l(px, w, h, subtract_green=True, lz77=True)
         elif fmt == "tiff":
             # cycle all four strip compressions through the probe
-            comp = ("none", "packbits", "lzw", "deflate")[(i // 6) % 4]
+            comp = ("none", "packbits", "lzw", "deflate")[(i // 7) % 4]
             data = encode_tiff(px, w, h, "RGB", comp)
+        elif fmt == "vp8":
+            # lossy WebP through the real VP8 key-frame encoder (r8 —
+            # closed the T3 envelope's last synthetic fallback)
+            data = encode_webp_vp8(px, w, h, qi=8)
         else:
             data = encode_jpeg(px, w, h)
         if is_png(data):
@@ -249,7 +254,7 @@ def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             raise ValueError("dispatch failed")
         pixels, dw, dh, mode = dec
         ok = (dw, dh) == (w, h)
-        if fmt != "jpeg":  # lossless formats must round-trip exactly
+        if fmt not in ("jpeg", "vp8"):  # lossless must round-trip exactly
             ok = ok and pixels == px
         channels = 1 if "L" in mode else 3
         return fmt, dw, dh, channels, ok

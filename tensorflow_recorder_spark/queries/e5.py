@@ -99,20 +99,22 @@ FROM (SELECT doc_id, n, unnest(range(0, n, 8000)) AS w FROM meta)
 def q_e5_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 codec integration probe: per document, synthesize a tiny
     deterministic image (format/dims from doc_id), encode with the
-    repo's pure-Python PNG/GIF/BMP/JPEG/WebP-VP8L/TIFF writers, decode
-    through the T3 loader's magic-byte dispatch — one Arrow-batched mapInPandas pass.
-    ok=true requires dimension fidelity everywhere and byte-exact
-    pixels for the lossless formats, so a codec regression flips rows
-    visibly."""
+    repo's pure-Python PNG/GIF/BMP/JPEG/WebP-VP8L/WebP-VP8/TIFF
+    writers (the lossy-VP8 arm is new in r8 — the real key-frame
+    codec, functions/vp8_codec.py), decode through the T3 loader's
+    magic-byte dispatch — one Arrow-batched mapInPandas pass. ok=true
+    requires dimension fidelity everywhere and byte-exact pixels for
+    the lossless formats, so a codec regression flips rows visibly."""
     from ..operators.multimodal import codec_roundtrip_probe
 
     return codec_roundtrip_probe(_t(spark, sf_dir, "documents"), "doc_id")
 
 ORACLE_E5_CODEC_ROUNDTRIP = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+       CASE doc_id % 7 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
                        WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg'
-                       WHEN 4 THEN 'webp' ELSE 'tiff' END AS fmt,
+                       WHEN 4 THEN 'webp' WHEN 5 THEN 'tiff'
+                       ELSE 'vp8' END AS fmt,
        CAST(4 + doc_id % 5 AS BIGINT) AS width,
        CAST(3 + doc_id % 4 AS BIGINT) AS height,
        CAST(3 AS BIGINT) AS channels,

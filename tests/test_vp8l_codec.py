@@ -238,12 +238,21 @@ def test_distance_map_tables_consistent():
     assert _CODE_TO_PLANE[1] == 7  # (dx=1, dy=0)
 
 
-def test_lossy_webp_raises_not_implemented():
+def test_lossy_webp_decodes_for_real():
+    """r8: the lossy VP8 arm is a real decoder now — a valid key frame
+    decodes with true dims, and a GARBAGE 'VP8 ' chunk is corruption
+    (ValueError -> DISCARD), no longer a capability gap."""
+    from tensorflow_recorder_spark.functions.vp8_codec import encode_webp_vp8
+
+    px = rng_pixels(3, 6, 4)
+    out, w, h, mode = decode_webp(encode_webp_vp8(px, 6, 4, qi=4))
+    assert (w, h, mode) == (6, 4, "RGB") and len(out) == 72
+
     body = b"\x00" * 10
     chunk = b"VP8 " + struct.pack("<I", len(body)) + body
     riff = b"WEBP" + chunk
     data = b"RIFF" + struct.pack("<I", len(riff)) + riff
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_webp(data)
 
 
@@ -280,14 +289,22 @@ def test_stdlib_loader_decodes_lossless_webp(tmp_path):
     out, w, h, mode = image_op.DEFAULT_LOADER(str(p))
     assert (w, h, mode) == (7, 5, "RGB") and out == px
 
-    # lossy VP8 falls back to the deterministic synthetic pixels
+    # lossy VP8 decodes for REAL (r8): true dims, not the synthetic 4x4
+    from tensorflow_recorder_spark.functions.vp8_codec import encode_webp_vp8
+
+    lossy = tmp_path / "lossy.webp"
+    lossy.write_bytes(encode_webp_vp8(px, 7, 5, qi=4))
+    out, w, h, mode = image_op.DEFAULT_LOADER(str(lossy))
+    assert (w, h, mode) == (7, 5, "RGB") and len(out) == 105
+
+    # garbage lossy chunk is corruption -> ValueError (DISCARD route)
     body = b"\x00" * 10
     chunk = b"VP8 " + struct.pack("<I", len(body)) + body
     riff = b"WEBP" + chunk
-    lossy = tmp_path / "lossy.webp"
-    lossy.write_bytes(b"RIFF" + struct.pack("<I", len(riff)) + riff)
-    out, w, h, mode = image_op.DEFAULT_LOADER(str(lossy))
-    assert (w, h, mode) == (4, 4, "RGB") and len(out) == 48
+    bad_lossy = tmp_path / "bad_lossy.webp"
+    bad_lossy.write_bytes(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    with pytest.raises(ValueError):
+        image_op.DEFAULT_LOADER(str(bad_lossy))
 
     # corrupt lossless -> ValueError (DISCARD route)
     bad = tmp_path / "bad.webp"
