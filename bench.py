@@ -207,6 +207,33 @@ BENCH_QUERIES = [
 ]
 
 
+def benched_queries() -> list[str]:
+    """The exact list of registry queries the bench times, in slot
+    order: the curated flagship list first (stable round-over-round
+    comparison), then every remaining registry query auto-appended so
+    a new query can never be silently unbenched (r6 verdict item 5).
+    Named exclusion: the streaming twins — micro-batch wall-time is
+    dominated by trigger/drain latency of the availableNow memory-sink
+    harness, not plan cost; their plan cost is the batch twin's, which
+    IS benched, and their correctness is covered by check_oracle +
+    pytest drains. The exclusion is derived from MODULE MEMBERSHIP
+    (the callable lives in queries/streams.py), not a name pattern, so
+    a batch query named like a twin cannot be silently unbenched (r7
+    advice item 4). Exposed as a function so the regression test pins
+    the REAL list, not a re-derivation (r8 review)."""
+    from tensorflow_recorder_spark.queries import QUERIES
+
+    def _is_stream(fn) -> bool:
+        return getattr(fn, "__module__", "").endswith(".queries.streams")
+
+    auto_appended = [
+        name
+        for name, fn in QUERIES.items()
+        if name not in set(BENCH_QUERIES) and not _is_stream(fn)
+    ]
+    return BENCH_QUERIES + auto_appended
+
+
 def bench_convert(spark, sf_dir: str) -> float:
     """Flagship ETL: the full convert pipeline (split routing + vocabulary
     fit/apply + Example encode + sharded gzip TFRecord write) over the
@@ -358,29 +385,7 @@ def main() -> int:
         cold[cname] = runs[0]
         timings[cname] = _median3(runs)
 
-    # Every batch query in the registry gets a wall-time: the curated
-    # flagship list above runs first (stable slot order for round-over-
-    # round comparison), then every remaining registry query is
-    # appended automatically so a new query can never be silently
-    # unbenched (r6 verdict item 5). Named exclusion: the streaming
-    # twins — micro-batch wall-time is dominated by trigger/drain
-    # latency of the availableNow memory-sink harness, not plan cost;
-    # their plan cost is the batch twin's, which IS benched, and their
-    # correctness is covered by check_oracle + pytest drains. The
-    # exclusion is derived from MODULE MEMBERSHIP (the callable lives
-    # in queries/streams.py), not a name pattern, so a future batch
-    # query that happens to match `s\d+_` cannot be silently unbenched
-    # (r7 advice item 4).
-    def _is_stream(fn) -> bool:
-        return getattr(fn, "__module__", "").endswith(".queries.streams")
-
-    auto_appended = [
-        name
-        for name, fn in QUERIES.items()
-        if name not in set(BENCH_QUERIES) and not _is_stream(fn)
-    ]
-
-    for name in BENCH_QUERIES + auto_appended:
+    for name in benched_queries():
         fn = QUERIES[name]
         runs = []
         for _ in range(3):

@@ -200,6 +200,12 @@ def main() -> int:
     out: dict[str, dict] = rec.setdefault("queries", {})
     if second:
         rec["second_decade_growth"] = growth
+    # each decade keeps ITS OWN same-session baseline (sf01 for the 10x
+    # sweep, sf01_d30 for the 30x sweep) so every recorded ratio always
+    # reproduces from its own fields (r8 review: the 30x sweep used to
+    # overwrite sf01 and leave the 10x ratio stale)
+    base_key = "sf01_d30" if second else "sf01"
+    key, rkey = ("sf3", "ratio30") if second else ("sf1", "ratio")
     for name in names:
         fn = QUERIES[name]
         t01 = run(fn, SF01)
@@ -207,28 +213,28 @@ def main() -> int:
         # JIT constant is noise at that magnitude)
         t_s = run(fn, scale_dir, once=second)
         entry = out.setdefault(name, {})
-        entry["sf01"] = t01
-        key, rkey = ("sf3", "ratio30") if second else ("sf1", "ratio")
+        entry[base_key] = t01
         entry[key] = t_s
         entry[rkey] = round(t_s / t01, 2) if t01 > 0 else None
         print(f"{name}: sf0.1={t01}s {key}={t_s}s {rkey}={entry[rkey]}")
 
-    if not second:
-        # flagship converts, measured through the same run_convert path
-        for label, bfn in (
-            ("convert_tfrecord", bench_mod.bench_convert),
-            ("convert_lineitem", bench_mod.bench_convert_lineitem),
-        ):
-            t01 = round(min(bfn(spark, SF01), bfn(spark, SF01)), 3)
-            t1 = round(min(bfn(spark, scale_dir), bfn(spark, scale_dir)), 3)
-            out[label] = {
-                "sf01": t01,
-                "sf1": t1,
-                "ratio": round(t1 / t01, 2) if t01 > 0 else None,
-            }
-            print(
-                f"{label}: sf0.1={t01}s sf1={t1}s ratio={out[label]['ratio']}"
-            )
+    # flagship converts, measured through the same run_convert path, in
+    # BOTH decades (r8 review: --second-decade used to silently skip
+    # them, so the gate could never catch a convert regression at 30x)
+    for label, bfn in (
+        ("convert_tfrecord", bench_mod.bench_convert),
+        ("convert_lineitem", bench_mod.bench_convert_lineitem),
+    ):
+        t01 = round(min(bfn(spark, SF01), bfn(spark, SF01)), 3)
+        if second:
+            t_s = round(bfn(spark, scale_dir), 3)
+        else:
+            t_s = round(min(bfn(spark, scale_dir), bfn(spark, scale_dir)), 3)
+        entry = out.setdefault(label, {})
+        entry[base_key] = t01
+        entry[key] = t_s
+        entry[rkey] = round(t_s / t01, 2) if t01 > 0 else None
+        print(f"{label}: sf0.1={t01}s {key}={t_s}s {rkey}={entry[rkey]}")
 
     rec["input_growth"] = 10.0
     rec.setdefault("excluded", {})[

@@ -174,9 +174,12 @@ def main() -> int:
             f" THEN '{boiler}' || CAST(doc_id AS VARCHAR)"
             f" ELSE {doc_text} END"
         )
+    # n_chars is recomputed from the PRODUCED text so the column stays
+    # consistent on skew-rewritten hub docs (r8 review; the bijection
+    # arm preserves length, so this only changes hub rows)
     doc_arms = "\nUNION ALL\n".join(
         "SELECT doc_id + {off} AS doc_id, {text} AS text,"
-        " lang, source, n_chars"
+        " lang, source, CAST(length({text}) AS BIGINT) AS n_chars"
         " FROM '{src_dir}/documents.parquet'"
         " CROSS JOIN (SELECT {k} AS __k)".format(
             off=k * STRIDES["doc_id"],

@@ -22,15 +22,22 @@ Scope and provenance (all public):
   SSE (DC/V/H/TM) or forced B_PRED with per-subblock mode search,
   full 4x4 DCT + WHT Y2 path, quantizer index parameter, single token
   partition, no segmentation, loop filter level 0.
-* The large default probability tables (token probabilities, their
-  update probabilities, and the key-frame B_PRED mode probabilities)
-  are transcribed from RFC 6386 section 13.5 / 11.4. Encoder and
-  decoder share these constants, so every round-trip in this repo is
-  self-consistent and the property suite exercises the full token and
-  reconstruction pipeline; entries of the tables that the fixture
-  encoder does not exercise cannot be cross-checked in this
-  environment (no libwebp/PIL), so byte-fidelity of those rows against
-  third-party encoders is best-effort.
+* FIDELITY CAVEAT — the large default probability tables (token
+  probabilities, their update probabilities, and the key-frame B_PRED
+  mode probabilities) are PARTIAL transcriptions: the opening
+  coefficient-probability rows and all trees/categories/quantizer
+  tables are confident RFC 6386 recollections, but deeper
+  coefficient-probability rows and most kf_bmode_prob rows are
+  structure-preserving best-effort values (this environment has no
+  libwebp/PIL or network to transcribe against). Encoder and decoder
+  share the constants, so every stream THIS repo produces decodes
+  exactly (the property suite pins the full token and reconstruction
+  pipeline); a third-party lossy WebP decodes structurally (header,
+  dims, modes-by-tree, dequant, transforms are spec-true) but its
+  arithmetic-coded symbols are read against partially-divergent
+  probabilities, so pixel output for foreign B_PRED/coefficient-heavy
+  streams is not certified. Swapping in the published tables is a
+  constants-only change.
 
 Color: BT.601 integer RGB<->YUV420 (2x2 chroma averaging down, nearest
 up) — lossy by design, like every consumer of this container.
@@ -240,10 +247,15 @@ def _clamp_q(i: int) -> int:
     return 0 if i < 0 else (127 if i > 127 else i)
 
 
-# Key-frame B_PRED mode probabilities, kf_bmode_prob[above][left][9]
-# (RFC 6386 section 11.4 transcription; see module docstring). The
-# fixture encoder forces B_DC everywhere in its B_PRED arm, so only the
-# tree paths to B_DC are exercised by round-trip tests.
+# Key-frame B_PRED mode probabilities, kf_bmode_prob[above][left][9].
+# HONEST PROVENANCE (r8 review): only a handful of rows are confident
+# RFC 6386 section 11.4 recollections; the remainder is a neutral
+# filler row. Encoder and decoder share this table, so every stream
+# this repo produces round-trips exactly, but third-party B_PRED
+# streams will arithmetic-decode against different probabilities —
+# see the module docstring's fidelity caveat. The fixture encoder
+# forces B_DC everywhere in its B_PRED arm, so only the tree paths to
+# B_DC are exercised by round-trip tests.
 KF_BMODE_PROB = tuple(
     tuple(
         (231, 120, 48, 89, 115, 113, 120, 152, 112)
@@ -262,10 +274,13 @@ KF_BMODE_PROB = tuple(
     for a in range(10)
 )
 
-# Default token probabilities, default_coef_probs[plane][band][ctx][11]
-# (RFC 6386 section 13.5 transcription; see module docstring). The
-# opening rows are verbatim-confident; deeper rows follow the RFC's
-# monotone structure and are shared encoder/decoder constants.
+# Default token probabilities, default_coef_probs[plane][band][ctx][11].
+# HONEST PROVENANCE (see module docstring): the opening rows are
+# verbatim-confident RFC 6386 section 13.5 recollections; deeper rows
+# follow the RFC's monotone structure but are NOT certified verbatim.
+# Shared encoder/decoder constants — self-encoded streams round-trip
+# exactly; third-party streams decode against these values and may
+# mis-decode where the table diverges from the published one.
 _P = (
     # plane 0: Y after Y2
     (
@@ -641,21 +656,13 @@ def predict_b(mode: int, a: list[int], left: list[int], al: int) -> list[list[in
                 p[r][c] = avg3(e[i - 1], e[i], e[i + 1])
         return p
     if mode == B_VR:
+        # RFC 6386 section 12.3 verbatim table (r8 review fix: the
+        # previous closed form was shifted one edge position)
         e = [left[3], left[2], left[1], left[0], al, a[0], a[1], a[2], a[3]]
-        for r in range(4):
-            for c in range(4):
-                d = 2 * c - r
-                if d >= 0 and d % 2 == 0:
-                    p[r][c] = avg2(e[4 + c - (r >> 1) - 1], e[4 + c - (r >> 1)])
-                elif d >= 0:
-                    p[r][c] = avg3(
-                        e[4 + c - (r >> 1) - 2],
-                        e[4 + c - (r >> 1) - 1],
-                        e[4 + c - (r >> 1)],
-                    )
-                else:
-                    i = 4 - (r - 2 * c)
-                    p[r][c] = avg3(e[i + 1], e[i], e[i - 1])
+        p[0] = [avg2(e[4 + c], e[5 + c]) for c in range(4)]
+        p[1] = [avg3(e[3 + c], e[4 + c], e[5 + c]) for c in range(4)]
+        p[2] = [avg3(e[2], e[3], e[4]), p[0][0], p[0][1], p[0][2]]
+        p[3] = [avg3(e[1], e[2], e[3]), p[1][0], p[1][1], p[1][2]]
         return p
     if mode == B_VL:
         for r in range(4):
@@ -672,19 +679,24 @@ def predict_b(mode: int, a: list[int], left: list[int], al: int) -> list[list[in
         p[2][3] = avg3(a[4], a[5], a[6])
         return p
     if mode == B_HD:
+        # RFC 6386 section 12.3 verbatim table (r8 review fix: the
+        # previous closed form indexed past the 8-entry edge array and
+        # had row 0 shifted)
         e = [left[3], left[2], left[1], left[0], al, a[0], a[1], a[2]]
-        for r in range(4):
-            for c in range(4):
-                d = 2 * r - c
-                if d >= 0 and d % 2 == 0:
-                    i = 3 - r + (c >> 1) + 1
-                    p[r][c] = avg2(e[i - 1 + (c & 1) * 0], e[i])
-                elif d >= 0:
-                    i = 3 - r + (c >> 1) + 1
-                    p[r][c] = avg3(e[i - 1], e[i], e[i + 1])
-                else:
-                    i = 4 + c - 2 * r
-                    p[r][c] = avg3(e[i + 1], e[i], e[i - 1])
+        p[3] = [
+            avg2(e[0], e[1]),
+            avg3(e[0], e[1], e[2]),
+            avg2(e[1], e[2]),
+            avg3(e[1], e[2], e[3]),
+        ]
+        p[2] = [p[3][2], p[3][3], avg2(e[2], e[3]), avg3(e[2], e[3], e[4])]
+        p[1] = [p[2][2], p[2][3], avg2(e[3], e[4]), avg3(e[3], e[4], e[5])]
+        p[0] = [
+            p[1][2],
+            p[1][3],
+            avg3(e[4], e[5], e[6]),
+            avg3(e[5], e[6], e[7]),
+        ]
         return p
     if mode == B_HU:
         l0, l1, l2, l3 = left
@@ -1009,6 +1021,8 @@ def decode_vp8_frame(data: bytes) -> tuple[bytes, int, int]:
 
     # ---- token partitions ----
     if n_parts > 1:
+        if len(rest) < 3 * (n_parts - 1):
+            raise ValueError("corrupt VP8: truncated partition size table")
         sizes = []
         off = 0
         for _ in range(n_parts - 1):
@@ -1016,6 +1030,8 @@ def decode_vp8_frame(data: bytes) -> tuple[bytes, int, int]:
                 rest[off] | (rest[off + 1] << 8) | (rest[off + 2] << 16)
             )
             off += 3
+        if off + sum(sizes) > len(rest):
+            raise ValueError("corrupt VP8: token partition past end")
         bodies = []
         pos = off
         for s in sizes:
@@ -1335,7 +1351,7 @@ def encode_vp8_frame(
             for plane, src, zs, ds in (
                 (U, src_u, u_zz, u_deq), (V, src_v, v_zz, v_deq),
             ):
-                preду = predict_block(
+                pred_uv = predict_block(
                     uvmode, 8, plane.above(cx0, cy0, 8),
                     plane.left(cx0, cy0, 8), plane.corner(cx0, cy0),
                     have_a, have_l,
@@ -1344,7 +1360,7 @@ def encode_vp8_frame(
                     for c in range(2):
                         blk = [
                             int(src[r * 4 + i, c * 4 + j])
-                            - preду[r * 4 + i][c * 4 + j]
+                            - pred_uv[r * 4 + i][c * 4 + j]
                             for i in range(4)
                             for j in range(4)
                         ]
@@ -1352,7 +1368,6 @@ def encode_vp8_frame(
                         zs.append(zz)
                         ds.append(_dezigzag(zz, dq["uv"][0], dq["uv"][1]))
 
-            bpred_tokens = None
             if not has_y2:
                 # B_PRED: prediction depends on reconstructed subblocks,
                 # so transform/quantize/reconstruct per subblock in order
@@ -1504,7 +1519,9 @@ def encode_webp_vp8(px: bytes, w: int, h: int, mode: str = "RGB",
 
 def decode_webp_vp8(data: bytes) -> tuple[bytes, int, int, str]:
     """Decode the 'VP8 ' chunk of a WebP container -> (rgb, w, h,
-    'RGB')."""
+    'RGB'). TOTAL on corrupt input: every malformation surfaces as the
+    declared ValueError (the DISCARD route), never a raw
+    IndexError/struct.error (r8 review fix)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (missing magic)")
     pos = 12
@@ -1514,7 +1531,10 @@ def decode_webp_vp8(data: bytes) -> tuple[bytes, int, int, str]:
         if pos + 8 + size > len(data):
             raise ValueError("corrupt WebP: chunk past end of file")
         if tag == b"VP8 ":
-            rgb, w, h = decode_vp8_frame(data[pos + 8 : pos + 8 + size])
+            try:
+                rgb, w, h = decode_vp8_frame(data[pos + 8 : pos + 8 + size])
+            except (IndexError, struct.error) as exc:
+                raise ValueError(f"corrupt VP8: truncated ({exc})") from exc
             return rgb, w, h, "RGB"
         pos += 8 + size + (size & 1)
     raise ValueError("WebP container without a VP8 chunk")

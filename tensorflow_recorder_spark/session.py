@@ -16,6 +16,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem(meminfo_path: str = "/proc/meminfo") -> str:
+    """Driver-heap default: ~40% of MemAvailable, clamped to [1g, 12g],
+    8 GB assumed when /proc is absent or malformed (a truncated
+    MemAvailable line must fall back, not raise — r7 advice item 1;
+    extracted as a function so the regression test exercises THIS code,
+    not a copy — r8 review)."""
+    avail_gb = 8.0  # conservative fallback when /proc is absent
+    try:
+        with open(meminfo_path) as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) / 1024 / 1024
+                    break
+    except (OSError, ValueError, IndexError):
+        # A missing /proc, or a malformed/truncated MemAvailable
+        # line (int()/split() raising), both mean "unknown host
+        # memory" — keep the conservative 8 GB fallback rather
+        # than crashing session creation.
+        pass
+    return f"{max(1, min(12, int(avail_gb * 0.4)))}g"
+
+
 def get_spark(app_name: str = "tensorflow_recorder_spark", master: str | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     # In local mode the driver JVM IS the executor; the stock 1g heap
@@ -28,22 +50,7 @@ def get_spark(app_name: str = "tensorflow_recorder_spark", master: str | None = 
     # spill for a hard kill). Only effective before the JVM launches —
     # getOrCreate against a live session leaves it untouched, and on a
     # real cluster executor sizing comes from the cluster config.
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
-    if not mem:
-        avail_gb = 8.0  # conservative fallback when /proc is absent
-        try:
-            with open("/proc/meminfo") as fh:
-                for line in fh:
-                    if line.startswith("MemAvailable:"):
-                        avail_gb = int(line.split()[1]) / 1024 / 1024
-                        break
-        except (OSError, ValueError, IndexError):
-            # A missing /proc, or a malformed/truncated MemAvailable
-            # line (int()/split() raising), both mean "unknown host
-            # memory" — keep the conservative 8 GB fallback rather
-            # than crashing session creation.
-            pass
-        mem = f"{max(1, min(12, int(avail_gb * 0.4)))}g"
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem()
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.driver.memory", mem)

@@ -127,63 +127,53 @@ class TestNewVsReturningBoundedState:
 
 
 class TestBenchStreamExclusion:
-    def test_exclusion_is_module_derived(self):
-        """bench.py derives the unbenched set from queries/streams.py
-        module membership, so a batch query named like a stream twin
-        can never be silently unbenched (r7 advice item 4)."""
+    def test_benched_list_is_exactly_the_batch_registry(self):
+        """bench.benched_queries() — the REAL list main() iterates — is
+        exactly the non-stream registry (every batch query benched, no
+        stream twin benched, no duplicates). Module-derived exclusion,
+        r7 advice item 4; pinned against the actual function rather
+        than a re-derivation, r8 review."""
         import bench
         from tensorflow_recorder_spark.queries import QUERIES
 
-        src = open(bench.__file__).read()
-        assert ".queries.streams" in src
+        benched = bench.benched_queries()
         stream_names = {
             n
             for n, fn in QUERIES.items()
             if getattr(fn, "__module__", "").endswith(".queries.streams")
         }
-        benched = set(bench.BENCH_QUERIES) | {
-            n
-            for n, fn in QUERIES.items()
-            if not getattr(fn, "__module__", "").endswith(".queries.streams")
-        }
-        assert stream_names.isdisjoint(set(bench.BENCH_QUERIES))
-        # every non-stream registry query is benched
-        assert {
-            n
-            for n in QUERIES
-            if n not in stream_names
-        } <= benched
+        assert len(benched) == len(set(benched))  # no duplicates
+        assert set(benched) == set(QUERIES) - stream_names
+        # main() iterates this exact callable's output
+        src = open(bench.__file__).read()
+        assert "for name in benched_queries():" in src
 
 
 class TestSessionMeminfoRobustness:
-    def test_malformed_meminfo_falls_back(self, monkeypatch, tmp_path):
-        """A truncated MemAvailable line must not raise out of
-        get_spark's sizing block (r7 advice item 1)."""
-        import builtins
+    def test_malformed_meminfo_falls_back(self, tmp_path):
+        """A truncated MemAvailable line must not raise out of the
+        driver-heap sizing (r7 advice item 1) — exercised through the
+        REAL session._default_driver_mem, not a copied snippet (r8
+        review)."""
+        from tensorflow_recorder_spark.session import _default_driver_mem
 
-        bad = tmp_path / "meminfo"
-        bad.write_text("MemAvailable:\n")  # no value field
+        truncated = tmp_path / "meminfo"
+        truncated.write_text("MemAvailable:\n")  # no value field
+        assert _default_driver_mem(str(truncated)) == "3g"  # 8.0 * 0.4
 
-        real_open = builtins.open
+        garbage = tmp_path / "garbage"
+        garbage.write_text("MemAvailable: lots kB\n")  # non-numeric
+        assert _default_driver_mem(str(garbage)) == "3g"
 
-        def fake_open(path, *a, **k):
-            if path == "/proc/meminfo":
-                return real_open(bad, *a, **k)
-            return real_open(path, *a, **k)
+        assert _default_driver_mem(str(tmp_path / "absent")) == "3g"
 
-        monkeypatch.setattr(builtins, "open", fake_open)
-        monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
-        # replicate the sizing block: it must not raise
-        avail_gb = 8.0
-        try:
-            with open("/proc/meminfo") as fh:
-                for line in fh:
-                    if line.startswith("MemAvailable:"):
-                        avail_gb = int(line.split()[1]) / 1024 / 1024
-                        break
-        except (OSError, ValueError, IndexError):
-            pass
-        assert avail_gb == 8.0
+        real = tmp_path / "real"
+        real.write_text("MemAvailable: 20971520 kB\n")  # 20 GiB
+        assert _default_driver_mem(str(real)) == "8g"  # 40% of 20
+
+        huge = tmp_path / "huge"
+        huge.write_text("MemAvailable: 209715200 kB\n")  # 200 GiB
+        assert _default_driver_mem(str(huge)) == "12g"  # cap
 
 
 class TestTiffPalettePilParity:

@@ -232,3 +232,136 @@ class TestContainerAndErrors:
         out2, w2, h2, _ = decode_webp(lossless)
         assert (w2, h2) == (12, 10)
         assert out2 == px  # VP8L stays byte-exact
+
+
+class TestBpredSpecTables:
+    """Pin the directional sub-predictors to the RFC 6386 section 12.3
+    tables (r8 review: B_VR was shifted one edge position and B_HD
+    crashed with IndexError on row 0)."""
+
+    A = [10, 20, 30, 40, 50, 60, 70, 80]
+    L = [1, 2, 3, 4]
+    AL = 5
+
+    @staticmethod
+    def avg2(x, y):
+        return (x + y + 1) >> 1
+
+    @staticmethod
+    def avg3(x, y, z):
+        return (x + 2 * y + z + 2) >> 2
+
+    def test_b_vr_matches_spec(self):
+        p = v8.predict_b(v8.B_VR, self.A, self.L, self.AL)
+        a, al, L = self.A, self.AL, self.L
+        # row 0: avg2 over (X,A0), (A0,A1), (A1,A2), (A2,A3)
+        assert p[0] == [
+            self.avg2(al, a[0]),
+            self.avg2(a[0], a[1]),
+            self.avg2(a[1], a[2]),
+            self.avg2(a[2], a[3]),
+        ]
+        # row 1: avg3 over (L0,X,A0), (X,A0,A1), (A0,A1,A2), (A1,A2,A3)
+        assert p[1] == [
+            self.avg3(L[0], al, a[0]),
+            self.avg3(al, a[0], a[1]),
+            self.avg3(a[0], a[1], a[2]),
+            self.avg3(a[1], a[2], a[3]),
+        ]
+        # rows 2/3 shift rows 0/1 right with the left-edge fills
+        assert p[2] == [self.avg3(L[1], L[0], al), p[0][0], p[0][1], p[0][2]]
+        assert p[3] == [self.avg3(L[2], L[1], L[0]), p[1][0], p[1][1], p[1][2]]
+
+    def test_b_hd_matches_spec_and_does_not_crash(self):
+        p = v8.predict_b(v8.B_HD, self.A, self.L, self.AL)
+        a, al, L = self.A, self.AL, self.L
+        assert p[0] == [
+            self.avg2(L[0], al),
+            self.avg3(L[0], al, a[0]),
+            self.avg3(al, a[0], a[1]),
+            self.avg3(a[0], a[1], a[2]),
+        ]
+        assert p[3] == [
+            self.avg2(L[3], L[2]),
+            self.avg3(L[3], L[2], L[1]),
+            self.avg2(L[2], L[1]),
+            self.avg3(L[2], L[1], L[0]),
+        ]
+        assert p[1][2] == p[0][0] and p[2][0] == p[3][2]
+
+    def test_all_ten_submodes_run_on_any_edges(self):
+        import random
+
+        rng = random.Random(31)
+        for _ in range(50):
+            a = [rng.randint(0, 255) for _ in range(8)]
+            left = [rng.randint(0, 255) for _ in range(4)]
+            al = rng.randint(0, 255)
+            for m in range(10):
+                p = v8.predict_b(m, a, left, al)
+                assert len(p) == 4 and all(len(r) == 4 for r in p)
+                assert all(0 <= x <= 255 for r in p for x in r)
+
+
+class TestCorruptMultiPartition:
+    def test_truncated_partition_table_is_value_error(self):
+        """r8 review: a header declaring multiple token partitions with
+        a truncated body must surface as the declared ValueError
+        (DISCARD route), never a raw IndexError."""
+        import struct
+
+        px = gradient(16, 16)
+        good = v8.encode_webp_vp8(px, 16, 16, qi=10)
+        # rebuild the frame with n_parts=4 declared but no size table:
+        # flip the 2-bit partition-count literal in the header by
+        # re-encoding a minimal header is fragile; instead truncate the
+        # payload right after the first partition so ANY multi-byte
+        # read past it must be guarded
+        frame = good[20:]  # inside VP8 chunk
+        tag = frame[0] | (frame[1] << 8) | (frame[2] << 16)
+        part1 = tag >> 5
+        cut = frame[: 10 + part1 + 1]  # 1 byte of token partition
+        chunk = b"VP8 " + struct.pack("<I", len(cut)) + cut
+        riff = b"WEBP" + chunk
+        data = b"RIFF" + struct.pack("<I", len(riff)) + riff
+        try:
+            v8.decode_webp_vp8(data)  # 1-partition: may decode garbage
+        except ValueError:
+            pass  # also acceptable — but never IndexError
+
+    def test_declared_multipartition_truncation(self):
+        """Hand-build a first partition declaring 4 token partitions,
+        then truncate: must raise ValueError."""
+        import struct
+
+        be = v8.BoolEncoder()
+        be.put_bool(0, 128)  # color space
+        be.put_bool(0, 128)  # clamping
+        be.put_bool(0, 128)  # segmentation off
+        be.put_bool(0, 128)  # filter type
+        be.put_literal(0, 6)
+        be.put_literal(0, 3)
+        be.put_bool(0, 128)  # no lf deltas
+        be.put_literal(2, 2)  # FOUR token partitions
+        be.put_literal(10, 7)  # qi
+        for _ in range(5):
+            be.put_bool(0, 128)
+        be.put_bool(0, 128)  # refresh entropy
+        for pl in range(4):
+            for band in range(8):
+                for ctx in range(3):
+                    for t in range(11):
+                        be.put_bool(
+                            0, v8.COEF_UPDATE_PROBS[pl][band][ctx][t]
+                        )
+        be.put_bool(0, 128)  # mb_no_coeff_skip off
+        part1 = be.flush()
+        frame = bytearray()
+        tag = (len(part1) << 5) | (1 << 4)
+        frame += bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
+        frame += b"\x9d\x01\x2a"
+        frame += struct.pack("<HH", 16, 16)
+        frame += part1
+        frame += b"\x00"  # 1 byte where a 9-byte size table must be
+        with pytest.raises(ValueError):
+            v8.decode_vp8_frame(bytes(frame))
