@@ -316,26 +316,68 @@ _DOT = (
     "p -> p[1]::DOUBLE * p[2]::DOUBLE), 'sum')"
 )
 
-def _sem_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared semantic near-dup pair definition (e1_embedding_neardup +
-    the agreement audit): cosine >= 0.3 pairs within (label x IVF cell)
-    blocks — the SemDeDup-style partition. Blocking by label ALONE is
-    O(N^2/|labels|): the r7 scaling harness measured the old shape at
-    ~30x wall for 10x input. The centroid sub-block bounds the
-    quadratic the same way the e2 index does — at scale nlist grows
-    with N so cell sizes stay bounded, and the assignment itself is
-    the linear broadcast argmax."""
-    from ..operators.similarity import ivf_assign
+def _lsh_sign_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with a (label x hyperplane-sign-LSH cell) block key —
+    the scalable SemDeDup partition (r8). Charikar hyperplane LSH
+    (public): cell = the sign bits of the vector's dot products with
+    ``nbits`` fixed directions (the first ``nbits`` embeddings).
+    ``nbits = max(3, ceil(log2(N / 250)))`` grows LOGARITHMICALLY, so
+
+      * assignment costs N x nbits dot products — O(N log N), vs the
+        r7 IVF argmax whose cost was N x nlist (fixed nlist=8 kept
+        assignment linear but let cells fill ∝ N → within-cell pair
+        work ∝ N², measured 44x wall at 30x input by the r8 second
+        decade; growing nlist ∝ N fixed pair work but made the flat
+        argmax itself quadratic, measured 69x — both shapes fail);
+      * cell COUNT 2^nbits grows ∝ N, so expected cell populations
+        stay ~250/|labels| and within-cell pair work stays linear.
+
+    Sign of an IEEE dot product is engine-exact (same index order both
+    engines), so the DuckDB oracle mirrors the cells bit for bit. The
+    one driver action is a columnar count() (bounded scalar)."""
+    import math
 
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
+    n = emb.count()
+    nbits = max(3, math.ceil(math.log2(max(n, 1) / 250)))
+    proj = F.broadcast(
+        emb.where(F.col("vec_id") < nbits).select(
+            F.col("vec_id").alias("__p"), F.col("embedding").alias("__pe")
+        )
     )
-    assign = ivf_assign(emb, centroids)
-    blocked = emb.join(assign, "vec_id").withColumn(
-        "__blk",
-        F.concat_ws(":", F.col("label"), F.col("centroid_id")),
+    signed = (
+        emb.join(proj)
+        .withColumn(
+            "__dot",
+            F.aggregate(
+                F.zip_with("embedding", "__pe", lambda a, b: a * b),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN __dot >= 0"
+                    " THEN shiftleft(1L, cast(__p AS INT)) ELSE 0L END"
+                )
+            ).alias("__cell")
+        )
     )
+    return emb.join(signed, "vec_id").withColumn(
+        "__blk", F.concat_ws(":", F.col("label"), F.col("__cell"))
+    )
+
+
+def _sem_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared semantic near-dup pair definition (e1_embedding_neardup +
+    the agreement audit): cosine >= 0.3 pairs within
+    (label x sign-LSH cell) blocks — see :func:`_lsh_sign_blocked`
+    for the scale story (r8: log-growing hyperplane bits replaced the
+    IVF cells after the 30x decade measured both fixed and
+    N-proportional nlist superlinear)."""
+    blocked = _lsh_sign_blocked(spark, sf_dir)
     pairs = dedup.embedding_neardup_pairs(
         blocked, "embedding", "vec_id", block_col="__blk", threshold=-2.0
     )
@@ -353,33 +395,36 @@ def q_e1_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_E1_EMB_NEARDUP = """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+params AS (
+  SELECT greatest(3, CAST(ceil(log2((SELECT count(*) FROM embeddings)
+         / 250.0)) AS INTEGER)) AS nbits
+),
+proj AS (
+  SELECT vec_id AS p, e AS pe FROM e
+  WHERE vec_id < (SELECT nbits FROM params)
+),
+cells AS (
+  SELECT v.vec_id,
+         SUM(CASE WHEN list_aggregate(list_transform(list_zip(v.e, proj.pe),
+                    q -> q[1] * q[2]), 'sum') >= 0
+                  THEN (1::BIGINT << proj.p) ELSE 0 END) AS cell
+  FROM e v CROSS JOIN proj
+  GROUP BY v.vec_id
+),
 norms AS (
   SELECT vec_id, label, e,
          sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
   FROM e
 ),
-assign_scored AS (
-  SELECT v.vec_id, c.vec_id AS centroid_id,
-         round(list_aggregate(list_transform(list_zip(v.e, c.e),
-               p -> p[1] * p[2]), 'sum') / nullif(v.nrm * c.nrm, 0), 6) AS score
-  FROM norms v JOIN norms c ON c.vec_id < 8
-),
-assign AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT vec_id, centroid_id,
-           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-    FROM assign_scored
-  ) WHERE rn = 1
-),
 blocked AS (
-  SELECT n.vec_id, n.label, n.e, n.nrm, a.centroid_id
-  FROM norms n JOIN assign a ON a.vec_id = n.vec_id
+  SELECT n.vec_id, n.label, n.e, n.nrm, c.cell
+  FROM norms n JOIN cells c ON c.vec_id = n.vec_id
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_aggregate(list_transform(list_zip(a.e, b.e),
              p -> p[1] * p[2]), 'sum') / (a.nrm * b.nrm), 6) AS cosine
 FROM blocked a JOIN blocked b
-  ON a.label = b.label AND a.centroid_id = b.centroid_id
+  ON a.label = b.label AND a.cell = b.cell
  AND a.vec_id < b.vec_id
 WHERE round(list_aggregate(list_transform(list_zip(a.e, b.e),
             p -> p[1] * p[2]), 'sum') / (a.nrm * b.nrm), 6) >= 0.3
@@ -480,42 +525,51 @@ GROUP BY p.doc_id
 """
 
 def q_e1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup: embeddings clustered to 8 seed centroids (vec_id < 8),
-    within-cell cosine pairs at >= 0.3, every vector with a lower-id
-    semantic duplicate dropped. The cluster partition bounds the
-    quadratic — the published web-scale semantic-dedup shape."""
-    emb = _t(spark, sf_dir, "embeddings")
-    centroids = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
+    """SemDeDup: within-cell cosine pairs at >= 0.3 over hyperplane
+    sign-LSH cells (log-growing bit count — :func:`_lsh_sign_blocked`'s
+    scale story, r8: both fixed and N-proportional IVF nlist measured
+    superlinear at the 30x decade), every vector with a lower-id
+    semantic duplicate dropped. Label is NOT part of this block key
+    (pure SemDeDup semantics); the cell alone bounds the pair work."""
+    blocked = _lsh_sign_blocked(spark, sf_dir).withColumn(
+        "__cellblk", F.col("__cell").cast("string")
     )
-    out = dedup.semantic_dedup(emb, "embedding", "vec_id", centroids, threshold=0.3)
-    return out.select("vec_id", "label")
+    pairs = dedup.embedding_neardup_pairs(
+        blocked, "embedding", "vec_id", block_col="__cellblk",
+        threshold=0.3,
+    )
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
 
 ORACLE_E1_SEMANTIC_DEDUP = """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+params AS (
+  SELECT greatest(3, CAST(ceil(log2((SELECT count(*) FROM embeddings)
+         / 250.0)) AS INTEGER)) AS nbits
+),
+proj AS (
+  SELECT vec_id AS p, e AS pe FROM e
+  WHERE vec_id < (SELECT nbits FROM params)
+),
+cellmap AS (
+  SELECT v.vec_id,
+         SUM(CASE WHEN list_aggregate(list_transform(list_zip(v.e, proj.pe),
+                    q -> q[1] * q[2]), 'sum') >= 0
+                  THEN (1::BIGINT << proj.p) ELSE 0 END) AS cell
+  FROM e v CROSS JOIN proj
+  GROUP BY v.vec_id
+),
 norms AS (
   SELECT vec_id, e, sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
   FROM e
 ),
-scored AS (
-  SELECT v.vec_id, c.vec_id AS centroid_id,
-         round(list_aggregate(list_transform(list_zip(v.e, c.e),
-               p -> p[1] * p[2]), 'sum') / (v.nrm * c.nrm), 6) AS score
-  FROM norms v JOIN norms c ON c.vec_id < 8
-),
-assign AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT vec_id, centroid_id,
-           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-    FROM scored
-  ) WHERE rn = 1
-),
-cells AS (SELECT n.vec_id, n.e, n.nrm, a.centroid_id
-          FROM norms n JOIN assign a USING (vec_id)),
+cells AS (SELECT n.vec_id, n.e, n.nrm, c.cell
+          FROM norms n JOIN cellmap c USING (vec_id)),
 dropped AS (
   SELECT DISTINCT b.vec_id
   FROM cells a JOIN cells b
-    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE list_aggregate(list_transform(list_zip(a.e, b.e),
         p -> p[1] * p[2]), 'sum') / nullif(a.nrm * b.nrm, 0) >= 0.3
 )

@@ -85,14 +85,16 @@ def test_codec_roundtrip_probe_all_formats_ok(spark):
         codec_roundtrip_probe,
     )
 
-    # 54 ids = 9 format cycles, TIFF arm sweeping its compression cycle
-    df = spark.range(0, 54).select(F.col("id").alias("doc_id"))
+    # 56 ids = 8 format cycles of 7 (real-VP8 arm added in r8), the
+    # TIFF arm sweeping its compression cycle
+    df = spark.range(0, 56).select(F.col("id").alias("doc_id"))
     rows = codec_roundtrip_probe(df, "doc_id").collect()
-    assert len(rows) == 54
+    assert len(rows) == 56
     assert all(r["ok"] for r in rows)
-    fmts = {r["doc_id"] % 6: r["fmt"] for r in rows}
+    fmts = {r["doc_id"] % 7: r["fmt"] for r in rows}
     assert fmts == {
         0: "png", 1: "gif", 2: "bmp", 3: "jpeg", 4: "webp", 5: "tiff",
+        6: "vp8",
     }
     for r in rows:
         assert r["width"] == 4 + r["doc_id"] % 5
