@@ -116,3 +116,81 @@ def chunk_stats(
         nc.alias("n_chunks"),
         last_len.alias("last_chunk_tokens"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    divisor: int = 64,
+    keep: list[str] | None = None,
+    include_text: bool = False,
+) -> DataFrame:
+    """Content-defined chunking (FastCDC/rsync family): cut each
+    document where the hash of the trailing ``window`` chars is
+    ``0 mod divisor`` — so boundaries depend only on LOCAL content and
+    survive insertions/deletions elsewhere in the document (a
+    fixed-size chunker would shift every downstream boundary). The
+    storage-dedup primitive: near-identical documents (mirrors, edits,
+    boilerplate wrappers) share most chunk hashes even when byte
+    offsets differ.
+
+    Expected chunk length is ``divisor`` chars; a boundary lands at
+    position ``p`` (1-based, end-inclusive) when
+    ``int(md5(substr(lower(text), p-window+1, window))[:8], 16) % divisor == 0``;
+    a final cut at ``length(text)`` closes the last chunk.
+
+    Scale shape: one map-only pass — all arithmetic in JVM expressions
+    (sequence/filter/zip_with/posexplode), no shuffle, no Python. The
+    lowered text and the cut array are each bound ONCE per row via the
+    single-element ``transform(array(x), v -> ...)[0]`` let-idiom:
+    without it Catalyst's projection collapse inlines the O(len) md5
+    scan into every downstream reference (once per chunk element) and
+    re-lowers the text once per position — measured 17 s vs <1 s on a
+    150 K-char corpus. Output: ``id_col, chunk_idx, chunk_len,
+    chunk_hash`` (+``keep`` passthrough columns, +``chunk_text`` when
+    requested). Empty documents produce zero rows.
+    """
+    w, d = int(window), int(divisor)
+    n = f"length({text_col})"
+    cuts = (
+        f"CASE WHEN {n} >= {w} THEN "
+        f"array_union(filter(sequence({w}, {n}), p -> "
+        f"cast(conv(substring(md5(substring(lt, p - {w} + 1, {w})), 1, 8), 16, 10) "
+        f"as bigint) % {d} = 0), array({n})) "
+        f"WHEN {n} > 0 THEN array({n}) "
+        f"ELSE array(-1) END"
+    )
+    # spans from a cut array bound once: zip each cut with its
+    # predecessor (0-prefixed shift), s = prev + 1, e = cut. The -1
+    # sentinel (empty doc) zips to struct(s=1, e=-1) and is filtered.
+    spans = (
+        "filter(transform(array(transform(array(lower({t})), lt -> {cuts})[0]), "
+        "cs -> zip_with(cs, concat(array(0), slice(cs, 1, size(cs) - 1)), "
+        "(e, p) -> struct(p + 1 AS s, e AS e)))[0], sp -> sp.e >= sp.s)"
+    ).format(t=text_col, cuts=cuts.replace("{", "{{").replace("}", "}}"))
+    out = df.withColumn("__spans", F.expr(spans))
+    cols = [F.col(id_col)] + [F.col(c) for c in (keep or [])]
+    exploded = out.select(
+        *cols,
+        F.col(text_col).alias("__txt"),
+        F.posexplode("__spans").alias("chunk_idx", "__sp"),
+    )
+    return exploded.select(
+        *[c for c in [id_col] + list(keep or [])],
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("__sp.e") - F.col("__sp.s") + 1).cast("long").alias("chunk_len"),
+        F.md5(
+            F.expr("substring(__txt, __sp.s, __sp.e - __sp.s + 1)")
+        ).alias("chunk_hash"),
+        *(
+            [
+                F.expr("substring(__txt, __sp.s, __sp.e - __sp.s + 1)").alias(
+                    "chunk_text"
+                )
+            ]
+            if include_text
+            else []
+        ),
+    )

@@ -1809,3 +1809,42 @@ def containment_pairs(
         .where(F.col("containment") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "n_shared", "containment")
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING duplicates, weight every
+    row by the inverse of its duplicate-cluster size (normalized-text
+    groups, same canonicalization as ``normalized_dedup``), so a
+    document repeated a million times contributes ONE document's worth
+    of gradient. The training-data alternative to hard dedup when the
+    duplicated text is legitimate (licenses, templates) and the epoch
+    sampler consumes weights rather than a filtered corpus.
+
+    Output: every input row with ``cluster_size`` (BIGINT), ``weight``
+    (= 1/cluster_size), and ``is_canonical`` (1 for the lowest id in
+    the cluster). Scale shape: one digest groupBy (map-side partial
+    agg: count + min(id) per digest) broadcast-or-shuffle-joined back —
+    digests move, documents don't.
+    """
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    keyed = df.withColumn("__ndig", F.sha2(norm, 256))
+    stats = keyed.groupBy("__ndig").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min(id_col).alias("__canon"),
+    )
+    return (
+        keyed.join(stats, "__ndig")
+        .withColumn("weight", F.round(F.lit(1.0) / F.col("cluster_size"), 6))
+        .withColumn(
+            "is_canonical",
+            F.when(F.col(id_col) == F.col("__canon"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn("cluster_size", F.col("cluster_size").cast("long"))
+        .drop("__ndig", "__canon")
+    )

@@ -1787,3 +1787,31 @@ FROM (
   ) GROUP BY h
 )""")
     return "\nUNION ALL\n".join(selects)
+
+
+def q_e1_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: SOFT dedup — keep every row, weight it by the inverse of its
+    normalized-text duplicate-cluster size (operators/dedup.py
+    soft_dedup_weights), so repeated boilerplate contributes one
+    document's worth of sampling mass instead of being dropped. The
+    policy LLM pipelines use when duplicates are legitimate (licenses,
+    templates) and the epoch sampler consumes weights. One digest
+    groupBy joined back; digests shuffle, documents don't."""
+    return dedup.soft_dedup_weights(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).select("doc_id", "cluster_size", "weight", "is_canonical")
+
+
+ORACLE_E1_SOFT_DEDUP_WEIGHTS = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+),
+s AS (SELECT norm, count(*) AS cs, min(doc_id) AS canon FROM n GROUP BY norm)
+SELECT doc_id,
+       CAST(cs AS BIGINT) AS cluster_size,
+       round(CAST(1.0 AS DOUBLE) / cs, 6) AS weight,
+       CAST(CASE WHEN doc_id = canon THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+FROM n JOIN s USING (norm)
+"""

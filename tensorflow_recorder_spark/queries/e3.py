@@ -1471,3 +1471,154 @@ ranked AS (
 )
 SELECT source, rank, word, score FROM ranked WHERE rank <= 5
 """
+
+
+def _oracle_cdc_chunks(docs_cte: str, sfx: str = "") -> str:
+    """Chunk CTE pipeline shared by the CDC oracles: content-defined
+    cuts (trailing-8-char md5 % 64 == 0, final cut at length) over the
+    ``docs_cte`` relation (must expose doc_id, source, text). ``sfx``
+    suffixes every intermediate CTE name so two pipelines can coexist
+    in one WITH clause; the output relation is ``chunks{sfx}``."""
+    return f"""
+cut0{sfx} AS (
+  SELECT *, list_filter(generate_series(8, length(text)),
+      p -> ('0x' || substr(md5(substr(lower(text), p - 8 + 1, 8)), 1, 8))::BIGINT
+           % 64 = 0) AS c0
+  FROM {docs_cte}
+),
+cut{sfx} AS (
+  SELECT *, CASE WHEN length(text) = 0 THEN []
+                 WHEN len(c0) > 0 AND c0[-1] = length(text) THEN c0
+                 ELSE c0 || [length(text)] END AS cuts
+  FROM cut0{sfx}
+),
+sp{sfx} AS (
+  SELECT *, list_transform(generate_series(1, len(cuts)),
+           i -> struct_pack(s := CASE WHEN i = 1 THEN 1 ELSE cuts[i-1] + 1 END,
+                            e := cuts[i])) AS spans
+  FROM cut{sfx}
+),
+chunks{sfx} AS (
+  SELECT doc_id, source,
+         u.e - u.s + 1 AS chunk_len,
+         md5(substr(text, u.s::INT, (u.e - u.s + 1)::INT)) AS chunk_hash
+  FROM sp{sfx}, UNNEST(spans) AS x(u)
+)"""
+
+
+def q_e3_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/storage: content-defined-chunk dedup ratio per source — the
+    rsync/FastCDC primitive (operators/chunking.py cdc_chunks): cut
+    where the trailing-8-char hash is 0 mod 64 so boundaries survive
+    insertions, then count duplicate chunk hashes per source. The
+    dedup_ratio is the fraction of chunk chars that are unique — what
+    a content-addressed store would actually hold. One map-only
+    chunking pass, one (source, hash) shuffle, one rollup. Reference
+    has no storage layer (beam_pipeline.py writes rows 1:1); this is
+    the 100 TB storage-dedup extension."""
+    from ..operators.chunking import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = cdc_chunks(docs, keep=["source"])
+    per = ch.groupBy("source", "chunk_hash").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("chunk_len").alias("clen")
+    )
+    return per.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_unique_chunks"),
+        F.sum(F.col("cnt") * F.col("clen")).cast("long").alias("total_chars"),
+        F.sum("clen").cast("long").alias("unique_chars"),
+        F.round(
+            F.sum("clen") / F.sum(F.col("cnt") * F.col("clen")).cast("double"), 6
+        ).alias("dedup_ratio"),
+    )
+
+
+ORACLE_E3_CDC_DEDUP = f"""
+WITH docs AS (SELECT doc_id, source, text FROM documents),
+{_oracle_cdc_chunks("docs")},
+per AS (
+  SELECT source, chunk_hash, count(*) AS cnt, max(chunk_len) AS clen
+  FROM chunks GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_chunks,
+       count(*) AS n_unique_chunks,
+       CAST(sum(cnt * clen) AS BIGINT) AS total_chars,
+       CAST(sum(clen) AS BIGINT) AS unique_chars,
+       round(sum(clen) / CAST(sum(cnt * clen) AS DOUBLE), 6) AS dedup_ratio
+FROM per GROUP BY source
+"""
+
+
+def q_e3_cdc_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/storage: the property that makes CDC worth its hash cost —
+    boundary stability under edits. Re-chunk every document with a
+    13-char prefix injected and measure what fraction of the shifted
+    document's distinct chunk hashes survive from the original
+    (fixed-size chunking scores ~1/n_chunks here; CDC scores near 1
+    because only the chunks up to the first boundary change). Two
+    map-only chunk passes, per-doc set intersection via one equi-join
+    on (doc, hash) — no text comparison, hashes only."""
+    from ..operators.chunking import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    orig = (
+        cdc_chunks(docs, keep=["source"])
+        .select("doc_id", "source", "chunk_hash")
+        .distinct()
+    )
+    # pin the shifted-chunk set — it feeds BOTH the per-doc count and
+    # the intersection join; without the pin the O(chars) md5 chunker
+    # re-runs once per consumer (same rationale as the heatmap pin)
+    pref = (
+        cdc_chunks(
+            docs.withColumn(
+                "text", F.concat(F.lit("PREFIX_SHIFT "), F.col("text"))
+            ),
+            keep=["source"],
+        )
+        .select("doc_id", "source", "chunk_hash")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    p_cnt = pref.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_pref")
+    )
+    shared = (
+        pref.join(orig.select("doc_id", "chunk_hash"), ["doc_id", "chunk_hash"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    per_doc = p_cnt.join(shared, "doc_id", "left").select(
+        "source",
+        (
+            F.coalesce(F.col("n_shared"), F.lit(0))
+            / F.col("n_pref").cast("double")
+        ).alias("stability"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("stability"), 6).alias("avg_stability"),
+    )
+
+
+ORACLE_E3_CDC_STABILITY = f"""
+WITH docs AS (SELECT doc_id, source, text FROM documents),
+{_oracle_cdc_chunks("docs")},
+docsb AS (SELECT doc_id, source, 'PREFIX_SHIFT ' || text AS text FROM documents),
+{_oracle_cdc_chunks("docsb", "b")},
+orig AS (SELECT DISTINCT doc_id, source, chunk_hash FROM chunks),
+pref AS (SELECT DISTINCT doc_id, source, chunk_hash FROM chunksb),
+p_cnt AS (SELECT doc_id, source, count(*) AS n_pref FROM pref GROUP BY 1, 2),
+shared AS (
+  SELECT p.doc_id, count(*) AS n_shared
+  FROM pref p JOIN orig o ON p.doc_id = o.doc_id AND p.chunk_hash = o.chunk_hash
+  GROUP BY 1
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(coalesce(n_shared, 0) / CAST(n_pref AS DOUBLE)), 6)
+         AS avg_stability
+FROM p_cnt LEFT JOIN shared USING (doc_id)
+GROUP BY source
+"""

@@ -2375,3 +2375,153 @@ SELECT isodow(ts)::BIGINT AS iso_dow,
                                     AS DOUBLE), 0.0), 6) AS traffic_share
 FROM events GROUP BY 1, 2
 """
+
+
+def q_e4_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 interval-overlap join: derive per-type "incident" windows
+    (hot hours >= 2x the type's average hourly rate, adjacent hours
+    merged) and overlap-join them against gap-sessionized user
+    sessions — which sessions were open during each incident, and for
+    how long. Spark has no native range join; operators/intervals.py
+    interval_join equi-joins both sides on an hour-bucket grid with a
+    first-common-bucket guard, so the plan is a hash join on the
+    bucket, never a nested loop (reference has no interval surface;
+    pipeline scope per /root/reference/tfrecorder/beam_pipeline.py)."""
+    from ..operators import intervals
+    from ..operators.events import sessionize
+
+    ev = _events(spark, sf_dir)
+    sess = sessionize(ev).select(
+        "user_id",
+        "session_seq",
+        F.unix_timestamp("session_start").alias("s"),
+        F.unix_timestamp("session_end").alias("e"),
+    )
+    inc = intervals.hot_hour_incidents(ev)
+    pairs = intervals.interval_join(
+        sess, inc, "s", "e", "inc_start", "inc_end", bucket_seconds=3600
+    )
+    return pairs.groupBy(
+        "event_type",
+        F.date_format(
+            F.timestamp_seconds(F.col("inc_start")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("inc_start"),
+        F.date_format(
+            F.timestamp_seconds(F.col("inc_end")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("inc_end"),
+        F.col("n_hot_events").cast("long").alias("n_hot_events"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("overlap_s").cast("long").alias("total_overlap_s"),
+    )
+
+
+ORACLE_E4_INCIDENT_OVERLAP = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sid AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, session_seq,
+         min(epoch_us(ts) // 1000000) AS s,
+         max(epoch_us(ts) // 1000000) AS e
+  FROM sid GROUP BY user_id, session_seq
+),
+hourly AS (
+  SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS hr, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+hot AS (
+  SELECT * FROM (
+    SELECT event_type, hr, cnt,
+           avg(cnt) OVER (PARTITION BY event_type) AS avg_cnt
+    FROM hourly
+  ) WHERE cnt >= 2.0 * avg_cnt
+),
+isl AS (
+  SELECT event_type, hr, cnt,
+         hr - row_number() OVER (PARTITION BY event_type ORDER BY hr) AS island
+  FROM hot
+),
+inc AS (
+  SELECT event_type, min(hr) * 3600 AS inc_start,
+         max(hr) * 3600 + 3599 AS inc_end,
+         sum(cnt) AS n_hot_events
+  FROM isl GROUP BY event_type, island
+),
+pairs AS (
+  SELECT * FROM sess JOIN inc ON s <= inc_end AND inc_start <= e
+)
+SELECT event_type,
+       strftime(make_timestamp(inc_start * 1000000), '%Y-%m-%d %H:%M:%S') AS inc_start,
+       strftime(make_timestamp(inc_end * 1000000), '%Y-%m-%d %H:%M:%S') AS inc_end,
+       CAST(n_hot_events AS BIGINT) AS n_hot_events,
+       count(*) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(least(e, inc_end) - greatest(s, inc_start)) AS BIGINT)
+         AS total_overlap_s
+FROM pairs GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_e4_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 sweep-line: per-hour maximum number of concurrently-open user
+    sessions. The naive sweep line is a GLOBAL running sum (one task at
+    scale); operators/intervals.py concurrency_by_hour runs the
+    two-level distributed prefix sum instead — within-hour windows
+    partitioned by bucket plus an exclusive prefix over the tiny
+    per-hour totals frame (one row per active hour)."""
+    from ..operators import intervals
+    from ..operators.events import sessionize
+
+    ev = _events(spark, sf_dir)
+    sess = sessionize(ev).select(
+        F.unix_timestamp("session_start").alias("s"),
+        F.unix_timestamp("session_end").alias("e"),
+    )
+    return intervals.concurrency_by_hour(sess, "s", "e")
+
+
+ORACLE_E4_CONCURRENCY = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sid AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+sess AS (
+  SELECT min(epoch_us(ts) // 1000000) AS s,
+         max(epoch_us(ts) // 1000000) AS e
+  FROM sid GROUP BY user_id, session_seq
+),
+deltas AS (
+  SELECT s AS t, 1 AS d FROM sess
+  UNION ALL
+  SELECT e + 1 AS t, -1 AS d FROM sess
+),
+net AS (SELECT t, sum(d) AS net FROM deltas GROUP BY t),
+run AS (
+  SELECT t, sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc
+  FROM net
+)
+SELECT strftime(make_timestamp((t // 3600) * 3600 * 1000000),
+                '%Y-%m-%d %H:%M') AS hour,
+       CAST(max(conc) AS BIGINT) AS max_conc,
+       count(*) AS n_changes
+FROM run GROUP BY 1
+"""

@@ -1608,3 +1608,48 @@ SELECT sum(ndocs)::BIGINT AS n_docs,
              / CAST(sum(ndocs) AS DOUBLE), 6) AS ring_moved_share
 FROM ringed
 """
+
+
+def q_e6_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6/storage: small-file compaction planner — greedily pack each
+    source's documents (ordered by doc_id) into ~16 KiB output bins by
+    running-sum bucketing: a doc's bin is its cumulative START offset
+    div the target, so the plan is a pure function of the ordered
+    sizes (stable under replay/retries — no bin depends on task
+    scheduling). The 100 TB maintenance op behind OPTIMIZE/compact:
+    at scale the window partitions by (source, date-partition), which
+    is exactly the unit a table-maintenance job compacts. Output: one
+    row per planned output file with its fill factor."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    target = 16384
+    binned = docs.withColumn("__cum", F.sum("n_chars").over(w)).withColumn(
+        "bin_id", F.expr(f"CAST((__cum - n_chars) div {target} AS BIGINT)")
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_chars").cast("long").alias("bin_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.lit(float(target)), 6
+        ).alias("fill"),
+    )
+
+
+ORACLE_E6_COMPACTION_PLAN = """
+WITH c AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+SELECT source,
+       CAST((cum - n_chars) // 16384 AS BIGINT) AS bin_id,
+       count(*) AS n_files,
+       CAST(sum(n_chars) AS BIGINT) AS bin_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / 16384.0, 6) AS fill
+FROM c GROUP BY 1, 2
+"""

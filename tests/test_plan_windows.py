@@ -35,6 +35,10 @@ BOUNDED_WINDOW_QUERIES = {
     # runs over <= sum of retriever top-Ns (retrieval.py).
     "e2_hybrid_rrf": (2, "rank fusion over top-N-bounded retriever outputs"),
     "e2_retrieve_diverse": (6, "rrf + mmr composition, all candidate-bounded"),
+    # two-level distributed prefix sum: the only unpartitioned window
+    # runs over the per-hour totals frame — one row per active hour,
+    # calendar-bounded (operators/intervals.py concurrency_by_hour).
+    "e4_concurrency": (1, "exclusive prefix over per-hour totals (one row/hour)"),
 }
 
 
