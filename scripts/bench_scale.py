@@ -90,6 +90,15 @@ DEFAULT_QUERIES = [
     "e2_scan_cost_frontier",
     "e3_char_entropy",
     "e1_embedding_neardup",
+    # r8: the new operator families (CDC chunking is the most
+    # md5-intensive map in the engine; the interval join and sweep
+    # line are new shuffle shapes)
+    "e3_cdc_dedup",
+    "e3_cdc_stability",
+    "e4_incident_overlap",
+    "e4_concurrency",
+    "e1_soft_dedup_weights",
+    "e6_compaction_plan",
 ]
 
 # second decade (r7 verdict item 2): the 10 worst 10x scalers of the r7

@@ -141,6 +141,12 @@ def cdc_chunks(
     ``int(md5(substr(lower(text), p-window+1, window))[:8], 16) % divisor == 0``;
     a final cut at ``length(text)`` closes the last chunk.
 
+    Hash choice: md5-of-window is the cross-engine-portable stand-in
+    (the DuckDB oracle reproduces it bit-for-bit); a production
+    deployment would swap in a gear/buzhash rolling hash (O(1) per
+    position instead of O(window)) — same cut semantics, same plan
+    shape, only the boundary predicate changes.
+
     Scale shape: one map-only pass — all arithmetic in JVM expressions
     (sequence/filter/zip_with/posexplode), no shuffle, no Python. The
     lowered text and the cut array are each bound ONCE per row via the

@@ -2525,3 +2525,79 @@ SELECT strftime(make_timestamp((t // 3600) * 3600 * 1000000),
        count(*) AS n_changes
 FROM run GROUP BY 1
 """
+
+
+def q_e4_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/warehousing: build a slowly-changing-dimension (SCD type 2)
+    history from the raw event log — per user, consecutive runs of the
+    same event_type collapse into validity intervals [valid_from,
+    valid_to) with a version number and an is_current flag. The
+    dimension-table build behind every "state as of time T" join; the
+    as-of queries read what this writes. Gaps-and-islands windows are
+    all PARTITIONED by user; the run collapse is one groupBy."""
+    ev = _events(spark, sf_dir)
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = ev.withColumn(
+        "__chg",
+        F.when(
+            F.lag("event_type").over(w_u).isNull()
+            | (F.lag("event_type").over(w_u) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "version",
+        F.sum("__chg").over(w_u.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = runs.groupBy("user_id", "version").agg(
+        F.first("event_type").alias("event_type"),
+        F.min("ts").alias("__from"),
+        F.count(F.lit(1)).alias("n_events_in_run"),
+    )
+    w_v = Window.partitionBy("user_id").orderBy("version")
+    return iv.withColumn("__to", F.lead("__from").over(w_v)).select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "event_type",
+        F.date_format("__from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format("__to", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+        F.when(F.col("__to").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_current"),
+        F.col("n_events_in_run").cast("long").alias("n_events_in_run"),
+    )
+
+
+ORACLE_E4_SCD2_INTERVALS = """
+WITH runs AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ver AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS version
+  FROM runs
+),
+iv AS (
+  SELECT user_id, version, min(event_type) AS event_type,
+         min(ts) AS vfrom, count(*) AS n_events_in_run
+  FROM ver GROUP BY user_id, version
+)
+SELECT user_id,
+       CAST(version AS BIGINT) AS version,
+       event_type,
+       strftime(vfrom, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       coalesce(strftime(lead(vfrom) OVER wv, '%Y-%m-%d %H:%M:%S'),
+                '9999-12-31 00:00:00') AS valid_to,
+       CAST(CASE WHEN lead(vfrom) OVER wv IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_current,
+       CAST(n_events_in_run AS BIGINT) AS n_events_in_run
+FROM iv
+WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+"""

@@ -1653,3 +1653,58 @@ SELECT source,
        round(CAST(sum(n_chars) AS DOUBLE) / 16384.0, 6) AS fill
 FROM c GROUP BY 1, 2
 """
+
+
+def q_e6_soft_dedup_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 composition: mixture shares computed on DEDUP-ADJUSTED mass —
+    each source's sampling mass is the sum of its docs' soft-dedup
+    weights (1/cluster-size, operators/dedup.py soft_dedup_weights), so
+    a source padded with duplicated boilerplate no longer buys epoch
+    share with it. Linear shares and sqrt-temperature shares (the
+    up-weight-the-tail move) side by side — sqrt, not pow(x, 0.5),
+    because IEEE sqrt is correctly rounded on every engine."""
+    from ..operators.dedup import soft_dedup_weights
+
+    w = soft_dedup_weights(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).select("source", "weight")
+    per = w.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("weight").alias("mass"),
+    )
+    tot = per.agg(
+        F.sum("mass").alias("__tm"),
+        F.sum(F.sqrt("mass")).alias("__ts"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("mass", 6).alias("mass"),
+        F.round(F.col("mass") / F.col("__tm"), 6).alias("share_linear"),
+        F.round(F.sqrt("mass") / F.col("__ts"), 6).alias("share_sqrt"),
+    )
+
+
+ORACLE_E6_SOFT_DEDUP_MIXTURE = """
+WITH n AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+),
+s AS (SELECT norm, count(*) AS cs FROM n GROUP BY norm),
+w AS (
+  SELECT source, round(CAST(1.0 AS DOUBLE) / cs, 6) AS weight
+  FROM n JOIN s USING (norm)
+),
+per AS (
+  SELECT source, count(*) AS n_docs, sum(weight) AS mass
+  FROM w GROUP BY source
+),
+tot AS (SELECT sum(mass) AS tm, sum(sqrt(mass)) AS tsq FROM per)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(mass, 6) AS mass,
+       round(mass / tm, 6) AS share_linear,
+       round(sqrt(mass) / tsq, 6) AS share_sqrt
+FROM per, tot
+"""

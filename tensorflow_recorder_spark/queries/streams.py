@@ -1135,3 +1135,106 @@ def q_s35_stream_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("traffic_share"),
     )
+
+
+def q_s36_stream_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming chunk-store dedup monitor: documents arrive via
+    readStream, are content-defined-chunked in-flight (cdc_chunks is a
+    pure projection+generate — stateless on a stream), and the per-
+    source unique-chunk count is maintained as an HLL register sketch
+    keyed (source, reg) — state is AT MOST sources x 1024 rows no
+    matter how many chunks flow past, the reason a streaming dedup
+    monitor sketches instead of keeping the seen-hash set. Each
+    register row also carries its exact occurrence count, so the total
+    chunk count per source is the register sums — one streaming
+    aggregate, no second pass. Finalized batch-side (chained streaming
+    aggregations are forbidden); with the bounded source fully drained
+    the output hash-matches the batch-SQL oracle (register arithmetic
+    is exact: every 2^-rho term is a dyadic rational, so the inv_sum
+    is order-independent)."""
+    from ..operators.chunking import cdc_chunks
+    from ..operators.sketches import hll_register_exprs
+
+    docs = _t(spark, sf_dir, "documents")
+    stream = spark.readStream.schema(docs.schema).parquet(
+        f"{sf_dir}/documents.parque[t]"
+    )
+    chunks = cdc_chunks(stream, keep=["source"])
+    reg, rho = hll_register_exprs("chunk_hash", 10)
+    regs = (
+        chunks.select(
+            "source", F.expr(reg).alias("reg"), F.expr(rho).alias("rho")
+        )
+        .groupBy("source", "reg")
+        .agg(F.max("rho").alias("max_rho"), F.count(F.lit(1)).alias("cnt"))
+    )
+    drained = _drain_to_memory(regs, "stream_cdc_dedup_sink", "complete")
+    m = 1024
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = drained.groupBy("source").agg(
+        F.sum(F.expr("pow(cast(2 as double), -max_rho)")).alias("inv_sum"),
+        F.count(F.lit(1)).alias("n_nonzero"),
+        F.sum("cnt").cast("long").alias("n_chunks"),
+    )
+    return agg.select(
+        "source",
+        "n_chunks",
+        F.expr(
+            f"round({alpha} * {m} * {m} / (inv_sum + ({m} - n_nonzero)), 4)"
+        ).alias("raw_est"),
+        "n_nonzero",
+    ).select(
+        "source",
+        "n_chunks",
+        F.expr(
+            f"cast(round(CASE WHEN raw_est <= {2.5 * m} AND ({m} - n_nonzero) > 0 "
+            f"THEN {m} * ln(cast({m} as double) / ({m} - n_nonzero)) "
+            f"ELSE raw_est END) as bigint)"
+        ).alias("est_unique_chunks"),
+    )
+
+
+def _oracle_s36() -> str:
+    from .e3 import _oracle_cdc_chunks
+
+    return f"""
+WITH docs AS (SELECT doc_id, source, text FROM documents),
+{_oracle_cdc_chunks("docs")},
+h AS (
+  SELECT source,
+         ('0x' || substr(md5(':' || chunk_hash), 1, 12))::BIGINT AS h48
+  FROM chunks
+),
+parts AS (
+  SELECT source, (h48 // 4294967296) % 1024 AS reg,
+         h48 % 4294967296 AS tail
+  FROM h
+),
+regs AS (
+  SELECT source, reg,
+         max(CASE WHEN tail = 0 THEN 33 ELSE 33 - length(bin(tail)) END)
+           AS max_rho,
+         count(*) AS cnt
+  FROM parts GROUP BY 1, 2
+),
+agg AS (
+  SELECT source, sum(power(2.0, -max_rho)) AS inv_sum,
+         count(*) AS n_nonzero, sum(cnt) AS n_chunks
+  FROM regs GROUP BY source
+)
+SELECT source,
+       CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(round(CASE WHEN raw_est <= 2560.0 AND (1024 - n_nonzero) > 0
+                  THEN 1024 * ln(1024.0 / (1024 - n_nonzero))
+                  ELSE raw_est END) AS BIGINT) AS est_unique_chunks
+FROM (
+  SELECT source, n_chunks,
+         round(0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024
+               / (inv_sum + (1024 - n_nonzero)), 4) AS raw_est,
+         n_nonzero
+  FROM agg
+)
+"""
+
+
+ORACLE_S36_STREAM_CDC_DEDUP = _oracle_s36()

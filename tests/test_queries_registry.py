@@ -400,6 +400,18 @@ def test_driver_window_holds_all_unique_queries():
         # code_detect via e3_token_stats/quality)
         "e4_asof_join",
         "e2_mmr_rerank",
+        # round-8 session-2 additions (all oracle-checked by
+        # scripts/check_oracle.py over the full registry; driver
+        # rotation candidates for round 9)
+        "e4_incident_overlap",
+        "e4_concurrency",
+        "e3_cdc_dedup",
+        "e3_cdc_stability",
+        "e1_soft_dedup_weights",
+        "e6_compaction_plan",
+        "s36_stream_cdc_dedup",
+        "e4_scd2_intervals",
+        "e6_soft_dedup_mixture",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

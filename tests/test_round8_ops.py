@@ -201,3 +201,59 @@ def test_compaction_plan_conserves_bytes_and_is_contiguous(spark):
     for src, bins in by_src.items():
         bins = sorted(bins)
         assert bins[0] == 0 and bins == list(range(len(bins))), src
+
+
+def test_s36_stream_cdc_dedup_matches_batch_sketch(spark):
+    """Batch/stream sketch parity: the streaming (source, reg) HLL of
+    chunk hashes, drained availableNow, finalizes to exactly what the
+    batch pipeline computes from the same chunks."""
+    from tensorflow_recorder_spark.operators.sketches import hll_register_exprs
+    from tensorflow_recorder_spark.queries.streams import q_s36_stream_cdc_dedup
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in q_s36_stream_cdc_dedup(spark, sf).collect()}
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    chunks = cdc_chunks(docs, keep=["source"])
+    reg, rho = hll_register_exprs("chunk_hash", 10)
+    regs = (
+        chunks.select("source", F.expr(reg).alias("reg"), F.expr(rho).alias("rho"))
+        .groupBy("source", "reg")
+        .agg(F.max("rho").alias("max_rho"), F.count(F.lit(1)).alias("cnt"))
+    )
+    m, alpha = 1024, 0.7213 / (1.0 + 1.079 / 1024)
+    want = {
+        tuple(r)
+        for r in regs.groupBy("source")
+        .agg(
+            F.sum(F.expr("pow(cast(2 as double), -max_rho)")).alias("inv_sum"),
+            F.count(F.lit(1)).alias("n_nonzero"),
+            F.sum("cnt").cast("long").alias("n_chunks"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            F.expr(f"round({alpha} * {m} * {m} / (inv_sum + ({m} - n_nonzero)), 4)").alias("raw_est"),
+            "n_nonzero",
+        )
+        .select(
+            "source",
+            "n_chunks",
+            F.expr(
+                f"cast(round(CASE WHEN raw_est <= {2.5 * m} AND ({m} - n_nonzero) > 0 "
+                f"THEN {m} * ln(cast({m} as double) / ({m} - n_nonzero)) "
+                f"ELSE raw_est END) as bigint)"
+            ).alias("est_unique_chunks"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # sketch sanity: estimates within 15% of exact uniques per source
+    exact = {
+        r.source: r.u
+        for r in chunks.groupBy("source")
+        .agg(F.countDistinct("chunk_hash").alias("u"))
+        .collect()
+    }
+    for src, _, est in got:
+        assert abs(est - exact[src]) / exact[src] < 0.15, (src, est, exact[src])
