@@ -403,15 +403,17 @@ def test_driver_window_holds_all_unique_queries():
         # round-8 session-2 additions (all oracle-checked by
         # scripts/check_oracle.py over the full registry; driver
         # rotation candidates for round 9)
-        "e4_incident_overlap",
-        "e4_concurrency",
-        "e3_cdc_dedup",
-        "e3_cdc_stability",
-        "e1_soft_dedup_weights",
-        "e6_compaction_plan",
-        "s36_stream_cdc_dedup",
         "e4_scd2_intervals",
         "e6_soft_dedup_mixture",
+        # round-8 session-2 window swap-outs (green driver rows r07;
+        # rationale at the QUERIES-dict comment)
+        "e2_sq_recall",
+        "e1_band_sweep",
+        "e4_cusum",
+        "e6_epoch_allocation",
+        "e5_shot_boundary",
+        "e5_thumbnail_pyramid",
+        "s33_stream_changepoint",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
