@@ -99,6 +99,8 @@ DEFAULT_QUERIES = [
     "e4_concurrency",
     "e1_soft_dedup_weights",
     "e6_compaction_plan",
+    "e4_scd2_intervals",
+    "e6_soft_dedup_mixture",
 ]
 
 # second decade (r7 verdict item 2): the 10 worst 10x scalers of the r7
