@@ -57,23 +57,36 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
     ).distinct().cache()
+    # pin the loop-invariant frames ONCE — without the pins every
+    # iteration re-derived nodes (union+distinct over e) and outdeg
+    # (groupBy over e) from scratch, five redundant shuffles per run
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     outdeg = e.groupBy(F.col("__src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
-    )
+    ).localCheckpoint(eager=True)
     n_nodes = nodes.count()  # bounded: one long
+    # rank state is one (node, rank, outdeg) row per node — tiny next
+    # to the edge list. When the counted node total fits a broadcast
+    # (same counted-gate pattern as duplicate_clusters), ship the STATE
+    # to the edges each iteration so the edge list is never shuffled;
+    # past the gate, fall back to the shuffle join (node count at 100TB
+    # graph scale can exceed any broadcast budget).
+    broadcast_state = n_nodes <= 2_000_000
     base = (100 - damping_pct) * SCALE_UNITS // (100 * n_nodes)
     ranks = nodes.withColumn(
         "rank_units", F.lit(SCALE_UNITS // n_nodes).cast("long")
     ).localCheckpoint(eager=True)
     for _ in range(iterations):
+        state = ranks.join(outdeg, "node")
+        if broadcast_state:
+            state = F.broadcast(state)
         contrib = (
-            ranks.join(outdeg, "node")
-            .join(e, ranks["node"] == e["__src"])
+            e.join(state, e["__src"] == state["node"])
             .select(
                 F.col("__dst").alias("node"),
                 F.expr("rank_units div outdeg").alias("__c"),

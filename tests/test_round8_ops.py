@@ -257,3 +257,19 @@ def test_s36_stream_cdc_dedup_matches_batch_sketch(spark):
     }
     for src, _, est in got:
         assert abs(est - exact[src]) / exact[src] < 0.15, (src, est, exact[src])
+
+
+def test_interval_join_plans_as_equi_join_not_nested_loop(spark):
+    """The reason interval_join exists: a raw overlap predicate plans a
+    BroadcastNestedLoopJoin/CartesianProduct; the bucket-grid rewrite
+    must plan a hash or sort-merge EQUI-join on the bucket key."""
+    from tensorflow_recorder_spark.queries.e4 import q_e4_incident_overlap
+
+    plan = q_e4_incident_overlap(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
