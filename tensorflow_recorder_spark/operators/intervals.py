@@ -57,6 +57,14 @@ def interval_join(
     a distinct. Left/right column sets must be disjoint.
     """
     b = int(bucket_seconds)
+    if b <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
+    shared = set(left.columns) & set(right.columns)
+    if shared:
+        raise ValueError(
+            "interval_join requires disjoint left/right column sets; "
+            f"shared: {sorted(shared)}"
+        )
     lb = left.withColumn(
         "__lbkt",
         F.explode(

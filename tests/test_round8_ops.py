@@ -273,3 +273,15 @@ def test_interval_join_plans_as_equi_join_not_nested_loop(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_interval_join_rejects_shared_columns_and_bad_bucket(spark):
+    import pytest as _pytest
+
+    a = spark.createDataFrame([(1, 0, 10)], "x int, s long, e long")
+    b = spark.createDataFrame([(2, 0, 10)], "x int, rs long, re long")
+    with _pytest.raises(ValueError, match="disjoint"):
+        interval_join(a, b, "s", "e", "rs", "re")
+    c = spark.createDataFrame([(2, 0, 10)], "y int, rs long, re long")
+    with _pytest.raises(ValueError, match="positive"):
+        interval_join(a, c, "s", "e", "rs", "re", 0)
