@@ -2391,15 +2391,23 @@ def q_e4_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.events import sessionize
 
     ev = _events(spark, sf_dir)
+    # localCheckpoint: interval_join consumes the session frame more
+    # than once (auto-bucket median pass + grid branch + the outlier
+    # theta branches), and re-running the sessionize shuffle+window per
+    # consumer would triple the query's cost. The checkpointed frame is
+    # a 4-column projection — tiny relative to the event log.
     sess = sessionize(ev).select(
         "user_id",
         "session_seq",
         F.unix_timestamp("session_start").alias("s"),
         F.unix_timestamp("session_end").alias("e"),
-    )
+    ).localCheckpoint()
     inc = intervals.hot_hour_incidents(ev)
+    # bucket_seconds=None -> auto-tuned to the median interval length
+    # (r8 verdict item 8: the hardcoded 3600 was the operator's only
+    # scale knob and callers have no basis to set it).
     pairs = intervals.interval_join(
-        sess, inc, "s", "e", "inc_start", "inc_end", bucket_seconds=3600
+        sess, inc, "s", "e", "inc_start", "inc_end"
     )
     return pairs.groupBy(
         "event_type",
