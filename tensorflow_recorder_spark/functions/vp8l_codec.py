@@ -480,6 +480,14 @@ def _inverse_color_indexing(
 # --------------------------------------------------------------------
 
 
+class LossyWebPError(NotImplementedError):
+    """The container's image stream is lossy VP8 — a CAPABILITY signal
+    (this module only decodes lossless VP8L), typed so ``decode_webp``
+    can dispatch to ``functions/vp8_codec.py`` on the exception CLASS
+    instead of an exception-message substring (r8 verdict item 5: a
+    message-keyed route silently breaks under refactor)."""
+
+
 def is_webp(data: bytes) -> bool:
     return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WEBP"
 
@@ -501,7 +509,9 @@ def _find_vp8l_chunk(data: bytes) -> bytes:
         if tag == b"VP8L":
             return data[pos + 8 : pos + 8 + size]
         if tag == b"VP8 ":
-            raise NotImplementedError("lossy WebP (VP8) has no pure-Python decoder")
+            raise LossyWebPError(
+                "lossy WebP (VP8) is not decoded by the VP8L module"
+            )
         pos += 8 + size + (size & 1)
     if pos == 12:  # no room for even one chunk header
         raise ValueError("corrupt WebP: no chunks")
@@ -581,9 +591,7 @@ def decode_webp(data: bytes) -> tuple[bytes, int, int, str]:
     try:
         body = _find_vp8l_chunk(data)
         pixels, w, h, _ = decode_vp8l_stream(body)
-    except NotImplementedError as exc:
-        if "lossy" not in str(exc):
-            raise
+    except LossyWebPError:
         from .vp8_codec import decode_webp_vp8
 
         return decode_webp_vp8(data)

@@ -256,6 +256,34 @@ def test_lossy_webp_decodes_for_real():
         decode_webp(data)
 
 
+def test_lossy_dispatch_is_typed_not_message_keyed():
+    """r8 verdict item 5: the VP8L->VP8 route must key on the exception
+    CLASS (LossyWebPError), not a message substring — a plain
+    NotImplementedError whose message happens to contain 'lossy' must
+    still propagate (it is a genuine capability gap, not a dispatch)."""
+    from tensorflow_recorder_spark.functions.vp8l_codec import (
+        LossyWebPError,
+        _find_vp8l_chunk,
+    )
+
+    body = b"\x00" * 10
+    chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    riff = b"WEBP" + chunk
+    data = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(LossyWebPError):
+        _find_vp8l_chunk(data)
+    assert issubclass(LossyWebPError, NotImplementedError)
+
+    # an animated/extended container raises the BASE class -> no VP8
+    # dispatch, stays a capability signal for the loader's fallback
+    vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+    riff2 = b"WEBP" + vp8x
+    data2 = b"RIFF" + struct.pack("<I", len(riff2)) + riff2
+    with pytest.raises(NotImplementedError) as ei:
+        _find_vp8l_chunk(data2)
+    assert not isinstance(ei.value, LossyWebPError)
+
+
 def test_corrupt_webp_raises_value_error():
     with pytest.raises(ValueError):
         decode_webp(b"RIFF\x00\x00\x00\x00WEBPnope")
