@@ -1616,7 +1616,15 @@ def q_e6_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     running-sum bucketing: a doc's bin is its cumulative START offset
     div the target, so the plan is a pure function of the ordered
     sizes (stable under replay/retries — no bin depends on task
-    scheduling). The 100 TB maintenance op behind OPTIMIZE/compact:
+    scheduling). A document LARGER than the target is still one
+    unsplittable file, so its bin's ``fill`` exceeds 1 and the next
+    doc's start offset skips intermediate bin ids — per source, bin
+    ids are strictly increasing with ``next <= prev + 1 +
+    floor(prev_bin_chars / target)``, contiguous exactly when no bin
+    overflows (pinned by test_round8_ops; r8 advice asked the
+    oversized-doc behavior be documented rather than silently relying
+    on fixtures without oversized docs).
+    The 100 TB maintenance op behind OPTIMIZE/compact:
     at scale the window partitions by (source, date-partition), which
     is exactly the unit a table-maintenance job compacts. Output: one
     row per planned output file with its fill factor."""
@@ -1661,8 +1669,17 @@ def q_e6_soft_dedup_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights (1/cluster-size, operators/dedup.py soft_dedup_weights), so
     a source padded with duplicated boilerplate no longer buys epoch
     share with it. Linear shares and sqrt-temperature shares (the
-    up-weight-the-tail move) side by side — sqrt, not pow(x, 0.5),
-    because IEEE sqrt is correctly rounded on every engine."""
+    up-weight-the-tail move) side by side.
+
+    Every cross-row sum here is over exact INTEGER micro-units
+    (round(weight*1e6) / round(sqrt(mass)*1e6) as bigint), never raw
+    doubles (r8 advice): Spark's partition-order-dependent double
+    summation can differ from DuckDB's in the last ulp, and a mass
+    landing within ~1e-10 of a 6-decimal rounding boundary would flip
+    the rounded value nondeterministically. Integer sums are exact and
+    associative, so the final doubles are a deterministic function of
+    the data on both engines (sqrt, not pow(x, 0.5), because IEEE sqrt
+    is correctly rounded everywhere)."""
     from ..operators.dedup import soft_dedup_weights
 
     w = soft_dedup_weights(
@@ -1670,18 +1687,20 @@ def q_e6_soft_dedup_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "weight")
     per = w.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("weight").alias("mass"),
+        F.sum(F.round(F.col("weight") * 1e6).cast("long")).alias("__mu"),
     )
+    sq_u = F.round(F.sqrt(F.col("__mu") / F.lit(1e6)) * 1e6).cast("long")
+    per = per.withColumn("__squ", sq_u)
     tot = per.agg(
-        F.sum("mass").alias("__tm"),
-        F.sum(F.sqrt("mass")).alias("__ts"),
+        F.sum("__mu").alias("__tmu"),
+        F.sum("__squ").alias("__tsu"),
     )
     return per.crossJoin(F.broadcast(tot)).select(
         "source",
         F.col("n_docs").cast("long").alias("n_docs"),
-        F.round("mass", 6).alias("mass"),
-        F.round(F.col("mass") / F.col("__tm"), 6).alias("share_linear"),
-        F.round(F.sqrt("mass") / F.col("__ts"), 6).alias("share_sqrt"),
+        F.round(F.col("__mu") / F.lit(1e6), 6).alias("mass"),
+        F.round(F.col("__mu") / F.col("__tmu"), 6).alias("share_linear"),
+        F.round(F.col("__squ") / F.col("__tsu"), 6).alias("share_sqrt"),
     )
 
 
@@ -1693,18 +1712,25 @@ WITH n AS (
 ),
 s AS (SELECT norm, count(*) AS cs FROM n GROUP BY norm),
 w AS (
-  SELECT source, round(CAST(1.0 AS DOUBLE) / cs, 6) AS weight
+  SELECT source,
+         CAST(round(round(CAST(1.0 AS DOUBLE) / cs, 6) * 1000000.0) AS BIGINT)
+           AS mu
   FROM n JOIN s USING (norm)
 ),
 per AS (
-  SELECT source, count(*) AS n_docs, sum(weight) AS mass
+  SELECT source, count(*) AS n_docs, sum(mu) AS mu
   FROM w GROUP BY source
 ),
-tot AS (SELECT sum(mass) AS tm, sum(sqrt(mass)) AS tsq FROM per)
+sq AS (
+  SELECT source, n_docs, mu,
+         CAST(round(sqrt(mu / 1000000.0) * 1000000.0) AS BIGINT) AS squ
+  FROM per
+),
+tot AS (SELECT sum(mu) AS tmu, sum(squ) AS tsu FROM sq)
 SELECT source,
        CAST(n_docs AS BIGINT) AS n_docs,
-       round(mass, 6) AS mass,
-       round(mass / tm, 6) AS share_linear,
-       round(sqrt(mass) / tsq, 6) AS share_sqrt
-FROM per, tot
+       round(mu / 1000000.0, 6) AS mass,
+       round(CAST(mu AS DOUBLE) / tmu, 6) AS share_linear,
+       round(CAST(squ AS DOUBLE) / tsu, 6) AS share_sqrt
+FROM sq, tot
 """

@@ -198,9 +198,50 @@ def test_compaction_plan_conserves_bytes_and_is_contiguous(spark):
     by_src = {}
     for r in plan:
         by_src.setdefault(r.source, []).append(r.bin_id)
+    # sf0.001 has no doc larger than the 16 KiB target, so bins are
+    # contiguous from 0 (the no-overflow special case of the contract)
     for src, bins in by_src.items():
         bins = sorted(bins)
         assert bins[0] == 0 and bins == list(range(len(bins))), src
+
+
+def test_compaction_plan_oversized_doc_overflows_and_skips_bins(spark, tmp_path):
+    """r8 advice: a document larger than the 16384-char target is one
+    unsplittable file — its bin fills past 1.0 and later docs skip the
+    bin ids its overflow covers. Pinned bound: per source, bin ids are
+    strictly increasing and next <= prev + 1 + prev_bin_chars // target."""
+    import os
+
+    from tensorflow_recorder_spark.queries.e6 import q_e6_compaction_plan
+
+    target = 16384
+    rows = [
+        # (doc_id, source, n_chars): small, HUGE (3.2x target), small
+        (1, "sA", 1000),
+        (2, "sA", 52000),
+        (3, "sA", 1000),
+        (4, "sA", 1000),
+        (5, "sB", 500),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    ).write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    plan = {
+        (r.source, r.bin_id): r
+        for r in q_e6_compaction_plan(spark, str(tmp_path)).collect()
+    }
+    # doc 2 starts at offset 1000 -> bin 0; its bin holds 1000+52000
+    # chars (fill > 3) and doc 3 starts at 53000 -> bin 3 (1,2 skipped)
+    assert plan[("sA", 0)].bin_chars == 53000
+    assert plan[("sA", 0)].fill > 3.0
+    assert ("sA", 1) not in plan and ("sA", 2) not in plan
+    assert plan[("sA", 3)].bin_chars == 2000
+    assert plan[("sB", 0)].bin_chars == 500
+    # conservation + the documented monotone-gap bound
+    assert sum(r.bin_chars for r in plan.values()) == 55500
+    sa_bins = sorted(b for (s, b) in plan if s == "sA")
+    for prev, nxt in zip(sa_bins, sa_bins[1:]):
+        assert nxt <= prev + 1 + plan[("sA", prev)].bin_chars // target
 
 
 def test_s36_stream_cdc_dedup_matches_batch_sketch(spark):
