@@ -1475,16 +1475,31 @@ SELECT source, rank, word, score FROM ranked WHERE rank <= 5
 
 def _oracle_cdc_chunks(docs_cte: str, sfx: str = "") -> str:
     """Chunk CTE pipeline shared by the CDC oracles: content-defined
-    cuts (trailing-8-char md5 % 64 == 0, final cut at length) over the
-    ``docs_cte`` relation (must expose doc_id, source, text). ``sfx``
-    suffixes every intermediate CTE name so two pipelines can coexist
-    in one WITH clause; the output relation is ``chunks{sfx}``."""
+    cuts (trailing-8-char BUZHASH % 64 == 0, final cut at length) over
+    the ``docs_cte`` relation (must expose doc_id, source, text).
+    ``sfx`` suffixes every intermediate CTE name so two pipelines can
+    coexist in one WITH clause; the output relation is ``chunks{sfx}``.
+    The rotated lookup tables are rendered from the SAME Python
+    constants the Spark expression uses (operators/chunking.py
+    buzhash_tables), so the engines reproduce identical cut sets."""
+    from ..operators.chunking import buzhash_tables
+
+    tables = buzhash_tables(8)
+    lookup = None
+    for k in range(8):
+        t = "[" + ",".join(str(v) for v in tables[k]) + "]"
+        term = f"({t})[cs[p - {k}] + 1]"
+        lookup = term if lookup is None else f"xor({term}, {lookup})"
     return f"""
+cs{sfx} AS (
+  SELECT *, list_transform(string_split(lower(text), ''),
+                           ch -> ord(ch) % 256) AS cs
+  FROM {docs_cte}
+),
 cut0{sfx} AS (
   SELECT *, list_filter(generate_series(8, length(text)),
-      p -> ('0x' || substr(md5(substr(lower(text), p - 8 + 1, 8)), 1, 8))::BIGINT
-           % 64 = 0) AS c0
-  FROM {docs_cte}
+      p -> {lookup} % 64 = 0) AS c0
+  FROM cs{sfx}
 ),
 cut{sfx} AS (
   SELECT *, CASE WHEN length(text) = 0 THEN []

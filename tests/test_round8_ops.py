@@ -115,12 +115,21 @@ def test_hot_hour_incidents_merges_adjacent_hours(spark):
 
 
 def _py_cdc(text, w=8, d=64):
-    cuts = [
-        p
-        for p in range(w, len(text) + 1)
-        if int(hashlib.md5(text.lower()[p - w : p].encode()).hexdigest()[:8], 16) % d
-        == 0
-    ]
+    """Independent Python reference for the buzhash cut predicate (r9:
+    O(1) rolling hash replaced the md5-of-window stand-in)."""
+    from tensorflow_recorder_spark.operators.chunking import buzhash_tables
+
+    tables = buzhash_tables(w)
+    lt = text.lower()
+    codes = [ord(ch) % 256 for ch in lt]
+
+    def h(p):  # 1-based end position
+        acc = 0
+        for k in range(w):
+            acc ^= tables[k][codes[p - 1 - k]]
+        return acc
+
+    cuts = [p for p in range(w, len(text) + 1) if h(p) % d == 0]
     if len(text) > 0 and (not cuts or cuts[-1] != len(text)):
         cuts.append(len(text))
     spans, prev = [], 0
