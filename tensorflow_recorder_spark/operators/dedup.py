@@ -583,6 +583,7 @@ def _verify_pairs_blocked(
     id_col: str,
     block_docs: int = 4096,
     chunk_pairs: int = 4096,
+    dense_budget_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Verify candidate pairs by blocked vectorized intersection — the
     beyond-broadcast-threshold path of :func:`lsh_verified_pairs`.
@@ -636,6 +637,32 @@ def _verify_pairs_blocked(
         ]
     )
 
+    # dense_budget_bytes: per-task byte budget for the dense doc x vocab
+    # matrix. The dense einsum wins when the block's distinct-shingle
+    # vocabulary is small (duplicate families share shingles); but vocab
+    # grows with corpus DIVERSITY, and at the 30x decade (per-replica
+    # alphabet bijections) a 4096-doc block can hold >1M distinct
+    # shingles — a 16+ GB dense matrix, which is what OOM'd the 20 GB
+    # container JVM (r8 verdict item 6). Above the budget the block
+    # verifies by per-pair sorted-array intersection instead: O(pair
+    # shingle sizes) work, O(block payload) memory — no dense structure
+    # at any scale. Both paths count integer intersections, so results
+    # are bit-identical.
+
+    def _inter_counts(arrs, ai, bi) -> np.ndarray:
+        out = np.empty(len(ai), dtype=np.int64)
+        for i in range(len(ai)):
+            x, y = arrs[ai[i]], arrs[bi[i]]
+            if len(x) > len(y):
+                x, y = y, x
+            if len(x) == 0:
+                out[i] = 0
+                continue
+            idx = np.searchsorted(y, x)
+            idx[idx == len(y)] = len(y) - 1
+            out[i] = int(np.count_nonzero(y[idx] == x))
+        return out
+
     def verify_block(pairs_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
@@ -647,33 +674,39 @@ def _verify_pairs_blocked(
         )
         if len(pairs_pdf) == 0 or len(docs_pdf) == 0:
             return empty
-        vocab: dict = {}
+        # sorted-unique shingle arrays, one per doc (shared by both paths;
+        # np.unique sorts — searchsorted needs sorted inputs)
+        arrs = []
         row_of: dict = {}
-        doc_arrays = []
         for did, arr in zip(docs_pdf["__id"], docs_pdf["__sh"]):
-            row_of[did] = len(doc_arrays)
-            doc_arrays.append(
-                np.fromiter(
-                    (vocab.setdefault(int(g), len(vocab)) for g in arr),
-                    dtype=np.int64,
-                    count=len(arr),
-                )
-            )
-        M = np.zeros((len(doc_arrays), len(vocab)), dtype=np.float32)
-        for r, idxs in enumerate(doc_arrays):
-            M[r, idxs] = 1.0
-        sizes = np.array([len(a) for a in doc_arrays], dtype=np.float64)
+            row_of[did] = len(arrs)
+            arrs.append(np.unique(np.asarray(arr, dtype=np.int64)))
+        sizes = np.array([len(a) for a in arrs], dtype=np.float64)
         ai = pairs_pdf["id_a"].map(row_of).to_numpy(dtype=np.int64)
         bi = pairs_pdf["id_b"].map(row_of).to_numpy(dtype=np.int64)
-        jac = np.empty(len(ai), dtype=np.float64)
-        for c0 in range(0, len(ai), chunk_pairs):
-            c1 = min(c0 + chunk_pairs, len(ai))
-            inter = (
-                np.einsum("ij,ij->i", M[ai[c0:c1]], M[bi[c0:c1]])
-                .astype(np.int64)
-                .astype(np.float64)
+        vocab: dict = {}
+        idx_arrays = [
+            np.fromiter(
+                (vocab.setdefault(int(g), len(vocab)) for g in a),
+                dtype=np.int64,
+                count=len(a),
             )
-            jac[c0:c1] = inter / (sizes[ai[c0:c1]] + sizes[bi[c0:c1]] - inter)
+            for a in arrs
+        ]
+        if len(arrs) * len(vocab) * 4 <= dense_budget_bytes:
+            M = np.zeros((len(idx_arrays), len(vocab)), dtype=np.float32)
+            for r, idxs in enumerate(idx_arrays):
+                M[r, idxs] = 1.0
+            inter_all = np.empty(len(ai), dtype=np.int64)
+            for c0 in range(0, len(ai), chunk_pairs):
+                c1 = min(c0 + chunk_pairs, len(ai))
+                inter_all[c0:c1] = np.einsum(
+                    "ij,ij->i", M[ai[c0:c1]], M[bi[c0:c1]]
+                ).astype(np.int64)
+        else:
+            inter_all = _inter_counts(arrs, ai, bi)
+        inter = inter_all.astype(np.float64)
+        jac = inter / (sizes[ai] + sizes[bi] - inter)
         return pd.DataFrame(
             {
                 "id_a": pairs_pdf["id_a"].to_numpy(),

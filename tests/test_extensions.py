@@ -1024,6 +1024,56 @@ def test_lsh_verified_blocked_fallback_parity(spark):
     assert bc == fb and len(bc) > 0
 
 
+def test_blocked_verify_sparse_path_matches_dense(spark):
+    """r9 (r8 verdict item 6): blocks whose doc x vocab dense matrix
+    would blow the byte budget verify by per-pair sorted-array
+    intersection instead — forcing dense_budget_bytes=0 must reproduce
+    the dense einsum results bit-identically (integer intersection
+    counts either way)."""
+    from tensorflow_recorder_spark.operators.dedup import (
+        _verify_candidate_pairs,
+        _verify_pairs_blocked,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = minhash_signatures(docs, "text", "doc_id", 8, 5)
+    cands = lsh_candidate_pairs(sigs, "doc_id", 8, 4, 0.25).localCheckpoint(
+        eager=True
+    )
+    from pyspark.sql import functions as _F
+
+    cand_ids = (
+        cands.select(_F.col("id_a").alias("doc_id"))
+        .union(cands.select(_F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    from tensorflow_recorder_spark.operators.dedup import hashed_shingle_expr
+
+    sh = (
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            _F.expr(hashed_shingle_expr("lower(text)", 5, pre_lowered=True)).alias(
+                "__sh"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dense = {
+        (r["id_a"], r["id_b"]): (r["est_jaccard"], r["jaccard"])
+        for r in _verify_pairs_blocked(cands, sh, "doc_id").collect()
+    }
+    sparse = {
+        (r["id_a"], r["id_b"]): (r["est_jaccard"], r["jaccard"])
+        for r in _verify_pairs_blocked(
+            cands, sh, "doc_id", dense_budget_bytes=0
+        ).collect()
+    }
+    assert dense == sparse and len(dense) > 0
+
+
 def test_lsh_verified_byte_gate_forces_fallback(spark):
     """The broadcast gate is byte-based: tiny verify_broadcast_bytes must
     route through the blocked path even when the doc count fits, and the
