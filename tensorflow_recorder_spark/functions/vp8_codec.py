@@ -14,10 +14,13 @@ Scope and provenance (all public):
   RFC 6386 ("VP8 Data Format and Decoding Guide") sections 7-14.
 * DECODER: key frames only (the only frame type a WebP still contains),
   any intra mode, one or more token partitions, coefficient probability
-  updates, skip flags. The in-loop deblocking filter is parsed but NOT
-  applied (loop_filter_level > 0 decodes unfiltered — pixel-level
-  smoothing difference only, geometry and mode/coefficient decode are
-  unaffected; the fixture encoder always signals level 0).
+  updates, skip flags, and (r9) the in-loop deblocking filter — both
+  the normal and simple filters of RFC 6386 section 15, with segment
+  loop-filter levels and ref/mode delta adjustments, applied as the
+  spec's post-reconstruction pass (intra prediction reads unfiltered
+  neighbors, so a post-pass is the normative order for a still frame).
+  The vectorized kernels are pinned against an independent scalar
+  transcription of the section 15 pseudocode in the test suite.
 * ENCODER (fixture builder): key frame, 16x16 intra modes chosen by
   SSE (DC/V/H/TM) or forced B_PRED with per-subblock mode search,
   full 4x4 DCT + WHT Y2 path, quantizer index parameter, single token
@@ -901,6 +904,194 @@ class _Plane:
         ]
 
 
+# ----------------------------------------------------------- loop filter
+#
+# RFC 6386 section 15, applied as a post-reconstruction pass over the
+# padded planes (spec: the filter runs after the frame is reconstructed;
+# intra prediction within the frame reads UNFILTERED neighbors, so a
+# post-pass is exactly the normative decode order for a still). Pixel
+# math follows the spec's int8 pseudocode: c() clamps to [-128, 127],
+# u2s subtracts 128, s2u clamps-then-rebiases; >> on negatives is the
+# arithmetic shift (numpy semantics match C here). Kernels are
+# vectorized along the edge (all 16 Y rows / 8 chroma rows of one edge
+# at once); tests/test_vp8_codec.py pins them against an independent
+# scalar transcription of the same pseudocode.
+
+
+def _lfc(v):
+    return np.clip(v, -128, 127)
+
+
+def _lfs2u(v):
+    return np.clip(v, -128, 127) + 128
+
+
+def _lf_mask_normal(p3, p2, p1, p0, q0, q1, q2, q3, edge, interior):
+    return (
+        (np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2 <= edge)
+        & (np.abs(p3 - p2) <= interior)
+        & (np.abs(p2 - p1) <= interior)
+        & (np.abs(p1 - p0) <= interior)
+        & (np.abs(q1 - q0) <= interior)
+        & (np.abs(q2 - q1) <= interior)
+        & (np.abs(q3 - q2) <= interior)
+    )
+
+
+def _lf_simple(P, edge):
+    p1, p0, q0, q1 = (P[i].astype(np.int64) for i in (2, 3, 4, 5))
+    mask = np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2 <= edge
+    if not mask.any():
+        return
+    sp1, sp0, sq0, sq1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
+    a = _lfc(_lfc(sp1 - sq1) + 3 * (sq0 - sp0))
+    f = _lfc(a + 4) >> 3
+    e = _lfc(a + 3) >> 3
+    P[4][mask] = _lfs2u(sq0 - f)[mask]
+    P[3][mask] = _lfs2u(sp0 + e)[mask]
+
+
+def _lf_normal_sub(P, edge, interior, hev_t):
+    p3, p2, p1, p0, q0, q1, q2, q3 = (P[i].astype(np.int64) for i in range(8))
+    mask = _lf_mask_normal(p3, p2, p1, p0, q0, q1, q2, q3, edge, interior)
+    if not mask.any():
+        return
+    hev = (np.abs(p1 - p0) > hev_t) | (np.abs(q1 - q0) > hev_t)
+    sp1, sp0, sq0, sq1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
+    a = _lfc(np.where(hev, _lfc(sp1 - sq1), 0) + 3 * (sq0 - sp0))
+    f = _lfc(a + 4) >> 3
+    e = _lfc(a + 3) >> 3
+    P[4][mask] = _lfs2u(sq0 - f)[mask]
+    P[3][mask] = _lfs2u(sp0 + e)[mask]
+    a2 = (f + 1) >> 1
+    m2 = mask & ~hev
+    P[5][m2] = _lfs2u(sq1 - a2)[m2]
+    P[2][m2] = _lfs2u(sp1 + a2)[m2]
+
+
+def _lf_normal_mb(P, edge, interior, hev_t):
+    p3, p2, p1, p0, q0, q1, q2, q3 = (P[i].astype(np.int64) for i in range(8))
+    mask = _lf_mask_normal(p3, p2, p1, p0, q0, q1, q2, q3, edge, interior)
+    if not mask.any():
+        return
+    hev = (np.abs(p1 - p0) > hev_t) | (np.abs(q1 - q0) > hev_t)
+    sp2, sp1, sp0 = p2 - 128, p1 - 128, p0 - 128
+    sq0, sq1, sq2 = q0 - 128, q1 - 128, q2 - 128
+    w_ = _lfc(_lfc(sp1 - sq1) + 3 * (sq0 - sp0))
+    m2 = mask & ~hev
+    a27 = _lfc((27 * w_ + 63) >> 7)
+    a18 = _lfc((18 * w_ + 63) >> 7)
+    a9 = _lfc((9 * w_ + 63) >> 7)
+    P[4][m2] = _lfs2u(sq0 - a27)[m2]
+    P[3][m2] = _lfs2u(sp0 + a27)[m2]
+    P[5][m2] = _lfs2u(sq1 - a18)[m2]
+    P[2][m2] = _lfs2u(sp1 + a18)[m2]
+    P[6][m2] = _lfs2u(sq2 - a9)[m2]
+    P[1][m2] = _lfs2u(sp2 + a9)[m2]
+    m1 = mask & hev
+    f = _lfc(w_ + 4) >> 3
+    e = _lfc(w_ + 3) >> 3
+    P[4][m1] = _lfs2u(sq0 - f)[m1]
+    P[3][m1] = _lfs2u(sp0 + e)[m1]
+
+
+def _lf_v_edge(a, x, y0, n, kernel, *args):
+    # edge between plane columns x-1 and x, rows y0..y0+n-1 (plane
+    # coords; the backing array carries a 1-px border at index 0)
+    seg = a[y0 + 1 : y0 + 1 + n, x - 3 : x + 5]
+    kernel([seg[:, i] for i in range(8)], *args)
+
+
+def _lf_h_edge(a, y, x0, n, kernel, *args):
+    seg = a[y - 3 : y + 5, x0 + 1 : x0 + 1 + n]
+    kernel([seg[i, :] for i in range(8)], *args)
+
+
+def loop_filter_limits(level: int, sharpness: int) -> tuple[int, int, int, int]:
+    """(mb_edge_limit, sub_edge_limit, interior_limit, hev_threshold)
+    for a KEY frame at the given per-MB filter level (RFC 6386 15.1)."""
+    interior = level
+    if sharpness:
+        interior = level >> (2 if sharpness > 4 else 1)
+        if interior > 9 - sharpness:
+            interior = 9 - sharpness
+    if interior < 1:
+        interior = 1
+    hev_t = 2 if level >= 40 else (1 if level >= 15 else 0)
+    return (level + 2) * 2 + interior, level * 2 + interior, interior, hev_t
+
+
+def _apply_loop_filter(
+    Y, U, V, mbw, mbh, modes, mb_nz, simple, base_level, sharpness,
+    seg_enabled, seg_abs, seg_lf, lf_delta_enabled, ref_deltas, mode_deltas,
+):
+    """Filter the reconstructed planes in the spec's normative order:
+    raster over MBs; per MB, left MB edge, interior vertical edges, top
+    MB edge, interior horizontal edges. Interior edges are skipped for
+    MBs with no non-zero coefficients unless B_PRED (15.1); the simple
+    filter touches only Y."""
+    for my in range(mbh):
+        for mx in range(mbw):
+            seg_id, skip, ymode, subs, uvmode = modes[my * mbw + mx]
+            lvl = base_level
+            if seg_enabled:
+                lvl = seg_lf[seg_id] if seg_abs else base_level + seg_lf[seg_id]
+                lvl = max(0, min(63, lvl))
+            if lf_delta_enabled:
+                lvl += ref_deltas[0]  # INTRA_FRAME: every key-frame MB
+                if ymode == B_PRED:
+                    lvl += mode_deltas[0]
+                lvl = max(0, min(63, lvl))
+            if lvl == 0:
+                continue
+            mbe, sbe, interior, hev_t = loop_filter_limits(lvl, sharpness)
+            inner = mb_nz[my * mbw + mx] or ymode == B_PRED
+            x0, y0 = mx * 16, my * 16
+            cx0, cy0 = mx * 8, my * 8
+            if simple:
+                if mx:
+                    _lf_v_edge(Y.a, x0, y0, 16, _lf_simple, mbe)
+                if inner:
+                    for dx in (4, 8, 12):
+                        _lf_v_edge(Y.a, x0 + dx, y0, 16, _lf_simple, sbe)
+                if my:
+                    _lf_h_edge(Y.a, y0, x0, 16, _lf_simple, mbe)
+                if inner:
+                    for dy in (4, 8, 12):
+                        _lf_h_edge(Y.a, y0 + dy, x0, 16, _lf_simple, sbe)
+                continue
+            if mx:
+                _lf_v_edge(Y.a, x0, y0, 16, _lf_normal_mb, mbe, interior, hev_t)
+                _lf_v_edge(U.a, cx0, cy0, 8, _lf_normal_mb, mbe, interior, hev_t)
+                _lf_v_edge(V.a, cx0, cy0, 8, _lf_normal_mb, mbe, interior, hev_t)
+            if inner:
+                for dx in (4, 8, 12):
+                    _lf_v_edge(
+                        Y.a, x0 + dx, y0, 16, _lf_normal_sub, sbe, interior, hev_t
+                    )
+                _lf_v_edge(
+                    U.a, cx0 + 4, cy0, 8, _lf_normal_sub, sbe, interior, hev_t
+                )
+                _lf_v_edge(
+                    V.a, cx0 + 4, cy0, 8, _lf_normal_sub, sbe, interior, hev_t
+                )
+            if my:
+                _lf_h_edge(Y.a, y0, x0, 16, _lf_normal_mb, mbe, interior, hev_t)
+                _lf_h_edge(U.a, cy0, cx0, 8, _lf_normal_mb, mbe, interior, hev_t)
+                _lf_h_edge(V.a, cy0, cx0, 8, _lf_normal_mb, mbe, interior, hev_t)
+            if inner:
+                for dy in (4, 8, 12):
+                    _lf_h_edge(
+                        Y.a, y0 + dy, x0, 16, _lf_normal_sub, sbe, interior, hev_t
+                    )
+                _lf_h_edge(
+                    U.a, cy0 + 4, cx0, 8, _lf_normal_sub, sbe, interior, hev_t
+                )
+                _lf_h_edge(
+                    V.a, cy0 + 4, cx0, 8, _lf_normal_sub, sbe, interior, hev_t
+                )
+
+
 # --------------------------------------------------------------- decoder
 
 
@@ -941,6 +1132,7 @@ def decode_vp8_frame(data: bytes) -> tuple[bytes, int, int]:
     seg_update_map = 0
     seg_abs = 0
     seg_q = [0, 0, 0, 0]
+    seg_lf = [0, 0, 0, 0]
     seg_tree_probs = [255, 255, 255]
     if seg_enabled:
         seg_update_map = bd.get_bool(128)
@@ -950,22 +1142,28 @@ def decode_vp8_frame(data: bytes) -> tuple[bytes, int, int]:
             for i in range(4):  # quantizer features
                 if bd.get_bool(128):
                     seg_q[i] = bd.get_signed(7)
-            for _ in range(4):  # loop-filter features (parsed, unused)
+            for i in range(4):  # loop-filter level features
                 if bd.get_bool(128):
-                    bd.get_signed(6)
+                    seg_lf[i] = bd.get_signed(6)
         if seg_update_map:
             for i in range(3):
                 if bd.get_bool(128):
                     seg_tree_probs[i] = bd.get_literal(8)
 
-    bd.get_bool(128)  # filter type
-    bd.get_literal(6)  # loop filter level (parsed; filter not applied)
-    bd.get_literal(3)  # sharpness
-    if bd.get_bool(128):  # loop-filter delta adjustments
-        if bd.get_bool(128):
-            for _ in range(8):
+    filter_simple = bd.get_bool(128)  # filter type: 1 = simple
+    filter_level = bd.get_literal(6)
+    sharpness = bd.get_literal(3)
+    lf_delta_enabled = bd.get_bool(128)
+    ref_deltas = [0, 0, 0, 0]
+    mode_deltas = [0, 0, 0, 0]
+    if lf_delta_enabled:
+        if bd.get_bool(128):  # delta update this frame
+            for i in range(4):
                 if bd.get_bool(128):
-                    bd.get_signed(6)
+                    ref_deltas[i] = bd.get_signed(6)
+            for i in range(4):
+                if bd.get_bool(128):
+                    mode_deltas[i] = bd.get_signed(6)
 
     n_parts = 1 << bd.get_literal(2)
 
@@ -1051,6 +1249,7 @@ def decode_vp8_frame(data: bytes) -> tuple[bytes, int, int]:
     # [y0..y3, u0,u1, v0,v1, y2]
     above_nz = [[0] * 9 for _ in range(mbw)]
     qs = {}
+    mb_nz = [False] * (mbw * mbh)  # any non-zero coeff -> loop filter
     for my in range(mbh):
         left_nz = [0] * 9
         td = token_bds[my % n_parts]
@@ -1081,6 +1280,7 @@ def decode_vp8_frame(data: bytes) -> tuple[bytes, int, int]:
                     ctx = above_nz[mx][8] + left_nz[8]
                     c2, nz = _decode_coeffs(td, probs, 1, ctx, 0)
                     above_nz[mx][8] = left_nz[8] = 1 if nz else 0
+                    mb_nz[my * mbw + mx] |= bool(nz)
                     dqd = [
                         v * (dq["y2"][0] if i == 0 else dq["y2"][1])
                         for i, v in enumerate(c2)
@@ -1093,6 +1293,7 @@ def decode_vp8_frame(data: bytes) -> tuple[bytes, int, int]:
                         ctx = above_nz[mx][c] + left_nz[r]
                         cf, nz = _decode_coeffs(td, probs, plane, ctx, first)
                         above_nz[mx][c] = left_nz[r] = 1 if nz else 0
+                        mb_nz[my * mbw + mx] |= bool(nz)
                         y_coeffs[r * 4 + c] = [
                             v * (dq["y1"][0] if i == 0 else dq["y1"][1])
                             for i, v in enumerate(cf)
@@ -1107,6 +1308,7 @@ def decode_vp8_frame(data: bytes) -> tuple[bytes, int, int]:
                             above_nz[mx][base_i + c] = left_nz[base_i + r] = (
                                 1 if nz else 0
                             )
+                            mb_nz[my * mbw + mx] |= bool(nz)
                             blocks[r * 2 + c] = [
                                 v * (dq["uv"][0] if i == 0 else dq["uv"][1])
                                 for i, v in enumerate(cf)
@@ -1122,6 +1324,13 @@ def decode_vp8_frame(data: bytes) -> tuple[bytes, int, int]:
         Y.finish_row(my * 16, 16)
         U.finish_row(my * 8, 8)
         V.finish_row(my * 8, 8)
+
+    if filter_level > 0:
+        _apply_loop_filter(
+            Y, U, V, mbw, mbh, modes, mb_nz, bool(filter_simple),
+            filter_level, sharpness, seg_enabled, seg_abs, seg_lf,
+            lf_delta_enabled, ref_deltas, mode_deltas,
+        )
 
     rgb = _yuv420_to_rgb(
         Y.a[1 : 1 + mbh * 16, 1 : 1 + mbw * 16],
@@ -1224,13 +1433,18 @@ def _sse(a, b) -> int:
 
 def encode_vp8_frame(
     px: bytes, w: int, h: int, mode: str = "RGB", qi: int = 12,
-    force_bpred: bool = False,
+    force_bpred: bool = False, filter_level: int = 0, sharpness: int = 0,
+    filter_simple: bool = False,
 ) -> bytes:
     """Encode pixels as a single VP8 key frame (raw 'VP8 ' chunk
     payload). ``qi`` is the base quantizer index (0 = finest). The
     encoder reconstructs exactly like the decoder, so
     decode(encode(x)) equals the encoder's own reconstruction bit for
-    bit — the property the round-trip suite pins."""
+    bit — the property the round-trip suite pins — PROVIDED
+    ``filter_level`` is 0 (the default): a non-zero level makes the
+    decoder run the r9 in-loop deblocking pass over the reconstruction
+    (this open-loop still encoder does not simulate it), which is how
+    the filter tests build foreign-looking filtered streams."""
     if mode == "L":
         px = b"".join(bytes((v, v, v)) for v in px)
     elif mode != "RGB":
@@ -1252,9 +1466,9 @@ def encode_vp8_frame(
     be_hdr.put_bool(0, 128)  # color space
     be_hdr.put_bool(0, 128)  # clamping
     be_hdr.put_bool(0, 128)  # segmentation disabled
-    be_hdr.put_bool(0, 128)  # filter type
-    be_hdr.put_literal(0, 6)  # loop filter level 0
-    be_hdr.put_literal(0, 3)  # sharpness
+    be_hdr.put_bool(1 if filter_simple else 0, 128)  # filter type
+    be_hdr.put_literal(max(0, min(63, int(filter_level))), 6)
+    be_hdr.put_literal(max(0, min(7, int(sharpness))), 3)
     be_hdr.put_bool(0, 128)  # no lf deltas
     be_hdr.put_literal(0, 2)  # one token partition
     be_hdr.put_literal(qi, 7)
