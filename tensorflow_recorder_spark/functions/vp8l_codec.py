@@ -4,8 +4,10 @@ Closes the last gap in the no-PIL image envelope (r4 verdict "What's
 missing" item 1): the reference's PIL loader
 (/root/reference/tfrecorder/beam_image.py:62-73) decodes WebP; with
 this module the stdlib loader real-decodes LOSSLESS WebP (VP8L
-bitstream, RFC 9649 §3-5) — lossy VP8 remains the only synthetic
-fallback (a full boolean-coder/DCT decoder is out of scope).
+bitstream, RFC 9649 §3-5). Lossy VP8 key frames dispatch to
+``functions/vp8_codec.py`` (r8), and VP8X-extended / animated (ANMF)
+containers decode their first image stream (r9) — every WebP with an
+image chunk now reaches a real decoder.
 
 Decoder coverage: RIFF/WEBP container (plain and VP8X-extended),
 LSB-first bit reading, canonical prefix codes (simple 1/2-symbol and
@@ -492,32 +494,62 @@ def is_webp(data: bytes) -> bool:
     return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WEBP"
 
 
-def _find_vp8l_chunk(data: bytes) -> bytes:
-    pos = 12
-    while pos + 8 <= len(data):
+def _walk_chunks(data: bytes, pos: int, end: int):
+    """Yield (tag, payload offset, payload size) for each RIFF chunk in
+    ``data[pos:end]``; malformed structure (non-ASCII tag, chunk past
+    the window) is CORRUPTION -> ValueError."""
+    while pos + 8 <= end:
         tag = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
-        # a malformed container (non-ASCII tag, chunk past EOF) is
-        # CORRUPT; a clean walk that simply never yields a top-level
-        # VP8L (lossy VP8, animated VP8X/ANMF with nested frames) is a
-        # CAPABILITY gap -> NotImplementedError so the caller can fall
-        # back instead of discarding a valid file
         if not all(0x20 <= b <= 0x7E for b in tag):
             raise ValueError("corrupt WebP: bad chunk tag")
-        if pos + 8 + size > len(data):
+        if pos + 8 + size > end:
             raise ValueError("corrupt WebP: chunk past end of file")
-        if tag == b"VP8L":
-            return data[pos + 8 : pos + 8 + size]
-        if tag == b"VP8 ":
-            raise LossyWebPError(
-                "lossy WebP (VP8) is not decoded by the VP8L module"
-            )
+        yield tag, pos + 8, size
         pos += 8 + size + (size & 1)
-    if pos == 12:  # no room for even one chunk header
+
+
+def _find_image_chunk(data: bytes) -> tuple[str, bytes]:
+    """-> ('vp8l' | 'vp8', chunk body) for the container's first image
+    stream. Plain stills carry VP8L/'VP8 ' at top level; VP8X extended
+    stills carry them after metadata chunks (ICCP/ALPH/EXIF/XMP — all
+    skipped by the walk); animations carry them NESTED inside ANMF
+    frames, behind a 16-byte frame descriptor — the FIRST frame is the
+    still representation (r9; previously every VP8X container was
+    NotImplementedError -> synthetic fallback). A clean walk that finds
+    no image stream at all stays a CAPABILITY gap
+    (NotImplementedError) so the loader can fall back rather than
+    DISCARD a valid file."""
+    saw_any = False
+    for tag, off, size in _walk_chunks(data, 12, len(data)):
+        saw_any = True
+        if tag == b"VP8L":
+            return "vp8l", data[off : off + size]
+        if tag == b"VP8 ":
+            return "vp8", data[off : off + size]
+        if tag == b"ANMF":
+            # payload: x(3) y(3) w-1(3) h-1(3) duration(3) flags(1),
+            # then the frame's own sub-chunks (ALPH? then VP8/VP8L)
+            if size < 16:
+                raise ValueError("corrupt WebP: short ANMF descriptor")
+            for t2, o2, s2 in _walk_chunks(data, off + 16, off + size):
+                if t2 == b"VP8L":
+                    return "vp8l", data[o2 : o2 + s2]
+                if t2 == b"VP8 ":
+                    return "vp8", data[o2 : o2 + s2]
+            raise ValueError("corrupt WebP: ANMF frame without image data")
+    if not saw_any:
         raise ValueError("corrupt WebP: no chunks")
-    raise NotImplementedError(
-        "WebP container without a top-level VP8L chunk (animated/extended)"
-    )
+    raise NotImplementedError("WebP container without an image chunk")
+
+
+def _find_vp8l_chunk(data: bytes) -> bytes:
+    kind, body = _find_image_chunk(data)
+    if kind == "vp8":
+        raise LossyWebPError(
+            "lossy WebP (VP8) is not decoded by the VP8L module"
+        )
+    return body
 
 
 def decode_vp8l_stream(body: bytes) -> tuple[list[int], int, int, bool]:
@@ -582,19 +614,24 @@ def decode_webp(data: bytes) -> tuple[bytes, int, int, str]:
     """Decode a WebP -> (pixels, width, height, mode). Lossless (VP8L)
     decodes here; lossy key frames (VP8) dispatch to the real decoder
     in ``functions/vp8_codec.py`` (r8 — this was the T3 envelope's
-    last synthetic fallback). Mode is 'RGBA' when any pixel has alpha
-    != 255, else 'RGB'. Animated/extended containers remain
-    NotImplementedError; corrupt data raises ValueError (-> DISCARD
-    route)."""
+    last synthetic fallback). Extended (VP8X) and animated (ANMF)
+    containers decode their FIRST image stream (r9): the returned
+    dimensions are the frame's own, and an animation is represented by
+    its first frame. Mode is 'RGBA' when any pixel has alpha != 255,
+    else 'RGB'. Corrupt data raises ValueError (-> DISCARD route)."""
     if not is_webp(data):
         raise ValueError("not a WebP (missing magic)")
     try:
-        body = _find_vp8l_chunk(data)
-        pixels, w, h, _ = decode_vp8l_stream(body)
-    except LossyWebPError:
-        from .vp8_codec import decode_webp_vp8
+        kind, body = _find_image_chunk(data)
+        if kind == "vp8":
+            from .vp8_codec import decode_vp8_frame
 
-        return decode_webp_vp8(data)
+            try:
+                rgb, w, h = decode_vp8_frame(body)
+            except (IndexError, struct.error) as exc:
+                raise ValueError(f"corrupt VP8: truncated ({exc})") from exc
+            return rgb, w, h, "RGB"
+        pixels, w, h, _ = decode_vp8l_stream(body)
     except (struct.error, IndexError) as exc:
         raise ValueError(f"corrupt WebP: truncated ({exc})") from exc
     has_alpha = any((p >> 24) & 0xFF != 0xFF for p in pixels)

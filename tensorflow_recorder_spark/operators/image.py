@@ -76,9 +76,9 @@ except ImportError:
         synthetic fallback). Real filesystem semantics: the file must
         exist and be readable (missing file -> the DISCARD route);
         a corrupt file — including flavors a decoder rejects
-        (lossless/12-bit JPEG, RLE BMP, animated WebP) — raises ->
-        DISCARD, matching the reference's failure handling
-        (beam_image.py:112-116)."""
+        (lossless/12-bit JPEG, RLE BMP) — raises -> DISCARD, matching
+        the reference's failure handling (beam_image.py:112-116);
+        animated/extended WebP decodes its first frame (r9)."""
         with open(path, "rb") as fh:
             content = fh.read()
         if is_png(content):
@@ -92,11 +92,12 @@ except ImportError:
         if is_tiff(content):
             return decode_tiff(content)
         if is_webp(content):
-            # both still flavors decode for REAL now (lossless VP8L and
-            # lossy VP8, r8); the only remaining capability gap is an
-            # animated/extended-only container, which keeps the r5
-            # contract: NotImplementedError -> synthetic fallback, so a
-            # VALID file is never DISCARDed over a capability gap
+            # both still flavors decode for REAL (lossless VP8L r7,
+            # lossy VP8 r8), and VP8X/animated containers decode their
+            # first image stream (r9) — NotImplementedError now only
+            # fires for a container with NO image chunk at all, keeping
+            # the r5 contract: capability gap -> synthetic fallback, so
+            # a VALID file is never DISCARDed over a capability gap
             try:
                 return decode_webp(content)
             except NotImplementedError:

@@ -341,26 +341,35 @@ def test_stdlib_loader_decodes_lossless_webp(tmp_path):
         image_op.DEFAULT_LOADER(str(bad))
 
 
-def test_animated_container_falls_back_not_discarded(tmp_path):
-    """A well-formed VP8X/ANMF container with no top-level VP8L is a
-    CAPABILITY gap (NotImplementedError -> synthetic fallback), not
-    corruption — r5 review finding: valid animated WebP was DISCARDed."""
+def test_imageless_container_falls_back_not_discarded(tmp_path):
+    """r9 revision of the r5 contract: animated/extended containers now
+    DECODE their first image stream, so the capability-gap route
+    (NotImplementedError -> synthetic fallback) applies only to a
+    well-formed container with NO image chunk anywhere; an ANMF frame
+    that carries no image stream is CORRUPT (ValueError -> DISCARD)."""
     from tensorflow_recorder_spark.operators import image as image_op
 
-    anmf_body = b"\x00" * 16
-    chunks = (
-        b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
-        + b"ANMF" + struct.pack("<I", len(anmf_body)) + anmf_body
-    )
+    chunks = b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
     riff = b"WEBP" + chunks
     data = b"RIFF" + struct.pack("<I", len(riff)) + riff
     with pytest.raises(NotImplementedError):
         decode_webp(data)
     if not image_op.HAVE_PIL:
-        p = tmp_path / "anim.webp"
+        p = tmp_path / "noimg.webp"
         p.write_bytes(data)
         out, w, h, mode = image_op.DEFAULT_LOADER(str(p))
         assert (w, h, mode) == (4, 4, "RGB")  # synthetic fallback
+
+    # an ANMF with only its 16-byte descriptor (no image sub-chunk)
+    # is corruption under the r9 walk
+    anmf_body = b"\x00" * 16
+    chunks2 = (
+        b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+        + b"ANMF" + struct.pack("<I", len(anmf_body)) + anmf_body
+    )
+    riff2 = b"WEBP" + chunks2
+    with pytest.raises(ValueError):
+        decode_webp(b"RIFF" + struct.pack("<I", len(riff2)) + riff2)
 
     # malformed container (chunk past EOF) stays corrupt -> ValueError
     bad = b"RIFF" + struct.pack("<I", 20) + b"WEBP" + b"VP8X" + struct.pack("<I", 999) + b"\x00"
@@ -371,3 +380,136 @@ def test_animated_container_falls_back_not_discarded(tmp_path):
 def test_encoder_rejects_oversized_dimensions():
     with pytest.raises(ValueError, match="16384"):
         encode_vp8l(b"\x00" * (20000 * 3), 20000, 1)
+
+
+def _chunk_of(container: bytes, want: bytes) -> bytes:
+    """Extract a chunk body from a full WebP container."""
+    pos = 12
+    while pos + 8 <= len(container):
+        tag = container[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", container, pos + 4)
+        if tag == want:
+            return container[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    raise AssertionError(f"no {want!r} chunk in fixture")
+
+
+def _riff(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    body = b"WEBP"
+    for tag, payload in chunks:
+        body += tag + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _vp8x(w: int, h: int, animated: bool) -> tuple[bytes, bytes]:
+    flags = 0x02 if animated else 0x00
+    return (
+        b"VP8X",
+        bytes([flags, 0, 0, 0])
+        + struct.pack("<I", w - 1)[:3]
+        + struct.pack("<I", h - 1)[:3],
+    )
+
+
+def _anmf(frame_chunks: list[tuple[bytes, bytes]], w: int, h: int) -> bytes:
+    hdr = (
+        b"\x00\x00\x00"  # x
+        b"\x00\x00\x00"  # y
+        + struct.pack("<I", w - 1)[:3]
+        + struct.pack("<I", h - 1)[:3]
+        + b"\x64\x00\x00"  # duration 100ms
+        + b"\x00"  # flags
+    )
+    body = hdr
+    for tag, payload in frame_chunks:
+        body += tag + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+    return body
+
+
+def test_vp8x_extended_still_decodes_first_stream():
+    """r9: a VP8X container whose image stream sits behind metadata
+    chunks decodes for real (previously NotImplementedError ->
+    synthetic)."""
+    px = rng_pixels(21, 6, 5)
+    body = _chunk_of(encode_vp8l(px, 6, 5), b"VP8L")
+    data = _riff([_vp8x(6, 5, False), (b"EXIF", b"\x00" * 7), (b"VP8L", body)])
+    out, w, h, mode = decode_webp(data)
+    assert (w, h, mode) == (6, 5, "RGB") and out == px
+
+
+def test_animated_webp_decodes_first_frame_lossless():
+    px1 = rng_pixels(22, 8, 4)
+    px2 = rng_pixels(23, 8, 4)
+    b1 = _chunk_of(encode_vp8l(px1, 8, 4), b"VP8L")
+    b2 = _chunk_of(encode_vp8l(px2, 8, 4), b"VP8L")
+    data = _riff(
+        [
+            _vp8x(8, 4, True),
+            (b"ANIM", b"\x00" * 6),
+            (b"ANMF", _anmf([(b"VP8L", b1)], 8, 4)),
+            (b"ANMF", _anmf([(b"VP8L", b2)], 8, 4)),
+        ]
+    )
+    out, w, h, mode = decode_webp(data)
+    assert (w, h) == (8, 4) and out == px1  # FIRST frame, not second
+
+
+def test_animated_webp_decodes_first_frame_lossy_nested():
+    """The first frame's stream may be lossy VP8 nested inside ANMF —
+    the walk must find it and route to the VP8 decoder."""
+    from tensorflow_recorder_spark.functions.vp8_codec import (
+        decode_webp_vp8 as _,
+        encode_webp_vp8,
+    )
+
+    px = rng_pixels(24, 16, 16)
+    full = encode_webp_vp8(px, 16, 16, qi=4)
+    body = _chunk_of(full, b"VP8 ")
+    data = _riff(
+        [
+            _vp8x(16, 16, True),
+            (b"ANIM", b"\x00" * 6),
+            (b"ANMF", _anmf([(b"ALPH", b"\x00\x01"), (b"VP8 ", body)], 16, 16)),
+        ]
+    )
+    out, w, h, mode = decode_webp(data)
+    want, _, _, _ = decode_webp(full)
+    assert (w, h, mode) == (16, 16, "RGB") and out == want
+
+
+def test_vp8x_without_image_chunk_stays_capability_gap():
+    data = _riff([_vp8x(4, 4, False), (b"EXIF", b"\x00" * 3)])
+    with pytest.raises(NotImplementedError):
+        decode_webp(data)
+    # and an ANMF with no image stream inside is CORRUPT, not a gap
+    bad = _riff(
+        [
+            _vp8x(4, 4, True),
+            (b"ANIM", b"\x00" * 6),
+            (b"ANMF", _anmf([(b"ALPH", b"\x00")], 4, 4)),
+        ]
+    )
+    with pytest.raises(ValueError):
+        decode_webp(bad)
+
+
+def test_default_loader_decodes_animated_webp_first_frame(tmp_path):
+    from tensorflow_recorder_spark.operators import image as image_op
+
+    px = rng_pixels(25, 5, 7)
+    body = _chunk_of(encode_vp8l(px, 5, 7), b"VP8L")
+    data = _riff(
+        [
+            _vp8x(5, 7, True),
+            (b"ANIM", b"\x00" * 6),
+            (b"ANMF", _anmf([(b"VP8L", body)], 5, 7)),
+        ]
+    )
+    p = tmp_path / "anim.webp"
+    p.write_bytes(data)
+    out, w, h, mode = image_op.DEFAULT_LOADER(str(p))
+    assert (w, h, mode) == (5, 7, "RGB") and out == px
