@@ -185,17 +185,47 @@ def decode_png(data: bytes) -> tuple[bytes, int, int, str]:
     return bytes(out), width, height, mode
 
 
+def read_png_metadata(data: bytes) -> tuple[int | None, int | None]:
+    """Read color-management metadata from a PNG's ancillary chunks ->
+    (gamma in 1e-5 units from gAMA, rendering intent from sRGB) — None
+    where the chunk is absent. Walks the real chunk stream (stops at
+    IEND/IDAT-exhaustion like :func:`decode_png`); corrupt framing
+    raises ValueError."""
+    if not is_png(data):
+        raise ValueError("not a PNG: bad signature")
+    gamma = srgb = None
+    pos = 8
+    while pos + 8 <= len(data):
+        length, ctype = struct.unpack(">I4s", data[pos : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"gAMA" and length == 4:
+            (gamma,) = struct.unpack(">I", body)
+        elif ctype == b"sRGB" and length == 1:
+            srgb = body[0]
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    return gamma, srgb
+
+
 def encode_png(
     pixels: bytes,
     width: int,
     height: int,
     mode: str = "RGB",
     interlace: bool = False,
+    gamma: int | None = None,
+    srgb_intent: int | None = None,
 ) -> bytes:
     """Minimal PNG writer (filter 0 rows, one zlib IDAT) — the test-side
     inverse of :func:`decode_png`, also used to build fixtures without
     PIL. Supports modes L/LA/RGB/RGBA at depth 8, optionally Adam7
-    interlaced."""
+    interlaced. ``gamma`` (1e-5 units, e.g. 45455 for 1/2.2) writes a
+    gAMA chunk and ``srgb_intent`` (0-3) an sRGB chunk — both before
+    IDAT per the spec's ordering rules (r9, for the e5 color-management
+    audit)."""
     ct = {"L": 0, "RGB": 2, "LA": 4, "RGBA": 6}[mode]
     samples = {"L": 1, "RGB": 3, "LA": 2, "RGBA": 4}[mode]
     if len(pixels) != width * height * samples:
@@ -222,9 +252,15 @@ def encode_png(
         return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, ct, 0, 0, 1 if interlace else 0)
+    meta = b""
+    if srgb_intent is not None:
+        meta += chunk(b"sRGB", bytes([srgb_intent & 3]))
+    if gamma is not None:
+        meta += chunk(b"gAMA", struct.pack(">I", int(gamma)))
     return (
         PNG_SIGNATURE
         + chunk(b"IHDR", ihdr)
+        + meta
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )

@@ -967,6 +967,74 @@ def exif_tiff_orientation_audit(df: DataFrame, id_col: str = "doc_id") -> DataFr
     )
 
 
+def png_colorspace_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Color-management audit through REAL PNG ancillary chunks (r9):
+    each row synthesizes a small image, writes it as a real PNG
+    carrying a gAMA chunk (``45455`` when ``id % 5 == 0`` else
+    ``40000 + (id % 5) * 2500``) and, for ``id % 3 == 0``, an sRGB
+    chunk with rendering intent ``id % 4``; then reads BOTH back off
+    the wire (``functions/png_codec.read_png_metadata``) and re-decodes
+    the pixels — the gate a vision-training ingest runs before assuming
+    every image is sRGB/gamma-2.2 (the reference's PIL loader surfaces
+    the same chunks via Image.info; chunk semantics are public, PNG
+    spec 11.3.3). A regression in the PNG writer's chunk framing, CRC,
+    or the metadata walk flips these rows.
+
+    Scale shape: narrow id in, three scalars out per image — bytes
+    never leave the Python stage. Output: (``id_col``, gamma_ppm,
+    srgb_intent nullable, color_class) with class 'srgb' (chunk
+    present), 'g22' (gamma within 500 ppm-units of 45455), or 'other'.
+    """
+    from ..functions.png_codec import decode_png, encode_png, read_png_metadata
+
+    out_struct = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("gamma_ppm", T.LongType()),
+            T.StructField("srgb_intent", T.IntegerType()),
+            T.StructField("color_class", T.StringType()),
+        ]
+    )
+
+    def probe(i: int):
+        w, h = 4 + i % 3, 2 + i % 3
+        c = (i * 37) % 256
+        px = bytes((c, 255 - c, (c * 3) % 256)) * (w * h)
+        gamma = 45455 if i % 5 == 0 else 40000 + (i % 5) * 2500
+        intent = i % 4 if i % 3 == 0 else None
+        data = encode_png(px, w, h, "RGB", gamma=gamma, srgb_intent=intent)
+        g2, s2 = read_png_metadata(data)
+        dec, dw, dh, mode = decode_png(data)
+        if (dw, dh, mode) != (w, h, "RGB") or dec != px:
+            raise ValueError("PNG round-trip corrupted payload")
+        if g2 != gamma or s2 != intent:
+            raise ValueError("PNG metadata did not survive the wire")
+        if s2 is not None:
+            cls = "srgb"
+        elif abs(g2 - 45455) <= 500:
+            cls = "g22"
+        else:
+            cls = "other"
+        return g2, s2, cls
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(v) for v in pdf[id_col]]
+            rows = [probe(i) for i in ids]
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "gamma_ppm": [r[0] for r in rows],
+                    "srgb_intent": pd.array(
+                        [r[1] for r in rows], dtype="Int32"
+                    ),
+                    "color_class": [r[2] for r in rows],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=out_struct)
+
+
 def channel_stats_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Per-image color-channel statistics from REAL decoded pixels
     (r8): each row synthesizes a small constant-color RGB image

@@ -1637,3 +1637,49 @@ SELECT source, count(*) AS n_docs,
 FROM p_cnt LEFT JOIN shared USING (doc_id)
 GROUP BY source
 """
+
+
+def q_e3_cdc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/storage CDC calibration (r9): the chunk-length distribution
+    the buzhash cut predicate actually produces — mean length should
+    track the divisor (64) and the histogram should decay roughly
+    geometrically (each position is an independent 1/64 cut trial);
+    a biased substitution table or a broken rolling window shows up
+    here before it silently degrades dedup ratios. Lengths bucket at
+    32-char granularity, capped at bucket 8 (256+ chars — forced cuts
+    at document end pool in the tail). One map-only chunking pass ->
+    9-key partial agg; no per-chunk text materialized (lengths only)."""
+    from ..operators.chunking import cdc_chunks
+
+    ch = cdc_chunks(_t(spark, sf_dir, "documents"))
+    b = F.least(F.floor(F.col("chunk_len") / F.lit(32)), F.lit(8)).cast("int")
+    counted = ch.groupBy(b.alias("len_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.round(F.avg("chunk_len"), 6).alias("avg_len"),
+    )
+    total = counted.agg(F.sum("n_chunks").alias("__total"))
+    return counted.crossJoin(F.broadcast(total)).select(
+        "len_bucket",
+        "n_chunks",
+        "avg_len",
+        F.round(F.col("n_chunks") / F.col("__total"), 6).alias("share"),
+    )
+
+
+ORACLE_E3_CDC_LENGTH_HISTOGRAM = f"""
+WITH docs AS (SELECT doc_id, source, text FROM documents),
+{_oracle_cdc_chunks("docs")},
+b AS (
+  SELECT CAST(least(chunk_len // 32, 8) AS INTEGER) AS len_bucket, chunk_len
+  FROM chunks
+),
+g AS (
+  SELECT len_bucket, count(*)::BIGINT AS n_chunks,
+         round(avg(chunk_len), 6) AS avg_len
+  FROM b GROUP BY 1
+),
+t AS (SELECT sum(n_chunks) AS total FROM g)
+SELECT len_bucket, n_chunks, avg_len,
+       round(CAST(n_chunks AS DOUBLE) / total, 6) AS share
+FROM g, t
+"""

@@ -1238,3 +1238,44 @@ FROM (
 
 
 ORACLE_S36_STREAM_CDC_DEDUP = _oracle_s36()
+
+
+def q_s37_stream_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of e4_concurrency (r9): sessions form IN-FLIGHT
+    via the native state-store-backed session_window (the stateful
+    stage — state is one open session per active user key, closed and
+    evicted as the watermark passes last_event + gap), drained with
+    availableNow; the two-level distributed sweep-line then runs
+    batch-side on the CLOSED session intervals (chained streaming
+    aggregations are forbidden; s36 finalizes batch-side the same
+    way). Per-hour output state is calendar-bounded by construction.
+    With the bounded source fully drained the session set equals the
+    batch lag-gap formulation (same measure-zero boundary note as s2),
+    so the e4_concurrency oracle applies verbatim — stateful
+    batch/stream parity for the sweep-line family."""
+    from ..operators.intervals import concurrency_by_hour
+
+    stream = _event_stream(spark, sf_dir)
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sess"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("s"),
+            F.max(F.col("ts").cast("long")).alias("e"),
+        )
+        .select("s", "e")
+    )
+    drained = _drain_to_memory(sess, "stream_concurrency_sink", "complete")
+    return concurrency_by_hour(drained, "s", "e")
+
+
+def _oracle_s37() -> str:
+    from .e4 import ORACLE_E4_CONCURRENCY
+
+    return ORACLE_E4_CONCURRENCY
+
+
+ORACLE_S37_STREAM_CONCURRENCY = _oracle_s37()

@@ -414,6 +414,22 @@ def test_driver_window_holds_all_unique_queries():
         "e5_shot_boundary",
         "e5_thumbnail_pyramid",
         "s33_stream_changepoint",
+        # round-9 window swap-outs (green driver rows in r08; machinery
+        # stays scored by in-window neighbors: e2_nlist_recall_curve
+        # near-duplicates the scored e2_nprobe_recall_curve (same IVF
+        # sweep, other knob), e2_scan_cost_frontier's probe-cost family
+        # via e2_ivf_topk/e2_ivf_rebalance, e1_shingle_size_sweep via
+        # e1_dedup_exact/e1_fuzzy_dedup, e4_changepoint via
+        # e4_incident_overlap/e4_concurrency, e6_shard_stability via
+        # e6_compaction_plan/e6_curate, and e5_video_keyframe_budget
+        # shares its stub-metadata machinery with the NEW in-window
+        # e5_video_gop_structure)
+        "e2_nlist_recall_curve",
+        "e2_scan_cost_frontier",
+        "e1_shingle_size_sweep",
+        "e4_changepoint",
+        "e6_shard_stability",
+        "e5_video_keyframe_budget",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
