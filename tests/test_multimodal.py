@@ -150,3 +150,45 @@ def test_resize_real_png_nearest_neighbor(spark):
     assert px[0:3] == px[3:6] == b"\xff\x00\x00"
     # bottom-right block all yellow
     assert px[-3:] == b"\xff\xff\x00"
+
+
+def test_png_gamma_srgb_chunks_roundtrip():
+    """r9: gAMA/sRGB ancillary chunks survive the writer -> reader wire
+    (correct framing, CRC, before-IDAT placement), and their absence
+    reads back as None."""
+    from tensorflow_recorder_spark.functions.png_codec import (
+        decode_png,
+        encode_png,
+        read_png_metadata,
+    )
+
+    px = bytes(range(48))  # 4x4 RGB
+    plain = encode_png(px, 4, 4, "RGB")
+    assert read_png_metadata(plain) == (None, None)
+    tagged = encode_png(px, 4, 4, "RGB", gamma=45455, srgb_intent=2)
+    assert read_png_metadata(tagged) == (45455, 2)
+    dec, w, h, mode = decode_png(tagged)  # decoder skips the new chunks
+    assert (dec, w, h, mode) == (px, 4, 4, "RGB")
+    only_gamma = encode_png(px, 4, 4, "RGB", gamma=100000)
+    assert read_png_metadata(only_gamma) == (100000, None)
+
+
+def test_png_colorspace_audit_classes_and_wire_checks(spark):
+    from tensorflow_recorder_spark.operators.multimodal import (
+        png_colorspace_audit,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    rows = {r.doc_id: r for r in png_colorspace_audit(df).collect()}
+    assert len(rows) == 30
+    for i in range(30):
+        r = rows[i]
+        want_gamma = 45455 if i % 5 == 0 else 40000 + (i % 5) * 2500
+        assert r.gamma_ppm == want_gamma, i
+        if i % 3 == 0:
+            assert r.srgb_intent == i % 4 and r.color_class == "srgb"
+        else:
+            assert r.srgb_intent is None
+            assert r.color_class == (
+                "g22" if abs(want_gamma - 45455) <= 500 else "other"
+            )
