@@ -432,7 +432,7 @@ def lsh_verified_pairs(
     shingle_len: int = 5,
     min_est_jaccard: float = 0.25,
     threshold: float = 0.3,
-    verify_broadcast_docs: int = 100_000,
+    verify_broadcast_docs: int = 1_000_000,
     verify_broadcast_bytes: int = 256 << 20,
     verify_block_docs: int = 4096,
 ) -> DataFrame:
@@ -460,17 +460,24 @@ def lsh_verified_pairs(
       ``j <= min/max`` — pairs failing ``min/max >= threshold`` cannot
       reach the threshold and skip the expensive ``array_intersect``.
       Semantics-preserving.
-    * Broadcast decision (r3: byte-based, not doc-count-based): both
-      shingle sides broadcast only when the candidate-doc count fits
-      ``verify_broadcast_docs`` AND the measured total shingle payload
-      (``sum(size(__sh)) * 8`` bytes, an exact driver scalar off the
-      checkpointed frame) fits ``verify_broadcast_bytes`` — a forced
-      broadcast bypasses ``autoBroadcastJoinThreshold``, so gating on
-      doc count alone could ship hundreds of MB per executor for long
-      documents. Broadcasting means the pair list never shuffles its
-      array payloads — the shuffle formulation moves |pairs| x
-      shingle-array bytes twice AND is skew-prone (duplicate families
-      share hot ids).
+    * Broadcast decision (r3: byte-based, not doc-count-based; r9:
+      BYTES are the primary gate): both shingle sides broadcast when
+      the measured total shingle payload (``sum(size(__sh)) * 8``
+      bytes, an exact driver scalar off the checkpointed frame) fits
+      ``verify_broadcast_bytes`` AND the doc count fits
+      ``verify_broadcast_docs`` — the count is only a backstop against
+      degenerate many-tiny-docs maps whose per-entry JVM hashmap
+      overhead the payload bytes do not capture (~100 B/entry; the 1M
+      default bounds that at ~100 MB). r9 measurement: the old 100K
+      doc backstop mis-routed the 30x-decade corpus (150K docs but
+      only 245 MB payload) onto the blocked path, whose cogroup
+      DEGENERATES when the pair graph touches most docs — every block
+      re-ships and re-preps nearly the whole corpus (measured 28.2M of
+      30.6M shingles PER BLOCK, 17 blocks), 304 s vs the broadcast
+      path's 131 s on identical output. Broadcasting means the pair
+      list never shuffles its array payloads — the shuffle formulation
+      moves |pairs| x shingle-array bytes twice AND is skew-prone
+      (duplicate families share hot ids).
     * Beyond the broadcast gate the verify routes through a BLOCKED
       MATMUL (r3, :func:`_verify_pairs_blocked`): pairs hash into
       blocks of ~``verify_block_docs`` docs, each block ships its doc
@@ -610,7 +617,20 @@ def _verify_pairs_blocked(
     from pyspark.sql import types as T
 
     n_docs = sh.count()  # checkpointed upstream: a cheap bounded scan
+    # Block count balances two linear costs (r9, measured at the 30x
+    # decade): each block is ONE cogroup task (python work parallelism
+    # = num_blocks), but a doc's shingle payload ships once per block
+    # it is paired into — and duplicate-family docs pair into nearly
+    # every block (measured fan-out 30.3 of 37 blocks at 30x), so
+    # payload shuffle bytes grow ~linearly with num_blocks. The
+    # doc-count rule alone (n_docs / block_docs) produced 37 blocks
+    # and a 7 GB doc-payload shuffle at 30x; capping blocks by PAIR
+    # volume (~3M pairs per task keeps the per-task python kernel
+    # ~30 s) cut the verify wall 327 -> ~170 s with identical output.
+    n_pairs = cands.count()  # checkpointed upstream: cheap
+    pairs_per_block = 3_000_000
     num_blocks = max(1, -(-n_docs // block_docs))
+    num_blocks = min(num_blocks, max(1, -(-n_pairs // pairs_per_block)))
     pairs_b = cands.withColumn(
         "__blk", F.pmod(F.xxhash64("id_a"), F.lit(num_blocks)).cast("int")
     )
@@ -1148,7 +1168,7 @@ def incremental_neardup_pairs(
     shingle_len: int = 5,
     min_est_jaccard: float = 0.25,
     threshold: float = 0.3,
-    verify_broadcast_docs: int = 100_000,
+    verify_broadcast_docs: int = 1_000_000,
     verify_broadcast_bytes: int = 256 << 20,
     verify_block_docs: int = 4096,
 ) -> DataFrame:
