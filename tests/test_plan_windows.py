@@ -39,6 +39,13 @@ BOUNDED_WINDOW_QUERIES = {
     # runs over the per-hour totals frame — one row per active hour,
     # calendar-bounded (operators/intervals.py concurrency_by_hour).
     "e4_concurrency": (1, "exclusive prefix over per-hour totals (one row/hour)"),
+    "s37_stream_concurrency": (
+        1,
+        "same concurrency_by_hour finalize as e4_concurrency: exclusive "
+        "prefix over per-hour totals — one row per active hour, "
+        "calendar-bounded (the streaming stage upstream is the "
+        "state-store session_window, no window operator)",
+    ),
 }
 
 
