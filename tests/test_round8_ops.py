@@ -427,3 +427,73 @@ def test_interval_join_rejects_shared_columns_and_bad_bucket(spark):
     c = spark.createDataFrame([(2, 0, 10)], "y int, rs long, re long")
     with _pytest.raises(ValueError, match="positive"):
         interval_join(a, c, "s", "e", "rs", "re", 0)
+
+
+# ------------------------------------------------- r9 regression pins
+
+
+def test_cdc_chunks_nondefault_window_and_divisor_match_reference(spark):
+    """The buzhash generalizes beyond the shipped (8, 64) call sites:
+    window=4 / divisor=16 must match the Python reference (pinned so a
+    future table or rotation change cannot silently skew non-default
+    geometries)."""
+    rng = random.Random(17)
+    texts = [
+        (i, " ".join(rng.choice("foo Bar baz QUX quux".split())
+                      for _ in range(rng.randrange(0, 90))))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    rows = cdc_chunks(df, window=4, divisor=16, include_text=True).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, text in texts:
+        got = sorted(by_doc.get(i, []), key=lambda r: r.chunk_idx)
+        want = _py_cdc(text, w=4, d=16)
+        assert len(got) == len(want), (i, text)
+        assert "".join(r.chunk_text for r in got) == text
+        for r, (s, e) in zip(got, want):
+            assert r.chunk_len == e - s + 1
+
+
+def test_cdc_chunks_rejects_out_of_range_window(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id int, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        cdc_chunks(df, window=0)
+    with _pytest.raises(ValueError, match="window"):
+        cdc_chunks(df, window=33)
+
+
+def test_auto_bucket_seconds_degenerate_inputs(spark):
+    """Empty frames must fall back to the 3600s default instead of
+    raising; single-row frames pick that row's length."""
+    from tensorflow_recorder_spark.operators.intervals import auto_bucket_seconds
+
+    empty = spark.createDataFrame([], "lid int, ls long, le long")
+    empty_r = spark.createDataFrame([], "rid int, rs long, re long")
+    assert auto_bucket_seconds(empty, empty_r, "ls", "le", "rs", "re") == 3600
+    one = spark.createDataFrame([(1, 0, 99)], "lid int, ls long, le long")
+    assert auto_bucket_seconds(one, empty_r, "ls", "le", "rs", "re") == 100
+
+
+def test_verify_gate_routes_on_bytes_not_doc_count(spark):
+    """r9: bytes are the primary broadcast gate; the doc-count backstop
+    defaults to 1M so a many-docs-but-light corpus broadcasts (the 30x
+    mis-route: 150K docs / 245MB went blocked and paid a 2.3x
+    degenerate-cogroup penalty). The broadcast plan carries NO python
+    cogroup; forcing the byte gate down flips it to the blocked path."""
+    from tensorflow_recorder_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(min_est_jaccard=0.25, threshold=0.25)
+    bc_plan = dedup.lsh_verified_pairs(
+        docs, "text", "doc_id", **kw
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" not in bc_plan  # broadcast path
+    blocked_plan = dedup.lsh_verified_pairs(
+        docs, "text", "doc_id", verify_broadcast_bytes=1, **kw
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in blocked_plan  # blocked path
