@@ -316,6 +316,10 @@ def _decode_jpeg_inner(data: bytes) -> tuple[bytes, int, int, str]:
         mcuy = -(-height // (8 * vmax))
         planes = []
         for cid, h, v, tq in comps:
+            if tq not in qtables:
+                raise ValueError(
+                    "corrupt JPEG: frame references undefined quantization table"
+                )
             blocks = coeff_store.get(cid)
             if blocks is None:
                 blocks = np.zeros((mcux * h * mcuy * v, 64), dtype=np.int32)
@@ -345,6 +349,17 @@ def _decode_progressive_scan(
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
     by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    # T.81 B.2.3: every scan-header table reference must resolve to a
+    # table defined by a preceding DHT; a corrupt stream may reference an
+    # undefined slot, which must surface as the declared ValueError (not
+    # an AttributeError/KeyError deep inside the entropy decoder).
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError("corrupt JPEG: scan references undefined component")
+        if ss == 0 and ah == 0 and td not in dc_tables:
+            raise ValueError("corrupt JPEG: scan references undefined DC Huffman table")
+        if ss != 0 and ta not in ac_tables:
+            raise ValueError("corrupt JPEG: scan references undefined AC Huffman table")
     for cid, h, v, _tq in comps:
         if cid not in store:
             store[cid] = np.zeros((mcux * h * mcuy * v, 64), dtype=np.int32)
@@ -552,7 +567,13 @@ def _decode_scan(
     # Per scan component: huffman tables, block store sized to MCU grid.
     planes = []  # (h, v, qt, dc_table, ac_table, coeff array)
     for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError("corrupt JPEG: scan references undefined component")
         h, v, tq = by_id[cs]
+        if tq not in qtables:
+            raise ValueError("corrupt JPEG: scan references undefined quantization table")
+        if td not in dc_tables or ta not in ac_tables:
+            raise ValueError("corrupt JPEG: scan references undefined Huffman table")
         nblocks = mcux * h * mcuy * v
         planes.append(
             [

@@ -7,7 +7,7 @@ already pinned for VP8L by tests/test_vp8l_property.py (r5 verdict
 item 6 extends it to the other round-5 codecs)."""
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from tensorflow_recorder_spark.functions.bmp_codec import (
     decode_bmp,
@@ -90,6 +90,11 @@ def test_bmp_decoder_total_on_corrupt_input(seed, pos, newbyte, truncate):
     truncate=st.booleans(),
     progressive=st.booleans(),
 )
+# r9 judge falsifying example: byte flip at 488 turns a progressive
+# scan header's td into a reference to an undefined DC Huffman table —
+# dc_tables.get(td) -> None -> AttributeError in the entropy decoder.
+# Pinned permanently so the gate can't go green by luck of the draw.
+@example(seed=0, pos=488, newbyte=0, truncate=False, progressive=True)
 def test_jpeg_decoder_total_on_corrupt_input(
     seed, pos, newbyte, truncate, progressive
 ):
