@@ -103,6 +103,20 @@ def interval_join(
     disjoint. ``bucket_seconds=None`` (default) auto-tunes the grid to
     the approximate median interval length (:func:`auto_bucket_seconds`).
 
+    **Both inputs are multi-consumed.** Each side feeds up to four
+    subplans: the ``bucket_seconds=None`` median pass (an EAGER Spark
+    action executed at plan-construction time), the grid branch, and
+    the two outlier theta branches (``long_l`` joins the FULL right
+    side; ``long_r`` joins ``l_norm``). A caller passing an expensive
+    lineage (a corpus-scale aggregation, a sessionize) must
+    ``localCheckpoint()`` it FIRST — interval outputs are small, the
+    upstream shuffle is not, and Spark re-executes un-checkpointed
+    lineage once per consumer (r9: a caller that skipped this on one
+    side paid 3.6×). When the caller's intervals are grid-aligned
+    (e.g. hour-aligned incidents), pass the aligned width explicitly
+    (``bucket_seconds=3600``) — it is provably the right grid and
+    skips the median pass entirely.
+
     Outlier containment (r8 advice): a pathological interval (a
     multi-week session from dirty data) would explode onto thousands
     of grid cells and hammer one hot bucket. Rows spanning more than

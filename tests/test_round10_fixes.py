@@ -1,0 +1,89 @@
+"""Round-10 regression pins.
+
+r9 verdict item 2: q_e4_incident_overlap regressed 3.6x because the
+incident side (a corpus-scale groupBy + windows) was fed into
+interval_join un-checkpointed while the operator consumes each input in
+up to four subplans (auto-bucket median pass + grid + two outlier theta
+branches). The fix checkpoints BOTH sides and passes the provably-right
+hour grid explicitly. These tests pin the plan shape so the regression
+cannot silently return.
+"""
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_incident_overlap_reads_only_checkpointed_lineage(spark):
+    """Both interval_join inputs must be localCheckpointed: the
+    optimized plan then reads ONLY LogicalRDD leaves — the events
+    parquet scan (and the sessionize/hot-hour shuffles above it) must
+    appear ZERO times, because any appearance means Spark would
+    re-execute that corpus-scale lineage once per consuming subplan
+    (r9: 0.85 s -> 3.08 s from exactly this)."""
+    from tensorflow_recorder_spark.queries.e4 import q_e4_incident_overlap
+
+    df = q_e4_incident_overlap(spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan
+    assert "parquet" not in plan.lower(), (
+        "corpus scan leaked into the join plan — an interval_join input "
+        "lost its localCheckpoint and will re-execute per consumer"
+    )
+
+
+def test_incident_overlap_skips_auto_bucket_median_pass(spark, monkeypatch):
+    """Hour-aligned incidents make bucket=3600 provably right, so the
+    query must pass it explicitly and never trigger the eager
+    auto_bucket_seconds action (an extra full pass over both lineages
+    at plan-construction time)."""
+    from tensorflow_recorder_spark.operators import intervals
+    from tensorflow_recorder_spark.queries.e4 import q_e4_incident_overlap
+
+    def _boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError(
+            "auto_bucket_seconds was invoked: q_e4_incident_overlap must "
+            "pass bucket_seconds=3600 explicitly"
+        )
+
+    monkeypatch.setattr(intervals, "auto_bucket_seconds", _boom)
+    df = q_e4_incident_overlap(spark, SF)
+    assert df.columns  # plan built without the eager median pass
+
+
+def test_jpeg_undefined_table_routes_to_discard(spark, tmp_path):
+    """End-to-end guard for the r9 pytest-RED fix: a progressive JPEG
+    whose scan header references an undefined Huffman table must route
+    to DISCARD through the image loader's declared-ValueError contract
+    (operators/image.py), not crash the Arrow batch."""
+    import pandas as pd
+
+    from tensorflow_recorder_spark.api import convert
+    from tensorflow_recorder_spark.functions.jpeg_codec import (
+        encode_jpeg_progressive,
+    )
+
+    px = bytes((i * 7) % 256 for i in range(10 * 9 * 3))
+    good = encode_jpeg_progressive(px, 10, 9, "RGB")
+    bad = bytearray(good)
+    pos = 2
+    while pos + 4 <= len(bad):
+        if bad[pos] != 0xFF:
+            break
+        if bad[pos + 1] == 0xDA:  # SOS: point every Td/Ta at slot 15
+            ns = bad[pos + 4]
+            for c in range(ns):
+                bad[pos + 6 + 2 * c] = 0xFF
+            break
+        pos += 2 + ((bad[pos + 2] << 8) | bad[pos + 3])
+    good_p = tmp_path / "good.jpg"
+    bad_p = tmp_path / "bad.jpg"
+    good_p.write_bytes(good)
+    bad_p.write_bytes(bytes(bad))
+    pdf = pd.DataFrame(
+        [
+            {"split": "TRAIN", "image_uri": str(good_p), "label": "a"},
+            {"split": "TRAIN", "image_uri": str(bad_p), "label": "b"},
+        ]
+    )
+    result = convert(pdf, output_dir=str(tmp_path / "out"), spark=spark)
+    assert result["metrics"]["good_images"] == 1
+    assert result["metrics"]["bad_images"] == 1
