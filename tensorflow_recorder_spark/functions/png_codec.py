@@ -256,7 +256,14 @@ def encode_png(
     if srgb_intent is not None:
         meta += chunk(b"sRGB", bytes([srgb_intent & 3]))
     if gamma is not None:
-        meta += chunk(b"gAMA", struct.pack(">I", int(gamma)))
+        gamma = int(gamma)
+        # validate before struct.pack: a negative or >= 2**32 value
+        # raises an opaque struct.error; gAMA is a u32 (RFC 2083 4.2.1).
+        if not 0 <= gamma < 2**32:
+            raise ValueError(
+                f"gAMA gamma must be a u32 (0 <= g < 2**32), got {gamma}"
+            )
+        meta += chunk(b"gAMA", struct.pack(">I", gamma))
     return (
         PNG_SIGNATURE
         + chunk(b"IHDR", ihdr)

@@ -509,42 +509,74 @@ def _walk_chunks(data: bytes, pos: int, end: int):
         pos += 8 + size + (size & 1)
 
 
-def _find_image_chunk(data: bytes) -> tuple[str, bytes]:
-    """-> ('vp8l' | 'vp8', chunk body) for the container's first image
-    stream. Plain stills carry VP8L/'VP8 ' at top level; VP8X extended
-    stills carry them after metadata chunks (ICCP/ALPH/EXIF/XMP — all
-    skipped by the walk); animations carry them NESTED inside ANMF
-    frames, behind a 16-byte frame descriptor — the FIRST frame is the
-    still representation (r9; previously every VP8X container was
-    NotImplementedError -> synthetic fallback). A clean walk that finds
-    no image stream at all stays a CAPABILITY gap
-    (NotImplementedError) so the loader can fall back rather than
-    DISCARD a valid file."""
+def _find_image_chunk(data: bytes) -> tuple[str, bytes, bytes | None]:
+    """-> ('vp8l' | 'vp8', chunk body, ALPH body | None) for the
+    container's first image stream. Plain stills carry VP8L/'VP8 ' at
+    top level; VP8X extended stills carry them after metadata chunks
+    (ICCP/EXIF/XMP skipped; an ALPH alpha plane preceding the VP8 data
+    is CAPTURED and returned — r10, previously silently dropped);
+    animations carry them NESTED inside ANMF frames, behind a 16-byte
+    frame descriptor — the FIRST frame is the still representation
+    (r9; previously every VP8X container was NotImplementedError ->
+    synthetic fallback). A clean walk that finds no image stream at
+    all stays a CAPABILITY gap (NotImplementedError) so the loader can
+    fall back rather than DISCARD a valid file."""
     saw_any = False
+    alph = None
     for tag, off, size in _walk_chunks(data, 12, len(data)):
         saw_any = True
+        if tag == b"ALPH":
+            alph = data[off : off + size]
         if tag == b"VP8L":
-            return "vp8l", data[off : off + size]
+            return "vp8l", data[off : off + size], alph
         if tag == b"VP8 ":
-            return "vp8", data[off : off + size]
+            return "vp8", data[off : off + size], alph
         if tag == b"ANMF":
             # payload: x(3) y(3) w-1(3) h-1(3) duration(3) flags(1),
             # then the frame's own sub-chunks (ALPH? then VP8/VP8L)
             if size < 16:
                 raise ValueError("corrupt WebP: short ANMF descriptor")
             for t2, o2, s2 in _walk_chunks(data, off + 16, off + size):
+                if t2 == b"ALPH":
+                    alph = data[o2 : o2 + s2]
                 if t2 == b"VP8L":
-                    return "vp8l", data[o2 : o2 + s2]
+                    return "vp8l", data[o2 : o2 + s2], alph
                 if t2 == b"VP8 ":
-                    return "vp8", data[o2 : o2 + s2]
+                    return "vp8", data[o2 : o2 + s2], alph
             raise ValueError("corrupt WebP: ANMF frame without image data")
     if not saw_any:
         raise ValueError("corrupt WebP: no chunks")
     raise NotImplementedError("WebP container without an image chunk")
 
 
+def _decode_alph_plane(alph: bytes, w: int, h: int) -> bytes | None:
+    """Decode an ALPH chunk into a ``w*h`` alpha plane, or ``None``
+    when the chunk uses a variant this module cannot certify.
+
+    Header byte: 2 reserved bits, 2 preprocessing bits, 2 filtering
+    bits, 2 compression bits. Only the RAW (compression=0) UNFILTERED
+    (filtering=0) layout is decoded — it is exactly ``w*h`` plane
+    bytes after the header, with nothing to mis-transcribe. Filtered
+    or VP8L-compressed alpha would require predictor/stream semantics
+    this container provides no spec text or libwebp fixture to certify
+    against (same discipline as the VP8 probability-table gap:
+    document, don't fabricate) — callers get ``None`` and the decoded
+    image stays 'RGB' with the limitation noted in decode_webp."""
+    if not alph:
+        return None
+    head = alph[0]
+    compression = head & 0x3
+    filtering = (head >> 2) & 0x3
+    if compression != 0 or filtering != 0:
+        return None
+    plane = alph[1 : 1 + w * h]
+    if len(plane) < w * h:
+        raise ValueError("corrupt WebP: ALPH plane shorter than frame")
+    return bytes(plane)
+
+
 def _find_vp8l_chunk(data: bytes) -> bytes:
-    kind, body = _find_image_chunk(data)
+    kind, body, _alph = _find_image_chunk(data)
     if kind == "vp8":
         raise LossyWebPError(
             "lossy WebP (VP8) is not decoded by the VP8L module"
@@ -618,11 +650,17 @@ def decode_webp(data: bytes) -> tuple[bytes, int, int, str]:
     containers decode their FIRST image stream (r9): the returned
     dimensions are the frame's own, and an animation is represented by
     its first frame. Mode is 'RGBA' when any pixel has alpha != 255,
-    else 'RGB'. Corrupt data raises ValueError (-> DISCARD route)."""
+    else 'RGB'. A lossy frame's ALPH alpha plane is applied when it is
+    raw and unfiltered (r10); FILTERED or VP8L-COMPRESSED alpha is a
+    documented capability gap — the frame decodes as 'RGB' with
+    transparency discarded (the reference's PIL loader would surface
+    RGBA there; certifying the predictor/stream semantics needs spec
+    text or libwebp fixtures this environment does not provide).
+    Corrupt data raises ValueError (-> DISCARD route)."""
     if not is_webp(data):
         raise ValueError("not a WebP (missing magic)")
     try:
-        kind, body = _find_image_chunk(data)
+        kind, body, alph = _find_image_chunk(data)
         if kind == "vp8":
             from .vp8_codec import decode_vp8_frame
 
@@ -630,6 +668,13 @@ def decode_webp(data: bytes) -> tuple[bytes, int, int, str]:
                 rgb, w, h = decode_vp8_frame(body)
             except (IndexError, struct.error) as exc:
                 raise ValueError(f"corrupt VP8: truncated ({exc})") from exc
+            plane = _decode_alph_plane(alph, w, h) if alph else None
+            if plane is not None:
+                raw = bytearray()
+                for i in range(w * h):
+                    raw += rgb[3 * i : 3 * i + 3]
+                    raw.append(plane[i])
+                return bytes(raw), w, h, "RGBA"
             return rgb, w, h, "RGB"
         pixels, w, h, _ = decode_vp8l_stream(body)
     except (struct.error, IndexError) as exc:

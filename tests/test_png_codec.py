@@ -239,3 +239,18 @@ def test_extract_images_decodes_real_png(spark, tmp_path):
     assert ok["split"] == "TRAIN" and ok["__image_ok"]
     bad_row = [r for r in rows.values() if r["image_name"] is None][0]
     assert bad_row["split"] == "DISCARD" and not bad_row["__image_ok"]
+
+
+def test_encode_png_gamma_out_of_range_raises_valueerror():
+    """r9 advice: gAMA is a u32 (RFC 2083 4.2.1) — a negative or
+    >= 2**32 gamma must raise a clear ValueError, not an opaque
+    struct.error from the pack call."""
+    import pytest
+
+    px = bytes(range(4 * 3 * 3))
+    for bad in (-1, 2**32, 2**40):
+        with pytest.raises(ValueError, match="gAMA"):
+            encode_png(px, 4, 3, "RGB", gamma=bad)
+    # boundary values still encode
+    for ok in (0, 2**32 - 1):
+        assert encode_png(px, 4, 3, "RGB", gamma=ok)

@@ -460,7 +460,10 @@ def test_animated_webp_decodes_first_frame_lossless():
 
 def test_animated_webp_decodes_first_frame_lossy_nested():
     """The first frame's stream may be lossy VP8 nested inside ANMF —
-    the walk must find it and route to the VP8 decoder."""
+    the walk must find it and route to the VP8 decoder. A raw
+    unfiltered ALPH plane preceding it is APPLIED (r10 — previously
+    silently dropped): mode flips to RGBA with the plane's exact
+    bytes interleaved."""
     from tensorflow_recorder_spark.functions.vp8_codec import (
         decode_webp_vp8 as _,
         encode_webp_vp8,
@@ -469,16 +472,62 @@ def test_animated_webp_decodes_first_frame_lossy_nested():
     px = rng_pixels(24, 16, 16)
     full = encode_webp_vp8(px, 16, 16, qi=4)
     body = _chunk_of(full, b"VP8 ")
+    plane = bytes((i * 7) % 256 for i in range(16 * 16))
     data = _riff(
         [
             _vp8x(16, 16, True),
             (b"ANIM", b"\x00" * 6),
-            (b"ANMF", _anmf([(b"ALPH", b"\x00\x01"), (b"VP8 ", body)], 16, 16)),
+            (
+                b"ANMF",
+                _anmf([(b"ALPH", b"\x00" + plane), (b"VP8 ", body)], 16, 16),
+            ),
         ]
     )
     out, w, h, mode = decode_webp(data)
     want, _, _, _ = decode_webp(full)
-    assert (w, h, mode) == (16, 16, "RGB") and out == want
+    assert (w, h, mode) == (16, 16, "RGBA")
+    assert out[3::4] == plane  # alpha channel = the ALPH plane verbatim
+    assert bytes(b for i, b in enumerate(out) if i % 4 != 3) == want
+
+
+def test_lossy_alph_unsupported_variants_drop_alpha_documented():
+    """Filtered (F!=0) or VP8L-compressed (C!=0) ALPH is a documented
+    capability gap: the frame decodes as RGB with transparency
+    discarded, never a crash or fabricated plane."""
+    from tensorflow_recorder_spark.functions.vp8_codec import encode_webp_vp8
+
+    px = rng_pixels(25, 16, 16)
+    full = encode_webp_vp8(px, 16, 16, qi=4)
+    body = _chunk_of(full, b"VP8 ")
+    plane = bytes(256)
+    for head in (0x01, 0x04):  # C=1 (compressed) / F=1 (filtered)
+        data = _riff(
+            [
+                _vp8x(16, 16, False),
+                (b"ALPH", bytes([head]) + plane),
+                (b"VP8 ", body),
+            ]
+        )
+        out, w, h, mode = decode_webp(data)
+        assert (w, h, mode) == (16, 16, "RGB")
+
+
+def test_lossy_alph_shorter_than_frame_is_corrupt():
+    """A raw unfiltered ALPH that declares fewer plane bytes than the
+    frame has pixels is CORRUPTION -> ValueError (DISCARD route)."""
+    from tensorflow_recorder_spark.functions.vp8_codec import encode_webp_vp8
+
+    px = rng_pixels(26, 16, 16)
+    body = _chunk_of(encode_webp_vp8(px, 16, 16, qi=4), b"VP8 ")
+    data = _riff(
+        [
+            _vp8x(16, 16, False),
+            (b"ALPH", b"\x00\x01\x02"),  # 2 plane bytes for 256 pixels
+            (b"VP8 ", body),
+        ]
+    )
+    with pytest.raises(ValueError, match="ALPH"):
+        decode_webp(data)
 
 
 def test_vp8x_without_image_chunk_stays_capability_gap():
