@@ -1250,9 +1250,13 @@ def q_s37_stream_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations are forbidden; s36 finalizes batch-side the same
     way). Per-hour output state is calendar-bounded by construction.
     With the bounded source fully drained the session set equals the
-    batch lag-gap formulation (same measure-zero boundary note as s2),
-    so the e4_concurrency oracle applies verbatim — stateful
-    batch/stream parity for the sweep-line family."""
+    batch lag-gap formulation (same measure-zero boundary note as s2 —
+    and since r10 the no-exact-1800s-gap + sub-second-timestamp fixture
+    invariants the argument rests on are ASSERTED by
+    tests/test_round10_fixes.py::test_fixture_has_no_exact_session_gap_boundary,
+    so a fixture regen cannot silently flip this oracle), so the
+    e4_concurrency oracle applies verbatim — stateful batch/stream
+    parity for the sweep-line family."""
     from ..operators.intervals import concurrency_by_hour
 
     stream = _event_stream(spark, sf_dir)

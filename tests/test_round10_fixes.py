@@ -87,3 +87,39 @@ def test_jpeg_undefined_table_routes_to_discard(spark, tmp_path):
     result = convert(pdf, output_dir=str(tmp_path / "out"), spark=spark)
     assert result["metrics"]["good_images"] == 1
     assert result["metrics"]["bad_images"] == 1
+
+
+def test_fixture_has_no_exact_session_gap_boundary():
+    """r9 advice: session_window('30 minutes') is end-exclusive (an
+    event exactly 1800s after the previous one starts a NEW session)
+    while batch sessionize uses strict 'gap > 1800' (same session) —
+    the stream/batch oracle equivalence for s2/s37 therefore relies on
+    no user ever having an EXACT 1800.000000s inter-event gap. That is
+    measure-zero only because the fixture timestamps carry sub-second
+    precision; this test pins BOTH facts so a future fixture regen with
+    integer-second timestamps fails loudly here instead of flipping a
+    streaming oracle."""
+    import duckdb
+
+    for sf in ("0.001", "0.01"):
+        con = duckdb.connect()
+        exact, subsec, n = con.execute(
+            f"""
+            WITH g AS (
+              SELECT epoch(ts) - epoch(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts)) AS gap,
+                     epoch_ns(ts) % 1000000000 AS subsec
+              FROM '/root/testdata/sf{sf}/events.parquet')
+            SELECT count(*) FILTER (gap = 1800),
+                   count(*) FILTER (subsec != 0),
+                   count(*) FROM g
+            """
+        ).fetchone()
+        assert exact == 0, (
+            f"sf{sf}: {exact} exact-30-minute gaps — stream (end-exclusive "
+            "session_window) and batch (gap > 1800) would disagree"
+        )
+        assert subsec == n, (
+            f"sf{sf}: integer-second timestamps — the measure-zero "
+            "boundary argument no longer holds"
+        )
