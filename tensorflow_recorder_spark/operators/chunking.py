@@ -154,6 +154,7 @@ def cdc_chunks(
     divisor: int = 64,
     keep: list[str] | None = None,
     include_text: bool = False,
+    hash_algo: str = "md5",
 ) -> DataFrame:
     """Content-defined chunking (FastCDC/rsync family): cut each
     document where the rolling hash of the trailing ``window`` chars is
@@ -187,8 +188,23 @@ def cdc_chunks(
     per-row construction). Output: ``id_col, chunk_idx, chunk_len,
     chunk_hash`` (+``keep`` passthrough columns, +``chunk_text`` when
     requested). Empty documents produce zero rows.
+
+    ``hash_algo`` picks the chunk CONTENT hash (the cut predicate is
+    always buzhash): ``'md5'`` (default) is a 32-char hex string both
+    engines reproduce byte-identically — required whenever chunk_hash
+    VALUES feed an oracle (s36 derives HLL registers from the hex).
+    ``'xxhash64'`` (r10) is Spark's JVM 64-bit hash as a LONG — for
+    consumers whose OUTPUTS are hash-free aggregates (dedup ratios,
+    stability counts), where only distinct-equality of the hash
+    matters: the digest is ~3x cheaper than md5 and, more importantly
+    at scale, every downstream distinct/join/groupBy shuffles an
+    8-byte long instead of a 32-byte string key. Collision risk at the
+    30x decade (~10M chunks): ~10M^2 / 2^65 ≈ 3e-6 expected colliding
+    pairs — below any observable effect on the aggregate outputs.
     """
     w, d = int(window), int(divisor)
+    if hash_algo not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_algo must be 'md5' or 'xxhash64', got {hash_algo!r}")
     if w < 1 or w > 32:
         raise ValueError(f"window must be in [1, 32], got {window}")
     n = f"length({text_col})"
@@ -230,13 +246,15 @@ def cdc_chunks(
         F.col(text_col).alias("__txt"),
         F.posexplode("__spans").alias("chunk_idx", "__sp"),
     )
+    content = F.expr("substring(__txt, __sp.s, __sp.e - __sp.s + 1)")
+    chunk_hash = (
+        F.md5(content) if hash_algo == "md5" else F.xxhash64(content)
+    )
     return exploded.select(
         *[c for c in [id_col] + list(keep or [])],
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         (F.col("__sp.e") - F.col("__sp.s") + 1).cast("long").alias("chunk_len"),
-        F.md5(
-            F.expr("substring(__txt, __sp.s, __sp.e - __sp.s + 1)")
-        ).alias("chunk_hash"),
+        chunk_hash.alias("chunk_hash"),
         *(
             [
                 F.expr("substring(__txt, __sp.s, __sp.e - __sp.s + 1)").alias(

@@ -1534,7 +1534,12 @@ def q_e3_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.chunking import cdc_chunks
 
     docs = _t(spark, sf_dir, "documents")
-    ch = cdc_chunks(docs, keep=["source"])
+    # xxhash64 (8-byte long), not md5 (32-char hex): the output is a
+    # hash-free aggregate, so only distinct-equality of the chunk hash
+    # matters — the narrower key cuts the (source, hash) shuffle ~40%
+    # and the digest ~3x (r9 verdict item 6; the oracle keeps md5 and
+    # matches because the per-source counts are hash-agnostic).
+    ch = cdc_chunks(docs, keep=["source"], hash_algo="xxhash64")
     per = ch.groupBy("source", "chunk_hash").agg(
         F.count(F.lit(1)).alias("cnt"), F.max("chunk_len").alias("clen")
     )
@@ -1578,8 +1583,11 @@ def q_e3_cdc_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.chunking import cdc_chunks
 
     docs = _t(spark, sf_dir, "documents")
+    # xxhash64 chunk hashes (see q_e3_cdc_dedup): the stability output
+    # is hash-free, and both the distinct and the (doc, hash) join key
+    # shrink from a 32-char string to a long.
     orig = (
-        cdc_chunks(docs, keep=["source"])
+        cdc_chunks(docs, keep=["source"], hash_algo="xxhash64")
         .select("doc_id", "source", "chunk_hash")
         .distinct()
     )
@@ -1592,6 +1600,7 @@ def q_e3_cdc_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "text", F.concat(F.lit("PREFIX_SHIFT "), F.col("text"))
             ),
             keep=["source"],
+            hash_algo="xxhash64",
         )
         .select("doc_id", "source", "chunk_hash")
         .distinct()

@@ -123,3 +123,37 @@ def test_fixture_has_no_exact_session_gap_boundary():
             f"sf{sf}: integer-second timestamps — the measure-zero "
             "boundary argument no longer holds"
         )
+
+
+def test_cdc_chunks_hash_algo_variants(spark):
+    """hash_algo='xxhash64' must produce the SAME cut geometry as md5
+    (the cut predicate is buzhash either way) with a LONG hash whose
+    distinct structure matches the md5 hex's — the property the
+    hash-free CDC aggregates rely on. Bad algo names are rejected."""
+    import pytest
+
+    from tensorflow_recorder_spark.operators.chunking import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 20),
+         (2, "the quick brown fox jumps over the lazy dog " * 20),
+         (3, "an entirely different document body with other words " * 15)],
+        "doc_id long, text string",
+    )
+    md = cdc_chunks(df, hash_algo="md5").collect()
+    xx = cdc_chunks(df, hash_algo="xxhash64").collect()
+    assert [(r["doc_id"], r["chunk_idx"], r["chunk_len"]) for r in md] == [
+        (r["doc_id"], r["chunk_idx"], r["chunk_len"]) for r in xx
+    ]
+    assert all(isinstance(r["chunk_hash"], int) for r in xx)
+    assert all(isinstance(r["chunk_hash"], str) for r in md)
+    # identical docs 1/2 share every hash; distinct partitioning agrees
+    md_map = {}
+    xx_map = {}
+    for r_md, r_xx in zip(md, xx):
+        md_map.setdefault(r_md["chunk_hash"], set()).add(r_xx["chunk_hash"])
+        xx_map.setdefault(r_xx["chunk_hash"], set()).add(r_md["chunk_hash"])
+    assert all(len(v) == 1 for v in md_map.values())
+    assert all(len(v) == 1 for v in xx_map.values())
+    with pytest.raises(ValueError, match="hash_algo"):
+        cdc_chunks(df, hash_algo="sha1")
