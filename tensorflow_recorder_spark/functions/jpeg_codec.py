@@ -1295,3 +1295,63 @@ def encode_jpeg_progressive(
             out += ac_scan(c, ss, se, 1, 0)
     out += b"\xff" + bytes([EOI])
     return bytes(out)
+
+
+def jpeg_marker_census(data: bytes) -> dict:
+    """Wire-level marker census WITHOUT entropy decoding — the
+    structural audit an ingest runs to measure corruption-resilience
+    budgets: restart markers bound the blast radius of a bit flip to
+    one restart interval, so ``n_rst_markers`` is the number of resync
+    points a decoder gets. Returns ``{width, height, progressive,
+    restart_interval, n_scans, n_rst_markers}``. Walks segments like
+    the decoder (T.81 B.1.1.2: stuffed 0xFF00 bytes in entropy data
+    are literals, 0xFFD0-D7 are restart markers, anything else ends
+    the scan); malformed structure raises ValueError."""
+    if len(data) < 2 or data[0] != 0xFF or data[1] != SOI:
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    width = height = None
+    progressive = False
+    restart_interval = 0
+    n_scans = 0
+    n_rst = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = data[pos + 1]
+        if marker == EOI:
+            break
+        seglen = (data[pos + 2] << 8) | data[pos + 3]
+        if seglen < 2 or pos + 2 + seglen > len(data):
+            raise ValueError("corrupt JPEG: truncated segment")
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker in (SOF0, SOF1, SOF2):
+            progressive = marker == SOF2
+            height, width = struct.unpack(">HH", seg[1:5])
+        elif marker == DRI:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        pos += 2 + seglen
+        if marker == SOS:
+            n_scans += 1
+            while pos + 1 < len(data):
+                if data[pos] == 0xFF:
+                    nxt = data[pos + 1]
+                    if nxt == 0x00:
+                        pos += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        n_rst += 1
+                        pos += 2
+                        continue
+                    break
+                pos += 1
+    if width is None:
+        raise ValueError("corrupt JPEG: no frame header")
+    return {
+        "width": int(width),
+        "height": int(height),
+        "progressive": progressive,
+        "restart_interval": int(restart_interval),
+        "n_scans": n_scans,
+        "n_rst_markers": n_rst,
+    }

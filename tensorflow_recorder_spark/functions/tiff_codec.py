@@ -70,17 +70,17 @@ def _read_tag_values(data: bytes, endian: str, typ: int, count: int,
     return list(struct.unpack(endian + _TYPE_FMT[typ] * count, raw))
 
 
-def _parse_ifd(data: bytes) -> tuple[dict[int, list[int]], str]:
-    if not is_tiff(data):
-        raise ValueError("not a TIFF (missing II*/MM* magic)")
-    endian = "<" if data[:2] == b"II" else ">"
-    (ifd_off,) = struct.unpack_from(endian + "I", data, 4)
+def _parse_ifd_at(
+    data: bytes, endian: str, ifd_off: int
+) -> tuple[dict[int, list[int]], int]:
+    """Parse ONE IFD at absolute offset ``ifd_off`` -> (tags, next IFD
+    absolute offset; 0 = end of chain)."""
     if ifd_off + 2 > len(data):
         raise ValueError("corrupt TIFF: IFD offset beyond EOF")
     (n_entries,) = struct.unpack_from(endian + "H", data, ifd_off)
     tags: dict[int, list[int]] = {}
     pos = ifd_off + 2
-    if pos + 12 * n_entries > len(data):
+    if pos + 12 * n_entries + 4 > len(data):
         raise ValueError("corrupt TIFF: truncated IFD")
     for _ in range(n_entries):
         tag, typ, count = struct.unpack_from(endian + "HHI", data, pos)
@@ -97,7 +97,64 @@ def _parse_ifd(data: bytes) -> tuple[dict[int, list[int]], str]:
             # (review finding r7).
             pass
         pos += 12
+    (next_off,) = struct.unpack_from(endian + "I", data, pos)
+    return tags, next_off
+
+
+def _parse_ifd(data: bytes) -> tuple[dict[int, list[int]], str]:
+    if not is_tiff(data):
+        raise ValueError("not a TIFF (missing II*/MM* magic)")
+    endian = "<" if data[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(endian + "I", data, 4)
+    tags, _next = _parse_ifd_at(data, endian, ifd_off)
     return tags, endian
+
+
+def tiff_ifd_chain(data: bytes) -> list[dict[int, list[int]]]:
+    """Walk the FULL IFD chain (TIFF 6.0 §2: each IFD ends with the
+    absolute offset of the next, 0 terminating) -> one tag dict per
+    page. Multi-page TIFFs are the standard container for scanned
+    documents and burst captures; ``decode_tiff`` reads page 1 only,
+    this walker is the page census. A cyclic or self-referencing chain
+    is CORRUPTION -> ValueError (bounded walk, no spin)."""
+    if not is_tiff(data):
+        raise ValueError("not a TIFF (missing II*/MM* magic)")
+    endian = "<" if data[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(endian + "I", data, 4)
+    seen: set[int] = set()
+    pages: list[dict[int, list[int]]] = []
+    while ifd_off:
+        if ifd_off in seen:
+            raise ValueError("corrupt TIFF: cyclic IFD chain")
+        seen.add(ifd_off)
+        tags, ifd_off = _parse_ifd_at(data, endian, ifd_off)
+        pages.append(tags)
+    if not pages:
+        raise ValueError("corrupt TIFF: empty IFD chain")
+    return pages
+
+
+def tiff_page_meta(data: bytes) -> list[dict]:
+    """Per-page geometry/compression census off :func:`tiff_ifd_chain`:
+    ``[{width, height, compression, n_strips}, ...]`` — the metadata a
+    multi-page ingest reads before deciding what to decode."""
+    out = []
+    for tags in tiff_ifd_chain(data):
+        try:
+            width = tags[_IMAGE_WIDTH][0]
+            height = tags[_IMAGE_LENGTH][0]
+            offsets = tags[_STRIP_OFFSETS]
+        except KeyError as e:
+            raise ValueError(f"corrupt TIFF: page missing required tag {e}")
+        out.append(
+            {
+                "width": width,
+                "height": height,
+                "compression": tags.get(_COMPRESSION, [1])[0],
+                "n_strips": len(offsets),
+            }
+        )
+    return out
 
 
 def _unpackbits(src: bytes, expected: int) -> bytes:
@@ -391,25 +448,30 @@ def encode_tiff(
         compression
     ]
     rps = rows_per_strip or height
-    row_bytes = width * spp
+    strips = _compress_strips(pixels, width, height, spp, compression, rps)
+    # layout: header(8) + page (IFD + [external tag arrays] + strips)
+    page, _next_rel = _build_page(
+        strips, width, height, spp, comp_id, rps, orientation, base=8
+    )
+    return b"II*\x00" + struct.pack("<I", 8) + bytes(page)
 
-    strips: list[bytes] = []
-    for y0 in range(0, height, rps):
-        rows = pixels[y0 * row_bytes:(y0 + min(rps, height - y0)) * row_bytes]
-        if compression == "none":
-            strips.append(rows)
-        elif compression == "packbits":
-            packed = bytearray()
-            for r in range(0, len(rows), row_bytes):
-                packed += _packbits(rows[r:r + row_bytes])
-            strips.append(bytes(packed))
-        elif compression == "deflate":
-            strips.append(zlib.compress(rows))
-        else:
-            strips.append(_lzw_encode(rows))
 
+def _build_page(
+    strips: list[bytes],
+    width: int,
+    height: int,
+    spp: int,
+    comp_id: int,
+    rps: int,
+    orientation: int | None,
+    base: int,
+) -> tuple[bytearray, int]:
+    """Lay out ONE page — IFD + external tag arrays + strip data — as
+    self-contained bytes placed at absolute file offset ``base`` (all
+    offsets inside are absolute, per TIFF 6.0). The IFD's next-IFD
+    pointer is written as 0; its offset RELATIVE to the page start is
+    returned so a multipage writer can patch the chain after layout."""
     n_strips = len(strips)
-    # layout: header(8) + IFD + [external tag arrays] + strip data
     tag_list = [
         (_IMAGE_WIDTH, 4, 1, width),
         (_IMAGE_LENGTH, 4, 1, height),
@@ -425,7 +487,7 @@ def encode_tiff(
     if orientation is None:
         tag_list = [t for t in tag_list if t[0] != _ORIENTATION]
     n_tags = len(tag_list)
-    ifd_off = 8
+    ifd_off = base
     after_ifd = ifd_off + 2 + 12 * n_tags + 4
     # external arrays
     ext = bytearray()
@@ -455,7 +517,6 @@ def encode_tiff(
         )
 
     out = bytearray()
-    out += b"II*\x00" + struct.pack("<I", ifd_off)
     out += struct.pack("<H", n_tags)
     for tag, typ, count, value in tag_list:
         if tag == _BITS_PER_SAMPLE and spp == 3:
@@ -465,8 +526,69 @@ def encode_tiff(
         elif tag == _STRIP_BYTE_COUNTS:
             value = len(strips[0]) if n_strips == 1 else counts_off
         out += struct.pack("<HHII", tag, typ, count, value)
-    out += struct.pack("<I", 0)  # next IFD
+    next_rel = len(out)
+    out += struct.pack("<I", 0)  # next IFD (patched by multipage writer)
     out += ext
     for s in strips:
         out += s
+    return out, next_rel
+
+
+def _compress_strips(
+    pixels: bytes, width: int, height: int, spp: int,
+    compression: str, rps: int,
+) -> list[bytes]:
+    """Strip + compress one page's pixel buffer (shared by the single-
+    and multi-page writers)."""
+    row_bytes = width * spp
+    strips: list[bytes] = []
+    for y0 in range(0, height, rps):
+        rows = pixels[y0 * row_bytes:(y0 + min(rps, height - y0)) * row_bytes]
+        if compression == "none":
+            strips.append(rows)
+        elif compression == "packbits":
+            packed = bytearray()
+            for r in range(0, len(rows), row_bytes):
+                packed += _packbits(rows[r:r + row_bytes])
+            strips.append(bytes(packed))
+        elif compression == "deflate":
+            strips.append(zlib.compress(rows))
+        else:
+            strips.append(_lzw_encode(rows))
+    return strips
+
+
+def encode_tiff_multipage(
+    pages: list[tuple[bytes, int, int, str, str]],
+) -> bytes:
+    """Write a multi-page little-endian strip TIFF: one IFD per page,
+    chained via each IFD's next-IFD pointer (TIFF 6.0 §2 — the layout
+    scanners and burst-capture tools emit). ``pages`` is a list of
+    ``(pixels, width, height, mode, compression)``; page 1 is what
+    :func:`decode_tiff` returns, :func:`tiff_ifd_chain` walks them
+    all. Layout is sequential (page k's bytes precede page k+1's), so
+    the chain pointers are strictly forward — the walker's cycle guard
+    never trips on our own output."""
+    if not pages:
+        raise ValueError("encode_tiff_multipage needs at least one page")
+    built: list[tuple[int, bytearray, int]] = []  # (base, bytes, next_rel)
+    base = 8
+    for pixels, width, height, mode, compression in pages:
+        spp = 1 if mode == "L" else 3
+        if len(pixels) != width * height * spp:
+            raise ValueError("pixel buffer does not match dimensions")
+        comp_id = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}[
+            compression
+        ]
+        strips = _compress_strips(pixels, width, height, spp, compression, height)
+        page, next_rel = _build_page(
+            strips, width, height, spp, comp_id, height, None, base=base
+        )
+        built.append((base, page, next_rel))
+        base += len(page)
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    for i, (_b, page, next_rel) in enumerate(built):
+        if i + 1 < len(built):
+            struct.pack_into("<I", page, next_rel, built[i + 1][0])
+        out += page
     return bytes(out)

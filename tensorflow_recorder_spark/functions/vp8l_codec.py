@@ -575,6 +575,144 @@ def _decode_alph_plane(alph: bytes, w: int, h: int) -> bytes | None:
     return bytes(plane)
 
 
+def build_webp(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    """Assemble a RIFF/WEBP container from ``(tag, payload)`` chunks
+    (even-padding per RIFF). Fixture builder for the container-walk
+    surfaces (animation census, alpha audit)."""
+    body = b"WEBP"
+    for tag, payload in chunks:
+        body += tag + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def build_vp8x(
+    w: int, h: int, animated: bool = False, has_alpha: bool = False
+) -> tuple[bytes, bytes]:
+    """VP8X chunk: flags byte (0x02 = animation, 0x10 = alpha — the
+    repo-wide convention shared with the walker/tests), 3 reserved
+    bytes, canvas (w-1, h-1) as 24-bit LE."""
+    flags = (0x02 if animated else 0) | (0x10 if has_alpha else 0)
+    return (
+        b"VP8X",
+        bytes([flags, 0, 0, 0])
+        + struct.pack("<I", w - 1)[:3]
+        + struct.pack("<I", h - 1)[:3],
+    )
+
+
+def build_anim(loop_count: int, bg_argb: int = 0) -> tuple[bytes, bytes]:
+    """ANIM chunk: 4-byte background color + 16-bit LE loop count
+    (0 = infinite)."""
+    return b"ANIM", struct.pack("<IH", bg_argb & 0xFFFFFFFF, loop_count & 0xFFFF)
+
+
+def build_anmf(
+    frame_chunks: list[tuple[bytes, bytes]],
+    w: int,
+    h: int,
+    x: int = 0,
+    y: int = 0,
+    duration_ms: int = 100,
+    dispose_bg: bool = False,
+    no_blend: bool = False,
+) -> tuple[bytes, bytes]:
+    """ANMF frame chunk: 16-byte descriptor (x/3, y/3, w-1/3, h-1/3,
+    duration/3 LE, flags/1 — bit0 dispose-to-background, bit1
+    no-blend) followed by the frame's own sub-chunks (ALPH? then
+    VP8/VP8L)."""
+    flags = (0x01 if dispose_bg else 0) | (0x02 if no_blend else 0)
+    body = (
+        struct.pack("<I", x)[:3]
+        + struct.pack("<I", y)[:3]
+        + struct.pack("<I", w - 1)[:3]
+        + struct.pack("<I", h - 1)[:3]
+        + struct.pack("<I", duration_ms)[:3]
+        + bytes([flags])
+    )
+    for tag, payload in frame_chunks:
+        body += tag + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+    return b"ANMF", body
+
+
+def webp_animation_meta(data: bytes) -> dict:
+    """Container-level animation census WITHOUT decoding frame pixels —
+    what an ingest reads to budget frame extraction: ``{animated,
+    canvas_w, canvas_h, loop_count, frames: [{w, h, duration_ms,
+    dispose_bg, no_blend, kind}]}``. A plain still reports
+    ``animated=False`` with one pseudo-frame (kind + canvas via the
+    stream header is the decoder's job, so w/h are None there).
+    Corrupt structure raises ValueError; chunk layout per the same
+    VP8X/ANIM/ANMF walk as :func:`_find_image_chunk`."""
+    if not is_webp(data):
+        raise ValueError("not a WebP (missing magic)")
+    meta = {
+        "animated": False,
+        "canvas_w": None,
+        "canvas_h": None,
+        "loop_count": None,
+        "frames": [],
+    }
+    for tag, off, size in _walk_chunks(data, 12, len(data)):
+        if tag == b"VP8X":
+            if size < 10:
+                raise ValueError("corrupt WebP: short VP8X")
+            flags = data[off]
+            meta["animated"] = bool(flags & 0x02)
+            meta["canvas_w"] = 1 + int.from_bytes(
+                data[off + 4 : off + 7], "little"
+            )
+            meta["canvas_h"] = 1 + int.from_bytes(
+                data[off + 7 : off + 10], "little"
+            )
+        elif tag == b"ANIM":
+            if size < 6:
+                raise ValueError("corrupt WebP: short ANIM")
+            meta["loop_count"] = int.from_bytes(
+                data[off + 4 : off + 6], "little"
+            )
+        elif tag == b"ANMF":
+            if size < 16:
+                raise ValueError("corrupt WebP: short ANMF descriptor")
+            kind = None
+            for t2, _o2, _s2 in _walk_chunks(data, off + 16, off + size):
+                if t2 in (b"VP8L", b"VP8 "):
+                    kind = "vp8l" if t2 == b"VP8L" else "vp8"
+                    break
+            if kind is None:
+                raise ValueError("corrupt WebP: ANMF frame without image data")
+            flags = data[off + 15]
+            meta["frames"].append(
+                {
+                    "w": 1 + int.from_bytes(data[off + 6 : off + 9], "little"),
+                    "h": 1 + int.from_bytes(data[off + 9 : off + 12], "little"),
+                    "duration_ms": int.from_bytes(
+                        data[off + 12 : off + 15], "little"
+                    ),
+                    "dispose_bg": bool(flags & 0x01),
+                    "no_blend": bool(flags & 0x02),
+                    "kind": kind,
+                }
+            )
+        elif tag in (b"VP8L", b"VP8 ") and not meta["frames"]:
+            meta["frames"].append(
+                {
+                    "w": None,
+                    "h": None,
+                    "duration_ms": None,
+                    "dispose_bg": None,
+                    "no_blend": None,
+                    "kind": "vp8l" if tag == b"VP8L" else "vp8",
+                }
+            )
+    if not meta["frames"]:
+        raise NotImplementedError("WebP container without an image chunk")
+    return meta
+
+
 def _find_vp8l_chunk(data: bytes) -> bytes:
     kind, body, _alph = _find_image_chunk(data)
     if kind == "vp8":

@@ -794,3 +794,143 @@ SELECT gop_len,
        round(avg((gop_len - 1) / CAST(fps AS DOUBLE)), 6) AS avg_max_seek_s
 FROM meta GROUP BY gop_len
 """
+
+
+def q_e5_animated_webp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 animated-WebP census (r10, exercises the r9 VP8X/ANMF walk
+    end-to-end): per doc a deterministic animation is assembled, its
+    ANIM/ANMF metadata (frame count, total duration, loop count,
+    dispose-to-background flags) walked back off the wire, and the
+    FIRST frame really decoded with pixel fidelity checked
+    (operators/multimodal.py webp_animation_audit). The budget numbers
+    a video-ish ingest reads before deciding to extract frames. Plan:
+    narrow id in, six scalars out, one Arrow-batched pass — the
+    animation bytes never leave the Python stage."""
+    from ..operators.multimodal import webp_animation_audit
+
+    return webp_animation_audit(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+ORACLE_E5_ANIMATED_WEBP_AUDIT = """
+SELECT doc_id,
+       CAST(1 + doc_id % 4 AS BIGINT) AS n_frames,
+       CAST(list_sum(list_transform(generate_series(0, CAST(doc_id % 4 AS INT)),
+            i -> 40 + 10 * ((doc_id + i) % 3))) AS BIGINT) AS total_duration_ms,
+       CAST(doc_id % 3 AS BIGINT) AS loop_count,
+       CAST(list_sum(list_transform(generate_series(0, CAST(doc_id % 4 AS INT)),
+            i -> (doc_id + i) % 2)) AS BIGINT) AS n_dispose_bg,
+       true AS first_frame_ok
+FROM documents
+"""
+
+
+def q_e5_jpeg_restart_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 JPEG restart-marker resilience census (r10): restart markers
+    are the decoder's resync points — they bound a bit flip's blast
+    radius to one restart interval — so the wire-level marker count IS
+    the corruption-resilience budget. Per doc: a grayscale baseline
+    JPEG with doc-derived width and restart interval is encoded (48-
+    entry payload cache), censused (functions/jpeg_codec.py
+    jpeg_marker_census — stuffed 0xFF00 vs RSTn per T.81 B.1.1.2) and
+    decoded back. Every 23rd doc corrupts the scan header to reference
+    an UNDEFINED Huffman table, exercising the r10 parse-time guard:
+    decode fails with the declared ValueError, never a crash."""
+    from ..operators.multimodal import jpeg_restart_audit
+
+    return jpeg_restart_audit(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+ORACLE_E5_JPEG_RESTART_CENSUS = """
+SELECT doc_id,
+       CAST(16 + (doc_id % 3) * 8 AS BIGINT) AS width,
+       CAST(((16 + (doc_id % 3) * 8) // 8) * 2 AS BIGINT) AS n_mcus,
+       CAST(1 + doc_id % 4 AS BIGINT) AS restart_interval,
+       CAST(ceil((((16 + (doc_id % 3) * 8) // 8) * 2)
+                 / CAST(1 + doc_id % 4 AS DOUBLE)) - 1 AS BIGINT)
+         AS n_rst_markers,
+       doc_id % 23 <> 0 AS decode_ok
+FROM documents
+"""
+
+
+def q_e5_tiff_page_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 multi-page TIFF IFD-chain census (r10): scanned-document
+    TIFFs chain one IFD per page and decode_tiff reads page 1 only, so
+    the chain walk (functions/tiff_codec.py tiff_ifd_chain, cycle-
+    guarded) is what tells an ingest how many pages it is holding.
+    Per doc: a real multi-page TIFF (pages with rotating
+    none/packbits/lzw/deflate compression) is written, walked, and its
+    first page decoded back with pixel fidelity checked."""
+    from ..operators.multimodal import tiff_page_census
+
+    return tiff_page_census(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+ORACLE_E5_TIFF_PAGE_CENSUS = """
+SELECT doc_id,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_pages,
+       CAST(list_sum(list_transform(generate_series(0, CAST(doc_id % 3 AS INT)),
+            k -> (4 + (doc_id + k) % 3) * (3 + (doc_id + k) % 2))) AS BIGINT)
+         AS total_pixels,
+       CAST(list_sum(list_transform(generate_series(0, CAST(doc_id % 3 AS INT)),
+            k -> CASE WHEN (doc_id + k) % 4 <> 0 THEN 1 ELSE 0 END)) AS BIGINT)
+         AS n_compressed_pages,
+       true AS first_page_ok
+FROM documents
+"""
+
+
+def q_e5_webp_alpha_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 lossy-WebP alpha audit (r10, exercises this round's ALPH
+    decode): per doc one of three container shapes — plain VP8 still
+    ('none'), VP8X + raw unfiltered ALPH ('raw': the plane is APPLIED,
+    mode flips to RGBA with the exact constant alpha), VP8X +
+    compressed ALPH ('compressed': the documented capability gap —
+    alpha discarded, RGB, never a crash or fabricated plane). The
+    query certifies both the applied path and the honest-gap path."""
+    from ..operators.multimodal import webp_alpha_audit
+
+    return webp_alpha_audit(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+ORACLE_E5_WEBP_ALPHA_AUDIT = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'none' WHEN 1 THEN 'raw'
+            ELSE 'compressed' END AS alpha_mode,
+       CASE WHEN doc_id % 3 = 1 THEN 'RGBA' ELSE 'RGB' END AS mode,
+       doc_id % 3 = 1 AS alpha_applied,
+       CASE WHEN doc_id % 3 = 1
+            THEN CAST(((doc_id % 13) * 17) % 256 AS DOUBLE) END AS avg_alpha
+FROM documents
+"""
+
+
+def q_e5_webp_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 WebP metadata-chunk census (r10): per doc a VP8L still is
+    wrapped with deterministic optional ICCP/EXIF/XMP chunks (odd
+    payload sizes exercise RIFF even-padding), walked back chunk-by-
+    chunk, and the image stream really decoded — the walk an ingest
+    relies on for metadata stripping/retention decisions."""
+    from ..operators.multimodal import webp_chunk_census
+
+    return webp_chunk_census(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+ORACLE_E5_WEBP_CHUNK_CENSUS = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 2 = 0 OR doc_id % 3 = 0 OR doc_id % 5 = 0
+                 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+            + 1 AS BIGINT) AS n_chunks,
+       doc_id % 2 = 0 AS has_iccp,
+       doc_id % 3 = 0 AS has_exif,
+       doc_id % 5 = 0 AS has_xmp,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 15 + (doc_id % 5) * 4 ELSE 0 END
+            + CASE WHEN doc_id % 3 = 0 THEN 12 + (doc_id % 7) * 2 ELSE 0 END
+            + CASE WHEN doc_id % 5 = 0 THEN 21 ELSE 0 END AS BIGINT)
+         AS meta_bytes,
+       true AS decode_ok
+FROM documents
+"""

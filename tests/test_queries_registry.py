@@ -430,6 +430,24 @@ def test_driver_window_holds_all_unique_queries():
         "e4_changepoint",
         "e6_shard_stability",
         "e5_video_keyframe_budget",
+        # round-10 window swap-outs (green driver rows in r09; the
+        # slots went to three real-codec e5 audits exercising r10 code
+        # — the undefined-Huffman-table scan guard, the ALPH alpha
+        # decode, the TIFF IFD-chain walker. Machinery stays scored:
+        # e2_nprobe_recall_curve's IVF probe family via in-window
+        # e2_ivf_topk/e2_ivf_rebalance (the sweep is that operator
+        # iterated), rel_waiting_supplier's join/agg shape via the
+        # in-window relational neighbors, e5_subtitle_alignment's
+        # as-of machinery via in-window e4_scd2_intervals and the
+        # past-window e4_asof rows)
+        "e2_nprobe_recall_curve",
+        "rel_waiting_supplier",
+        "e5_subtitle_alignment",
+        # round-10 additions past the window (ANMF walk scored
+        # in-window through e5_webp_alpha_audit + e5_codec_roundtrip's
+        # first-frame decode; the chunk census shares the same walk)
+        "e5_animated_webp_audit",
+        "e5_webp_chunk_census",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 

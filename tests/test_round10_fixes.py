@@ -157,3 +157,83 @@ def test_cdc_chunks_hash_algo_variants(spark):
     assert all(len(v) == 1 for v in xx_map.values())
     with pytest.raises(ValueError, match="hash_algo"):
         cdc_chunks(df, hash_algo="sha1")
+
+
+def test_webp_animation_meta_roundtrip():
+    """build_* fixtures -> webp_animation_meta walk: frame count,
+    durations, disposal flags, loop count, canvas all survive the
+    wire; a still reports animated=False with one pseudo-frame."""
+    from tensorflow_recorder_spark.functions.vp8l_codec import (
+        build_anim,
+        build_anmf,
+        build_vp8x,
+        build_webp,
+        encode_vp8l,
+        webp_animation_meta,
+    )
+    import struct
+
+    px = bytes((p * 3) % 256 for p in range(4 * 3 * 3))
+    full = encode_vp8l(px, 4, 3)
+    pos = 12
+    while full[pos : pos + 4] != b"VP8L":
+        (size,) = struct.unpack_from("<I", full, pos + 4)
+        pos += 8 + size + (size & 1)
+    (size,) = struct.unpack_from("<I", full, pos + 4)
+    body = full[pos + 8 : pos + 8 + size]
+
+    anim = build_webp(
+        [
+            build_vp8x(4, 3, animated=True),
+            build_anim(7),
+            build_anmf([(b"VP8L", body)], 4, 3, duration_ms=40, dispose_bg=True),
+            build_anmf([(b"VP8L", body)], 4, 3, duration_ms=70, no_blend=True),
+        ]
+    )
+    meta = webp_animation_meta(anim)
+    assert meta["animated"] and (meta["canvas_w"], meta["canvas_h"]) == (4, 3)
+    assert meta["loop_count"] == 7
+    assert [f["duration_ms"] for f in meta["frames"]] == [40, 70]
+    assert [f["dispose_bg"] for f in meta["frames"]] == [True, False]
+    assert [f["no_blend"] for f in meta["frames"]] == [False, True]
+
+    still = webp_animation_meta(full)
+    assert not still["animated"] and len(still["frames"]) == 1
+    assert still["frames"][0]["kind"] == "vp8l"
+
+
+def test_tiff_ifd_chain_cycle_is_corrupt():
+    """A self-referencing next-IFD pointer must raise ValueError, not
+    spin (tiff_ifd_chain cycle guard)."""
+    import struct
+
+    import pytest
+
+    from tensorflow_recorder_spark.functions.tiff_codec import (
+        encode_tiff,
+        tiff_ifd_chain,
+    )
+
+    px = bytes(range(4 * 3 * 3))
+    data = bytearray(encode_tiff(px, 4, 3, "RGB"))
+    (n_tags,) = struct.unpack_from("<H", data, 8)
+    next_ptr_off = 8 + 2 + 12 * n_tags
+    struct.pack_into("<I", data, next_ptr_off, 8)  # point back at itself
+    with pytest.raises(ValueError, match="cyclic"):
+        tiff_ifd_chain(bytes(data))
+
+
+def test_jpeg_marker_census_progressive_and_truncation():
+    from tensorflow_recorder_spark.functions.jpeg_codec import (
+        encode_jpeg_progressive,
+        jpeg_marker_census,
+    )
+    import pytest
+
+    px = bytes((p * 5) % 256 for p in range(10 * 9 * 3))
+    j = encode_jpeg_progressive(px, 10, 9, "RGB")
+    c = jpeg_marker_census(j)
+    assert c["progressive"] and c["n_scans"] > 1
+    assert (c["width"], c["height"]) == (10, 9)
+    with pytest.raises(ValueError):
+        jpeg_marker_census(j[:20])
