@@ -237,3 +237,23 @@ def test_jpeg_marker_census_progressive_and_truncation():
     assert (c["width"], c["height"]) == (10, 9)
     with pytest.raises(ValueError):
         jpeg_marker_census(j[:20])
+
+
+def test_bench_hygiene_helpers():
+    """r9 verdict item 7: the poisoned-session audit must flag exactly
+    the monotonically-rising->20% pattern and read host load without
+    raising — these fields gate whether a bench record is committable."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    # warm-up sample (index 0) is ignored; pattern is over the 3 timed
+    assert bench._rising([9.0, 1.0, 1.3, 1.7]) is True
+    assert bench._rising([9.0, 1.0, 1.1, 1.15]) is False  # <20% total rise
+    assert bench._rising([9.0, 2.0, 1.5, 1.2]) is False  # falling = healthy
+    assert bench._rising([9.0, 1.0, 3.0, 2.0]) is False  # spike, not monotone
+    assert bench._rising([9.0, 1.0]) is False  # short sample list
+    load = bench._loadavg()
+    assert isinstance(load, list)
+    assert all(isinstance(x, float) for x in load)
