@@ -1283,3 +1283,68 @@ def _oracle_s37() -> str:
 
 
 ORACLE_S37_STREAM_CONCURRENCY = _oracle_s37()
+
+
+def q_s38_stream_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of e4_incident_overlap (r10 — the twin of this
+    round's fixed flagship): user sessions form IN-FLIGHT via the
+    state-store-backed session_window (state = one open session per
+    active user, closed and evicted as the watermark passes
+    last_event + gap) and drain with availableNow; the interval
+    overlap join against the calendar-bounded hot-hour incidents, and
+    the rollup, finalize BATCH-side (chained streaming aggregations
+    are forbidden — same split as s36/s37). The incident side is a
+    corpus-scale batch aggregation, so it is localCheckpoint'ed before
+    interval_join multi-consumes it (the exact r9 regression this
+    round fixed in the batch flagship); the drained session side is a
+    memory-sink table whose re-scan is free. bucket_seconds=3600
+    because incidents are hour-aligned (grid provably right, no eager
+    median pass). With the bounded source fully drained the session
+    set equals the batch lag-gap formulation (measure-zero boundary,
+    ASSERTED against the fixtures by
+    tests/test_round10_fixes.py::test_fixture_has_no_exact_session_gap_boundary),
+    so the e4_incident_overlap oracle applies verbatim."""
+    from ..operators import intervals
+    from .e4 import _events
+
+    stream = _event_stream(spark, sf_dir)
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sess"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("s"),
+            F.max(F.col("ts").cast("long")).alias("e"),
+        )
+        .select("user_id", "s", "e")
+    )
+    drained = _drain_to_memory(sess, "stream_incident_overlap_sink", "complete")
+    inc = intervals.hot_hour_incidents(_events(spark, sf_dir)).localCheckpoint()
+    pairs = intervals.interval_join(
+        drained, inc, "s", "e", "inc_start", "inc_end", bucket_seconds=3600
+    )
+    return pairs.groupBy(
+        "event_type",
+        F.date_format(
+            F.timestamp_seconds(F.col("inc_start")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("inc_start"),
+        F.date_format(
+            F.timestamp_seconds(F.col("inc_end")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("inc_end"),
+        F.col("n_hot_events").cast("long").alias("n_hot_events"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("overlap_s").cast("long").alias("total_overlap_s"),
+    )
+
+
+def _oracle_s38() -> str:
+    from .e4 import ORACLE_E4_INCIDENT_OVERLAP
+
+    return ORACLE_E4_INCIDENT_OVERLAP
+
+
+ORACLE_S38_STREAM_INCIDENT_OVERLAP = _oracle_s38()

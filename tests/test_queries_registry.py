@@ -448,6 +448,10 @@ def test_driver_window_holds_all_unique_queries():
         # first-frame decode; the chunk census shares the same walk)
         "e5_animated_webp_audit",
         "e5_webp_chunk_census",
+        # streaming twin of the in-window e4_incident_overlap (oracle
+        # shared verbatim; twins are certified by check_oracle +
+        # pytest drains, and their plan cost is the batch twin's)
+        "s38_stream_incident_overlap",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
