@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import struct
 
+from .codec_limits import check_dimensions
+
 import numpy as np
 
 
@@ -43,6 +45,7 @@ def decode_bmp(data: bytes) -> tuple[bytes, int, int, str]:
         raise ValueError(f"unsupported BMP bit depth {bpp}")
     top_down = height < 0
     height = abs(height)
+    check_dimensions(width, height, "BMP")
     if width <= 0 or height == 0:
         raise ValueError("corrupt BMP: bad dimensions")
 

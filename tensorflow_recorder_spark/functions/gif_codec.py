@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import struct
 
+from .codec_limits import check_dimensions
+
 import numpy as np
 
 
@@ -98,6 +100,7 @@ def decode_gif(data: bytes) -> tuple[bytes, int, int, str]:
 
 def _decode_gif_inner(data: bytes) -> tuple[bytes, int, int, str]:
     sw, sh = struct.unpack_from("<HH", data, 6)
+    check_dimensions(sw or 1, sh or 1, "GIF")
     flags = data[10]
     bg_index = data[11]
     pos = 13
@@ -123,6 +126,7 @@ def _decode_gif_inner(data: bytes) -> tuple[bytes, int, int, str]:
         if block != 0x2C:
             raise ValueError(f"corrupt GIF: unknown block 0x{block:02x}")
         left, top, fw, fh = struct.unpack_from("<HHHH", data, pos)
+        check_dimensions(fw or 1, fh or 1, "GIF")
         iflags = data[pos + 8]
         pos += 9
         lct = gct

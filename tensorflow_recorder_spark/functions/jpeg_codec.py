@@ -31,6 +31,8 @@ import struct
 
 import numpy as np
 
+from .codec_limits import check_dimensions
+
 # --------------------------------------------------------------------
 # Markers
 # --------------------------------------------------------------------
@@ -265,6 +267,7 @@ def _decode_jpeg_inner(data: bytes) -> tuple[bytes, int, int, str]:
                 raise ValueError(f"unsupported JPEG precision {precision}")
             progressive = marker == SOF2
             height, width = struct.unpack(">HH", seg[1:5])
+            check_dimensions(width or 1, height or 1, "JPEG")
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):

@@ -29,6 +29,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+from .codec_limits import check_dimensions
+
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 # color type -> (samples per pixel, mode for 8-bit depth)
@@ -117,10 +119,22 @@ def decode_png(data: bytes) -> tuple[bytes, int, int, str]:
     """Decode a PNG byte string -> (pixels, width, height, mode).
 
     ``pixels`` are raw interleaved samples, row-major — the same layout
-    ``PIL.Image.tobytes()`` yields for the same mode.
+    ``PIL.Image.tobytes()`` yields for the same mode. Raises ONLY
+    ValueError on corrupt input: stray low-level exceptions from a
+    byte-flipped stream (short IHDR unpack, truncated chunk headers)
+    are converted here — the same totality contract as
+    ``jpeg_codec.decode_jpeg`` / ``gif_codec.decode_gif`` (r10
+    extended-fuzz finding, pinned by tests/test_codec_property.py).
     """
     if not is_png(data):
         raise ValueError("not a PNG: bad signature")
+    try:
+        return _decode_png_inner(data)
+    except (struct.error, IndexError, KeyError, ZeroDivisionError) as exc:
+        raise ValueError(f"corrupt PNG: {exc!r}") from exc
+
+
+def _decode_png_inner(data: bytes) -> tuple[bytes, int, int, str]:
     pos = 8
     width = height = None
     bit_depth = color_type = interlace = None
@@ -152,9 +166,19 @@ def decode_png(data: bytes) -> tuple[bytes, int, int, str]:
         raise ValueError(f"unsupported PNG bit depth {bit_depth} (only 8)")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
+    check_dimensions(width, height, "PNG")
 
     samples, mode = _COLOR_TYPES[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # corrupt IDAT (bad adler/deflate stream) is CORRUPTION, not an
+        # undeclared zlib.error leaking through the totality contract
+        # (same guard class as the TIFF deflate strips; found by the
+        # r10 extended fuzz — the e2e loader shielded it via its broad
+        # except, but the codec's own declared-ValueError contract is
+        # what substitutes for PIL's robustness)
+        raise ValueError(f"corrupt PNG: bad IDAT stream ({e})") from e
     stride = width * samples  # bytes per unfiltered row (bpp = samples at depth 8)
 
     if interlace == 0:

@@ -28,6 +28,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+from .codec_limits import check_dimensions
+
 import numpy as np
 
 # tag ids (TIFF 6.0 baseline)
@@ -101,11 +103,20 @@ def _parse_ifd_at(
     return tags, next_off
 
 
-def _parse_ifd(data: bytes) -> tuple[dict[int, list[int]], str]:
+def _header(data: bytes) -> tuple[str, int]:
+    """Validate magic + read the first-IFD offset (a truncated header
+    is CORRUPTION -> ValueError, not struct.error — r10 fuzz)."""
     if not is_tiff(data):
         raise ValueError("not a TIFF (missing II*/MM* magic)")
+    if len(data) < 8:
+        raise ValueError("corrupt TIFF: truncated header")
     endian = "<" if data[:2] == b"II" else ">"
     (ifd_off,) = struct.unpack_from(endian + "I", data, 4)
+    return endian, ifd_off
+
+
+def _parse_ifd(data: bytes) -> tuple[dict[int, list[int]], str]:
+    endian, ifd_off = _header(data)
     tags, _next = _parse_ifd_at(data, endian, ifd_off)
     return tags, endian
 
@@ -117,10 +128,7 @@ def tiff_ifd_chain(data: bytes) -> list[dict[int, list[int]]]:
     documents and burst captures; ``decode_tiff`` reads page 1 only,
     this walker is the page census. A cyclic or self-referencing chain
     is CORRUPTION -> ValueError (bounded walk, no spin)."""
-    if not is_tiff(data):
-        raise ValueError("not a TIFF (missing II*/MM* magic)")
-    endian = "<" if data[:2] == b"II" else ">"
-    (ifd_off,) = struct.unpack_from(endian + "I", data, 4)
+    endian, ifd_off = _header(data)
     seen: set[int] = set()
     pages: list[dict[int, list[int]]] = []
     while ifd_off:
@@ -242,7 +250,18 @@ def _lzw_decode(src: bytes, expected: int) -> bytes:
 
 def decode_tiff(data: bytes) -> tuple[bytes, int, int, str]:
     """Decode a baseline strip TIFF -> (pixels, width, height, mode),
-    PIL tobytes() layout. mode is 'L' (grayscale) or 'RGB'."""
+    PIL tobytes() layout. mode is 'L' (grayscale) or 'RGB'. Raises
+    ONLY ValueError on corrupt input — stray low-level exceptions from
+    byte-flipped streams are converted here, the same totality
+    contract as decode_jpeg/decode_png/decode_gif (r10 extended-fuzz
+    finding, pinned by tests/test_codec_property.py)."""
+    try:
+        return _decode_tiff_inner(data)
+    except (struct.error, IndexError, KeyError, ZeroDivisionError) as exc:
+        raise ValueError(f"corrupt TIFF: {exc!r}") from exc
+
+
+def _decode_tiff_inner(data: bytes) -> tuple[bytes, int, int, str]:
     tags, endian = _parse_ifd(data)
     if _TILE_WIDTH in tags:
         raise ValueError("unsupported TIFF: tiled layout")
@@ -253,8 +272,7 @@ def decode_tiff(data: bytes) -> tuple[bytes, int, int, str]:
         counts = tags[_STRIP_BYTE_COUNTS]
     except KeyError as e:
         raise ValueError(f"corrupt TIFF: missing required tag {e}")
-    if width <= 0 or height <= 0:
-        raise ValueError("corrupt TIFF: bad dimensions")
+    check_dimensions(width, height, "TIFF")
     compression = tags.get(_COMPRESSION, [1])[0]
     photometric = tags.get(_PHOTOMETRIC, [1])[0]
     spp = tags.get(_SAMPLES_PER_PIXEL, [1])[0]

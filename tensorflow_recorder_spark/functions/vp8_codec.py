@@ -50,6 +50,8 @@ from __future__ import annotations
 
 import struct
 
+from .codec_limits import check_dimensions
+
 import numpy as np
 
 # --------------------------------------------------------------- bool coder
@@ -1118,6 +1120,7 @@ def decode_vp8_frame(data: bytes) -> tuple[bytes, int, int]:
     w, h = wraw & 0x3FFF, hraw & 0x3FFF
     if w == 0 or h == 0:
         raise ValueError("corrupt VP8: zero dimension")
+    check_dimensions(w, h, "VP8")
     part1 = data[10 : 10 + part1_size]
     if len(part1) < part1_size:
         raise ValueError("corrupt VP8: first partition past end")

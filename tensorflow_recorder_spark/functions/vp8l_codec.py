@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import struct
 
+from .codec_limits import check_dimensions
+
 # --------------------------------------------------------------------
 # Bit IO (VP8L: bytes in order, bits LSB-first within each byte;
 # prefix-code bits arrive most-significant-first as read order)
@@ -730,6 +732,7 @@ def decode_vp8l_stream(body: bytes) -> tuple[list[int], int, int, bool]:
     br.read(8)
     w = br.read(14) + 1
     h = br.read(14) + 1
+    check_dimensions(w, h, "VP8L")
     alpha_hint = bool(br.read_bit())
     if br.read(3) != 0:
         raise ValueError("corrupt VP8L: unsupported version")

@@ -7,6 +7,7 @@ already pinned for VP8L by tests/test_vp8l_property.py (r5 verdict
 item 6 extends it to the other round-5 codecs)."""
 
 import numpy as np
+import pytest
 from hypothesis import example, given, settings, strategies as st
 
 from tensorflow_recorder_spark.functions.bmp_codec import (
@@ -106,3 +107,94 @@ def test_jpeg_decoder_total_on_corrupt_input(
         assert w >= 1 and h >= 1 and len(out) in (w * h, w * h * 3)
     except ValueError:
         pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=30),
+    pos=st.integers(min_value=8, max_value=250),
+    newbyte=st.integers(min_value=0, max_value=255),
+    truncate=st.booleans(),
+    interlace=st.booleans(),
+)
+def test_png_decoder_total_on_corrupt_input(
+    seed, pos, newbyte, truncate, interlace
+):
+    """r10 extended-fuzz finding: PNG was the one codec family without
+    a totality property test, and corrupt IDAT streams leaked
+    zlib.error while truncated headers leaked struct.error. Same
+    declared-ValueError contract as the other decoders."""
+    from tensorflow_recorder_spark.functions.png_codec import (
+        decode_png,
+        encode_png,
+    )
+
+    px = _rgb(seed, 9, 7)
+    data = _mutate(
+        encode_png(px, 9, 7, "RGB", interlace=interlace, gamma=45455),
+        pos,
+        newbyte,
+        truncate,
+    )
+    try:
+        out, w, h, mode = decode_png(data)
+        assert w >= 1 and h >= 1
+    except ValueError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=30),
+    pos=st.integers(min_value=4, max_value=200),
+    newbyte=st.integers(min_value=0, max_value=255),
+    truncate=st.booleans(),
+)
+def test_tiff_decoder_total_on_corrupt_input(seed, pos, newbyte, truncate):
+    """r10 extended-fuzz finding: a TIFF truncated inside its 8-byte
+    header leaked struct.error through decode_tiff AND the r10
+    tiff_ifd_chain walker. Declared-ValueError only, both surfaces."""
+    from tensorflow_recorder_spark.functions.tiff_codec import (
+        decode_tiff,
+        encode_tiff_multipage,
+        tiff_page_meta,
+    )
+
+    pages = [
+        (_rgb(seed, 4, 3), 4, 3, "RGB", "packbits"),
+        (_rgb(seed + 1, 5, 4), 5, 4, "RGB", "deflate"),
+    ]
+    data = _mutate(encode_tiff_multipage(pages), pos, newbyte, truncate)
+    for dec in (decode_tiff, tiff_page_meta):
+        try:
+            dec(data)
+        except ValueError:
+            pass
+
+
+def test_decompression_bomb_dimensions_rejected_quickly():
+    """r10 fuzz: one flipped IHDR byte declared a 1.1-billion-pixel
+    PNG and the Adam7 path tried to allocate a ~23 GB buffer BEFORE
+    any data-length check — a task-killing allocation, not a DISCARD.
+    Every decoder now validates declared dimensions against PIL's
+    MAX_IMAGE_PIXELS default at header-parse time."""
+    import struct
+    import time
+
+    from tensorflow_recorder_spark.functions.codec_limits import (
+        MAX_IMAGE_PIXELS,
+    )
+    from tensorflow_recorder_spark.functions.png_codec import (
+        decode_png,
+        encode_png,
+    )
+
+    px = _rgb(0, 9, 7)
+    data = bytearray(encode_png(px, 9, 7, "RGB", interlace=True))
+    # IHDR width is at offset 16 (sig 8 + len 4 + type 4): declare 2^30
+    struct.pack_into(">I", data, 16, 1 << 30)
+    t0 = time.time()
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        decode_png(bytes(data))
+    assert time.time() - t0 < 1.0, "bomb guard must reject before allocating"
+    assert MAX_IMAGE_PIXELS == 89_478_485  # PIL's public default
