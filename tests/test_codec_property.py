@@ -150,10 +150,18 @@ def test_png_decoder_total_on_corrupt_input(
     newbyte=st.integers(min_value=0, max_value=255),
     truncate=st.booleans(),
 )
+# r10 judge falsifying example: byte flip at 185 zeroes a required
+# tag's count field, so the tag is PRESENT with an EMPTY value list —
+# tags[_IMAGE_LENGTH][0] raised IndexError through tiff_page_meta,
+# whose guard caught only KeyError. Pinned permanently so the gate
+# can't go green by luck of the draw (same policy as the r9 JPEG pin).
+@example(seed=0, pos=185, newbyte=0, truncate=False)
 def test_tiff_decoder_total_on_corrupt_input(seed, pos, newbyte, truncate):
     """r10 extended-fuzz finding: a TIFF truncated inside its 8-byte
     header leaked struct.error through decode_tiff AND the r10
-    tiff_ifd_chain walker. Declared-ValueError only, both surfaces."""
+    tiff_ifd_chain walker. Declared-ValueError only, both surfaces
+    (decode_tiff + tiff_page_meta; the walker census surface was the
+    r10 judge's hole)."""
     from tensorflow_recorder_spark.functions.tiff_codec import (
         decode_tiff,
         encode_tiff_multipage,
