@@ -224,12 +224,15 @@ def _decode_jpeg_inner(data: bytes) -> tuple[bytes, int, int, str]:
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
+        # T.81 B.1.1.2: optional 0xFF fill bytes before the marker id
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == EOI:
             break
-        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
-            continue  # parameterless
+        if 0xD0 <= marker <= 0xD8 or marker == 0x01:
+            continue  # parameterless (TEM, RSTn, redundant SOI)
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         seg = data[pos + 2 : pos + seglen]
         if marker in _SOF_UNSUPPORTED:
@@ -1318,12 +1321,28 @@ def jpeg_marker_census(data: bytes) -> dict:
     restart_interval = 0
     n_scans = 0
     n_rst = 0
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
+        # T.81 B.1.1.2: any marker may be preceded by extra 0xFF fill
+        # bytes — skip them before reading the marker id (r10 advice:
+        # valid third-party JPEGs were mis-walked here).
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            break
         marker = data[pos + 1]
         if marker == EOI:
             break
+        # standalone markers carry NO length segment: TEM (0x01),
+        # RSTn (0xD0-0xD7, legal though stray outside entropy data),
+        # and a redundant SOI (0xD8) — treating their following bytes
+        # as a length mis-walks valid streams (r10 advice).
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("corrupt JPEG: truncated segment")
         seglen = (data[pos + 2] << 8) | data[pos + 3]
         if seglen < 2 or pos + 2 + seglen > len(data):
             raise ValueError("corrupt JPEG: truncated segment")

@@ -535,16 +535,20 @@ def _find_image_chunk(data: bytes) -> tuple[str, bytes, bytes | None]:
             return "vp8", data[off : off + size], alph
         if tag == b"ANMF":
             # payload: x(3) y(3) w-1(3) h-1(3) duration(3) flags(1),
-            # then the frame's own sub-chunks (ALPH? then VP8/VP8L)
+            # then the frame's own sub-chunks (ALPH? then VP8/VP8L).
+            # Alpha is FRAME-LOCAL: a stray top-level ALPH must not
+            # leak into a frame that carries none of its own (r10
+            # advice — the stale plane silently alpha-tinted frames).
             if size < 16:
                 raise ValueError("corrupt WebP: short ANMF descriptor")
+            frame_alph = None
             for t2, o2, s2 in _walk_chunks(data, off + 16, off + size):
                 if t2 == b"ALPH":
-                    alph = data[o2 : o2 + s2]
+                    frame_alph = data[o2 : o2 + s2]
                 if t2 == b"VP8L":
-                    return "vp8l", data[o2 : o2 + s2], alph
+                    return "vp8l", data[o2 : o2 + s2], frame_alph
                 if t2 == b"VP8 ":
-                    return "vp8", data[o2 : o2 + s2], alph
+                    return "vp8", data[o2 : o2 + s2], frame_alph
             raise ValueError("corrupt WebP: ANMF frame without image data")
     if not saw_any:
         raise ValueError("corrupt WebP: no chunks")

@@ -4,6 +4,7 @@ Split from the original single-module registry (r6 verdict item 7);
 bodies are unchanged — see git history of queries.py.
 """
 from __future__ import annotations
+import os
 from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..operators import dedup, events, similarity, text
@@ -79,7 +80,7 @@ def q_s2_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("sum_value").cast("double").alias("sum_value"),
     )
-    return _drain_to_memory(sess, "stream_sessionize_sink", "complete")
+    return _drain_to_files(sess, "stream_sessionize_sink", "complete")
 
 ORACLE_S2_STREAM_SESSIONIZE = """
 WITH flagged AS (
@@ -131,6 +132,55 @@ def _drain_to_memory(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
     q.awaitTermination()
     return spark.table(name)
 
+
+def _drain_to_files(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
+    """Drain a bounded stream to a tmp PARQUET dir and read it back —
+    for twins whose drained frame is CORPUS-ROW-SCALE (session sets,
+    deduped key sets, joined event pairs) rather than aggregate-scale.
+    The memory sink materializes every drained row in the driver; at
+    100 TB that is the driver-OOM shape, so row-scale drains go
+    executor-side to files instead (r10 verdict item 5) — same rows,
+    same oracle, and the read-back frame is cheaply re-scannable when
+    a downstream operator multi-consumes it.
+
+    ``foreachBatch`` rather than the direct file sink because the file
+    sink supports only append mode, while complete-mode aggregate
+    drains are the common twin shape. With trigger=availableNow the
+    FINAL batch of a complete-mode query holds the entire result, so
+    overwrite-per-batch leaves exactly the final state on disk;
+    append-mode batches are disjoint row deltas, so append-per-batch
+    accumulates exactly the emitted rows. (Update mode is NOT
+    supported here: its per-batch deltas re-state keys, and splicing
+    them needs key knowledge this helper doesn't have — update-mode
+    twins keep their bounded-aggregate memory sinks.)
+    """
+    if mode not in ("complete", "append"):
+        raise ValueError(f"_drain_to_files does not support mode {mode!r}")
+    import shutil
+    import tempfile
+
+    spark = stream_df.sparkSession
+    path = os.path.join(
+        tempfile.gettempdir(), "trs_stream_file_sinks", name
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_mode = "overwrite" if mode == "complete" else "append"
+
+    def _sink(batch_df: DataFrame, _epoch_id: int) -> None:
+        batch_df.write.mode(write_mode).parquet(path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(path):
+        # zero batches fired (empty source): preserve the schema
+        return spark.createDataFrame([], stream_df.schema)
+    return spark.read.parquet(path)
+
 def q_s3_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (dropDuplicatesWithinWatermark): first event
     per (user_id, event_type) key; declared output is the surviving KEY
@@ -141,7 +191,7 @@ def q_s3_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = streaming_dedup(
         _event_stream(spark, sf_dir), ["user_id", "event_type"]
     ).select("user_id", "event_type")
-    return _drain_to_memory(deduped, "stream_dedup_sink", "append")
+    return _drain_to_files(deduped, "stream_dedup_sink", "append")
 
 ORACLE_S3_STREAM_DEDUP = """
 SELECT DISTINCT user_id, event_type FROM events
@@ -460,7 +510,7 @@ def q_s13_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "1 hour")
     )
     joined = attribution_join(clicks, purchases, horizon_seconds=3600)
-    return _drain_to_memory(joined, "stream_attribution_sink", "append")
+    return _drain_to_files(joined, "stream_attribution_sink", "append")
 
 def q_s14_stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The histogram-quantile sketch AS A STREAM, at daily grain: the
@@ -1088,7 +1138,7 @@ def q_s34_stream_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.withColumn("value", F.col("value").cast("decimal(18,6)")),
         gap_minutes=30,
     ).select("user_id", "session_start", "n_events", "duration_s")
-    table = _drain_to_memory(sess, "stream_session_depth_sink", "complete")
+    table = _drain_to_files(sess, "stream_session_depth_sink", "complete")
     return table.agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.round(F.expr("percentile(n_events, 0.5)"), 6).alias(
@@ -1272,7 +1322,7 @@ def q_s37_stream_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s", "e")
     )
-    drained = _drain_to_memory(sess, "stream_concurrency_sink", "complete")
+    drained = _drain_to_files(sess, "stream_concurrency_sink", "complete")
     return concurrency_by_hour(drained, "s", "e")
 
 
@@ -1289,15 +1339,21 @@ def q_s38_stream_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     """Streaming twin of e4_incident_overlap (r10 — the twin of this
     round's fixed flagship): user sessions form IN-FLIGHT via the
     state-store-backed session_window (state = one open session per
-    active user, closed and evicted as the watermark passes
-    last_event + gap) and drain with availableNow; the interval
-    overlap join against the calendar-bounded hot-hour incidents, and
-    the rollup, finalize BATCH-side (chained streaming aggregations
-    are forbidden — same split as s36/s37). The incident side is a
-    corpus-scale batch aggregation, so it is localCheckpoint'ed before
-    interval_join multi-consumes it (the exact r9 regression this
-    round fixed in the batch flagship); the drained session side is a
-    memory-sink table whose re-scan is free. bucket_seconds=3600
+    active user; sessions CLOSE as the watermark passes
+    last_event + gap, but under this drain's COMPLETE output mode the
+    aggregation state itself is retained, not evicted — boundedness
+    here comes from the availableNow drain over a bounded source, and
+    on an unbounded source this pattern would need append mode to get
+    watermark eviction; r10 advice) and drain with availableNow; the
+    interval overlap join against the calendar-bounded hot-hour
+    incidents, and the rollup, finalize BATCH-side (chained streaming
+    aggregations are forbidden — same split as s36/s37). The incident
+    side is a corpus-scale batch aggregation, so it is
+    localCheckpoint'ed before interval_join multi-consumes it (the
+    exact r9 regression this round fixed in the batch flagship); the
+    session side is ROW-SCALE, so it drains executor-side to a tmp
+    parquet dir (r10 verdict item 5 — never driver-resident) whose
+    read-back is cheaply re-scannable. bucket_seconds=3600
     because incidents are hour-aligned (grid provably right, no eager
     median pass). With the bounded source fully drained the session
     set equals the batch lag-gap formulation (measure-zero boundary,
@@ -1320,7 +1376,7 @@ def q_s38_stream_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("user_id", "s", "e")
     )
-    drained = _drain_to_memory(sess, "stream_incident_overlap_sink", "complete")
+    drained = _drain_to_files(sess, "stream_incident_overlap_sink", "complete")
     inc = intervals.hot_hour_incidents(_events(spark, sf_dir)).localCheckpoint()
     pairs = intervals.interval_join(
         drained, inc, "s", "e", "inc_start", "inc_end", bucket_seconds=3600

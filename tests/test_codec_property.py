@@ -206,3 +206,14 @@ def test_decompression_bomb_dimensions_rejected_quickly():
         decode_png(bytes(data))
     assert time.time() - t0 < 1.0, "bomb guard must reject before allocating"
     assert MAX_IMAGE_PIXELS == 89_478_485  # PIL's public default
+    # The guard threshold is PIL's ERROR point (2x MAX_IMAGE_PIXELS),
+    # not its warning point — PIL still decodes 89M-179M-pixel images,
+    # so rejecting at 1x would DISCARD valid large images the
+    # reference's PIL loader accepts (r10 advice).
+    from tensorflow_recorder_spark.functions.codec_limits import (
+        check_dimensions,
+    )
+
+    check_dimensions(13_377, 13_377, "PNG")  # ~1.999x: PIL-valid, kept
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        check_dimensions(13_380, 13_380, "PNG")  # >2x: PIL errors too

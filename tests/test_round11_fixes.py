@@ -1,0 +1,104 @@
+"""Round-11 verdict/advice regression pins.
+
+r10 advice items: JPEG fill-byte / standalone-marker walking, the
+2x decompression-bomb threshold (pinned in test_codec_property.py),
+the ANMF-local ALPH scoping in the WebP chunk walk; r10 verdict item
+1's walker totality fix is pinned in test_codec_property.py.
+"""
+
+import pytest
+
+
+def test_jpeg_walk_tolerates_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes,
+    and TEM (0x01) / RSTn / redundant SOI carry no length segment.
+    Valid third-party JPEGs use both; the census (and decoder) must
+    walk them instead of misreading the next bytes as a length
+    (r10 advice item 3)."""
+    from tensorflow_recorder_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_marker_census,
+    )
+
+    px = bytes((p * 7) % 256 for p in range(18 * 10 * 3))
+    j = encode_jpeg(px, 18, 10, "RGB", restart_interval=2)
+    base_census = jpeg_marker_census(j)
+    base_pixels = decode_jpeg(j)
+
+    # splice right after SOI: a TEM standalone marker, a stray RST1
+    # (legal though parameterless outside entropy data), and a run of
+    # 0xFF fill bytes before the first real segment
+    spliced = j[:2] + b"\xff\x01" + b"\xff\xd1" + b"\xff\xff" + j[2:]
+    c = jpeg_marker_census(spliced)
+    assert c == base_census  # stray RST outside a scan is not a resync
+    assert decode_jpeg(spliced) == base_pixels
+
+    # fill byte immediately before an ordinary tabled segment
+    dqt = j.index(b"\xff\xdb")
+    filled = j[:dqt] + b"\xff" + j[dqt:]
+    assert jpeg_marker_census(filled) == base_census
+    assert decode_jpeg(filled) == base_pixels
+
+
+def test_anmf_frame_does_not_inherit_top_level_alph():
+    """A stray top-level ALPH before an ANMF frame must NOT be applied
+    to the frame's pixels — alpha is frame-local per the WebP container
+    spec (ANMF's own sub-chunks); carrying the stale top-level plane in
+    silently alpha-tinted lossy animated frames (r10 advice item 4).
+    Uses a lossy VP8 frame because that is the path where ALPH planes
+    are applied (VP8L carries native alpha)."""
+    from tensorflow_recorder_spark.functions.vp8_codec import (
+        encode_vp8_frame,
+    )
+    from tensorflow_recorder_spark.functions.vp8l_codec import (
+        _find_image_chunk,
+        build_anmf,
+        build_anim,
+        build_vp8x,
+        build_webp,
+        decode_webp,
+    )
+
+    w, h = 8, 8
+    px = bytes((p * 3) % 256 for p in range(w * h * 3))
+    body = encode_vp8_frame(px, w, h)
+
+    # top-level raw (method-0, unfiltered) ALPH plane of constant 0x55
+    # that no frame owns
+    alph = b"\x00" + bytes([0x55]) * (w * h)
+    anim = build_webp(
+        [
+            build_vp8x(w, h, animated=True, has_alpha=True),
+            build_anim(0),
+            (b"ALPH", alph),
+            build_anmf([(b"VP8 ", body)], w, h, duration_ms=40),
+        ]
+    )
+    kind, _body, frame_alph = _find_image_chunk(anim)
+    assert kind == "vp8"
+    assert frame_alph is None  # frame has no ALPH of its own
+
+    out, dw, dh, mode = decode_webp(anim)
+    assert (dw, dh) == (w, h)
+    # never the stale 0x55 plane: fully opaque output
+    if mode == "RGBA":
+        assert all(out[i] == 255 for i in range(3, len(out), 4))
+    else:
+        assert mode == "RGB"
+
+    # and a frame that DOES own an ALPH still gets it applied
+    anim2 = build_webp(
+        [
+            build_vp8x(w, h, animated=True, has_alpha=True),
+            build_anim(0),
+            build_anmf(
+                [(b"ALPH", alph), (b"VP8 ", body)], w, h, duration_ms=40
+            ),
+        ]
+    )
+    kind2, _b2, frame_alph2 = _find_image_chunk(anim2)
+    assert kind2 == "vp8" and frame_alph2 == alph
+    out2, _w2, _h2, mode2 = decode_webp(anim2)
+    assert mode2 == "RGBA"
+    assert all(out2[i] == 0x55 for i in range(3, len(out2), 4))
