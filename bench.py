@@ -339,6 +339,25 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _quiesce(threshold: float = 1.5, max_wait_s: float = 240.0,
+             poll_s: float = 5.0) -> float:
+    """Pre-flight quiesce loop (r10 verdict item 3): the driver's r10
+    bench session started hot (decaying load from a prior Spark run)
+    and read 36% high on byte-identical code — and the established
+    observation is that a FIXED sleep is not enough, because load
+    decays on the host's schedule, not ours. Wait until the 1-minute
+    loadavg drops below ``threshold`` (cap the wait at ``max_wait_s``)
+    and return how long we waited; the record carries the wait so a
+    still-hot start is auditable rather than invisible."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        la = _loadavg()
+        if not la or la[0] < threshold:
+            break
+        time.sleep(poll_s)
+    return round(time.time() - t0, 1)
+
+
 def _rising(runs: list[float]) -> bool:
     """A query whose three TIMED samples rise monotonically by >20%
     total is the poisoned-session signature: steady-state plans get
@@ -357,6 +376,7 @@ def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ["SPARK_GRAFT_CPUS"] = cpus
     strict = "--strict" in sys.argv
+    quiesce_wait_s = _quiesce()
     load_before = _loadavg()
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -408,26 +428,48 @@ def main() -> int:
     def _median3(runs: list[float]) -> float:
         return sorted(runs)[1]
 
-    for cname, cfn in (
-        ("convert_tfrecord", bench_convert),
-        ("convert_lineitem", bench_convert_lineitem),
-    ):
-        warm = round(cfn(spark, sf_dir), 3)  # untimed warm-up (discarded)
-        runs = [round(cfn(spark, sf_dir), 3) for _ in range(3)]
-        samples[cname] = [warm] + runs
-        cold[cname] = warm
-        timings[cname] = _median3(runs)
-
-    for name in benched_queries():
+    def _run_once(name: str) -> float:
+        if name == "convert_tfrecord":
+            return round(bench_convert(spark, sf_dir), 3)
+        if name == "convert_lineitem":
+            return round(bench_convert_lineitem(spark, sf_dir), 3)
         fn = QUERIES[name]
-        runs = []
-        for i in range(4):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(round(time.time() - t0, 3))
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    def _sample4(name: str) -> list[float]:
+        """One untimed warm-up + three timed samples."""
+        return [_run_once(name) for _ in range(4)]
+
+    for name in (
+        "convert_tfrecord",
+        "convert_lineitem",
+        *benched_queries(),
+    ):
+        runs = _sample4(name)
         samples[name] = runs  # runs[0] is the discarded warm-up
         cold[name] = runs[0]
         timings[name] = _median3(runs[1:])
+
+    # Transient-row splice (r10 verdict item 4): the r10 committed
+    # record carried e1_threshold_sweep at 15.8 s (solo: 7.6) because
+    # the audit FLAGGED its rising samples but nothing re-measured
+    # them. When the audit flags rows, quiesce again and re-run just
+    # those queries; the committed median is the steady-state re-run,
+    # with the flagged transient samples kept in-record
+    # (queries_samples_flagged_initial) for adjudication.
+    flagged = sorted(k for k, v in samples.items() if _rising(v))
+    flagged_initial: dict[str, list[float]] = {}
+    rerun_wait_s = 0.0
+    if flagged:
+        rerun_wait_s = _quiesce()
+        for name in flagged:
+            flagged_initial[name] = samples[name]
+            runs = _sample4(name)
+            samples[name] = runs
+            cold[name] = runs[0]
+            timings[name] = _median3(runs[1:])
 
     total = round(sum(timings.values()), 3)
     # Full record (warm + cold runs) goes to disk. Stdout ordering is
@@ -455,6 +497,15 @@ def main() -> int:
         "load_avg_after": _loadavg(),
         "rising_sample_queries": rising,
         "rising_sample_pct": rising_pct,
+        # r10 verdict items 3+4: seconds the pre-flight quiesce loop
+        # waited for the 1-min loadavg to decay, the rows whose first
+        # pass was flagged transient and re-run (their committed
+        # numbers are the re-run medians), and those rows' original
+        # transient samples, kept for adjudication.
+        "quiesce_wait_s": quiesce_wait_s,
+        "rerun_quiesce_wait_s": rerun_wait_s,
+        "spliced_queries": flagged,
+        "queries_samples_flagged_initial": flagged_initial,
     }
     # Scaling-curve evidence (r6 verdict item 1): scripts/bench_scale.py
     # measures the top-20 queries at sf0.1 AND the derived 10x dataset;

@@ -41,6 +41,34 @@ def test_jpeg_walk_tolerates_fill_bytes_and_standalone_markers():
     assert decode_jpeg(filled) == base_pixels
 
 
+def test_bench_quiesce_and_splice_fields():
+    """r10 verdict items 3+4: bench.py must carry a pre-flight quiesce
+    (a fixed sleep is provably not enough) and a transient-row splice
+    (flagged rising-sample rows re-run solo, committed medians =
+    steady state, transient samples kept in-record)."""
+    import time
+
+    import bench
+
+    # quiesce returns immediately when the load bar is already met
+    t0 = time.time()
+    waited = bench._quiesce(threshold=1e9, max_wait_s=30)
+    assert time.time() - t0 < 1.0 and waited < 1.0
+    # and caps the wait rather than spinning forever under load
+    t0 = time.time()
+    waited = bench._quiesce(threshold=-1.0, max_wait_s=0.2, poll_s=0.05)
+    assert waited >= 0.2 and time.time() - t0 < 5.0
+
+    src = open(bench.__file__).read()
+    for field in (
+        '"quiesce_wait_s"',
+        '"rerun_quiesce_wait_s"',
+        '"spliced_queries"',
+        '"queries_samples_flagged_initial"',
+    ):
+        assert field in src
+
+
 def test_anmf_frame_does_not_inherit_top_level_alph():
     """A stray top-level ALPH before an ANMF frame must NOT be applied
     to the frame's pixels — alpha is frame-local per the WebP container
