@@ -285,8 +285,32 @@ def decode_tiff(data: bytes) -> tuple[bytes, int, int, str]:
         raise ValueError(f"corrupt TIFF: {exc!r}") from exc
 
 
+def decode_tiff_pages(data: bytes) -> list[tuple[bytes, int, int, str]]:
+    """Decode EVERY page of a multi-page strip TIFF (the extraction a
+    scanned-document ingest runs after the :func:`tiff_page_meta`
+    census says the pages are worth decoding) -> one
+    (pixels, width, height, mode) per IFD, in chain order. Same
+    per-page baseline support and the same declared-ValueError-only
+    totality contract as :func:`decode_tiff` (which equals
+    ``decode_tiff_pages(data)[0]``)."""
+    try:
+        endian, _ = _header(data)
+        return [
+            _decode_page(data, tags, endian)
+            for tags in _tiff_ifd_chain_inner(data)
+        ]
+    except (struct.error, IndexError, KeyError, ZeroDivisionError) as exc:
+        raise ValueError(f"corrupt TIFF: {exc!r}") from exc
+
+
 def _decode_tiff_inner(data: bytes) -> tuple[bytes, int, int, str]:
     tags, endian = _parse_ifd(data)
+    return _decode_page(data, tags, endian)
+
+
+def _decode_page(
+    data: bytes, tags: dict[int, list[int]], endian: str
+) -> tuple[bytes, int, int, str]:
     if _TILE_WIDTH in tags:
         raise ValueError("unsupported TIFF: tiled layout")
     try:

@@ -1069,13 +1069,21 @@ def q_e1_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (<= |sources|^2 rows per shingle). The previous formulation
     (distinct + two-sided equi-self-join) paid three shuffles of the
     incidence table for the same values (r7, verified identical at
-    sf0.1). Top-10 most overlapping pairs (bounded global sort)."""
+    sf0.1). Top-10 most overlapping pairs (bounded global sort).
+    The text is lowered ONCE in a projection before shingling (r11 —
+    this was the last pre_lowered=False call site: the default form
+    re-evaluates lower() inside the transform lambda per shingle,
+    O(len^2) per document, the documented 2x trap on shingle_expr;
+    it read 22.6 at the 30x decade)."""
     docs = _t(spark, sf_dir, "documents")
     from ..operators.dedup import hashed_shingle_expr
 
     per_h = (
-        docs.select(
-            F.explode(F.expr(hashed_shingle_expr("text", 5))).alias("__h"),
+        docs.select(F.lower(F.col("text")).alias("__lt"), "source")
+        .select(
+            F.explode(
+                F.expr(hashed_shingle_expr("__lt", 5, pre_lowered=True))
+            ).alias("__h"),
             "source",
         )
         .groupBy("__h")
@@ -1706,10 +1714,20 @@ def q_e1_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     long ones miss paraphrase edits; this sweep is what picks the k
     those two sweeps then tune around). Per k: distinct-shingle count,
     distinct (doc, shingle) incidences, shingles appearing in > 1 doc,
-    their share, and mean distinct shingles per doc. Plan: one explode
-    -> distinct (doc, h) -> vocabulary-bounded per-h count per arm
-    (arms use DIFFERENT gram lengths, so the explodes are inherently
-    separate scans); the n_docs one-row frame is checkpointed once and
+    their share, and mean distinct shingles per doc. Plan (r10 verdict
+    item 8 — this was a 23.4 30x ratio): per arm, the per-doc shingle
+    set is deduped IN-ROW (``array_distinct`` over the hashed set —
+    the oracle's own ``list_distinct`` form), so the exploded
+    (doc, h) incidences are unique BY CONSTRUCTION and the cross-row
+    ``.distinct()`` — previously a full extra shuffle+sort of every
+    incidence per arm — is gone entirely; ``doc_id`` is not needed
+    downstream either (n_incidences is a sum, mean_per_doc divides by
+    the broadcast doc count), so the one remaining shuffle per arm
+    carries bare 8-byte hashes into a partial-aggregated count. The
+    arms shingle one shared lowered-text localCheckpoint instead of
+    re-reading parquet and re-lowering the corpus three times (same
+    sharing shape as e6_pack_curve's one tokenization across
+    capacities); the n_docs one-row frame is checkpointed once and
     broadcast into all three arms; every count is an exact integer and
     only the two share expressions divide, in the same operation order
     as the oracle."""
@@ -1718,22 +1736,23 @@ def q_e1_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import hashed_shingle_expr
 
     docs = _t(spark, sf_dir, "documents")
-    nd = docs.agg(
+    lowered = docs.select(
+        "doc_id", F.lower(F.col("text")).alias("__lt")
+    ).localCheckpoint(eager=True)
+    nd = lowered.agg(
         F.count(F.lit(1)).cast("long").alias("__nd")
     ).localCheckpoint(eager=True)
     arms = []
     for k in (3, 5, 8):
-        inc = (
-            docs.select(
-                "doc_id",
+        hashed = hashed_shingle_expr("__lt", k, pre_lowered=True)
+        per_h = (
+            lowered.select(
                 F.explode(
-                    F.expr(hashed_shingle_expr("text", k))
-                ).alias("__h"),
+                    F.expr(f"array_distinct({hashed})")
+                ).alias("__h")
             )
-            .distinct()
-        )
-        per_h = inc.groupBy("__h").agg(
-            F.count(F.lit(1)).cast("long").alias("__c")
+            .groupBy("__h")
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
         )
         arm = (
             per_h.agg(

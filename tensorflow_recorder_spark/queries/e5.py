@@ -934,3 +934,119 @@ SELECT doc_id,
        true AS decode_ok
 FROM documents
 """
+
+
+def q_e5_bomb_guard_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 decompression-bomb DISCARD-rate census (r11): the production
+    guard a 100 TB image ingest needs — a hostile/corrupt header
+    declaring absurd dimensions must cost a DISCARD at header-parse
+    time, never a multi-GB allocation (functions/codec_limits.py,
+    found by the r10 fuzz as a 23 GB Adam7 allocation). Per doc a
+    PNG/BMP/GIF has its declared dimensions patched to valid /
+    mid-band (89.8M px — above PIL's warning bar, below its 2x error
+    bar: must NOT be bomb-rejected, r10 advice) / bomb (400M px >
+    2x: rejected). Pins the per-format mid-band asymmetry: PNG/BMP
+    fail as ordinary short-data corruption, GIF still decodes (the
+    patched dims are the canvas, frames carry their own)."""
+    from ..operators.multimodal import bomb_guard_census
+
+    return bomb_guard_census(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+ORACLE_E5_BOMB_GUARD_CENSUS = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+            ELSE 'gif' END AS fmt,
+       CAST((doc_id % 5) % 3 AS BIGINT) AS scenario,
+       CAST(CASE (doc_id % 5) % 3 WHEN 0 THEN 30
+            WHEN 1 THEN 89775000 ELSE 400000000 END AS BIGINT)
+         AS declared_pixels,
+       (doc_id % 5) % 3 = 2 AS bomb_rejected,
+       CASE (doc_id % 5) % 3 WHEN 0 THEN true
+            WHEN 1 THEN doc_id % 3 = 2 ELSE false END AS decode_ok
+FROM documents
+"""
+
+
+def q_e5_tiff_page_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 multi-page TIFF page extraction (r11): the step after the
+    page census — decode EVERY page of the chain
+    (functions/tiff_codec.py decode_tiff_pages) and verify pixel
+    round-trip per page. Every 7th doc plants the exact r10 judge
+    falsifying shape (a required tag PRESENT with an EMPTY value
+    list: page 2's ImageLength count field zeroed) and must take the
+    declared-ValueError DISCARD route through the FIXED walker —
+    never an IndexError crash."""
+    from ..operators.multimodal import tiff_page_extract_audit
+
+    return tiff_page_extract_audit(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+ORACLE_E5_TIFF_PAGE_EXTRACT = """
+SELECT doc_id,
+       CAST(2 + doc_id % 2 AS BIGINT) AS n_pages,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 0
+            ELSE 2 + doc_id % 2 END AS BIGINT) AS pages_decoded,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE
+            list_sum(list_transform(
+              generate_series(0, CAST(1 + doc_id % 2 AS INT)),
+              k -> (4 + (doc_id + k) % 3) * (3 + (doc_id + k) % 2) * 3))
+            END AS BIGINT) AS total_pixel_bytes,
+       doc_id % 7 <> 0 AS all_pages_ok,
+       doc_id % 7 = 0 AS corrupt_discarded
+FROM documents
+"""
+
+
+def q_e5_alph_gradient_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 ALPH alpha-plane statistics audit (r11): a VARYING raw
+    alpha gradient ((a0 + 7p) % 256) is applied over a lossy VP8
+    frame and the min/max/mean statistics are read back off the
+    DECODED RGBA pixels — certifying the r10 alpha path applies the
+    plane valuewise (byte-exact against the synthesized gradient),
+    not just modewise as the constant-plane audit does."""
+    from ..operators.multimodal import alph_gradient_audit
+
+    return alph_gradient_audit(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+ORACLE_E5_ALPH_GRADIENT_AUDIT = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 63),
+           p -> ((doc_id % 11) * 23 + 7 * p) % 256) AS plane
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_min(plane) AS BIGINT) AS alpha_min,
+       CAST(list_max(plane) AS BIGINT) AS alpha_max,
+       round(list_sum(plane) / 64.0, 6) AS alpha_mean,
+       true AS alpha_applied
+FROM g
+"""
+
+
+def q_e5_jpeg_fill_byte_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 JPEG fill-byte / standalone-marker tolerance census (r11):
+    valid third-party JPEGs carry 0xFF fill bytes before markers and
+    length-less TEM / stray RSTn markers (T.81 B.1.1.2); this round's
+    fix makes the census AND the decoder walk them instead of
+    misreading the following bytes as a segment length. Per doc the
+    spliced stream's census and decode must equal the clean
+    stream's — and a stray RST outside a scan must NOT count as a
+    resync point."""
+    from ..operators.multimodal import jpeg_fill_byte_census
+
+    return jpeg_fill_byte_census(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+ORACLE_E5_JPEG_FILL_BYTE_CENSUS = """
+SELECT doc_id,
+       CAST(16 + (doc_id % 2) * 8 AS BIGINT) AS width,
+       CAST(doc_id % 3 AS BIGINT) AS n_tem,
+       CAST(doc_id % 4 AS BIGINT) AS n_fill,
+       doc_id % 5 = 0 AS stray_rst,
+       true AS census_ok,
+       true AS decode_ok
+FROM documents
+"""

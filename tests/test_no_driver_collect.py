@@ -55,6 +55,14 @@ ALLOWED = {
         "e6_bpe_pack merge table: limit(8).collect() — tokenizer-"
         "sized fitted state, same contract as queries/e3.py",
     ),
+    "operators/similarity.py": (
+        1,
+        "brute_force_topk_blas query matrix: the queries frame is "
+        "small-by-contract (the same broadcastability bound the "
+        "crossJoin(broadcast(q)) path relies on); it is collected "
+        "once and Spark-broadcast for BLAS batch scoring — bounded "
+        "by the audit's fixed query budget, never by corpus rows",
+    ),
 }
 
 

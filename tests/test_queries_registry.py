@@ -452,6 +452,23 @@ def test_driver_window_holds_all_unique_queries():
         # shared verbatim; twins are certified by check_oracle +
         # pytest drains, and their plan cost is the batch twin's)
         "s38_stream_incident_overlap",
+        # r11 rotation (driver-green in r10; the three new in-window
+        # e5 audits exercise r11 code — bomb-guard 2x threshold, fixed
+        # walker + decode_tiff_pages extraction, valuewise ALPH
+        # gradient): the Orientation read is one tag off the same
+        # first-IFD parse the in-window TIFF census/extract exercise
+        # (fix arithmetic: past-window e5_orientation_fix);
+        # channel-stat decode plumbing stays scored by in-window
+        # e5_image_meta (aggregate shape: past-window e5_letterbox);
+        # gAMA/sRGB + Adam7 decode stays exercised by in-window
+        # e5_codec_roundtrip
+        "e5_exif_tiff_orientation",
+        "e5_color_channel_stats",
+        "e5_png_colorspace_audit",
+        # ...and e5_video_gop_structure's slot went to the r11
+        # fill-byte census (its synthetic-GOP machinery family stays
+        # oracle-checked via the past-window e5_video_keyframe_budget)
+        "e5_video_gop_structure",
     }
     assert set(list(QUERIES)[50:]) <= redundant_ok_past_50
 
