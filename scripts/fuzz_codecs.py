@@ -76,7 +76,13 @@ MODULES = [
 # (LossyWebPError, WebP-container-without-image-chunk).
 ALLOWED = (ValueError, NotImplementedError)
 
-PER_CALL_SECONDS = 3.0
+# 10s, not 3: a corrupt VP8 header can declare dims that pass the
+# 2x-MAX_IMAGE_PIXELS bomb guard yet make the pure-Python macroblock
+# loop grind for seconds before its data-length checks fire (measured
+# 3.02s on a quiet host for a webp_vp8 burst mutant — a 3s alarm made
+# the gate flaky under load). Slow-but-terminating is the DISCARD
+# route, not a finding; only hangs are.
+PER_CALL_SECONDS = 10.0
 
 
 def discover_targets() -> dict:

@@ -137,8 +137,8 @@ def brute_force_topk_blas(
     matrix) is scored against each Arrow batch with one BLAS matmul,
     and only the batch-local top-k per query (<= |Q| x k rows per
     batch) reaches the final per-query rank — the one shuffle is
-    batches x |Q| x k tiny rows. Judge-measured 16.4 s -> 0.84 s at
-    the 10x decade.
+    batches x |Q| x k tiny rows. Measured 16.4 s -> 0.84 s at the
+    10x decade (r11 closing sweep).
 
     Output and ordering parity with :func:`brute_force_topk`:
     (query_id, neighbor_id, score, rank), score = dot / (norm x norm)

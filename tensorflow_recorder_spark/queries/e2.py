@@ -1844,7 +1844,7 @@ def q_e2_match_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py brute_force_topk_blas — broadcast query
     matrix, one matmul per Arrow batch, only batch-local top-2 rows
     ever shuffle) replaces the generic salted rank that shuffled +
-    sorted the full |Q| x |corpus| scored frame. Judge-measured
+    sorted the full |Q| x |corpus| scored frame. Measured
     54.7 s -> 1.4 s at the 30x decade (ratio 29.2 -> 2.3); score
     values, rounding, and tie-breaks are parity-documented on the
     operator, so the oracle is unchanged."""

@@ -160,8 +160,14 @@ def _drain_to_files(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
     import tempfile
 
     spark = stream_df.sparkSession
+    # applicationId in the path: two processes draining the same twin
+    # (e.g. an external checker next to a bench) never clobber each
+    # other's sink dir
     path = os.path.join(
-        tempfile.gettempdir(), "trs_stream_file_sinks", name
+        tempfile.gettempdir(),
+        "trs_stream_file_sinks",
+        spark.sparkContext.applicationId,
+        name,
     )
     shutil.rmtree(path, ignore_errors=True)
     write_mode = "overwrite" if mode == "complete" else "append"

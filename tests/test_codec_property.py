@@ -164,6 +164,7 @@ def test_tiff_decoder_total_on_corrupt_input(seed, pos, newbyte, truncate):
     r10 judge's hole)."""
     from tensorflow_recorder_spark.functions.tiff_codec import (
         decode_tiff,
+        decode_tiff_pages,
         encode_tiff_multipage,
         tiff_page_meta,
     )
@@ -173,7 +174,7 @@ def test_tiff_decoder_total_on_corrupt_input(seed, pos, newbyte, truncate):
         (_rgb(seed + 1, 5, 4), 5, 4, "RGB", "deflate"),
     ]
     data = _mutate(encode_tiff_multipage(pages), pos, newbyte, truncate)
-    for dec in (decode_tiff, tiff_page_meta):
+    for dec in (decode_tiff, tiff_page_meta, decode_tiff_pages):
         try:
             dec(data)
         except ValueError:
