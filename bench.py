@@ -339,6 +339,33 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _cpu_reference() -> float:
+    """A fixed single-thread CPU workload (~1-2 s on this class of
+    host), timed — the level gauge the r11 adjudication was missing:
+    the r11 cold-start bench read a uniform 1.3x vs the r10 committed
+    record on byte-identical code, and solo spot-checks confirmed the
+    HOST was slower, but nothing in-record could prove it. Comparing
+    this field across two records separates machine-level drift
+    (reference moves with the totals) from a code regression
+    (reference steady, totals move). numpy matmul + pure-Python loop
+    + sha256, so JIT-free interpreter speed, BLAS speed, and memory
+    bandwidth all contribute."""
+    import hashlib
+
+    import numpy as np
+
+    t0 = time.time()
+    rng = np.random.RandomState(0)
+    a = rng.rand(600, 600)
+    for _ in range(12):
+        a = a @ a.T / 600.0
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc * 31 + i) & 0xFFFFFFFF
+    hashlib.sha256(bytes(8_000_000)).hexdigest()
+    return round(time.time() - t0, 3)
+
+
 def _quiesce(threshold: float = 1.5, max_wait_s: float = 240.0,
              poll_s: float = 5.0) -> float:
     """Pre-flight quiesce loop (r10 verdict item 3): the driver's r10
@@ -378,6 +405,7 @@ def main() -> int:
     strict = "--strict" in sys.argv
     quiesce_wait_s = _quiesce()
     load_before = _loadavg()
+    cpu_ref_before = _cpu_reference()
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
@@ -506,6 +534,13 @@ def main() -> int:
         "rerun_quiesce_wait_s": rerun_wait_s,
         "spliced_queries": flagged,
         "queries_samples_flagged_initial": flagged_initial,
+        # r11: fixed single-thread CPU workload timed before/after the
+        # sweep — compare across records to separate host-level drift
+        # (this moves with the totals) from a code regression (this
+        # stays put). The r11 1.31x-vs-r10 level shift needed solo
+        # spot-checks to adjudicate; this field does it in-record.
+        "cpu_reference_s_before": cpu_ref_before,
+        "cpu_reference_s_after": _cpu_reference(),
     }
     # Scaling-curve evidence (r6 verdict item 1): scripts/bench_scale.py
     # measures the top-20 queries at sf0.1 AND the derived 10x dataset;
