@@ -283,9 +283,16 @@ def main() -> int:
             m = bytearray(fdata)
             m[pos] = 0
             mutants.append((bytes(m), f"zero@{pos}"))
-        # seeded random flips + truncations
+        # seeded random flips + truncations. zlib.crc32, NOT hash():
+        # str hash is randomized per process (PYTHONHASHSEED), which
+        # would silently make every "fixed-seed" run draw different
+        # mutants — the gate must replay byte-identically.
+        import zlib as _zlib
+
         for seed in args.seeds:
-            rng = np.random.RandomState(seed ^ hash(fname) & 0x7FFFFFFF)
+            rng = np.random.RandomState(
+                seed ^ (_zlib.crc32(fname.encode()) & 0x7FFFFFFF)
+            )
             for t in range(args.trials):
                 mode = rng.randint(3)
                 if mode == 0:  # single-byte flip

@@ -168,6 +168,10 @@ def brute_force_topk_blas(
     def _batch_topk(batches):
         ids, qm, qn = bq.value
         for pdf in batches:
+            # NULL vectors score NULL in the generic operator (ranking
+            # last); here they are dropped before the stack — same
+            # narrowing as zero-norm, and np.stack would crash on None
+            pdf = pdf[pdf["__cv"].notna()]
             if pdf.empty:
                 continue
             nid = pdf["__nid"].to_numpy(dtype=np.int64)

@@ -69,6 +69,42 @@ def test_bench_quiesce_and_splice_fields():
         assert field in src
 
 
+def test_blas_topk_matches_generic_and_tolerates_nulls(spark):
+    """r11: brute_force_topk_blas must return the exact rows of the
+    generic salted operator on a small corpus (same scores at digit-4,
+    same (score desc, id asc) tie-break), and must DROP null vectors
+    instead of crashing the Arrow batch (the generic path scores them
+    NULL, ranking last — the documented narrowing)."""
+    from pyspark.sql import functions as F, types as T
+
+    from tensorflow_recorder_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_blas,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+        for i in range(30)
+    ] + [(30, None)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    queries = df.where(F.col("vec_id") < 3)
+    a = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in brute_force_topk_blas(df, queries, k=5).collect()
+    }
+    assert a == b
+
+
 def test_decode_tiff_pages_roundtrip_and_totality():
     """r11: decode_tiff_pages extracts EVERY page of the IFD chain
     (page 1 equals decode_tiff) and keeps the declared-ValueError
