@@ -1642,21 +1642,23 @@ def bomb_guard_census(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     three formats and three declared-dimension scenarios.
 
     Per row: a small REAL image (PNG / BMP / GIF by ``id % 3``) is
-    encoded, then its header's declared dimensions are patched by
-    scenario ``(id % 5) % 3``:
+    encoded, then its declared dimensions are patched by scenario
+    ``(id % 5) % 3``:
 
     * 0 — left valid: decodes.
     * 1 — mid-band (9500 x 9450 = 89.8M pixels: above PIL's warning
       threshold, below its 2x error threshold): the guard must NOT
       reject — PIL-based loaders decode this size, so over-rejecting
-      here silently diverges from the reference (r10 advice). PNG/BMP
-      then fail with an ordinary short-data corruption ValueError;
-      GIF still DECODES because the patched dimensions are the
-      logical-screen canvas while the frame descriptor keeps its own
-      (an honest per-format asymmetry worth pinning).
+      here silently diverges from the reference (r10 advice). The
+      guard passes and the decode then fails FAST with an ordinary
+      short-data corruption ValueError (PNG/BMP: header dims; GIF:
+      the FRAME descriptor dims — patching the GIF logical-screen
+      canvas instead would make the decoder composite a real 269 MB
+      canvas per memo entry, a self-inflicted per-task allocation
+      bomb at cluster scale).
     * 2 — bomb (20000 x 20000 = 400M pixels > 2x): the guard rejects
       at header parse, fast, with the declared 'decompression-bomb'
-      ValueError.
+      ValueError (GIF: canvas dims — the screen-level guard).
 
     Output: (id, fmt, scenario, declared_pixels, bomb_rejected,
     decode_ok)."""
@@ -1692,14 +1694,37 @@ def bomb_guard_census(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             idx = bytes((fmt_i + p * 131) % 8 for p in range(6 * 5))
             return encode_gif(idx, palette, 6, 5)
 
-        def patch(data: bytes, fmt_i: int, w: int, h: int) -> bytes:
+        def _gif_frame_desc_off(d: bytes) -> int:
+            """Offset of the 0x2C image-descriptor introducer: skip the
+            13-byte header+LSD, the GCT, and any 0x21 extension blocks
+            (sub-block chains) — a palette byte that happens to be 0x2C
+            can't be mistaken for it this way."""
+            pos = 13 + 3 * 8  # header + LSD + 8-entry GCT
+            while pos < len(d):
+                b = d[pos]
+                if b == 0x2C:
+                    return pos
+                if b == 0x21:  # extension: label + sub-blocks
+                    pos += 2
+                    while d[pos] != 0:
+                        pos += 1 + d[pos]
+                    pos += 1
+                    continue
+                raise ValueError("no image descriptor found")
+            raise ValueError("no image descriptor found")
+
+        def patch(data: bytes, fmt_i: int, w: int, h: int,
+                  gif_screen: bool) -> bytes:
             d = bytearray(data)
             if fmt_i == 0:  # PNG IHDR: sig(8) + len(4) + type(4)
                 struct.pack_into(">II", d, 16, w, h)
             elif fmt_i == 1:  # BMP DIB: width/height at 18
                 struct.pack_into("<ii", d, 18, w, h)
-            else:  # GIF logical screen descriptor at 6
+            elif gif_screen:  # GIF logical screen descriptor at 6
                 struct.pack_into("<HH", d, 6, w, h)
+            else:  # GIF frame descriptor: introducer + x(2) + y(2)
+                off = _gif_frame_desc_off(bytes(d))
+                struct.pack_into("<HH", d, off + 5, w, h)
             return bytes(d)
 
         def probe(i: int):
@@ -1711,10 +1736,10 @@ def bomb_guard_census(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 declared = 6 * 5
             elif scenario == 1:
                 declared = MID_W * MID_H
-                data = patch(data, fmt_i, MID_W, MID_H)
+                data = patch(data, fmt_i, MID_W, MID_H, gif_screen=False)
             else:
                 declared = BOMB_W * BOMB_H
-                data = patch(data, fmt_i, BOMB_W, BOMB_H)
+                data = patch(data, fmt_i, BOMB_W, BOMB_H, gif_screen=True)
             decoder = (decode_png, decode_bmp, decode_gif)[fmt_i]
             try:
                 decoder(data)

@@ -944,10 +944,10 @@ def q_e5_bomb_guard_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     found by the r10 fuzz as a 23 GB Adam7 allocation). Per doc a
     PNG/BMP/GIF has its declared dimensions patched to valid /
     mid-band (89.8M px — above PIL's warning bar, below its 2x error
-    bar: must NOT be bomb-rejected, r10 advice) / bomb (400M px >
-    2x: rejected). Pins the per-format mid-band asymmetry: PNG/BMP
-    fail as ordinary short-data corruption, GIF still decodes (the
-    patched dims are the canvas, frames carry their own)."""
+    bar: must NOT be bomb-rejected, r10 advice; the decode then
+    fails FAST as ordinary short-data corruption — GIF is patched at
+    the FRAME descriptor so no midband canvas is ever composited) /
+    bomb (400M px > 2x: rejected at header parse)."""
     from ..operators.multimodal import bomb_guard_census
 
     return bomb_guard_census(_t(spark, sf_dir, "documents"), "doc_id")
@@ -962,8 +962,7 @@ SELECT doc_id,
             WHEN 1 THEN 89775000 ELSE 400000000 END AS BIGINT)
          AS declared_pixels,
        (doc_id % 5) % 3 = 2 AS bomb_rejected,
-       CASE (doc_id % 5) % 3 WHEN 0 THEN true
-            WHEN 1 THEN doc_id % 3 = 2 ELSE false END AS decode_ok
+       (doc_id % 5) % 3 = 0 AS decode_ok
 FROM documents
 """
 
