@@ -58,9 +58,11 @@ sys.path.insert(0, REPO)
 
 from tensorflow_recorder_spark.functions import (  # noqa: E402
     bmp_codec,
+    example_proto,
     gif_codec,
     jpeg_codec,
     png_codec,
+    tfrecord_io,
     tiff_codec,
     vp8_codec,
     vp8l_codec,
@@ -69,6 +71,12 @@ from tensorflow_recorder_spark.functions import (  # noqa: E402
 MODULES = [
     bmp_codec, gif_codec, jpeg_codec, png_codec,
     tiff_codec, vp8_codec, vp8l_codec,
+    # r11: the TFRecord load path has the same totality contract as
+    # the codecs (corrupt shard -> declared ValueError, the tf.data
+    # DataLossError analog) — truncated records used to leak
+    # struct.error, bit-flipped gzip leaked BadGzipFile, and corrupt
+    # protos leaked IndexError/TypeError/AttributeError
+    tfrecord_io, example_proto,
 ]
 
 # The declared totality contract: corrupt input -> ValueError (DISCARD
@@ -179,6 +187,19 @@ def build_fixtures() -> dict[str, bytes]:
         ]
     )
 
+    # TFRecord shard images (raw + gzip) holding two Example protos —
+    # the S5/C5 load-path surface (read_file_records/read_records +
+    # decode_example are auto-discovered like any other decode_*)
+    ex = example_proto.encode_example(
+        {
+            "a": ("bytes", [b"hello", b"world"]),
+            "b": ("int64", [1, -2, 3]),
+            "c": ("float", [0.5, -1.25]),
+        }
+    )
+    fx["tfrecord_raw"] = tfrecord_io.records_to_bytes([ex, ex])
+    fx["tfrecord_gzip"] = tfrecord_io.records_to_bytes([ex, ex], compress=True)
+
     fx["webp_vp8l"] = vp8l_codec.encode_vp8l(_rgb(9, 6, 5), 6, 5, "RGB")
     fx["webp_vp8"] = vp8_codec.encode_webp_vp8(_rgb(10, 8, 8), 8, 8, "RGB")
 
@@ -231,7 +252,12 @@ def run_one(fn, data: bytes):
     """-> None if OK/allowed, else (exc_type_name, traceback_str)."""
     signal.setitimer(signal.ITIMER_REAL, PER_CALL_SECONDS)
     try:
-        fn(data)
+        res = fn(data)
+        if inspect.isgenerator(res):
+            # generator surfaces (read_records/read_file_records)
+            # raise lazily — drain them or the call trivially passes
+            for _ in res:
+                pass
         return None
     except ALLOWED:
         return None

@@ -381,7 +381,25 @@ def _decode_float_list(data: bytes) -> list[float]:
 
 
 def decode_example(data: bytes) -> dict[str, tuple[str, list]]:
-    """Parse a serialized Example into {name: (kind, values)}."""
+    """Parse a serialized Example into {name: (kind, values)}.
+
+    Raises ONLY ValueError on corrupt input (r11 — same totality
+    contract as the image codecs): a truncated varint used to leak
+    IndexError out of ``_read_varint``, and short fixed-width slices
+    leaked struct.error from the packed-list decoders; on an executor
+    those are undeclared task crashes instead of a declared corrupt-
+    record failure. (UnicodeDecodeError from a non-UTF-8 feature name
+    is already a ValueError subclass.)"""
+    try:
+        return _decode_example_inner(data)
+    except (struct.error, IndexError, KeyError, TypeError, AttributeError) as exc:
+        # TypeError: a corrupt wire-type flip turns a length-delimited
+        # submessage into a varint int, which then flows into a parser
+        # expecting bytes (found by the r11 inline fuzz of this wrapper)
+        raise ValueError(f"corrupt Example proto: {exc!r}") from exc
+
+
+def _decode_example_inner(data: bytes) -> dict[str, tuple[str, list]]:
     out: dict[str, tuple[str, list]] = {}
     for field, features_bytes in _iter_fields(data):
         if field != 1:

@@ -112,7 +112,14 @@ def frame_records(records: list[bytes]) -> bytes:
 
 def read_records(data: bytes, verify: bool = False) -> Iterator[bytes]:
     """Iterate the records in a raw (already-decompressed) TFRecord byte
-    string. ``verify=True`` checks both CRCs (golden tests)."""
+    string. ``verify=True`` checks both CRCs (golden tests).
+
+    Corrupt input raises ONLY the declared ValueError (r11): a record
+    whose length field runs past the end of file used to reach
+    ``_U32.unpack(b"")`` -> undeclared struct.error on the executor —
+    the same totality class as the codec walkers. A truncated stream is
+    a loud declared failure, matching tf.data's DataLossError
+    semantics, not a silent partial read."""
     pos = 0
     n = len(data)
     while pos + 12 <= n:
@@ -122,12 +129,22 @@ def read_records(data: bytes, verify: bool = False) -> Iterator[bytes]:
         if verify and masked_crc32c(header) != header_crc:
             raise ValueError(f"corrupt TFRecord header at offset {pos}")
         start = pos + 12
+        if start + length + 4 > n:
+            raise ValueError(
+                f"corrupt TFRecord: record at offset {pos} declares "
+                f"{length} payload bytes but the stream ends at {n}"
+            )
         payload = data[start : start + length]
         (data_crc,) = _U32.unpack(data[start + length : start + length + 4])
         if verify and masked_crc32c(payload) != data_crc:
             raise ValueError(f"corrupt TFRecord payload at offset {start}")
         yield payload
         pos = start + length + 4
+    if pos != n:
+        raise ValueError(
+            f"corrupt TFRecord: {n - pos} trailing bytes after the last "
+            "complete record"
+        )
 
 
 def open_output(path: str, compressed: bool | str | None):
@@ -202,12 +219,21 @@ def read_file_records(path_or_bytes, compressed=None) -> Iterator[bytes]:
     ``compressed=None`` infers from the path extension (paths) or the
     magic bytes (blobs) — the reference infers from extension
     (dataset_loader.py:72-79). Accepts bool or 'gzip'/'zlib'.
-    """
-    if isinstance(path_or_bytes, (bytes, bytearray)):
-        yield from read_records(_maybe_decompress_blob(bytes(path_or_bytes), compressed))
-    else:
-        with open_maybe_gzip(path_or_bytes, "rb") as fh:
-            yield from read_records(fh.read())
+
+    Corrupt input raises ONLY the declared ValueError (r11): a
+    bit-flipped gzip shard leaked BadGzipFile / zlib.error / EOFError
+    through the load path — an undeclared executor crash where
+    tf.data raises its declared DataLossError."""
+    try:
+        if isinstance(path_or_bytes, (bytes, bytearray)):
+            yield from read_records(
+                _maybe_decompress_blob(bytes(path_or_bytes), compressed)
+            )
+        else:
+            with open_maybe_gzip(path_or_bytes, "rb") as fh:
+                yield from read_records(fh.read())
+    except (gzip.BadGzipFile, zlib.error, EOFError) as exc:
+        raise ValueError(f"corrupt TFRecord stream: {exc!r}") from exc
 
 
 def records_to_bytes(records: list[bytes], compress: bool = False) -> bytes:

@@ -69,6 +69,57 @@ def test_bench_quiesce_and_splice_fields():
         assert field in src
 
 
+def test_tfrecord_load_path_totality():
+    """r11: the TFRecord load path (S5/C5) carries the same declared-
+    ValueError totality contract as the image codecs — corrupt shards
+    are a loud declared failure (tf.data's DataLossError analog),
+    never an undeclared executor crash. Pre-fix leaks: truncated
+    record -> struct.error from _U32.unpack(b''); bit-flipped gzip ->
+    BadGzipFile; corrupt proto -> IndexError (truncated varint),
+    TypeError/AttributeError (wire-type flips), struct.error (short
+    fixed32)."""
+    import numpy as np
+
+    from tensorflow_recorder_spark.functions.example_proto import (
+        decode_example,
+        encode_example,
+    )
+    from tensorflow_recorder_spark.functions.tfrecord_io import (
+        read_file_records,
+        records_to_bytes,
+    )
+
+    ex = encode_example(
+        {
+            "a": ("bytes", [b"hello", b"world"]),
+            "b": ("int64", [1, -2, 3]),
+            "c": ("float", [0.5, -1.25]),
+        }
+    )
+    rng = np.random.RandomState(0)
+    for comp in (False, True):
+        blob = records_to_bytes([ex, ex], compress=comp)
+        # exhaustive single-byte XOR + every truncation point
+        mutants = [
+            bytes(
+                blob[:pos] + bytes([blob[pos] ^ 0xFF]) + blob[pos + 1:]
+            )
+            for pos in range(len(blob))
+        ] + [blob[:cut] for cut in range(len(blob))]
+        # plus seeded multi-flips
+        for _ in range(2000):
+            m = bytearray(blob)
+            for _ in range(rng.randint(1, 4)):
+                m[rng.randint(len(m))] = rng.randint(256)
+            mutants.append(bytes(m))
+        for m in mutants:
+            try:
+                for record in read_file_records(m):
+                    decode_example(record)
+            except ValueError:
+                pass  # the declared route — anything else fails the test
+
+
 def test_blas_topk_matches_generic_and_tolerates_nulls(spark):
     """r11: brute_force_topk_blas must return the exact rows of the
     generic salted operator on a small corpus (same scores at digit-4,
