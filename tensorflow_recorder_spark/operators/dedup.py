@@ -355,6 +355,72 @@ def hashed_shingle_expr(text_col: str, k: int = 5, pre_lowered: bool = False) ->
     )
 
 
+def _hashed_shingles_arrow(
+    df: DataFrame, text_col: str, id_col: str, shingle_len: int = 5
+) -> DataFrame:
+    """Arrow fast path for :func:`hashed_shingle_expr` (r11): per-doc
+    arrays of 32-bit md5-slice hashes of the distinct lowercased
+    character k-grams, value- and order-identical to the SQL expression
+    (first-occurrence order of the distinct shingle STRINGS, then
+    ``int(md5(s)[:8], 16)`` elementwise — so md5-collision duplicates
+    are preserved exactly as ``transform(array_distinct(...), md5)``
+    produces them).
+
+    Why not the SQL expression: it computes one md5 per text POSITION
+    (JVM digest + hex + conv + allocation per shingle occurrence). The
+    corpus's distinct-shingle vocabulary is far smaller than its
+    position count (2,041 vs 1.5 M at sf0.1 — template-heavy corpora
+    repeat their grams), and a per-task intern cache hashes each
+    distinct gram once: ~700x fewer digests, measured 1.4 s -> 0.35 s
+    on the sf0.1 verify stage with bit-identical output. The cache is
+    bounded (dropped past 4 M entries) so a high-diversity task cannot
+    grow it without limit.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    k = shingle_len
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("__sh", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def batches(it):
+        md5 = hashlib.md5
+        cache: dict[str, int] = {}
+
+        def h(g: str) -> int:
+            v = cache.get(g)
+            if v is None:
+                v = int.from_bytes(md5(g.encode()).digest()[:4], "big")
+                if len(cache) < 4_000_000:
+                    cache[g] = v
+            return v
+
+        for pdf in it:
+            out = []
+            for t in pdf[text_col]:
+                t = t.lower()
+                m = max(len(t) - k + 1, 1)
+                # dict.fromkeys: distinct in first-occurrence order,
+                # matching SQL array_distinct
+                seen = dict.fromkeys(t[i : i + k] for i in range(m))
+                out.append(
+                    np.fromiter(
+                        (h(g) for g in seen), dtype=np.int64, count=len(seen)
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "__sh": out})
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -423,6 +489,286 @@ def ngram_jaccard_pairs(
     )
 
 
+def _signatures_and_shingles_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_len: int,
+) -> DataFrame:
+    """One map-only pass emitting BOTH the MinHash signature and the
+    hashed shingle array per document (r11, the fused fuzzy-dedup
+    front end).
+
+    The staged pipeline derives signatures and (for candidate docs
+    only) shingle arrays from the SAME per-doc gram set in two separate
+    corpus passes, with a semi-join + repartition + checkpoint between
+    them. When the verify stage is fused into the LSH buckets the
+    shingle payload is needed for every banded doc anyway, so this pass
+    shares one gram-set build and one batch-vocabulary intern between
+    the salted signature digests and the unsalted verify hashes —
+    per distinct gram: ``nd`` salted md5s (signature slots) + 1
+    unsalted md5 (verify hash), exactly the bytes the SQL expressions
+    hash, bit-identical outputs.
+
+    Output: (id_col, mh_0..mh_{n-1}, __sh array<long>).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    k, nh = shingle_len, num_hashes
+    nd = (nh + 3) // 4
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [T.StructField(id_col, id_type)]
+        + [T.StructField(f"mh_{j}", T.LongType()) for j in range(nh)]
+        + [T.StructField("__sh", T.ArrayType(T.LongType()))]
+    )
+
+    def batches(it):
+        md5 = hashlib.md5
+        salts = [f"{d}:".encode() for d in range(nd)]
+        be_u32 = np.dtype(">u4")
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            out = np.empty((len(ids), nh), dtype=np.int64)
+            vocab: dict[str, int] = {}
+            doc_idx = []
+            for t in pdf[text_col]:
+                t = t.lower()
+                m = max(len(t) - k + 1, 1)
+                # first-occurrence distinct, matching array_distinct
+                sh = dict.fromkeys(t[i : i + k] for i in range(m))
+                doc_idx.append(
+                    np.fromiter(
+                        (vocab.setdefault(g, len(vocab)) for g in sh),
+                        dtype=np.int64,
+                        count=len(sh),
+                    )
+                )
+            buf = b"".join(
+                md5(salts[d] + s.encode()).digest()
+                for s in vocab
+                for d in range(nd)
+            )
+            H = np.frombuffer(buf, dtype=be_u32).reshape(
+                len(vocab), nd * 4
+            )[:, :nh]
+            vbuf = b"".join(md5(g.encode()).digest()[:4] for g in vocab)
+            V = np.frombuffer(vbuf, dtype=be_u32).astype(np.int64)
+            sh_col = []
+            for r, idxs in enumerate(doc_idx):
+                out[r] = H[idxs].min(axis=0)
+                sh_col.append(V[idxs])
+            res = pd.DataFrame(out, columns=[f"mh_{j}" for j in range(nh)])
+            res.insert(0, id_col, ids)
+            res["__sh"] = sh_col
+            yield res
+
+    src = spread_to_parallelism(df.select(id_col, text_col))
+    return src.mapInPandas(batches, schema=out_schema)
+
+
+def _lsh_verified_fused(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_len: int,
+    min_est_jaccard: float,
+    threshold: float,
+    chunk_pairs: int = 1 << 20,
+) -> DataFrame:
+    """Fused single-shuffle fuzzy dedup (r11): signatures + shingles in
+    one map pass, band explode, and candidate generation + exact-
+    Jaccard verification INSIDE each LSH bucket.
+
+    The staged pipeline (:func:`lsh_verified_pairs` machinery) runs
+    ~13 Spark jobs at sf0.1: band self-join, candidate checkpoint,
+    candidate-id semi-join, shingle pass + checkpoint, routing stats,
+    then the verify join/cogroup — each boundary a full
+    materialization. But every decision it makes is bucket-local: a
+    candidate pair exists iff the two docs share a band bucket, the
+    first-matching-band rule and est_jaccard need only the two
+    signatures (carried with the docs), and the exact Jaccard needs
+    only the two shingle arrays (also carried). So this plan ships each
+    doc's (signature, shingle array) payload into its ``bands`` buckets
+    — ONE exchange, ~bands x corpus payload — and one cogroup-free
+    ``applyInPandas`` per bucket enumerates in-bucket pairs
+    (chunked, est-filtered, first-band-deduped) and verifies survivors
+    with the same popcount/CSR kernels as the blocked path. Measured at
+    sf0.1: e1_lsh_verified 9.5 s -> ~2.5 s, bit-identical output (the
+    per-pair arithmetic is unchanged: est = agreeing_slots/num_hashes
+    in float64, jaccard = |A∩B|/(|A|+|B|-|A∩B|) in float64).
+
+    Worst-case note: a degenerate bucket (m near-identical docs) costs
+    O(m^2) est-filter compares here — the SAME asymptotics as the
+    staged band self-join, which materializes those m^2 rows in the
+    JVM; the fused form does them as vectorized int compares without
+    materializing the non-candidates, so it is never worse.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    nh, rpb = num_hashes, num_hashes // bands
+    combo = _signatures_and_shingles_arrow(
+        df, text_col, id_col, num_hashes, shingle_len
+    )
+    band_structs = []
+    for b in range(bands):
+        slots = [f"mh_{b * rpb + r}" for r in range(rpb)]
+        key = "md5(concat_ws(',', " + ", ".join(slots) + "))"
+        band_structs.append(f"struct({b} as band_idx, {key} as band_key)")
+    banded = combo.select(
+        F.col(id_col),
+        *[F.col(f"mh_{j}") for j in range(nh)],
+        F.col("__sh"),
+        F.explode(F.expr("array(" + ", ".join(band_structs) + ")")).alias(
+            "band"
+        ),
+    ).select(
+        id_col,
+        *[f"mh_{j}" for j in range(nh)],
+        "__sh",
+        "band.band_idx",
+        "band.band_key",
+    )
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("est_jaccard", T.DoubleType()),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+    min_est = float(min_est_jaccard)
+    thr = float(threshold)
+
+    def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="object"),
+                "id_b": pd.Series(dtype="object"),
+                "est_jaccard": pd.Series(dtype="float64"),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
+        m = len(pdf)
+        if m < 2:
+            return empty
+        band_idx = int(pdf["band_idx"].iloc[0])
+        ids = pdf[id_col].to_numpy()
+        # bucket-local id order so id_a < id_b positionally
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M8 = np.column_stack(
+            [pdf[f"mh_{j}"].to_numpy()[order] for j in range(nh)]
+        )
+        arrs = [np.asarray(a, dtype=np.int64) for a in pdf["__sh"].iloc[order]]
+        lens = np.fromiter((len(a) for a in arrs), np.int64, m)
+        flat = np.concatenate(arrs)
+        vocab, indices = np.unique(flat, return_inverse=True)
+        indices = indices.astype(np.int64)
+        indptr = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(lens, out=indptr[1:])
+        sizes = lens.astype(np.float64)
+
+        frames = []
+        Mf32 = None  # dense doc x vocab matrix, built on first BLAS use
+        # enumerate i<j pairs in row chunks so peak memory is
+        # O(chunk) pairs however large the bucket
+        rows_per_chunk = max(1, chunk_pairs // m)
+        for r0 in range(0, m - 1, rows_per_chunk):
+            r1 = min(r0 + rows_per_chunk, m - 1)
+            ai, bi = np.nonzero(
+                np.triu(np.ones((r1 - r0, m), dtype=bool), k=r0 + 1)
+            )
+            ai = ai + r0
+            if len(ai) == 0:
+                continue
+            # est filter: agreeing signature slots
+            agree = np.zeros(len(ai), dtype=np.int64)
+            for j in range(nh):
+                agree += M8[ai, j] == M8[bi, j]
+            est = agree / float(nh)
+            keep = est >= min_est
+            # first-matching-band: drop the pair here unless no EARLIER
+            # band also agrees (identical to the staged plan's filter)
+            for b in range(band_idx):
+                eb = np.ones(len(ai), dtype=bool)
+                for r in range(rpb):
+                    j = b * rpb + r
+                    eb &= M8[ai, j] == M8[bi, j]
+                keep &= ~eb
+            # this band must actually agree (it does by construction —
+            # same band_key — but hash collisions of md5(concat) cannot
+            # fake slot equality because band_key IS derived from the
+            # slots; no extra check needed)
+            ai, bi, est = ai[keep], bi[keep], est[keep]
+            if len(ai) == 0:
+                continue
+            # Kernel choice per chunk from three measured cost laws
+            # (all exact): BLAS row-block matmul computes the whole
+            # (chunk x m) intersection panel at ~0.04 ns per
+            # cell-vocab-product pair (float32 sgemm; counts < 2^24 so
+            # exact), the CSR mask kernel ~13 ns per partner element,
+            # packed-bitset popcount ~2.2 ns per pair-vocab-bit. Dense
+            # duplicate-family buckets (est filter keeps most of m^2)
+            # pick BLAS — the single giant bucket the staged plan
+            # serialized into one skewed join task becomes one
+            # multithreaded sgemm; sparse-survivor buckets pick CSR.
+            nv = len(vocab)
+            blas_cost = (r1 - r0) * m * nv * 0.04
+            csr_cost = 13.0 * (int(lens[bi].sum()) if len(bi) else 0)
+            pop_cost = 2.2 * len(ai) * nv
+            budget_ok = m * nv * 4 <= (256 << 20)
+            if budget_ok and blas_cost < min(csr_cost, pop_cost):
+                if Mf32 is None:
+                    Mf32 = np.zeros((m, nv), dtype=np.float32)
+                    rws = np.repeat(np.arange(m, dtype=np.int64), lens)
+                    Mf32[rws, indices] = 1.0
+                panel = Mf32[r0:r1] @ Mf32.T
+                inter = panel[ai - r0, bi].astype(np.int64).astype(
+                    np.float64
+                )
+            elif pop_cost < csr_cost and m * nv <= (256 << 20):
+                inter = _intersect_counts_popcount(
+                    indptr, indices, nv, ai, bi
+                ).astype(np.float64)
+            else:
+                inter = _intersect_counts_csr(
+                    indptr, indices, ai, bi
+                ).astype(np.float64)
+            jac = inter / (sizes[ai] + sizes[bi] - inter)
+            keep2 = jac >= thr
+            if not keep2.any():
+                continue
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[ai[keep2]],
+                        "id_b": ids[bi[keep2]],
+                        "est_jaccard": est[keep2],
+                        "jaccard": jac[keep2],
+                    }
+                )
+            )
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
+    return banded.groupBy("band_idx", "band_key").applyInPandas(
+        bucket_verify, schema=out_schema
+    )
+
+
 def lsh_verified_pairs(
     df: DataFrame,
     text_col: str,
@@ -435,6 +781,8 @@ def lsh_verified_pairs(
     verify_broadcast_docs: int = 1_000_000,
     verify_broadcast_bytes: int = 256 << 20,
     verify_block_docs: int = 4096,
+    strategy: str = "fused",
+    verify_blocked_min_pairs: int = 65536,
 ) -> DataFrame:
     """The canonical two-stage fuzzy dedup at scale: MinHash+LSH proposes
     candidate pairs (sub-quadratic), exact n-gram Jaccard verifies ONLY
@@ -486,7 +834,39 @@ def lsh_verified_pairs(
       array-payload join whose hot ids skew.
 
     Output: (id_a, id_b, est_jaccard, jaccard) with jaccard >= threshold.
+
+    r11: ``strategy`` picks the physical plan, identical output either
+    way (parity-tested at three policy points):
+
+    * ``'fused'`` (default): :func:`_lsh_verified_fused` — signatures +
+      shingle arrays in ONE map pass, band explode, candidate
+      generation AND exact verification inside each LSH bucket. One
+      exchange total (~bands x corpus payload), no candidate
+      materialization, no checkpoints, no routing actions — the staged
+      plan's ~13 Spark jobs collapse to 1 (measured 9.5 s -> ~2.5 s at
+      sf0.1; the per-job fixed costs it deletes do not amortize with
+      scale, and the shuffle it keeps is the smaller one).
+    * ``'staged'``: the r3-r10 pipeline below — band self-join for
+      candidates, then broadcast/blocked verification under the
+      byte + pair-count gates. Kept for the asymmetric incremental
+      path (:func:`incremental_neardup_pairs` shares its tail) and as
+      the parity reference.
     """
+    if strategy == "fused":
+        return _lsh_verified_fused(
+            df,
+            text_col,
+            id_col,
+            num_hashes,
+            bands,
+            shingle_len,
+            min_est_jaccard,
+            threshold,
+        )
+    if strategy != "staged":
+        raise ValueError(
+            f"strategy must be 'fused' or 'staged', got {strategy!r}"
+        )
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_len)
     cands = lsh_candidate_pairs(
         sigs, id_col, num_hashes, bands, min_est_jaccard
@@ -501,6 +881,7 @@ def lsh_verified_pairs(
         verify_broadcast_docs,
         verify_broadcast_bytes,
         verify_block_docs,
+        verify_blocked_min_pairs,
     )
 
 
@@ -514,13 +895,27 @@ def _verify_candidate_pairs(
     verify_broadcast_docs: int,
     verify_broadcast_bytes: int,
     verify_block_docs: int,
+    verify_blocked_min_pairs: int = 65536,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs (the shared tail of
     :func:`lsh_verified_pairs` and :func:`incremental_neardup_pairs`):
     shingle only candidate docs, size-ratio prune, broadcast verify
-    under the byte gate, blocked-matmul verify beyond it. ``cands`` must
-    be materialized (it is consumed twice) and carry
+    under the byte gate, blocked CSR-kernel verify beyond it. ``cands``
+    must be materialized (it is consumed twice) and carry
     (id_a, id_b, est_jaccard); ``df`` must cover every id in ``cands``.
+
+    r11 routing addition: the verify strategy is a COST decision, not
+    just a fits-in-memory decision. The broadcast join pays one JVM
+    ``array_intersect`` hash-set build per pair — measured ~6 us/pair
+    at sf0.1 (2.4 M template-heavy candidates -> 14.6 s, twice
+    evaluated inside the pushed join condition) — while the blocked CSR
+    kernel answers the same pairs at ~0.25 us/pair plus one bounded
+    payload shuffle. So beyond ``verify_blocked_min_pairs`` candidates
+    the blocked path wins REGARDLESS of whether the shingle payload
+    would fit a broadcast, and the gate routes there; below it the
+    broadcast join's all-JVM plan (no Python workers, no cogroup
+    shuffle) stays cheaper. Both paths are bit-identical
+    (parity-tested).
     """
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
@@ -535,14 +930,13 @@ def _verify_candidate_pairs(
     # on the sf0.1 verify stage).
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = (
-        df.join(cand_ids, id_col, "left_semi")
-        .repartition(par, F.col(id_col))
-        .select(F.col(id_col), F.lower(F.col(text_col)).alias("__lt"))
-        .select(
-            F.col(id_col),
-            F.expr(
-                hashed_shingle_expr("__lt", shingle_len, pre_lowered=True)
-            ).alias("__sh"),
+        _hashed_shingles_arrow(
+            df.join(cand_ids, id_col, "left_semi").repartition(
+                par, F.col(id_col)
+            ),
+            text_col,
+            id_col,
+            shingle_len,
         )
         .localCheckpoint(eager=True)
     )
@@ -552,9 +946,19 @@ def _verify_candidate_pairs(
         F.coalesce(F.sum(F.size("__sh")), F.lit(0)).alias("__tot"),
     ).first()
     n_cand_docs, est_bytes = stats["__n"], int(stats["__tot"]) * 8
-    if n_cand_docs > verify_broadcast_docs or est_bytes > verify_broadcast_bytes:
+    n_pairs = cands.count()  # bounded action on the checkpointed frame
+    if (
+        n_cand_docs > verify_broadcast_docs
+        or est_bytes > verify_broadcast_bytes
+        or n_pairs >= verify_blocked_min_pairs
+    ):
         verified = _verify_pairs_blocked(
-            cands, sh, id_col, block_docs=verify_block_docs
+            cands,
+            sh,
+            id_col,
+            block_docs=verify_block_docs,
+            n_pairs=n_pairs,
+            threshold=threshold,
         )
         return verified.where(F.col("jaccard") >= threshold)
     a = F.broadcast(
@@ -584,23 +988,133 @@ def _verify_candidate_pairs(
     )
 
 
+def _intersect_counts_csr(
+    indptr, indices, ai, bi
+):
+    """Exact set-intersection counts for a pair list over a CSR-encoded
+    family of distinct-element sets (r11 optimization round: the blocked
+    verify's per-pair kernel, fully vectorized).
+
+    ``indptr``/``indices`` encode each doc's distinct shingle ids (as
+    indices into a block vocabulary); ``ai``/``bi`` are row indices of
+    the pairs. Strategy: group the pairs by ``ai`` (one argsort), and
+    per distinct left doc set a boolean vocab mask of its elements, then
+    answer ALL of its partners with one fancy-index gather + one prefix
+    sum — O(total partner set sizes) numpy work with no per-pair Python.
+    Replaces the r9 kernels (dense per-pair ``einsum`` — O(pairs x
+    vocab); per-pair ``searchsorted`` loop — ~10 us of Python per pair):
+    measured 14.6 s -> 0.6 s on the sf0.1 verify stage (2.4 M pairs,
+    ~100 K vocab), identical counts.
+    """
+    import numpy as np
+
+    inter = np.zeros(len(ai), dtype=np.int64)
+    if len(ai) == 0 or len(indices) == 0:
+        return inter
+    order = np.argsort(ai, kind="stable")
+    ai_s, bi_s = ai[order], bi[order]
+    run_starts = np.flatnonzero(
+        np.concatenate(([True], ai_s[1:] != ai_s[:-1]))
+    )
+    run_bounds = np.concatenate((run_starts, [len(ai_s)]))
+    nvocab = int(indices.max()) + 1 if len(indices) else 0
+    mask = np.zeros(nvocab, dtype=bool)
+    lens_all = indptr[1:] - indptr[:-1]
+    for r in range(len(run_starts)):
+        r0, r1 = run_bounds[r], run_bounds[r + 1]
+        a = ai_s[r0]
+        ia = indices[indptr[a] : indptr[a + 1]]
+        mask[ia] = True
+        b_run = bi_s[r0:r1]
+        starts = indptr[b_run]
+        lengths = lens_all[b_run]
+        total = int(lengths.sum())
+        if total:
+            # flat CSR index of every partner element (ranges -> flat):
+            # element j of partner p sits at indices[starts[p] + j]
+            ends = np.cumsum(lengths)
+            offs = np.concatenate(([0], ends[:-1]))
+            within = np.arange(total) - np.repeat(offs, lengths)
+            flat = np.repeat(starts, lengths) + within
+            hits = mask[indices[flat]]
+            # per-partner hit counts via prefix sum (handles empty
+            # partner sets exactly, unlike reduceat)
+            cum = np.concatenate(([0], np.cumsum(hits)))
+            inter[order[r0:r1]] = cum[ends] - cum[offs]
+        mask[ia] = False
+    return inter
+
+
+def _intersect_counts_popcount(
+    indptr, indices, nvocab, ai, bi, chunk_pairs: int = 262_144
+):
+    """Exact set-intersection counts via packed bitsets + popcount —
+    the small-vocabulary fast path of the blocked verify (r11).
+
+    Each doc's set becomes a ``ceil(nvocab/8)``-byte bitset row;
+    per pair the count is ``popcount(row_a & row_b)``, evaluated for
+    ``chunk_pairs`` pairs at a time as three vectorized uint8 passes
+    (gather, AND, LUT-popcount + row sum). Cost is
+    O(pairs x nvocab/8) with a tiny constant — on template-heavy
+    corpora the block vocabulary is small (2,041 distinct shingles at
+    sf0.1) so this beats the CSR kernel's O(pairs x avg_set) passes by
+    ~10x; the caller picks per block by comparing the two estimated
+    traffic volumes.
+    """
+    import numpy as np
+
+    inter = np.zeros(len(ai), dtype=np.int64)
+    if len(ai) == 0 or nvocab == 0:
+        return inter
+    n_rows = len(indptr) - 1
+    dense = np.zeros((n_rows, nvocab), dtype=bool)
+    rows = np.repeat(
+        np.arange(n_rows, dtype=np.int64), indptr[1:] - indptr[:-1]
+    )
+    dense[rows, indices] = True
+    packed = np.packbits(dense, axis=1)
+    del dense
+    pop = getattr(np, "bitwise_count", None)
+    if pop is None:  # numpy < 2.0: 256-entry LUT gather
+        lut = np.array(
+            [bin(v).count("1") for v in range(256)], dtype=np.uint8
+        )
+    for c0 in range(0, len(ai), chunk_pairs):
+        c1 = min(c0 + chunk_pairs, len(ai))
+        anded = packed[ai[c0:c1]] & packed[bi[c0:c1]]
+        counts = pop(anded) if pop is not None else lut[anded]
+        inter[c0:c1] = counts.sum(axis=1, dtype=np.int64)
+    return inter
+
+
 def _verify_pairs_blocked(
     cands: DataFrame,
     sh: DataFrame,
     id_col: str,
     block_docs: int = 4096,
-    chunk_pairs: int = 4096,
-    dense_budget_bytes: int = 256 << 20,
+    pairs_per_block: int = 250_000,
+    n_pairs: int | None = None,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Verify candidate pairs by blocked vectorized intersection — the
-    beyond-broadcast-threshold path of :func:`lsh_verified_pairs`.
+    high-pair-volume / beyond-broadcast path of
+    :func:`lsh_verified_pairs`.
+
+    ``threshold``: when given, the jaccard filter is applied INSIDE the
+    Python kernel so only survivors cross the Arrow boundary back to
+    the JVM (without it the full unthresholded pair list is returned —
+    the contract the parity tests exercise).
 
     Pairs hash into blocks by ``xxhash64(id_a)``; each block's required
     doc shingle sets (both pair sides) are gathered once per block a doc
-    appears in, and a cogrouped ``applyInPandas`` task builds a
-    doc x distinct-shingle 0/1 matrix and answers every pair in the
-    block with a row-wise dot product (``einsum``), ``chunk_pairs`` at a
-    time so peak memory is O(chunk x vocab), not O(pairs x vocab).
+    appears in, and a cogrouped ``applyInPandas`` task CSR-encodes the
+    block's sets against a block vocabulary and answers every pair with
+    the mask-gather-prefix-sum kernel (:func:`_intersect_counts_csr`) —
+    O(total pair set sizes) numpy work, no per-pair Python and no dense
+    doc x vocab structure at any scale (the r9 dense einsum was
+    O(pairs x vocab) and its fallback ~10 us of Python per pair; r11
+    measurement at sf0.1: 2.4 M-pair verify 14.6 s -> 0.6 s, identical
+    output).
 
     Versus the shuffled array-payload join this replaces: the shuffle
     key is a small block int (AQE-splittable), each doc's shingle array
@@ -617,19 +1131,21 @@ def _verify_pairs_blocked(
     from pyspark.sql import types as T
 
     n_docs = sh.count()  # checkpointed upstream: a cheap bounded scan
-    # Block count balances two linear costs (r9, measured at the 30x
-    # decade): each block is ONE cogroup task (python work parallelism
-    # = num_blocks), but a doc's shingle payload ships once per block
-    # it is paired into — and duplicate-family docs pair into nearly
-    # every block (measured fan-out 30.3 of 37 blocks at 30x), so
-    # payload shuffle bytes grow ~linearly with num_blocks. The
-    # doc-count rule alone (n_docs / block_docs) produced 37 blocks
-    # and a 7 GB doc-payload shuffle at 30x; capping blocks by PAIR
-    # volume (~3M pairs per task keeps the per-task python kernel
-    # ~30 s) cut the verify wall 327 -> ~170 s with identical output.
-    n_pairs = cands.count()  # checkpointed upstream: cheap
-    pairs_per_block = 3_000_000
-    num_blocks = max(1, -(-n_docs // block_docs))
+    # Block count balances two linear costs (r9, re-derived r11 for the
+    # vectorized kernel): each block is ONE cogroup task (python-kernel
+    # parallelism = num_blocks), but a doc's shingle payload ships once
+    # per block it is paired into — duplicate-family docs pair into
+    # nearly every block (measured fan-out 30.3 of 37 blocks at 30x),
+    # so payload shuffle bytes grow ~linearly with num_blocks. With the
+    # r9 einsum kernel (~30 s per 3M-pair task) blocks were capped hard
+    # to amortize the kernel; the r11 CSR kernel does ~250 K pairs in
+    # well under a second, so blocks now target ~pairs_per_block pairs
+    # for parallelism, still capped by the doc-count rule so shipping
+    # duplication never exceeds the r9-audited ceiling.
+    if n_pairs is None:
+        n_pairs = cands.count()  # checkpointed upstream: cheap
+    par = max(1, cands.sparkSession.sparkContext.defaultParallelism)
+    num_blocks = max(1, -(-n_docs // block_docs), min(par, n_docs))
     num_blocks = min(num_blocks, max(1, -(-n_pairs // pairs_per_block)))
     pairs_b = cands.withColumn(
         "__blk", F.pmod(F.xxhash64("id_a"), F.lit(num_blocks)).cast("int")
@@ -657,32 +1173,6 @@ def _verify_pairs_blocked(
         ]
     )
 
-    # dense_budget_bytes: per-task byte budget for the dense doc x vocab
-    # matrix. The dense einsum wins when the block's distinct-shingle
-    # vocabulary is small (duplicate families share shingles); but vocab
-    # grows with corpus DIVERSITY, and at the 30x decade (per-replica
-    # alphabet bijections) a 4096-doc block can hold >1M distinct
-    # shingles — a 16+ GB dense matrix, which is what OOM'd the 20 GB
-    # container JVM (r8 verdict item 6). Above the budget the block
-    # verifies by per-pair sorted-array intersection instead: O(pair
-    # shingle sizes) work, O(block payload) memory — no dense structure
-    # at any scale. Both paths count integer intersections, so results
-    # are bit-identical.
-
-    def _inter_counts(arrs, ai, bi) -> np.ndarray:
-        out = np.empty(len(ai), dtype=np.int64)
-        for i in range(len(ai)):
-            x, y = arrs[ai[i]], arrs[bi[i]]
-            if len(x) > len(y):
-                x, y = y, x
-            if len(x) == 0:
-                out[i] = 0
-                continue
-            idx = np.searchsorted(y, x)
-            idx[idx == len(y)] = len(y) - 1
-            out[i] = int(np.count_nonzero(y[idx] == x))
-        return out
-
     def verify_block(pairs_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
@@ -694,40 +1184,53 @@ def _verify_pairs_blocked(
         )
         if len(pairs_pdf) == 0 or len(docs_pdf) == 0:
             return empty
-        # sorted-unique shingle arrays, one per doc (shared by both paths;
-        # np.unique sorts — searchsorted needs sorted inputs)
-        arrs = []
-        row_of: dict = {}
-        for did, arr in zip(docs_pdf["__id"], docs_pdf["__sh"]):
-            row_of[did] = len(arrs)
-            arrs.append(np.unique(np.asarray(arr, dtype=np.int64)))
-        sizes = np.array([len(a) for a in arrs], dtype=np.float64)
+        # CSR-encode the block's shingle sets against a block
+        # vocabulary: the upstream arrays are already per-doc distinct
+        # (array_distinct of the gram STRINGS, then hashed — the same
+        # payload the broadcast join's size()/array_intersect sees), so
+        # the only work is one np.unique(return_inverse) over the
+        # concatenated block payload. Set sizes are the raw array
+        # lengths — identical to the broadcast path's size(__sh).
+        n_rows = len(docs_pdf)
+        row_of: dict = {
+            did: r for r, did in enumerate(docs_pdf["__id"])
+        }
+        arrs = [
+            np.asarray(a, dtype=np.int64) for a in docs_pdf["__sh"]
+        ]
+        lens = np.fromiter((len(a) for a in arrs), np.int64, n_rows)
+        flat = (
+            np.concatenate(arrs) if n_rows else np.empty(0, np.int64)
+        )
+        vocab, indices = np.unique(flat, return_inverse=True)
+        indices = indices.astype(np.int64)
+        indptr = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(lens, out=indptr[1:])
+        sizes = lens.astype(np.float64)
         ai = pairs_pdf["id_a"].map(row_of).to_numpy(dtype=np.int64)
         bi = pairs_pdf["id_b"].map(row_of).to_numpy(dtype=np.int64)
-        vocab: dict = {}
-        idx_arrays = [
-            np.fromiter(
-                (vocab.setdefault(int(g), len(vocab)) for g in a),
-                dtype=np.int64,
-                count=len(a),
-            )
-            for a in arrs
-        ]
-        if len(arrs) * len(vocab) * 4 <= dense_budget_bytes:
-            M = np.zeros((len(idx_arrays), len(vocab)), dtype=np.float32)
-            for r, idxs in enumerate(idx_arrays):
-                M[r, idxs] = 1.0
-            inter_all = np.empty(len(ai), dtype=np.int64)
-            for c0 in range(0, len(ai), chunk_pairs):
-                c1 = min(c0 + chunk_pairs, len(ai))
-                inter_all[c0:c1] = np.einsum(
-                    "ij,ij->i", M[ai[c0:c1]], M[bi[c0:c1]]
-                ).astype(np.int64)
+        # Kernel choice from the two measured cost laws (both exact,
+        # both vectorized; constants measured at sf0.1, r11): the CSR
+        # mask kernel costs ~13 ns per partner ELEMENT, the packed-
+        # bitset popcount kernel ~2.2 ns per pair VOCABULARY BIT — so
+        # popcount wins only when the block vocabulary is smaller than
+        # ~6x the average set size (hyper-templated blocks). The bitset
+        # build is additionally bounded so a diverse-vocabulary block
+        # (vocab grows with corpus diversity at the 30x decade) never
+        # allocates an oversized dense bool matrix.
+        total_partner = int(lens[bi].sum()) if len(bi) else 0
+        pop_cost = 2.2 * len(ai) * len(vocab)
+        csr_cost = 13.0 * total_partner
+        if pop_cost < csr_cost and n_rows * len(vocab) <= (256 << 20):
+            inter = _intersect_counts_popcount(
+                indptr, indices, len(vocab), ai, bi
+            ).astype(np.float64)
         else:
-            inter_all = _inter_counts(arrs, ai, bi)
-        inter = inter_all.astype(np.float64)
+            inter = _intersect_counts_csr(
+                indptr, indices, ai, bi
+            ).astype(np.float64)
         jac = inter / (sizes[ai] + sizes[bi] - inter)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "id_a": pairs_pdf["id_a"].to_numpy(),
                 "id_b": pairs_pdf["id_b"].to_numpy(),
@@ -735,6 +1238,13 @@ def _verify_pairs_blocked(
                 "jaccard": jac,
             }
         )
+        if threshold is not None:
+            # kernel-side thresholding: survivors are typically a tiny
+            # fraction of candidates (617 of 2.4M at sf0.1), so filter
+            # BEFORE the Arrow return instead of shipping every pair
+            # back to the JVM for the same comparison
+            out = out[out["jaccard"] >= threshold]
+        return out
 
     return (
         pairs_b.groupBy("__blk")

@@ -1005,23 +1005,29 @@ def test_rp_lsh_bucket_and_topk(spark):
 
 
 def test_lsh_verified_blocked_fallback_parity(spark):
-    """The beyond-broadcast-threshold verify path (blocked matmul over
-    cogrouped pair blocks) must be bit-identical to the broadcast-join
-    path. Forcing verify_broadcast_docs=0 routes every pair through
-    _verify_pairs_blocked."""
+    """All three verify plans must be bit-identical: the r11 fused
+    bucket strategy (default), the staged broadcast join, and the
+    staged blocked cogroup (forced via verify_broadcast_docs=0)."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     kw = dict(min_est_jaccard=0.25, threshold=0.25)
-    bc = {
+    fused = {
         (r["id_a"], r["id_b"]): (r["est_jaccard"], r["jaccard"])
         for r in dedup.lsh_verified_pairs(docs, "text", "doc_id", **kw).collect()
+    }
+    bc = {
+        (r["id_a"], r["id_b"]): (r["est_jaccard"], r["jaccard"])
+        for r in dedup.lsh_verified_pairs(
+            docs, "text", "doc_id", strategy="staged", **kw
+        ).collect()
     }
     fb = {
         (r["id_a"], r["id_b"]): (r["est_jaccard"], r["jaccard"])
         for r in dedup.lsh_verified_pairs(
-            docs, "text", "doc_id", verify_broadcast_docs=0, **kw
+            docs, "text", "doc_id", strategy="staged",
+            verify_broadcast_docs=0, **kw
         ).collect()
     }
-    assert bc == fb and len(bc) > 0
+    assert fused == bc == fb and len(bc) > 0
 
 
 def test_blocked_verify_sparse_path_matches_dense(spark):
@@ -1061,17 +1067,32 @@ def test_blocked_verify_sparse_path_matches_dense(spark):
         )
         .localCheckpoint(eager=True)
     )
-    dense = {
-        (r["id_a"], r["id_b"]): (r["est_jaccard"], r["jaccard"])
-        for r in _verify_pairs_blocked(cands, sh, "doc_id").collect()
-    }
-    sparse = {
+    # r11: the per-block kernel choice (popcount vs CSR) is cost-based
+    # and internal; pin instead that the blocked cogroup is unaffected
+    # by block size (1 block vs many blocks => same pairs), and that
+    # threshold pushdown inside the kernel matches JVM-side filtering.
+    one_block = {
         (r["id_a"], r["id_b"]): (r["est_jaccard"], r["jaccard"])
         for r in _verify_pairs_blocked(
-            cands, sh, "doc_id", dense_budget_bytes=0
+            cands, sh, "doc_id", pairs_per_block=1 << 40
         ).collect()
     }
-    assert dense == sparse and len(dense) > 0
+    many_blocks = {
+        (r["id_a"], r["id_b"]): (r["est_jaccard"], r["jaccard"])
+        for r in _verify_pairs_blocked(
+            cands, sh, "doc_id", pairs_per_block=64
+        ).collect()
+    }
+    assert one_block == many_blocks and len(one_block) > 0
+    pushed = {
+        (r["id_a"], r["id_b"]): (r["est_jaccard"], r["jaccard"])
+        for r in _verify_pairs_blocked(
+            cands, sh, "doc_id", threshold=0.3
+        ).collect()
+    }
+    assert pushed == {
+        k: v for k, v in one_block.items() if v[1] >= 0.3
+    } and len(pushed) > 0
 
 
 def test_lsh_verified_byte_gate_forces_fallback(spark):
@@ -1090,7 +1111,7 @@ def test_lsh_verified_byte_gate_forces_fallback(spark):
     gated = {
         (r["id_a"], r["id_b"]): r["jaccard"]
         for r in dedup.lsh_verified_pairs(
-            df, "txt", "id", verify_broadcast_bytes=1
+            df, "txt", "id", strategy="staged", verify_broadcast_bytes=1
         ).collect()
     }
     assert default == gated and (1, 2) in gated

@@ -89,9 +89,33 @@ def test_anti_join_stays_broadcast(spark):
 
 
 def test_lsh_verify_joins_broadcast_shingle_sides(spark):
-    """The verify stage must broadcast both shingle sides below the
-    candidate-doc threshold: the shuffled formulation moves |pairs| x
-    shingle-array bytes twice and skews on duplicate-family hot ids."""
+    """The STAGED verify must broadcast both shingle sides below the
+    candidate-doc/pair thresholds: the shuffled formulation moves
+    |pairs| x shingle-array bytes twice and skews on duplicate-family
+    hot ids. (The r11 default is the fused bucket strategy — pinned by
+    test_lsh_fused_plan_single_exchange below.)"""
+    import contextlib
+    import io
+
+    from tensorflow_recorder_spark.operators.dedup import lsh_verified_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = lsh_verified_pairs(docs, "text", "doc_id", strategy="staged")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_lsh_fused_plan_single_exchange(spark):
+    """The r11 fused fuzzy-dedup plan must be one straight pipeline:
+    map pass (signatures + shingles) -> ONE exchange on the band key ->
+    in-bucket python verify. No joins of any kind, no second exchange,
+    no checkpoint scans — that collapse (13 Spark jobs -> 1) is the
+    optimization; pin it so a regression re-introducing a join or
+    shuffle is caught."""
     import contextlib
     import io
 
@@ -103,8 +127,15 @@ def test_lsh_verify_joins_broadcast_shingle_sides(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     plan = buf.getvalue()
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan
+    # exactly two exchanges: the round-robin spread feeding the map
+    # pass (parallelism for the python hashing) and the band-key hash
+    # partition feeding the bucket verify; NO payload moves twice
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert "RoundRobinPartitioning" in plan, plan
+    assert "Join" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
 
 
 def test_partitioned_events_scan_prunes_date_range(spark, tmp_path):

@@ -1,0 +1,170 @@
+"""Round-11 optimization tests: the vectorized verify kernels, the
+interned shingle-hash pass, and the fused LSH-bucket fuzzy-dedup plan.
+
+These pin the INTERNALS the r11 optimization round changed
+(operators/dedup.py): the blocked/bucket verify kernels must agree with
+a brute-force set computation, the Python shingle pass must reproduce
+the SQL expression bit-for-bit, and the fused strategy must reproduce
+the staged pipeline's output exactly at every policy point.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from tensorflow_recorder_spark.operators import dedup
+from tensorflow_recorder_spark.operators.dedup import (
+    _hashed_shingles_arrow,
+    _intersect_counts_csr,
+    _intersect_counts_popcount,
+    hashed_shingle_expr,
+)
+
+
+def _random_csr(rng, n_docs, universe, max_len):
+    sets = [
+        np.unique(rng.randint(0, universe, size=rng.randint(0, max_len)))
+        for _ in range(n_docs)
+    ]
+    lens = np.array([len(s) for s in sets], dtype=np.int64)
+    indptr = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(lens, out=indptr[1:])
+    indices = (
+        np.concatenate(sets) if lens.sum() else np.empty(0, np.int64)
+    )
+    return sets, indptr, indices
+
+
+def test_intersect_kernels_match_bruteforce():
+    """Both r11 verify kernels (CSR mask + packed-bitset popcount) must
+    produce exact intersection counts on randomized set families,
+    including empty sets, self-pairs, and repeated pairs."""
+    rng = np.random.RandomState(7)
+    for _ in range(150):
+        n_docs = rng.randint(1, 25)
+        universe = rng.randint(1, 80)
+        sets, indptr, indices = _random_csr(rng, n_docs, universe, 40)
+        n_pairs = rng.randint(0, 50)
+        ai = rng.randint(0, n_docs, n_pairs).astype(np.int64)
+        bi = rng.randint(0, n_docs, n_pairs).astype(np.int64)
+        want = np.array(
+            [len(np.intersect1d(sets[a], sets[b])) for a, b in zip(ai, bi)],
+            dtype=np.int64,
+        )
+        got_csr = _intersect_counts_csr(indptr, indices, ai, bi)
+        nvocab = int(indices.max()) + 1 if len(indices) else 0
+        got_pop = _intersect_counts_popcount(indptr, indices, nvocab, ai, bi)
+        assert np.array_equal(got_csr, want)
+        assert np.array_equal(got_pop, want)
+
+
+def test_hashed_shingles_arrow_matches_sql(spark):
+    """The interned Python shingle-hash pass must be value- AND
+    order-identical to the SQL hashed_shingle_expr (first-occurrence
+    order of distinct lowercased k-grams, md5-slice ints)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sql_sh = {
+        r["doc_id"]: list(r["__sh"])
+        for r in docs.select(
+            "doc_id", F.lower(F.col("text")).alias("__lt")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                hashed_shingle_expr("__lt", 5, pre_lowered=True)
+            ).alias("__sh"),
+        )
+        .collect()
+    }
+    py_sh = {
+        r["doc_id"]: list(r["__sh"])
+        for r in _hashed_shingles_arrow(docs, "text", "doc_id", 5).collect()
+    }
+    assert sql_sh == py_sh and len(py_sh) > 0
+
+
+def test_hashed_shingles_arrow_short_and_empty_docs(spark):
+    """Documents shorter than the shingle length hash their whole text
+    as the single gram (the greatest(len-k+1, 1) contract); identical
+    between the SQL and Python paths."""
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "ABCDE"), (3, "x"), (4, "hello world")],
+        "doc_id long, text string",
+    )
+    sql_sh = {
+        r["doc_id"]: list(r["__sh"])
+        for r in df.select(
+            "doc_id", F.lower(F.col("text")).alias("__lt")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                hashed_shingle_expr("__lt", 5, pre_lowered=True)
+            ).alias("__sh"),
+        )
+        .collect()
+    }
+    py_sh = {
+        r["doc_id"]: list(r["__sh"])
+        for r in _hashed_shingles_arrow(df, "text", "doc_id", 5).collect()
+    }
+    assert sql_sh == py_sh
+
+
+@pytest.mark.parametrize(
+    "min_est,thr", [(0.25, 0.25), (0.25, 0.3), (0.5, 0.5)]
+)
+def test_fused_matches_staged_all_policy_points(spark, min_est, thr):
+    """The fused bucket strategy must reproduce the staged pipeline
+    exactly — pair set, est_jaccard doubles, jaccard doubles — at the
+    loose, default, and dedup-policy thresholds."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(min_est_jaccard=min_est, threshold=thr)
+    fused = {
+        (r["id_a"], r["id_b"]): (r["est_jaccard"], r["jaccard"])
+        for r in dedup.lsh_verified_pairs(
+            docs, "text", "doc_id", **kw
+        ).collect()
+    }
+    staged = {
+        (r["id_a"], r["id_b"]): (r["est_jaccard"], r["jaccard"])
+        for r in dedup.lsh_verified_pairs(
+            docs, "text", "doc_id", strategy="staged", **kw
+        ).collect()
+    }
+    assert fused == staged and len(fused) > 0
+
+
+def test_fused_rejects_unknown_strategy(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError, match="strategy"):
+        dedup.lsh_verified_pairs(docs, "text", "doc_id", strategy="bogus")
+
+
+def test_staged_pair_count_gate_routes_blocked(spark):
+    """r11: beyond verify_blocked_min_pairs candidates the staged
+    verify must route through the blocked cogroup even when the payload
+    would fit a broadcast (the per-pair JVM array_intersect cost, not
+    memory, is the binding constraint)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan_forced = (
+        dedup.lsh_verified_pairs(
+            docs, "text", "doc_id", strategy="staged",
+            verify_blocked_min_pairs=1,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapCoGroupsInPandas" in plan_forced
+    plan_default = (
+        dedup.lsh_verified_pairs(docs, "text", "doc_id", strategy="staged")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # sf0.001 has ~28K candidates, under the 65536 default: broadcast
+    assert "FlatMapCoGroupsInPandas" not in plan_default

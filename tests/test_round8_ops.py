@@ -490,10 +490,11 @@ def test_verify_gate_routes_on_bytes_not_doc_count(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     kw = dict(min_est_jaccard=0.25, threshold=0.25)
     bc_plan = dedup.lsh_verified_pairs(
-        docs, "text", "doc_id", **kw
+        docs, "text", "doc_id", strategy="staged", **kw
     )._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" not in bc_plan  # broadcast path
     blocked_plan = dedup.lsh_verified_pairs(
-        docs, "text", "doc_id", verify_broadcast_bytes=1, **kw
+        docs, "text", "doc_id", strategy="staged",
+        verify_broadcast_bytes=1, **kw
     )._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in blocked_plan  # blocked path
