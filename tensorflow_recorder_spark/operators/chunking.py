@@ -207,6 +207,19 @@ def cdc_chunks(
         raise ValueError(f"hash_algo must be 'md5' or 'xxhash64', got {hash_algo!r}")
     if w < 1 or w > 32:
         raise ValueError(f"window must be in [1, 32], got {window}")
+    # r11 (optimization round, guide §2.5 "input skew"): the boundary
+    # predicate is O(chars) of JVM expression work per row, and a scan
+    # with fewer input splits than cores serializes that entire pass
+    # through one task (measured: the sf0.1 documents parquet is ONE
+    # row group — each cdc pass ran as 1 task for ~2 s while 31 cores
+    # idled). spread_to_parallelism is the repo's metadata-gated
+    # spread: no-op whenever the scan already has >= cores files (so
+    # at 100 TB no corpus-wide shuffle is ever added), a bounded
+    # repartition otherwise; streaming frames pass through unchanged.
+    if not df.isStreaming:
+        from ..functions.partitioning import spread_to_parallelism
+
+        df = spread_to_parallelism(df)
     n = f"length({text_col})"
     tables = buzhash_tables(w)
     lookups = " ^ ".join(

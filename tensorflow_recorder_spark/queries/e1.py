@@ -1545,10 +1545,18 @@ def q_e1_cluster_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair frame (checkpoint-backed) feeds BOTH the count and the
     existing min-label CC unchanged; sizes and the final ratio are
     cluster-bounded aggregates joined as 1-row broadcasts."""
+    # localCheckpoint (r11): the pair frame is consumed TWICE — the
+    # n_pairs aggregate and the CC. duplicate_clusters persists its
+    # input only for ITS OWN lifetime (it unpersists after the
+    # union-find collect), so without a pin the n_pairs consumer
+    # re-executes the whole fused LSH+verify pipeline at final-query
+    # time (measured: ~2.4 s of the 6.6 s wall re-spent on the second
+    # pass at sf0.1). The frame itself is tiny (verified near-dup
+    # pairs), so the pin is bounded.
     pairs = dedup.lsh_verified_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         min_est_jaccard=0.5, threshold=0.5,
-    )
+    ).localCheckpoint(eager=True)
     n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     clusters = dedup.duplicate_clusters(pairs)
     sizes = clusters.groupBy("cluster_id").agg(

@@ -1586,26 +1586,33 @@ def q_e3_cdc_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # xxhash64 chunk hashes (see q_e3_cdc_dedup): the stability output
     # is hash-free, and both the distinct and the (doc, hash) join key
     # shrink from a 32-char string to a long.
-    orig = (
-        cdc_chunks(docs, keep=["source"], hash_algo="xxhash64")
-        .select("doc_id", "source", "chunk_hash")
-        .distinct()
-    )
-    # pin the shifted-chunk set — it feeds BOTH the per-doc count and
-    # the intersection join; without the pin the O(chars) md5 chunker
-    # re-runs once per consumer (same rationale as the heatmap pin)
-    pref = (
-        cdc_chunks(
-            docs.withColumn(
-                "text", F.concat(F.lit("PREFIX_SHIFT "), F.col("text"))
-            ),
-            keep=["source"],
-            hash_algo="xxhash64",
+    # r11: the original and prefix-shifted chunkings are ONE union-
+    # tagged pass — one scan, one spread exchange, one distinct, one
+    # checkpoint — instead of two separate scan+exchange+chunk
+    # pipelines (the two passes could never share an exchange: their
+    # subtrees differ by the concat projection). Identical chunk sets:
+    # the tag rides along as a grouping column, so the per-side
+    # distinct (side, doc, source, hash) rows are exactly the rows the
+    # two separate distincts produced. The checkpoint pins BOTH sides
+    # (pref feeds two consumers; orig is join-probed once).
+    tagged = docs.select(
+        F.lit(0).alias("__side"), "doc_id", "source", "text"
+    ).unionByName(
+        docs.select(
+            F.lit(1).alias("__side"),
+            "doc_id",
+            "source",
+            F.concat(F.lit("PREFIX_SHIFT "), F.col("text")).alias("text"),
         )
-        .select("doc_id", "source", "chunk_hash")
+    )
+    ch = (
+        cdc_chunks(tagged, keep=["__side", "source"], hash_algo="xxhash64")
+        .select("__side", "doc_id", "source", "chunk_hash")
         .distinct()
         .localCheckpoint(eager=True)
     )
+    orig = ch.where(F.col("__side") == 0).drop("__side")
+    pref = ch.where(F.col("__side") == 1).drop("__side")
     p_cnt = pref.groupBy("doc_id", "source").agg(
         F.count(F.lit(1)).alias("n_pref")
     )

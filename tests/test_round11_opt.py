@@ -168,3 +168,33 @@ def test_staged_pair_count_gate_routes_blocked(spark):
     )
     # sf0.001 has ~28K candidates, under the 65536 default: broadcast
     assert "FlatMapCoGroupsInPandas" not in plan_default
+
+
+def test_pagerank_three_tiers_identical(spark):
+    """r11: pagerank's driver-edges tier (Arrow collect + numpy exact
+    int64 matvec), driver-state tier (one distributed job per
+    iteration), and the fully distributed loop must produce identical
+    rank_units — same floor arithmetic in the same order."""
+    import random
+
+    from tensorflow_recorder_spark.operators.graph import pagerank
+
+    random.seed(11)
+    edges = spark.createDataFrame(
+        [
+            (random.randint(0, 149), random.randint(0, 149))
+            for _ in range(1500)
+        ],
+        "src long, dst long",
+    )
+
+    def run(**kw):
+        return {
+            (r["node"], r["rank_units"])
+            for r in pagerank(edges, iterations=5, **kw).collect()
+        }
+
+    top = run()
+    mid = run(driver_edge_threshold=0)
+    dist = run(driver_edge_threshold=0, driver_state_threshold=0)
+    assert top == mid == dist and len(top) > 0
