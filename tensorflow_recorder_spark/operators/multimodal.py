@@ -268,7 +268,15 @@ def codec_roundtrip_probe(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.insert(0, id_col, pdf[id_col].astype("int64").values)
             yield out
 
-    return df.select(id_col).mapInPandas(run, schema=out_struct)
+    # r11: the per-row encode+decode probe is pure Python compute over
+    # an id-only frame — a one-file scan serializes it through one
+    # worker (measured 2.8 s single-task at sf0.1). Metadata-gated
+    # spread; no-op whenever the scan already has >= cores files.
+    from ..functions.partitioning import spread_to_parallelism
+
+    return spread_to_parallelism(df.select(id_col)).mapInPandas(
+        run, schema=out_struct
+    )
 
 
 def image_dims_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.partitioning import spread_to_parallelism
 from .skew import salted_topk_per_key
 
 
@@ -44,8 +45,16 @@ def l2_normalize(
     """Unit-normalize an embedding column (narrow projection, norm
     materialized once). After normalization cosine == dot, which
     halves per-pair work in any downstream all-pairs/top-k stage.
-    Zero vectors normalize to NULL (no direction)."""
+    Zero vectors normalize to NULL (no direction).
+
+    r11: spread to session parallelism first — the transform over a
+    64-dim array per row is compute-heavy while the frame's bytes are
+    tiny, so a one-file scan ran the whole pass in one task (measured
+    1.6 s single-task at sf0.1; AQE coalesces by bytes, not compute).
+    spread_to_parallelism is metadata-gated: a no-op whenever the scan
+    already has >= cores files, so nothing is added at scale."""
     out = out_col or vec_col
+    df = spread_to_parallelism(df)
     normed = df.withColumn("__n", F.expr(norm_expr(vec_col)))
     return normed.withColumn(
         out,
@@ -89,7 +98,10 @@ def brute_force_topk(
         F.col(vec_col).alias("__qv"),
         F.expr(norm_expr(vec_col)).alias("__qn"),
     )
-    corpus = df.select(
+    # r11: pair scoring runs inside the corpus scan task (broadcast
+    # query side = narrow join); spread the under-parallel scan first
+    # (metadata-gated, no-op at scale).
+    corpus = spread_to_parallelism(df).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         F.expr(norm_expr(vec_col)).alias("__cn"),
@@ -270,7 +282,10 @@ def range_neighbors(
         F.col(vec_col).alias("__qv"),
         F.expr(norm_expr(vec_col)).alias("__qn"),
     )
-    corpus = df.select(
+    # r11: pair scoring runs inside the corpus scan task (broadcast
+    # query side = narrow join); spread the under-parallel scan first
+    # (metadata-gated, no-op at scale).
+    corpus = spread_to_parallelism(df).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         F.expr(norm_expr(vec_col)).alias("__cn"),
@@ -348,7 +363,10 @@ def ivf_assign(
         F.col(vec_col).alias("__cv"),
         F.expr(norm_expr(vec_col)).alias("__cn"),
     )
-    scored = df.select(
+    # r11: K x |corpus| scoring runs in the corpus scan task (broadcast
+    # centroids = narrow join); spread the under-parallel scan first
+    # (metadata-gated, no-op at scale).
+    scored = spread_to_parallelism(df).select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
         F.expr(norm_expr(vec_col)).alias("__vn"),
@@ -1072,7 +1090,7 @@ def filtered_topk(
         F.col(vec_col).alias("__qv"),
         F.expr(norm_expr(vec_col)).alias("__qn"),
     )
-    corpus = df.select(
+    corpus = spread_to_parallelism(df).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(filter_col).alias("__cf"),
         F.col(vec_col).alias("__cv"),
@@ -1239,7 +1257,9 @@ def pq_explode(
     evenly (validated lazily via the slice length)."""
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
-    return df.select(
+    # r11: the m-way slice projection (and the pq_assign scoring that
+    # consumes it) runs in the scan task; spread first (metadata-gated).
+    return spread_to_parallelism(df).select(
         F.col(id_col),
         F.col(vec_col),
         F.explode(F.expr(f"sequence(0, {m - 1})")).alias("sub_id"),
@@ -1519,7 +1539,7 @@ def brute_force_topk_l2(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    corpus = df.select(
+    corpus = spread_to_parallelism(df).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
     scored = (

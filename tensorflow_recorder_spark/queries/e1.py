@@ -1078,8 +1078,13 @@ def q_e1_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     from ..operators.dedup import hashed_shingle_expr
 
+    # r11: spread before the per-position md5 explode — a one-file scan
+    # ran the whole hashing pass in one task (measured 3.4 s single-task
+    # at sf0.1; metadata-gated, no-op at scale).
+    from ..operators.dedup import _spread
+
     per_h = (
-        docs.select(F.lower(F.col("text")).alias("__lt"), "source")
+        _spread(docs).select(F.lower(F.col("text")).alias("__lt"), "source")
         .select(
             F.explode(
                 F.expr(hashed_shingle_expr("__lt", 5, pre_lowered=True))
@@ -1744,7 +1749,13 @@ def q_e1_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import hashed_shingle_expr
 
     docs = _t(spark, sf_dir, "documents")
-    lowered = docs.select(
+    # r11: spread before the checkpoint — the checkpointed frame keeps
+    # its partition count, and all three per-arm shingle explodes
+    # inherit it; a one-file scan would otherwise serialize every arm
+    # through one task (metadata-gated; no-op at scale).
+    from ..operators.dedup import _spread
+
+    lowered = _spread(docs).select(
         "doc_id", F.lower(F.col("text")).alias("__lt")
     ).localCheckpoint(eager=True)
     nd = lowered.agg(

@@ -198,3 +198,39 @@ def test_pagerank_three_tiers_identical(spark):
     mid = run(driver_edge_threshold=0)
     dist = run(driver_edge_threshold=0, driver_state_threshold=0)
     assert top == mid == dist and len(top) > 0
+
+
+def test_incremental_fused_matches_staged(spark):
+    """r11: the fused bipartite bucket strategy must reproduce the
+    staged asymmetric pipeline exactly — pair set, est_jaccard,
+    jaccard — including self-pairs when the two sides overlap (the
+    staged band join has no id inequality filter)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = docs.where(F.col("doc_id") % 10 != 0)
+    bat = docs.where(F.col("doc_id") % 10 == 0)
+
+    def pairs(**kw):
+        return {
+            (r["id_a"], r["id_b"]): (r["est_jaccard"], r["jaccard"])
+            for r in dedup.incremental_neardup_pairs(
+                idx, bat, "text", "doc_id", **kw
+            ).collect()
+        }
+
+    fused, staged = pairs(), pairs(strategy="staged")
+    assert fused == staged and len(fused) > 0
+    ov_f = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.incremental_neardup_pairs(
+            docs, docs, "text", "doc_id"
+        ).collect()
+    }
+    ov_s = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.incremental_neardup_pairs(
+            docs, docs, "text", "doc_id", strategy="staged"
+        ).collect()
+    }
+    assert ov_f == ov_s and len(ov_f) > 0
