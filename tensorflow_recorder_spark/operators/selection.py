@@ -50,14 +50,23 @@ def dsir_log_ratios(
         raise ValueError(f"buckets must be >= 1, got {buckets}")
 
     def counts(df: DataFrame, name: str) -> DataFrame:
+        # r11: spread before the per-token md5 explode (a one-file scan
+        # ran the whole hashing pass in one task; metadata-gated, no-op
+        # at scale)
+        from ..functions.partitioning import spread_to_parallelism
+
         return (
-            df.select(F.explode(F.expr(_feature_expr(text_col, buckets))).alias("bucket"))
+            spread_to_parallelism(df)
+            .select(F.explode(F.expr(_feature_expr(text_col, buckets))).alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias(name))
         )
 
-    tc = counts(target, "tn")
-    sc = counts(source, "sn")
+    # localCheckpoint: each count frame (<= buckets rows) now feeds BOTH
+    # the full-outer join and its derived total — without the pin the
+    # corpus-wide explode would re-run per consumer
+    tc = counts(target, "tn").localCheckpoint(eager=True)
+    sc = counts(source, "sn").localCheckpoint(eager=True)
     joined = (
         tc.join(sc, "bucket", "full")
         .select(
@@ -66,14 +75,15 @@ def dsir_log_ratios(
             F.coalesce("sn", F.lit(0)).alias("sn"),
         )
     )
-    # totals ride along as single-row broadcast aggregates; the +B term
-    # is the smoothing mass so probabilities sum to 1 over buckets
-    tt = target.select(
-        F.explode(F.expr(_feature_expr(text_col, buckets))).alias("b")
-    ).agg((F.count(F.lit(1)) + buckets).alias("t_total"))
-    st = source.select(
-        F.explode(F.expr(_feature_expr(text_col, buckets))).alias("b")
-    ).agg((F.count(F.lit(1)) + buckets).alias("s_total"))
+    # totals as single-row broadcast aggregates; the +B term is the
+    # smoothing mass so probabilities sum to 1 over buckets.
+    # r11: derived from the per-bucket COUNT frames — the exploded
+    # feature total IS the sum of the bucket counts, so the two extra
+    # corpus-wide md5 explode passes the old formulation paid for
+    # t_total/s_total are pure waste (identical integers by identity:
+    # sum over buckets of count == count over all exploded rows).
+    tt = tc.agg((F.coalesce(F.sum("tn"), F.lit(0)) + buckets).alias("t_total"))
+    st = sc.agg((F.coalesce(F.sum("sn"), F.lit(0)) + buckets).alias("s_total"))
     return (
         joined.crossJoin(F.broadcast(tt))
         .crossJoin(F.broadcast(st))
@@ -101,7 +111,9 @@ def dsir_scores(
     target-like). Output: (id, n_features, dsir_score rounded 6);
     feature-less documents score 0.
     """
-    feats = df.select(
+    from ..functions.partitioning import spread_to_parallelism
+
+    feats = spread_to_parallelism(df).select(
         F.col(id_col),
         F.explode(F.expr(_feature_expr(text_col, buckets))).alias("bucket"),
     )

@@ -54,15 +54,26 @@ def l2_normalize(
     spread_to_parallelism is metadata-gated: a no-op whenever the scan
     already has >= cores files, so nothing is added at scale."""
     out = out_col or vec_col
-    df = spread_to_parallelism(df)
-    normed = df.withColumn("__n", F.expr(norm_expr(vec_col)))
-    return normed.withColumn(
+    # r11: the norm is bound ONCE per row via the single-element
+    # transform let-idiom (the cdc_chunks discipline). The previous
+    # withColumn("__n") formulation invited Catalyst's projection
+    # collapse to inline the O(dim) norm aggregate into the per-element
+    # division lambda — and under a downstream posexplode the aggregate
+    # re-evaluated PER ELEMENT: measured 4.3 s -> 0.65 s on
+    # e2_l2_normalize's exploded readout at sf0.1, IEEE-identical
+    # values (same expression, same order, evaluated once). With the
+    # per-row work now O(dim), no parallelism spread is warranted here
+    # (the exchange would cost more than the map; measured 0.9 vs
+    # 0.37 s) — heavy consumers (the pair scorers) spread themselves.
+    return df.withColumn(
         out,
         F.expr(
+            f"transform(array({norm_expr(vec_col)}), __n -> "
             f"CASE WHEN __n = 0 THEN NULL "
             f"ELSE transform({vec_col}, x -> cast(x as double) / __n) END"
+            f")[0]"
         ),
-    ).drop("__n")
+    )
 
 
 def brute_force_topk(
@@ -705,6 +716,7 @@ def ivf_topk(
     k: int = 10,
     round_digits: int = 4,
     nprobe: int = 1,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k: each query searches the cells of
     its ``nprobe`` nearest centroids (multi-probe raises recall at
@@ -713,8 +725,16 @@ def ivf_topk(
     :func:`brute_force_topk`; recall < 1 by design — the approximation
     is the documented trade. The final per-query rank is salted
     two-phase (see :func:`brute_force_topk`) so a hot cell never pins
-    one sort task."""
-    assign = ivf_assign(df, centroids, vec_col, id_col)
+    one sort task.
+
+    ``assign`` (r11): a precomputed ``ivf_assign(df, centroids)`` frame
+    — pass the checkpointed assignment when several probe settings
+    share one centroid set (the recall/cost curve queries), so the
+    K x corpus assignment scoring runs once instead of once per arm.
+    Must be exactly the ivf_assign output for (df, centroids);
+    ``None`` computes it here."""
+    if assign is None:
+        assign = ivf_assign(df, centroids, vec_col, id_col)
     corpus = df.join(assign, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
@@ -1224,7 +1244,14 @@ def scalar_quantize(
         F.expr("element_at(codes, 1)").alias("q_first"),
         F.expr("array_min(codes)").alias("q_min"),
         F.expr("array_max(codes)").alias("q_max"),
-        F.round(F.expr(mse), 6).alias("mse"),
+        # r11: the mse fold references ``codes`` once per ELEMENT, so
+        # it is re-bound through the single-element transform let-idiom
+        # (the lambda variable shadows the column name on purpose — the
+        # fold body then reads the bound array, not the projected
+        # expression). Measured 1.03 -> 0.75 s at sf0.1, bit-identical.
+        F.round(
+            F.expr(f"transform(array(codes), codes -> {mse})[0]"), 6
+        ).alias("mse"),
     )
 
 

@@ -523,6 +523,13 @@ def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         f"cast(0 as double), "
         f"(acc, v) -> acc - (v / {n}) * log2(v / {n})))[0]"
     )
+    # r11: the O(len x alphabet) compare passes are compute-heavy while
+    # the frame's bytes are small — a one-file scan ran the whole pass
+    # in one task (measured 1.2 s single-task at sf0.1). Metadata-gated
+    # spread; no-op at scale.
+    from ..functions.partitioning import spread_to_parallelism
+
+    df = spread_to_parallelism(df)
     return df.select(
         F.col(id_col),
         F.when(F.length(text_col) > 0, F.expr(entropy))
@@ -955,9 +962,19 @@ def dup_ngram_coverage(
         f"ELSE transform(sequence(1, size(__t) - {n - 1}), "
         f"i -> concat({joined})) END"
     )
+    # r11: occ feeds TWO consumers (the doc-frequency aggregate and the
+    # coverage join) and its lineage is the tokenize + n-gram-concat
+    # explode — the most expensive projection in the operator, measured
+    # as two separate full 13 s-runTime passes at sf0.1. Spread the
+    # under-parallel scan first (metadata-gated), then materialize the
+    # exploded occurrences ONCE.
+    from ..functions.partitioning import spread_to_parallelism
+
     occ = (
-        df.select(F.col(id_col), F.expr(toks).alias("__t"))
+        spread_to_parallelism(df)
+        .select(F.col(id_col), F.expr(toks).alias("__t"))
         .select(F.col(id_col), F.explode(F.expr(grams)).alias("gram"))
+        .localCheckpoint(eager=True)
     )
     gram_df = (
         occ.select(id_col, "gram")

@@ -1490,9 +1490,16 @@ def q_e2_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )
+    # r11: the three arms share one centroid set, so the K x corpus
+    # assignment runs ONCE (checkpointed) instead of once per arm.
+    assign = similarity.ivf_assign(emb, centroids).localCheckpoint(
+        eager=True
+    )
     frames = []
     for np_ in (1, 2, 4):
-        ivf = similarity.ivf_topk(emb, centroids, queries, k=10, nprobe=np_)
+        ivf = similarity.ivf_topk(
+            emb, centroids, queries, k=10, nprobe=np_, assign=assign
+        )
         frames.append(
             similarity.ann_recall(ivf, exact)
             .agg(
@@ -2478,7 +2485,11 @@ def q_e2_scan_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("n_scanned")
             )
         )
-        ivf = similarity.ivf_topk(emb, centroids, queries, k=10, nprobe=np_)
+        # r11: reuse the query's checkpointed assignment — ivf_topk
+        # otherwise re-runs the K x corpus ivf_assign scoring per arm
+        ivf = similarity.ivf_topk(
+            emb, centroids, queries, k=10, nprobe=np_, assign=assign
+        )
         rec = similarity.ann_recall(ivf, exact).agg(
             F.sum("n_true").cast("long").alias("n_true"),
             F.sum("n_hits").cast("long").alias("n_hits"),
