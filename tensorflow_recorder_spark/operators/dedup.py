@@ -680,33 +680,122 @@ def _lsh_verified_fused(
         np.cumsum(lens, out=indptr[1:])
         sizes = lens.astype(np.float64)
 
+        # m x m MATRIX fast path (r11): per-pair fancy-index gathers
+        # cost ~0.7 µs/pair in numpy, and a template-family bucket is
+        # nearly ALL pairs (measured: 1.92M of the giant sf0.1
+        # bucket's 1.97M pairs survive the est filter — the filter WAS
+        # the task's wall at 1.3 s). Build the slot-agreement count
+        # matrix from per-slot VALUE GROUPS instead: docs agreeing on
+        # a slot form groups, and each group paints a sub-square of
+        # A (+1 per slot) — O(m² + Σ group²) byte writes. The
+        # earlier-band dedup is the same construction over combined
+        # band keys into a bool mask. Every pair's est and the filter
+        # then read straight off the matrices (~0.1 s for the giant
+        # bucket), and only SURVIVORS are ever materialized as pair
+        # index arrays. Identical semantics: est = agreeing slots / nh,
+        # drop if any earlier band fully agrees.
+        if m * m <= (1 << 24):  # <= 64 MB of uint8+bool matrices
+            A = np.zeros((m, m), dtype=np.uint8)
+            for j in range(nh):
+                vals = M8[:, j]
+                order2 = np.argsort(vals, kind="stable")
+                sv = vals[order2]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], sv[1:] != sv[:-1]))
+                )
+                bounds = np.concatenate((starts, [m]))
+                for k in range(len(starts)):
+                    grp = order2[bounds[k] : bounds[k + 1]]
+                    if len(grp) > 1:
+                        A[np.ix_(grp, grp)] += 1
+            # est floor in exact float (same comparison as the chunked
+            # path: agree / nh >= min_est)
+            K = (A.astype(np.float64) / float(nh)) >= min_est
+            for b in range(band_idx):
+                # combined band key: group docs agreeing on ALL slots
+                # of band b (lexicographic grouping on the slot tuple)
+                cols = [M8[:, b * rpb + r] for r in range(rpb)]
+                order2 = np.lexsort(cols[::-1])
+                same = np.ones(m, dtype=bool)
+                same[0] = False
+                for c in cols:
+                    sc = c[order2]
+                    same[1:] &= sc[1:] == sc[:-1]
+                # group boundaries where not same
+                starts = np.flatnonzero(~same)
+                bounds = np.concatenate((starts, [m]))
+                for k in range(len(starts)):
+                    grp = order2[bounds[k] : bounds[k + 1]]
+                    if len(grp) > 1:
+                        K[np.ix_(grp, grp)] = False
+            K = np.triu(K, k=1)
+            ai, bi = np.nonzero(K)
+            if len(ai) == 0:
+                return empty
+            ai = ai.astype(np.int64)
+            bi = bi.astype(np.int64)
+            est = A[ai, bi].astype(np.float64) / float(nh)
+            nv = len(vocab)
+            csr_cost = 13.0 * (int(lens[bi].sum()) if len(bi) else 0)
+            blas_cost = m * m * nv * 0.04
+            budget_ok = m * nv * 4 <= (256 << 20)
+            if budget_ok and blas_cost < csr_cost:
+                Mf32 = np.zeros((m, nv), dtype=np.float32)
+                rws = np.repeat(np.arange(m, dtype=np.int64), lens)
+                Mf32[rws, indices] = 1.0
+                G = Mf32 @ Mf32.T
+                inter = G[ai, bi].astype(np.int64).astype(np.float64)
+            else:
+                inter = _intersect_counts_csr(
+                    indptr, indices, ai, bi
+                ).astype(np.float64)
+            jac = inter / (sizes[ai] + sizes[bi] - inter)
+            keep2 = jac >= thr
+            if not keep2.any():
+                return empty
+            return pd.DataFrame(
+                {
+                    "id_a": ids[ai[keep2]],
+                    "id_b": ids[bi[keep2]],
+                    "est_jaccard": est[keep2],
+                    "jaccard": jac[keep2],
+                }
+            )
+
         frames = []
         Mf32 = None  # dense doc x vocab matrix, built on first BLAS use
+        delta = None  # core/delta decomposition, built on first use
         # enumerate i<j pairs in row chunks so peak memory is
         # O(chunk) pairs however large the bucket
         rows_per_chunk = max(1, chunk_pairs // m)
         for r0 in range(0, m - 1, rows_per_chunk):
             r1 = min(r0 + rows_per_chunk, m - 1)
-            ai, bi = np.nonzero(
-                np.triu(np.ones((r1 - r0, m), dtype=bool), k=r0 + 1)
-            )
-            ai = ai + r0
-            if len(ai) == 0:
+            # direct i<j enumeration for rows [r0, r1): no (chunk x m)
+            # bool allocation (r11: the giant template bucket holds
+            # ~2M pairs; allocation + nonzero was measurable there)
+            lens_i = m - 1 - np.arange(r0, r1, dtype=np.int64)
+            total = int(lens_i.sum())
+            if total == 0:
                 continue
-            # est filter: agreeing signature slots
-            agree = np.zeros(len(ai), dtype=np.int64)
-            for j in range(nh):
-                agree += M8[ai, j] == M8[bi, j]
-            est = agree / float(nh)
+            cum0 = np.concatenate(([0], np.cumsum(lens_i[:-1])))
+            ai = np.repeat(np.arange(r0, r1, dtype=np.int64), lens_i)
+            bi = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(cum0, lens_i)
+                + ai
+                + 1
+            )
+            # est filter: gather each side's signature ROWS once, then
+            # one vectorized compare — ~4x fewer fancy-index passes
+            # than the previous per-slot M8[ai, j] gathers (r11; the
+            # filter dominates the giant-bucket task)
+            eq = M8[ai] == M8[bi]
+            est = eq.sum(axis=1) / float(nh)
             keep = est >= min_est
             # first-matching-band: drop the pair here unless no EARLIER
             # band also agrees (identical to the staged plan's filter)
             for b in range(band_idx):
-                eb = np.ones(len(ai), dtype=bool)
-                for r in range(rpb):
-                    j = b * rpb + r
-                    eb &= M8[ai, j] == M8[bi, j]
-                keep &= ~eb
+                keep &= ~eq[:, b * rpb : (b + 1) * rpb].all(axis=1)
             # this band must actually agree (it does by construction —
             # same band_key — but hash collisions of md5(concat) cannot
             # fake slot equality because band_key IS derived from the
@@ -714,22 +803,37 @@ def _lsh_verified_fused(
             ai, bi, est = ai[keep], bi[keep], est[keep]
             if len(ai) == 0:
                 continue
-            # Kernel choice per chunk from three measured cost laws
-            # (all exact): BLAS row-block matmul computes the whole
-            # (chunk x m) intersection panel at ~0.04 ns per
-            # cell-vocab-product pair (float32 sgemm; counts < 2^24 so
-            # exact), the CSR mask kernel ~13 ns per partner element,
-            # packed-bitset popcount ~2.2 ns per pair-vocab-bit. Dense
-            # duplicate-family buckets (est filter keeps most of m^2)
-            # pick BLAS — the single giant bucket the staged plan
-            # serialized into one skewed join task becomes one
-            # multithreaded sgemm; sparse-survivor buckets pick CSR.
+            # Kernel choice per chunk from four measured cost laws
+            # (all exact): the DELTA kernel intersects against the
+            # bucket's majority core — on a near-duplicate family
+            # (exactly what a surviving-pair-dense bucket is) per-pair
+            # work is the tiny edit deltas, not the ~300-element sets
+            # (measured: the sf0.1 giant 1983-doc bucket's 1.9M
+            # surviving pairs verify in ~0.3 s vs ~2 s of sgemm);
+            # BLAS row-block matmul ~0.04 ns per cell-vocab product
+            # (float32 sgemm; counts < 2^24 so exact), CSR mask kernel
+            # ~13 ns per partner element, packed-bitset popcount
+            # ~2.2 ns per pair-vocab-bit. Diverse buckets have an
+            # empty core and fall through to the other three.
             nv = len(vocab)
+            if delta is None:
+                delta = _delta_csr(indptr, indices, nv)
+            csize, Mip, Mix, Pip, Pix = delta
+            dlens = (Mip[1:] - Mip[:-1]) + (Pip[1:] - Pip[:-1])
+            delta_cost = (
+                13.0 * (int(dlens[ai].sum()) + int(dlens[bi].sum()))
+                if csize
+                else float("inf")
+            )
             blas_cost = (r1 - r0) * m * nv * 0.04
             csr_cost = 13.0 * (int(lens[bi].sum()) if len(bi) else 0)
             pop_cost = 2.2 * len(ai) * nv
             budget_ok = m * nv * 4 <= (256 << 20)
-            if budget_ok and blas_cost < min(csr_cost, pop_cost):
+            if delta_cost < min(blas_cost, csr_cost, pop_cost):
+                inter = _intersect_counts_delta(
+                    csize, Mip, Mix, Pip, Pix, ai, bi
+                ).astype(np.float64)
+            elif budget_ok and blas_cost < min(csr_cost, pop_cost):
                 if Mf32 is None:
                     Mf32 = np.zeros((m, nv), dtype=np.float32)
                     rws = np.repeat(np.arange(m, dtype=np.int64), lens)
@@ -764,8 +868,18 @@ def _lsh_verified_fused(
             return empty
         return pd.concat(frames, ignore_index=True)
 
-    return banded.groupBy("band_idx", "band_key").applyInPandas(
-        bucket_verify, schema=out_schema
+    # r11: pin the bucket exchange at session parallelism. The shuffle
+    # is byte-small (~50 MB at sf0.1) so AQE coalesced it to ~1/3 of
+    # the cores — but the stage's cost is the PYTHON pair enumeration,
+    # uniformly ~2 s/task (measured p50 2.08 s / max 2.6 s over 12
+    # coalesced tasks), not bytes. The explicit hash repartition on the
+    # grouping keys satisfies the groupBy's required distribution, so
+    # no second exchange is added (plan-tested: still exactly two).
+    par = banded.sparkSession.sparkContext.defaultParallelism
+    return (
+        banded.repartition(par, "band_idx", "band_key")
+        .groupBy("band_idx", "band_key")
+        .applyInPandas(bucket_verify, schema=out_schema)
     )
 
 
@@ -875,6 +989,7 @@ def _incremental_fused(
 
         frames = []
         Mf32 = None
+        delta = None  # core/delta decomposition, built on first use
         rows_per_chunk = max(1, chunk_pairs // nb)
         for r0 in range(0, na, rows_per_chunk):
             r1 = min(r0 + rows_per_chunk, na)
@@ -884,27 +999,39 @@ def _incremental_fused(
             pa = np.repeat(np.arange(r0, r1, dtype=np.int64), nb)
             pb = np.tile(np.arange(nb, dtype=np.int64), r1 - r0)
             ai, bi = a_rows[pa], b_rows[pb]
-            agree = np.zeros(len(ai), dtype=np.int64)
-            for j in range(nh):
-                agree += M8[ai, j] == M8[bi, j]
-            est = agree / float(nh)
+            # row-gather once, one vectorized compare (see the
+            # self-join bucket: ~4x fewer fancy-index passes)
+            eq = M8[ai] == M8[bi]
+            est = eq.sum(axis=1) / float(nh)
             keep = est >= min_est
             for b in range(band_idx):
-                eb = np.ones(len(ai), dtype=bool)
-                for r in range(rpb):
-                    j = b * rpb + r
-                    eb &= M8[ai, j] == M8[bi, j]
-                keep &= ~eb
+                keep &= ~eq[:, b * rpb : (b + 1) * rpb].all(axis=1)
             pa, pb, est = pa[keep], pb[keep], est[keep]
             ai, bi = ai[keep], bi[keep]
             if len(ai) == 0:
                 continue
             nv = len(vocab)
+            # four-way kernel choice — see the self-join bucket for the
+            # measured cost laws; the delta kernel wins on
+            # near-duplicate families (work = edit deltas, still exact)
+            if delta is None:
+                delta = _delta_csr(indptr, indices, nv)
+            csize, Mip, Mix, Pip, Pix = delta
+            dlens = (Mip[1:] - Mip[:-1]) + (Pip[1:] - Pip[:-1])
+            delta_cost = (
+                13.0 * (int(dlens[ai].sum()) + int(dlens[bi].sum()))
+                if csize
+                else float("inf")
+            )
             blas_cost = (r1 - r0) * nb * nv * 0.04
             csr_cost = 13.0 * (int(lens[bi].sum()) if len(bi) else 0)
             pop_cost = 2.2 * len(ai) * nv
             budget_ok = m * nv * 4 <= (256 << 20)
-            if budget_ok and blas_cost < min(csr_cost, pop_cost):
+            if delta_cost < min(blas_cost, csr_cost, pop_cost):
+                inter = _intersect_counts_delta(
+                    csize, Mip, Mix, Pip, Pix, ai, bi
+                ).astype(np.float64)
+            elif budget_ok and blas_cost < min(csr_cost, pop_cost):
                 if Mf32 is None:
                     Mf32 = np.zeros((m, nv), dtype=np.float32)
                     rws = np.repeat(np.arange(m, dtype=np.int64), lens)
@@ -942,8 +1069,18 @@ def _incremental_fused(
             return empty
         return pd.concat(frames, ignore_index=True)
 
-    return banded.groupBy("band_idx", "band_key").applyInPandas(
-        bucket_verify, schema=out_schema
+    # r11: pin the bucket exchange at session parallelism. The shuffle
+    # is byte-small (~50 MB at sf0.1) so AQE coalesced it to ~1/3 of
+    # the cores — but the stage's cost is the PYTHON pair enumeration,
+    # uniformly ~2 s/task (measured p50 2.08 s / max 2.6 s over 12
+    # coalesced tasks), not bytes. The explicit hash repartition on the
+    # grouping keys satisfies the groupBy's required distribution, so
+    # no second exchange is added (plan-tested: still exactly two).
+    par = banded.sparkSession.sparkContext.defaultParallelism
+    return (
+        banded.repartition(par, "band_idx", "band_key")
+        .groupBy("band_idx", "band_key")
+        .applyInPandas(bucket_verify, schema=out_schema)
     )
 
 
@@ -1263,6 +1400,63 @@ def _intersect_counts_popcount(
         counts = pop(anded) if pop is not None else lut[anded]
         inter[c0:c1] = counts.sum(axis=1, dtype=np.int64)
     return inter
+
+
+def _delta_csr(indptr, indices, nvocab):
+    """Decompose a CSR set family against its majority CORE (r11): the
+    elements present in more than half the rows. Returns
+    ``(core_size, M_indptr, M_indices, P_indptr, P_indices)`` where row
+    i's set A_i = (core \\ M_i) ∪ P_i — M_i the core elements the row
+    is MISSING, P_i its extras. On a near-duplicate family both deltas
+    are tiny, which is what makes the delta intersection kernel linear
+    in actual differences instead of set sizes."""
+    import numpy as np
+
+    n_rows = len(indptr) - 1
+    df_counts = np.bincount(indices, minlength=nvocab)
+    core_mask = df_counts > (n_rows >> 1)
+    core_size = int(core_mask.sum())
+    rows = np.repeat(
+        np.arange(n_rows, dtype=np.int64), indptr[1:] - indptr[:-1]
+    )
+    in_core = core_mask[indices]
+    # extras: original order within row preserved (CSR is row-major)
+    P_indices = indices[~in_core]
+    P_indptr = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows[~in_core], minlength=n_rows), out=P_indptr[1:])
+    # missing-core: dense (rows x core) presence, absent cells -> M
+    core_col = np.cumsum(core_mask, dtype=np.int64) - 1  # vocab -> core idx
+    D = np.zeros((n_rows, core_size), dtype=bool)
+    if core_size:
+        D[rows[in_core], core_col[indices[in_core]]] = True
+    m_rows, m_cols = np.nonzero(~D)  # sorted by row: CSR order
+    M_indices = m_cols.astype(np.int64)
+    M_indptr = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(np.bincount(m_rows, minlength=n_rows), out=M_indptr[1:])
+    return core_size, M_indptr, M_indices, P_indptr, P_indices
+
+
+def _intersect_counts_delta(
+    core_size, M_indptr, M_indices, P_indptr, P_indices, ai, bi
+):
+    """Exact set-intersection counts over a :func:`_delta_csr`
+    decomposition: ``|A∩B| = |C| - |Ma| - |Mb| + |Ma∩Mb| + |Pa∩Pb|``
+    (set identity: C∩A∩B = C minus the union of the two missing-sets,
+    inclusion-exclusion on Ma, Mb; (A∩B)\\C = Pa∩Pb). Work is
+    O(pairs x delta sizes) — on a near-duplicate family deltas are
+    ~10-30 elements vs ~300-element sets, an order of magnitude under
+    the popcount/BLAS kernels, and still exact integers."""
+    import numpy as np
+
+    m_len = M_indptr[1:] - M_indptr[:-1]
+    inter = (
+        core_size
+        - m_len[ai]
+        - m_len[bi]
+        + _intersect_counts_csr(M_indptr, M_indices, ai, bi)
+        + _intersect_counts_csr(P_indptr, P_indices, ai, bi)
+    )
+    return inter.astype(np.int64)
 
 
 def _verify_pairs_blocked(

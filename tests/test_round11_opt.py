@@ -17,8 +17,10 @@ from pyspark.sql import functions as F
 
 from tensorflow_recorder_spark.operators import dedup
 from tensorflow_recorder_spark.operators.dedup import (
+    _delta_csr,
     _hashed_shingles_arrow,
     _intersect_counts_csr,
+    _intersect_counts_delta,
     _intersect_counts_popcount,
     hashed_shingle_expr,
 )
@@ -57,8 +59,13 @@ def test_intersect_kernels_match_bruteforce():
         got_csr = _intersect_counts_csr(indptr, indices, ai, bi)
         nvocab = int(indices.max()) + 1 if len(indices) else 0
         got_pop = _intersect_counts_popcount(indptr, indices, nvocab, ai, bi)
+        csize, Mip, Mix, Pip, Pix = _delta_csr(indptr, indices, nvocab)
+        got_delta = _intersect_counts_delta(
+            csize, Mip, Mix, Pip, Pix, ai, bi
+        )
         assert np.array_equal(got_csr, want)
         assert np.array_equal(got_pop, want)
+        assert np.array_equal(got_delta, want)
 
 
 def test_hashed_shingles_arrow_matches_sql(spark):
