@@ -366,8 +366,32 @@ def _cpu_reference() -> float:
     return round(time.time() - t0, 3)
 
 
+def _mem_reference() -> float:
+    """Fixed single-thread memory-bandwidth workload (~0.1-0.3 s on a
+    quiet host): two stream multiplies over a cached 256 MB buffer
+    (~1.5 GB of bus traffic). The r11 continuation session caught the
+    host in windows where this exact pass took 50 s (~200x) while
+    ``_cpu_reference`` sat at its QUIET reading and loadavg read 0.1 —
+    outside-sandbox memory-bus saturation is invisible to both existing
+    gauges but devastates the Arrow/numpy-heavy queries (observed:
+    identical e1 fused-dedup runs at 3 s and 46 s minutes apart).
+    Recorded before/after the sweep and consulted by the quiesce
+    loop."""
+    import numpy as np
+
+    buf = getattr(_mem_reference, "_buf", None)
+    if buf is None:
+        buf = np.ones(32_000_000)
+        _mem_reference._buf = buf
+    t0 = time.time()
+    for _ in range(2):
+        out = buf * 2.0
+    del out
+    return round(time.time() - t0, 3)
+
+
 def _quiesce(threshold: float = 1.5, max_wait_s: float = 240.0,
-             poll_s: float = 5.0) -> float:
+             poll_s: float = 5.0, mem_threshold_s: float = 1.0) -> float:
     """Pre-flight quiesce loop (r10 verdict item 3): the driver's r10
     bench session started hot (decaying load from a prior Spark run)
     and read 36% high on byte-identical code — and the established
@@ -375,11 +399,21 @@ def _quiesce(threshold: float = 1.5, max_wait_s: float = 240.0,
     decays on the host's schedule, not ours. Wait until the 1-minute
     loadavg drops below ``threshold`` (cap the wait at ``max_wait_s``)
     and return how long we waited; the record carries the wait so a
-    still-hot start is auditable rather than invisible."""
+    still-hot start is auditable rather than invisible.
+
+    r11 continuation: ALSO require the memory-bandwidth reference below
+    ``mem_threshold_s`` — loadavg cannot see outside-sandbox bus
+    saturation (observed loadavg 0.14 during a 50 s stall of the
+    256 MB stream probe). During a stall the probe itself runs long,
+    which consumes the wait budget exactly as intended; ``max_wait_s``
+    still caps the total."""
     t0 = time.time()
     while time.time() - t0 < max_wait_s:
         la = _loadavg()
-        if not la or la[0] < threshold:
+        if (not la or la[0] < threshold) and (
+            mem_threshold_s == float("inf")
+            or _mem_reference() < mem_threshold_s
+        ):
             break
         time.sleep(poll_s)
     return round(time.time() - t0, 1)
@@ -398,6 +432,24 @@ def _rising(runs: list[float]) -> bool:
     )
 
 
+def _dispersed(runs: list[float]) -> bool:
+    """High-dispersion samples are the memory-bus-stall signature (r11
+    continuation): during an outside-sandbox bandwidth stall the three
+    timed samples of one query swing wildly but NOT monotonically
+    (observed [11.1, 45.8, 5.2] on a query whose steady state is ~3 s),
+    so the rising-only flag misses them and even the median is
+    poisoned. Flag when max/min > 2.5x AND the absolute spread exceeds
+    0.5 s (so sub-second jitter on cheap queries doesn't trip it);
+    flagged rows get the same quiesce + solo re-run splice as rising
+    rows."""
+    timed = sorted(runs[1:])
+    return (
+        len(timed) == 3
+        and timed[2] - timed[0] > 0.5
+        and timed[2] > timed[0] * 2.5
+    )
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -406,6 +458,7 @@ def main() -> int:
     quiesce_wait_s = _quiesce()
     load_before = _loadavg()
     cpu_ref_before = _cpu_reference()
+    mem_ref_before = _mem_reference()
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
@@ -487,7 +540,9 @@ def main() -> int:
     # those queries; the committed median is the steady-state re-run,
     # with the flagged transient samples kept in-record
     # (queries_samples_flagged_initial) for adjudication.
-    flagged = sorted(k for k, v in samples.items() if _rising(v))
+    flagged = sorted(
+        k for k, v in samples.items() if _rising(v) or _dispersed(v)
+    )
     flagged_initial: dict[str, list[float]] = {}
     rerun_wait_s = 0.0
     if flagged:
@@ -508,6 +563,7 @@ def main() -> int:
     # (<200 chars) summary that survives tail-capture intact.
     rising = sorted(k for k, v in samples.items() if _rising(v))
     rising_pct = round(100.0 * len(rising) / max(1, len(samples)), 1)
+    dispersed = sorted(k for k, v in samples.items() if _dispersed(v))
     full = {
         "metric": "headline_queries_wall_clock",
         "value": total,
@@ -541,6 +597,16 @@ def main() -> int:
         # spot-checks to adjudicate; this field does it in-record.
         "cpu_reference_s_before": cpu_ref_before,
         "cpu_reference_s_after": _cpu_reference(),
+        # r11 continuation: single-thread 256 MB stream probe timed
+        # before/after, plus rows whose timed samples swung > 2.5x
+        # non-monotonically — the memory-bus-stall signature neither
+        # loadavg nor cpu_reference can see (observed: loadavg 0.14,
+        # cpu_reference at its quiet value, stream probe 50 s).
+        # Dispersed rows were re-measured through the same splice path
+        # as rising rows.
+        "mem_reference_s_before": mem_ref_before,
+        "mem_reference_s_after": _mem_reference(),
+        "dispersed_sample_queries": dispersed,
     }
     # Scaling-curve evidence (r6 verdict item 1): scripts/bench_scale.py
     # measures the top-20 queries at sf0.1 AND the derived 10x dataset;

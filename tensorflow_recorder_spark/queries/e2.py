@@ -1587,25 +1587,79 @@ def q_e2_dim_truncation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     PREFIX-truncated embeddings (first 8 / 16 / 32 dims) against the
     full-dimension truth — the Matryoshka-style curve (Kusupati et al.
     2022, public) that decides how many dims a serving index keeps.
-    One shared checkpointed truth; each truncated search is the same
-    salted brute top-k over a narrower slice projection; recall is
-    integer-summed."""
+
+    Plan (r11 optimization): ONE corpus pass scores all four arms (the
+    three truncations and the full-dim truth) — per pair the same
+    ``round(dot / nullif(norm_a * norm_b, 0), 4)`` SQL expression per
+    arm as the previous four separate :func:`brute_force_topk` passes,
+    so the values are bit-identical — then the four scores ``stack``
+    into (dims, score) rows and ONE salted top-k keyed on
+    (dims, query_id) ranks every arm in a single bounded shuffle. The
+    ranked frame is 4 x |Q| x k rows, checkpointed once; truth and the
+    three recall joins read it. Previously: 4 corpus scans + 4
+    independent top-k shuffles."""
     from functools import reduce
 
+    from ..functions.partitioning import spread_to_parallelism
+    from ..operators.similarity import dot_expr, norm_expr
+    from ..operators.skew import salted_topk_per_key
+
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5)
-    exact = (
-        similarity.brute_force_topk(emb, queries, k=10)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
+    dims = (8, 16, 32)
+
+    def _arm_cols(prefix: str) -> list:
+        cols = []
+        for d in (*dims, None):
+            sl = "embedding" if d is None else f"slice(embedding, 1, {d})"
+            tag = "full" if d is None else str(d)
+            cols.append(F.expr(sl).alias(f"__{prefix}v_{tag}"))
+            cols.append(F.expr(norm_expr(sl)).alias(f"__{prefix}n_{tag}"))
+        return cols
+
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), *_arm_cols("q")
+    )
+    corpus = spread_to_parallelism(emb).select(
+        F.col("vec_id").alias("neighbor_id"), *_arm_cols("c")
+    )
+    score_cols = [
+        F.round(
+            F.expr(
+                f"({dot_expr(f'__qv_{tag}', f'__cv_{tag}')})"
+                f" / nullif(__qn_{tag} * __cn_{tag}, cast(0 as double))"
+            ),
+            4,
+        ).alias(f"__s_{tag}")
+        for tag in (*map(str, dims), "full")
+    ]
+    stack_args = ", ".join(
+        f"cast({64 if tag == 'full' else tag} as bigint), __s_{tag}"
+        for tag in (*map(str, dims), "full")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", *score_cols)
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"stack(4, {stack_args}) as (dims, score)",
+        )
+    )
+    ranked = salted_topk_per_key(
+        scored,
+        key_cols=["dims", "query_id"],
+        order_by=[F.desc("score"), F.asc("neighbor_id")],
+        k=10,
+        rank_alias="rank",
+        salt_on="neighbor_id",
+    ).localCheckpoint(eager=True)
+    exact = ranked.where(F.col("dims") == 64).select(
+        "query_id", "neighbor_id"
     )
     frames = []
-    for d in (8, 16, 32):
-        sliced = emb.select(
-            "vec_id", F.slice("embedding", 1, d).alias("embedding")
-        )
-        qs = sliced.where(F.col("vec_id") < 5)
-        ann = similarity.brute_force_topk(sliced, qs, k=10)
+    for d in dims:
+        ann = ranked.where(F.col("dims") == d)
         frames.append(
             similarity.ann_recall(ann, exact)
             .agg(

@@ -50,14 +50,29 @@ def test_bench_quiesce_and_splice_fields():
 
     import bench
 
-    # quiesce returns immediately when the load bar is already met
+    # quiesce returns immediately when BOTH bars (loadavg and the
+    # r11-continuation memory-bandwidth probe) are already met; the
+    # mem bar is disabled here so the assertion doesn't depend on live
+    # host bus conditions
     t0 = time.time()
-    waited = bench._quiesce(threshold=1e9, max_wait_s=30)
+    waited = bench._quiesce(
+        threshold=1e9, max_wait_s=30, mem_threshold_s=float("inf")
+    )
     assert time.time() - t0 < 1.0 and waited < 1.0
     # and caps the wait rather than spinning forever under load
     t0 = time.time()
-    waited = bench._quiesce(threshold=-1.0, max_wait_s=0.2, poll_s=0.05)
+    waited = bench._quiesce(
+        threshold=-1.0, max_wait_s=0.2, poll_s=0.05,
+        mem_threshold_s=float("inf"),
+    )
     assert waited >= 0.2 and time.time() - t0 < 5.0
+
+    # the dispersion flag catches the non-monotonic bus-stall swing the
+    # rising flag misses, but not steady samples or sub-second jitter
+    assert bench._dispersed([1.0, 11.1, 45.8, 5.2])
+    assert not bench._dispersed([9.9, 3.0, 3.1, 2.9])
+    assert not bench._dispersed([0.1, 0.05, 0.15, 0.04])
+    assert bench._rising([1.0, 3.0, 4.0, 5.0])
 
     src = open(bench.__file__).read()
     for field in (
@@ -65,6 +80,9 @@ def test_bench_quiesce_and_splice_fields():
         '"rerun_quiesce_wait_s"',
         '"spliced_queries"',
         '"queries_samples_flagged_initial"',
+        '"mem_reference_s_before"',
+        '"mem_reference_s_after"',
+        '"dispersed_sample_queries"',
     ):
         assert field in src
 
