@@ -455,7 +455,11 @@ def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ["SPARK_GRAFT_CPUS"] = cpus
     strict = "--strict" in sys.argv
-    quiesce_wait_s = _quiesce()
+    # generous pre-flight budget: the observed bus stalls run 1-5 min,
+    # so waiting up to 10 min for a quiet START is cheaper than taking
+    # the whole record inside one (the 527 s poisoned record's quiesce
+    # hit the old 240 s cap and gave up mid-stall)
+    quiesce_wait_s = _quiesce(max_wait_s=600.0)
     load_before = _loadavg()
     cpu_ref_before = _cpu_reference()
     mem_ref_before = _mem_reference()
@@ -523,11 +527,38 @@ def main() -> int:
         """One untimed warm-up + three timed samples."""
         return [_run_once(name) for _ in range(4)]
 
+    # Per-query stall guard (r11 continuation): the host's memory-bus
+    # stalls run 1-5 MINUTES — long enough to inflate all three of one
+    # query's samples uniformly, which neither the rising nor the
+    # dispersion flag can see (a 527 s record was taken that way: it
+    # started inside a stall after the pre-flight quiesce hit its cap,
+    # mem_reference_s_before 89 s). Probe the bus before each query's
+    # sample set and wait an active stall out; the metric is the SUM OF
+    # PER-QUERY MEDIANS, so inter-query waits cost the record nothing.
+    # Overhead when quiet: one ~0.2 s probe per query. The total wait
+    # is budgeted and recorded so a stall-saturated session is visible
+    # in-record rather than silently truncated.
+    stall_wait_budget_s = 1800.0
+    stall_wait_s = 0.0
+    stall_events = 0
+
+    def _stall_guard() -> None:
+        nonlocal stall_wait_s, stall_events
+        if stall_wait_s >= stall_wait_budget_s:
+            return
+        if _mem_reference() < 1.0:
+            return
+        stall_events += 1
+        stall_wait_s += _quiesce(
+            max_wait_s=min(240.0, stall_wait_budget_s - stall_wait_s)
+        )
+
     for name in (
         "convert_tfrecord",
         "convert_lineitem",
         *benched_queries(),
     ):
+        _stall_guard()
         runs = _sample4(name)
         samples[name] = runs  # runs[0] is the discarded warm-up
         cold[name] = runs[0]
@@ -607,6 +638,11 @@ def main() -> int:
         "mem_reference_s_before": mem_ref_before,
         "mem_reference_s_after": _mem_reference(),
         "dispersed_sample_queries": dispersed,
+        # r11 continuation: per-query stall-guard accounting — how many
+        # times the pre-sample bus probe found an active stall and how
+        # long was spent waiting them out (budgeted at 1800 s/run).
+        "stall_guard_events": stall_events,
+        "stall_guard_wait_s": round(stall_wait_s, 1),
     }
     # Scaling-curve evidence (r6 verdict item 1): scripts/bench_scale.py
     # measures the top-20 queries at sf0.1 AND the derived 10x dataset;

@@ -83,6 +83,8 @@ def test_bench_quiesce_and_splice_fields():
         '"mem_reference_s_before"',
         '"mem_reference_s_after"',
         '"dispersed_sample_queries"',
+        '"stall_guard_events"',
+        '"stall_guard_wait_s"',
     ):
         assert field in src
 
