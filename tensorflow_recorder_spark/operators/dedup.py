@@ -572,6 +572,36 @@ def _signatures_and_shingles_arrow(
     return src.mapInPandas(batches, schema=out_schema)
 
 
+_GIANT_BUCKET_ROWS = 1024
+
+
+def _bucket_thread_count(m: int, bytes_per_thread: int) -> int:
+    """Thread-pool width for ONE giant bucket's in-task kernels.
+
+    A template-family bucket is a single ``applyInPandas`` group — one
+    task, the stage's straggler while sibling tasks finish and leave
+    cores idle (local[32] and a 100 TB executor alike: the group is
+    unsplittable by the shuffle). The heavy kernels inside it decompose
+    exactly (per-slot paints SUM into the agreement matrix; sgemm
+    panels over 0/1 indicator rows are integer sums < 2^24, exact in
+    float32 under ANY split), and numpy/BLAS release the GIL, so a
+    small in-task thread pool recovers the idle cores without touching
+    the plan. Width: conservative fraction of the machine (the stage's
+    OTHER tasks are still running at stage start), memory-capped by the
+    per-thread scratch the caller will allocate, env-overridable for
+    cluster tuning (``SPARK_GRAFT_BUCKET_THREADS``).
+    """
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_BUCKET_THREADS")
+    if env is not None:
+        cap = max(1, int(env))
+    else:
+        cap = max(2, min(8, (os.cpu_count() or 8) // 4))
+    mem_cap = max(1, (256 << 20) // max(bytes_per_thread, 1))
+    return max(1, min(cap, mem_cap))
+
+
 def _lsh_verified_fused(
     df: DataFrame,
     text_col: str,
@@ -582,6 +612,9 @@ def _lsh_verified_fused(
     min_est_jaccard: float,
     threshold: float,
     chunk_pairs: int = 1 << 20,
+    giant_rows: int | None = None,
+    giant_threads: int | None = None,
+    matrix_budget: int = 1 << 24,
 ) -> DataFrame:
     """Fused single-shuffle fuzzy dedup (r11): signatures + shingles in
     one map pass, band explode, and candidate generation + exact-
@@ -680,6 +713,15 @@ def _lsh_verified_fused(
         np.cumsum(lens, out=indptr[1:])
         sizes = lens.astype(np.float64)
 
+        g_rows = _GIANT_BUCKET_ROWS if giant_rows is None else giant_rows
+
+        def pick_threads(bytes_per_thread):
+            if m < g_rows:
+                return 1
+            if giant_threads is not None:
+                return max(1, giant_threads)
+            return _bucket_thread_count(m, bytes_per_thread)
+
         # m x m MATRIX fast path (r11): per-pair fancy-index gathers
         # cost ~0.7 µs/pair in numpy, and a template-family bucket is
         # nearly ALL pairs (measured: 1.92M of the giant sf0.1
@@ -694,20 +736,52 @@ def _lsh_verified_fused(
         # bucket), and only SURVIVORS are ever materialized as pair
         # index arrays. Identical semantics: est = agreeing slots / nh,
         # drop if any earlier band fully agrees.
-        if m * m <= (1 << 24):  # <= 64 MB of uint8+bool matrices
-            A = np.zeros((m, m), dtype=np.uint8)
-            for j in range(nh):
-                vals = M8[:, j]
-                order2 = np.argsort(vals, kind="stable")
-                sv = vals[order2]
-                starts = np.flatnonzero(
-                    np.concatenate(([True], sv[1:] != sv[:-1]))
-                )
-                bounds = np.concatenate((starts, [m]))
-                for k in range(len(starts)):
-                    grp = order2[bounds[k] : bounds[k + 1]]
-                    if len(grp) > 1:
-                        A[np.ix_(grp, grp)] += 1
+        if m * m <= matrix_budget:  # <= 64 MB of uint8+bool matrices
+            # giant-bucket in-task threading (r11 continuation): the
+            # slot paints and the sgemm panels below decompose exactly
+            # — see _bucket_thread_count. 1 thread (the common case)
+            # takes the identical serial code path. giant_rows /
+            # giant_threads are test hooks (closure-captured, so they
+            # reach the executors by value).
+            nthreads = pick_threads(m * m)
+
+            def paint_slots(js, out):
+                for j in js:
+                    vals = M8[:, j]
+                    order2 = np.argsort(vals, kind="stable")
+                    sv = vals[order2]
+                    starts = np.flatnonzero(
+                        np.concatenate(([True], sv[1:] != sv[:-1]))
+                    )
+                    bounds = np.concatenate((starts, [m]))
+                    for k in range(len(starts)):
+                        grp = order2[bounds[k] : bounds[k + 1]]
+                        if len(grp) > 1:
+                            out[np.ix_(grp, grp)] += 1
+                return out
+
+            if nthreads > 1 and nh > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                nt = min(nthreads, nh)
+                slot_sets = [list(range(t, nh, nt)) for t in range(nt)]
+                with ThreadPoolExecutor(nt) as pool:
+                    partials = list(
+                        pool.map(
+                            paint_slots,
+                            slot_sets,
+                            [
+                                np.zeros((m, m), dtype=np.uint8)
+                                for _ in range(nt)
+                            ],
+                        )
+                    )
+                # uint8 sum is exact: each partial entry <= nh <= 255
+                A = partials[0]
+                for p in partials[1:]:
+                    A += p
+            else:
+                A = paint_slots(range(nh), np.zeros((m, m), dtype=np.uint8))
             # est floor in exact float (same comparison as the chunked
             # path: agree / nh >= min_est)
             K = (A.astype(np.float64) / float(nh)) >= min_est
@@ -743,7 +817,31 @@ def _lsh_verified_fused(
                 Mf32 = np.zeros((m, nv), dtype=np.float32)
                 rws = np.repeat(np.arange(m, dtype=np.int64), lens)
                 Mf32[rws, indices] = 1.0
-                G = Mf32 @ Mf32.T
+                if nthreads > 1:
+                    # panel sgemm across the in-task pool: every G cell
+                    # is a sum of 0/1 products (an integer < 2^24),
+                    # exact in float32 under any panel split
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    G = np.empty((m, m), dtype=np.float32)
+                    step = -(-m // nthreads)
+                    spans = [
+                        (p0, min(p0 + step, m))
+                        for p0 in range(0, m, step)
+                    ]
+                    with ThreadPoolExecutor(len(spans)) as pool:
+                        list(
+                            pool.map(
+                                lambda s: np.matmul(
+                                    Mf32[s[0] : s[1]],
+                                    Mf32.T,
+                                    out=G[s[0] : s[1]],
+                                ),
+                                spans,
+                            )
+                        )
+                else:
+                    G = Mf32 @ Mf32.T
                 inter = G[ai, bi].astype(np.int64).astype(np.float64)
             else:
                 inter = _intersect_counts_csr(
@@ -762,13 +860,37 @@ def _lsh_verified_fused(
                 }
             )
 
-        frames = []
-        Mf32 = None  # dense doc x vocab matrix, built on first BLAS use
-        delta = None  # core/delta decomposition, built on first use
+        # chunked path (m^2 beyond the matrix budget — at sf1+ the
+        # template family IS this case). Chunks are independent, so
+        # above the giant threshold they run on the same in-task pool
+        # as the matrix path (identical arithmetic chunk by chunk; the
+        # shared Mf32/delta lazies become lock-guarded one-time
+        # builds). ~40 B/pair of per-chunk scratch caps the pool width.
+        import threading
+
+        state = {"Mf32": None, "delta": None}
+        state_lock = threading.Lock()
+
+        def get_delta(nv):
+            with state_lock:
+                if state["delta"] is None:
+                    state["delta"] = _delta_csr(indptr, indices, nv)
+                return state["delta"]
+
+        def get_Mf32(nv):
+            with state_lock:
+                if state["Mf32"] is None:
+                    Mf32 = np.zeros((m, nv), dtype=np.float32)
+                    rws = np.repeat(np.arange(m, dtype=np.int64), lens)
+                    Mf32[rws, indices] = 1.0
+                    state["Mf32"] = Mf32
+                return state["Mf32"]
+
         # enumerate i<j pairs in row chunks so peak memory is
         # O(chunk) pairs however large the bucket
         rows_per_chunk = max(1, chunk_pairs // m)
-        for r0 in range(0, m - 1, rows_per_chunk):
+
+        def do_chunk(r0):
             r1 = min(r0 + rows_per_chunk, m - 1)
             # direct i<j enumeration for rows [r0, r1): no (chunk x m)
             # bool allocation (r11: the giant template bucket holds
@@ -776,7 +898,7 @@ def _lsh_verified_fused(
             lens_i = m - 1 - np.arange(r0, r1, dtype=np.int64)
             total = int(lens_i.sum())
             if total == 0:
-                continue
+                return None
             cum0 = np.concatenate(([0], np.cumsum(lens_i[:-1])))
             ai = np.repeat(np.arange(r0, r1, dtype=np.int64), lens_i)
             bi = (
@@ -802,7 +924,7 @@ def _lsh_verified_fused(
             # slots; no extra check needed)
             ai, bi, est = ai[keep], bi[keep], est[keep]
             if len(ai) == 0:
-                continue
+                return None
             # Kernel choice per chunk from four measured cost laws
             # (all exact): the DELTA kernel intersects against the
             # bucket's majority core — on a near-duplicate family
@@ -816,9 +938,7 @@ def _lsh_verified_fused(
             # ~2.2 ns per pair-vocab-bit. Diverse buckets have an
             # empty core and fall through to the other three.
             nv = len(vocab)
-            if delta is None:
-                delta = _delta_csr(indptr, indices, nv)
-            csize, Mip, Mix, Pip, Pix = delta
+            csize, Mip, Mix, Pip, Pix = get_delta(nv)
             dlens = (Mip[1:] - Mip[:-1]) + (Pip[1:] - Pip[:-1])
             delta_cost = (
                 13.0 * (int(dlens[ai].sum()) + int(dlens[bi].sum()))
@@ -834,10 +954,7 @@ def _lsh_verified_fused(
                     csize, Mip, Mix, Pip, Pix, ai, bi
                 ).astype(np.float64)
             elif budget_ok and blas_cost < min(csr_cost, pop_cost):
-                if Mf32 is None:
-                    Mf32 = np.zeros((m, nv), dtype=np.float32)
-                    rws = np.repeat(np.arange(m, dtype=np.int64), lens)
-                    Mf32[rws, indices] = 1.0
+                Mf32 = get_Mf32(nv)
                 panel = Mf32[r0:r1] @ Mf32.T
                 inter = panel[ai - r0, bi].astype(np.int64).astype(
                     np.float64
@@ -853,17 +970,27 @@ def _lsh_verified_fused(
             jac = inter / (sizes[ai] + sizes[bi] - inter)
             keep2 = jac >= thr
             if not keep2.any():
-                continue
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "id_a": ids[ai[keep2]],
-                        "id_b": ids[bi[keep2]],
-                        "est_jaccard": est[keep2],
-                        "jaccard": jac[keep2],
-                    }
-                )
+                return None
+            return pd.DataFrame(
+                {
+                    "id_a": ids[ai[keep2]],
+                    "id_b": ids[bi[keep2]],
+                    "est_jaccard": est[keep2],
+                    "jaccard": jac[keep2],
+                }
             )
+
+        starts = list(range(0, m - 1, rows_per_chunk))
+        cthreads = min(pick_threads(chunk_pairs * 40), max(len(starts), 1))
+        if cthreads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(cthreads) as pool:
+                frames = [
+                    f for f in pool.map(do_chunk, starts) if f is not None
+                ]
+        else:
+            frames = [f for f in map(do_chunk, starts) if f is not None]
         if not frames:
             return empty
         return pd.concat(frames, ignore_index=True)
@@ -894,6 +1021,8 @@ def _incremental_fused(
     min_est_jaccard: float,
     threshold: float,
     chunk_pairs: int = 1 << 20,
+    giant_rows: int | None = None,
+    giant_threads: int | None = None,
 ) -> DataFrame:
     """Fused single-shuffle INCREMENTAL fuzzy dedup (r11): the
     bipartite analog of :func:`_lsh_verified_fused`. Each side computes
@@ -987,11 +1116,32 @@ def _incremental_fused(
         np.cumsum(lens, out=indptr[1:])
         sizes = lens.astype(np.float64)
 
-        frames = []
-        Mf32 = None
-        delta = None  # core/delta decomposition, built on first use
+        # in-task chunk pool for giant bipartite buckets (r11
+        # continuation) — chunks are independent; identical arithmetic,
+        # lock-guarded Mf32/delta lazies (see the self-join bucket)
+        import threading
+
+        state = {"Mf32": None, "delta": None}
+        state_lock = threading.Lock()
+
+        def get_delta(nv):
+            with state_lock:
+                if state["delta"] is None:
+                    state["delta"] = _delta_csr(indptr, indices, nv)
+                return state["delta"]
+
+        def get_Mf32(nv):
+            with state_lock:
+                if state["Mf32"] is None:
+                    Mf32 = np.zeros((m, nv), dtype=np.float32)
+                    rws = np.repeat(np.arange(m, dtype=np.int64), lens)
+                    Mf32[rws, indices] = 1.0
+                    state["Mf32"] = Mf32
+                return state["Mf32"]
+
         rows_per_chunk = max(1, chunk_pairs // nb)
-        for r0 in range(0, na, rows_per_chunk):
+
+        def do_chunk(r0):
             r1 = min(r0 + rows_per_chunk, na)
             # bipartite chunk: every (index row in [r0,r1)) x batch
             # row, tracked as POSITIONS (pa, pb) into a_rows/b_rows so
@@ -1009,14 +1159,12 @@ def _incremental_fused(
             pa, pb, est = pa[keep], pb[keep], est[keep]
             ai, bi = ai[keep], bi[keep]
             if len(ai) == 0:
-                continue
+                return None
             nv = len(vocab)
             # four-way kernel choice — see the self-join bucket for the
             # measured cost laws; the delta kernel wins on
             # near-duplicate families (work = edit deltas, still exact)
-            if delta is None:
-                delta = _delta_csr(indptr, indices, nv)
-            csize, Mip, Mix, Pip, Pix = delta
+            csize, Mip, Mix, Pip, Pix = get_delta(nv)
             dlens = (Mip[1:] - Mip[:-1]) + (Pip[1:] - Pip[:-1])
             delta_cost = (
                 13.0 * (int(dlens[ai].sum()) + int(dlens[bi].sum()))
@@ -1032,10 +1180,7 @@ def _incremental_fused(
                     csize, Mip, Mix, Pip, Pix, ai, bi
                 ).astype(np.float64)
             elif budget_ok and blas_cost < min(csr_cost, pop_cost):
-                if Mf32 is None:
-                    Mf32 = np.zeros((m, nv), dtype=np.float32)
-                    rws = np.repeat(np.arange(m, dtype=np.int64), lens)
-                    Mf32[rws, indices] = 1.0
+                Mf32 = get_Mf32(nv)
                 # dense duplicate-family bucket: the whole index-chunk
                 # x batch intersection panel in one sgemm (counts
                 # < 2^24, exact in float32)
@@ -1054,17 +1199,34 @@ def _incremental_fused(
             jac = inter / (sizes[ai] + sizes[bi] - inter)
             keep2 = jac >= thr
             if not keep2.any():
-                continue
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "id_a": ids[ai[keep2]],
-                        "id_b": ids[bi[keep2]],
-                        "est_jaccard": est[keep2],
-                        "jaccard": jac[keep2],
-                    }
-                )
+                return None
+            return pd.DataFrame(
+                {
+                    "id_a": ids[ai[keep2]],
+                    "id_b": ids[bi[keep2]],
+                    "est_jaccard": est[keep2],
+                    "jaccard": jac[keep2],
+                }
             )
+
+        g_rows = _GIANT_BUCKET_ROWS if giant_rows is None else giant_rows
+        starts = list(range(0, na, rows_per_chunk))
+        if m < g_rows:
+            cthreads = 1
+        elif giant_threads is not None:
+            cthreads = max(1, giant_threads)
+        else:
+            cthreads = _bucket_thread_count(m, chunk_pairs * 40)
+        cthreads = min(cthreads, max(len(starts), 1))
+        if cthreads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(cthreads) as pool:
+                frames = [
+                    f for f in pool.map(do_chunk, starts) if f is not None
+                ]
+        else:
+            frames = [f for f in map(do_chunk, starts) if f is not None]
         if not frames:
             return empty
         return pd.concat(frames, ignore_index=True)

@@ -395,6 +395,69 @@ def ivf_assign(
     )
 
 
+def ivf_assign_nested(
+    df: DataFrame,
+    centroids: DataFrame,
+    bounds: tuple[int, ...],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """:func:`ivf_assign` for a FAMILY of nested centroid prefixes in
+    ONE corpus-scoring pass (r11 continuation; guide §1.4 "share
+    passes" / §2.4).
+
+    The nlist tuning curve assigns the same corpus against centroid
+    sets that are prefixes of each other (``centroid_id < b`` for
+    growing ``b``) — per-centroid scores are identical across arms, so
+    three separate ``ivf_assign`` calls re-run the K x |corpus| scoring
+    three times for one argmax family. Here each arm is a masked
+    ``min_by`` over the single scored frame: rows with ``__cid >= b``
+    get ordering ``(inf, __cid)``, which can never beat an in-prefix
+    row — a real score sorts before inf, and when EVERY in-prefix score
+    is NULL (zero-norm vector) the inf tiebreak falls to the smallest
+    centroid id, which is in-prefix because prefix ids are, by the
+    nesting contract, the smallest ids. Bit-identical to per-arm
+    ``ivf_assign`` (parity-tested).
+
+    Contract: ``bounds`` ascending; arm ``b``'s centroid set is exactly
+    ``centroids.where(centroid_id < b)``; the largest bound covers the
+    whole ``centroids`` frame. Output: one row per vector with columns
+    ``{centroid_id_col}_{b}`` per bound.
+    """
+    c = centroids.select(
+        F.col(centroid_id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        F.expr(norm_expr(vec_col)).alias("__cn"),
+    )
+    scored = spread_to_parallelism(df).select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.expr(norm_expr(vec_col)).alias("__vn"),
+    ).crossJoin(F.broadcast(c))
+    neg_score = -F.round(
+        F.expr(
+            f"({dot_expr('__v', '__cv')}) / nullif(__vn * __cn, cast(0 as double))"
+        ),
+        6,
+    )
+    inf = F.lit(float("inf"))
+    aggs = []
+    for b in bounds:
+        ordering = F.struct(
+            F.coalesce(
+                F.when(F.col("__cid") < b, neg_score), inf
+            ).alias("s"),
+            F.col("__cid").alias("c"),
+        )
+        aggs.append(
+            F.min_by(F.col("__cid"), ordering).alias(
+                f"{centroid_id_col}_{b}"
+            )
+        )
+    return scored.groupBy(id_col).agg(*aggs)
+
+
 def ivf_probes(
     queries: DataFrame,
     centroids: DataFrame,

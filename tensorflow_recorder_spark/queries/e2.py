@@ -2379,12 +2379,29 @@ def q_e2_nlist_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )
+    # r11 continuation: the three arms' centroid sets are nested
+    # prefixes (vec_id < 4 c < 8 c < 16), so ONE corpus-scoring pass
+    # yields every arm's assignment (ivf_assign_nested, parity-proven);
+    # the bounded per-vector result is checkpointed for the three
+    # probe consumers. 3 corpus scoring passes -> 1.
+    full_c = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    nested = similarity.ivf_assign_nested(
+        emb, full_c, (4, 8, 16)
+    ).localCheckpoint(eager=True)
     frames = []
     for k_cells in (4, 8, 16):
         centroids = emb.where(F.col("vec_id") < k_cells).select(
             F.col("vec_id").alias("centroid_id"), "embedding"
         )
-        ivf = similarity.ivf_topk(emb, centroids, queries, k=10, nprobe=1)
+        assign = nested.select(
+            "vec_id",
+            F.col(f"centroid_id_{k_cells}").alias("centroid_id"),
+        )
+        ivf = similarity.ivf_topk(
+            emb, centroids, queries, k=10, nprobe=1, assign=assign
+        )
         frames.append(
             similarity.ann_recall(ivf, exact)
             .agg(

@@ -241,3 +241,95 @@ def test_incremental_fused_matches_staged(spark):
         ).collect()
     }
     assert ov_f == ov_s and len(ov_f) > 0
+
+
+def test_fused_giant_bucket_threaded_path_identical(spark):
+    """r11 continuation: the in-task threaded giant-bucket kernels
+    (partial-matrix slot paints summed, panel sgemm) must be
+    bit-identical to the serial matrix path. giant_rows=2 forces every
+    bucket through the threaded branch; the arithmetic is exact by
+    construction (uint8 partial sums <= nh; sgemm cells are 0/1 dot
+    products — integers < 2^24, exact in float32 under any split)."""
+    from tensorflow_recorder_spark.operators.dedup import (
+        _lsh_verified_fused,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def pairs(**kw):
+        return {
+            (r["id_a"], r["id_b"]): (r["est_jaccard"], r["jaccard"])
+            for r in _lsh_verified_fused(
+                docs, "text", "doc_id", 8, 4, 5, 0.25, 0.3, **kw
+            ).collect()
+        }
+
+    serial = pairs()
+    threaded = pairs(giant_rows=2, giant_threads=3)
+    assert serial == threaded and len(serial) > 0
+    # matrix_budget=0 forces every bucket down the CHUNKED path, so the
+    # threaded chunk pool (lock-guarded Mf32/delta lazies) is exercised
+    chunked_threaded = pairs(
+        giant_rows=2, giant_threads=3, matrix_budget=0
+    )
+    assert serial == chunked_threaded
+    chunked_serial = pairs(matrix_budget=0)
+    assert serial == chunked_serial
+
+
+def test_incremental_fused_giant_bucket_threaded_identical(spark):
+    """Bipartite analog: the threaded chunk pool in _incremental_fused
+    must reproduce the serial path exactly."""
+    from pyspark.sql import functions as F
+
+    from tensorflow_recorder_spark.operators.dedup import (
+        _incremental_fused,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = docs.where(F.col("doc_id") % 10 != 0)
+    bat = docs.where(F.col("doc_id") % 10 == 0)
+
+    def pairs(**kw):
+        return {
+            (r["id_a"], r["id_b"]): (r["est_jaccard"], r["jaccard"])
+            for r in _incremental_fused(
+                idx, bat, "text", "doc_id", 8, 4, 5, 0.25, 0.3, **kw
+            ).collect()
+        }
+
+    serial = pairs()
+    threaded = pairs(giant_rows=2, giant_threads=3)
+    assert serial == threaded and len(serial) > 0
+
+
+def test_ivf_assign_nested_matches_per_arm(spark):
+    """r11 continuation: one-pass nested-prefix assignment must equal
+    the per-arm ivf_assign for every bound (the nlist curve fusion)."""
+    from pyspark.sql import functions as F
+
+    from tensorflow_recorder_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full_c = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    nested = {
+        r["vec_id"]: r
+        for r in similarity.ivf_assign_nested(
+            emb, full_c, (4, 8, 16)
+        ).collect()
+    }
+    assert len(nested) > 0
+    for b in (4, 8, 16):
+        arm = {
+            r["vec_id"]: r["centroid_id"]
+            for r in similarity.ivf_assign(
+                emb,
+                emb.where(F.col("vec_id") < b).select(
+                    F.col("vec_id").alias("centroid_id"), "embedding"
+                ),
+            ).collect()
+        }
+        got = {k: r[f"centroid_id_{b}"] for k, r in nested.items()}
+        assert got == arm
