@@ -1492,16 +1492,31 @@ def q_e1_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFra
     one equi-join of two small canonical (a < b) pair frames plus
     three 1-row counts — no new corpus pass."""
     docs = _t(spark, sf_dir, "documents")
-    lex = (
-        dedup.lsh_verified_pairs(docs, "text", "doc_id")
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
-    sem = (
-        _sem_neardup_pairs(spark, sf_dir)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
+
+    # r11 continuation: the two pair pipelines are independent — submit
+    # both eager checkpoints concurrently (guide §2.6; the
+    # e4_incident_overlap pattern) so the semantic pipeline's tasks
+    # back-fill the cores the lexical pipeline's straggler tail leaves
+    # idle, instead of running strictly after it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _mk_lex():
+        return (
+            dedup.lsh_verified_pairs(docs, "text", "doc_id")
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+
+    def _mk_sem():
+        return (
+            _sem_neardup_pairs(spark, sf_dir)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_lex, f_sem = pool.submit(_mk_lex), pool.submit(_mk_sem)
+        lex, sem = f_lex.result(), f_sem.result()
     n_lex = lex.agg(F.count(F.lit(1)).cast("long").alias("n_lexical"))
     n_sem = sem.agg(F.count(F.lit(1)).cast("long").alias("n_semantic"))
     n_both = lex.join(sem, ["id_a", "id_b"]).agg(
