@@ -841,6 +841,185 @@ def ivf_topk(
     )
 
 
+def ivf_topk_multi(
+    df: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    nprobes: tuple[int, ...],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    round_digits: int = 4,
+    assign: DataFrame | None = None,
+    probes: DataFrame | None = None,
+) -> DataFrame:
+    """Every arm of a multi-probe sweep in ONE corpus pass + ONE top-k
+    (r11 continuation; guide §1.4 "share passes" / §2.4).
+
+    A recall/cost curve runs :func:`ivf_topk` once per ``nprobe`` arm —
+    but the arms' candidate sets are NESTED (arm ``n``'s candidates are
+    exactly the rows whose cell has ``probe_rank <= n`` for the query),
+    so per-arm calls re-run the corpus⋈assign join, the candidate
+    scoring, and a full salted top-k chain for subsets of one frame.
+    Here candidates are scored once against the LARGEST arm's probe set
+    with ``probe_rank`` carried, each scored row is stacked into every
+    arm that includes it (``explode`` of the filtered arm literal — a
+    map-side row multiply bounded by ``len(nprobes) x k x |probed
+    cells|`` per query), and ONE salted top-k keyed on
+    ``(nprobe, query_id)`` ranks all arms. Per-pair arithmetic is the
+    unchanged :func:`ivf_topk` expression, so every arm's rows are
+    bit-identical to the per-arm call (parity-tested).
+
+    ``assign``/``probes``: optional precomputed ``ivf_assign(df,
+    centroids)`` / ``ivf_probes(queries, centroids, nprobe=max)``
+    frames (the curve queries checkpoint them for other consumers).
+    Output: ``(nprobe, query_id, neighbor_id, score, rank)``.
+    """
+    nps = sorted(int(x) for x in nprobes)
+    maxp = nps[-1]
+    if assign is None:
+        assign = ivf_assign(df, centroids, vec_col, id_col)
+    if probes is None:
+        probes = ivf_probes(queries, centroids, vec_col, id_col, nprobe=maxp)
+    corpus = df.join(assign, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.expr(norm_expr(vec_col)).alias("__cn"),
+        F.col("centroid_id").alias("__ccell"),
+    )
+    q = (
+        queries.join(
+            probes.withColumnRenamed("centroid_id", "__qcell"), id_col
+        )
+        .where(F.col("probe_rank") <= maxp)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.expr(norm_expr(vec_col)).alias("__qn"),
+            "__qcell",
+            "probe_rank",
+        )
+    )
+    arms = F.array(*[F.lit(x).cast("long") for x in nps])
+    scored = (
+        corpus.join(F.broadcast(q), F.col("__ccell") == F.col("__qcell"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            F.explode(
+                F.filter(arms, lambda a: a >= F.col("probe_rank"))
+            ).alias("nprobe"),
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(
+                    f"({dot_expr('__qv', '__cv')}) / nullif(__qn * __cn, cast(0 as double))"
+                ),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    return salted_topk_per_key(
+        scored,
+        key_cols=["nprobe", "query_id"],
+        order_by=[F.desc("score"), F.asc("neighbor_id")],
+        k=k,
+        rank_alias="rank",
+        salt_on="neighbor_id",
+    )
+
+
+def ivf_topk_nested_cells(
+    df: DataFrame,
+    nested_assign: DataFrame,
+    queries: DataFrame,
+    bounds: tuple[int, ...],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    round_digits: int = 4,
+    centroid_id_col: str = "centroid_id",
+    arm_col: str = "nlist",
+) -> DataFrame:
+    """Every arm of a nested-prefix nlist sweep (nprobe=1 per arm) in
+    ONE corpus pass + ONE top-k (r11 continuation; pairs with
+    :func:`ivf_assign_nested`, which already fused the assignment).
+
+    Per arm ``b``, a query's candidates are the corpus vectors sharing
+    its ``{centroid_id_col}_{b}`` cell. The per-arm :func:`ivf_topk`
+    calls each re-join corpus⋈assign, re-score, and run their own
+    salted top-k; here the corpus joins the (checkpointed) nested
+    assignment once, explodes each row into its ``len(bounds)``
+    (arm, cell) pairs map-side, equi-joins the broadcast query arm
+    cells, and ranks ALL arms in one salted top-k keyed on
+    ``(arm_col, query_id)``. The query's own per-arm cell is read from
+    ``nested_assign`` directly — queries are a subset of ``df`` in the
+    curve, and the arm's argmax for a given vector is one value however
+    it is computed (bit-identical, parity-tested).
+
+    Output: ``(arm_col, query_id, neighbor_id, score, rank)``.
+    """
+    arm_structs = ", ".join(
+        f"struct(cast({b} as long) as arm, {centroid_id_col}_{b} as cell)"
+        for b in bounds
+    )
+    base = df.join(nested_assign, id_col)
+    corpus = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.expr(norm_expr(vec_col)).alias("__cn"),
+        F.explode(F.expr(f"array({arm_structs})")).alias("__arm"),
+    ).select(
+        "neighbor_id",
+        "__cv",
+        "__cn",
+        F.col("__arm.arm").alias("__carm"),
+        F.col("__arm.cell").alias("__ccell"),
+    )
+    q = (
+        queries.join(nested_assign, id_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.expr(norm_expr(vec_col)).alias("__qn"),
+            F.explode(F.expr(f"array({arm_structs})")).alias("__arm"),
+        )
+        .select(
+            "query_id",
+            "__qv",
+            "__qn",
+            F.col("__arm.arm").alias("__qarm"),
+            F.col("__arm.cell").alias("__qcell"),
+        )
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(q),
+            (F.col("__carm") == F.col("__qarm"))
+            & (F.col("__ccell") == F.col("__qcell")),
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            F.col("__carm").alias(arm_col),
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(
+                    f"({dot_expr('__qv', '__cv')}) / nullif(__qn * __cn, cast(0 as double))"
+                ),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    return salted_topk_per_key(
+        scored,
+        key_cols=[arm_col, "query_id"],
+        order_by=[F.desc("score"), F.asc("neighbor_id")],
+        k=k,
+        rank_alias="rank",
+        salt_on="neighbor_id",
+    )
+
+
 # ------------------------------------------------- materialized IVF index
 
 

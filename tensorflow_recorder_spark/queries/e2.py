@@ -1478,8 +1478,6 @@ def q_e2_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     run is the ordinary cell-pruned probe at nprobe/K of brute cost.
     Recall is integer-summed (sum hits / sum truth) — no FP-order
     hazard from averaging per-query doubles."""
-    from functools import reduce
-
     emb = _t(spark, sf_dir, "embeddings")
     centroids = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
@@ -1495,27 +1493,40 @@ def q_e2_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = similarity.ivf_assign(emb, centroids).localCheckpoint(
         eager=True
     )
-    frames = []
-    for np_ in (1, 2, 4):
-        ivf = similarity.ivf_topk(
-            emb, centroids, queries, k=10, nprobe=np_, assign=assign
+    # r11 continuation: the arms' candidate sets are nested (probe_rank
+    # cutoffs of one probe set), so ONE scored pass + ONE salted top-k
+    # keyed (nprobe, query_id) replaces three ivf_topk chains
+    # (ivf_topk_multi, parity-proven bit-identical per arm).
+    multi = similarity.ivf_topk_multi(
+        emb, centroids, queries, (1, 2, 4), k=10, assign=assign
+    )
+    hits = (
+        multi.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    arms = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x).cast("long") for x in (1, 2, 4)])
+        ).alias("nprobe")
+    )
+    return (
+        arms.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "nprobe",
+            "n_true",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias(
+                "n_hits"
+            ),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.expr("nullif(n_true, 0)"),
+                6,
+            ).alias("recall"),
         )
-        frames.append(
-            similarity.ann_recall(ivf, exact)
-            .agg(
-                F.sum("n_true").cast("long").alias("n_true"),
-                F.sum("n_hits").cast("long").alias("n_hits"),
-            )
-            .select(
-                F.lit(np_).cast("long").alias("nprobe"),
-                "n_true",
-                "n_hits",
-                F.round(
-                    F.col("n_hits") / F.expr("nullif(n_true, 0)"), 6
-                ).alias("recall"),
-            )
-        )
-    return reduce(lambda a, b: a.unionByName(b), frames)
+    )
 
 def _oracle_nprobe_recall_curve() -> str:
     ivf_ctes = []
@@ -2370,8 +2381,6 @@ def q_e2_nlist_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     compensating knob). One shared brute-force truth, checkpointed
     once; each K is the ordinary cell-pruned probe; recall is
     integer-summed — no FP-order hazard."""
-    from functools import reduce
-
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     exact = (
@@ -2390,34 +2399,39 @@ def q_e2_nlist_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested = similarity.ivf_assign_nested(
         emb, full_c, (4, 8, 16)
     ).localCheckpoint(eager=True)
-    frames = []
-    for k_cells in (4, 8, 16):
-        centroids = emb.where(F.col("vec_id") < k_cells).select(
-            F.col("vec_id").alias("centroid_id"), "embedding"
+    # r11 continuation: the three per-arm ivf_topk chains fuse into ONE
+    # corpus⋈nested pass + ONE salted top-k keyed (nlist, query_id)
+    # (ivf_topk_nested_cells, parity-proven bit-identical per arm).
+    multi = similarity.ivf_topk_nested_cells(
+        emb, nested, queries, (4, 8, 16), k=10
+    )
+    hits = (
+        multi.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("nlist")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    arms = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x).cast("long") for x in (4, 8, 16)])
+        ).alias("nlist")
+    )
+    return (
+        arms.join(hits, "nlist", "left")
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "nlist",
+            "n_true",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias(
+                "n_hits"
+            ),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.expr("nullif(n_true, 0)"),
+                6,
+            ).alias("recall"),
         )
-        assign = nested.select(
-            "vec_id",
-            F.col(f"centroid_id_{k_cells}").alias("centroid_id"),
-        )
-        ivf = similarity.ivf_topk(
-            emb, centroids, queries, k=10, nprobe=1, assign=assign
-        )
-        frames.append(
-            similarity.ann_recall(ivf, exact)
-            .agg(
-                F.sum("n_true").cast("long").alias("n_true"),
-                F.sum("n_hits").cast("long").alias("n_hits"),
-            )
-            .select(
-                F.lit(k_cells).cast("long").alias("nlist"),
-                "n_true",
-                "n_hits",
-                F.round(
-                    F.col("n_hits") / F.expr("nullif(n_true, 0)"), 6
-                ).alias("recall"),
-            )
-        )
-    return reduce(lambda a, b: a.unionByName(b), frames)
+    )
 
 def _oracle_nlist_recall_curve() -> str:
     ctes = []
@@ -2500,8 +2514,6 @@ def q_e2_scan_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a |probes|-row broadcast join against the 8-row cell-size
     table — integer sufficient statistics, two final divisions in
     oracle operation order."""
-    from functools import reduce
-
     emb = _t(spark, sf_dir, "embeddings")
     centroids = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
@@ -2531,59 +2543,83 @@ def q_e2_scan_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     qcell = assign.join(
         queries.select("vec_id"), "vec_id"
     ).withColumnRenamed("centroid_id", "__own")
-    frames = []
-    for np_ in (1, 2, 4):
-        arm_probes = probes4.where(F.col("probe_rank") <= np_)
-        scanned = (
-            arm_probes.join(F.broadcast(sizes), "centroid_id")
-            .join(
-                F.broadcast(qcell),
-                (arm_probes["vec_id"] == qcell["vec_id"])
-                & (F.col("centroid_id") == F.col("__own")),
-                "left",
-            )
-            .agg(
-                F.sum("__sz").cast("long").alias("__scanned_raw"),
-                F.sum(
-                    F.when(F.col("__own").isNotNull(), 1).otherwise(0)
-                )
-                .cast("long")
-                .alias("__self"),
-            )
-            .select(
-                (F.col("__scanned_raw") - F.col("__self"))
-                .cast("long")
-                .alias("n_scanned")
-            )
+    arm_lits = F.array(*[F.lit(x).cast("long") for x in (1, 2, 4)])
+    # cost side, all arms in one aggregate: each probe row belongs to
+    # every arm with nprobe >= its probe_rank (the same nesting the
+    # recall side exploits), so one explode + groupBy(nprobe) replaces
+    # three separate probe aggregations.
+    scanned = (
+        probes4.join(F.broadcast(sizes), "centroid_id")
+        .join(
+            F.broadcast(qcell),
+            (probes4["vec_id"] == qcell["vec_id"])
+            & (F.col("centroid_id") == F.col("__own")),
+            "left",
         )
-        # r11: reuse the query's checkpointed assignment — ivf_topk
-        # otherwise re-runs the K x corpus ivf_assign scoring per arm
-        ivf = similarity.ivf_topk(
-            emb, centroids, queries, k=10, nprobe=np_, assign=assign
+        .select(
+            F.explode(
+                F.filter(arm_lits, lambda a: a >= F.col("probe_rank"))
+            ).alias("nprobe"),
+            "__sz",
+            "__own",
         )
-        rec = similarity.ann_recall(ivf, exact).agg(
-            F.sum("n_true").cast("long").alias("n_true"),
-            F.sum("n_hits").cast("long").alias("n_hits"),
+        .groupBy("nprobe")
+        .agg(
+            F.sum("__sz").cast("long").alias("__scanned_raw"),
+            F.sum(F.when(F.col("__own").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("__self"),
         )
-        frames.append(
-            rec.crossJoin(F.broadcast(scanned))
-            .crossJoin(F.broadcast(totals))
-            .select(
-                F.lit(np_).cast("long").alias("nprobe"),
-                "n_true",
-                "n_hits",
-                F.round(
-                    F.col("n_hits") / F.expr("nullif(n_true, 0)"), 6
-                ).alias("recall"),
-                "n_scanned",
-                F.round(
-                    F.col("n_scanned")
-                    / F.expr("nullif(CAST(__q * (__n - 1) AS DOUBLE), 0.0)"),
-                    6,
-                ).alias("scan_fraction"),
-            )
+        .select(
+            "nprobe",
+            (F.col("__scanned_raw") - F.col("__self"))
+            .cast("long")
+            .alias("n_scanned"),
         )
-    return reduce(lambda a, b: a.unionByName(b), frames)
+    )
+    # recall side (r11 continuation): ONE scored pass + ONE salted
+    # top-k for all three nested arms (ivf_topk_multi), reusing the
+    # checkpointed assignment AND probe set.
+    multi = similarity.ivf_topk_multi(
+        emb,
+        centroids,
+        queries,
+        (1, 2, 4),
+        k=10,
+        assign=assign,
+        probes=probes4,
+    )
+    hits = (
+        multi.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    arms = spark.range(1).select(F.explode(arm_lits).alias("nprobe"))
+    return (
+        arms.join(hits, "nprobe", "left")
+        .join(scanned, "nprobe", "left")
+        .crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "nprobe",
+            "n_true",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias(
+                "n_hits"
+            ),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.expr("nullif(n_true, 0)"),
+                6,
+            ).alias("recall"),
+            "n_scanned",
+            F.round(
+                F.col("n_scanned")
+                / F.expr("nullif(CAST(__q * (__n - 1) AS DOUBLE), 0.0)"),
+                6,
+            ).alias("scan_fraction"),
+        )
+    )
 
 
 def _oracle_scan_cost_frontier() -> str:

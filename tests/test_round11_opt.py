@@ -333,3 +333,81 @@ def test_ivf_assign_nested_matches_per_arm(spark):
         }
         got = {k: r[f"centroid_id_{b}"] for k, r in nested.items()}
         assert got == arm
+
+
+def test_ivf_topk_multi_matches_per_arm(spark):
+    """r11 continuation: the one-pass multi-nprobe top-k must equal the
+    per-arm ivf_topk for every nprobe (the nprobe-curve / frontier
+    fusion) — same rows, same scores, same ranks."""
+    from pyspark.sql import functions as F
+
+    from tensorflow_recorder_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    multi = similarity.ivf_topk_multi(
+        emb, centroids, queries, (1, 2, 4), k=10
+    )
+    got = {
+        (r["nprobe"], r["query_id"], r["neighbor_id"]): (
+            r["score"],
+            r["rank"],
+        )
+        for r in multi.collect()
+    }
+    want = {}
+    for np_ in (1, 2, 4):
+        ivf = similarity.ivf_topk(
+            emb, centroids, queries, k=10, nprobe=np_
+        )
+        for r in ivf.collect():
+            want[(np_, r["query_id"], r["neighbor_id"])] = (
+                r["score"],
+                r["rank"],
+            )
+    assert len(want) > 0
+    assert got == want
+
+
+def test_ivf_topk_nested_cells_matches_per_arm(spark):
+    """r11 continuation: the one-pass nested-nlist top-k must equal the
+    per-arm ivf_topk at nprobe=1 for every bound (the nlist-curve
+    fusion) — same rows, same scores, same ranks."""
+    from pyspark.sql import functions as F
+
+    from tensorflow_recorder_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    full_c = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    nested = similarity.ivf_assign_nested(emb, full_c, (4, 8, 16))
+    multi = similarity.ivf_topk_nested_cells(
+        emb, nested, queries, (4, 8, 16), k=10
+    )
+    got = {
+        (r["nlist"], r["query_id"], r["neighbor_id"]): (
+            r["score"],
+            r["rank"],
+        )
+        for r in multi.collect()
+    }
+    want = {}
+    for b in (4, 8, 16):
+        centroids = emb.where(F.col("vec_id") < b).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        ivf = similarity.ivf_topk(
+            emb, centroids, queries, k=10, nprobe=1
+        )
+        for r in ivf.collect():
+            want[(b, r["query_id"], r["neighbor_id"])] = (
+                r["score"],
+                r["rank"],
+            )
+    assert len(want) > 0
+    assert got == want
