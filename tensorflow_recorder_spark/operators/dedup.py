@@ -2419,6 +2419,7 @@ def contamination_pairs(
     min_shared: int = 5,
     max_shingle_df: int | None = None,
     shingle_mod: int | None = None,
+    eval_exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Train/eval contamination edges: (eval_id, train_id, shared) for
     every train doc sharing at least ``min_shared`` distinct hashed
@@ -2447,6 +2448,13 @@ def contamination_pairs(
     join output shrink by ~mod x; shared-shingle counts scale by ~1/mod
     (scale ``min_shared`` accordingly). This is the knob that keeps the
     detector linear-ish at 100 TB; ``None`` = exact.
+
+    ``eval_exploded`` (r11): a precomputed :func:`exploded_shingles`
+    frame for ``eval_df`` (same ``shingle_len``/``shingle_mod``,
+    ``out_id='eval_id'``) — the eval side depends on nothing upstream,
+    so a composite caller (``curate_corpus_v2``) materializes it
+    CONCURRENTLY with its pair-graph phase and passes it here instead
+    of recomputing.
     """
     tr = exploded_shingles(
         _spread(train), text_col, id_col, "train_id", shingle_len, shingle_mod
@@ -2469,9 +2477,12 @@ def contamination_pairs(
             .select("__g")
         )
         tr = tr.join(hot, "__g", "left_anti")
-    ev = exploded_shingles(
-        _spread(eval_df), text_col, id_col, "eval_id", shingle_len, shingle_mod
-    )
+    ev = eval_exploded
+    if ev is None:
+        ev = exploded_shingles(
+            _spread(eval_df), text_col, id_col, "eval_id", shingle_len,
+            shingle_mod,
+        )
     return (
         tr.join(ev, "__g")
         .groupBy("eval_id", "train_id")

@@ -151,9 +151,12 @@ def curate_corpus_v2(
     every anti-join keyed on a small id set. Output: input columns +
     ``group_key`` + ``split``.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.dedup import (
         contamination_pairs,
         duplicate_clusters,
+        exploded_shingles,
         lsh_verified_pairs,
     )
     from ..operators.split import leakage_safe_split
@@ -162,6 +165,18 @@ def curate_corpus_v2(
     from ..operators.dedup import _spread
 
     score = quality_exprs(text_col)["score"]
+    # r11 continuation (guide §2.6 overlap independent jobs): the
+    # contamination EVAL side depends on nothing upstream — kick its
+    # explode+checkpoint off on a driver thread now, so its tasks
+    # back-fill cores while the main thread runs the quality/dedup
+    # checkpoint and the pair-graph materialization.
+    pool = ThreadPoolExecutor(max_workers=1)
+    ev_future = pool.submit(
+        lambda: exploded_shingles(
+            _spread(eval_df), text_col, id_col, "eval_id",
+            shingle_mod=contamination_mod,
+        ).localCheckpoint(eager=True)
+    )
     # a small parquet scan is often ONE partition — spread before the
     # regex-heavy quality projection so it runs at session parallelism
     # (no-op at scale where the scan is already parallel)
@@ -192,11 +207,16 @@ def curate_corpus_v2(
     )
     dupes = ranked.where(F.col("__rk") > 1).select(F.col("id").alias(id_col))
     s3 = s2.join(dupes, id_col, "left_anti")
+    try:
+        ev = ev_future.result()
+    finally:
+        pool.shutdown(wait=False)
     cont = contamination_pairs(
         s3, eval_df, text_col, id_col,
         min_shared=contamination_min_shared,
         max_shingle_df=contamination_max_df,
         shingle_mod=contamination_mod,
+        eval_exploded=ev,
     )
     cont_ids = cont.select(F.col("train_id").alias(id_col)).distinct()
     s4 = s3.join(cont_ids, id_col, "left_anti")
