@@ -155,6 +155,7 @@ def cdc_chunks(
     keep: list[str] | None = None,
     include_text: bool = False,
     hash_algo: str = "md5",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Content-defined chunking (FastCDC/rsync family): cut each
     document where the rolling hash of the trailing ``window`` chars is
@@ -201,12 +202,31 @@ def cdc_chunks(
     8-byte long instead of a 32-byte string key. Collision risk at the
     30x decade (~10M chunks): ~10M^2 / 2^65 ≈ 3e-6 expected colliding
     pairs — below any observable effect on the aggregate outputs.
+
+    ``engine`` (r11 optimization round, guide §4.2 "native code in the
+    UDF"): ``'arrow'`` (default for batch frames) computes the cut
+    POSITIONS in a vectorized numpy pass — Spark higher-order lambdas
+    are interpreted per element, so the per-character w-lookup XOR cost
+    ~8 interpreted ``element_at`` evaluations per char; numpy does the
+    same arithmetic as ``w`` table-gathers per BATCH over a UTF-32
+    code-point view (exactly Spark's code-point ``split``/``ascii``
+    semantics, probed and parity-tested incl. astral-plane chars).
+    Lowercasing stays in the JVM (``F.lower``) so engine case-mapping
+    can never drift, and the content hash + substring stay JVM-side —
+    only integer span endpoints come back. ``'sql'`` is the original
+    all-JVM expression (the parity reference); streaming frames always
+    take it (the s36 twin's shape is pinned). Outputs are bit-identical
+    (parity-tested on fixtures incl. empty/short/multibyte docs).
     """
     w, d = int(window), int(divisor)
     if hash_algo not in ("md5", "xxhash64"):
         raise ValueError(f"hash_algo must be 'md5' or 'xxhash64', got {hash_algo!r}")
     if w < 1 or w > 32:
         raise ValueError(f"window must be in [1, 32], got {window}")
+    if engine not in ("arrow", "sql"):
+        raise ValueError(f"engine must be 'arrow' or 'sql', got {engine!r}")
+    if df.isStreaming:
+        engine = "sql"
     # r11 (optimization round, guide §2.5 "input skew"): the boundary
     # predicate is O(chars) of JVM expression work per row, and a scan
     # with fewer input splits than cores serializes that entire pass
@@ -220,57 +240,153 @@ def cdc_chunks(
         from ..functions.partitioning import spread_to_parallelism
 
         df = spread_to_parallelism(df)
-    n = f"length({text_col})"
-    tables = buzhash_tables(w)
-    lookups = " ^ ".join(
-        f"element_at(array({','.join(str(v) for v in tables[k])}), "
-        f"element_at(cs, p - {k}) + 1)"
-        for k in range(w)
-    )
-    # the boundary test runs once per CHARACTER of the corpus — use
-    # bit-ops where arithmetic allows (& instead of pmod/%; divisor is
-    # a power of two in every shipped call site)
-    is_cut = (
-        f"({lookups}) & {d - 1} = 0" if d & (d - 1) == 0 else f"({lookups}) % {d} = 0"
-    )
-    cuts = (
-        f"CASE WHEN {n} >= {w} THEN "
-        f"array_union(filter(sequence({w}, {n}), p -> "
-        f"{is_cut}), array({n})) "
-        f"WHEN {n} > 0 THEN array({n}) "
-        f"ELSE array(-1) END"
-    )
-    codes = f"transform(split(lower({text_col}), ''), ch -> ascii(ch) & 255)"
-    # spans from a cut array bound once: zip each cut with its
-    # predecessor (0-prefixed shift), s = prev + 1, e = cut. The -1
-    # sentinel (empty doc) zips to struct(s=1, e=-1) and is filtered.
-    spans = (
-        "filter(transform(array(transform(array({codes}), cs -> {cuts})[0]), "
-        "ca -> zip_with(ca, concat(array(0), slice(ca, 1, size(ca) - 1)), "
-        "(e, p) -> struct(p + 1 AS s, e AS e)))[0], sp -> sp.e >= sp.s)"
-    ).format(
-        codes=codes.replace("{", "{{").replace("}", "}}"),
-        cuts=cuts.replace("{", "{{").replace("}", "}}"),
-    )
-    out = df.withColumn("__spans", F.expr(spans))
-    cols = [F.col(id_col)] + [F.col(c) for c in (keep or [])]
-    exploded = out.select(
-        *cols,
-        F.col(text_col).alias("__txt"),
-        F.posexplode("__spans").alias("chunk_idx", "__sp"),
-    )
-    content = F.expr("substring(__txt, __sp.s, __sp.e - __sp.s + 1)")
+    keep_cols = list(keep or [])
+    cols = [F.col(id_col)] + [F.col(c) for c in keep_cols]
+    if engine == "arrow":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        src = df.select(
+            F.col(id_col),
+            *[F.col(c) for c in keep_cols],
+            F.col(text_col).alias("__txt"),
+            # lowercase in the JVM — engine case-mapping can't drift
+            F.lower(F.col(text_col)).alias("__lt"),
+        )
+        base_fields = [f for f in src.schema.fields if f.name != "__lt"]
+        out_schema = T.StructType(
+            list(base_fields)
+            + [
+                T.StructField("__ss", T.ArrayType(T.IntegerType())),
+                T.StructField("__ee", T.ArrayType(T.IntegerType())),
+            ]
+        )
+        tables_np = np.asarray(buzhash_tables(w), dtype=np.uint32)
+        pow2 = d & (d - 1) == 0
+        dmask, dmod = np.uint32(d - 1), np.uint32(d)
+        base_names = [f.name for f in base_fields]
+        ww = w
+
+        def gen(batches):
+            for pdf in batches:
+                lts = ["" if t is None else t for t in pdf["__lt"]]
+                # one UTF-32 view of the whole batch = Spark's
+                # code-point split/ascii semantics, vectorized
+                cps = np.frombuffer(
+                    "".join(lts).encode("utf-32-le"), dtype="<u4"
+                )
+                codes = (cps & np.uint32(255)).astype(np.intp)
+                h = tables_np[0][codes]
+                for k in range(1, ww):
+                    h[k:] ^= tables_np[k][codes[:-k]]
+                cut = (
+                    (h & dmask) == 0 if pow2 else (h % dmod) == 0
+                )
+                ss_col, ee_col = [], []
+                off = 0
+                for lt, txt in zip(lts, pdf["__txt"]):
+                    llt = len(lt)
+                    n_ch = 0 if txt is None else len(txt)
+                    if n_ch <= 0:
+                        ss_col.append([])
+                        ee_col.append([])
+                        off += llt
+                        continue
+                    if n_ch < ww:
+                        cuts = [n_ch]
+                    else:
+                        hi = min(n_ch, llt)
+                        pos = np.flatnonzero(
+                            cut[off + ww - 1 : off + hi]
+                        )
+                        cuts = (pos + ww).tolist()
+                        if not cuts or cuts[-1] != n_ch:
+                            cuts.append(n_ch)
+                    ss_col.append([1] + [e + 1 for e in cuts[:-1]])
+                    ee_col.append(cuts)
+                    off += llt
+                data = {name: pdf[name] for name in base_names}
+                data["__ss"] = pd.Series(ss_col, dtype="object")
+                data["__ee"] = pd.Series(ee_col, dtype="object")
+                yield pd.DataFrame(data)
+
+        exploded = (
+            src.mapInPandas(gen, schema=out_schema)
+            .select(
+                *cols,
+                F.col("__txt"),
+                F.posexplode(F.arrays_zip("__ss", "__ee")).alias(
+                    "chunk_idx", "__sp"
+                ),
+            )
+            .select(
+                *cols,
+                "__txt",
+                "chunk_idx",
+                F.col("__sp.__ss").alias("__s"),
+                F.col("__sp.__ee").alias("__e"),
+            )
+        )
+    else:
+        n = f"length({text_col})"
+        tables = buzhash_tables(w)
+        lookups = " ^ ".join(
+            f"element_at(array({','.join(str(v) for v in tables[k])}), "
+            f"element_at(cs, p - {k}) + 1)"
+            for k in range(w)
+        )
+        # the boundary test runs once per CHARACTER of the corpus — use
+        # bit-ops where arithmetic allows (& instead of pmod/%; divisor
+        # is a power of two in every shipped call site)
+        is_cut = (
+            f"({lookups}) & {d - 1} = 0"
+            if d & (d - 1) == 0
+            else f"({lookups}) % {d} = 0"
+        )
+        cuts = (
+            f"CASE WHEN {n} >= {w} THEN "
+            f"array_union(filter(sequence({w}, {n}), p -> "
+            f"{is_cut}), array({n})) "
+            f"WHEN {n} > 0 THEN array({n}) "
+            f"ELSE array(-1) END"
+        )
+        codes = f"transform(split(lower({text_col}), ''), ch -> ascii(ch) & 255)"
+        # spans from a cut array bound once: zip each cut with its
+        # predecessor (0-prefixed shift), s = prev + 1, e = cut. The -1
+        # sentinel (empty doc) zips to struct(s=1, e=-1) and is filtered.
+        spans = (
+            "filter(transform(array(transform(array({codes}), cs -> {cuts})[0]), "
+            "ca -> zip_with(ca, concat(array(0), slice(ca, 1, size(ca) - 1)), "
+            "(e, p) -> struct(p + 1 AS s, e AS e)))[0], sp -> sp.e >= sp.s)"
+        ).format(
+            codes=codes.replace("{", "{{").replace("}", "}}"),
+            cuts=cuts.replace("{", "{{").replace("}", "}}"),
+        )
+        out = df.withColumn("__spans", F.expr(spans))
+        exploded = out.select(
+            *cols,
+            F.col(text_col).alias("__txt"),
+            F.posexplode("__spans").alias("chunk_idx", "__sp"),
+        ).select(
+            *cols,
+            "__txt",
+            "chunk_idx",
+            F.col("__sp.s").alias("__s"),
+            F.col("__sp.e").alias("__e"),
+        )
+    content = F.expr("substring(__txt, __s, __e - __s + 1)")
     chunk_hash = (
         F.md5(content) if hash_algo == "md5" else F.xxhash64(content)
     )
     return exploded.select(
-        *[c for c in [id_col] + list(keep or [])],
+        *[c for c in [id_col] + keep_cols],
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        (F.col("__sp.e") - F.col("__sp.s") + 1).cast("long").alias("chunk_len"),
+        (F.col("__e") - F.col("__s") + 1).cast("long").alias("chunk_len"),
         chunk_hash.alias("chunk_hash"),
         *(
             [
-                F.expr("substring(__txt, __sp.s, __sp.e - __sp.s + 1)").alias(
+                F.expr("substring(__txt, __s, __e - __s + 1)").alias(
                     "chunk_text"
                 )
             ]

@@ -411,3 +411,48 @@ def test_ivf_topk_nested_cells_matches_per_arm(spark):
             )
     assert len(want) > 0
     assert got == want
+
+
+def test_cdc_chunks_arrow_matches_sql_engine(spark):
+    """r11 continuation: the vectorized numpy cut-position pass must be
+    row-identical to the all-JVM SQL expression — including empty docs,
+    docs shorter than the window, multibyte and astral-plane code
+    points (Spark splits by code point; the numpy path views UTF-32),
+    uppercase input through the JVM lower(), and both hash algos."""
+    from tensorflow_recorder_spark.operators.chunking import cdc_chunks
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "source")
+    edge = spark.createDataFrame(
+        [
+            (10001, "", "e"),
+            (10002, "short", "e"),
+            (10003, "UPPER Case Ää Øø İstanbul " * 40, "e"),
+            (10004, "astral \U0001f600\U0001f680 plane " * 60, "e"),
+            (10005, None, "e"),
+            (10006, "exactly8", "e"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    both = docs.unionByName(edge)
+    for algo in ("md5", "xxhash64"):
+        key = lambda r: (r["doc_id"], r["chunk_idx"])
+        arrow_rows = sorted(
+            cdc_chunks(
+                both, keep=["source"], include_text=True,
+                hash_algo=algo, engine="arrow",
+            ).collect(),
+            key=key,
+        )
+        sql_rows = sorted(
+            cdc_chunks(
+                both, keep=["source"], include_text=True,
+                hash_algo=algo, engine="sql",
+            ).collect(),
+            key=key,
+        )
+        assert len(arrow_rows) > 0
+        assert [tuple(r) for r in arrow_rows] == [
+            tuple(r) for r in sql_rows
+        ]
