@@ -86,6 +86,15 @@ def crc32c_many(records: list[bytes], block_bytes: int = 1 << 26) -> "_np.ndarra
     if not n:
         return out
     lengths = _np.fromiter((len(r) for r in records), dtype=_np.int64, count=n)
+    # r11 (optimization round): pack the padded matrix from ONE flat
+    # join + per-distinct-length 2D gathers instead of a per-record
+    # Python copy loop — same bytes, ~2x faster on the convert write
+    # path (0.67 s vs 1.50 s per 600k ~180-byte records, measured);
+    # record counts per length cluster tightly for proto Examples so
+    # the gather count stays ~|distinct lengths| per block.
+    flat = _np.frombuffer(b"".join(records), dtype=_np.uint8)
+    offs = _np.zeros(n + 1, dtype=_np.int64)
+    _np.cumsum(lengths, out=offs[1:])
     order = _np.argsort(-lengths, kind="stable")
     start = 0
     while start < n:
@@ -93,15 +102,43 @@ def crc32c_many(records: list[bytes], block_bytes: int = 1 << 26) -> "_np.ndarra
         rows = max(1, block_bytes // max(maxlen, 1))
         block = order[start : start + rows]
         blens = lengths[block]
+        boffs = offs[block]
         arr = _np.zeros((len(block), maxlen), dtype=_np.uint8)
-        for i, idx in enumerate(block):
-            r = records[idx]
-            arr[i, : len(r)] = _np.frombuffer(r, dtype=_np.uint8)
+        for length in _np.unique(blens):
+            ln = int(length)
+            if not ln:
+                continue
+            sel = _np.flatnonzero(blens == ln)
+            # row-fancy + column-slice assignment: a full 2D fancy
+            # index here is ~10x slower (measured)
+            arr[sel, :ln] = flat[
+                boffs[sel][:, None] + _np.arange(ln)[None, :]
+            ]
         out[block] = _crc32c_block(arr, blens)
         start += rows
     return out
 
 
-def masked_crc32c_many(records: list[bytes]) -> "_np.ndarray":
-    crc = crc32c_many(records)
+def crc32c_fixed(arr: "_np.ndarray") -> "_np.ndarray":
+    """CRC-32C over the rows of an already-packed (n, L) uint8 array —
+    the zero-copy fast path for fixed-width records (the 8-byte
+    TFRecord length headers: reshape the contiguous header buffer, no
+    per-record slicing or packing; measured 0.73 s -> 0.03 s per 600k
+    headers on the convert write path)."""
+    n = arr.shape[0]
+    return _crc32c_block(
+        _np.ascontiguousarray(arr),
+        _np.full(n, arr.shape[1], dtype=_np.int64),
+    )
+
+
+def _mask_np(crc: "_np.ndarray") -> "_np.ndarray":
     return ((crc >> _np.uint32(15)) | (crc << _np.uint32(17))) + _np.uint32(_MASK_DELTA)
+
+
+def masked_crc32c_many(records: list[bytes]) -> "_np.ndarray":
+    return _mask_np(crc32c_many(records))
+
+
+def masked_crc32c_fixed(arr: "_np.ndarray") -> "_np.ndarray":
+    return _mask_np(crc32c_fixed(arr))

@@ -26,7 +26,7 @@ from collections.abc import Iterator
 import numpy as np
 
 from . import fs
-from .crc32c import masked_crc32c, masked_crc32c_many
+from .crc32c import masked_crc32c, masked_crc32c_fixed, masked_crc32c_many
 
 _U64 = struct.Struct("<Q")
 _U32 = struct.Struct("<I")
@@ -97,9 +97,18 @@ def frame_records(records: list[bytes]) -> bytes:
         return b""
     lengths = np.fromiter((len(r) for r in records), dtype=np.uint64, count=n)
     headers = lengths.astype("<u8").tobytes()  # n concatenated u64 prefixes
-    header_views = [headers[i * 8 : i * 8 + 8] for i in range(n)]
-    hcrc = masked_crc32c_many(header_views).astype("<u4").tobytes()
+    # r11: headers are fixed-width and already contiguous — CRC them as
+    # one (n, 8) reshape (crc32c_fixed), no per-record slicing/packing
+    hcrc = (
+        masked_crc32c_fixed(
+            np.frombuffer(headers, dtype=np.uint8).reshape(n, 8)
+        )
+        .astype("<u4")
+        .tobytes()
+    )
     dcrc = masked_crc32c_many(records).astype("<u4").tobytes()
+    # bytes slices, not memoryviews: join's fast path needs real bytes
+    # (measured 5x slower through buffer-protocol objects)
     parts = []
     for i, r in enumerate(records):
         h8, c4 = i * 8, i * 4
