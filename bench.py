@@ -366,7 +366,7 @@ def _cpu_reference() -> float:
     return round(time.time() - t0, 3)
 
 
-def _mem_reference() -> float:
+def _mem_reference(cap_s: float = 3.0) -> float:
     """Fixed single-thread memory-bandwidth workload (~0.1-0.3 s on a
     quiet host): two stream multiplies over a cached 256 MB buffer
     (~1.5 GB of bus traffic). The r11 continuation session caught the
@@ -375,18 +375,32 @@ def _mem_reference() -> float:
     outside-sandbox memory-bus saturation is invisible to both existing
     gauges but devastates the Arrow/numpy-heavy queries (observed:
     identical e1 fused-dedup runs at 3 s and 46 s minutes apart).
-    Recorded before/after the sweep and consulted by the quiesce
-    loop."""
+    Recorded before/after the sweep and consulted by the quiesce loop.
+
+    r12 (verdict item 1): the probe itself is now TIME-BOUNDED — the
+    same 2x256 MB of traffic runs as 16 chunked multiplies into a
+    preallocated output with an early exit once ``cap_s`` is exceeded,
+    so a probe taken inside a stall reads ">= cap_s" (still far above
+    the 1.0 s quiet threshold, so fully diagnostic) instead of hanging
+    the harness for minutes. The quiet-host reading is unchanged
+    (same buffer, same traffic), keeping the field comparable with the
+    r11 committed records."""
     import numpy as np
 
     buf = getattr(_mem_reference, "_buf", None)
     if buf is None:
         buf = np.ones(32_000_000)
         _mem_reference._buf = buf
+        _mem_reference._out = np.empty_like(buf)
+    out = _mem_reference._out
+    n = len(buf)
+    step = n // 8
     t0 = time.time()
     for _ in range(2):
-        out = buf * 2.0
-    del out
+        for lo in range(0, n, step):
+            np.multiply(buf[lo : lo + step], 2.0, out=out[lo : lo + step])
+            if time.time() - t0 > cap_s:
+                return round(time.time() - t0, 3)
     return round(time.time() - t0, 3)
 
 
@@ -450,16 +464,57 @@ def _dispersed(runs: list[float]) -> bool:
     )
 
 
+class _Deadline(Exception):
+    """Raised by the SIGALRM handler when the hard wall budget expires."""
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ["SPARK_GRAFT_CPUS"] = cpus
     strict = "--strict" in sys.argv
-    # generous pre-flight budget: the observed bus stalls run 1-5 min,
-    # so waiting up to 10 min for a quiet START is cheaper than taking
-    # the whole record inside one (the 527 s poisoned record's quiesce
-    # hit the old 240 s cap and gave up mid-stall)
-    quiesce_wait_s = _quiesce(max_wait_s=600.0)
+    # r12 (verdict item 1): the r11 driver bench timed out (rc=124, no
+    # one-line JSON) because the hygiene machinery — pre-flight quiesce
+    # capped at 600 s, an 1800 s stall-guard budget, and an unbounded
+    # 256 MB probe before every query — could add ~40 minutes of
+    # deliberate waiting on a stall-prone host. ALL hygiene waiting now
+    # draws from ONE wall budget (default 180 s; raise with
+    # SPARK_GRAFT_BENCH_PATIENT when taking committed records on a
+    # known-noisy host), the probe itself is time-bounded (see
+    # _mem_reference), and a SIGALRM hard deadline
+    # (SPARK_GRAFT_BENCH_WALL_S, default 2850 s) guarantees the
+    # one-line JSON prints with rc=0 even if sampling must be cut
+    # short — fewer samples beat no output. The TIMED methodology
+    # (noop sink, median of 3 after an untimed warm-up) is unchanged.
+    hygiene_budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_PATIENT", "180"))
+    wall_budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_WALL_S", "2850"))
+    hygiene_spent_s = 0.0
+    t_wall0 = time.time()
+
+    import signal
+
+    alarm_fired = False
+
+    def _on_alarm(signum, frame):
+        # set the flag BEFORE raising: when the alarm interrupts a
+        # py4j socket read, py4j consumes the _Deadline and re-raises
+        # its own Py4JNetworkError/Py4JError — the sweep loop treats
+        # ANY exception after the alarm fired as the deadline (smoke-
+        # tested: without the flag the transmuted error escaped and
+        # the JSON line never printed).
+        nonlocal alarm_fired
+        alarm_fired = True
+        raise _Deadline()
+
+    try:
+        signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(max(1, int(wall_budget_s)))
+        alarm_armed = True
+    except (ValueError, OSError):  # non-main thread / non-POSIX fallback
+        alarm_armed = False
+
+    quiesce_wait_s = _quiesce(max_wait_s=hygiene_budget_s)
+    hygiene_spent_s += quiesce_wait_s
     load_before = _loadavg()
     cpu_ref_before = _cpu_reference()
     mem_ref_before = _mem_reference()
@@ -535,55 +590,97 @@ def main() -> int:
     # mem_reference_s_before 89 s). Probe the bus before each query's
     # sample set and wait an active stall out; the metric is the SUM OF
     # PER-QUERY MEDIANS, so inter-query waits cost the record nothing.
-    # Overhead when quiet: one ~0.2 s probe per query. The total wait
-    # is budgeted and recorded so a stall-saturated session is visible
-    # in-record rather than silently truncated.
-    stall_wait_budget_s = 1800.0
+    # Overhead when quiet: one ~0.2 s probe per query (NOT charged to
+    # the budget — only stall-time is). r12: the wait draws from the
+    # shared hygiene budget; once it is spent, the guard is a no-op so
+    # the sweep can never be wall-clocked out by its own hygiene.
     stall_wait_s = 0.0
     stall_events = 0
 
     def _stall_guard() -> None:
-        nonlocal stall_wait_s, stall_events
-        if stall_wait_s >= stall_wait_budget_s:
+        nonlocal stall_wait_s, stall_events, hygiene_spent_s
+        if hygiene_spent_s >= hygiene_budget_s:
             return
+        t0 = time.time()
         if _mem_reference() < 1.0:
             return
         stall_events += 1
-        stall_wait_s += _quiesce(
-            max_wait_s=min(240.0, stall_wait_budget_s - stall_wait_s)
+        _quiesce(
+            max_wait_s=max(0.0, hygiene_budget_s - hygiene_spent_s
+                           - (time.time() - t0))
         )
+        dt = time.time() - t0
+        stall_wait_s += dt
+        hygiene_spent_s += dt
 
-    for name in (
-        "convert_tfrecord",
-        "convert_lineitem",
-        *benched_queries(),
-    ):
+    # Soft degradation (r12): past 60% of the wall budget, drop to one
+    # untimed warm-up + ONE timed sample per remaining query so every
+    # query still gets a number before the hard deadline; degraded rows
+    # are listed in-record (queries_degraded) so the reduced confidence
+    # is auditable. Normal 32-core sweeps finish well under the
+    # threshold and take the full median-of-3 everywhere.
+    degraded: list[str] = []
+    deadline_hit = False
+
+    def _measure(name: str) -> None:
+        if time.time() - t_wall0 > 0.6 * wall_budget_s:
+            degraded.append(name)
+            runs = [_run_once(name) for _ in range(2)]
+            samples[name] = runs
+            cold[name] = runs[0]
+            timings[name] = runs[1]
+            return
         _stall_guard()
         runs = _sample4(name)
         samples[name] = runs  # runs[0] is the discarded warm-up
         cold[name] = runs[0]
         timings[name] = _median3(runs[1:])
 
-    # Transient-row splice (r10 verdict item 4): the r10 committed
-    # record carried e1_threshold_sweep at 15.8 s (solo: 7.6) because
-    # the audit FLAGGED its rising samples but nothing re-measured
-    # them. When the audit flags rows, quiesce again and re-run just
-    # those queries; the committed median is the steady-state re-run,
-    # with the flagged transient samples kept in-record
-    # (queries_samples_flagged_initial) for adjudication.
-    flagged = sorted(
-        k for k, v in samples.items() if _rising(v) or _dispersed(v)
-    )
+    flagged: list[str] = []
     flagged_initial: dict[str, list[float]] = {}
     rerun_wait_s = 0.0
-    if flagged:
-        rerun_wait_s = _quiesce()
-        for name in flagged:
-            flagged_initial[name] = samples[name]
-            runs = _sample4(name)
-            samples[name] = runs
-            cold[name] = runs[0]
-            timings[name] = _median3(runs[1:])
+    try:
+        for name in (
+            "convert_tfrecord",
+            "convert_lineitem",
+            *benched_queries(),
+        ):
+            _measure(name)
+
+        # Transient-row splice (r10 verdict item 4): the r10 committed
+        # record carried e1_threshold_sweep at 15.8 s (solo: 7.6)
+        # because the audit FLAGGED its rising samples but nothing
+        # re-measured them. When the audit flags rows, quiesce again
+        # and re-run just those queries; the committed median is the
+        # steady-state re-run, with the flagged transient samples kept
+        # in-record (queries_samples_flagged_initial) for adjudication.
+        flagged = sorted(
+            k for k, v in samples.items() if _rising(v) or _dispersed(v)
+        )
+        if flagged and time.time() - t_wall0 < 0.6 * wall_budget_s:
+            rerun_wait_s = _quiesce(
+                max_wait_s=max(0.0, hygiene_budget_s - hygiene_spent_s)
+            )
+            hygiene_spent_s += rerun_wait_s
+            for name in flagged:
+                flagged_initial[name] = samples[name]
+                runs = _sample4(name)
+                samples[name] = runs
+                cold[name] = runs[0]
+                timings[name] = _median3(runs[1:])
+    except BaseException as exc:
+        # Hard wall deadline: flush what we have. Partial medians with
+        # rc=0 beat a timeout with no JSON line (r11: two rc=124 driver
+        # runs left the round with no ground-truth number at all). The
+        # alarm can surface as _Deadline OR as a transmuted py4j error
+        # (the signal interrupts a blocking socket read inside py4j);
+        # anything raised after the alarm fired is the deadline — a
+        # real exception before it still propagates normally.
+        if not alarm_fired and not isinstance(exc, _Deadline):
+            raise
+        deadline_hit = True
+    if alarm_armed:
+        signal.alarm(0)
 
     total = round(sum(timings.values()), 3)
     # Full record (warm + cold runs) goes to disk. Stdout ordering is
@@ -640,9 +737,20 @@ def main() -> int:
         "dispersed_sample_queries": dispersed,
         # r11 continuation: per-query stall-guard accounting — how many
         # times the pre-sample bus probe found an active stall and how
-        # long was spent waiting them out (budgeted at 1800 s/run).
+        # long was spent waiting them out.
         "stall_guard_events": stall_events,
         "stall_guard_wait_s": round(stall_wait_s, 1),
+        # r12 (verdict item 1): the single wall budget every hygiene
+        # wait draws from, how much of it was used, the hard deadline,
+        # and the degradation audit trail — queries measured with one
+        # timed sample (past 60% of wall) and whether the SIGALRM
+        # deadline cut the sweep short (partial record, still rc=0).
+        "hygiene_budget_s": hygiene_budget_s,
+        "hygiene_spent_s": round(hygiene_spent_s, 1),
+        "wall_budget_s": wall_budget_s,
+        "wall_elapsed_s": round(time.time() - t_wall0, 1),
+        "queries_degraded": degraded,
+        "deadline_hit": deadline_hit,
     }
     # Scaling-curve evidence (r6 verdict item 1): scripts/bench_scale.py
     # measures the top-20 queries at sf0.1 AND the derived 10x dataset;
@@ -668,6 +776,10 @@ def main() -> int:
         "sf": sf,
         "n_queries": len(timings),
     }
+    if deadline_hit:
+        summary["deadline_hit"] = True
+    if degraded:
+        summary["n_degraded"] = len(degraded)
     if "sf1_scaling" in full:
         big_line["sf1_scaling"] = full["sf1_scaling"]["queries"]
         ratios = [
