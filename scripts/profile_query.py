@@ -11,7 +11,7 @@ Usage:
   python scripts/profile_query.py [--plan] [--samples N] query [query ...]
 
 --plan additionally writes .explain("formatted") to
-plans/r11/<query>_profile.txt.
+plans/r12/<query>_profile.txt.
 """
 
 from __future__ import annotations
@@ -77,9 +77,9 @@ def main() -> int:
     for name in args.queries:
         fn = QUERIES[name]
         if args.plan:
-            os.makedirs("plans/r11", exist_ok=True)
+            os.makedirs("plans/r12", exist_ok=True)
             df = fn(spark, args.sf_dir)
-            with open(f"plans/r11/{name}_profile.txt", "w") as f:
+            with open(f"plans/r12/{name}_profile.txt", "w") as f:
                 f.write(df._jdf.queryExecution().explainString(
                     spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
         times = []

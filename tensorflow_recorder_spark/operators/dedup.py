@@ -574,6 +574,25 @@ def _signatures_and_shingles_arrow(
 
 _GIANT_BUCKET_ROWS = 1024
 
+# r12: recommended PRODUCTION threshold for decomposing a giant bucket
+# across TASKS (block-verify stage) instead of verifying it inside one
+# in-task pass. Below ~4096 rows the m x m matrix path handles the
+# bucket in-task in well under a second (4096² byte-writes ~= the
+# 16 MB matrix budget; measured at sf0.1: the 1983-doc family's task
+# is 1.4 s of which most is serializing its own ~1.9M result pairs —
+# a cost deferral relocates but cannot remove), so the block stage's
+# extra stage boundaries (~1 s/query measured) would cost more than
+# the straggler they remove. The LOCAL DEFAULT IS OFF (0): no measured
+# dataset — sf0.1 or the derived decades, whose replicas keep disjoint
+# shingle universes — produces a bucket beyond ~2k rows, so locally
+# the branch would be pure insurance premium. On a real 100 TB corpus
+# whose boilerplate families can exceed the matrix budget set
+# SPARK_GRAFT_DEFER_ROWS=4096 (or pass ``defer_rows``): beyond that
+# size the in-task work grows quadratically while block-stage tasks
+# stay bounded by construction. Parity of the block path is pinned by
+# tests at forced thresholds either way.
+_DEFER_BUCKET_ROWS = 4096
+
 
 def _bucket_thread_count(m: int, bytes_per_thread: int) -> int:
     """Thread-pool width for ONE giant bucket's in-task kernels.
@@ -615,10 +634,41 @@ def _lsh_verified_fused(
     giant_rows: int | None = None,
     giant_threads: int | None = None,
     matrix_budget: int = 1 << 24,
+    defer_rows: int | None = None,
+    defer_block: int = 512,
 ) -> DataFrame:
     """Fused single-shuffle fuzzy dedup (r11): signatures + shingles in
     one map pass, band explode, and candidate generation + exact-
     Jaccard verification INSIDE each LSH bucket.
+
+    r12 (verdict item 3): two structural changes.
+
+    * The bucket verify is ONE ``mapInPandas`` call per shuffle
+      partition instead of one ``applyInPandas`` group per bucket:
+      the hash repartition already co-locates each bucket's rows, and
+      the per-group pandas bookkeeping over ~90k mostly-singleton
+      buckets was the stage's dominant cost at sf0.1 (~1.5 s/task vs
+      ~0.3 s of pair math). The partition pass pays one concat + one
+      lexsort and verifies buckets as numpy slices.
+    * A GIANT bucket (>= ``defer_rows`` docs when enabled) is not
+      verified in-task — that group's O(m²) pair work is one
+      unsplittable task, the stage's straggler on local[32] and on a
+      saturated 100 TB executor alike (the r11 in-task thread pool
+      only recovered idle SIBLING cores, a local-mode-shaped bet).
+      A second pass over the SAME exchange (AQE stage reuse: the
+      corpus signature pass and its shuffle run once) re-emits only
+      giant buckets' payload into <= 16 contiguous id-range blocks of
+      ~``defer_block`` docs; the block stage keyed (band_key, band,
+      block_a, block_b) gives every upper-triangle block of the pair
+      matrix its OWN task (exact decomposition: each i<j pair exists
+      in exactly one block pair, and id-range blocks keep cross-block
+      pairs id-ordered). Default OFF locally / enable at 4096 in
+      production — see _DEFER_BUCKET_ROWS for the measured tradeoff
+      (below the matrix budget the in-task pass is sub-second and
+      dominated by serializing its own result pairs, which deferral
+      relocates but cannot remove; the branch's stage boundaries cost
+      ~1 s/query). ``defer_rows=0`` (the local default, env
+      SPARK_GRAFT_DEFER_ROWS) yields the single-stage plan.
 
     The staged pipeline (:func:`lsh_verified_pairs` machinery) runs
     ~13 Spark jobs at sf0.1: band self-join, candidate checkpoint,
@@ -644,6 +694,8 @@ def _lsh_verified_fused(
     JVM; the fused form does them as vectorized int compares without
     materializing the non-candidates, so it is never worse.
     """
+    import os
+
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -683,28 +735,38 @@ def _lsh_verified_fused(
     )
     min_est = float(min_est_jaccard)
     thr = float(threshold)
+    defer_schema = T.StructType(
+        [
+            T.StructField("__gk", T.StringType()),
+            T.StructField("__ga", T.IntegerType()),
+            T.StructField("__gb", T.IntegerType()),
+            T.StructField("__blk", T.IntegerType()),
+            T.StructField("__band", T.IntegerType()),
+            T.StructField("__id", id_type),
+            T.StructField("__mh", T.ArrayType(T.LongType())),
+            T.StructField("__shd", T.ArrayType(T.LongType())),
+        ]
+    )
 
-    def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.Series(dtype="object"),
-                "id_b": pd.Series(dtype="object"),
-                "est_jaccard": pd.Series(dtype="float64"),
-                "jaccard": pd.Series(dtype="float64"),
-            }
-        )
-        m = len(pdf)
-        if m < 2:
-            return empty
-        band_idx = int(pdf["band_idx"].iloc[0])
-        ids = pdf[id_col].to_numpy()
-        # bucket-local id order so id_a < id_b positionally
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        M8 = np.column_stack(
-            [pdf[f"mh_{j}"].to_numpy()[order] for j in range(nh)]
-        )
-        arrs = [np.asarray(a, dtype=np.int64) for a in pdf["__sh"].iloc[order]]
+    _none4 = (
+        np.zeros(0, dtype=np.int64),
+        np.zeros(0, dtype=np.int64),
+        np.zeros(0, dtype=np.float64),
+        np.zeros(0, dtype=np.float64),
+    )
+
+    def verify_arrays(band_idx, ids, M8, sh_vals):
+        """Candidate enumeration + exact verification for ONE bucket,
+        given id-sorted numpy inputs (ids, nh-column signature matrix,
+        object array of shingle arrays). Returns (id_a, id_b, est, jac)
+        arrays — the r12 partition pass calls this per bucket SLICE so
+        no per-group pandas frame is ever built (the r11 per-group
+        applyInPandas overhead over ~90k mostly-singleton buckets was
+        the stage's real cost: ~1.5 s/task of group bookkeeping against
+        ~0.3 s of pair math)."""
+        empty = _none4
+        m = len(ids)
+        arrs = [np.asarray(a, dtype=np.int64) for a in sh_vals]
         lens = np.fromiter((len(a) for a in arrs), np.int64, m)
         flat = np.concatenate(arrs)
         vocab, indices = np.unique(flat, return_inverse=True)
@@ -851,13 +913,11 @@ def _lsh_verified_fused(
             keep2 = jac >= thr
             if not keep2.any():
                 return empty
-            return pd.DataFrame(
-                {
-                    "id_a": ids[ai[keep2]],
-                    "id_b": ids[bi[keep2]],
-                    "est_jaccard": est[keep2],
-                    "jaccard": jac[keep2],
-                }
+            return (
+                ids[ai[keep2]],
+                ids[bi[keep2]],
+                est[keep2],
+                jac[keep2],
             )
 
         # chunked path (m^2 beyond the matrix budget — at sf1+ the
@@ -971,13 +1031,11 @@ def _lsh_verified_fused(
             keep2 = jac >= thr
             if not keep2.any():
                 return None
-            return pd.DataFrame(
-                {
-                    "id_a": ids[ai[keep2]],
-                    "id_b": ids[bi[keep2]],
-                    "est_jaccard": est[keep2],
-                    "jaccard": jac[keep2],
-                }
+            return (
+                ids[ai[keep2]],
+                ids[bi[keep2]],
+                est[keep2],
+                jac[keep2],
             )
 
         starts = list(range(0, m - 1, rows_per_chunk))
@@ -993,21 +1051,249 @@ def _lsh_verified_fused(
             frames = [f for f in map(do_chunk, starts) if f is not None]
         if not frames:
             return empty
-        return pd.concat(frames, ignore_index=True)
+        return tuple(
+            np.concatenate([f[c] for f in frames]) for c in range(4)
+        )
 
-    # r11: pin the bucket exchange at session parallelism. The shuffle
-    # is byte-small (~50 MB at sf0.1) so AQE coalesced it to ~1/3 of
-    # the cores — but the stage's cost is the PYTHON pair enumeration,
-    # uniformly ~2 s/task (measured p50 2.08 s / max 2.6 s over 12
-    # coalesced tasks), not bytes. The explicit hash repartition on the
-    # grouping keys satisfies the groupBy's required distribution, so
-    # no second exchange is added (plan-tested: still exactly two).
+    if defer_rows is None:
+        # scale knob — rationale and the measured ~1 s/query premium
+        # of keeping the branch in-plan are at _DEFER_BUCKET_ROWS and
+        # in OPTIMIZATION_r12.md §3; local default off, production
+        # SPARK_GRAFT_DEFER_ROWS=4096 for corpora whose near-dup
+        # families can exceed the matrix budget.
+        d_rows = int(os.environ.get("SPARK_GRAFT_DEFER_ROWS", "0"))
+    else:
+        d_rows = int(defer_rows)
+
+    def _prep_partition(batches):
+        """Recover the partition's buckets: the hash repartition on
+        (band_idx, band_key) co-locates every bucket's rows, so one
+        concat + one lexsort makes buckets contiguous AND id-sorted
+        within each bucket (same per-bucket id order as the r11
+        per-group argsort — ids are unique, stability is moot).
+        Returns (bi, bk, ids, M8, sh, starts, bounds) or None. r12:
+        this replaces the per-bucket ``groupBy().applyInPandas`` —
+        profiled at sf0.1, that stage spent ~1.5 s/task building ~90k
+        per-group pandas frames (most buckets are singletons) against
+        ~0.3 s of pair math; the partition pass pays one concat + one
+        sort and skips singleton buckets with a slice bound check."""
+        frames = [f for f in batches]
+        if not frames:
+            return None
+        pdf = (
+            pd.concat(frames, ignore_index=True)
+            if len(frames) > 1
+            else frames[0]
+        )
+        if len(pdf) == 0:
+            return None
+        bi_all = pdf["band_idx"].to_numpy()
+        bk_all = pdf["band_key"].to_numpy()
+        ids_all = pdf[id_col].to_numpy()
+        order = np.lexsort((ids_all, bk_all, bi_all))
+        bi_all = bi_all[order]
+        bk_all = bk_all[order]
+        ids_all = ids_all[order]
+        M8_all = np.column_stack(
+            [pdf[f"mh_{j}"].to_numpy()[order] for j in range(nh)]
+        )
+        sh_all = pdf["__sh"].to_numpy()[order]
+        n = len(ids_all)
+        newgrp = np.concatenate(
+            ([True], (bi_all[1:] != bi_all[:-1]) | (bk_all[1:] != bk_all[:-1]))
+        )
+        starts = np.flatnonzero(newgrp)
+        bounds = np.concatenate((starts, [n]))
+        return bi_all, bk_all, ids_all, M8_all, sh_all, starts, bounds
+
+    def pairs_pass(batches):
+        """Verify every non-giant bucket of the partition; giant
+        buckets (>= d_rows) are skipped here — the defer pass (same
+        reused exchange) re-emits their payload for the block stage."""
+        prep = _prep_partition(batches)
+        if prep is None:
+            return
+        bi_all, _bk, ids_all, M8_all, sh_all, starts, bounds = prep
+        res = []
+        for k in range(len(starts)):
+            lo, hi = int(bounds[k]), int(bounds[k + 1])
+            m = hi - lo
+            if m < 2 or (d_rows and m >= d_rows):
+                continue
+            out = verify_arrays(
+                int(bi_all[lo]), ids_all[lo:hi], M8_all[lo:hi], sh_all[lo:hi]
+            )
+            if len(out[0]):
+                res.append(out)
+        if res:
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate([r[0] for r in res]),
+                    "id_b": np.concatenate([r[1] for r in res]),
+                    "est_jaccard": np.concatenate([r[2] for r in res]),
+                    "jaccard": np.concatenate([r[3] for r in res]),
+                }
+            )
+
+    def defer_pass(batches):
+        """mapInArrow pass emitting ONLY giant buckets' (signature,
+        shingle) payload rows, keyed for the block stage: <= 16
+        contiguous id-range blocks of ~defer_block rows; each row
+        ships into its ``nblocks`` block-pair groups (pair (i, j)
+        lands in exactly one group, and id-range blocks keep
+        cross-block pairs id-ordered so id_a < id_b needs no per-pair
+        compare downstream). Arrow-native group counts short-circuit
+        the common case: when no bucket reaches ``d_rows`` the pass
+        returns after one zero-copy count — no pandas conversion of
+        the payload ever happens (measured: the pandas-converting
+        variant cost ~0.3 s/query of pure insurance at sf0.1)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        tbl_parts = [pa.Table.from_batches([b]) for b in batches]
+        if not tbl_parts:
+            return
+        t = pa.concat_tables(tbl_parts)
+        if t.num_rows == 0:
+            return
+        counts = t.group_by(["band_idx", "band_key"]).aggregate(
+            [([], "count_all")]
+        )
+        giant = counts.filter(
+            pc.greater_equal(counts["count_all"], pa.scalar(max(d_rows, 2)))
+        )
+        if giant.num_rows == 0:
+            return
+        arrow_out = to_arrow_schema(defer_schema)
+        for g in range(giant.num_rows):
+            band = giant["band_idx"][g].as_py()
+            gk = giant["band_key"][g].as_py()
+            rows = t.filter(
+                pc.and_(
+                    pc.equal(t["band_idx"], pa.scalar(band)),
+                    pc.equal(t["band_key"], pa.scalar(gk)),
+                )
+            )
+            pdf = rows.to_pandas()
+            m = len(pdf)
+            ids = pdf[id_col].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            M8 = np.column_stack(
+                [pdf[f"mh_{j}"].to_numpy()[order] for j in range(nh)]
+            )
+            sh = pdf["__sh"].to_numpy()[order]
+            nblocks = min(16, max(2, -(-m // max(1, defer_block))))
+            blk = (np.arange(m, dtype=np.int64) * nblocks) // m
+            idx = np.repeat(np.arange(m, dtype=np.int64), nblocks)
+            other = np.tile(np.arange(nblocks, dtype=np.int64), m)
+            rb = blk[idx]
+            out = pd.DataFrame(
+                {
+                    "__gk": str(gk),
+                    "__ga": np.minimum(rb, other).astype(np.int32),
+                    "__gb": np.maximum(rb, other).astype(np.int32),
+                    "__blk": rb.astype(np.int32),
+                    "__band": np.full(len(idx), band, dtype=np.int32),
+                    "__id": ids[idx],
+                    "__mh": [M8[i] for i in idx],
+                    "__shd": [sh[i] for i in idx],
+                }
+            )
+            yield pa.RecordBatch.from_pandas(
+                out, schema=arrow_out, preserve_index=False
+            )
+
+    def block_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="object"),
+                "id_b": pd.Series(dtype="object"),
+                "est_jaccard": pd.Series(dtype="float64"),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
+        ga = int(pdf["__ga"].iloc[0])
+        gb = int(pdf["__gb"].iloc[0])
+        band_idx = int(pdf["__band"].iloc[0])
+        ids = pdf["__id"].to_numpy()
+        blk = pdf["__blk"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        blk = blk[order].astype(np.int64)
+        M8 = np.asarray(
+            [np.asarray(v, dtype=np.int64) for v in pdf["__mh"].iloc[order]]
+        )
+        arrs = [
+            np.asarray(a, dtype=np.int64) for a in pdf["__shd"].iloc[order]
+        ]
+        mm = len(ids)
+        lens = np.fromiter((len(a) for a in arrs), np.int64, mm)
+        flat = np.concatenate(arrs) if mm else np.zeros(0, dtype=np.int64)
+        vocab, indices = np.unique(flat, return_inverse=True)
+        indices = indices.astype(np.int64)
+        indptr = np.zeros(mm + 1, dtype=np.int64)
+        np.cumsum(lens, out=indptr[1:])
+        sizes = lens.astype(np.float64)
+        if ga == gb:
+            ai, bi = np.triu_indices(mm, k=1)
+            ai = ai.astype(np.int64)
+            bi = bi.astype(np.int64)
+        else:
+            a_idx = np.flatnonzero(blk == ga)
+            b_idx = np.flatnonzero(blk == gb)
+            ai = np.repeat(a_idx, len(b_idx)).astype(np.int64)
+            bi = np.tile(b_idx, len(a_idx)).astype(np.int64)
+        if len(ai) == 0:
+            return empty
+        ai, bi, est, jac = _verify_block_pairs(
+            M8, lens, indptr, indices, len(vocab), sizes,
+            ai, bi, band_idx, nh, rpb, min_est, thr,
+        )
+        if len(ai) == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": ids[ai],
+                "id_b": ids[bi],
+                "est_jaccard": est,
+                "jaccard": jac,
+            }
+        )
+
+    # r11: pin the bucket exchange at session parallelism (the shuffle
+    # is byte-small but the stage cost is Python pair work, so AQE's
+    # byte-based coalescing under-parallelizes it). r12: the hash
+    # repartition co-locates each bucket's rows and ONE mapInPandas
+    # call per partition recovers the buckets itself — the per-group
+    # applyInPandas bookkeeping (~90k groups at sf0.1, most singleton)
+    # was the stage's dominant cost (measured ~1.5 s/task against
+    # ~0.3 s of pair math). Partition memory is bounded by the shuffle
+    # partition size (cluster knob), same as the groupBy formulation's
+    # largest-group bound plus batching.
     par = banded.sparkSession.sparkContext.defaultParallelism
-    return (
-        banded.repartition(par, "band_idx", "band_key")
-        .groupBy("band_idx", "band_key")
-        .applyInPandas(bucket_verify, schema=out_schema)
+    exch = banded.repartition(par, "band_idx", "band_key")
+    pairs = exch.mapInPandas(pairs_pass, schema=out_schema)
+    if not d_rows:
+        return pairs
+    # r12 giant-bucket decomposition (verdict item 3): the defer pass
+    # reads the SAME exchange (ReusedExchange — the corpus signature
+    # pass and its shuffle run once) and re-emits only giant buckets'
+    # payload rows, keyed (band_key, band, block_a, block_b); the
+    # block stage then gives every pair-matrix block its own task
+    # instead of one unsplittable applyInPandas group doing O(m²) work
+    # serially on a straggler core. Everything stays lazy — no eager
+    # checkpoint, no materialization of the (possibly huge) pair
+    # output, and when no bucket reaches d_rows the defer pass emits
+    # nothing and the block stage is empty.
+    deferred = exch.mapInArrow(defer_pass, schema=defer_schema)
+    giant = (
+        deferred.repartition(par, "__gk", "__band", "__ga", "__gb")
+        .groupBy("__gk", "__band", "__ga", "__gb")
+        .applyInPandas(block_verify, schema=out_schema)
     )
+    return pairs.unionByName(giant)
 
 
 def _incremental_fused(
@@ -1086,28 +1372,26 @@ def _incremental_fused(
     min_est = float(min_est_jaccard)
     thr = float(threshold)
 
-    def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.Series(dtype="object"),
-                "id_b": pd.Series(dtype="object"),
-                "est_jaccard": pd.Series(dtype="float64"),
-                "jaccard": pd.Series(dtype="float64"),
-            }
-        )
-        side = pdf["__side"].to_numpy()
+    _none4 = (
+        np.zeros(0, dtype=np.int64),
+        np.zeros(0, dtype=np.int64),
+        np.zeros(0, dtype=np.float64),
+        np.zeros(0, dtype=np.float64),
+    )
+
+    def verify_bipartite(band_idx, ids, side, M8, sh_vals):
+        """Candidate enumeration + exact verification for ONE bipartite
+        bucket, given numpy inputs. Returns (id_a, id_b, est, jac)
+        arrays — called per bucket SLICE by the r12 partition pass
+        (same per-group-overhead removal as the self-join path)."""
+        empty = _none4
         a_rows = np.flatnonzero(side == 0)
         b_rows = np.flatnonzero(side == 1)
         na, nb = len(a_rows), len(b_rows)
         if na == 0 or nb == 0:
             return empty
-        band_idx = int(pdf["band_idx"].iloc[0])
-        m = len(pdf)
-        ids = pdf[id_col].to_numpy()
-        M8 = np.column_stack(
-            [pdf[f"mh_{j}"].to_numpy() for j in range(nh)]
-        )
-        arrs = [np.asarray(a, dtype=np.int64) for a in pdf["__sh"]]
+        m = len(ids)
+        arrs = [np.asarray(a, dtype=np.int64) for a in sh_vals]
         lens = np.fromiter((len(a) for a in arrs), np.int64, m)
         flat = np.concatenate(arrs)
         vocab, indices = np.unique(flat, return_inverse=True)
@@ -1200,13 +1484,11 @@ def _incremental_fused(
             keep2 = jac >= thr
             if not keep2.any():
                 return None
-            return pd.DataFrame(
-                {
-                    "id_a": ids[ai[keep2]],
-                    "id_b": ids[bi[keep2]],
-                    "est_jaccard": est[keep2],
-                    "jaccard": jac[keep2],
-                }
+            return (
+                ids[ai[keep2]],
+                ids[bi[keep2]],
+                est[keep2],
+                jac[keep2],
             )
 
         g_rows = _GIANT_BUCKET_ROWS if giant_rows is None else giant_rows
@@ -1229,20 +1511,75 @@ def _incremental_fused(
             frames = [f for f in map(do_chunk, starts) if f is not None]
         if not frames:
             return empty
-        return pd.concat(frames, ignore_index=True)
+        return tuple(
+            np.concatenate([f[c] for f in frames]) for c in range(4)
+        )
 
-    # r11: pin the bucket exchange at session parallelism. The shuffle
-    # is byte-small (~50 MB at sf0.1) so AQE coalesced it to ~1/3 of
-    # the cores — but the stage's cost is the PYTHON pair enumeration,
-    # uniformly ~2 s/task (measured p50 2.08 s / max 2.6 s over 12
-    # coalesced tasks), not bytes. The explicit hash repartition on the
-    # grouping keys satisfies the groupBy's required distribution, so
-    # no second exchange is added (plan-tested: still exactly two).
+    def partition_verify(batches):
+        """ONE call per shuffle partition (mapInPandas) — the r12
+        per-group-overhead removal, bipartite form. The hash
+        repartition on (band_idx, band_key) co-locates each bucket's
+        rows (both sides); one concat + one lexsort recovers buckets
+        as contiguous numpy slices."""
+        frames = [f for f in batches]
+        if not frames:
+            return
+        pdf = (
+            pd.concat(frames, ignore_index=True)
+            if len(frames) > 1
+            else frames[0]
+        )
+        if len(pdf) == 0:
+            return
+        bi_all = pdf["band_idx"].to_numpy()
+        bk_all = pdf["band_key"].to_numpy()
+        order = np.lexsort((bk_all, bi_all))
+        bi_all = bi_all[order]
+        bk_all = bk_all[order]
+        ids_all = pdf[id_col].to_numpy()[order]
+        side_all = pdf["__side"].to_numpy()[order]
+        M8_all = np.column_stack(
+            [pdf[f"mh_{j}"].to_numpy()[order] for j in range(nh)]
+        )
+        sh_all = pdf["__sh"].to_numpy()[order]
+        n = len(ids_all)
+        newgrp = np.concatenate(
+            ([True], (bi_all[1:] != bi_all[:-1]) | (bk_all[1:] != bk_all[:-1]))
+        )
+        starts = np.flatnonzero(newgrp)
+        bounds = np.concatenate((starts, [n]))
+        res = []
+        for k in range(len(starts)):
+            lo, hi = int(bounds[k]), int(bounds[k + 1])
+            if hi - lo < 2:
+                continue
+            out = verify_bipartite(
+                int(bi_all[lo]),
+                ids_all[lo:hi],
+                side_all[lo:hi],
+                M8_all[lo:hi],
+                sh_all[lo:hi],
+            )
+            if len(out[0]):
+                res.append(out)
+        if res:
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate([r[0] for r in res]),
+                    "id_b": np.concatenate([r[1] for r in res]),
+                    "est_jaccard": np.concatenate([r[2] for r in res]),
+                    "jaccard": np.concatenate([r[3] for r in res]),
+                }
+            )
+
+    # r11: pin the bucket exchange at session parallelism (byte-based
+    # AQE coalescing under-parallelizes the Python pair work). r12:
+    # one mapInPandas call per partition instead of one applyInPandas
+    # group per bucket — see the self-join path for the measured
+    # per-group-overhead rationale.
     par = banded.sparkSession.sparkContext.defaultParallelism
-    return (
-        banded.repartition(par, "band_idx", "band_key")
-        .groupBy("band_idx", "band_key")
-        .applyInPandas(bucket_verify, schema=out_schema)
+    return banded.repartition(par, "band_idx", "band_key").mapInPandas(
+        partition_verify, schema=out_schema
     )
 
 
@@ -1619,6 +1956,58 @@ def _intersect_counts_delta(
         + _intersect_counts_csr(P_indptr, P_indices, ai, bi)
     )
     return inter.astype(np.int64)
+
+
+def _verify_block_pairs(
+    M8, lens, indptr, indices, nvocab, sizes, ai, bi, band_idx, nh, rpb,
+    min_est, thr,
+):
+    """Est-filter + first-matching-band dedup + exact Jaccard for an
+    EXPLICIT candidate index list — the per-group kernel of the r12
+    giant-bucket block-verify stage (verdict item 3). Identical
+    arithmetic to the fused bucket paths: est = agreeing slots / nh in
+    float64, drop if any earlier band fully agrees, intersection counts
+    are exact integers from the shared delta/popcount/CSR kernels,
+    jaccard = inter / (|A| + |B| - inter) in float64. Returns the
+    filtered ``(ai, bi, est, jac)`` arrays."""
+    import numpy as np
+
+    eq = M8[ai] == M8[bi]
+    est = eq.sum(axis=1) / float(nh)
+    keep = est >= min_est
+    for b in range(band_idx):
+        keep &= ~eq[:, b * rpb : (b + 1) * rpb].all(axis=1)
+    ai, bi, est = ai[keep], bi[keep], est[keep]
+    if len(ai) == 0:
+        return ai, bi, est, np.zeros(0, dtype=np.float64)
+    # kernel choice by the measured cost laws of the chunked path
+    # (blocks are <= ~1k rows, so the BLAS panel option is skipped —
+    # all remaining kernels are exact, so the choice is speed-only)
+    csize, Mip, Mix, Pip, Pix = _delta_csr(indptr, indices, nvocab)
+    dlens = (Mip[1:] - Mip[:-1]) + (Pip[1:] - Pip[:-1])
+    delta_cost = (
+        13.0 * (int(dlens[ai].sum()) + int(dlens[bi].sum()))
+        if csize
+        else float("inf")
+    )
+    csr_cost = 13.0 * int(lens[bi].sum())
+    pop_cost = 2.2 * len(ai) * nvocab
+    n_rows = len(indptr) - 1
+    if delta_cost < min(csr_cost, pop_cost):
+        inter = _intersect_counts_delta(
+            csize, Mip, Mix, Pip, Pix, ai, bi
+        ).astype(np.float64)
+    elif pop_cost < csr_cost and n_rows * nvocab <= (256 << 20):
+        inter = _intersect_counts_popcount(
+            indptr, indices, nvocab, ai, bi
+        ).astype(np.float64)
+    else:
+        inter = _intersect_counts_csr(indptr, indices, ai, bi).astype(
+            np.float64
+        )
+    jac = inter / (sizes[ai] + sizes[bi] - inter)
+    keep2 = jac >= thr
+    return ai[keep2], bi[keep2], est[keep2], jac[keep2]
 
 
 def _verify_pairs_blocked(

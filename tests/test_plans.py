@@ -110,12 +110,14 @@ def test_lsh_verify_joins_broadcast_shingle_sides(spark):
 
 
 def test_lsh_fused_plan_single_exchange(spark):
-    """The r11 fused fuzzy-dedup plan must be one straight pipeline:
-    map pass (signatures + shingles) -> ONE exchange on the band key ->
-    in-bucket python verify. No joins of any kind, no second exchange,
-    no checkpoint scans — that collapse (13 Spark jobs -> 1) is the
-    optimization; pin it so a regression re-introducing a join or
-    shuffle is caught."""
+    """The fused fuzzy-dedup plan must stay join-free with the corpus
+    payload shuffled ONCE. r12 default shape: map pass (signatures +
+    shingles) -> round-robin spread -> one exchange on the band key ->
+    per-PARTITION python verify (mapInPandas — the r11 per-bucket
+    groupBy.applyInPandas spent ~1.5 s/task on ~90k per-group pandas
+    frames). Pin it so a regression re-introducing a join, a
+    per-bucket groupBy on the hot path, or a second corpus shuffle is
+    caught."""
     import contextlib
     import io
 
@@ -127,15 +129,47 @@ def test_lsh_fused_plan_single_exchange(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     plan = buf.getvalue()
-    # exactly two exchanges: the round-robin spread feeding the map
-    # pass (parallelism for the python hashing) and the band-key hash
-    # partition feeding the bucket verify; NO payload moves twice
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
     assert "RoundRobinPartitioning" in plan, plan
     assert "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+
+
+def test_lsh_fused_defer_plan_shape(spark):
+    """With the giant-bucket scale knob enabled (production:
+    SPARK_GRAFT_DEFER_ROWS=4096) the plan gains the block-verify
+    branch: a defer pass over the SAME banded exchange (statically the
+    shared subtree prints twice — 5 Exchange nodes: 2 in the pairs
+    branch, 2 duplicated in the defer branch, 1 feeding the block
+    stage; at runtime AQE stage reuse materializes the banded shuffle
+    once, verified in the r12 stage profile) unioned with the pairs
+    pass. Still no joins, and the only grouped python stage is the
+    block verify."""
+    import contextlib
+    import io
+
+    from tensorflow_recorder_spark.operators.dedup import (
+        _lsh_verified_fused,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = _lsh_verified_fused(
+        docs, "text", "doc_id", 8, 4, 5, 0.25, 0.3, defer_rows=4096
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 5, plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
+    assert len(re.findall(r"\(\d+\) Union", plan)) == 1, plan
 
 
 def test_partitioned_events_scan_prunes_date_range(spark, tmp_path):
