@@ -1385,6 +1385,131 @@ def filtered_topk(
     )
 
 
+def _sq_codes_expr(vec_col: str) -> str:
+    """The int8 scalar-quantization code expression (shared verbatim by
+    :func:`scalar_dequantize` and the r12 dual-arm search so the two
+    plans are bit-identical)."""
+    return (
+        "transform(sequence(1, size({v})), i -> "
+        "CASE WHEN element_at(mxs, i) = element_at(mns, i) THEN 0 "
+        "ELSE cast(floor((cast(element_at({v}, i) as double) - element_at(mns, i)) "
+        "/ (element_at(mxs, i) - element_at(mns, i)) * 254.0d + 0.5d) as int) - 127 "
+        "END)"
+    ).format(v=vec_col)
+
+
+_SQ_RECON_EXPR = (
+    "transform(sequence(1, size(codes)), i -> "
+    "element_at(mns, i) + (cast(element_at(codes, i) as double) + 127.0d) "
+    "/ 254.0d * (element_at(mxs, i) - element_at(mns, i)))"
+)
+
+
+def sq_dual_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    fitted: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact AND SQ8-reconstructed cosine top-k in ONE corpus pass +
+    ONE salted top-k (r12, verdict item 5): the SQ recall audit ran
+    :func:`brute_force_topk` twice — once over the raw corpus, once
+    over :func:`scalar_dequantize`'s reconstruction — scanning and
+    broadcasting against the corpus twice and paying two full salted
+    top-k chains for frames that share every input. Here each corpus
+    row materializes its raw vector + norm AND its reconstructed
+    vector + norm (the reconstruction uses :func:`scalar_dequantize`'s
+    exact expression templates, codes materialized in their own
+    projection before the recon lambda — same no-CSE discipline), both
+    scores are computed against the broadcast queries in one
+    projection, stacked map-side (explode of a 2-struct array), and
+    ONE salted top-k keyed (arm, query_id) ranks both arms. Per-pair
+    arithmetic is unchanged from the per-arm calls (same dot / norm /
+    round expressions), so every arm's rows are bit-identical.
+
+    Output: (arm, query_id, neighbor_id, score, rank) with arm 0 =
+    exact full-precision, arm 1 = asymmetric SQ8 (full-precision query
+    against the reconstructed corpus).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.expr(norm_expr(vec_col)).alias("__qn"),
+    )
+    corpus = (
+        spread_to_parallelism(df)
+        .crossJoin(F.broadcast(fitted))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col),
+            F.col("mns"),
+            F.col("mxs"),
+            F.expr(_sq_codes_expr(vec_col)).alias("codes"),
+        )
+        .select(
+            "neighbor_id",
+            F.col(vec_col),
+            F.expr(_SQ_RECON_EXPR).alias("__rv"),
+        )
+        .select(
+            "neighbor_id",
+            F.col(vec_col).alias("__cv"),
+            F.expr(norm_expr(vec_col)).alias("__cn"),
+            "__rv",
+            F.expr(norm_expr("__rv")).alias("__rn"),
+        )
+    )
+    raw_score = F.round(
+        F.expr(
+            f"({dot_expr('__qv', '__cv')}) / nullif(__qn * __cn, cast(0 as double))"
+        ),
+        round_digits,
+    )
+    sq_score = F.round(
+        F.expr(
+            f"({dot_expr('__qv', '__rv')}) / nullif(__qn * __rn, cast(0 as double))"
+        ),
+        round_digits,
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).cast("int").alias("arm"),
+                        raw_score.alias("score"),
+                    ),
+                    F.struct(
+                        F.lit(1).cast("int").alias("arm"),
+                        sq_score.alias("score"),
+                    ),
+                )
+            ).alias("__a"),
+        )
+        .select(
+            F.col("__a.arm").alias("arm"),
+            "query_id",
+            "neighbor_id",
+            F.col("__a.score").alias("score"),
+        )
+    )
+    return salted_topk_per_key(
+        scored,
+        key_cols=["arm", "query_id"],
+        order_by=[F.desc("score"), F.asc("neighbor_id")],
+        k=k,
+        rank_alias="rank",
+        salt_on="neighbor_id",
+    )
+
+
 def scalar_dequantize(
     df: DataFrame,
     fitted: DataFrame,
@@ -1405,22 +1530,13 @@ def scalar_dequantize(
     reconstructed double array under the ORIGINAL column name, so the
     frame drops into any search operator unchanged.
     """
-    q = (
-        "transform(sequence(1, size({v})), i -> "
-        "CASE WHEN element_at(mxs, i) = element_at(mns, i) THEN 0 "
-        "ELSE cast(floor((cast(element_at({v}, i) as double) - element_at(mns, i)) "
-        "/ (element_at(mxs, i) - element_at(mns, i)) * 254.0d + 0.5d) as int) - 127 "
-        "END)"
-    ).format(v=vec_col)
     coded = df.crossJoin(F.broadcast(fitted)).select(
-        F.col(id_col), F.col("mns"), F.col("mxs"), F.expr(q).alias("codes")
+        F.col(id_col),
+        F.col("mns"),
+        F.col("mxs"),
+        F.expr(_sq_codes_expr(vec_col)).alias("codes"),
     )
-    recon = (
-        "transform(sequence(1, size(codes)), i -> "
-        "element_at(mns, i) + (cast(element_at(codes, i) as double) + 127.0d) "
-        "/ 254.0d * (element_at(mxs, i) - element_at(mns, i)))"
-    )
-    return coded.select(F.col(id_col), F.expr(recon).alias(vec_col))
+    return coded.select(F.col(id_col), F.expr(_SQ_RECON_EXPR).alias(vec_col))
 
 
 def scalar_quantize(
@@ -1685,6 +1801,30 @@ def pq_topk(
     :func:`brute_force_topk`). Distances round to 6 before ranking;
     ties break on neighbor id.
     """
+    scored = adc_scored(queries, codes, codebook, m, vec_col, id_col)
+    return salted_topk_per_key(
+        scored,
+        key_cols=["query_id"],
+        order_by=[F.asc("adc_dist"), F.asc("neighbor_id")],
+        k=k,
+        rank_alias="rank",
+        salt_on="neighbor_id",
+    )
+
+
+def adc_scored(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The ADC scoring stage of :func:`pq_topk`, exposed (r12) so the
+    PQ recall audit can stack it with the exact-truth scores into ONE
+    salted top-k instead of running two full rank chains. Output:
+    (query_id, neighbor_id, adc_dist) — exactly the frame
+    :func:`pq_topk` ranks."""
     q_sub = pq_explode(queries, m, vec_col, id_col).select(
         F.col(id_col).alias("query_id"), "sub_id", F.col("subvec").alias("__qv")
     )
@@ -1700,7 +1840,7 @@ def pq_topk(
     code_rows = codes.select(
         F.col(codes.columns[0]).alias("neighbor_id"), "sub_id", "code_id"
     )
-    scored = (
+    return (
         code_rows.join(
             F.broadcast(lut),
             (code_rows.sub_id == lut.sub_id) & (code_rows.code_id == lut.__code),
@@ -1708,14 +1848,6 @@ def pq_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("__pd"), 6).alias("adc_dist"))
-    )
-    return salted_topk_per_key(
-        scored,
-        key_cols=["query_id"],
-        order_by=[F.asc("adc_dist"), F.asc("neighbor_id")],
-        k=k,
-        rank_alias="rank",
-        salt_on="neighbor_id",
     )
 
 
@@ -1805,21 +1937,7 @@ def brute_force_topk_l2(
     loss). Same plan shape as :func:`brute_force_topk`: queries
     broadcast, corpus never shuffles to score, salted two-phase rank.
     Output: (query_id, neighbor_id, dist, rank)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    corpus = spread_to_parallelism(df).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
-    scored = (
-        corpus.crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.expr(_sq_l2_expr("__qv", "__cv")), 6).alias("dist"),
-        )
-    )
+    scored = l2_scored(df, queries, vec_col, id_col)
     return salted_topk_per_key(
         scored,
         key_cols=["query_id"],
@@ -1827,6 +1945,32 @@ def brute_force_topk_l2(
         k=k,
         rank_alias="rank",
         salt_on="neighbor_id",
+    )
+
+
+def l2_scored(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The exact squared-L2 scoring stage of :func:`brute_force_topk_l2`,
+    exposed (r12) for the PQ recall audit's stacked top-k. Output:
+    (query_id, neighbor_id, dist) — exactly the frame the topk ranks."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    corpus = spread_to_parallelism(df).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(_sq_l2_expr("__qv", "__cv")), 6).alias("dist"),
+        )
     )
 
 

@@ -764,12 +764,45 @@ def q_e2_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ quality evaluation: per-query recall@10 of ADC search (seed
     codebook) against exact squared-L2 ground truth — the metric that
     decides m/k before shipping a compressed index."""
+    from ..operators.skew import salted_topk_per_key
+
     emb = _t(spark, sf_dir, "embeddings")
     cb = similarity.pq_seed_codebook(emb, m=4, k=16)
     codes = similarity.pq_encode(emb, cb, m=4)
     queries = emb.orderBy(F.asc("vec_id")).limit(5)
-    ann = similarity.pq_topk(queries, codes, cb, k=10, m=4)
-    exact = similarity.brute_force_topk_l2(emb, queries, k=10)
+    # r12 (verdict item 5): the ADC and exact-truth scoring passes read
+    # DIFFERENT inputs (codes vs raw vectors) so only the rank chains
+    # merge — both scored frames stack with an arm tag into ONE salted
+    # top-k (both rank by (dist asc, neighbor asc), unchanged per-arm
+    # arithmetic); the tiny top-k frame is eagerly checkpointed for
+    # ann_recall's two reads.
+    both = (
+        similarity.l2_scored(emb, queries)
+        .select(
+            F.lit(0).cast("int").alias("arm"),
+            "query_id",
+            "neighbor_id",
+            "dist",
+        )
+        .unionByName(
+            similarity.adc_scored(queries, codes, cb, m=4).select(
+                F.lit(1).cast("int").alias("arm"),
+                "query_id",
+                "neighbor_id",
+                F.col("adc_dist").alias("dist"),
+            )
+        )
+    )
+    topk = salted_topk_per_key(
+        both,
+        key_cols=["arm", "query_id"],
+        order_by=[F.asc("dist"), F.asc("neighbor_id")],
+        k=10,
+        rank_alias="rank",
+        salt_on="neighbor_id",
+    ).localCheckpoint(eager=True)
+    ann = topk.where(F.col("arm") == 1)
+    exact = topk.where(F.col("arm") == 0)
     return similarity.ann_recall(ann, exact)
 
 ORACLE_E2_PQ_RECALL = """
@@ -1738,9 +1771,16 @@ def q_e2_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     fitted = similarity.scalar_quantize_fit(emb)
-    recon = similarity.scalar_dequantize(emb, fitted)
-    ann = similarity.brute_force_topk(recon, queries, k=10)
-    exact = similarity.brute_force_topk(emb, queries, k=10)
+    # r12 (verdict item 5): both searches share every input, so the
+    # dual-arm operator scores raw + reconstructed in ONE corpus pass
+    # and ranks both arms in ONE salted top-k; the tiny (<= 100-row)
+    # top-k frame is eagerly checkpointed because ann_recall consumes
+    # it twice (same in-call discipline as the IVF curve queries).
+    topk = similarity.sq_dual_topk(
+        emb, queries, fitted, k=10
+    ).localCheckpoint(eager=True)
+    ann = topk.where(F.col("arm") == 1)
+    exact = topk.where(F.col("arm") == 0)
     return (
         similarity.ann_recall(ann, exact)
         .agg(
