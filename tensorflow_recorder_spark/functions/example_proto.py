@@ -209,6 +209,207 @@ def _varint(value: int) -> bytes:
 _VT = tuple(_varint(i) for i in range(1 << 14))
 
 
+# --------------------------------------------- r12 vectorized column paths
+#
+# The batch encoder's per-VALUE Python work (pack/varint/append per cell)
+# measured 2.9-3.2 s single-core per 600k lineitem rows — fully
+# task-parallel but the single biggest CPU sink of the convert encode
+# stage (r11 "Not yet optimized"; r12 verdict item 6). Each fast path
+# below encodes a whole column with numpy/Arrow: values are grouped by
+# their wire WIDTH (varint byte count / payload length), each group's
+# entries are assembled as one (rows x width) uint8 matrix — constant
+# prefix broadcast + vectorized payload bytes — and per-row bytes
+# objects are C-level slices of the matrix's single buffer. Any input
+# a path cannot prove safe (sub-lists, mixed str/bytes, non-integral
+# floats for int64, exotic objects) returns None and the caller runs
+# the original per-value loop, so semantics are EXACTLY the loop's
+# (property-tested byte-identity).
+
+
+def _pylist(values):
+    """Arrow array -> python list (nulls -> None) for the exact
+    per-value fallback loops; pass-through for plain sequences."""
+    try:
+        import pyarrow as pa
+
+        if isinstance(values, (pa.Array, pa.ChunkedArray)):
+            return values.to_pylist()
+    except ImportError:
+        pass
+    return values
+
+
+def _slice_rows(mat) -> list[bytes]:
+    """Per-row bytes of a 2-D uint8 matrix via one tobytes + C slices."""
+    n, w = mat.shape
+    big = mat.tobytes()
+    return [big[i : i + w] for i in range(0, n * w, w)]
+
+
+def _as_pa(values, pa_type):
+    """Coerce a column to ONE Arrow array of ``pa_type`` — zero/cheap
+    when the caller already holds Arrow data (the mapInArrow encode
+    path: no pandas or list round-trip), a single C conversion pass for
+    python sequences, None when the column cannot be safely coerced
+    (the caller then runs the exact per-value loop)."""
+    import pyarrow as pa
+
+    try:
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if isinstance(values, pa.Array):
+            if values.type == pa_type:
+                return values
+            return values.cast(pa_type)
+        return pa.array(values, type=pa_type)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError,
+            ValueError, TypeError, OverflowError):
+        return None
+
+
+def _pa_scalar_array(values, pa_type, np_dtype):
+    """values -> (numpy values view of the Arrow data buffer, null-mask
+    ndarray) or None when the column isn't scalar-coercible to
+    ``pa_type``. The raw buffer is used instead of ``to_numpy`` because
+    a nulled int64 column would otherwise round-trip through float64
+    and silently lose precision past 2^53."""
+    import numpy as np
+
+    a = _as_pa(values, pa_type)
+    if a is None:
+        return None
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np_dtype), np.zeros(0, dtype=bool)
+    vals = np.frombuffer(a.buffers()[1], dtype=np_dtype, count=n + a.offset)[
+        a.offset :
+    ]
+    if a.null_count:
+        nulls = ~a.is_valid().to_numpy(zero_copy_only=False)
+    else:
+        nulls = np.zeros(n, dtype=bool)
+    return vals, nulls
+
+
+def _float_scalar_entries(values, prefix, null_entry):
+    import numpy as np
+    import pyarrow as pa
+
+    got = _pa_scalar_array(values, pa.float64(), np.float64)
+    if got is None:
+        return None
+    vals, nulls = got
+    n = len(vals)
+    if n == 0:
+        return []
+    vals = np.where(nulls, 0.0, vals)
+    nulls = nulls | np.isnan(vals)
+    p = len(prefix)
+    mat = np.empty((n, p + 4), dtype=np.uint8)
+    mat[:, :p] = np.frombuffer(prefix, dtype=np.uint8)
+    mat[:, p:] = (
+        vals.astype("<f4").view(np.uint8).reshape(n, 4)
+    )
+    entries = _slice_rows(mat)
+    if nulls.any():
+        for i in np.flatnonzero(nulls).tolist():
+            entries[i] = null_entry
+    return entries
+
+
+def _int64_scalar_entries(values, prefixes, null_entry):
+    import numpy as np
+    import pyarrow as pa
+
+    got = _pa_scalar_array(values, pa.int64(), np.int64)
+    if got is None:
+        return None
+    vals, nulls = got
+    n = len(vals)
+    if n == 0:
+        return []
+    v = np.where(nulls, 0, vals).astype(np.int64).view(np.uint64)
+    # varint byte count: 1 + (number of 7-bit boundaries crossed)
+    nb = np.ones(n, dtype=np.int64)
+    for k in range(1, 10):
+        nb += (v >= np.uint64(1 << (7 * k))).astype(np.int64)
+    entries: list = [None] * n
+    for length in np.unique(nb).tolist():
+        rows = np.flatnonzero(nb == length)
+        pref = prefixes[length]
+        p = len(pref)
+        mat = np.empty((len(rows), p + length), dtype=np.uint8)
+        mat[:, :p] = np.frombuffer(pref, dtype=np.uint8)
+        g = v[rows]
+        for k in range(length):
+            byte = ((g >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(
+                np.uint8
+            )
+            if k < length - 1:
+                byte |= np.uint8(0x80)
+            mat[:, p + k] = byte
+        chunk = _slice_rows(mat)
+        for j, r in enumerate(rows.tolist()):
+            entries[r] = chunk[j]
+    if nulls.any():
+        for i in np.flatnonzero(nulls).tolist():
+            entries[i] = null_entry
+    return entries
+
+
+def _bytes_scalar_entries(values, key_field, kind_tag, null_entry, wrap, vt):
+    import numpy as np
+    import pyarrow as pa
+
+    a = _as_pa(values, pa.large_string())
+    if a is None:
+        a = _as_pa(values, pa.large_binary())
+    if a is None:
+        return None
+    n = len(a)
+    if n == 0:
+        return []
+    bufs = a.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64, count=n + 1 + a.offset)[
+        a.offset :
+    ]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    lens = np.diff(offsets)
+    if a.null_count:
+        nulls = ~a.is_valid().to_numpy(zero_copy_only=False)
+    else:
+        nulls = np.zeros(n, dtype=bool)
+    valid_lens = lens[~nulls]
+    uniq = np.unique(valid_lens) if len(valid_lens) else np.zeros(0, np.int64)
+    # many distinct payload lengths (free-text columns): the per-group
+    # win evaporates — let the loop handle it
+    if len(uniq) > max(64, n // 64):
+        return None
+    entries: list = [None] * n
+    sel = ~nulls
+    for length in uniq.tolist():
+        rows = np.flatnonzero(sel & (lens == length))
+        pref = wrap(key_field, kind_tag, b"\x0a" + vt(length) + b"\x00" * length)
+        pref = pref[: len(pref) - length] if length else pref
+        p = len(pref)
+        mat = np.empty((len(rows), p + length), dtype=np.uint8)
+        mat[:, :p] = np.frombuffer(pref, dtype=np.uint8)
+        if length:
+            idx = offsets[rows][:, None] + np.arange(length, dtype=np.int64)
+            mat[:, p:] = data[idx]
+        chunk = _slice_rows(mat)
+        for j, r in enumerate(rows.tolist()):
+            entries[r] = chunk[j]
+    if nulls.any():
+        for i in np.flatnonzero(nulls).tolist():
+            entries[i] = null_entry
+    return entries
+
+
 def build_batch_encoder(kinds: dict[str, str]):
     """Compile a column-wise batch Example encoder for a fixed
     column->kind map (the convert hot path).
@@ -249,8 +450,8 @@ def build_batch_encoder(kinds: dict[str, str]):
         if kind == "float":
             scalar_prefix = _wrap(key_field, kind_tag, b"\x0a\x04" + b"\x00" * 4)[:-4]
 
-            def enc_col(values, *, _p=scalar_prefix, _n=null_entry, _k=key_field,
-                        _t=kind_tag) -> list[bytes]:
+            def enc_col_slow(values, *, _p=scalar_prefix, _n=null_entry,
+                             _k=key_field, _t=kind_tag) -> list[bytes]:
                 out = []
                 append = out.append
                 for v in values:
@@ -263,6 +464,11 @@ def build_batch_encoder(kinds: dict[str, str]):
                         append(_p + pack("<f", float(v)))
                 return out
 
+            def enc_col(values, *, _p=scalar_prefix, _n=null_entry,
+                        _slow=enc_col_slow) -> list[bytes]:
+                fast = _float_scalar_entries(values, _p, _n)
+                return fast if fast is not None else _slow(_pylist(values))
+
         elif kind == "int64":
             # one constant prefix per varint payload length 1..10
             prefixes = [b""] + [
@@ -270,8 +476,8 @@ def build_batch_encoder(kinds: dict[str, str]):
                 for n in range(1, 11)
             ]
 
-            def enc_col(values, *, _ps=prefixes, _n=null_entry, _k=key_field,
-                        _t=kind_tag) -> list[bytes]:
+            def enc_col_slow(values, *, _ps=prefixes, _n=null_entry,
+                             _k=key_field, _t=kind_tag) -> list[bytes]:
                 out = []
                 append = out.append
                 for v in values:
@@ -287,10 +493,15 @@ def build_batch_encoder(kinds: dict[str, str]):
                         append(_ps[len(pv)] + pv)
                 return out
 
+            def enc_col(values, *, _ps=prefixes, _n=null_entry,
+                        _slow=enc_col_slow) -> list[bytes]:
+                fast = _int64_scalar_entries(values, _ps, _n)
+                return fast if fast is not None else _slow(_pylist(values))
+
         else:  # bytes
 
-            def enc_col(values, *, _n=null_entry, _k=key_field,
-                        _t=kind_tag) -> list[bytes]:
+            def enc_col_slow(values, *, _n=null_entry, _k=key_field,
+                             _t=kind_tag) -> list[bytes]:
                 out = []
                 append = out.append
                 for v in values:
@@ -309,6 +520,11 @@ def build_batch_encoder(kinds: dict[str, str]):
                             buf += b"\x0a" + _vt(len(b)) + b
                         append(_wrap(_k, _t, bytes(buf)))
                 return out
+
+            def enc_col(values, *, _n=null_entry, _k=key_field,
+                        _t=kind_tag, _slow=enc_col_slow) -> list[bytes]:
+                fast = _bytes_scalar_entries(values, _k, _t, _n, _wrap, _vt)
+                return fast if fast is not None else _slow(_pylist(values))
 
         col_encoders.append(enc_col)
 
