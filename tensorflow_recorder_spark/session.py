@@ -51,8 +51,23 @@ def get_spark(app_name: str = "tensorflow_recorder_spark", master: str | None = 
     # getOrCreate against a live session leaves it untouched, and on a
     # real cluster executor sizing comes from the cluster config.
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem()
+    # r12 (verdict item 2): pin BLAS/OpenMP to one thread per PYTHON
+    # WORKER. Every worker runs numpy kernels inside its own task slot;
+    # an unpinned OpenBLAS spawns a thread per core PER WORKER, so at
+    # local[8] the fused dedup's sgemm panels ran 8 workers x 8+ BLAS
+    # threads on 8 cores — the oversubscription suspected in the r11
+    # local[8] worker crashes, and wasted context switching everywhere
+    # else. Set BEFORE the JVM launches so the worker daemon inherits
+    # it (the driver's own numpy is typically already imported by then
+    # and keeps its thread pool; executorEnv covers cluster mode).
+    # Parallelism across data stays with Spark's task slots — the
+    # guide's division of labor (§4.2).
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", os.environ["OPENBLAS_NUM_THREADS"])
+        .config("spark.executorEnv.OMP_NUM_THREADS", os.environ["OMP_NUM_THREADS"])
         .config("spark.driver.memory", mem)
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
