@@ -968,40 +968,62 @@ def q_e1_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sample.select(F.col("doc_id").alias("id_a"), F.col("source").alias("__sa"))
     sb = sample.select(F.col("doc_id").alias("id_b"), F.col("source").alias("__sb"))
     t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
-    curves = []
-    for bands in (2, 4, 8):
-        cand = (
-            dd.lsh_candidate_pairs(
-                sigs, "doc_id", bands=bands, min_est_jaccard=0.0
-            )
-            .select("id_a", "id_b")
-            .join(F.broadcast(sa), "id_a")
-            .join(F.broadcast(sb), "id_b")
-            .where(F.col("__sa") == F.col("__sb"))
-            .select("id_a", "id_b")
-            .localCheckpoint(eager=True)
+    # r12 (profiled, verdict item 7): the per-band loop ran ~31 tiny
+    # sequential jobs (3 candidate checkpoints + 3x3 aggregate jobs),
+    # all fixed overhead — the sweep's data is kilobytes. The three
+    # band settings now UNION into one tagged frame (its single eager
+    # checkpoint materializes all three banding pipelines in one
+    # parallel job), and the counts/hits collapse to two grouped
+    # aggregates; a 3-row literal arm frame keeps zero-candidate arms
+    # present with the same null semantics as the per-arm aggregates.
+    cands = [
+        dd.lsh_candidate_pairs(
+            sigs, "doc_id", bands=bands, min_est_jaccard=0.0
         )
-        c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-        h = truth.join(cand, ["id_a", "id_b"]).agg(
-            F.count(F.lit(1)).cast("long").alias("n_hit")
+        .select("id_a", "id_b")
+        .join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .where(F.col("__sa") == F.col("__sb"))
+        .select(F.lit(bands).cast("int").alias("bands"), "id_a", "id_b")
+        for bands in (2, 4, 8)
+    ]
+    cand_all = reduce(lambda a, b: a.unionByName(b), cands).localCheckpoint(
+        eager=True
+    )
+    c_cnt = cand_all.groupBy("bands").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    h_cnt = (
+        truth.join(cand_all, ["id_a", "id_b"])
+        .groupBy("bands")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    arms = spark.createDataFrame(
+        [(2,), (4,), (8,)], "bands int"
+    )
+    return (
+        arms.crossJoin(t)
+        .join(c_cnt, "bands", "left")
+        .join(h_cnt, "bands", "left")
+        .select(
+            "bands",
+            "n_true",
+            F.coalesce(F.col("n_candidates"), F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0).cast("long"))
+                / F.expr("nullif(n_true, 0)"),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0).cast("long"))
+                / F.expr("nullif(n_candidates, 0)"),
+                6,
+            ).alias("precision"),
         )
-        curves.append(
-            t.crossJoin(c)
-            .crossJoin(h)
-            .select(
-                F.lit(bands).cast("int").alias("bands"),
-                "n_true",
-                "n_candidates",
-                "n_hit",
-                F.round(F.col("n_hit") / F.expr("nullif(n_true, 0)"), 6).alias(
-                    "recall"
-                ),
-                F.round(
-                    F.col("n_hit") / F.expr("nullif(n_candidates, 0)"), 6
-                ).alias("precision"),
-            )
-        )
-    return reduce(lambda a, b: a.unionByName(b), curves)
+    )
 
 def _oracle_lsh_pairs_banded(bands: int, src: str = "documents") -> str:
     """Banded LSH candidate pairs at an arbitrary band count over the 8
